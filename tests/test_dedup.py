@@ -1,0 +1,84 @@
+"""Dedup / similarity operator quality: the LSH variants must find
+the same near-dup pairs the exact (oracle) computations find."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from timescaledb_event_streamer_spark.operators.ann import brute_force_topk, lsh_topk
+from timescaledb_event_streamer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    shingle_pairs_jaccard,
+    simhash_pairs,
+)
+from timescaledb_event_streamer_spark.sources.tables import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_mid):
+    return load(spark, sf_mid, "documents")
+
+
+@pytest.fixture(scope="module")
+def true_pairs(docs):
+    """Exact Jaccard >= 0.5 pairs — ground truth for the sketches."""
+    rows = shingle_pairs_jaccard(docs).filter(F.col("jaccard") >= 0.5).collect()
+    return {(r["doc_a"], r["doc_b"]) for r in rows}
+
+
+def test_exact_dedup_partitions_corpus(docs):
+    ded = exact_dedup(docs)
+    total = ded.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == docs.count()
+    assert ded.count() == docs.select("text").distinct().count()
+
+
+def test_minhash_lsh_finds_true_near_dups(docs, true_pairs):
+    assert true_pairs, "testdata should contain planted near-dups"
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    recall = len(true_pairs & got) / len(true_pairs)
+    assert recall >= 0.9, f"minhash recall {recall}: {true_pairs - got}"
+
+
+def test_minhash_estimates_track_true_jaccard(docs):
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    true = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in shingle_pairs_jaccard(docs).filter(F.col("jaccard") >= 0.5).collect()
+    }
+    errs = [abs(est[p] - true[p]) for p in true if p in est]
+    assert errs, "no overlap between estimated and true pairs"
+    assert sum(errs) / len(errs) < 0.25
+
+
+def test_simhash_finds_planted_dups(docs, true_pairs):
+    got = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    strong = true_pairs  # jaccard >= 0.5 pairs should mostly be close in hamming
+    recall = len(strong & got) / len(strong)
+    assert recall >= 0.5, f"simhash recall {recall}"
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_mid):
+    from timescaledb_event_streamer_spark.operators.ann import lsh_bucket
+
+    emb = load(spark, sf_mid, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()}
+    approx = {r["vec_id"] for r in lsh_topk(emb, qv, k=10, probe_hamming=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ann recall {recall}"
+    # and the probe must actually prune: candidate set well under the corpus
+    total = emb.count()
+    q_bucket = lsh_bucket(F.array(*[F.lit(v) for v in qv])).cast("long")
+    candidates = emb.filter(
+        F.bit_count(lsh_bucket(F.col("embedding")).bitwiseXOR(q_bucket)) <= 4
+    ).count()
+    assert candidates < 0.35 * total, f"probe scans {candidates}/{total} — not pruning"

@@ -1,0 +1,55 @@
+"""Plan audits: the physical plans must have the shape that survives
+100 TB — pushed filters, pruned columns, broadcast dims, and no
+Python row UDFs in any registered query."""
+
+from __future__ import annotations
+
+import pytest
+
+from timescaledb_event_streamer_spark.plans.registry import all_queries
+from timescaledb_event_streamer_spark.sources.tables import load
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_time_filter_pushed_to_scan(spark, sf_small):
+    df = all_queries()["ts_chunk_pruning"](spark, sf_small)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan, plan[:1500]
+
+
+def test_q1_scan_prunes_columns(spark, sf_small):
+    plan = _plan(all_queries()["q1_pricing_summary"](spark, sf_small))
+    scan = plan[plan.index("ReadSchema") :][:400]
+    assert "l_orderkey" not in scan, f"q1 must not read unused columns: {scan}"
+    assert "l_extendedprice" in scan
+
+
+def test_q5_broadcasts_only_dims(spark, sf_small):
+    plan = _plan(all_queries()["q5_local_supplier"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_python_row_udfs_anywhere(spark, sf_small, name):
+    df = all_queries()[name](spark, sf_small)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan, f"{name} fell back to a row-at-a-time Python UDF"
+
+
+def test_whole_stage_codegen_in_scan_aggs(spark, sf_small):
+    df = all_queries()["ts_time_bucket"](spark, sf_small)
+    df.collect()  # finalize the adaptive plan
+    plan = _plan(df)
+    # codegen stages appear as '*(n)' markers in the final plan
+    assert "*(" in plan, plan[:1500]
+
+
+def test_events_scan_only_needed_columns(spark, sf_small):
+    df = load(spark, sf_small, "events").select("event_id")
+    plan = _plan(df)
+    scan = plan[plan.index("ReadSchema") :][:200]
+    assert "props" not in scan

@@ -76,25 +76,30 @@ def shingle_pairs_jaccard(
     )
 
 
-def _minhash_sig(shingle_arr: Column) -> Column:
-    """MinHash signature (array<long>) from a shingle array — pure
-    higher-order expressions, evaluated per row in codegen."""
-    hashes = F.transform(shingle_arr, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(hashes, lambda h: (h * _A[i] + _B[i]) % _MERSENNE)
-            ).alias(f"mh{i}")
-            for i in range(MINHASH_PERMS)
-        ]
-    )
-
-
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"), _minhash_sig(shingles(F.col(text_col))).alias("sig")
+    """MinHash signatures as explode(shingle) -> hash -> groupBy(doc)
+    with 32 min-aggregates.
+
+    This shape matters twice over: (1) it is the classic scale form —
+    one shuffle keyed on doc_id, map-side partial mins, no quadratic
+    anything; (2) the aggregation is an optimizer barrier, so the
+    signature is computed exactly once (a pure-projection variant
+    gets inlined by CollapseProject into every downstream reference —
+    measured 40x slower at sf0.1).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("s")
+    )
+    h = sh.select("doc_id", (F.abs(F.xxhash64("s")) % _MERSENNE).alias("h"))
+    aggs = [
+        F.min((F.col("h") * _A[i] + _B[i]) % _MERSENNE).alias(f"mh{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    wide = h.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)]).alias("sig")
     )
 
 
@@ -169,8 +174,9 @@ def minhash_lsh_pairs(
 
 
 def simhash64(text_col: Column) -> Column:
-    """64-bit SimHash over whitespace tokens, as one codegen
-    expression: per bit, sum +/-1 weights across token hashes."""
+    """64-bit SimHash over whitespace tokens as one codegen
+    expression. Prefer :func:`simhash_signatures` (explode+groupBy)
+    for DataFrame-scale use; this column form suits small inputs."""
     toks = F.split(text_col, " ")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     def bit_weight(j: int):
@@ -192,6 +198,34 @@ def simhash64(text_col: Column) -> Column:
     return out
 
 
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash via explode(token) -> groupBy(doc) with 64 conditional
+    sums: one shuffle on doc_id, map-side partials, and the agg
+    barrier keeps the hash computed once (same rationale as
+    minhash_signatures)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    )
+    h = toks.select("doc_id", F.xxhash64("t").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"w{j}")
+        for j in range(64)
+    ]
+    wide = h.groupBy("doc_id").agg(*aggs)
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        mask = (1 << j) - (1 << 64) if j == 63 else (1 << j)
+        out = out.bitwiseOR(
+            F.when(F.col(f"w{j}") > 0, F.lit(mask)).otherwise(F.lit(0)).cast("long")
+        )
+    return wide.select("doc_id", out.alias("sh"))
+
+
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -201,7 +235,7 @@ def simhash_pairs(
     """SimHash near-dup pairs via 4x16-bit band buckets (any pair at
     hamming distance <= 3 shares at least one exact 16-bit band, so
     bucketing is lossless for the threshold)."""
-    sh = docs.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sh"))
+    sh = simhash_signatures(docs, text_col, id_col)
     banded = sh.select(
         "doc_id",
         "sh",

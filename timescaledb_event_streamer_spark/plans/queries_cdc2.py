@@ -1,0 +1,267 @@
+"""CDC coverage, part 2 (SURVEY.md §2.A9-A14 + §2.J1): replica
+identity, tombstones, offset tracking, message events, compression
+markers, key extraction, and PG type conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.catalog.chunks import CHUNK_INTERVAL_S
+from timescaledb_event_streamer_spark.catalog.naming import event_topic, message_topic
+from timescaledb_event_streamer_spark.cdc.envelope import (
+    OP_DELETE,
+    derive_op,
+    stream_envelope,
+    ts_ms,
+)
+from timescaledb_event_streamer_spark.plans.queries_cdc import (
+    _SQL_CHUNK_START,
+    _SQL_OP,
+    _SQL_TS_MS,
+)
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load
+
+
+@register(
+    "cdc_replica_identity",
+    family="cdc",
+    doc="Replica-identity matrix: per (table, op), how many events carry a "
+    "before image under DEFAULT identity (only key cols; pgtypes/replicaidentity.go)",
+    oracle=f"""
+        WITH env AS (SELECT *, {_SQL_OP} AS op FROM events)
+        SELECT event_type AS source_table,
+               op,
+               count(*) AS n,
+               CAST(0 AS BIGINT) AS n_before_images,
+               CAST(sum(CASE WHEN op <> 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_after_images
+        FROM env
+        GROUP BY 1, 2
+    """,
+)
+def cdc_replica_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = stream_envelope(load(spark, sf_dir, "events"), replica_identity="DEFAULT")
+    return env.groupBy("source_table", "op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("before_value").isNotNull(), 1).otherwise(0)).alias(
+            "n_before_images"
+        ),
+        F.sum(F.when(F.col("after_value").isNotNull(), 1).otherwise(0)).alias(
+            "n_after_images"
+        ),
+    )
+
+
+@register(
+    "cdc_tombstones",
+    family="cdc",
+    doc="Delete events followed by tombstones (key-only, null payload) for "
+    "log-compacted sinks (eventemitter.go delete+tombstone emission)",
+    oracle=f"""
+        WITH env AS (SELECT *, {_SQL_OP} AS op FROM events WHERE {_SQL_OP} = 'd')
+        SELECT 'timescaledb.public.' || event_type AS topic,
+               event_id AS lsn,
+               user_id AS key_user_id,
+               false AS is_tombstone,
+               'd' AS op
+        FROM env
+        UNION ALL
+        SELECT 'timescaledb.public.' || event_type AS topic,
+               event_id AS lsn,
+               user_id AS key_user_id,
+               true AS is_tombstone,
+               NULL AS op
+        FROM env
+    """,
+)
+def cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    dels = events.withColumn("op", derive_op(F.col("event_id"))).filter(
+        F.col("op") == OP_DELETE
+    )
+    base = dels.select(
+        event_topic(F.lit("public"), F.col("event_type")).alias("topic"),
+        F.col("event_id").alias("lsn"),
+        F.col("user_id").alias("key_user_id"),
+    )
+    delete_rows = base.select(
+        "topic", "lsn", "key_user_id", F.lit(False).alias("is_tombstone"), F.lit("d").alias("op")
+    )
+    tombstone_rows = base.select(
+        "topic",
+        "lsn",
+        "key_user_id",
+        F.lit(True).alias("is_tombstone"),
+        F.lit(None).cast("string").alias("op"),
+    )
+    return delete_rows.unionByName(tombstone_rows)
+
+
+@register(
+    "cdc_offset_tracking",
+    family="cdc",
+    doc="State-storage offsets: per topic, the restart position "
+    "(spi/statestorage, offsets per table)",
+    oracle=f"""
+        SELECT 'timescaledb.public.' || event_type AS topic,
+               max(event_id) AS last_lsn,
+               max({_SQL_TS_MS}) AS last_ts_ms,
+               count(*) AS n_processed,
+               max(event_id) = (SELECT max(event_id) FROM events) AS is_head
+        FROM events
+        GROUP BY 1
+    """,
+)
+def cdc_offset_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    head = events.agg(F.max("event_id")).collect()[0][0]
+    return events.groupBy(
+        event_topic(F.lit("public"), F.col("event_type")).alias("topic")
+    ).agg(
+        F.max("event_id").alias("last_lsn"),
+        F.max(ts_ms(F.col("ts"))).alias("last_ts_ms"),
+        F.count(F.lit(1)).alias("n_processed"),
+        (F.max("event_id") == F.lit(head)).alias("is_head"),
+    )
+
+
+@register(
+    "cdc_message_events",
+    family="cdc",
+    doc="Logical decoding message events (op='m') routed to the message topic "
+    "(eventschema.go:132-144, namegenerator.go MessageTopicName)",
+    oracle=f"""
+        SELECT 'timescaledb.message' AS topic,
+               'm' AS op,
+               event_id AS lsn,
+               {_SQL_TS_MS} AS ts_ms,
+               'wal_message' AS prefix,
+               props AS content
+        FROM events
+        WHERE event_id % 100 = 0
+    """,
+)
+def cdc_message_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.filter(F.pmod(F.col("event_id"), F.lit(100)) == 0).select(
+        message_topic().alias("topic"),
+        F.lit("m").alias("op"),
+        F.col("event_id").alias("lsn"),
+        ts_ms(F.col("ts")).alias("ts_ms"),
+        F.lit("wal_message").alias("prefix"),
+        F.col("props").alias("content"),
+    )
+
+
+@register(
+    "cdc_compression_markers",
+    family="cdc",
+    doc="Timescale compression events (op='$', tsop='c') for chunks older than "
+    "the compress-after horizon (eventschema.go:152-178)",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT event_type, {_SQL_CHUNK_START} AS range_start_s, {_SQL_TS_MS} AS tms
+            FROM events
+        ),
+        horizon AS (
+            SELECT max(range_start_s) AS head_chunk FROM keyed
+        ),
+        chunks AS (
+            SELECT event_type AS hypertable_name,
+                   range_start_s,
+                   max(tms) AS last_ts_ms,
+                   count(*) AS n_rows
+            FROM keyed
+            GROUP BY 1, 2
+        )
+        SELECT hypertable_name,
+               range_start_s,
+               '$' AS op,
+               'c' AS tsop,
+               last_ts_ms,
+               n_rows
+        FROM chunks, horizon
+        WHERE range_start_s < head_chunk - {CHUNK_INTERVAL_S}
+    """,
+)
+def cdc_compression_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.catalog.chunks import chunk_start_epoch
+
+    events = load(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_type",
+        chunk_start_epoch(F.col("ts")).alias("range_start_s"),
+        ts_ms(F.col("ts")).alias("tms"),
+    )
+    chunks = keyed.groupBy(
+        F.col("event_type").alias("hypertable_name"), "range_start_s"
+    ).agg(F.max("tms").alias("last_ts_ms"), F.count(F.lit(1)).alias("n_rows"))
+    head = keyed.agg(F.max("range_start_s")).collect()[0][0]
+    return chunks.filter(
+        F.col("range_start_s") < F.lit(head - CHUNK_INTERVAL_S)
+    ).select(
+        "hypertable_name",
+        "range_start_s",
+        F.lit("$").alias("op"),
+        F.lit("c").alias("tsop"),
+        "last_ts_ms",
+        "n_rows",
+    )
+
+
+# multiplicative (Knuth) hash — deterministic and expressible in both
+# engines, standing in for the sink's key-hash partitioner
+_KNUTH = 2654435761
+_PARTITIONS = 16
+
+
+@register(
+    "cdc_key_extraction",
+    family="cdc",
+    doc="Message key extraction + sink partition assignment "
+    "(eventschema.go:180 MessageKey; kafka key-hash partitioning)",
+    oracle=f"""
+        SELECT DISTINCT
+               'timescaledb.public.' || event_type AS topic,
+               user_id AS key_user_id,
+               (user_id * {_KNUTH}) % 2147483648 % {_PARTITIONS} AS sink_partition
+        FROM events
+    """,
+)
+def cdc_key_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        event_topic(F.lit("public"), F.col("event_type")).alias("topic"),
+        F.col("user_id").alias("key_user_id"),
+        (
+            F.pmod(F.pmod(F.col("user_id") * _KNUTH, F.lit(2147483648)), F.lit(_PARTITIONS))
+        ).alias("sink_partition"),
+    ).distinct()
+
+
+@register(
+    "pg_type_conversion",
+    family="pgtypes",
+    doc="PG wire-text -> typed column conversion (spi/pgtypes/typemanager.go): "
+    "json field extraction, date formatting, numeric scaling",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0 AS k_is_even,
+               strftime(ts, '%Y-%m-%d') AS event_date,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events
+    """,
+)
+def pg_type_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.select(
+        "event_id",
+        k.alias("props_k"),
+        (F.pmod(k, F.lit(2)) == 0).alias("k_is_even"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    )

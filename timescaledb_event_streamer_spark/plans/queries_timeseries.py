@@ -278,6 +278,107 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_interpolate",
+    family="timeseries",
+    doc="time_bucket_gapfill + interpolate(): linear interpolation between "
+    "surrounding observations on the dense daily grid",
+    oracle=f"""
+        WITH b AS (
+            SELECT user_id,
+                   {_sql_bucket(DAY)} AS bucket_s,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(bucket_s) AS lo, max(bucket_s) AS hi FROM b),
+        grid AS (
+            SELECT u.user_id, g.bucket_s
+            FROM (SELECT DISTINCT user_id FROM b) u
+            CROSS JOIN (
+                SELECT unnest(generate_series(lo, hi, {DAY})) AS bucket_s FROM bounds
+            ) g
+        ),
+        j AS (
+            SELECT g.user_id, g.bucket_s, b.avg_value,
+                   CASE WHEN b.avg_value IS NOT NULL THEN g.bucket_s END AS obs_bucket
+            FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket_s = g.bucket_s
+        ),
+        w AS (
+            SELECT user_id, bucket_s, avg_value,
+                   last_value(avg_value IGNORE NULLS) OVER wp AS prev_v,
+                   last_value(obs_bucket IGNORE NULLS) OVER wp AS prev_b,
+                   first_value(avg_value IGNORE NULLS) OVER wf AS next_v,
+                   first_value(obs_bucket IGNORE NULLS) OVER wf AS next_b
+            FROM j
+            WINDOW wp AS (PARTITION BY user_id ORDER BY bucket_s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY bucket_s
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        -- the 1e-9 nudge kills systematic half-way ties (fraction 1/2 of
+        -- 6-dp inputs lands exactly on the rounding boundary, where the
+        -- engines' rounding algorithms disagree)
+        SELECT user_id, bucket_s,
+               round(CASE
+                   WHEN avg_value IS NOT NULL THEN avg_value
+                   WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+                   ELSE prev_v + (next_v - prev_v)
+                        * (bucket_s - prev_b) * 1.0 / (next_b - prev_b)
+               END - 0.000000001, 6) AS value_interp
+        FROM w
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    b = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("bucket_s", time_bucket_epoch(F.col("ts"), DAY))
+        .groupBy("user_id", "bucket_s")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    lo, hi = b.agg(F.min("bucket_s"), F.max("bucket_s")).collect()[0]
+    filled = gapfill_buckets(
+        b, keys=["user_id"], bucket_col="bucket_s", width_s=DAY, start_s=lo, end_s=hi + DAY
+    ).withColumn(
+        "obs_bucket", F.when(F.col("avg_value").isNotNull(), F.col("bucket_s"))
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = filled.select(
+        "user_id",
+        "bucket_s",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last("obs_bucket", ignorenulls=True).over(wp).alias("prev_b"),
+        F.first("avg_value", ignorenulls=True).over(wf).alias("next_v"),
+        F.first("obs_bucket", ignorenulls=True).over(wf).alias("next_b"),
+    )
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("bucket_s") - F.col("prev_b"))
+            / (F.col("next_b") - F.col("prev_b"))
+        )
+    )
+    # -1e-9 nudge: see oracle comment (half-way tie avoidance)
+    return w.select(
+        "user_id", "bucket_s", F.round(interp - F.lit(1e-9), 6).alias("value_interp")
+    )
+
+
+@register(
     "ts_histogram",
     family="timeseries",
     doc="histogram(value, lo, hi, nbuckets) — timescale histogram() as width_bucket",

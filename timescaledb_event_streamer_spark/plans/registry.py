@@ -51,6 +51,7 @@ def _load_all() -> None:
     # import side-effect: populate REGISTRY
     from timescaledb_event_streamer_spark.plans import (  # noqa: F401
         queries_cdc,
+        queries_cdc2,
         queries_llm,
         queries_olap,
         queries_timeseries,

@@ -88,3 +88,21 @@ def test_chunk_resolution_plan_broadcasts_catalog(events):
     cat = chunk_catalog(events)
     plan = resolve_chunks(events, cat)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_composite_and_array_columns_roundtrip(events):
+    """J2: PG composite/array types map to Spark struct/array columns
+    (spi/pgtypes/compositecolumn.go, enhanced_array_text_codec.go)."""
+    df = events.select(
+        F.struct(
+            F.lit("public").alias("schema"), F.col("event_type").alias("table")
+        ).alias("source"),
+        F.split(F.col("props"), ",").alias("props_parts"),
+        F.array(F.col("value"), F.col("value") * 2).alias("value_arr"),
+    )
+    types = dict(df.dtypes)
+    assert types["source"].startswith("struct<")
+    assert types["props_parts"] == "array<string>"
+    row = df.first()
+    assert row["source"]["schema"] == "public"
+    assert row["value_arr"][1] == row["value_arr"][0] * 2

@@ -1,0 +1,82 @@
+"""Multimodal plumbing tests (SURVEY.md §2.G): binary payload
+transport, Arrow batch shapes, deterministic stub features, the
+real-decoder seam, and frame sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from timescaledb_event_streamer_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_media,
+    extract_features,
+    frame_sample_plan,
+)
+from timescaledb_event_streamer_spark.sources.tables import load
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_small):
+    return attach_media(load(spark, sf_small, "documents"))
+
+
+def test_media_schema_and_payload_roundtrip(media, spark, sf_small):
+    assert dict(media.dtypes)["payload"] == "binary"
+    docs = load(spark, sf_small, "documents")
+    row = media.filter(F.col("media_id") == 0).first()
+    text = docs.filter(F.col("doc_id") == 0).first()["text"]
+    assert bytes(row["payload"]).decode() == text
+
+
+def test_extract_features_stub_is_deterministic(media):
+    feats = extract_features(media).collect()
+    assert len(feats) == media.count()
+    by_id = {r["media_id"]: r for r in feats}
+    r0 = by_id[0]
+    assert len(r0["features"]) == FEATURE_DIM
+    assert all(0.0 <= f < 1.0 for f in r0["features"])
+    # sha256 matches a locally computed digest of the payload
+    payload = bytes(media.filter(F.col("media_id") == 0).first()["payload"])
+    assert r0["sha256"] == hashlib.sha256(payload).hexdigest()
+    assert r0["n_bytes"] == len(payload)
+    # rerun -> identical features (stub must be deterministic)
+    again = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    assert again[0] == r0["features"]
+
+
+def test_real_decoder_seam_raises(media):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((Py4JJavaError, Exception)) as exc:
+        extract_features(media, decoder="real").collect()
+    assert "NotImplementedError" in str(exc.value) or "real media decode" in str(
+        exc.value
+    )
+
+
+def test_unknown_decoder_rejected(media):
+    with pytest.raises(ValueError):
+        extract_features(media, decoder="wat")
+
+
+def test_frame_sample_plan_counts(media):
+    frames = frame_sample_plan(media, every_ms=1000)
+    got = frames.groupBy("media_id").count().collect()
+    meta = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter(F.col("kind") == "video").collect()
+    }
+    assert {r["media_id"] for r in got} == set(meta)
+    for r in got:
+        dur = meta[r["media_id"]]
+        expect = max((dur - 1), 0) // 1000 + 1
+        assert r["count"] == expect, (r["media_id"], dur)
+
+
+def test_feature_extraction_is_arrow_batched_not_row_udf(media):
+    plan = extract_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

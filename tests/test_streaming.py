@@ -1,0 +1,218 @@
+"""Streaming pipeline tests (SURVEY.md §2.H/I): file-stream source,
+envelope routing, watermarked caggs, keyed state, idempotent upsert
+sink — each checked against the equivalent batch computation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from timescaledb_event_streamer_spark.catalog.tablefilter import TableFilter
+from timescaledb_event_streamer_spark.sinks.writers import (
+    foreach_batch_upsert,
+    kafka_shaped,
+    parquet_sink,
+)
+from timescaledb_event_streamer_spark.sources.streaming import (
+    event_file_stream,
+    rate_event_stream,
+)
+from timescaledb_event_streamer_spark.sources.tables import load
+from timescaledb_event_streamer_spark.streaming.pipelines import (
+    filtered_routed,
+    latest_state_stream,
+    streaming_cagg,
+    streaming_envelope,
+)
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, sf_small):
+    """Transaction log: the events table split into 8 parquet batch
+    files, in lsn order (the WAL hand-off directory)."""
+    d = tempfile.mkdtemp(prefix="cdclog-")
+    events = load(spark, sf_small, "events")
+    events.withColumn("b", F.pmod(F.col("event_id"), F.lit(8))).repartition(
+        8, "b"
+    ).drop("b").write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(df, name: str):
+    q = df.writeStream.format("memory").queryName(name).outputMode(
+        "update" if name.startswith("st_") else "append"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    return q
+
+
+def test_envelope_stream_matches_batch(spark, sf_small, log_dir):
+    env = streaming_envelope(event_file_stream(spark, log_dir))
+    _run_stream(env, "env_stream")
+    got = spark.sql("SELECT count(*) n, count(DISTINCT topic) t FROM env_stream").first()
+    events = load(spark, sf_small, "events")
+    assert got["n"] == events.count()
+    assert got["t"] == 5
+    ops = {
+        r["op"]
+        for r in spark.sql("SELECT DISTINCT op FROM env_stream").collect()
+    }
+    assert ops == {"c", "u", "d"}
+
+
+def test_filtered_routed_applies_table_filter(spark, log_dir):
+    tf = TableFilter(includes=["public.click"], accepted_by_default=False)
+    env = filtered_routed(event_file_stream(spark, log_dir), table_filter=tf)
+    _run_stream(env, "env_filtered")
+    tables = {
+        r["source_table"]
+        for r in spark.sql("SELECT DISTINCT source_table FROM env_filtered").collect()
+    }
+    assert tables == {"click"}
+
+
+def test_streaming_cagg_matches_batch_agg(spark, sf_small, log_dir):
+    cagg = streaming_cagg(event_file_stream(spark, log_dir), bucket="1 hour")
+    q = cagg.writeStream.format("memory").queryName("cagg_stream").outputMode(
+        "append"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch aggregate exactly
+    got = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM cagg_stream").collect()
+    }
+    assert got, "watermark should have closed some windows"
+    events = load(spark, sf_small, "events")
+    batch = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v, k
+
+
+def test_latest_state_stream_matches_batch(spark, sf_small, log_dir):
+    st = latest_state_stream(event_file_stream(spark, log_dir))
+    _run_stream(st, "st_latest")
+    # memory sink in update mode keeps all updates; last per key wins
+    got = {
+        (r["event_type"], r["user_id"]): r["last_lsn"]
+        for r in spark.sql(
+            """
+            SELECT event_type, user_id, max(last_lsn) AS last_lsn
+            FROM st_latest GROUP BY 1, 2
+            """
+        ).collect()
+    }
+    events = load(spark, sf_small, "events")
+    batch = {
+        (r["event_type"], r["user_id"]): r["last_lsn"]
+        for r in events.groupBy("event_type", "user_id")
+        .agg(F.max("event_id").alias("last_lsn"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_kafka_shaped_encoding(spark, sf_small):
+    env = streaming_envelope(load(spark, sf_small, "events"))
+    enc = kafka_shaped(env)
+    assert set(enc.columns) == {"key", "value", "topic"}
+    row = enc.first()
+    import json
+
+    key = json.loads(bytes(row["key"]).decode())
+    val = json.loads(bytes(row["value"]).decode())
+    assert "key_user_id" in key
+    assert val["op"] in ("c", "u", "d")
+    assert row["topic"].startswith("timescaledb.public.")
+
+
+def test_parquet_sink_is_exactly_once_per_checkpoint(spark, log_dir):
+    out = tempfile.mkdtemp(prefix="sink-")
+    ckpt = tempfile.mkdtemp(prefix="ckpt-")
+    try:
+        env = streaming_envelope(event_file_stream(spark, log_dir))
+        q = parquet_sink(env, out, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(out).count()
+        # restart with same checkpoint: no new input -> no duplicates
+        q2 = parquet_sink(streaming_envelope(event_file_stream(spark, log_dir)), out, ckpt)
+        q2.awaitTermination(120)
+        n2 = spark.read.parquet(out).count()
+        assert n1 == n2 == 1000
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_foreach_batch_upsert_keeps_latest(spark, sf_small, log_dir):
+    state = os.path.join(tempfile.mkdtemp(prefix="state-"), "latest")
+    ckpt = tempfile.mkdtemp(prefix="ckpt-")
+    try:
+        env = streaming_envelope(event_file_stream(spark, log_dir))
+        q = foreach_batch_upsert(
+            env,
+            state,
+            keys=["source_table", "key_user_id"],
+            order_col="lsn",
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["source_table"], r["key_user_id"]): r["lsn"]
+            for r in spark.read.parquet(state).collect()
+        }
+        events = load(spark, sf_small, "events")
+        batch = {
+            (r["event_type"], r["user_id"]): r["m"]
+            for r in events.groupBy("event_type", "user_id")
+            .agg(F.max("event_id").alias("m"))
+            .collect()
+        }
+        assert got == batch
+    finally:
+        shutil.rmtree(os.path.dirname(state), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_rate_source_produces_valid_events(spark):
+    stream = rate_event_stream(spark, rows_per_second=500)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_events")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM rate_events").first()["c"]
+            if n >= 100:
+                break
+            time.sleep(1)
+        assert n >= 100, f"rate source produced only {n} rows"
+        bad = spark.sql(
+            """
+            SELECT count(*) c FROM rate_events
+            WHERE event_type NOT IN ('click','view','purchase','signup','error')
+               OR user_id < 0 OR user_id >= 150 OR value < 0 OR value >= 50
+            """
+        ).first()["c"]
+        assert bad == 0
+    finally:
+        q.stop()

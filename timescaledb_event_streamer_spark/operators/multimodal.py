@@ -1,0 +1,113 @@
+"""Multimodal column plumbing (SURVEY.md §2.G): image/audio/video as
+opaque binary columns with typed metadata, processed by Arrow-batched
+mapInPandas.
+
+The decode step itself is environment-gated: real codecs (PIL,
+ffmpeg, torchaudio) are not in this container, so `decoder="real"`
+raises NotImplementedError at the exact seam where they plug in,
+and `decoder="stub"` runs a deterministic fake that exercises the
+production-relevant parts — schema, binary payload transport through
+Arrow, batch shapes, and partition-parallel feature extraction.
+
+Scale notes: payloads stay opaque bytes end to end (no base64 blow-
+up, no driver collection); mapInPandas streams Arrow record batches
+so executor memory is bounded by batch size, not partition size —
+the layout that holds for 100 TB of media shards.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = (
+    "media_id LONG, kind STRING, payload BINARY, width INT, height INT, duration_ms INT"
+)
+
+FEATURES_SCHEMA = (
+    "media_id LONG, kind STRING, n_bytes LONG, sha256 STRING, features ARRAY<FLOAT>"
+)
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Derive an opaque media table from `documents` (deterministic
+    stand-in payloads: the utf-8 bytes of the text). Metadata columns
+    are typed the way a real ingest would carry them."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in MEDIA_KINDS]),
+        (F.pmod(F.col("doc_id"), F.lit(len(MEDIA_KINDS))) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        (F.pmod(F.col("doc_id"), F.lit(16)) * 64 + 64).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(9)) * 64 + 64).cast("int").alias("height"),
+        (F.pmod(F.col("doc_id"), F.lit(30)) * 1000).cast("int").alias("duration_ms"),
+    )
+
+
+def _stub_features(payload: bytes) -> np.ndarray:
+    """Deterministic fake 'decode + embed': sha256 -> 8 floats."""
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer(digest[: FEATURE_DIM * 4], dtype=np.uint32)
+    return (raw % 1000).astype(np.float32) / 1000.0
+
+
+def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
+    """Decode/feature-extract media payloads with mapInPandas.
+
+    decoder="real" is the seam for actual codecs; it raises
+    NotImplementedError here (libs absent) without touching the
+    Spark plumbing around it.
+    """
+    if decoder not in ("stub", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg/torchaudio; "
+                    "plug the codec in here"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "sha256": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "features": payloads.map(lambda b: _stub_features(b).tolist()),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video payloads: one output row per
+    sampled frame offset. The offsets come from metadata, so the
+    expansion is pure JVM (`sequence` + `explode`) and the decode of
+    each frame lands in extract_features' seam."""
+    video = media.filter(F.col("kind") == "video")
+    return video.select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_offset_ms"),
+    )

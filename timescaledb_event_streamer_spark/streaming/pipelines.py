@@ -1,0 +1,122 @@
+"""Streaming operators (SURVEY.md §2.I): the reference's
+resolve->wrap->filter->route->publish pipeline as Structured
+Streaming, plus the continuous-aggregate and keyed-state paths.
+
+Scale notes: watermarks bound all state; the latest-state operator
+keys state by (relation, key) — the same layout as a compacted
+changelog topic — and applyInPandasWithState processes Arrow
+batches, not rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from timescaledb_event_streamer_spark.catalog.naming import DEFAULT_PREFIX, event_topic
+from timescaledb_event_streamer_spark.catalog.tablefilter import TableFilter
+from timescaledb_event_streamer_spark.cdc.envelope import SOURCE_SCHEMA, derive_op, ts_ms
+
+
+def streaming_envelope(events: DataFrame, prefix: str = DEFAULT_PREFIX) -> DataFrame:
+    """Stateless envelope for the streaming phase (replica identity
+    DEFAULT: no before image, so no keyed state needed). Identical
+    column contract to cdc/envelope.stream_envelope."""
+    op = derive_op(F.col("event_id"))
+    is_delete = op == "d"
+    return events.select(
+        event_topic(F.lit(SOURCE_SCHEMA), F.col("event_type"), prefix).alias("topic"),
+        op.alias("op"),
+        F.lit(SOURCE_SCHEMA).alias("source_schema"),
+        F.col("event_type").alias("source_table"),
+        F.col("event_id").alias("lsn"),
+        ts_ms(F.col("ts")).alias("ts_ms"),
+        F.col("ts").alias("ts"),
+        F.col("user_id").alias("key_user_id"),
+        F.when(~is_delete, F.col("value")).alias("after_value"),
+        F.when(~is_delete, F.col("props")).alias("after_props"),
+    )
+
+
+def filtered_routed(
+    events: DataFrame,
+    table_filter: TableFilter | None = None,
+    prefix: str = DEFAULT_PREFIX,
+) -> DataFrame:
+    """Full pipeline: envelope -> table filter -> topic routing
+    (resolver + eventfiltering + namingstrategy in one plan)."""
+    env = streaming_envelope(events, prefix)
+    if table_filter is not None:
+        env = env.filter(
+            table_filter.column(F.col("source_schema"), F.col("source_table"))
+        )
+    return env
+
+
+def streaming_cagg(
+    events: DataFrame, bucket: str = "1 hour", watermark: str = "1 day"
+) -> DataFrame:
+    """Continuous aggregate in streaming mode: watermarked tumbling
+    window per relation. Late data beyond the watermark is dropped —
+    the same refresh-lag contract a cagg materializer has."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", bucket).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = "last_lsn LONG, last_value DOUBLE, last_ts TIMESTAMP"
+_OUT_SCHEMA = (
+    "event_type STRING, user_id LONG, last_lsn LONG, last_value DOUBLE, last_ts TIMESTAMP"
+)
+
+
+def _latest_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last_lsn, last_value, last_ts = (
+        state.get if state.exists else (None, None, None)
+    )
+    for pdf in pdfs:
+        idx = pdf["event_id"].idxmax()
+        if last_lsn is None or pdf["event_id"][idx] > last_lsn:
+            last_lsn = int(pdf["event_id"][idx])
+            last_value = float(pdf["value"][idx])
+            last_ts = pdf["ts"][idx]
+    state.update((last_lsn, last_value, last_ts))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "user_id": [key[1]],
+            "last_lsn": [last_lsn],
+            "last_value": [last_value],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def latest_state_stream(events: DataFrame) -> DataFrame:
+    """Keyed latest-state over the stream (the reference's
+    snapshot+stream merged view, maintained incrementally). State is
+    one row per (relation, key); Arrow-batched updates."""
+    return events.groupBy("event_type", "user_id").applyInPandasWithState(
+        _latest_state_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

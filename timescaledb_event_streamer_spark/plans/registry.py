@@ -54,6 +54,7 @@ def _load_all() -> None:
         queries_cdc2,
         queries_llm,
         queries_olap,
+        queries_olap2,
         queries_timeseries,
     )
 

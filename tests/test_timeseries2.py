@@ -1,0 +1,105 @@
+"""Unit tests for the toolkit-part-2 operators: as-of join semantics
+vs pandas merge_asof, LTTB invariants, IVF recall + scan-fraction."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.functions.downsample import _lttb_indices, lttb
+from timescaledb_event_streamer_spark.functions.timeseries import asof_join
+from timescaledb_event_streamer_spark.operators.ann import brute_force_topk, ivf_topk
+from timescaledb_event_streamer_spark.sources.tables import load
+
+
+def _ts(s: str):
+    return pd.Timestamp(s)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "ts": [_ts("2024-01-01 10:00"), _ts("2024-01-01 10:30"),
+                   _ts("2024-01-01 09:00"), _ts("2024-01-01 10:00"),
+                   _ts("2024-01-01 11:00")],
+            "lv": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "ts": [_ts("2024-01-01 09:30"), _ts("2024-01-01 10:30"),
+                   _ts("2024-01-01 10:30")],
+            "rv": [10.0, 20.0, 30.0],
+        }
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts", by=["k"], value_cols=["rv"],
+        )
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"), on="ts", by="k",
+            direction="backward",
+        )
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "ts", "lv", "rv"]], want[["k", "ts", "lv", "rv"]])
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left = pd.DataFrame({"k": [1], "ts": [_ts("2024-01-01 12:00")], "lv": [1.0]})
+    right = pd.DataFrame({"k": [1], "ts": [_ts("2024-01-01 09:00")], "rv": [9.0]})
+    got = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="ts", by=["k"], value_cols=["rv"], tolerance_s=3600,
+    ).toPandas()
+    assert got["rv"].isna().all()  # 3h-old match exceeds 1h tolerance
+
+
+def test_lttb_indices_keep_endpoints_and_extremes():
+    import numpy as np
+
+    x = np.arange(100, dtype=float)
+    y = np.zeros(100)
+    y[57] = 100.0  # a spike LTTB must keep
+    keep = _lttb_indices(x, y, 12)
+    assert len(keep) == 12
+    assert keep[0] == 0 and keep[-1] == 99
+    assert 57 in keep
+    assert (np.diff(keep) > 0).all()
+
+
+def test_lttb_dataframe_bounds_series_size(spark, sf_small):
+    events = load(spark, sf_small, "events").select(
+        "event_type", "user_id", "event_id", "ts", "value"
+    )
+    out = lttb(events, ["event_type", "user_id"], "ts", "value", n_out=20,
+               order_tiebreak="event_id").toPandas()
+    sizes = out.groupby(["event_type", "user_id"]).size()
+    assert (sizes <= 20).all()
+    # endpoints preserved per series
+    first = events.groupBy("event_type", "user_id").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).toPandas().set_index(["event_type", "user_id"])
+    got = out.groupby(["event_type", "user_id"])["ts"].agg(["min", "max"])
+    for key, row in got.iterrows():
+        assert row["min"] == first.loc[key, "lo"]
+        assert row["max"] == first.loc[key, "hi"]
+
+
+def test_ivf_recall_and_scan_fraction(spark, sf_mid):
+    emb = load(spark, sf_mid, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()}
+    approx = {r["vec_id"] for r in ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ivf recall {recall}"

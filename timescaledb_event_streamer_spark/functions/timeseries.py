@@ -69,3 +69,84 @@ def locf(df: DataFrame, keys: list[str], bucket_col: str, value_cols: list[str])
     for c in value_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the most recent right
+    row with ``right.on <= left.on`` within the same ``by`` group
+    (pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics,
+    inclusive on equal timestamps).
+
+    Spark has no native as-of join; the naive form is a range join
+    that explodes quadratically. This implementation is the
+    scale-correct shape: union both sides tagged, sort within each
+    ``by`` partition, and carry the right values forward with one
+    LOCF window — exactly ONE shuffle (on ``by``), zero row
+    multiplication, regardless of data volume. The same shape runs
+    streaming as `applyInPandasWithState` with the right-side values
+    as state.
+
+    Right must be unique per (by, on) — pre-aggregate otherwise
+    (duplicate keys make the carried value order-dependent).
+
+    ``tolerance_s``: matches older than this many seconds are nulled
+    (pandas merge_asof tolerance).
+    """
+    l_payload = F.struct(*[F.col(c) for c in left.columns]).alias("_l")
+    l2 = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_on"),
+        l_payload,
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in value_cols
+        ],
+        F.lit(None).cast(right.schema[on].dataType).alias("_match_on"),
+    )
+    r2 = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("_on"),
+        F.lit(None).cast(l2.schema["_l"].dataType).alias("_l"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in value_cols],
+        F.col(on).alias("_match_on"),
+    )
+    # right rows sort before left rows at equal _on => inclusive match
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_on").asc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l2.unionByName(r2).select(
+        "_l",
+        "_side",
+        "_on",
+        F.last("_match_on", ignorenulls=True).over(w).alias("_match_on_f"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    out_vals = value_cols
+    if tolerance_s is not None:
+        in_tol = (
+            F.col("_match_on_f").isNotNull()
+            & (
+                F.unix_micros(F.col("_on")) - F.unix_micros(F.col("_match_on_f"))
+                <= tolerance_s * 1_000_000
+            )
+        )
+        filled = filled.select(
+            "_l",
+            "_side",
+            *[F.when(in_tol, F.col(c)).alias(c) for c in value_cols],
+        )
+    return filled.filter(F.col("_side") == 0).select(
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        *[F.col(c) for c in out_vals],
+    )

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timescaledb_event_streamer_spark.operators.ann import brute_force_topk, cosine_pairs, lsh_topk
+from timescaledb_event_streamer_spark.operators.ann import (
+    brute_force_topk,
+    cosine_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from timescaledb_event_streamer_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -188,6 +193,18 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return lsh_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+@register(
+    "ann_ivf_topk",
+    family="ann",
+    doc="IVF ANN top-20: k-means coarse quantizer (MLlib, seeded), nprobe=4 "
+    "of 16 cells scanned (~25% scan fraction); recall vs brute force "
+    "asserted in tests (rows-only)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=20)
 
 
 @register(

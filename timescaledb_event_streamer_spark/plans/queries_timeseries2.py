@@ -1,0 +1,369 @@
+"""TimescaleDB-toolkit analytics, part 2 (SURVEY.md §2.B, B12-B19):
+as-of join, bucketed range join, time_weight, state_agg,
+sessionization, OHLC/candlestick_agg, heartbeat_agg, LTTB.
+
+These mirror the timescaledb-toolkit hyperfunction surface
+(candlestick_agg, state_agg, heartbeat_agg, time_weight, lttb) that
+users of the reference's ecosystem run over hypertables.
+
+Determinism discipline: every window is ordered by (ts, event_id) —
+event_id is the unique LSN stand-in — so ties on ts cannot make the
+Spark and DuckDB results diverge. Duration sums are computed in
+integer microseconds (exact in both engines) and divided/rounded
+only at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.functions.downsample import lttb
+from timescaledb_event_streamer_spark.functions.timeseries import (
+    asof_join,
+    time_bucket_epoch,
+)
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load
+
+_SQL_EPOCH_S = "(epoch_us(ts) // 1000000)"
+
+
+def _sql_bucket(width_s: int) -> str:
+    return f"({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % {width_s})"
+
+
+HOUR = 3600
+DAY = 86400
+
+
+@register(
+    "ts_asof_join",
+    family="timeseries",
+    doc="Backward as-of join: each click matched to the user's most recent "
+    "purchase at-or-before it (DuckDB ASOF JOIN semantics). Spark impl is "
+    "union+LOCF: ONE shuffle on user_id, zero row multiplication — the "
+    "scale-correct form of an operator Spark lacks natively.",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts, max(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        ),
+        c AS (
+            SELECT event_id, user_id, ts, value AS click_value
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT c.event_id, c.user_id, c.ts, c.click_value, p.purchase_value
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")  # unique (by, on) => deterministic match
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, on="ts", by=["user_id"], value_cols=["purchase_value"]
+    )
+
+
+@register(
+    "ts_range_join",
+    family="timeseries",
+    doc="Range join via bucket-candidate explode: clicks within the hour "
+    "before each purchase. Each click is published to the 2 hour-buckets "
+    "it can serve; the join is then pure equi (user_id, bucket) + a "
+    "residual range filter — candidate blow-up is 2x, not quadratic, and "
+    "Catalyst keeps it a hash join (a naive range join degenerates to "
+    "broadcast-nested-loop).",
+    oracle="""
+        SELECT p.event_id,
+               count(c.c_ts) AS n_clicks_1h
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id AS c_uid, ts AS c_ts FROM events
+                   WHERE event_type = 'click') c
+          ON c.c_uid = p.user_id
+         AND c.c_ts > p.ts - INTERVAL 1 HOUR
+         AND c.c_ts <= p.ts
+        GROUP BY p.event_id
+    """,
+)
+def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    cand = clicks.withColumn(
+        "bkt",
+        F.explode(
+            F.array(
+                time_bucket_epoch(F.col("c_ts"), HOUR),
+                time_bucket_epoch(F.col("c_ts"), HOUR) + HOUR,
+            )
+        ),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = purchases.join(
+        cand,
+        (F.col("c_uid") == F.col("user_id"))
+        & (F.col("bkt") == time_bucket_epoch(F.col("ts"), HOUR))
+        & (F.col("c_ts") > F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("ts")),
+        how="left",
+    )
+    return joined.groupBy("event_id").agg(F.count("c_ts").alias("n_clicks_1h"))
+
+
+@register(
+    "ts_time_weight",
+    family="timeseries",
+    doc="time_weight('LOCF'): time-weighted average per series — each value "
+    "weighted by how long it held (until the next point). Durations in "
+    "exact integer micros; one window + one agg.",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, value,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY event_type, user_id ORDER BY ts, event_id
+                   ) - epoch_us(ts) AS dt_us
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_intervals,
+               round(sum(value * dt_us) / sum(dt_us), 6) AS time_weighted_avg,
+               round(CAST(sum(dt_us) AS BIGINT) / 1000000.0, 2) AS total_span_s
+        FROM s
+        WHERE dt_us IS NOT NULL AND dt_us > 0
+        GROUP BY event_type
+    """,
+)
+def ts_time_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "event_type",
+        "value",
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+    )
+    return (
+        s.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6).alias(
+                "time_weighted_avg"
+            ),
+            F.round(F.sum("dt_us") / F.lit(1000000.0), 2).alias("total_span_s"),
+        )
+    )
+
+
+@register(
+    "ts_state_agg",
+    family="timeseries",
+    doc="state_agg: total duration spent in each state (event_type as the "
+    "state of its user's timeline, held until the next event)",
+    oracle="""
+        WITH s AS (
+            SELECT event_type AS state,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) - epoch_us(ts) AS dt_us
+            FROM events
+        )
+        SELECT state,
+               count(*) AS n_intervals,
+               round(CAST(sum(dt_us) AS BIGINT) / 1000000.0, 2) AS total_duration_s
+        FROM s
+        WHERE dt_us IS NOT NULL
+        GROUP BY state
+    """,
+)
+def ts_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        F.col("event_type").alias("state"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+    )
+    return (
+        s.filter(F.col("dt_us").isNotNull())
+        .groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(F.sum("dt_us") / F.lit(1000000.0), 2).alias("total_duration_s"),
+        )
+    )
+
+
+@register(
+    "ts_sessionize",
+    family="timeseries",
+    doc="Gap-based sessionization (new session after >30 min idle): lag to "
+    "flag session starts, running sum to number them — two windows over "
+    "the SAME (user_id, ts, event_id) sort, so Spark plans ONE shuffle + "
+    "ONE sort for both.",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_id, epoch_us(ts) AS t,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS t_prev
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, event_id, t,
+                   CASE WHEN t_prev IS NULL OR t - t_prev > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM o
+        ),
+        s AS (
+            SELECT user_id, t,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM m
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               round((max(t) - min(t)) / 1000000.0, 2) AS duration_s
+        FROM s
+        GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.lag(F.unix_micros("ts")).over(w).alias("t_prev"),
+    )
+    m = o.withColumn(
+        "is_new",
+        F.when(
+            F.col("t_prev").isNull() | (F.col("t") - F.col("t_prev") > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    s = m.select(
+        "user_id", "t", F.sum("is_new").over(wsum).alias("session_id")
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round((F.max("t") - F.min("t")) / F.lit(1000000.0), 2).alias("duration_s"),
+    )
+
+
+@register(
+    "ts_ohlc",
+    family="timeseries",
+    doc="candlestick_agg: open/high/low/close per (series, day). Open/close "
+    "are arg-min/arg-max by event_id (the LSN order — unique, so fully "
+    "deterministic under equal timestamps); plain min/max for low/high. "
+    "All map-side-combinable aggregates: one shuffle of tiny partials.",
+    oracle=f"""
+        SELECT event_type,
+               {_sql_bucket(DAY)} AS bucket_day_s,
+               arg_min(value, event_id) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, event_id) AS close,
+               count(*) AS n_trades
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.withColumn("bucket_day_s", time_bucket_epoch(F.col("ts"), DAY))
+        .groupBy("event_type", "bucket_day_s")
+        .agg(
+            F.min_by("value", "event_id").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "event_id").alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+@register(
+    "ts_heartbeat_agg",
+    family="timeseries",
+    doc="heartbeat_agg: liveness per user from event heartbeats — uptime "
+    "counts each gap up to the 1h timeout, longer gaps are outages",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) - epoch_us(ts) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               count(*) AS n_heartbeats,
+               round(CAST(sum(least(gap_us, 3600000000)) AS BIGINT)
+                     / 1000000.0, 2) AS uptime_s,
+               CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outages
+        FROM s
+        GROUP BY user_id
+    """,
+)
+def ts_heartbeat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "user_id",
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("gap_us"),
+    )
+    timeout_us = 3_600_000_000
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_heartbeats"),
+        F.round(
+            F.sum(F.least(F.col("gap_us"), F.lit(timeout_us))) / F.lit(1000000.0), 2
+        ).alias("uptime_s"),
+        F.sum(
+            F.when(F.col("gap_us") > timeout_us, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_outages"),
+    )
+
+
+@register(
+    "ts_lttb",
+    family="timeseries",
+    doc="lttb(): largest-triangle-three-buckets downsample to 20 points per "
+    "(event_type, user_id) series. Sequential within a series, so it runs "
+    "as Arrow-batched applyInPandas per series key (rows-only: the "
+    "bucket-average recursion is not SQL-expressible).",
+)
+def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "ts", "value"
+    )
+    return lttb(
+        events,
+        series_keys=["event_type", "user_id"],
+        ts_col="ts",
+        value_col="value",
+        n_out=20,
+        order_tiebreak="event_id",
+    )

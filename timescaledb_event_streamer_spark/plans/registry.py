@@ -56,6 +56,7 @@ def _load_all() -> None:
         queries_olap,
         queries_olap2,
         queries_timeseries,
+        queries_timeseries2,
     )
 
 

@@ -48,6 +48,22 @@ def test_whole_stage_codegen_in_scan_aggs(spark, sf_small):
     assert "*(" in plan, plan[:1500]
 
 
+def test_asof_join_is_window_not_range_join(spark, sf_small):
+    """The as-of join must compile to union + window (one shuffle per
+    input branch), never a nested-loop range join."""
+    plan = _plan(all_queries()["ts_asof_join"](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_stays_hash_join(spark, sf_small):
+    """Bucket-candidate explode keeps the range join an equi hash
+    join; a naive t BETWEEN a AND b join degenerates to BNLJ."""
+    plan = _plan(all_queries()["ts_range_join"](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_events_scan_only_needed_columns(spark, sf_small):
     df = load(spark, sf_small, "events").select("event_id")
     plan = _plan(df)

@@ -216,3 +216,28 @@ def test_rate_source_produces_valid_events(spark):
         assert bad == 0
     finally:
         q.stop()
+
+
+def test_deduped_stream_absorbs_replayed_batches(spark, sf_small):
+    """An at-least-once log (every batch delivered twice) must come
+    out exactly-once after deduped_stream."""
+    from timescaledb_event_streamer_spark.streaming.pipelines import deduped_stream
+
+    d = tempfile.mkdtemp(prefix="cdclog-dup-")
+    try:
+        events = load(spark, sf_small, "events").limit(500)
+        events.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+        events.coalesce(1).write.mode("append").parquet(os.path.join(d, "b1"))  # replay
+        stream = (
+            spark.readStream.schema(load(spark, sf_small, "events").schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        env = streaming_envelope(stream)
+        _run_stream(deduped_stream(env), "dedup_stream")
+        got = spark.sql(
+            "SELECT count(*) n, count(DISTINCT lsn) d FROM dedup_stream"
+        ).first()
+        assert got["n"] == got["d"] == 500
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -120,3 +120,13 @@ def latest_state_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def deduped_stream(env: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Drop replayed envelopes by LSN: an at-least-once source (WAL
+    replay after restart, the reference's offset-recovery path)
+    becomes effectively-once downstream. State is bounded by the
+    watermark horizon — the same role the SQS sink's broker-side
+    MessageDeduplicationId plays (sinks/encoders.sqs_shaped), done
+    engine-side."""
+    return env.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["lsn"])

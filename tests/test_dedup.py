@@ -82,3 +82,14 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_mid):
         F.bit_count(lsh_bucket(F.col("embedding")).bitwiseXOR(q_bucket)) <= 4
     ).count()
     assert candidates < 0.35 * total, f"probe scans {candidates}/{total} — not pruning"
+
+
+def test_embedding_lsh_recall_vs_exact_pairs(spark, sf_small):
+    from timescaledb_event_streamer_spark.operators.ann import cosine_pairs, cosine_pairs_lsh
+
+    emb = load(spark, sf_small, "embeddings")
+    exact = {(r["vec_a"], r["vec_b"]) for r in cosine_pairs(emb, 0.4).collect()}
+    approx = {(r["vec_a"], r["vec_b"]) for r in cosine_pairs_lsh(emb, 0.4).collect()}
+    assert approx <= exact  # exact-verify step admits no false positives
+    recall = len(exact & approx) / max(len(exact), 1)
+    assert recall >= 0.7, f"embedding LSH recall {recall} over {len(exact)} pairs"

@@ -69,3 +69,16 @@ def test_events_scan_only_needed_columns(spark, sf_small):
     plan = _plan(df)
     scan = plan[plan.index("ReadSchema") :][:200]
     assert "props" not in scan
+
+
+# exact-pairwise oracle (scale path: dedup_embedding_lsh) and a
+# single-row broadcast threshold join — both deliberately BNLJ
+_BNLJ_OK = {"dedup_embedding_cosine", "q22_global_sales_opportunity"}
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_cartesian_or_nested_loop_joins(spark, sf_small, name):
+    plan = _plan(all_queries()[name](spark, sf_small))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} degenerated to BNLJ"

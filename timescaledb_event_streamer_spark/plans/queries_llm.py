@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from timescaledb_event_streamer_spark.operators.ann import (
     brute_force_topk,
     cosine_pairs,
+    cosine_pairs_lsh,
     ivf_topk,
     lsh_topk,
 )
@@ -147,6 +148,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "dedup_embedding_lsh",
+    family="dedup",
+    doc="Embedding near-dup pairs via banded hyperplane LSH + exact cosine "
+    "verify — the 100 TB path for dedup_embedding_cosine (rows-only: "
+    "probabilistic candidate set; recall vs exact asserted in tests)",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs_lsh(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:

@@ -440,3 +440,136 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q12_late_shipment_priority",
+    family="olap",
+    doc="TPC-H Q12 shape (no shipmode/receiptdate columns: lateness class "
+    "from shipdate-vs-orderdate lag instead of shipmode): high/low "
+    "priority order counts per lateness class. One fact-fact shuffle on "
+    "orderkey, all aggregation map-side partial.",
+    oracle="""
+        SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                    THEN 'late' ELSE 'ontime' END AS ship_class,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .withColumn(
+            "ship_class",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                F.lit("late"),
+            ).otherwise(F.lit("ontime")),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    family="olap",
+    doc="TPC-H Q13: distribution of order counts per customer including "
+    "zero-order customers (left join + double aggregation; the second "
+    "agg shuffles only #distinct-counts rows)",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        ) cc
+        GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], how="left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q21_suppliers_who_kept_orders_waiting",
+    family="olap",
+    doc="TPC-H Q21 shape (lateness = shipped >60 days after order date): "
+    "suppliers that were the sole late supplier on a multi-supplier "
+    "finished order — semi-join (another supplier exists) + anti-join "
+    "(no OTHER late supplier). All three probes share the orderkey "
+    "shuffle key.",
+    oracle="""
+        WITH late AS (
+            SELECT l.l_orderkey, l.l_suppkey
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM late l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        )
+        GROUP BY s.s_name
+    """,
+)
+def q21_suppliers_who_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    s = load(spark, sf_dir, "supplier")
+    qualified = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        how="left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        how="left_anti",
+    )
+    return (
+        qualified.join(s, F.col("l1.l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -99,3 +99,25 @@ def test_spark_column_agrees_with_python(spark):
     }
     for n in names:
         assert got[n] == f.enabled("public", n), n
+
+
+def test_sanitize_topic_matches_reference_charset(spark):
+    """internal/eventing/namingstrategy/sanitization.go: everything
+    outside [A-Za-z0-9._-] becomes '_'."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.catalog.naming import sanitize_topic
+
+    rows = (
+        spark.createDataFrame(
+            [("ts.public.ok-1",), ("ts.pub lic.tab!e",), ("pfx.schema.täble",)],
+            ["t"],
+        )
+        .select(sanitize_topic(F.col("t")).alias("s"))
+        .collect()
+    )
+    assert [r["s"] for r in rows] == [
+        "ts.public.ok-1",
+        "ts.pub_lic.tab_e",
+        "pfx.schema.t_ble",
+    ]

@@ -30,3 +30,10 @@ def schema_topic(schema: Column | str, table: Column | str, prefix: str = DEFAUL
 
 def message_topic(prefix: str = DEFAULT_PREFIX) -> Column:
     return F.concat_ws(".", F.lit(prefix), F.lit("message"))
+
+
+def sanitize_topic(topic: Column) -> Column:
+    """Broker-safe topic names: every character outside
+    ``[A-Za-z0-9._-]`` becomes ``_`` (reference
+    internal/eventing/namingstrategy/sanitization.go:24-40)."""
+    return F.regexp_replace(topic, r"[^A-Za-z0-9._\-]", "_")

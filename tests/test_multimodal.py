@@ -80,3 +80,36 @@ def test_feature_extraction_is_arrow_batched_not_row_udf(media):
     plan = extract_features(media)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_resize_plan_preserves_aspect_and_never_upscales(media):
+    from timescaledb_event_streamer_spark.operators.multimodal import resize_plan
+
+    rows = resize_plan(media, max_side=128).collect()
+    assert rows
+    for r in rows:
+        assert max(r["target_w"], r["target_h"]) <= 128
+        assert r["target_w"] <= r["width"] and r["target_h"] <= r["height"]
+        if r["width"] >= r["height"]:
+            assert r["target_w"] >= r["target_h"]
+        else:
+            assert r["target_h"] >= r["target_w"]
+
+
+def test_resize_images_stub_payload_shape(media):
+    from timescaledb_event_streamer_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, max_side=128).collect()
+    assert out
+    for r in out[:20]:
+        want = r["target_w"] * r["target_h"] // 64 + 1
+        assert len(r["payload"]) == want
+
+
+def test_resize_images_real_seam_raises(media):
+    from py4j.protocol import Py4JJavaError
+
+    from timescaledb_event_streamer_spark.operators.multimodal import resize_images
+
+    with pytest.raises((Py4JJavaError, Exception)):
+        resize_images(media, decoder="real").collect()

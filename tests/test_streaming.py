@@ -241,3 +241,50 @@ def test_deduped_stream_absorbs_replayed_batches(spark, sf_small):
         assert got["n"] == got["d"] == 500
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_sessions_match_batch_sessionize(spark, sf_small, log_dir):
+    """Native session_window on the stream must produce the same
+    session count per user as the batch gap-based sessionization
+    (strict-> gap comparator; sessions still open at end-of-stream
+    are excluded — append mode only emits watermark-closed ones)."""
+    from timescaledb_event_streamer_spark.streaming.pipelines import streaming_sessions
+
+    stream = event_file_stream(spark, log_dir)
+    _run_stream(streaming_sessions(stream), "sess_stream")
+    got = {
+        (r["user_id"], r["n"])
+        for r in spark.sql(
+            "SELECT user_id, count(*) n FROM sess_stream GROUP BY user_id"
+        ).collect()
+    }
+
+    from pyspark.sql import Window
+
+    events = load(spark, sf_small, "events")
+    # sessions still OPEN at end-of-stream are not emitted in append
+    # mode: a session closes once watermark (max ts - 1h) passes its
+    # end + gap, so only sessions ending before this cutoff appear
+    max_us = events.agg(F.max(F.unix_micros("ts"))).first()[0]
+    cutoff_us = max_us - 3_600_000_000 - 1_800_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    batch = (
+        events.withColumn("prev", F.lag(F.unix_micros("ts")).over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev").isNull()
+                | (F.unix_micros("ts") - F.col("prev") > 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("is_new").over(ws))
+        .groupBy("user_id", "sid")
+        .agg(F.max(F.unix_micros("ts")).alias("end_us"))
+        .filter(F.col("end_us") < cutoff_us)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r["user_id"], r["n"]) for r in batch.collect()}
+    assert got == want

@@ -103,3 +103,30 @@ def test_ivf_recall_and_scan_fraction(spark, sf_mid):
     approx = {r["vec_id"] for r in ivf_topk(emb, qv, k=10, n_centroids=16, nprobe=8).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"ivf recall {recall}"
+
+
+def test_cagg_merge_is_associative_and_exact(spark, sf_small):
+    """merge(partials(any split)) == partials(all): 1-way, 2-way and
+    4-way splits all land on the identical materialization."""
+    from timescaledb_event_streamer_spark.functions.cagg import cagg_partials, merge_cagg
+
+    events = load(spark, sf_small, "events")
+    full = cagg_partials(events, ["event_type"], 3600)
+
+    def canon(df):
+        pdf = df.orderBy("event_type", "bucket_s").toPandas()
+        pdf["sum_value"] = pdf["sum_value"].round(6)
+        return pdf
+
+    want = canon(full)
+    splits = [events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i) for i in range(4)]
+    two = merge_cagg(
+        ["event_type"],
+        cagg_partials(splits[0].unionByName(splits[1]), ["event_type"], 3600),
+        cagg_partials(splits[2].unionByName(splits[3]), ["event_type"], 3600),
+    )
+    four = merge_cagg(
+        ["event_type"], *[cagg_partials(s, ["event_type"], 3600) for s in splits]
+    )
+    pd.testing.assert_frame_equal(canon(two), want, check_dtype=False)
+    pd.testing.assert_frame_equal(canon(four), want, check_dtype=False)

@@ -94,6 +94,62 @@ def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image-resize plumbing: target dimensions are pure JVM metadata
+    arithmetic (preserve aspect ratio, cap the long side), so the
+    plan carries (payload, target_w, target_h) into the decode seam —
+    the actual pixel work belongs in resize_images."""
+    image = media.filter(F.col("kind") == "image")
+    scale = F.lit(float(max_side)) / F.greatest("width", "height")
+    clamped = F.least(scale, F.lit(1.0))  # never upscale
+    return image.select(
+        "media_id",
+        "payload",
+        "width",
+        "height",
+        F.greatest(F.round(F.col("width") * clamped).cast("int"), F.lit(1)).alias(
+            "target_w"
+        ),
+        F.greatest(F.round(F.col("height") * clamped).cast("int"), F.lit(1)).alias(
+            "target_h"
+        ),
+    )
+
+
+def resize_images(media: DataFrame, max_side: int = 256, decoder: str = "stub") -> DataFrame:
+    """Resize via mapInPandas over resize_plan. decoder="real" is the
+    PIL seam; the stub emits a deterministic payload whose length
+    scales with the target area, preserving the binary-in/binary-out
+    batch shape the real codec path uses."""
+    if decoder not in ("stub", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    plan = resize_plan(media, max_side)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image resize requires PIL; plug Image.open/thumbnail in here"
+                )
+            sizes = (pdf["target_w"] * pdf["target_h"] // 64 + 1).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "target_w": pdf["target_w"],
+                    "target_h": pdf["target_h"],
+                    "payload": [
+                        bytes(p)[: int(s)].ljust(int(s), b"\0")
+                        for p, s in zip(pdf["payload"], sizes)
+                    ],
+                }
+            )
+
+    return plan.mapInPandas(
+        run, schema="media_id LONG, target_w INT, target_h INT, payload BINARY"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video payloads: one output row per
     sampled frame offset. The offsets come from metadata, so the

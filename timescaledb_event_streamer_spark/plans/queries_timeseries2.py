@@ -367,3 +367,54 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_out=20,
         order_tiebreak="event_id",
     )
+
+
+@register(
+    "ts_cagg_incremental_refresh",
+    family="timeseries",
+    doc="Continuous-aggregate incremental refresh: history materialized as "
+    "algebraic partials (count/sum/min/max), the delta (rows past the LSN "
+    "watermark) aggregated alone, merged by union + re-agg — refresh cost "
+    "O(delta + touched buckets), never O(history). The oracle is the "
+    "one-shot aggregate over everything: merge(partials) must equal it "
+    "exactly.",
+    oracle=f"""
+        SELECT event_type,
+               {_sql_bucket(HOUR)} AS bucket_s,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def ts_cagg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.functions.cagg import (
+        cagg_partials,
+        cagg_read,
+        merge_cagg,
+    )
+
+    events = load(spark, sf_dir, "events")
+    # LSN watermark: everything at-or-below is "already materialized
+    # history", the rest is the delta. Any split merges to the same
+    # result (associativity is the point), so the midpoint is fine.
+    wm = events.agg(F.max("event_id")).first()[0] // 2
+    history = events.filter(F.col("event_id") <= wm)
+    delta = events.filter(F.col("event_id") > wm)
+    merged = merge_cagg(
+        ["event_type"],
+        cagg_partials(history, ["event_type"], HOUR),
+        cagg_partials(delta, ["event_type"], HOUR),
+    )
+    return cagg_read(merged).select(
+        "event_type",
+        "bucket_s",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round("avg_value", 6).alias("avg_value"),
+    )

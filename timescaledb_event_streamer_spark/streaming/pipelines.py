@@ -122,6 +122,29 @@ def latest_state_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessionization on the live stream via native
+    session windows (the streaming twin of the batch ts_sessionize
+    query). The watermark closes sessions whose gap has passed, so
+    state is bounded; output is one row per closed session."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "session_start",
+            "session_end",
+            F.col("session_window.start").alias("window_start"),
+        )
+    )
+
+
 def deduped_stream(env: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Drop replayed envelopes by LSN: an at-least-once source (WAL
     replay after restart, the reference's offset-recovery path)

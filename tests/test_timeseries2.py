@@ -130,3 +130,43 @@ def test_cagg_merge_is_associative_and_exact(spark, sf_small):
     )
     pd.testing.assert_frame_equal(canon(two), want, check_dtype=False)
     pd.testing.assert_frame_equal(canon(four), want, check_dtype=False)
+
+
+def test_salted_join_matches_plain_join_and_spreads_hot_key(spark):
+    from timescaledb_event_streamer_spark.functions.skew import salted_join
+
+    # power-law: key 0 holds 90% of the rows
+    big = spark.range(10_000).selectExpr(
+        "id", "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 7 END AS k"
+    )
+    small = spark.range(7).selectExpr("id AS k", "id * 100 AS v")
+    plain = big.join(small, "k").selectExpr("id", "k", "v")
+    salted = salted_join(big, small, on="k", salt_from=F.col("id"), n_salts=8)
+    got = sorted((r["id"], r["k"], r["v"]) for r in salted.collect())
+    want = sorted((r["id"], r["k"], r["v"]) for r in plain.collect())
+    assert got == want
+    # the hot key must occupy >1 shuffle partition after salting
+    parts = (
+        salted.filter(F.col("k") == 0)
+        .repartition(8, "k", F.pmod(F.abs(F.xxhash64("id")), F.lit(8)))
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert parts > 1
+
+
+def test_approx_count_distinct_error_vs_exact(spark, sf_mid):
+    """The 100 TB swap-in for ts_count_distinct: HLL++ must stay
+    within 2% of exact at default rsd."""
+    events = load(spark, sf_mid, "events")
+    both = (
+        events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id").alias("approx"),
+        )
+        .collect()
+    )
+    for r in both:
+        assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.02, dict(r.asDict())

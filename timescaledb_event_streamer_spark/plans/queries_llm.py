@@ -317,3 +317,57 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")) >= 5
     )
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "pipeline_clean_corpus",
+    family="text",
+    doc="End-to-end training-corpus cleaning pipeline: language filter + "
+    "quality threshold + token-length band + exact dedup (keep lowest "
+    "doc_id per content hash), composed from the individual operators. "
+    "One scan computes every text feature; the dedup groupBy is the only "
+    "shuffle.",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, source, text,
+                   len(regexp_extract_all(text, '{_WS_SQL}')) AS n_ws_tokens,
+                   CASE WHEN {_SQL_STOP_RATIO} >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
+                   round(0.5 * {_SQL_STOP_RATIO}
+                         + 0.4 * least(n_chars / 500.0, 1.0)
+                         - 0.1 * {_SQL_PUNCT_RATIO}, 6) AS quality
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM feats
+            WHERE lang_pred = 'en' AND quality >= 0.35
+              AND n_ws_tokens BETWEEN 5 AND 10000
+        ),
+        canon AS (
+            SELECT md5(text) AS h, min(doc_id) AS keep_id FROM kept GROUP BY 1
+        )
+        SELECT k.doc_id, k.source,
+               CAST(k.n_ws_tokens AS BIGINT) AS n_ws_tokens,
+               k.quality
+        FROM kept k
+        JOIN canon c ON k.doc_id = c.keep_id
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        n_tokens_ws(F.col("text")).alias("n_ws_tokens"),
+        lang_pred(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+    )
+    kept = feats.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.35)
+        & F.col("n_ws_tokens").between(5, 10000)
+    )
+    canon = kept.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_id"))
+    return kept.join(
+        canon, kept["doc_id"] == canon["keep_id"], how="left_semi"
+    ).select("doc_id", "source", "n_ws_tokens", "quality")

@@ -418,3 +418,60 @@ def ts_cagg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         F.round("avg_value", 6).alias("avg_value"),
     )
+
+
+@register(
+    "ts_top_n",
+    family="timeseries",
+    doc="topn(): top-3 most active users per hypertable (toolkit "
+    "topn/space-saving semantics, exact at oracle scale). Count first "
+    "(map-side partials shrink the shuffle to #series rows), THEN a "
+    "per-group window over the tiny aggregate — never a window over raw "
+    "events.",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, user_id, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY n DESC, user_id
+            ) AS rn
+            FROM c
+        )
+        SELECT event_type, user_id, n, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= 3
+    """,
+)
+def ts_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    counts = events.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "user_id", "n", "rn")
+    )
+
+
+@register(
+    "ts_count_distinct",
+    family="timeseries",
+    doc="Distinct series cardinality per hypertable — exact here (the "
+    "oracle contract); at 100 TB this swaps to approx_count_distinct "
+    "(HyperLogLog++, toolkit hyperloglog), whose <2% error is asserted "
+    "in tests/test_timeseries2.py.",
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def ts_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -48,6 +48,14 @@ def test_whole_stage_codegen_in_scan_aggs(spark, sf_small):
     assert "*(" in plan, plan[:1500]
 
 
+def test_chunk_resolution_broadcasts_catalog(spark, sf_small):
+    """The chunk catalog must broadcast — the event side never
+    shuffles (the reference's in-memory-map property)."""
+    plan = _plan(all_queries()["cdc_chunk_resolution"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_asof_join_is_window_not_range_join(spark, sf_small):
     """The as-of join must compile to union + window (one shuffle per
     input branch), never a nested-loop range join."""

@@ -288,3 +288,26 @@ def test_streaming_sessions_match_batch_sessionize(spark, sf_small, log_dir):
     )
     want = {(r["user_id"], r["n"]) for r in batch.collect()}
     assert got == want
+
+
+def test_resolved_stream_matches_batch_resolution(spark, sf_small, log_dir):
+    """Stream-static broadcast resolution must attach the same
+    chunk/hypertable identity as the batch path."""
+    from timescaledb_event_streamer_spark.catalog.chunks import chunk_catalog, resolve_chunks
+    from timescaledb_event_streamer_spark.streaming.pipelines import resolved_stream
+
+    events = load(spark, sf_small, "events")
+    catalog = chunk_catalog(events).cache()
+    stream = event_file_stream(spark, log_dir)
+    _run_stream(resolved_stream(stream, catalog), "resolved")
+    got = spark.sql(
+        "SELECT chunk_name, count(*) n FROM resolved GROUP BY chunk_name"
+    ).collect()
+    want = {
+        (r["chunk_name"], r["n"])
+        for r in resolve_chunks(events, catalog)
+        .groupBy("chunk_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r["chunk_name"], r["n"]) for r in got} == want

@@ -170,3 +170,60 @@ def test_approx_count_distinct_error_vs_exact(spark, sf_mid):
     )
     for r in both:
         assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.02, dict(r.asDict())
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.floats(0, 100)),
+        min_size=1,
+        max_size=30,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.floats(0, 100)),
+        min_size=0,
+        max_size=30,
+    ),
+)
+def test_asof_join_property_matches_merge_asof(spark, left, right):
+    """Union+LOCF as-of join ≡ pandas merge_asof on arbitrary keyed
+    series (right deduped per (key, ts) as the contract requires)."""
+    lpd = pd.DataFrame(left, columns=["k", "t_s", "lv"])
+    lpd["ts"] = pd.to_datetime(lpd["t_s"], unit="s")
+    rpd = pd.DataFrame(right, columns=["k", "t_s", "rv"])
+    rpd["ts"] = pd.to_datetime(rpd["t_s"], unit="s")
+    rpd = rpd.sort_values(["k", "ts"]).groupby(["k", "ts"], as_index=False).agg(
+        rv=("rv", "max")
+    )
+    rpd = rpd.astype({"k": "int64", "ts": "datetime64[ns]", "rv": "float64"})
+    sdf_l = spark.createDataFrame(lpd[["k", "ts", "lv"]])
+    if len(rpd):
+        sdf_r = spark.createDataFrame(rpd[["k", "ts", "rv"]])
+    else:
+        sdf_r = spark.createDataFrame([], "k BIGINT, ts TIMESTAMP, rv DOUBLE")
+    got = (
+        asof_join(sdf_l, sdf_r, on="ts", by=["k"], value_cols=["rv"])
+        .toPandas()
+        .sort_values(["k", "ts", "lv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            lpd[["k", "ts", "lv"]].sort_values("ts", kind="mergesort"),
+            rpd[["k", "ts", "rv"]].sort_values("ts", kind="mergesort")
+            if len(rpd)
+            else rpd[["k", "ts", "rv"]],
+            on="ts",
+            by="k",
+            direction="backward",
+        )
+        .sort_values(["k", "ts", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "ts", "lv", "rv"]], want[["k", "ts", "lv", "rv"]], check_dtype=False
+    )

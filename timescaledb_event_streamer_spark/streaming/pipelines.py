@@ -122,6 +122,26 @@ def latest_state_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def resolved_stream(events: DataFrame, catalog: DataFrame) -> DataFrame:
+    """Chunk→hypertable resolution on the LIVE stream: a
+    stream-static broadcast join against the (batch) chunk catalog —
+    the exact shape of the reference's hot path, where every
+    replication event is resolved against the in-memory catalog
+    before wrapping (replicationresolver.go). The stream side never
+    shuffles; the catalog re-broadcasts per micro-batch, which is
+    what keeps a catalog refresh visible to the stream."""
+    from timescaledb_event_streamer_spark.catalog.chunks import chunk_start_epoch
+
+    keyed = events.withColumn("range_start_s", chunk_start_epoch(F.col("ts")))
+    return keyed.join(
+        F.broadcast(catalog),
+        on=[
+            keyed["event_type"] == catalog["hypertable_name"],
+            keyed["range_start_s"] == catalog["range_start_s"],
+        ],
+    ).drop(catalog["range_start_s"])
+
+
 def streaming_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based sessionization on the live stream via native
     session windows (the streaming twin of the batch ts_sessionize

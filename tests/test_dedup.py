@@ -93,3 +93,19 @@ def test_embedding_lsh_recall_vs_exact_pairs(spark, sf_small):
     assert approx <= exact  # exact-verify step admits no false positives
     recall = len(exact & approx) / max(len(exact), 1)
     assert recall >= 0.7, f"embedding LSH recall {recall} over {len(exact)} pairs"
+
+
+def test_dedup_clusters_invariants(spark):
+    """Pairs (1-2, 2-3) and (5-6) must yield clusters {1,2,3} and
+    {5,6} labeled by their min member; endpoints of every input pair
+    land in the same cluster."""
+    from timescaledb_event_streamer_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 1)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in dedup_clusters(pairs).collect()}
+    # chain 1-2-3 merges with 7-8-9 through the 9-1 edge
+    assert {k for k, v in got.items() if v[0] == 1} == {1, 2, 3, 7, 8, 9}
+    assert all(v == (1, 6) for k, v in got.items() if k in {1, 2, 3, 7, 8, 9})
+    assert got[5] == (5, 2) and got[6] == (5, 2)

@@ -181,6 +181,64 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → one cluster
+    id (the min doc_id reachable) per document, plus cluster size.
+    This turns pairwise dedup output into actionable *groups* (keep
+    one canonical doc per cluster).
+
+    Iterative min-label propagation: each round joins labels to
+    edges (one shuffle keyed on node id) and keeps the per-node min;
+    `localCheckpoint` truncates the plan lineage each round so the
+    iteration count never shows up in planning time. Rounds needed =
+    graph diameter — near-dup graphs are shallow (dup groups are
+    cliques-ish), so this converges in a handful of rounds; at
+    extreme scale swap the loop body for the large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce"),
+    which keeps the same join-per-round shape but contracts paths
+    exponentially.
+    """
+    fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def simhash64(text_col: Column) -> Column:
     """64-bit SimHash over whitespace tokens as one codegen
     expression. Prefer :func:`simhash_signatures` (explode+groupBy)

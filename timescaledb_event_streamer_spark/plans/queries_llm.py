@@ -371,3 +371,70 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(
         canon, kept["doc_id"] == canon["keep_id"], how="left_semi"
     ).select("doc_id", "source", "n_ws_tokens", "quality")
+
+
+_SQL_JACCARD_CTES = """
+    t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s0 AS (
+        SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks
+        FROM t WHERE len(toks) >= 5
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + 5], ' ') AS s FROM s0
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               round(c.n_inter * 1.0 / (x.n + y.n - c.n_inter), 6) AS jaccard
+        FROM cand c
+        JOIN sz x ON c.doc_a = x.doc_id
+        JOIN sz y ON c.doc_b = y.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_clusters",
+    family="dedup",
+    doc="Near-dup CLUSTERS: connected components over the jaccard>=0.3 pair "
+    "graph (min-reachable-doc_id labels via iterative label propagation; "
+    "oracle: DuckDB recursive CTE transitive closure). Output is one row "
+    "per clustered doc with its canonical cluster id and cluster size — "
+    "the form a keep-one-per-group dedup actually consumes.",
+    oracle=f"""
+        WITH RECURSIVE
+        {_SQL_JACCARD_CTES},
+        dup AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM dup
+            UNION SELECT doc_b, doc_a FROM dup
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
+        ),
+        cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        SELECT cc.node AS doc_id,
+               cc.cluster_id,
+               sz2.cluster_size
+        FROM cc
+        JOIN (SELECT cluster_id, count(*) AS cluster_size
+              FROM cc GROUP BY 1) sz2 USING (cluster_id)
+    """,
+)
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.dedup import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 5
+    )
+    pairs = shingle_pairs_jaccard(docs).filter(F.col("jaccard") >= 0.3)
+    return dedup_clusters(pairs)

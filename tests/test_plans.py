@@ -79,9 +79,13 @@ def test_events_scan_only_needed_columns(spark, sf_small):
     assert "props" not in scan
 
 
-# exact-pairwise oracle (scale path: dedup_embedding_lsh) and a
-# single-row broadcast threshold join — both deliberately BNLJ
-_BNLJ_OK = {"dedup_embedding_cosine", "q22_global_sales_opportunity"}
+# exact-pairwise oracle (scale path: dedup_embedding_lsh) and
+# single-row broadcast threshold joins — all deliberately BNLJ
+_BNLJ_OK = {
+    "dedup_embedding_cosine",
+    "q22_global_sales_opportunity",
+    "q11_important_stock",
+}
 
 
 @pytest.mark.parametrize("name", sorted(all_queries()))
@@ -90,3 +94,37 @@ def test_no_cartesian_or_nested_loop_joins(spark, sf_small, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     if name not in _BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} degenerated to BNLJ"
+
+
+def test_partitioned_hypertable_layout_prunes(spark, sf_small, tmp_path):
+    """SURVEY §6: events written partitioned by (event_type, chunk)
+    — a time+relation predicate must become PartitionFilters, the
+    partition-pruning form of TimescaleDB chunk exclusion."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.catalog.chunks import chunk_start_epoch
+
+    events = load(spark, sf_small, "events")
+    path = str(tmp_path / "hypertable")
+    (
+        events.withColumn("chunk_s", chunk_start_epoch(F.col("ts")))
+        .write.partitionBy("event_type", "chunk_s")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    one_chunk = (
+        events.filter(F.col("event_type") == "click")
+        .select(chunk_start_epoch(F.col("ts")).alias("c"))
+        .first()["c"]
+    )
+    pruned = (
+        spark.read.parquet(path)
+        .filter((F.col("event_type") == "click") & (F.col("chunk_s") == one_chunk))
+    )
+    plan = _plan(pruned)
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(event_type" in plan or "event_type" in plan[plan.index("PartitionFilters"):][:300]
+    # pruning actually cut the scan: one chunk of one hypertable
+    n_all = events.count()
+    n_pruned = pruned.count()
+    assert 0 < n_pruned < n_all / 10

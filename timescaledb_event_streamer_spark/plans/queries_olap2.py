@@ -573,3 +573,104 @@ def q21_suppliers_who_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> D
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    family="olap",
+    doc="TPC-H Q2 shape (no partsupp: lineitem links part-supplier, "
+    "s_acctbal as the cost proxy): for each EUROPE-region part of size "
+    "30, the supplier(s) with the region-min account balance — "
+    "correlated per-group min via a groupwise agg joined back on the "
+    "same key (the shuffle is shared), nation/region broadcast.",
+    oracle="""
+        WITH links AS (
+            SELECT DISTINCT l.l_partkey AS partkey, l.l_suppkey AS suppkey
+            FROM lineitem l
+        ),
+        eligible AS (
+            SELECT k.partkey, k.suppkey, s.s_acctbal, s.s_name, n.n_name
+            FROM links k
+            JOIN part p ON p.p_partkey = k.partkey AND p.p_size = 30
+            JOIN supplier s ON s.s_suppkey = k.suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+        ),
+        mn AS (
+            SELECT partkey, min(s_acctbal) AS min_bal FROM eligible GROUP BY partkey
+        )
+        SELECT e.partkey AS p_partkey, e.suppkey AS s_suppkey,
+               e.s_name, e.n_name, e.s_acctbal
+        FROM eligible e
+        JOIN mn ON e.partkey = mn.partkey AND e.s_acctbal = mn.min_bal
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 30).select("p_partkey")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        li.join(p, li["partkey"] == p["p_partkey"])
+        .join(s, li["suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("partkey", "suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    mn = eligible.groupBy(F.col("partkey").alias("m_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        eligible.join(
+            mn,
+            (eligible["partkey"] == mn["m_partkey"])
+            & (eligible["s_acctbal"] == mn["min_bal"]),
+        )
+        .select(
+            F.col("partkey").alias("p_partkey"),
+            F.col("suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            "s_acctbal",
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    family="olap",
+    doc="TPC-H Q11 shape (value = lineitem extendedprice by supplier "
+    "nation): partkeys whose value within one nation exceeds a fraction "
+    "of that nation's total — HAVING vs a broadcast scalar subquery.",
+    oracle="""
+        WITH v AS (
+            SELECT l.l_partkey, sum(l.l_extendedprice) AS val
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_1'
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey, round(val, 2) AS value
+        FROM v
+        WHERE val > (SELECT sum(val) * 0.001 FROM v)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    v = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("val"))
+    )
+    thr = v.agg((F.sum("val") * 0.001).alias("thr"))
+    return (
+        v.join(F.broadcast(thr), v["val"] > thr["thr"])
+        .select("l_partkey", F.round("val", 2).alias("value"))
+    )

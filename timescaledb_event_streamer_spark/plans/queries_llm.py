@@ -438,3 +438,46 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = shingle_pairs_jaccard(docs).filter(F.col("jaccard") >= 0.3)
     return dedup_clusters(pairs)
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_LONGNUM_RE = r"[0-9]{6,}"
+
+
+@register(
+    "text_pii_redaction",
+    family="text",
+    doc="PII scrubbing pass: emails / URLs / long digit runs replaced by "
+    "typed placeholders, with per-doc redaction counts — single scan, "
+    "pure codegen regex, the standard pre-training privacy filter.",
+    oracle=f"""
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_URL_RE}', '<URL>', 'g'),
+                   '{_LONGNUM_RE}', '<NUM>', 'g')) AS redacted_hash,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS BIGINT) AS n_longnums
+        FROM documents
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        ),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_hash"),
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count("text", F.lit(_LONGNUM_RE)).cast("long").alias("n_longnums"),
+    )

@@ -475,3 +475,34 @@ def ts_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "ts_rollup_grouping_sets",
+    family="timeseries",
+    doc="Multi-granularity continuous aggregate in ONE pass: ROLLUP over "
+    "(hypertable, day) produces per-chunk, per-hypertable, and grand "
+    "totals from a single shuffle (Spark expands grouping sets before "
+    "the exchange — partials stay map-side combinable).",
+    oracle=f"""
+        SELECT event_type,
+               {_sql_bucket(DAY)} AS bucket_day_s,
+               grouping(event_type, {_sql_bucket(DAY)}) AS gid,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY ROLLUP(event_type, {_sql_bucket(DAY)})
+    """,
+)
+def ts_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.withColumn("bucket_day_s", time_bucket_epoch(F.col("ts"), DAY))
+        .rollup("event_type", "bucket_day_s")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("event_type", "bucket_day_s", "gid", "n", "sum_value")
+    )

@@ -90,7 +90,8 @@ def minhash_signatures(
     measured 40x slower at sf0.1).
     """
     sh = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("s")
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), distinct=False)).alias("s"),
     )
     h = sh.select("doc_id", (F.abs(F.xxhash64("s")) % _MERSENNE).alias("h"))
     aggs = [

@@ -61,18 +61,22 @@ def quality_score(text: Column, n_chars: Column) -> Column:
     )
 
 
-def shingles(text: Column, width: int = SHINGLE_WIDTH) -> Column:
-    """Distinct word 5-gram shingles as an array column (input to
-    fingerprinting / MinHash / Jaccard)."""
+def shingles(text: Column, width: int = SHINGLE_WIDTH, distinct: bool = True) -> Column:
+    """Word 5-gram shingles as an array column (input to
+    fingerprinting / MinHash / Jaccard). ``distinct=False`` skips the
+    quadratic array_distinct — correct for any min-over-shingles
+    consumer (MinHash, fingerprint), where duplicates can't change
+    the minimum; Jaccard set arithmetic needs the distinct form."""
     toks = F.split(text, " ")
     idx = F.sequence(F.lit(0), F.size(toks) - width)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, width)))
-    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, width)))
+    return F.array_distinct(grams) if distinct else grams
 
 
 def fingerprint(text: Column) -> Column:
     """Rolling-hash document fingerprint: min md5 over word-5-gram
     shingles (a 1-permutation MinHash; stable under reordering of
     identical content windows)."""
-    return F.array_min(F.transform(shingles(text), lambda s: F.md5(s)))
+    return F.array_min(
+        F.transform(shingles(text, distinct=False), lambda s: F.md5(s))
+    )

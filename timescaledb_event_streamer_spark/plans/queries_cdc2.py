@@ -265,3 +265,62 @@ def pg_type_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
         F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
     )
+
+
+@register(
+    "pg_range_point_types",
+    family="pgtypes",
+    doc="PG range + geometric wire-text parsing (spi/pgtypes: int8range, "
+    "point): round-trip a range literal built from each event's value "
+    "band and a point literal from (user_id, value) — parse back to "
+    "typed bounds/coords with containment + distance semantics, all "
+    "codegen string ops.",
+    oracle="""
+        WITH w AS (
+            SELECT event_id,
+                   '[' || CAST(CAST(floor(value / 10) * 10 AS BIGINT) AS VARCHAR)
+                       || ',' || CAST(CAST(floor(value / 10) * 10 + 10 AS BIGINT) AS VARCHAR)
+                       || ')' AS range_text,
+                   '(' || CAST(user_id AS VARCHAR) || ','
+                       || CAST(CAST(round(value, 0) AS BIGINT) AS VARCHAR) || ')' AS point_text,
+                   value, user_id
+            FROM events
+        )
+        SELECT event_id,
+               range_text,
+               CAST(regexp_extract(range_text, '^\\[(-?\\d+),', 1) AS BIGINT) AS range_lo,
+               CAST(regexp_extract(range_text, ',(-?\\d+)\\)$', 1) AS BIGINT) AS range_hi,
+               value >= CAST(regexp_extract(range_text, '^\\[(-?\\d+),', 1) AS BIGINT)
+                 AND value < CAST(regexp_extract(range_text, ',(-?\\d+)\\)$', 1) AS BIGINT)
+                 AS range_contains_value,
+               CAST(regexp_extract(point_text, '^\\((-?\\d+),', 1) AS BIGINT) AS point_x,
+               CAST(regexp_extract(point_text, ',(-?\\d+)\\)$', 1) AS BIGINT) AS point_y
+        FROM w
+    """,
+)
+def pg_range_point_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    lo = (F.floor(F.col("value") / 10) * 10).cast("long")
+    range_text = F.concat(
+        F.lit("["), lo.cast("string"), F.lit(","), (lo + 10).cast("string"), F.lit(")")
+    )
+    point_text = F.concat(
+        F.lit("("),
+        F.col("user_id").cast("string"),
+        F.lit(","),
+        F.round(F.col("value"), 0).cast("long").cast("string"),
+        F.lit(")"),
+    )
+    w = events.select("event_id", "value", "user_id",
+                      range_text.alias("range_text"), point_text.alias("point_text"))
+    r_lo = F.regexp_extract("range_text", r"^\[(-?\d+),", 1).cast("long")
+    r_hi = F.regexp_extract("range_text", r",(-?\d+)\)$", 1).cast("long")
+    return w.select(
+        "event_id",
+        "range_text",
+        r_lo.alias("range_lo"),
+        r_hi.alias("range_hi"),
+        ((F.col("value") >= r_lo) & (F.col("value") < r_hi)).alias("range_contains_value"),
+        F.regexp_extract("point_text", r"^\((-?\d+),", 1).cast("long").alias("point_x"),
+        F.regexp_extract("point_text", r",(-?\d+)\)$", 1).cast("long").alias("point_y"),
+    )

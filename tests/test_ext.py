@@ -1,0 +1,78 @@
+"""Semantic tests for the round-1 tail queries (queries_ext.py).
+
+Oracle equivalence is covered by tools/check.py / the driver gate;
+these assert the operator-level invariants directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.plans.registry import all_queries
+from timescaledb_event_streamer_spark.sources.tables import load
+
+
+def test_freq_agg_heavy_hitters_only(spark, sf_mid):
+    rows = all_queries()["ts_freq_agg"](spark, sf_mid).collect()
+    assert rows
+    for r in rows:
+        assert r.freq >= 0.008
+    # shares within one partition can never exceed 1
+    by_type: dict[str, float] = {}
+    for r in rows:
+        by_type[r.event_type] = by_type.get(r.event_type, 0.0) + r.freq
+    assert all(s <= 1.0 + 1e-6 for s in by_type.values())
+
+
+def test_radius_search_contains_query_vector(spark, sf_mid):
+    rows = all_queries()["ann_radius_search"](spark, sf_mid).collect()
+    by_id = {r.vec_id: r.cosine for r in rows}
+    assert by_id[0] == 1.0  # the query vector itself
+    assert all(c >= 0.3 for c in by_id.values())
+
+
+def test_radius_search_superset_of_topk_above_threshold(spark, sf_mid):
+    """Every top-k hit with cosine >= radius must appear in the radius
+    result — the two search shapes agree where they overlap."""
+    qs = all_queries()
+    radius = {r.vec_id for r in qs["ann_radius_search"](spark, sf_mid).collect()}
+    topk = qs["ann_bruteforce_topk"](spark, sf_mid).collect()
+    for r in topk:
+        if r.cosine >= 0.3:
+            assert r.vec_id in radius
+
+
+def test_delivery_stats_account_for_every_event(spark, sf_mid):
+    stats = all_queries()["cdc_sink_delivery_stats"](spark, sf_mid).collect()
+    assert {r.op for r in stats} == {"c", "u", "d"}
+    assert all(r.topic.startswith("timescaledb.public.") for r in stats)
+    total = load(spark, sf_mid, "events").count()
+    assert sum(r.n_events for r in stats) == total
+    assert all(r.n_bytes > 0 for r in stats)
+
+
+def test_q20_suppliers_restricted_to_nations(spark, sf_mid):
+    df = all_queries()["q20_part_promotion"](spark, sf_mid)
+    assert df.columns == ["s_name", "s_acctbal"]
+    rows = df.collect()
+    assert rows
+    # every returned supplier must belong to the three target nations
+    s = load(spark, sf_mid, "supplier")
+    n = load(spark, sf_mid, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    allowed = {
+        r.s_name
+        for r in s.join(n, s["s_nationkey"] == n["n_nationkey"]).select("s_name").collect()
+    }
+    assert {r.s_name for r in rows} <= allowed
+
+
+def test_q20_broadcasts_part_and_nation(spark, sf_mid):
+    plan = (
+        all_queries()["q20_part_promotion"](spark, sf_mid)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

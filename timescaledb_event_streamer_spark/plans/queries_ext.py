@@ -1,0 +1,192 @@
+"""Extension queries (SURVEY.md §2 additions, round-1 tail):
+
+- ``q20_part_promotion`` — the last TPC-H plan shape (Q20) made
+  explicit rather than folded into Q2/Q21: a correlated per-group
+  threshold feeding a semi-join chain into supplier.
+- ``ts_freq_agg`` — TimescaleDB toolkit ``freq_agg`` analog (heavy
+  hitters / frequent values per partition).
+- ``ann_radius_search`` — similarity search variant: all neighbors
+  within a cosine radius (vs the fixed-k top-k of E1).
+- ``cdc_sink_delivery_stats`` — per-sink/per-op delivery counters
+  mirroring the reference's stats collector (internal/stats/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.cdc.envelope import SOURCE_SCHEMA, derive_op, ts_ms
+from timescaledb_event_streamer_spark.catalog.naming import event_topic
+from timescaledb_event_streamer_spark.operators.ann import cosine
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load
+
+
+@register(
+    "q20_part_promotion",
+    family="olap",
+    doc="TPC-H Q20 shape: suppliers in one nation who shipped >1.5x the "
+    "part's average per-supplier 1997 quantity of LIKE-filtered parts. "
+    "Correlated per-group threshold (avg per part over supplier groups) "
+    "-> distinct suppkey -> semi-join into supplier; the inner agg and "
+    "the per-part average reuse the same (suppkey, partkey) shuffle key, "
+    "and part (post-LIKE) + nation broadcast.",
+    oracle="""
+        WITH sp AS (
+            SELECT l.l_suppkey, l.l_partkey, sum(l.l_quantity) AS qty
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE 'small%'
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1, 2
+        ),
+        pa AS (
+            SELECT l_partkey, avg(qty) AS avg_qty FROM sp GROUP BY 1
+        )
+        SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          AND s.s_suppkey IN (
+            SELECT sp.l_suppkey FROM sp JOIN pa USING (l_partkey)
+            WHERE sp.qty > 1.5 * pa.avg_qty
+          )
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    sp = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    pa = sp.groupBy("l_partkey").agg(F.avg("qty").alias("avg_qty"))
+    hot = (
+        sp.join(pa, "l_partkey")
+        .filter(F.col("qty") > 1.5 * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(hot, s["s_suppkey"] == hot["l_suppkey"], how="left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+@register(
+    "ts_freq_agg",
+    family="timeseries",
+    doc="Toolkit freq_agg analog: per event_type, the heavy-hitter users "
+    "whose event share is >= 0.8%. Exact two-level aggregate at test SF "
+    "(the per-type totals table is tiny -> broadcast join, no window "
+    "over a coarse key); at 100 TB the inner count swaps for a "
+    "space-saving sketch merged per partition, same contract.",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, user_id, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (SELECT event_type, sum(n_events) AS total FROM c GROUP BY 1)
+        SELECT c.event_type, c.user_id, c.n_events,
+               round(c.n_events / t.total, 6) AS freq
+        FROM c JOIN t USING (event_type)
+        WHERE c.n_events / t.total >= 0.008
+    """,
+)
+def ts_freq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    c = events.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    t = c.groupBy("event_type").agg(F.sum("n_events").alias("total"))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .filter(F.col("n_events") / F.col("total") >= 0.008)
+        .select(
+            "event_type",
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), 6).alias("freq"),
+        )
+    )
+
+
+@register(
+    "ann_radius_search",
+    family="ann",
+    doc="Radius similarity search: every vector with cosine >= 0.3 vs "
+    "the vec_id=0 query vector (includes the query itself at 1.0). "
+    "Same single-scan codegen dot product as E1 but threshold-bounded "
+    "instead of k-bounded — the shape used for dedup sweeps where k is "
+    "unknowable a priori.",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id, label,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT qv FROM q)), 6) AS cosine
+        FROM embeddings
+        WHERE round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+              (SELECT qv FROM q)), 6) >= 0.3
+    """,
+)
+def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    scored = emb.select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding").cast("array<double>"), q), 6).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= 0.3)
+
+
+@register(
+    "cdc_sink_delivery_stats",
+    family="cdc",
+    doc="Per-sink delivery counters (reference internal/stats/): events, "
+    "payload bytes, distinct keys, and high-water ts_ms per (topic, op). "
+    "One shuffle on the topic/op pair; payload size is octet_length of "
+    "the after-image, matching the wire-encoded value the sinks count.",
+    oracle="""
+        SELECT 'timescaledb.public.' || event_type AS topic,
+               CASE WHEN event_id % 10 = 0 THEN 'd'
+                    WHEN event_id % 10 IN (1, 2) THEN 'u'
+                    ELSE 'c' END AS op,
+               count(*) AS n_events,
+               sum(strlen(props)) AS n_bytes,
+               count(DISTINCT user_id) AS n_keys,
+               max(CAST(epoch_us(ts) // 1000 AS BIGINT)) AS last_ts_ms
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def cdc_sink_delivery_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            event_topic(F.lit(SOURCE_SCHEMA), F.col("event_type")).alias("topic"),
+            derive_op(F.col("event_id")).alias("op"),
+            "user_id",
+            F.octet_length("props").alias("_bytes"),
+            ts_ms(F.col("ts")).alias("_ts_ms"),
+        )
+        .groupBy("topic", "op")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_bytes").alias("n_bytes"),
+            F.countDistinct("user_id").alias("n_keys"),
+            F.max("_ts_ms").alias("last_ts_ms"),
+        )
+    )

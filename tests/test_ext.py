@@ -76,3 +76,26 @@ def test_q20_broadcasts_part_and_nation(spark, sf_mid):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_counter_agg_resets_never_negative(spark, sf_mid):
+    """counter_agg total_increase must be >= the plain delta sum (every
+    reset replaces a negative step with a positive restart value)."""
+    qs = all_queries()
+    rows = {r.event_type: r for r in qs["ts_counter_agg"](spark, sf_mid).collect()}
+    assert rows
+    for r in rows.values():
+        assert r.n_resets > 0  # the random-walk testdata always has drops
+        assert r.total_increase > 0
+        assert r.n_resets <= r.n_deltas
+
+
+def test_ngram_freq_topk_sorted_and_bounded(spark, sf_mid):
+    rows = all_queries()["text_ngram_freq"](spark, sf_mid).collect()
+    assert len(rows) == 50
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # tie-break: within equal counts, bigrams ascend
+    for a, b in zip(rows, rows[1:]):
+        if a.n == b.n:
+            assert a.bigram < b.bigram

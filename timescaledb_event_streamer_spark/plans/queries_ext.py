@@ -9,6 +9,10 @@
   within a cosine radius (vs the fixed-k top-k of E1).
 - ``cdc_sink_delivery_stats`` — per-sink/per-op delivery counters
   mirroring the reference's stats collector (internal/stats/).
+- ``ts_counter_agg`` — toolkit ``counter_agg`` reset semantics (a
+  drop in a monotonic counter is a restart, not a negative delta).
+- ``text_ngram_freq`` — corpus-level bigram frequency table (the
+  boilerplate/contamination-detection primitive).
 """
 
 from __future__ import annotations
@@ -189,4 +193,96 @@ def cdc_sink_delivery_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_keys"),
             F.max("_ts_ms").alias("last_ts_ms"),
         )
+    )
+
+
+@register(
+    "ts_counter_agg",
+    family="timeseries",
+    doc="Toolkit counter_agg reset semantics: a value drop within a "
+    "(event_type, user_id) series is a counter restart, so the "
+    "corrected delta is the new value itself, not a negative step. "
+    "Per-series lag window (shuffle keyed on the series -- uniform), "
+    "then a map-side-partial rollup to event_type.",
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   value,
+                   value - lag(value) OVER (
+                       PARTITION BY event_type, user_id ORDER BY event_id
+                   ) AS delta
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_deltas,
+               count(*) FILTER (delta < 0) AS n_resets,
+               round(sum(CASE WHEN delta < 0 THEN value ELSE delta END), 2)
+                   AS total_increase
+        FROM d
+        WHERE delta IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def ts_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("event_id")
+    d = events.select(
+        "event_type",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+    corrected = F.when(F.col("delta") < 0, F.col("value")).otherwise(F.col("delta"))
+    return (
+        d.filter(F.col("delta").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_deltas"),
+            F.count(F.when(F.col("delta") < 0, 1)).alias("n_resets"),
+            F.round(F.sum(corrected), 2).alias("total_increase"),
+        )
+    )
+
+
+@register(
+    "text_ngram_freq",
+    family="text",
+    doc="Corpus-level bigram frequency top-50 (boilerplate / "
+    "contamination detection). Bigrams are built per-row inside one "
+    "codegen projection (transform over the token array -- no join, "
+    "no Python), then one shuffle keyed on the bigram with map-side "
+    "partial counts absorbing hot n-grams; deterministic tie-break "
+    "on the bigram string.",
+    oracle="""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS t FROM documents
+        ),
+        bi AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1]
+                   )) AS bigram
+            FROM toks
+        )
+        SELECT bigram, count(*) AS n
+        FROM bi
+        GROUP BY 1
+        ORDER BY n DESC, bigram
+        LIMIT 50
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
     )

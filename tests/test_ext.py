@@ -99,3 +99,20 @@ def test_ngram_freq_topk_sorted_and_bounded(spark, sf_mid):
     for a, b in zip(rows, rows[1:]):
         if a.n == b.n:
             assert a.bigram < b.bigram
+
+
+def test_cagg_invalidation_covers_all_mutations(spark, sf_mid):
+    """Every u/d event lands in exactly one dirty bucket; read events
+    never invalidate."""
+    from timescaledb_event_streamer_spark.cdc.envelope import derive_op
+
+    inv = all_queries()["ts_cagg_invalidation"](spark, sf_mid).collect()
+    assert inv
+    assert all(r.n_invalidating == r.n_deletes + r.n_updates for r in inv)
+    muts = (
+        load(spark, sf_mid, "events")
+        .withColumn("op", derive_op(F.col("event_id")))
+        .filter(F.col("op").isin("u", "d"))
+        .count()
+    )
+    assert sum(r.n_invalidating for r in inv) == muts

@@ -33,6 +33,8 @@ REPS = [
     ("dedup_minhash_lsh", "minhash+LSH"),
     ("ann_bruteforce_topk", "exact ANN scan"),
     ("pipeline_clean_corpus", "composed text pipeline"),
+    ("ts_freq_agg", "heavy hitters"),
+    ("text_ngram_freq", "corpus n-gram count"),
 ]
 
 

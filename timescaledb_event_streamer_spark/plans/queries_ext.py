@@ -13,6 +13,9 @@
   drop in a monotonic counter is a restart, not a negative delta).
 - ``text_ngram_freq`` — corpus-level bigram frequency table (the
   boilerplate/contamination-detection primitive).
+- ``ts_cagg_invalidation`` — continuous-aggregate invalidation log
+  (dirty buckets from CDC update/delete ops).
+- ``pg_network_types`` — PG inet/cidr/macaddr wire-text round-trip.
 """
 
 from __future__ import annotations
@@ -331,4 +334,78 @@ def ts_cagg_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("op") == "d", 1)).alias("n_deletes"),
             F.count(F.when(F.col("op") == "u", 1)).alias("n_updates"),
         )
+    )
+
+
+@register(
+    "pg_network_types",
+    family="pgtypes",
+    doc="PG network types (spi/pgtypes typemanager: inet/cidr/macaddr): "
+    "round-trip inet wire text ('a.b.c.d/len') built from each event "
+    "to the numeric address, mask length, network address (CIDR "
+    "semantics), and subnet membership; macaddr normalized to "
+    "colon-separated lowercase hex. All codegen string/arithmetic "
+    "ops -- no UDFs.",
+    oracle="""
+        WITH w AS (
+            SELECT event_id,
+                   '10.' || CAST(user_id % 256 AS VARCHAR) || '.'
+                         || CAST(event_id % 256 AS VARCHAR) || '.'
+                         || CAST(CAST(round(value, 0) AS BIGINT) % 256 AS VARCHAR)
+                         || '/24' AS inet_text,
+                   lpad(lower(hex(event_id)), 12, '0') AS machex
+            FROM events
+        )
+        SELECT event_id,
+               inet_text,
+               CAST(regexp_extract(inet_text, '^(\\d+)\\.', 1) AS BIGINT) * 16777216
+                 + CAST(regexp_extract(inet_text, '^\\d+\\.(\\d+)\\.', 1) AS BIGINT) * 65536
+                 + CAST(regexp_extract(inet_text, '^\\d+\\.\\d+\\.(\\d+)\\.', 1) AS BIGINT) * 256
+                 + CAST(regexp_extract(inet_text, '\\.(\\d+)/', 1) AS BIGINT) AS addr_num,
+               CAST(regexp_extract(inet_text, '/(\\d+)$', 1) AS BIGINT) AS masklen,
+               (CAST(regexp_extract(inet_text, '^(\\d+)\\.', 1) AS BIGINT) * 16777216
+                 + CAST(regexp_extract(inet_text, '^\\d+\\.(\\d+)\\.', 1) AS BIGINT) * 65536
+                 + CAST(regexp_extract(inet_text, '^\\d+\\.\\d+\\.(\\d+)\\.', 1) AS BIGINT) * 256
+                 + CAST(regexp_extract(inet_text, '\\.(\\d+)/', 1) AS BIGINT)) // 256 * 256
+                   AS network_addr,
+               ((CAST(regexp_extract(inet_text, '^(\\d+)\\.', 1) AS BIGINT) * 16777216
+                 + CAST(regexp_extract(inet_text, '^\\d+\\.(\\d+)\\.', 1) AS BIGINT) * 65536
+                 + CAST(regexp_extract(inet_text, '^\\d+\\.\\d+\\.(\\d+)\\.', 1) AS BIGINT) * 256
+                 + CAST(regexp_extract(inet_text, '\\.(\\d+)/', 1) AS BIGINT)) >> 16)
+                   = 10 * 256 + 8 AS in_net_10_8_16,
+               substr(machex, 1, 2) || ':' || substr(machex, 3, 2) || ':'
+                 || substr(machex, 5, 2) || ':' || substr(machex, 7, 2) || ':'
+                 || substr(machex, 9, 2) || ':' || substr(machex, 11, 2) AS macaddr
+        FROM w
+    """,
+)
+def pg_network_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    inet_text = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit("."),
+        (F.round("value", 0).cast("long") % 256).cast("string"),
+        F.lit("/24"),
+    )
+    w = events.select("event_id", inet_text.alias("inet_text"),
+                      F.lpad(F.lower(F.hex("event_id")), 12, "0").alias("machex"))
+    o1 = F.regexp_extract("inet_text", r"^(\d+)\.", 1).cast("long")
+    o2 = F.regexp_extract("inet_text", r"^\d+\.(\d+)\.", 1).cast("long")
+    o3 = F.regexp_extract("inet_text", r"^\d+\.\d+\.(\d+)\.", 1).cast("long")
+    o4 = F.regexp_extract("inet_text", r"\.(\d+)/", 1).cast("long")
+    addr = o1 * 16777216 + o2 * 65536 + o3 * 256 + o4
+    mac = F.concat_ws(
+        ":", *[F.substring("machex", i, 2) for i in (1, 3, 5, 7, 9, 11)]
+    )
+    return w.select(
+        "event_id",
+        "inet_text",
+        addr.alias("addr_num"),
+        F.regexp_extract("inet_text", r"/(\d+)$", 1).cast("long").alias("masklen"),
+        (F.floor(addr / 256) * 256).alias("network_addr"),
+        (F.shiftright(addr, 16) == 10 * 256 + 8).alias("in_net_10_8_16"),
+        mac.alias("macaddr"),
     )

@@ -116,3 +116,34 @@ def test_cagg_invalidation_covers_all_mutations(spark, sf_mid):
         .count()
     )
     assert sum(r.n_invalidating for r in inv) == muts
+
+
+def test_decontamination_benchmark_docs_excluded(spark, sf_mid):
+    rows = all_queries()["text_decontamination"](spark, sf_mid).collect()
+    assert rows
+    assert all(r.doc_id % 100 != 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_shingles
+        assert r.flagged == (r.n_hits / r.n_shingles >= 0.3)
+
+
+def test_decontamination_broadcasts_benchmark(spark, sf_mid):
+    plan = (
+        all_queries()["text_decontamination"](spark, sf_mid)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_network_types_roundtrip(spark, sf_mid):
+    rows = all_queries()["pg_network_types"](spark, sf_mid).limit(500).collect()
+    assert rows
+    for r in rows:
+        octets = r.inet_text.split("/")[0].split(".")
+        assert r.addr_num == sum(int(o) << (8 * (3 - i)) for i, o in enumerate(octets))
+        assert r.masklen == 24
+        assert r.network_addr == r.addr_num - int(octets[3])
+        assert len(r.macaddr) == 17 and r.macaddr.count(":") == 5

@@ -16,6 +16,8 @@
 - ``ts_cagg_invalidation`` — continuous-aggregate invalidation log
   (dirty buckets from CDC update/delete ops).
 - ``pg_network_types`` — PG inet/cidr/macaddr wire-text round-trip.
+- ``text_decontamination`` — per-doc benchmark n-gram overlap against
+  a broadcast eval-set shingle set.
 """
 
 from __future__ import annotations
@@ -408,4 +410,63 @@ def pg_network_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(addr / 256) * 256).alias("network_addr"),
         (F.shiftright(addr, 16) == 10 * 256 + 8).alias("in_net_10_8_16"),
         mac.alias("macaddr"),
+    )
+
+
+@register(
+    "text_decontamination",
+    family="text",
+    doc="Benchmark decontamination: per-document overlap of distinct "
+    "word bigrams with the 'eval set' (docs with doc_id % 100 == 0 "
+    "stand in for a held-out benchmark). The benchmark shingle set "
+    "is eval-set-sized -- broadcast -- so the corpus side never "
+    "shuffles for the membership probe; one agg shuffle on doc_id. "
+    "Real pipelines use 8-13-gram shingles; the synthetic corpus' "
+    "tiny vocabulary makes bigrams the equivalent signal.",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s0 AS (
+            SELECT doc_id, unnest(range(len(toks) - 1)) AS i, toks
+            FROM t WHERE len(toks) >= 2
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + 2], ' ') AS s
+            FROM s0
+        ),
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0)
+        SELECT sh.doc_id,
+               count(*) AS n_shingles,
+               count(b.s) AS n_hits,
+               round(count(b.s) * 1.0 / count(*), 6) AS contamination,
+               count(b.s) * 1.0 / count(*) >= 0.3 AS flagged
+        FROM sh LEFT JOIN bench b ON sh.s = b.s
+        WHERE sh.doc_id % 100 != 0
+        GROUP BY sh.doc_id
+    """,
+)
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.array_distinct(
+        F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+    )
+    sh = (
+        docs.select(F.col("doc_id"), toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("s"))
+    )
+    bench = sh.filter(F.col("doc_id") % 100 == 0).select("s").distinct()
+    b = bench.withColumn("hit", F.lit(1))
+    return (
+        sh.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(b), "s", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("contamination"),
+            (F.count("hit") / F.count(F.lit(1)) >= 0.3).alias("flagged"),
+        )
     )

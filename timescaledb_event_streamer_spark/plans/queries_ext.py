@@ -470,3 +470,62 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit") / F.count(F.lit(1)) >= 0.3).alias("flagged"),
         )
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    family="dedup",
+    doc="Normalized exact dedup: case-fold + whitespace-collapse + trim "
+    "before hashing, so trivially-reformatted copies land in the same "
+    "group (the standard first pass before near-dup). Same one-shuffle "
+    "hash-groupBy shape as dedup_exact.",
+    oracle="""
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS content_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return (
+        docs.select(F.md5(norm).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "text_length_histogram",
+    family="text",
+    doc="Corpus token-length histogram: 50-token-wide buckets with "
+    "count and char stats per bucket -- the length-distribution "
+    "diagnostic every corpus QA pass starts with. Single scan, "
+    "map-side partials on a small uniform key.",
+    oracle="""
+        SELECT CAST(len(string_split(text, ' ')) // 50 * 50 AS BIGINT)
+                   AS token_bucket,
+               count(*) AS n_docs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               round(avg(n_chars), 6) AS avg_chars
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return (
+        docs.select((F.floor(ntok / 50) * 50).alias("token_bucket"), "n_chars")
+        .groupBy("token_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )

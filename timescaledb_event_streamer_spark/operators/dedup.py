@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from timescaledb_event_streamer_spark.operators.textstats import shingles
+from timescaledb_event_streamer_spark.sources.tables import spread
 
 # deterministic MinHash parameters (Carter-Wegman style over xxhash64)
 MINHASH_PERMS = 32
@@ -47,7 +48,7 @@ def shingle_pairs_jaccard(
     this, and hot shingles can additionally be dropped by a frequency
     cap before the self-join.
     """
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("s")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -96,7 +97,7 @@ def minhash_signatures(
         shingles(F.col(text_col), distinct=False),
         lambda s: F.abs(F.xxhash64(s)) % _MERSENNE,
     )
-    h = docs.select(F.col(id_col).alias("doc_id"), F.explode(h_arr).alias("h"))
+    h = spread(docs).select(F.col(id_col).alias("doc_id"), F.explode(h_arr).alias("h"))
     aggs = [
         F.min((F.col("h") * _A[i] + _B[i]) % _MERSENNE).alias(f"mh{i}")
         for i in range(MINHASH_PERMS)
@@ -276,7 +277,7 @@ def simhash_signatures(
     barrier keeps the hash computed once (same rationale as
     minhash_signatures)."""
     h_arr = F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
-    h = docs.select(F.col(id_col).alias("doc_id"), F.explode(h_arr).alias("h"))
+    h = spread(docs).select(F.col(id_col).alias("doc_id"), F.explode(h_arr).alias("h"))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -29,7 +29,7 @@ from timescaledb_event_streamer_spark.cdc.envelope import SOURCE_SCHEMA, derive_
 from timescaledb_event_streamer_spark.catalog.naming import event_topic
 from timescaledb_event_streamer_spark.operators.ann import cosine
 from timescaledb_event_streamer_spark.plans.registry import register
-from timescaledb_event_streamer_spark.sources.tables import load
+from timescaledb_event_streamer_spark.sources.tables import load, spread
 
 
 @register(
@@ -283,7 +283,7 @@ def ts_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
     bigrams = toks.select(
         F.explode(
@@ -447,7 +447,7 @@ def pg_network_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     bigrams = F.array_distinct(
         F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")

@@ -34,7 +34,7 @@ from timescaledb_event_streamer_spark.operators.textstats import (
 )
 from timescaledb_event_streamer_spark.operators.textstats import fingerprint as doc_fingerprint
 from timescaledb_event_streamer_spark.plans.registry import register
-from timescaledb_event_streamer_spark.sources.tables import load
+from timescaledb_event_streamer_spark.sources.tables import load, spread
 
 _STOP_SQL = r"\b(the|a|of|and|in|to|is)\b"
 _WS_SQL = r"\S+"
@@ -313,7 +313,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").filter(
+    docs = spread(load(spark, sf_dir, "documents")).filter(
         F.size(F.split(F.col("text"), " ")) >= 5
     )
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
@@ -464,7 +464,7 @@ _LONGNUM_RE = r"[0-9]{6,}"
     """,
 )
 def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     redacted = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),

@@ -47,3 +47,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan before heavy per-row compute.
+
+    Single row-group parquet (the local testdata) is unsplittable, so
+    the whole map side of shingling/hashing/regex work runs in ONE
+    task no matter how many cores exist. When the source delivers
+    fewer partitions than the session's default parallelism,
+    round-robin repartition so the expensive projection uses every
+    core. On a real cluster the input splits of a 100 TB table far
+    exceed defaultParallelism and this is a no-op — the guard keeps
+    the extra exchange out of the at-scale plan.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -83,6 +83,7 @@ def test_events_scan_only_needed_columns(spark, sf_small):
 # single-row broadcast threshold joins — all deliberately BNLJ
 _BNLJ_OK = {
     "dedup_embedding_cosine",
+    "ann_knn_graph",
     "q22_global_sales_opportunity",
     "q11_important_stock",
 }

@@ -324,3 +324,56 @@ def pg_range_point_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("point_text", r"^\((-?\d+),", 1).cast("long").alias("point_x"),
         F.regexp_extract("point_text", r",(-?\d+)\)$", 1).cast("long").alias("point_y"),
     )
+
+
+@register(
+    "cdc_toast_backfill",
+    family="cdc",
+    doc="Unchanged-TOAST reconstruction: logical replication omits a "
+    "TOASTed column from an UPDATE tuple when it did not change "
+    "(decoderplan.go:57-59 leaves the value unset), so the full "
+    "after-image is rebuilt by carrying the last transmitted value "
+    "forward per key in LSN order. Simulated here with `props` as the "
+    "toasted column, omitted on every op='u'. One window per "
+    "(table, key) partition -- a single shuffle on the key, no join; "
+    "the standard per-key LOCF pass at scale.",
+    oracle=f"""
+        WITH env AS (SELECT *, {_SQL_OP} AS op FROM events),
+        t AS (
+            SELECT event_type AS source_table,
+                   user_id AS key_user_id,
+                   event_id AS lsn,
+                   op,
+                   value AS after_value,
+                   CASE WHEN op <> 'u' THEN props END AS wire_props,
+                   op = 'u' AS was_toasted
+            FROM env WHERE op <> 'd'
+        )
+        SELECT source_table, key_user_id, lsn, op, after_value,
+               last_value(wire_props IGNORE NULLS) OVER (
+                   PARTITION BY source_table, key_user_id ORDER BY lsn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS after_props,
+               was_toasted
+        FROM t
+    """,
+)
+def cdc_toast_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").withColumn("op", derive_op(F.col("event_id")))
+    w = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wire_props = F.when(F.col("op") != "u", F.col("props"))
+    return ev.filter(F.col("op") != OP_DELETE).select(
+        F.col("event_type").alias("source_table"),
+        F.col("user_id").alias("key_user_id"),
+        F.col("event_id").alias("lsn"),
+        "op",
+        F.col("value").alias("after_value"),
+        F.last(wire_props, ignorenulls=True).over(w).alias("after_props"),
+        (F.col("op") == "u").alias("was_toasted"),
+    )

@@ -529,3 +529,197 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+@register(
+    "text_repetition_ratio",
+    family="text",
+    doc="Per-document token repetition diagnostics (the Gopher-style "
+    "repetition filter): top-token share and distinct-token ratio. "
+    "explode -> per-(doc,token) count -> per-doc agg; both shuffles "
+    "key on doc_id so the second is a no-op repartition at scale.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+               round(max(c) * 1.0 / sum(c), 6) AS top_token_share,
+               round(count(*) * 1.0 / sum(c), 6) AS distinct_ratio
+        FROM cnt
+        GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_share"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "text_gopher_quality",
+    family="text",
+    doc="Gopher-rule quality gate: word-count band, mean-word-length "
+    "band, and alphabetic-token ratio evaluated per document in one "
+    "codegen projection -- no shuffle at all (the cheapest possible "
+    "100 TB pass).",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   round(list_aggregate(list_transform(toks, x -> len(x) * 1.0),
+                                        'avg'), 6) AS mean_word_len,
+                   round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                         * 1.0 / len(toks), 6) AS alpha_ratio
+            FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_ratio,
+               n_words BETWEEN 50 AND 100000
+                   AND mean_word_len BETWEEN 3 AND 10
+                   AND alpha_ratio >= 0.8 AS passes
+        FROM m
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks).cast("long")
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_words, 6
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))) / n_words, 6
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+    )
+    return out.withColumn(
+        "passes",
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("alpha_ratio") >= 0.8),
+    )
+
+
+@register(
+    "ann_knn_graph",
+    family="ann",
+    doc="k-nearest-neighbor graph (k=5, cosine) over the embedding "
+    "table -- the input shape for graph-based clustering and "
+    "near-dup sweeps. Exact pairwise form at oracle SF; at 100 TB "
+    "candidate generation swaps to the banded-LSH bucket join "
+    "(cosine_pairs_lsh) with identical downstream ranking.",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        )
+        SELECT src, dst, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY src ORDER BY cos_sim DESC, dst) AS BIGINT)
+                   AS rank
+        FROM p QUALIFY rank <= 5
+    """,
+)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.operators.ann import dot, norm
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # norms are computed once per vector BEFORE the pair join (500
+    # evals instead of 250k) — only the dot product runs per pair
+    a = spread(emb).select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = a.join(b, F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        F.round(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
+    "embedding_centroid_stats",
+    family="ann",
+    doc="Per-label centroid norm + mean vector magnitude (embedding-"
+    "space QA: collapsed or mis-scaled clusters show up immediately). "
+    "posexplode -> (label, pos) partial means -> per-label reduce; "
+    "both shuffles key on label/pos, uniform by construction.",
+    oracle="""
+        WITH n AS (
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(avg(sqrt(list_aggregate(
+                       list_transform(embedding, x -> x * x * 1.0), 'sum'))), 6)
+                       AS avg_norm
+            FROM embeddings GROUP BY label
+        ),
+        u AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        c AS (SELECT label, pos, avg(v) AS m FROM u GROUP BY 1, 2),
+        cn AS (
+            SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+            FROM c GROUP BY label
+        )
+        SELECT n.label, n.n_vecs, n.avg_norm, cn.centroid_norm
+        FROM n JOIN cn USING (label)
+    """,
+)
+def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    norm_d = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    n = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(norm_d), 6).alias("avg_norm"),
+    )
+    u = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    c = u.groupBy("label", "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    cn = c.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
+    )
+    return n.join(cn, "label").select("label", "n_vecs", "avg_norm", "centroid_norm")

@@ -377,3 +377,103 @@ def cdc_toast_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(wire_props, ignorenulls=True).over(w).alias("after_props"),
         (F.col("op") == "u").alias("was_toasted"),
     )
+
+
+@register(
+    "pg_ltree_ops",
+    family="pgtypes",
+    doc="PG ltree wire-text semantics (spi/pgtypes/ltree.go): label "
+    "paths built per event, then nlevel, subpath(0,2), leaf label and "
+    "ancestor containment ('root.click' @> path) -- all codegen "
+    "string ops, no shuffle.",
+    oracle="""
+        WITH w AS (
+            SELECT event_id,
+                   'root.' || event_type || '.u' || CAST(user_id % 10 AS VARCHAR)
+                       || '.e' || CAST(event_id % 5 AS VARCHAR) AS path
+            FROM events
+        )
+        SELECT event_id,
+               path,
+               CAST(len(string_split(path, '.')) AS INT) AS nlevel,
+               array_to_string(string_split(path, '.')[1:2], '.') AS subpath_0_2,
+               regexp_extract(path, '([^.]+)$', 1) AS leaf,
+               path LIKE 'root.click.%' AS under_click
+        FROM w
+    """,
+)
+def pg_ltree_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    path = F.concat(
+        F.lit("root."),
+        F.col("event_type"),
+        F.lit(".u"),
+        F.pmod(F.col("user_id"), F.lit(10)).cast("string"),
+        F.lit(".e"),
+        F.pmod(F.col("event_id"), F.lit(5)).cast("string"),
+    )
+    w = events.select("event_id", path.alias("path"))
+    labels = F.split("path", r"\.")
+    return w.select(
+        "event_id",
+        "path",
+        F.size(labels).alias("nlevel"),
+        F.concat_ws(".", F.slice(labels, 1, 2)).alias("subpath_0_2"),
+        F.regexp_extract("path", r"([^.]+)$", 1).alias("leaf"),
+        F.col("path").like("root.click.%").alias("under_click"),
+    )
+
+
+@register(
+    "pg_array_text_codec",
+    family="pgtypes",
+    doc="PG array wire-text codec (spi/pgtypes/enhanced_array_text_"
+    "codec.go): '{a,b,c}' literals parsed back into typed arrays with "
+    "cardinality and element aggregates -- brace strip + split + cast "
+    "in one codegen projection.",
+    oracle="""
+        WITH w AS (
+            SELECT event_id,
+                   '{' || CAST(user_id AS VARCHAR)
+                       || ',' || CAST(event_id % 100 AS VARCHAR)
+                       || ',' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+                       || '}' AS arr_text
+            FROM events
+        ),
+        p AS (
+            SELECT event_id, arr_text,
+                   list_transform(string_split(trim(arr_text, '{}'), ','),
+                                  x -> CAST(x AS BIGINT)) AS arr
+            FROM w
+        )
+        SELECT event_id, arr_text,
+               CAST(len(arr) AS INT) AS cardinality,
+               arr[1] AS first_elem,
+               CAST(list_aggregate(arr, 'sum') AS BIGINT) AS elem_sum
+        FROM p
+    """,
+)
+def pg_array_text_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    arr_text = F.concat(
+        F.lit("{"),
+        F.col("user_id").cast("string"),
+        F.lit(","),
+        F.pmod(F.col("event_id"), F.lit(100)).cast("string"),
+        F.lit(","),
+        F.floor("value").cast("long").cast("string"),
+        F.lit("}"),
+    )
+    w = events.select("event_id", arr_text.alias("arr_text"))
+    arr = F.transform(
+        F.split(F.regexp_replace("arr_text", r"^\{|\}$", ""), ","),
+        lambda x: x.cast("long"),
+    )
+    p = w.select("event_id", "arr_text", arr.alias("arr"))
+    return p.select(
+        "event_id",
+        "arr_text",
+        F.size("arr").alias("cardinality"),
+        F.col("arr")[0].alias("first_elem"),
+        F.aggregate("arr", F.lit(0).cast("long"), lambda a, x: a + x).alias("elem_sum"),
+    )

@@ -126,20 +126,49 @@ def cdc_envelope_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cdc_chunk_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The output grain IS the chunk-catalog grain, so the per-chunk
+    # stats fold into the catalog derivation: one scan, one shuffle,
+    # two metadata-sized windows — no join-back (the broadcast
+    # resolve_chunks hot path is exercised by the stream-static and
+    # pruning queries, where the event grain is preserved).
+    from timescaledb_event_streamer_spark.catalog.chunks import chunk_start_epoch
+
     events = load(spark, sf_dir, "events")
-    catalog = chunk_catalog(events)
-    resolved = resolve_chunks(events, catalog)
-    return resolved.groupBy(
-        "hypertable_id",
-        "hypertable_name",
-        "chunk_id",
-        "chunk_name",
-        "range_start_s",
-        "range_end_s",
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("event_id").alias("lsn_min"),
-        F.max("event_id").alias("lsn_max"),
+    per_chunk = (
+        events.select(
+            F.col("event_type").alias("hypertable_name"),
+            chunk_start_epoch(F.col("ts")).alias("range_start_s"),
+            "event_id",
+        )
+        .groupBy("hypertable_name", "range_start_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("lsn_min"),
+            F.max("event_id").alias("lsn_max"),
+        )
+    )
+    w_ht = Window.orderBy("hypertable_name")
+    w_chunk = Window.orderBy("hypertable_name", "range_start_s")
+    return (
+        per_chunk.withColumn("hypertable_id", F.dense_rank().over(w_ht).cast("long"))
+        .withColumn("chunk_id", F.dense_rank().over(w_chunk).cast("long"))
+        .select(
+            "hypertable_id",
+            "hypertable_name",
+            "chunk_id",
+            F.concat(
+                F.lit("_hyper_"),
+                F.col("hypertable_id"),
+                F.lit("_"),
+                F.col("chunk_id"),
+                F.lit("_chunk"),
+            ).alias("chunk_name"),
+            "range_start_s",
+            (F.col("range_start_s") + F.lit(CHUNK_INTERVAL_S)).alias("range_end_s"),
+            "n_events",
+            "lsn_min",
+            "lsn_max",
+        )
     )
 
 

@@ -121,16 +121,21 @@ def minhash_lsh_pairs(
     Jaccard (signature agreement). The shuffle key is the band hash —
     uniform by construction, so no skew at 100 TB.
 
-    The band self-join is SLIM: it carries only (doc_id, band,
-    bucket) — signatures are re-attached after pair dedup, so the
-    8x band fan-out shuffles 24-byte rows instead of 32-long
-    signature arrays (measured ~15% faster even at sf0.1; the gap
-    widens with document count).
+    The band rows are FAT: each carries its signature through the
+    self-join, so Jaccard is estimated directly on the colliding pair
+    and the whole operator computes the signature chain exactly twice
+    (once per join side). The earlier slim form (bands only, sigs
+    re-attached after pair dedup) planned the signature aggregation
+    FOUR times — the asymmetric broadcast self-join defeats Spark's
+    exchange reuse — which at 100 TB means four full corpus scans.
+    Estimation precedes the pair dedup, so dropDuplicates runs on the
+    post-threshold survivors (tiny) instead of every band collision.
     """
     rows = MINHASH_PERMS // MINHASH_BANDS
     sig = minhash_signatures(docs, text_col, id_col)
     banded = sig.select(
         "doc_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -150,39 +155,35 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .join(
-            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
-            "doc_a",
-        )
-        .join(
-            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
-            "doc_b",
-        )
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     est = F.round(
         F.size(
             F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
                 lambda eq: eq,
             )
         )
         / F.lit(float(MINHASH_PERMS)),
         6,
     )
-    return cand.select("doc_a", "doc_b", est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= threshold
+    return (
+        cand.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

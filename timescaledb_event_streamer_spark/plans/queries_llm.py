@@ -353,7 +353,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    # spread: the regex feature pass is the expensive projection.
+    # Dedup keeps the lowest doc_id per content hash via ONE window
+    # over md5(text) — a single corpus scan and a single shuffle; the
+    # earlier groupBy + semi-join form planned the whole regex chain
+    # twice (once per join side).
+    docs = spread(load(spark, sf_dir, "documents"))
     feats = docs.select(
         "doc_id",
         "source",
@@ -367,10 +374,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("quality") >= 0.35)
         & F.col("n_ws_tokens").between(5, 10000)
     )
-    canon = kept.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_id"))
-    return kept.join(
-        canon, kept["doc_id"] == canon["keep_id"], how="left_semi"
-    ).select("doc_id", "source", "n_ws_tokens", "quality")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        kept.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "source", "n_ws_tokens", "quality")
+    )
 
 
 _SQL_JACCARD_CTES = """

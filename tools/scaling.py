@@ -50,17 +50,23 @@ def main() -> None:
         results[name] = {}
         for sf in SFS:
             sf_dir = f"/root/testdata/sf{sf}"
+            # prepared-plan methodology (same as bench.py): build the
+            # logical plan once, time re-executions — the ratios then
+            # reflect data-dependent work, not Python plan rebuilds
+            df = qs[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()  # warm + codegen
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
-                qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+                df.write.mode("overwrite").format("noop").save()
                 best = min(best, time.time() - t0)
             results[name][sf] = round(best, 2)
 
     lines = [
         "# SCALING — measured operator times across scale factors",
         "",
-        "Best-of-2 wall seconds on local[32]; data grows 10x per column.",
+        "Best-of-3 executions of a prepared plan on local[32]; data",
+        "grows 10x per column.",
         "`x(0.01→0.1)` is the time ratio over the last 10x data step —",
         "the number to read: well under 10 means fixed overhead still",
         "dominates; near 10 is linear scaling; above 10 is superlinear",

@@ -506,3 +506,148 @@ def ts_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "bucket_day_s", "gid", "n", "sum_value")
     )
+
+
+@register(
+    "ts_gauge_agg",
+    family="timeseries",
+    doc="Toolkit gauge_agg analog: per-series (event_type, user_id) "
+    "first->last delta in replication order (gauges move both ways, "
+    "so no counter reset logic), rolled up per event_type with the "
+    "per-series rate over the covered span. min_by/max_by keep it a "
+    "single aggregation pass -- no window, two keyed shuffles.",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, user_id,
+                   arg_max(value, event_id) - arg_min(value, event_id) AS delta,
+                   (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS span_s
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_series,
+               round(sum(delta), 6) AS total_delta,
+               round(avg(CASE WHEN span_s > 0 THEN delta / span_s END), 6)
+                   AS avg_rate_per_s
+        FROM s
+        GROUP BY event_type
+    """,
+)
+def ts_gauge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    s = events.groupBy("event_type", "user_id").agg(
+        (F.max_by("value", "event_id") - F.min_by("value", "event_id")).alias("delta"),
+        (
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1000000.0
+        ).alias("span_s"),
+    )
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_series"),
+        F.round(F.sum("delta"), 6).alias("total_delta"),
+        F.round(
+            F.avg(F.when(F.col("span_s") > 0, F.col("delta") / F.col("span_s"))), 6
+        ).alias("avg_rate_per_s"),
+    )
+
+
+@register(
+    "ts_integral",
+    family="timeseries",
+    doc="Toolkit integral (LOCF): area under the curve per event_type "
+    "in value-seconds -- each value held until the series' next point. "
+    "Same one-window + one-agg scaffold as time_weight without the "
+    "normalization; exact integer-micro durations.",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, value,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY event_type, user_id ORDER BY ts, event_id
+                   ) - epoch_us(ts) AS dt_us
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               round(sum(value * dt_us) / 1000000.0, 2) AS integral_value_s
+        FROM s
+        WHERE dt_us IS NOT NULL AND dt_us > 0
+        GROUP BY event_type
+    """,
+)
+def ts_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "event_type",
+        "value",
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+    )
+    return (
+        s.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(F.sum(F.col("value") * F.col("dt_us")) / 1000000.0, 2).alias(
+                "integral_value_s"
+            ),
+        )
+    )
+
+
+@register(
+    "ts_retention_policy",
+    family="timeseries",
+    doc="drop_chunks retention policy as a batch plan: per (hypertable, "
+    "chunk) decide drop/keep against a cutoff older than the newest "
+    "point minus 30 days -- chunk grain only (metadata-sized result), "
+    "one aggregation plus a broadcast scalar cutoff, exactly how "
+    "retention runs against the chunk catalog at scale.",
+    oracle="""
+        WITH cut AS (
+            SELECT max(epoch_us(ts)) // 1000000 - 30 * 86400 AS cutoff_s
+            FROM events
+        ),
+        chunks AS (
+            SELECT event_type AS hypertable_name,
+                   (epoch_us(ts) // 1000000)
+                       - (epoch_us(ts) // 1000000) % 604800 AS range_start_s,
+                   count(*) AS n_rows
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT c.hypertable_name,
+               c.range_start_s,
+               c.range_start_s + 604800 AS range_end_s,
+               c.n_rows,
+               c.range_start_s + 604800 <= t.cutoff_s AS drop_chunk
+        FROM chunks c CROSS JOIN cut t
+    """,
+)
+def ts_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.catalog.chunks import (
+        CHUNK_INTERVAL_S,
+        chunk_start_epoch,
+    )
+
+    events = load(spark, sf_dir, "events")
+    cut = events.agg(
+        (
+            F.floor(F.max(F.unix_micros("ts")) / 1000000) - F.lit(30 * 86400)
+        ).alias("cutoff_s")
+    )
+    chunks = (
+        events.select(
+            F.col("event_type").alias("hypertable_name"),
+            chunk_start_epoch(F.col("ts")).alias("range_start_s"),
+        )
+        .groupBy("hypertable_name", "range_start_s")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return chunks.crossJoin(F.broadcast(cut)).select(
+        "hypertable_name",
+        "range_start_s",
+        (F.col("range_start_s") + CHUNK_INTERVAL_S).alias("range_end_s"),
+        "n_rows",
+        (F.col("range_start_s") + CHUNK_INTERVAL_S <= F.col("cutoff_s")).alias(
+            "drop_chunk"
+        ),
+    )

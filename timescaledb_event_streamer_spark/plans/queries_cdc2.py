@@ -477,3 +477,48 @@ def pg_array_text_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("arr")[0].alias("first_elem"),
         F.aggregate("arr", F.lit(0).cast("long"), lambda a, x: a + x).alias("elem_sum"),
     )
+
+
+@register(
+    "cdc_wal2json_roundtrip",
+    family="cdc",
+    doc="wal2json v2 ingestion end-to-end: the events table rendered "
+    "as wal2json documents (hex 'hi/lo' LSNs, postgres timestamp "
+    "text, columns/identity images), then parsed back through "
+    "sources/wal2json.py into the CDC envelope. The oracle derives "
+    "the same envelope directly from events WITHOUT JSON, so the "
+    "whole parse path (from_json, LSN hex math, image maps) is "
+    "verified against an independent derivation.",
+    oracle=f"""
+        WITH env AS (SELECT *, {_SQL_OP} AS op FROM events)
+        SELECT 'timescaledb.public.' || event_type AS topic,
+               op,
+               event_id AS lsn,
+               {_SQL_TS_MS} AS ts_ms,
+               event_id // 100 AS xid,
+               CASE WHEN op IN ('u', 'd')
+                    THEN CAST(user_id AS VARCHAR) END AS before_user_id,
+               CASE WHEN op IN ('c', 'u')
+                    THEN CAST(user_id AS VARCHAR) END AS after_user_id,
+               CASE WHEN op IN ('c', 'u') THEN props END AS after_props
+        FROM env
+    """,
+)
+def cdc_wal2json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.sources.wal2json import (
+        parse_wal2json,
+        synthesize_wal2json,
+    )
+
+    lines = synthesize_wal2json(load(spark, sf_dir, "events"))
+    env = parse_wal2json(lines)
+    return env.select(
+        "topic",
+        "op",
+        "lsn",
+        "ts_ms",
+        "xid",
+        F.col("before")["user_id"].alias("before_user_id"),
+        F.col("after")["user_id"].alias("after_user_id"),
+        F.col("after")["props"].alias("after_props"),
+    )

@@ -522,3 +522,65 @@ def cdc_wal2json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("after")["user_id"].alias("after_user_id"),
         F.col("after")["props"].alias("after_props"),
     )
+
+
+@register(
+    "cdc_kafka_roundtrip",
+    family="cdc",
+    doc="Kafka wire round-trip: the streaming envelope encoded to the "
+    "(key, value, topic) binary contract (sink/kafka/kafka.go) and "
+    "decoded back via sinks.writers.decode_kafka_shaped -- the "
+    "key_user_id in the output comes from the KEY blob, everything "
+    "else from the value JSON, so both wire fields are verified "
+    "against the envelope oracle.",
+    oracle=f"""
+        WITH t AS (
+            SELECT *,
+                   {_SQL_OP} AS op,
+                   lag(value) OVER w AS prev_value,
+                   lag(props) OVER w AS prev_props
+            FROM events
+            WINDOW w AS (PARTITION BY event_type, user_id ORDER BY event_id)
+        )
+        SELECT 'timescaledb.public.' || event_type AS topic,
+               user_id AS key_user_id,
+               op,
+               'public' AS source_schema,
+               event_type AS source_table,
+               event_id AS lsn,
+               {_SQL_TS_MS} AS ts_ms,
+               CASE WHEN op IN ('u', 'd') THEN prev_value END AS before_value,
+               CASE WHEN op IN ('u', 'd') THEN prev_props END AS before_props,
+               CASE WHEN op <> 'd' THEN value END AS after_value,
+               CASE WHEN op <> 'd' THEN props END AS after_props
+        FROM t
+    """,
+)
+def cdc_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.sinks.writers import (
+        decode_kafka_shaped,
+        kafka_shaped,
+    )
+
+    env = stream_envelope(load(spark, sf_dir, "events"), replica_identity="FULL")
+    wire = kafka_shaped(env)
+    return decode_kafka_shaped(
+        wire,
+        # key_user_id is intentionally absent: it must come from the
+        # KEY blob, not the value payload
+        "op STRING, source_schema STRING, source_table STRING, lsn BIGINT, "
+        "ts_ms BIGINT, before_value DOUBLE, "
+        "before_props STRING, after_value DOUBLE, after_props STRING",
+    ).select(
+        "topic",
+        "key_user_id",
+        "op",
+        "source_schema",
+        "source_table",
+        "lsn",
+        "ts_ms",
+        "before_value",
+        "before_props",
+        "after_value",
+        "after_props",
+    )

@@ -97,3 +97,17 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def decode_kafka_shaped(wire: DataFrame, value_schema: str) -> DataFrame:
+    """Inverse of :func:`kafka_shaped`: decode the (key, value, topic)
+    binary wire rows back into an envelope DataFrame. The key blob is
+    the message key struct; `value_schema` is the DDL of the envelope
+    payload. Closes the emit->consume loop: a downstream Spark job
+    can consume exactly what this engine publishes (and what the
+    reference's kafka sink publishes) with one from_json."""
+    key = F.from_json(F.col("key").cast("string"), "key_user_id BIGINT")
+    val = F.from_json(F.col("value").cast("string"), value_schema)
+    return wire.select(
+        F.col("topic"), key.alias("k"), val.alias("v")
+    ).select("topic", "k.key_user_id", "v.*")

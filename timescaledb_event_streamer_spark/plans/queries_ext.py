@@ -723,3 +723,69 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
     )
     return n.join(cn, "label").select("label", "n_vecs", "avg_norm", "centroid_norm")
+
+
+@register(
+    "embedding_quantize_int8",
+    family="ann",
+    doc="Symmetric per-vector int8 quantization: scale = max|v|/127, "
+    "q = floor(v/scale + 0.5) clamped to [-127,127], with max "
+    "reconstruction error per vector -- the storage path that cuts "
+    "an embedding corpus 4x before ANN. One codegen projection, no "
+    "shuffle; floor(x+0.5) keeps Spark and DuckDB rounding identical.",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
+                       AS scale
+            FROM e
+        ),
+        q AS (
+            SELECT vec_id, v, scale,
+                   list_transform(v, x -> CAST(greatest(least(
+                       floor(x / scale + 0.5), 127), -127) AS BIGINT)) AS qv
+            FROM s
+        )
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               qv[1] AS q_first,
+               CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+               round(list_aggregate(
+                   list_transform(range(1, len(v) + 1),
+                                  i -> abs(v[i] - qv[i] * scale)), 'max'), 6)
+                   AS max_abs_err
+        FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scale = (
+        F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
+    ).alias("scale")
+    s = emb.select("vec_id", "v", scale)
+    qv = F.transform(
+        "v",
+        lambda x: F.greatest(
+            F.least(F.floor(x / F.col("scale") + F.lit(0.5)), F.lit(127)), F.lit(-127)
+        ).cast("long"),
+    )
+    q = s.select("vec_id", "v", "scale", qv.alias("qv"))
+    err = F.array_max(
+        F.zip_with("v", "qv", lambda x, qx: F.abs(x - qx * F.col("scale")))
+    )
+    # err is materialized BEFORE the rounded alias shadows `scale`:
+    # Spark 4 lateral column aliases would otherwise resolve the
+    # zip_with's `scale` to the rounded output column
+    scored = q.withColumn("max_abs_err", F.round(err, 6))
+    return scored.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.col("qv")[0].alias("q_first"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        "max_abs_err",
+    )

@@ -789,3 +789,81 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         "max_abs_err",
     )
+
+
+@register(
+    "text_unicode_stats",
+    family="text",
+    doc="Per-source charset diagnostics: non-ASCII char ratio, digit "
+    "ratio, and uppercase ratio -- the encoding-corruption and "
+    "boilerplate signals a multilingual corpus QA pass reads first. "
+    "One scan, map-side partials on the tiny source key.",
+    oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(len(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))
+                         * 1.0) / sum(len(text)), 6) AS non_ascii_ratio,
+               round(sum(len(regexp_replace(text, '[^0-9]', '', 'g'))
+                         * 1.0) / sum(len(text)), 6) AS digit_ratio,
+               round(sum(len(regexp_replace(text, '[^A-Z]', '', 'g'))
+                         * 1.0) / sum(len(text)), 6) AS upper_ratio
+        FROM documents
+        GROUP BY source
+    """,
+)
+def text_unicode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    n = F.length("text")
+    per = docs.select(
+        "source",
+        n.alias("n_chars_total"),
+        F.length(F.regexp_replace("text", r"[\x00-\x7F]", "")).alias("n_non_ascii"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).alias("n_digit"),
+        F.length(F.regexp_replace("text", r"[^A-Z]", "")).alias("n_upper"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_non_ascii") / F.sum("n_chars_total"), 6).alias(
+            "non_ascii_ratio"
+        ),
+        F.round(F.sum("n_digit") / F.sum("n_chars_total"), 6).alias("digit_ratio"),
+        F.round(F.sum("n_upper") / F.sum("n_chars_total"), 6).alias("upper_ratio"),
+    )
+
+
+@register(
+    "ts_max_n",
+    family="timeseries",
+    doc="Toolkit max_n/min_n analog: the top-3 values per event_type "
+    "with their timestamps, one output row per rank. row_number over "
+    "(value, event_id) -- deterministic under ties; at scale the "
+    "window rides a single shuffle on the series key and AQE-local "
+    "top-k (rank pushdown) keeps the sort partial.",
+    oracle="""
+        SELECT event_type, rank, value, lsn
+        FROM (
+            SELECT event_type,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC, event_id) AS BIGINT) AS rank,
+                   value,
+                   event_id AS lsn
+            FROM events
+        )
+        WHERE rank <= 3
+    """,
+)
+def ts_max_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        events.select(
+            "event_type",
+            F.row_number().over(w).cast("long").alias("rank"),
+            "value",
+            F.col("event_id").alias("lsn"),
+        )
+        .filter(F.col("rank") <= 3)
+    )

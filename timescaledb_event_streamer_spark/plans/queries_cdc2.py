@@ -584,3 +584,45 @@ def cdc_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "after_value",
         "after_props",
     )
+
+
+@register(
+    "cdc_publication_routing",
+    family="cdc",
+    doc="Publication semantics (publicationmanager.go, pg_publication): "
+    "a publication carries a table set AND a published-operation list "
+    "(publish = 'insert,update,...'). Events route only if their "
+    "table is in the publication and their op is published. Config "
+    "here: click/view publish all ops, purchase publishes inserts "
+    "only, everything else is out of the publication. Broadcast map "
+    "lookup -- zero shuffle.",
+    oracle=f"""
+        WITH env AS (SELECT *, {_SQL_OP} AS op FROM events)
+        SELECT 'timescaledb.public.' || event_type AS topic,
+               op,
+               event_id AS lsn,
+               user_id AS key_user_id
+        FROM env
+        WHERE (event_type IN ('click', 'view'))
+           OR (event_type = 'purchase' AND op = 'c')
+    """,
+)
+def cdc_publication_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").withColumn(
+        "op", derive_op(F.col("event_id"))
+    )
+    published_ops = F.create_map(
+        F.lit("click"), F.lit("c,u,d"),
+        F.lit("view"), F.lit("c,u,d"),
+        F.lit("purchase"), F.lit("c"),
+    )
+    ops = F.element_at(published_ops, F.col("event_type"))
+    routed = events.filter(
+        ops.isNotNull() & F.array_contains(F.split(ops, ","), F.col("op"))
+    )
+    return routed.select(
+        F.concat(F.lit("timescaledb.public."), F.col("event_type")).alias("topic"),
+        "op",
+        F.col("event_id").alias("lsn"),
+        F.col("user_id").alias("key_user_id"),
+    )

@@ -867,3 +867,35 @@ def ts_max_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+@register(
+    "dedup_cross_source",
+    family="dedup",
+    doc="Cross-source duplication matrix: for every exact-content "
+    "match spanning two different sources, count the (source_a, "
+    "source_b) pair -- the who-copies-whom diagnostic that decides "
+    "source priority before dedup. Distinct (hash, source) first, so "
+    "the within-hash self-join is bounded by source cardinality, not "
+    "copy count.",
+    oracle="""
+        WITH hs AS (
+            SELECT DISTINCT md5(text) AS h, source FROM documents
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared_docs
+        FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hs = docs.select(F.md5("text").alias("h"), "source").distinct()
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+    )

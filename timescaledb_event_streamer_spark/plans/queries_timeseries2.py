@@ -651,3 +651,63 @@ def ts_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drop_chunk"
         ),
     )
+
+
+@register(
+    "ts_ohlc_rollup",
+    family="timeseries",
+    doc="rollup(candlestick_agg): daily OHLC partials merged to weekly "
+    "candles. Open/close carry their LSN through the partial (open = "
+    "arg_min by lsn_open, close = arg_max by lsn_close), so the merge "
+    "is associative -- the cagg-over-cagg property that makes "
+    "hierarchical refresh O(partials) instead of O(raw rows).",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   {_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 86400 AS day_s,
+                   arg_min(value, event_id) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   arg_max(value, event_id) AS close,
+                   min(event_id) AS lsn_open,
+                   max(event_id) AS lsn_close,
+                   count(*) AS n
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT event_type,
+               day_s - day_s % 604800 AS week_s,
+               arg_min(open, lsn_open) AS open,
+               max(high) AS high,
+               min(low) AS low,
+               arg_max(close, lsn_close) AS close,
+               CAST(sum(n) AS BIGINT) AS n_points
+        FROM daily
+        GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    epoch = F.unix_micros("ts") / F.lit(1000000)
+    day_s = (F.floor(epoch / 86400) * 86400).cast("long")
+    daily = (
+        events.select("event_type", day_s.alias("day_s"), "value", "event_id")
+        .groupBy("event_type", "day_s")
+        .agg(
+            F.min_by("value", "event_id").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "event_id").alias("close"),
+            F.min("event_id").alias("lsn_open"),
+            F.max("event_id").alias("lsn_close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    week_s = (F.floor(F.col("day_s") / 604800) * 604800).cast("long")
+    return daily.groupBy("event_type", week_s.alias("week_s")).agg(
+        F.min_by("open", "lsn_open").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "lsn_close").alias("close"),
+        F.sum("n").alias("n_points"),
+    )

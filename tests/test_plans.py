@@ -50,8 +50,17 @@ def test_whole_stage_codegen_in_scan_aggs(spark, sf_small):
 
 def test_chunk_resolution_broadcasts_catalog(spark, sf_small):
     """The chunk catalog must broadcast — the event side never
-    shuffles (the reference's in-memory-map property)."""
-    plan = _plan(all_queries()["cdc_chunk_resolution"](spark, sf_small))
+    shuffles (the reference's in-memory-map property). Targets the
+    resolve_chunks operator directly: the registered query folds its
+    chunk-grain stats into the catalog aggregation and no longer
+    joins at all."""
+    from timescaledb_event_streamer_spark.catalog.chunks import (
+        chunk_catalog,
+        resolve_chunks,
+    )
+
+    events = load(spark, sf_small, "events")
+    plan = _plan(resolve_chunks(events, chunk_catalog(events)))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
@@ -86,6 +95,7 @@ _BNLJ_OK = {
     "ann_knn_graph",
     "q22_global_sales_opportunity",
     "q11_important_stock",
+    "ts_retention_policy",  # single-row broadcast cutoff cross join
 }
 
 

@@ -102,3 +102,52 @@ def test_streaming_parse(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(r["op"] for r in got) == ["c", "d", "m", "t", "u"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# text values incl. JSON-hostile characters (quotes, backslashes,
+# newlines, unicode) — the codec must survive anything PG TEXT holds
+_VALS = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2**62 - 1), st.integers(0, 10_000), _VALS),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_wal2json_value_roundtrip_property(spark, rows):
+    """Synthesized-then-parsed values survive arbitrary text payloads:
+    to_json escaping and from_json parsing are exact inverses for the
+    after-image, and the hex LSN round-trips every non-negative long."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.sources.wal2json import (
+        parse_wal2json,
+        synthesize_wal2json,
+    )
+
+    events = spark.createDataFrame(
+        [(eid, __import__("datetime").datetime(2024, 1, 1), uid, "click", 1.5, props)
+         for eid, uid, props in rows],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    got = {
+        r["lsn"]: r
+        for r in parse_wal2json(synthesize_wal2json(events)).collect()
+    }
+    for eid, uid, props in rows:
+        assert eid in got, f"lsn {eid} lost in round-trip"
+        r = got[eid]
+        if r["op"] in ("c", "u"):
+            assert r["after"]["props"] == props
+            assert r["after"]["user_id"] == str(uid)
+        else:
+            assert r["before"]["user_id"] == str(uid)

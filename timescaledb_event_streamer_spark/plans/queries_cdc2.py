@@ -626,3 +626,36 @@ def cdc_publication_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("lsn"),
         F.col("user_id").alias("key_user_id"),
     )
+
+
+@register(
+    "cdc_schema_registry",
+    family="cdc",
+    doc="Per-topic schema-name registry (spi/schema/eventschema.go:"
+    "230-292, namegenerator.go): key schema = '<topic>.Key', row "
+    "schema = '<topic>.Value', envelope schema = '<topic>.Envelope', "
+    "with event counts -- the metadata a schema-registry-backed sink "
+    "publishes alongside the data. One tiny aggregation.",
+    oracle="""
+        SELECT 'timescaledb.public.' || event_type AS topic,
+               'timescaledb.public.' || event_type || '.Key' AS key_schema,
+               'timescaledb.public.' || event_type || '.Value' AS value_schema,
+               'timescaledb.public.' || event_type || '.Envelope' AS envelope_schema,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2, 3, 4
+    """,
+)
+def cdc_schema_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    topic = F.concat(F.lit("timescaledb.public."), F.col("event_type"))
+    return (
+        events.select(
+            topic.alias("topic"),
+            F.concat(topic, F.lit(".Key")).alias("key_schema"),
+            F.concat(topic, F.lit(".Value")).alias("value_schema"),
+            F.concat(topic, F.lit(".Envelope")).alias("envelope_schema"),
+        )
+        .groupBy("topic", "key_schema", "value_schema", "envelope_schema")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

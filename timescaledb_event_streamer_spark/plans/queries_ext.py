@@ -899,3 +899,41 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_docs"))
     )
+
+
+@register(
+    "text_token_entropy",
+    family="text",
+    doc="Per-document unigram (token) Shannon entropy in bits -- low "
+    "entropy flags boilerplate/generated text, high entropy flags "
+    "noise; the statistical cousin of the repetition filter. "
+    "explode -> (doc, token) counts -> per-doc entropy reduce; both "
+    "shuffles keyed on doc_id.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        tot AS (
+            SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cnt
+        )
+        SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS n_tokens,
+               round(-sum((c / n) * log2(c / n)), 6) AS token_entropy_bits
+        FROM tot
+        GROUP BY doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    tot = cnt.select("doc_id", "c", n.alias("n"))
+    p = F.col("c") / F.col("n")
+    return tot.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.round(-F.sum(p * F.log2(p)), 6).alias("token_entropy_bits"),
+    )

@@ -659,3 +659,54 @@ def cdc_schema_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("topic", "key_schema", "value_schema", "envelope_schema")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "cdc_ordering_audit",
+    family="cdc",
+    doc="Commit-order audit: per table, how often LSN order disagrees "
+    "with timestamp order within a key's timeline (out-of-order "
+    "arrivals the transaction tracker must absorb; "
+    "transactiontracker.go). One lag window per (table, key), "
+    "rolled up per table.",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   ts < lag(ts) OVER (
+                       PARTITION BY event_type, user_id ORDER BY event_id
+                   ) AS regressed
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_with_predecessor,
+               CAST(sum(CASE WHEN regressed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ts_regressions,
+               round(sum(CASE WHEN regressed THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS regression_rate
+        FROM s
+        WHERE regressed IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def cdc_ordering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("event_id")
+    s = events.select(
+        "event_type", (F.col("ts") < F.lag("ts").over(w)).alias("regressed")
+    )
+    return (
+        s.filter(F.col("regressed").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_with_predecessor"),
+            F.sum(F.when(F.col("regressed"), 1).otherwise(0)).alias(
+                "n_ts_regressions"
+            ),
+            F.round(
+                F.sum(F.when(F.col("regressed"), 1).otherwise(0)) / F.count(F.lit(1)),
+                6,
+            ).alias("regression_rate"),
+        )
+    )

@@ -711,3 +711,36 @@ def ts_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("close", "lsn_close").alias("close"),
         F.sum("n").alias("n_points"),
     )
+
+
+@register(
+    "ts_seasonality",
+    family="timeseries",
+    doc="Workload seasonality heatmap: events per (day-of-week, hour) "
+    "per event_type -- the capacity-planning diagnostic for a CDC "
+    "stream. dow normalized to 0=Sunday on both engines; single "
+    "aggregation over a 168-cell key space, map-side partials absorb "
+    "everything.",
+    oracle="""
+        SELECT event_type,
+               CAST(date_part('dow', ts) AS BIGINT) AS dow,
+               CAST(date_part('hour', ts) AS BIGINT) AS hour,
+               count(*) AS n_events,
+               round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+)
+def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "event_type",
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),  # 0 = Sunday
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

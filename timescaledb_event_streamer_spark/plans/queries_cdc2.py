@@ -710,3 +710,50 @@ def cdc_ordering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("regression_rate"),
         )
     )
+
+
+@register(
+    "cdc_snapshot_watermarks",
+    family="cdc",
+    doc="Resumable-snapshot watermark batches: each table's snapshot "
+    "is cut into 250-row batches in LSN order; per batch emit "
+    "(low_lsn, high_lsn, n_rows) -- the watermark record the "
+    "reference persists so an interrupted snapshot resumes at the "
+    "last completed batch (internal/systemcatalog/snapshotting/, "
+    "spi/watermark/). One window + one agg, both on the same "
+    "event_type key -- a single shuffle, and at scale the batch "
+    "boundaries are exactly the parquet row-group offsets a "
+    "restart would seek to.",
+    oracle="""
+        WITH numbered AS (
+            SELECT event_type,
+                   event_id,
+                   (row_number() OVER (
+                        PARTITION BY event_type ORDER BY event_id
+                    ) - 1) // 250 AS batch_idx
+            FROM events
+        )
+        SELECT event_type AS source_table,
+               batch_idx,
+               min(event_id) AS low_lsn,
+               max(event_id) AS high_lsn,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM numbered
+        GROUP BY 1, 2
+    """,
+)
+def cdc_snapshot_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    numbered = events.select(
+        F.col("event_type").alias("source_table"),
+        "event_id",
+        F.floor((F.row_number().over(w) - 1) / 250).alias("batch_idx"),
+    )
+    return numbered.groupBy("source_table", "batch_idx").agg(
+        F.min("event_id").alias("low_lsn"),
+        F.max("event_id").alias("high_lsn"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

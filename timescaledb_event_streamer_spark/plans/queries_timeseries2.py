@@ -744,3 +744,97 @@ def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+@register(
+    "ts_moving_avg",
+    family="timeseries",
+    doc="Sliding moving average + band: per-series 4-point trailing mean "
+    "and sample stddev over (ts, event_id)-ordered values (the classic "
+    "smoothing query TimescaleDB users run with AVG OVER a ROWS frame). "
+    "ONE shuffle on user_id; the ROWS frame is computed incrementally "
+    "inside the sort, so the plan is scan -> exchange -> window with no "
+    "self-join -- the shape that survives a 100 TB series table.",
+    oracle="""
+        SELECT event_id,
+               user_id,
+               round(avg(value) OVER w, 6) AS ma_4,
+               round(coalesce(stddev_samp(value) OVER w, 0.0), 6) AS sd_4,
+               CAST(count(*) OVER w AS BIGINT) AS n_window
+        FROM events
+        WHERE event_type = 'view'
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        )
+    """,
+)
+def ts_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("ma_4"),
+        F.round(F.coalesce(F.stddev_samp("value").over(w), F.lit(0.0)), 6).alias(
+            "sd_4"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+
+
+@register(
+    "ts_zscore_outliers",
+    family="timeseries",
+    doc="Per-series z-score anomaly gate: two-pass (series stats, then "
+    "join back) flagging |z| > 2, rolled up to per-user counts. z is "
+    "rounded to 3 decimals BEFORE the threshold compare so a 1e-12 "
+    "stddev summation difference between engines cannot flip a "
+    "boundary row. Stats side is series-grain (tiny) -> broadcast "
+    "join back onto the raw scan: zero extra shuffle of the fact side.",
+    oracle="""
+        WITH stats AS (
+            SELECT user_id,
+                   avg(value) AS mu,
+                   stddev_samp(value) AS sigma
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id
+            HAVING stddev_samp(value) > 0
+        ),
+        z AS (
+            SELECT e.user_id,
+                   round((e.value - s.mu) / s.sigma, 3) AS z3
+            FROM events e JOIN stats s USING (user_id)
+            WHERE e.event_type = 'error'
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(CASE WHEN abs(z3) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers,
+               round(max(abs(z3)), 3) AS max_abs_z
+        FROM z
+        GROUP BY user_id
+    """,
+)
+def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    errors = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    stats = (
+        errors.groupBy("user_id")
+        .agg(
+            F.avg("value").alias("mu"),
+            F.stddev_samp("value").alias("sigma"),
+        )
+        .filter(F.col("sigma") > 0)
+    )
+    z = errors.join(F.broadcast(stats), "user_id").select(
+        "user_id", F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 3).alias("z3")
+    )
+    return z.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.when(F.abs("z3") > 2, 1).otherwise(0)).alias("n_outliers"),
+        F.round(F.max(F.abs("z3")), 3).alias("max_abs_z"),
+    )

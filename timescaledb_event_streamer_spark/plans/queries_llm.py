@@ -490,3 +490,42 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_URL_RE)).cast("long").alias("n_urls"),
         F.regexp_count("text", F.lit(_LONGNUM_RE)).cast("long").alias("n_longnums"),
     )
+
+
+@register(
+    "text_domain_mix",
+    family="text",
+    doc="Training-corpus mixing weights: per-source document/token "
+    "counts and each source's share of all corpus tokens -- the "
+    "table a data-mixing ablation starts from. One agg to source "
+    "grain (tiny), then the total folded in via a broadcast scalar "
+    "cross join: the 100 TB scan happens exactly once.",
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '{_WS_SQL}'))) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+            GROUP BY source
+        )
+        SELECT source,
+               n_docs,
+               n_tokens,
+               round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
+        FROM per_source
+    """,
+)
+def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens_ws(F.col("text"))).alias("n_tokens"),
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("tot"))
+    return per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot"), 6).alias("token_share"),
+    )

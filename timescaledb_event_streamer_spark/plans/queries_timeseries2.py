@@ -838,3 +838,30 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.abs("z3") > 2, 1).otherwise(0)).alias("n_outliers"),
         F.round(F.max(F.abs("z3")), 3).alias("max_abs_z"),
     )
+
+
+@register(
+    "ts_time_bucket_month",
+    family="timeseries",
+    doc="Calendar-aware bucketing (time_bucket_ng month semantics): "
+    "monthly per-type event counts and value sums. Fixed-width "
+    "time_bucket can't express variable-length months; date_trunc "
+    "is the codegen-native calendar bucket both engines share. Same "
+    "map-side-partial shape as ts_time_bucket.",
+    oracle="""
+        SELECT event_type,
+               date_trunc('month', ts) AS month_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def ts_time_bucket_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type", F.date_trunc("month", F.col("ts")).alias("month_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )

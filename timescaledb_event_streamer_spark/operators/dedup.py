@@ -123,16 +123,27 @@ def minhash_lsh_pairs(
 
     The band rows are FAT: each carries its signature through the
     self-join, so Jaccard is estimated directly on the colliding pair
-    and the whole operator computes the signature chain exactly twice
+    and the whole operator plans the signature chain exactly twice
     (once per join side). The earlier slim form (bands only, sigs
     re-attached after pair dedup) planned the signature aggregation
     FOUR times — the asymmetric broadcast self-join defeats Spark's
     exchange reuse — which at 100 TB means four full corpus scans.
     Estimation precedes the pair dedup, so dropDuplicates runs on the
     post-threshold survivors (tiny) instead of every band collision.
+
+    The signature table itself is persisted before the self-join:
+    it is doc-grain (one row of 32 longs per document — ~0.3% of a
+    text corpus's bytes), and both join sides read it, so caching
+    turns TWO full corpus scans + shingle/hash/agg chains into ONE.
+    The broadcast side otherwise recomputes everything because
+    BroadcastExchange never matches a shuffle exchange for reuse.
     """
     rows = MINHASH_PERMS // MINHASH_BANDS
-    sig = minhash_signatures(docs, text_col, id_col)
+    from pyspark import StorageLevel
+
+    sig = minhash_signatures(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = sig.select(
         "doc_id",
         "sig",
@@ -218,6 +229,12 @@ def dedup_clusters(
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
     )
+    # Convergence test: labels only ever decrease under min-propagation,
+    # so the label sum strictly decreases until the fixpoint. Comparing
+    # sums is ONE tiny aggregate over the just-checkpointed labels —
+    # the join+filter+count alternative re-shuffles two label tables
+    # every round just to learn "did anything change".
+    prev_sum: int | None = None
     for _ in range(max_iter):
         prop = edges.join(labels.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"), "lbl"
@@ -228,15 +245,11 @@ def dedup_clusters(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         F.col("node").alias("doc_id"),

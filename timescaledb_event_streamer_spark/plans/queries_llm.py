@@ -529,3 +529,115 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_tokens") / F.col("tot"), 6).alias("token_share"),
     )
+
+
+@register(
+    "ann_batch_topk",
+    family="ann",
+    doc="Batched ANN serving shape: top-5 neighbors for a SET of query "
+    "vectors (vec_id < 4) in ONE corpus scan. Ranking is two-level: "
+    "top-5 within (query, salt=pmod(vec_id,16)) first, then top-5 of "
+    "the 16x5 survivors per query -- with few queries a single "
+    "per-query window funnels the whole corpus through q reducers; "
+    "salting keeps 16q-way parallelism and the final shuffle carries "
+    "only 80 rows per query.",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+        scored AS (
+            SELECT q.query_id,
+                   e.vec_id,
+                   round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+            FROM e JOIN q ON e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                   ) AS BIGINT) AS rnk
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.operators.ann import cosine
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w_local = Window.partitionBy(
+        "query_id", F.pmod(F.col("vec_id"), F.lit(16))
+    ).orderBy(F.col("cosine").desc(), "vec_id")
+    local5 = scored.withColumn("r", F.row_number().over(w_local)).filter(
+        F.col("r") <= 5
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    return (
+        local5.select(
+            "query_id", "vec_id", "cosine",
+            F.row_number().over(w_global).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "dedup_semantic_clusters",
+    family="dedup",
+    doc="SEMANTIC dedup clusters: connected components over the "
+    "cosine>=0.4 embedding pair graph (same CC operator as the "
+    "text-shingle clusters -- pair generators and the cluster "
+    "builder compose). Oracle: recursive-CTE transitive closure.",
+    oracle="""
+        WITH RECURSIVE
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        dup AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        ),
+        edges AS (
+            SELECT va AS src, vb AS dst FROM dup
+            UNION SELECT vb, va FROM dup
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON r.node = e2.src
+        ),
+        cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        SELECT cc.node AS vec_id,
+               cc.cluster_id,
+               sz.cluster_size
+        FROM cc
+        JOIN (SELECT cluster_id, count(*) AS cluster_size
+              FROM cc GROUP BY 1) sz USING (cluster_id)
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.dedup import dedup_clusters
+
+    pairs = cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+    return dedup_clusters(pairs, src="vec_a", dst="vec_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+    )

@@ -52,6 +52,7 @@ def _load_all() -> None:
     from timescaledb_event_streamer_spark.plans import (  # noqa: F401
         queries_cdc,
         queries_cdc2,
+        queries_events,
         queries_ext,
         queries_llm,
         queries_olap,

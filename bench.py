@@ -60,6 +60,11 @@ def main() -> None:
         # not Python-side plan re-construction — the number that
         # matters for a long-lived engine serving repeated queries.
         df = qs[name](spark, sf_dir)
+        # one untimed warmup rep per query: materializes any operator
+        # caches (e.g. the minhash signature persist) and JITs the
+        # plan's codegen, so the timed reps measure steady-state
+        # execution latency
+        df.write.mode("overwrite").format("noop").save()
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()

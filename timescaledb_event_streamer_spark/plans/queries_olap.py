@@ -242,8 +242,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_orders",
     family="olap",
-    doc="TPC-H Q18 shape: self-agg semi-join on lineitem (orderkey-partitioned "
-    "both sides — one shuffle, reused)",
+    doc="TPC-H Q18 shape: the HAVING aggregate IS the sum the output "
+    "needs, so the plan keeps (l_orderkey, sum_qty) from the single "
+    "lineitem shuffle and never rejoins lineitem; the filtered agg is "
+    "tiny (orders with >150 total qty), so both remaining joins "
+    "broadcast it — one shuffle total at any scale.",
     oracle="""
         WITH big AS (
             SELECT l_orderkey
@@ -271,19 +274,15 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq")).filter(
         F.col("sq") > 150
     )
-    return (
-        # semi-join reuses the orderkey partitioning from the HAVING agg
-        li.join(big.select("l_orderkey"), on="l_orderkey", how="left_semi")
-        .join(o, F.col("l_orderkey") == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
-            "sum_qty",
-        )
+    # big already carries the output sum — no lineitem rejoin, no
+    # second aggregation; it stays tiny after the HAVING filter, so
+    # both remaining joins broadcast it and neither fact shuffles.
+    small = o.join(F.broadcast(big), F.col("l_orderkey") == o["o_orderkey"])
+    return c.join(F.broadcast(small), small["o_custkey"] == c["c_custkey"]).select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        F.round(F.col("sq"), 2).alias("sum_qty"),
     )

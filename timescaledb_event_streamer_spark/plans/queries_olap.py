@@ -59,8 +59,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_shipping_priority",
     family="olap",
-    doc="TPC-H Q3 shape: broadcast customer dim into orders⋈lineitem; "
-    "top-10 with deterministic tiebreak",
+    doc="TPC-H Q3 shape: lineitem revenue is pre-aggregated to order "
+    "grain BEFORE the join (the group key is orderkey + columns "
+    "functionally dependent on it, so early aggregation is exact) — "
+    "the orderkey shuffle carries narrow (key, revenue) partials "
+    "instead of joined fact rows, and the join probe reuses that "
+    "partitioning; top-10 with deterministic tiebreak",
     oracle="""
         SELECT l.l_orderkey,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
@@ -85,21 +89,21 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
-    # customer is the selective side (one mktsegment) — hash join into
-    # orders; lineitem⋈orders shuffles on orderkey. No forced broadcast
-    # of orders: at 100 TB that side is fact-sized, AQE picks the
-    # strategy at runtime (local SFs auto-broadcast under threshold).
-    joined = li.join(
-        o.join(c, o["o_custkey"] == c["c_custkey"]),
-        li["l_orderkey"] == o["o_orderkey"],
+    # early aggregation: sum revenue per orderkey first (map-side
+    # partials, narrow shuffle rows), then join the order-grain result
+    # to orders⋈customer. No forced broadcast of orders: at 100 TB
+    # that side is fact-sized, AQE picks the strategy at runtime
+    # (local SFs auto-broadcast under threshold).
+    rev = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    oc = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     return (
-        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        rev.join(oc, rev["l_orderkey"] == oc["o_orderkey"])
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)

@@ -108,6 +108,44 @@ def minhash_signatures(
     )
 
 
+def shingle_pairs_containment(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Asymmetric shingle containment C(A,B) = |S(A)∩S(B)| / |S(A)|.
+
+    Jaccard misses subset-copies: a paragraph quoted inside a much
+    larger document has low Jaccard but containment ≈ 1 for the
+    smaller side. Same shingle-join candidate generation (and the
+    same scale posture) as :func:`shingle_pairs_jaccard`; only the
+    normalization differs, so both directions come from one pair
+    aggregation.
+    """
+    sh = spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(F.col("n_inter") / F.col("sa.n_shingles"), 6).alias("containment_a"),
+            F.round(F.col("n_inter") / F.col("sb.n_shingles"), 6).alias("containment_b"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",

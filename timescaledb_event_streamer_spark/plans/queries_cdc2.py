@@ -757,3 +757,53 @@ def cdc_snapshot_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("high_lsn"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "cdc_dlq_routing",
+    family="cdc",
+    doc="Dead-letter routing: rows failing envelope validation are "
+    "routed to a per-table DLQ topic with a reason, healthy rows to "
+    "their normal topic (the declarative form of the reference sink "
+    "layer's failure handling, internal/eventing/sink/). Pure "
+    "projection + aggregation — one shuffle on the tiny "
+    "(topic, reason) key; rules evaluate in whole-stage codegen.",
+    oracle="""
+        WITH routed AS (
+            SELECT CASE
+                       WHEN value > 200.0
+                         OR json_extract_string(props, '$.k') IS NULL
+                       THEN 'timescaledb.dlq.' || event_type
+                       ELSE 'timescaledb.public.' || event_type
+                   END AS topic,
+                   CASE
+                       WHEN value > 200.0 THEN 'value_out_of_range'
+                       WHEN json_extract_string(props, '$.k') IS NULL
+                       THEN 'missing_payload_key'
+                       ELSE 'ok'
+                   END AS reason
+            FROM events
+        )
+        SELECT topic, reason, CAST(count(*) AS BIGINT) AS n_events
+        FROM routed GROUP BY 1, 2
+    """,
+)
+def cdc_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    bad_value = F.col("value") > 200.0
+    bad_key = F.get_json_object(F.col("props"), "$.k").isNull()
+    is_dlq = bad_value | bad_key
+    routed = events.select(
+        F.when(
+            is_dlq, F.concat(F.lit("timescaledb.dlq."), F.col("event_type"))
+        )
+        .otherwise(event_topic(F.lit("public"), F.col("event_type")))
+        .alias("topic"),
+        F.when(bad_value, F.lit("value_out_of_range"))
+        .when(bad_key, F.lit("missing_payload_key"))
+        .otherwise(F.lit("ok"))
+        .alias("reason"),
+    )
+    return routed.groupBy("topic", "reason").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

@@ -310,3 +310,48 @@ def ts_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("after_mean", 6).alias("after_mean"),
         "shift",
     )
+
+
+@register(
+    "ts_series_corr",
+    family="timeseries",
+    doc="Cross-series Pearson correlation matrix over the daily "
+    "per-series means: which metrics move together. The correlation "
+    "input is the bucketed series (days x series — tiny), so the "
+    "day-keyed self-join is broadcast-sized no matter how large the "
+    "raw event volume; the heavy reduction is the shared map-side "
+    "partial avg into (series, day).",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   avg(value) AS x
+            FROM events GROUP BY 1, 2
+        )
+        SELECT a.event_type AS series_a,
+               b.event_type AS series_b,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(corr(a.x, b.x), 6) AS pearson_r
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """,
+)
+def ts_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("series_a"),
+            F.col("b.event_type").alias("series_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.corr(F.col("a.x"), F.col("b.x")), 6).alias("pearson_r"),
+        )
+    )

@@ -641,3 +641,54 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, src="vec_a", dst="vec_b").select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
     )
+
+
+@register(
+    "dedup_containment",
+    family="dedup",
+    doc="Asymmetric shingle containment |A∩B|/|A|: catches "
+    "subset-copies (a doc quoted inside a larger one) that Jaccard "
+    "misses. Same shingle-join candidate generation and scale "
+    "posture as dedup_ngram_jaccard; keep pairs where either "
+    "direction >= 0.5.",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s0 AS (
+            SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks
+            FROM t WHERE len(toks) >= 5
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + 5], ' ') AS s FROM s0
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT p.doc_a, p.doc_b, p.n_inter,
+                   round(p.n_inter * 1.0 / x.n, 6) AS containment_a,
+                   round(p.n_inter * 1.0 / y.n, 6) AS containment_b
+            FROM pairs p
+            JOIN sz x ON p.doc_a = x.doc_id
+            JOIN sz y ON p.doc_b = y.doc_id
+        )
+        SELECT doc_a, doc_b, n_inter, containment_a, containment_b
+        FROM scored
+        WHERE containment_a >= 0.5 OR containment_b >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        shingle_pairs_containment,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 5
+    )
+    return shingle_pairs_containment(docs).filter(
+        (F.col("containment_a") >= 0.5) | (F.col("containment_b") >= 0.5)
+    )

@@ -311,3 +311,53 @@ def test_resolved_stream_matches_batch_resolution(spark, sf_small, log_dir):
         .collect()
     }
     assert {(r["chunk_name"], r["n"]) for r in got} == want
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_small, log_dir):
+    """I8: stream-stream event-time interval join (click->purchase
+    attribution) over the replayed transaction log equals the batch
+    interval join on the same data."""
+    from timescaledb_event_streamer_spark.streaming.pipelines import attribution_stream
+
+    q = _run_stream(
+        attribution_stream(event_file_stream(spark, log_dir)), "attrib"
+    )
+    got = spark.table("attrib").toPandas()
+
+    events = load(spark, sf_small, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_lsn"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_lsn"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("click_ts") < F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")
+            ),
+        )
+        .select(
+            "user_id",
+            "purchase_lsn",
+            "purchase_ts",
+            "purchase_value",
+            "click_lsn",
+            "click_ts",
+        )
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    key = ["purchase_lsn", "click_lsn"]
+    got_s = got.sort_values(key, ignore_index=True)
+    want_s = want.sort_values(key, ignore_index=True)
+    assert got_s[key].equals(want_s[key])

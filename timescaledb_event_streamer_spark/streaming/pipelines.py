@@ -173,3 +173,54 @@ def deduped_stream(env: DataFrame, watermark: str = "1 hour") -> DataFrame:
     MessageDeduplicationId plays (sinks/encoders.sqs_shaped), done
     engine-side."""
     return env.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["lsn"])
+
+
+def attribution_stream(
+    events: DataFrame, horizon: str = "30 minutes", watermark: str = "10 days"
+) -> DataFrame:
+    """Stream-stream event-time interval join: each purchase joins
+    the same user's clicks from the preceding ``horizon`` (click->
+    purchase attribution). Both sides carry watermarks, and the join
+    condition bounds click_ts to a window ending at purchase_ts, so
+    Spark can expire click state once the watermark passes the
+    horizon — per-key state is bounded by (watermark + horizon) of
+    events, not the stream's lifetime. The default watermark here is
+    generous because the test log replays unordered batches; a live
+    deployment would use minutes.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("event_id").alias("click_lsn"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_lsn"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            user_id = click_user
+            AND click_ts < purchase_ts
+            AND click_ts >= purchase_ts - INTERVAL {horizon}
+            """
+        ),
+    ).select(
+        "user_id",
+        "purchase_lsn",
+        "purchase_ts",
+        "purchase_value",
+        "click_lsn",
+        "click_ts",
+    )

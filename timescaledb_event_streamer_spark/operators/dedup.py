@@ -36,6 +36,39 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _shingle_table(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct (doc_id, shingle) rows, persisted: every consumer
+    (pair join sides, size aggregation) reuses ONE computation of the
+    split/explode/distinct chain instead of re-deriving it from the
+    raw corpus per plan branch."""
+    from pyspark import StorageLevel
+
+    return (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(F.col(text_col))).alias("s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _shingle_pair_counts(sh: DataFrame) -> DataFrame:
+    """Per-pair shared-shingle counts via a shuffled hash self-join on
+    the shingle key — the only join strategy that survives when the
+    exploded corpus outgrows any broadcast threshold."""
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+
 def shingle_pairs_jaccard(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -47,18 +80,18 @@ def shingle_pairs_jaccard(
     counts; at scale the MinHash path (minhash_signatures) bounds
     this, and hot shingles can additionally be dropped by a frequency
     cap before the self-join.
+
+    The shingle table is persisted and the self-join is forced to a
+    shuffled hash join on the shingle key: at 100 TB the exploded
+    corpus can never broadcast, and locally the auto-broadcast both
+    recomputed the split/explode/distinct chain per join side and sat
+    right at the 10 MB threshold (high-variance plans). The shingle
+    key is near-unique (df <= 4 in the testdata), so the shuffle has
+    no skew by construction.
     """
-    sh = spread(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("s")
-    )
+    sh = _shingle_table(docs, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter = _shingle_pair_counts(sh)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
@@ -115,22 +148,15 @@ def shingle_pairs_containment(
 
     Jaccard misses subset-copies: a paragraph quoted inside a much
     larger document has low Jaccard but containment ≈ 1 for the
-    smaller side. Same shingle-join candidate generation (and the
-    same scale posture) as :func:`shingle_pairs_jaccard`; only the
+    smaller side. Same shingle-join candidate generation (persisted
+    shingle table + shuffled hash self-join — see
+    :func:`shingle_pairs_jaccard` for the scale rationale) — only the
     normalization differs, so both directions come from one pair
     aggregation.
     """
-    sh = spread(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("s")
-    )
+    sh = _shingle_table(docs, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter = _shingle_pair_counts(sh)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (

@@ -807,3 +807,66 @@ def cdc_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.groupBy("topic", "reason").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+@register(
+    "pg_timetz",
+    family="pgtypes",
+    doc="PG timetz wire-text round-trip (spi/pgtypes/timetz.go:263-295): "
+    "build 'HH:MM:SS.ffffff+OH' literals from each event's time-of-day "
+    "and a per-user zone offset, parse back, and normalize to UTC "
+    "seconds-of-day exactly as the reference does (tim.In(time.UTC)). "
+    "All codegen string ops, no shuffle.",
+    oracle="""
+        WITH w AS (
+            SELECT event_id,
+                   strftime(ts, '%H:%M:%S.%f') AS t_text,
+                   (user_id % 5) - 2 AS off_h
+            FROM events
+        ),
+        lit AS (
+            SELECT event_id, off_h,
+                   t_text || CASE WHEN off_h < 0 THEN '-' ELSE '+' END
+                          || lpad(CAST(abs(off_h) AS VARCHAR), 2, '0')
+                       AS timetz_text
+            FROM w
+        ),
+        parsed AS (
+            SELECT event_id, timetz_text,
+                   CAST(regexp_extract(timetz_text, '^(\\d{2}):', 1) AS BIGINT) AS hh,
+                   CAST(regexp_extract(timetz_text, '^\\d{2}:(\\d{2}):', 1) AS BIGINT) AS mm,
+                   CAST(regexp_extract(timetz_text, ':(\\d{2})\\.', 1) AS BIGINT) AS ss,
+                   CAST(regexp_extract(timetz_text, '\\.(\\d{6})', 1) AS BIGINT) AS micros,
+                   CAST(regexp_extract(timetz_text, '([+-]\\d{2})$', 1) AS BIGINT) AS tz_off_h
+            FROM lit
+        )
+        SELECT event_id, timetz_text, tz_off_h, micros,
+               ((hh * 3600 + mm * 60 + ss - tz_off_h * 3600) % 86400 + 86400)
+                   % 86400 AS utc_seconds_of_day
+        FROM parsed
+    """,
+)
+def pg_timetz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    off_h = F.pmod(F.col("user_id"), F.lit(5)) - 2
+    t_text = F.date_format("ts", "HH:mm:ss.SSSSSS")
+    timetz_text = F.concat(
+        t_text,
+        F.when(off_h < 0, F.lit("-")).otherwise(F.lit("+")),
+        F.lpad(F.abs(off_h).cast("string"), 2, "0"),
+    )
+    lit = events.select("event_id", timetz_text.alias("timetz_text"))
+    hh = F.regexp_extract("timetz_text", r"^(\d{2}):", 1).cast("long")
+    mm = F.regexp_extract("timetz_text", r"^\d{2}:(\d{2}):", 1).cast("long")
+    ss = F.regexp_extract("timetz_text", r":(\d{2})\.", 1).cast("long")
+    micros = F.regexp_extract("timetz_text", r"\.(\d{6})", 1).cast("long")
+    tz = F.regexp_extract("timetz_text", r"([+-]\d{2})$", 1).cast("long")
+    return lit.select(
+        "event_id",
+        "timetz_text",
+        tz.alias("tz_off_h"),
+        micros.alias("micros"),
+        F.pmod(hh * 3600 + mm * 60 + ss - tz * 3600, F.lit(86400)).alias(
+            "utc_seconds_of_day"
+        ),
+    )

@@ -35,6 +35,12 @@ REPS = [
     ("pipeline_clean_corpus", "composed text pipeline"),
     ("ts_freq_agg", "heavy hitters"),
     ("text_ngram_freq", "corpus n-gram count"),
+    ("ts_funnel", "staged funnel joins"),
+    ("ts_retention_cohorts", "cohort matrix"),
+    ("ts_ewma", "array-lambda window"),
+    ("dedup_containment", "shingle containment"),
+    ("ann_batch_topk", "salted multi-query top-k"),
+    ("cdc_dlq_routing", "validation routing"),
 ]
 
 

@@ -355,3 +355,80 @@ def ts_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr(F.col("a.x"), F.col("b.x")), 6).alias("pearson_r"),
         )
     )
+
+
+@register(
+    "ts_pct_change",
+    family="timeseries",
+    doc="Day-over-day percent change per series (the TimescaleDB "
+    "lag-window idiom users pair with time_bucket). One shuffle on "
+    "the series key; window state is a single preceding row.",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   avg(value) AS x
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day,
+               round(x, 6) AS x,
+               round(
+                   (x - lag(x) OVER w) / lag(x) OVER w, 6
+               ) AS pct_change
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def ts_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("x").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        F.round("x", 6).alias("x"),
+        F.round((F.col("x") - prev) / prev, 6).alias("pct_change"),
+    )
+
+
+@register(
+    "ts_cumulative",
+    family="timeseries",
+    doc="Running total and running event count per series over daily "
+    "buckets (cumulative revenue/usage reporting). Prefix sums use "
+    "the day-ordered frame, so both engines accumulate in the same "
+    "order and the rounded totals agree exactly.",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   sum(value) AS day_total,
+                   count(*) AS day_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day,
+               round(sum(day_total) OVER w, 4) AS running_total,
+               CAST(sum(day_events) OVER w AS BIGINT) AS running_events
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum("value").alias("day_total"),
+            F.count(F.lit(1)).alias("day_events"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round(F.sum("day_total").over(w), 4).alias("running_total"),
+        F.sum("day_events").over(w).alias("running_events"),
+    )

@@ -109,3 +109,29 @@ def test_dedup_clusters_invariants(spark):
     assert {k for k, v in got.items() if v[0] == 1} == {1, 2, 3, 7, 8, 9}
     assert all(v == (1, 6) for k, v in got.items() if k in {1, 2, 3, 7, 8, 9})
     assert got[5] == (5, 2) and got[6] == (5, 2)
+
+
+def test_shingles_short_docs_yield_empty_set(spark):
+    """Documents with fewer tokens than the shingle width must not
+    crash (a descending F.sequence produced negative slice starts
+    before the clamp) — they contribute an empty shingle set."""
+    from timescaledb_event_streamer_spark.operators.textstats import (
+        SHINGLE_WIDTH,
+        fingerprint,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("one two",), ("exactly five tokens right here",),
+         ("one two three four five six seven eight nine ten",)],
+        ["text"],
+    )
+    rows = df.select(
+        F.size(shingles(F.col("text"))).alias("n"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    n_toks = [1, 2, 5, 10]
+    for r, nt in zip(rows, n_toks):
+        expected = max(0, nt - SHINGLE_WIDTH + 1)
+        assert r["n"] == expected, (nt, r["n"])
+        assert (r["fp"] is None) == (expected == 0)

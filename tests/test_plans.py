@@ -89,13 +89,26 @@ def test_events_scan_only_needed_columns(spark, sf_small):
 
 
 # exact-pairwise oracle (scale path: dedup_embedding_lsh) and
-# single-row broadcast threshold joins — all deliberately BNLJ
+# bounded-broadcast joins — all deliberately BNLJ. A BNLJ whose
+# broadcast side is a single-row aggregate (or a handful of query
+# vectors) is the correct 100 TB plan: every task receives the tiny
+# side via broadcast, the big side streams through exactly once, and
+# no shuffle is introduced. The audit exists to catch *accidental*
+# O(n*m) degeneration, not these bounded shapes.
 _BNLJ_OK = {
     "dedup_embedding_cosine",
     "ann_knn_graph",
     "q22_global_sales_opportunity",
     "q11_important_stock",
     "ts_retention_policy",  # single-row broadcast cutoff cross join
+    "ts_funnel",  # single-row broadcast base-count cross join
+    "text_domain_mix",  # single-row broadcast corpus-total cross join
+    "ann_batch_topk",  # 4-row broadcast query set, non-equi self-exclusion
+    "cdc_snapshot_stream_merge",  # single-row broadcast watermark
+    "cdc_offset_tracking",  # single-row broadcast head-LSN
+    "cdc_compression_markers",  # single-row broadcast compress horizon
+    "ts_gapfill_locf",  # single-row broadcast bucket bounds
+    "ts_interpolate",  # single-row broadcast bucket bounds
 }
 
 

@@ -57,6 +57,36 @@ def gapfill_buckets(
     return grid.join(df, on=[*keys, bucket_col], how="left")
 
 
+def gapfill_buckets_auto(
+    df: DataFrame,
+    keys: list[str],
+    bucket_col: str,
+    width_s: int,
+) -> DataFrame:
+    """``gapfill_buckets`` with data-derived bounds.
+
+    The [min, max] bucket bounds are a 1-row aggregate of ``df``
+    broadcast-joined into the grid — never collected to the driver,
+    so no extra pass over the source is scheduled at 100 TB. Callers
+    should ``persist()`` ``df`` (it is bucket-grain, small) because
+    the grid, bounds, and left-join branches all re-reference it.
+    """
+    bounds = df.agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    grid = (
+        df.select(*keys)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            bucket_col,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), F.lit(width_s))),
+        )
+        .drop("_lo", "_hi")
+    )
+    return grid.join(df, on=[*keys, bucket_col], how="left")
+
+
 def locf(df: DataFrame, keys: list[str], bucket_col: str, value_cols: list[str]) -> DataFrame:
     """Last-observation-carried-forward over the bucket grid
     (TimescaleDB ``locf()`` inside gapfill)."""

@@ -66,10 +66,17 @@ def shingles(text: Column, width: int = SHINGLE_WIDTH, distinct: bool = True) ->
     fingerprinting / MinHash / Jaccard). ``distinct=False`` skips the
     quadratic array_distinct — correct for any min-over-shingles
     consumer (MinHash, fingerprint), where duplicates can't change
-    the minimum; Jaccard set arithmetic needs the distinct form."""
+    the minimum; Jaccard set arithmetic needs the distinct form.
+
+    Documents with fewer than ``width`` tokens yield an empty shingle
+    set (a descending F.sequence would otherwise produce negative
+    slice starts and crash at runtime)."""
     toks = F.split(text, " ")
     idx = F.sequence(F.lit(0), F.size(toks) - width)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, width)))
+    grams = F.when(
+        F.size(toks) >= width,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, width))),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams) if distinct else grams
 
 

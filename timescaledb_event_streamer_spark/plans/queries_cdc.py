@@ -299,14 +299,17 @@ def cdc_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_snapshot_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    # Snapshot watermark: driver-side scalar, same role as the
-    # reference's watermark table (spi/watermark/).
-    wm = events.agg((F.max("event_id") / 2).cast("long")).collect()[0][0]
-    snapshot = events.filter(F.col("event_id") <= wm).withColumn("op", F.lit("r"))
-    stream = events.filter(F.col("event_id") > wm).withColumn(
-        "op", derive_op(F.col("event_id"))
-    )
-    log = snapshot.unionByName(stream)
+    # Snapshot watermark (same role as the reference's watermark
+    # table, spi/watermark/): a 1-row aggregate broadcast-joined into
+    # the log — NOT collected to the driver, so `events` is scanned
+    # once, not twice, at 100 TB.
+    wm = events.agg((F.max("event_id") / 2).cast("long").alias("wm"))
+    log = events.crossJoin(F.broadcast(wm)).withColumn(
+        "op",
+        F.when(F.col("event_id") <= F.col("wm"), F.lit("r")).otherwise(
+            derive_op(F.col("event_id"))
+        ),
+    ).drop("wm")
     w = Window.partitionBy("event_type", "user_id").orderBy(F.col("event_id").desc())
     return (
         log.withColumn("rn", F.row_number().over(w))

@@ -116,14 +116,23 @@ def cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_offset_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    head = events.agg(F.max("event_id")).collect()[0][0]
-    return events.groupBy(
+    per_topic = events.groupBy(
         event_topic(F.lit("public"), F.col("event_type")).alias("topic")
     ).agg(
         F.max("event_id").alias("last_lsn"),
         F.max(ts_ms(F.col("ts"))).alias("last_ts_ms"),
         F.count(F.lit(1)).alias("n_processed"),
-        (F.max("event_id") == F.lit(head)).alias("is_head"),
+    )
+    # The global head is the max over the topic-grain aggregate — a
+    # tiny re-aggregation broadcast back in, so `events` is scanned
+    # exactly once (no driver collect, no second 100 TB pass).
+    head = per_topic.agg(F.max("last_lsn").alias("head_lsn"))
+    return per_topic.crossJoin(F.broadcast(head)).select(
+        "topic",
+        "last_lsn",
+        "last_ts_ms",
+        "n_processed",
+        (F.col("last_lsn") == F.col("head_lsn")).alias("is_head"),
     )
 
 
@@ -198,9 +207,11 @@ def cdc_compression_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = keyed.groupBy(
         F.col("event_type").alias("hypertable_name"), "range_start_s"
     ).agg(F.max("tms").alias("last_ts_ms"), F.count(F.lit(1)).alias("n_rows"))
-    head = keyed.agg(F.max("range_start_s")).collect()[0][0]
-    return chunks.filter(
-        F.col("range_start_s") < F.lit(head - CHUNK_INTERVAL_S)
+    # Compress-after horizon from the chunk-grain aggregate itself
+    # (metadata-sized), broadcast back in: one events scan total.
+    head = chunks.agg(F.max("range_start_s").alias("head_chunk"))
+    return chunks.crossJoin(F.broadcast(head)).filter(
+        F.col("range_start_s") < F.col("head_chunk") - CHUNK_INTERVAL_S
     ).select(
         "hypertable_name",
         "range_start_s",

@@ -171,15 +171,16 @@ def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="cdc",
     doc="Per-sink delivery counters (reference internal/stats/): events, "
     "payload bytes, distinct keys, and high-water ts_ms per (topic, op). "
-    "One shuffle on the topic/op pair; payload size is octet_length of "
-    "the after-image, matching the wire-encoded value the sinks count.",
+    "One shuffle on the topic/op pair; payload size is character "
+    "length of the after-image (matches the oracle's strlen; wire "
+    "byte counts would need octet_length on both sides).",
     oracle="""
         SELECT 'timescaledb.public.' || event_type AS topic,
                CASE WHEN event_id % 10 = 0 THEN 'd'
                     WHEN event_id % 10 IN (1, 2) THEN 'u'
                     ELSE 'c' END AS op,
                count(*) AS n_events,
-               sum(strlen(props)) AS n_bytes,
+               CAST(sum(strlen(props)) AS BIGINT) AS n_bytes,
                count(DISTINCT user_id) AS n_keys,
                max(CAST(epoch_us(ts) // 1000 AS BIGINT)) AS last_ts_ms
         FROM events
@@ -193,7 +194,7 @@ def cdc_sink_delivery_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             event_topic(F.lit(SOURCE_SCHEMA), F.col("event_type")).alias("topic"),
             derive_op(F.col("event_id")).alias("op"),
             "user_id",
-            F.octet_length("props").alias("_bytes"),
+            F.length("props").alias("_bytes"),
             ts_ms(F.col("ts")).alias("_ts_ms"),
         )
         .groupBy("topic", "op")

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timescaledb_event_streamer_spark.functions.timeseries import (
-    gapfill_buckets,
+    gapfill_buckets_auto,
     locf,
     time_bucket_epoch,
 )
@@ -268,10 +268,9 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket_s", time_bucket_epoch(F.col("ts"), DAY))
         .groupBy("user_id", "bucket_s")
         .agg(F.round(F.avg("value"), 6).alias("avg_value"))
-    )
-    lo, hi = b.agg(F.min("bucket_s"), F.max("bucket_s")).collect()[0]
-    filled = gapfill_buckets(
-        b, keys=["user_id"], bucket_col="bucket_s", width_s=DAY, start_s=lo, end_s=hi + DAY
+    ).persist()  # bucket-grain; grid/bounds/join branches all reuse it
+    filled = gapfill_buckets_auto(
+        b, keys=["user_id"], bucket_col="bucket_s", width_s=DAY
     )
     out = locf(filled, keys=["user_id"], bucket_col="bucket_s", value_cols=["avg_value"])
     return out.select("user_id", "bucket_s", F.col("avg_value").alias("avg_value_locf"))
@@ -336,10 +335,9 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket_s", time_bucket_epoch(F.col("ts"), DAY))
         .groupBy("user_id", "bucket_s")
         .agg(F.round(F.avg("value"), 6).alias("avg_value"))
-    )
-    lo, hi = b.agg(F.min("bucket_s"), F.max("bucket_s")).collect()[0]
-    filled = gapfill_buckets(
-        b, keys=["user_id"], bucket_col="bucket_s", width_s=DAY, start_s=lo, end_s=hi + DAY
+    ).persist()  # bucket-grain; grid/bounds/join branches all reuse it
+    filled = gapfill_buckets_auto(
+        b, keys=["user_id"], bucket_col="bucket_s", width_s=DAY
     ).withColumn(
         "obs_bucket", F.when(F.col("avg_value").isNotNull(), F.col("bucket_s"))
     )

@@ -11,7 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -27,10 +27,20 @@ TABLES = (
 )
 
 
-# The driver testdata is written with nanosecond parquet timestamps
-# (pandas datetime64[ns]); Spark has no TIMESTAMP(NANOS) type, so we
-# read them as raw longs and truncate ns -> us exactly like DuckDB
-# does when it reads the same files (verified: both floor-divide).
+# Timestamp-bearing columns need normalization to plain TIMESTAMP
+# (timestamp_ltz) regardless of how the driver wrote the parquet:
+#   * nanosecond parquet timestamps (pandas datetime64[ns]) are read
+#     as raw longs (legacy.parquet.nanosAsLong) and truncated ns->us
+#     exactly like DuckDB does when it reads the same files;
+#   * microsecond timestamps without a timezone flag (timestamp[us])
+#     would infer as TIMESTAMP_NTZ, which functions like
+#     unix_micros() reject — we disable NTZ inference so the scan
+#     produces a native TIMESTAMP column (predicate pushdown on ts
+#     stays intact; a cast would block it). The session timezone is
+#     pinned to UTC (session.py), so the wall clock is interpreted
+#     identically to DuckDB's naive reading and epoch arithmetic
+#     agrees exactly. The NTZ cast branch below stays as a fallback
+#     for sessions that override the inference conf.
 _TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -42,10 +52,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _TS_COLS.get(name, ()):
-        if isinstance(df.schema[col].dataType, LongType):
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(dtype, TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

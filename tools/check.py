@@ -29,10 +29,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        if pd.api.types.is_float_dtype(df[c]):
+        elif pd.api.types.is_integer_dtype(df[c]):
+            # normalize int widths (DuckDB int32/int128 vs Spark
+            # int64) to the driver's serialization
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        elif df[c].dtype == object:
+            vals = df[c].dropna()
+            if len(vals) and all(
+                isinstance(v, int) and not isinstance(v, bool) for v in vals
+            ):
+                # DuckDB HUGEINT arrives as Python ints — a dtype
+                # divergence the driver's hash would see
+                df[c] = df[c].astype("int64")
+            else:
+                df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -82,7 +94,7 @@ def main() -> int:
             print(f"FAIL  {name}: rowcount {len(s)} != {len(o)}")
             continue
         try:
-            pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(s, o, check_dtype=True, check_exact=True)
         except AssertionError as e:
             failures.append(name)
             print(f"FAIL  {name}: values differ: {str(e)[:500]}")

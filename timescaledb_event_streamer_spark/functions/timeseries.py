@@ -66,10 +66,11 @@ def gapfill_buckets_auto(
     """``gapfill_buckets`` with data-derived bounds.
 
     The [min, max] bucket bounds are a 1-row aggregate of ``df``
-    broadcast-joined into the grid — never collected to the driver,
-    so no extra pass over the source is scheduled at 100 TB. Callers
-    should ``persist()`` ``df`` (it is bucket-grain, small) because
-    the grid, bounds, and left-join branches all re-reference it.
+    broadcast-joined into the grid — kept in-plan, never collected to
+    the driver. The bounds subplan is still its own scan of ``df``
+    unless the caller ``persist()``s it (recommended: ``df`` is
+    bucket-grain, small) — the grid, bounds, and left-join branches
+    all re-reference it.
     """
     bounds = df.agg(
         F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")

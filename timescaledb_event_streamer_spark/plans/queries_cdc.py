@@ -301,8 +301,9 @@ def cdc_snapshot_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     # Snapshot watermark (same role as the reference's watermark
     # table, spi/watermark/): a 1-row aggregate broadcast-joined into
-    # the log — NOT collected to the driver, so `events` is scanned
-    # once, not twice, at 100 TB.
+    # the log. This keeps the watermark in-plan and removes the
+    # driver-side collect; the 1-row agg subplan still reads events
+    # separately (cache/persist the source to share the scan).
     wm = events.agg((F.max("event_id") / 2).cast("long").alias("wm"))
     log = events.crossJoin(F.broadcast(wm)).withColumn(
         "op",

@@ -171,9 +171,10 @@ def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="cdc",
     doc="Per-sink delivery counters (reference internal/stats/): events, "
     "payload bytes, distinct keys, and high-water ts_ms per (topic, op). "
-    "One shuffle on the topic/op pair; payload size is character "
-    "length of the after-image (matches the oracle's strlen; wire "
-    "byte counts would need octet_length on both sides).",
+    "One shuffle on the topic/op pair; payload size is the wire BYTE "
+    "length of the after-image: octet_length here matches DuckDB "
+    "strlen, which counts bytes (not characters) -- the two stay in "
+    "lockstep even for multi-byte UTF-8 payloads.",
     oracle="""
         SELECT 'timescaledb.public.' || event_type AS topic,
                CASE WHEN event_id % 10 = 0 THEN 'd'
@@ -194,7 +195,7 @@ def cdc_sink_delivery_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             event_topic(F.lit(SOURCE_SCHEMA), F.col("event_type")).alias("topic"),
             derive_op(F.col("event_id")).alias("op"),
             "user_id",
-            F.length("props").alias("_bytes"),
+            F.octet_length("props").alias("_bytes"),
             ts_ms(F.col("ts")).alias("_ts_ms"),
         )
         .groupBy("topic", "op")

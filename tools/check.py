@@ -41,8 +41,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 isinstance(v, int) and not isinstance(v, bool) for v in vals
             ):
                 # DuckDB HUGEINT arrives as Python ints — a dtype
-                # divergence the driver's hash would see
-                df[c] = df[c].astype("int64")
+                # divergence the driver's hash would see. Nullable
+                # Int64 so int+None columns don't abort the run.
+                df[c] = df[c].astype("Int64" if len(vals) < len(df[c]) else "int64")
             else:
                 df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)

@@ -1,0 +1,186 @@
+"""PostGIS EWKB / XML / box-array codec tests (SURVEY §2.J8-J11).
+
+Ground truth for the EWKB byte layout is Python ``struct`` — the same
+bytes ``ewkb.Marshal``/``Unmarshal`` produce in the reference
+(spi/pgtypes/postgis_codec.go) — so the pure-codegen Spark encoder
+and decoder are verified against an implementation that shares no
+arithmetic with them.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.functions.geo import (
+    attach_parsed_point,
+    double_bits_hex,
+    double_from_bits_hex,
+    ewkb_bbox_polygon_hex,
+    ewkb_point_hex,
+    parse_ewkb_point,
+)
+
+SRID_FLAG = 0x20000000
+
+
+def ref_point_hex(x: float, y: float, srid: int, big_endian: bool) -> str:
+    """struct-built EWKB point — byte-identical to go-geom's ewkb."""
+    if big_endian:
+        return ("00" + struct.pack(">I", 1 | SRID_FLAG).hex()
+                + struct.pack(">I", srid).hex()
+                + struct.pack(">d", x).hex() + struct.pack(">d", y).hex()).upper()
+    return ("01" + struct.pack("<I", 1 | SRID_FLAG).hex()
+            + struct.pack("<I", srid).hex()
+            + struct.pack("<d", x).hex() + struct.pack("<d", y).hex()).upper()
+
+
+class TestDoubleBits:
+    def test_encode_matches_struct(self, spark):
+        vals = [0, 1, 2, 3, 10, 13, 100, 255, 4326, 10**9, 2**31 - 1]
+        df = spark.createDataFrame([(v,) for v in vals], "n long").select(
+            "n", double_bits_hex(F.col("n")).alias("h")
+        )
+        for n, h in df.collect():
+            assert h == struct.pack(">d", float(n)).hex().upper(), n
+
+    def test_decode_roundtrip_including_negatives_and_fractions(self, spark):
+        vals = [0.0, 1.0, -1.0, 13.25, -185.5, 3.141592653589793, 1e300, -2.5e-10]
+        rows = [(struct.pack(">d", v).hex().upper(),) for v in vals]
+        df = spark.createDataFrame(rows, "h string").select(
+            double_from_bits_hex(F.col("h")).alias("v")
+        )
+        got = [r.v for r in df.collect()]
+        assert got == vals  # exact — IEEE-754 decode is exact arithmetic
+
+
+class TestEwkbPoint:
+    @pytest.mark.parametrize("big_endian", [True, False])
+    def test_encode_matches_struct(self, spark, big_endian):
+        cases = [(13, 185, 4326), (0, 0, 3857), (100, 250, 4326), (7, 1, 900913)]
+        df = spark.createDataFrame(cases, "x long, y long, srid long").select(
+            "x", "y", "srid",
+            ewkb_point_hex(
+                F.col("x"), F.col("y"), F.col("srid"), big_endian=F.lit(big_endian)
+            ).alias("h"),
+        )
+        for x, y, srid, h in df.collect():
+            assert h == ref_point_hex(float(x), float(y), srid, big_endian)
+
+    def test_decode_both_endians_and_negative_coords(self, spark):
+        cases = [
+            (ref_point_hex(-71.06, 42.35, 4326, False), "NDR", 4326, -71.06, 42.35),
+            (ref_point_hex(-71.06, 42.35, 4326, True), "XDR", 4326, -71.06, 42.35),
+            (ref_point_hex(0.0, -90.0, 3857, True), "XDR", 3857, 0.0, -90.0),
+        ]
+        df = spark.createDataFrame(
+            [(h,) for h, *_ in cases], "ewkb_hex string"
+        )
+        got = attach_parsedpoint_rows(df)
+        for (h, endian, srid, x, y), row in zip(cases, got):
+            assert row["pt_endian"] == endian
+            assert row["pt_geom_type"] == 1
+            assert row["pt_srid"] == srid
+            assert row["pt_x"] == x and row["pt_y"] == y  # exact decode
+
+    def test_struct_parser_rejects_non_point(self, spark):
+        # LINESTRING type word (2) -> NULL struct, mirroring the
+        # codec's geometry-kind dispatch.
+        bad = "00" + struct.pack(">I", 2 | SRID_FLAG).hex().upper() + "0" * 40
+        df = spark.createDataFrame([(bad,)], "h string").select(
+            parse_ewkb_point(F.col("h")).alias("pt")
+        )
+        assert df.collect()[0]["pt"] is None
+
+    def test_struct_parser_handles_no_srid_wkb(self, spark):
+        # Plain WKB (no SRID flag): coords at offset 11.
+        h = ("01" + struct.pack("<I", 1).hex()
+             + struct.pack("<d", 5.0).hex() + struct.pack("<d", 6.0).hex()).upper()
+        row = spark.createDataFrame([(h,)], "h string").select(
+            parse_ewkb_point(F.col("h")).alias("pt")
+        ).collect()[0]["pt"]
+        assert row["srid"] == 0 and row["x"] == 5.0 and row["y"] == 6.0
+
+
+def attach_parsedpoint_rows(df):
+    return attach_parsed_point(df, "ewkb_hex").collect()
+
+
+class TestEwkbPolygon:
+    def test_encode_matches_struct(self, spark):
+        minx, miny, maxx, maxy, srid = 2, 3, 9, 7, 4326
+        ring = [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy), (minx, miny)]
+        expected = (
+            "01" + struct.pack("<I", 3 | SRID_FLAG).hex()
+            + struct.pack("<I", srid).hex()
+            + struct.pack("<I", 1).hex() + struct.pack("<I", 5).hex()
+            + "".join(
+                struct.pack("<d", float(x)).hex() + struct.pack("<d", float(y)).hex()
+                for x, y in ring
+            )
+        ).upper()
+        got = (
+            spark.range(1)
+            .select(
+                ewkb_bbox_polygon_hex(
+                    F.lit(minx), F.lit(miny), F.lit(maxx), F.lit(maxy), F.lit(srid)
+                ).alias("h")
+            )
+            .collect()[0]["h"]
+        )
+        assert got == expected
+
+
+class TestRegisteredQueries:
+    """Shape/semantic checks beyond the driver's oracle hash."""
+
+    def test_pg_postgis_roundtrip_is_lossless(self, spark, sf_small):
+        from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+        df = all_queries()["pg_postgis"](spark, sf_small)
+        # Decoded coords must exactly reproduce the derivation the hex
+        # was built from; verify against an independently computed pair.
+        from timescaledb_event_streamer_spark.sources.tables import load
+
+        events = load(spark, sf_small, "events").select(
+            "event_id",
+            (F.col("user_id") + F.col("event_id") % 97).cast("double").alias("ex"),
+            F.round("value", 0).alias("ey"),
+        )
+        j = df.join(events, "event_id")
+        bad = j.filter((F.col("x") != F.col("ex")) | (F.col("y") != F.col("ey")))
+        assert bad.count() == 0
+        # Both wire byte orders must actually occur.
+        endians = {r["wire_endian"] for r in df.select("wire_endian").distinct().collect()}
+        assert endians == {"NDR", "XDR"}
+
+    def test_pg_postgis_polygon_area_consistent(self, spark, sf_small):
+        from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+        rows = all_queries()["pg_postgis_polygon"](spark, sf_small).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r["srid_out"] == 4326
+            assert r["area"] >= 0
+            assert r["ewkb_hex"].startswith("0103000020E6100000")
+
+    def test_pg_box_array_semicolon_split(self, spark, sf_small):
+        from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+        df = all_queries()["pg_box_array"](spark, sf_small)
+        rows = df.limit(5).collect()
+        for r in rows:
+            assert r["n_boxes"] == 2
+            assert ";" in r["box_array_text"]
+            assert r["b1_area"] == 50.0 and r["b2_area"] == 32.0
+
+    def test_pg_xml_xpath_extraction(self, spark, sf_small):
+        from timescaledb_event_streamer_spark.plans.registry import all_queries
+        from timescaledb_event_streamer_spark.sources.tables import load
+
+        df = all_queries()["pg_xml"](spark, sf_small)
+        events = load(spark, sf_small, "events").select("event_id", "user_id")
+        bad = df.join(events, "event_id").filter(F.col("x_user") != F.col("user_id"))
+        assert bad.count() == 0

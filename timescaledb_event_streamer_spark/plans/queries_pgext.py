@@ -1,0 +1,408 @@
+"""PG type-system coverage, part 2 (SURVEY.md §2.J8-J11): PostGIS
+EWKB geometry/geography, XML, and box-array codecs.
+
+Reference semantics:
+- spi/pgtypes/postgis_codec.go + geometry.go + geography.go — hex
+  EWKB in, both byte orders, SRID flag, GeoJSON out.
+- spi/pgtypes/xml.go — XML as validated pass-through string.
+- spi/pgtypes/boxarray_codec.go — ``box[]`` text protocol uses a
+  SEMICOLON element separator (the box literal itself contains
+  commas), each element ``(x2,y2),(x1,y1)``.
+
+All encode/decode is JVM-side codegen (string + integer arithmetic,
+xpath built-ins); the DuckDB oracles re-derive the same wire text
+independently, so the driver's value-hash compares a real round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.functions.geo import (
+    attach_parsed_point,
+    ewkb_bbox_polygon_hex,
+    ewkb_point_hex,
+    point_geojson,
+    point_wkt,
+)
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load
+
+# ---------------------------------------------------------------------------
+# DuckDB-side helpers (SQL text fragments). The IEEE-754 encode is the
+# same exact-integer-arithmetic construction as functions/geo.py —
+# see that module's docstring for why it is exact.
+
+
+def _sql_le(h: str, nbytes: int) -> str:
+    """Byte-reverse a fixed-width hex expression (BE -> LE)."""
+    pairs = [f"substr({h}, {2 * i + 1}, 2)" for i in range(nbytes)]
+    return " || ".join(reversed(pairs))
+
+
+def _sql_dbits(col: str) -> str:
+    """16-hex-char big-endian IEEE-754 bit pattern of a nonnegative
+    integer-valued column (expects ``{col}_e`` = length(bin(col))-1
+    computed in an earlier CTE)."""
+    e = f"{col}_e"
+    return (
+        f"CASE WHEN {col} = 0 THEN '0000000000000000' "
+        f"ELSE lpad(to_hex((1023 + {e})::BIGINT * 4503599627370496 "
+        f"+ (({col})::BIGINT - (2**{e})::BIGINT) * (2**(52 - {e}))::BIGINT), 16, '0') END"
+    )
+
+
+_SQL_GEO_SRC = """
+        SELECT event_id,
+               event_type,
+               user_id + event_id % 97 AS gx,
+               CAST(round(value, 0) AS BIGINT) AS gy,
+               CASE WHEN event_id % 2 = 0 THEN 4326 ELSE 3857 END AS srid,
+               event_id % 3 = 0 AS is_be,
+               CASE WHEN user_id % 2 = 1 THEN 'geography' ELSE 'geometry' END AS kind
+        FROM events
+"""
+
+_SQL_GEO_BITS = f"""
+        SELECT *,
+               length(bin(gx)) - 1 AS gx_e,
+               length(bin(gy)) - 1 AS gy_e
+        FROM src
+"""
+
+_SQL_GEO_HEX = f"""
+        SELECT *,
+               {_sql_dbits("gx")} AS xhex,
+               {_sql_dbits("gy")} AS yhex,
+               lpad(to_hex(srid), 8, '0') AS sridhex
+        FROM bits
+"""
+
+
+@register(
+    "pg_postgis",
+    family="pgtypes",
+    doc="PostGIS EWKB point codec round-trip (spi/pgtypes/"
+    "postgis_codec.go:26-220, geometry.go, geography.go): encode "
+    "SRID-flagged point EWKB in BOTH byte orders (the reference "
+    "encoder emits big-endian, postgis_codec.go:118; PostGIS-native "
+    "wire text is little-endian), decode back via pure-codegen "
+    "IEEE-754 arithmetic, emit WKT + the envelope GeoJSON "
+    "(postGisMarshalJson), plus distance/containment derivations. "
+    "Narrow per-row projection, no shuffle, fully pushdown-safe.",
+    oracle=f"""
+        WITH src AS ({_SQL_GEO_SRC}),
+        bits AS ({_SQL_GEO_BITS}),
+        hx AS ({_SQL_GEO_HEX})
+        SELECT event_id,
+               kind,
+               CASE WHEN is_be THEN 'XDR' ELSE 'NDR' END AS wire_endian,
+               CASE WHEN is_be
+                    THEN '00' || '20000001' || sridhex || xhex || yhex
+                    ELSE '01' || '01000020' || {_sql_le("sridhex", 4)}
+                         || {_sql_le("xhex", 8)} || {_sql_le("yhex", 8)}
+               END AS ewkb_hex,
+               srid AS srid_out,
+               CAST(1 AS INT) AS geom_type,
+               gx::DOUBLE AS x,
+               gy::DOUBLE AS y,
+               'POINT(' || gx || ' ' || gy || ')' AS wkt,
+               '{{"type":"Point","coordinates":[' || gx || ',' || gy || ']}}' AS geojson,
+               round(sqrt(gx * gx + gy * gy), 6) AS dist_origin,
+               gx <= 100 AND gy <= 250 AS in_query_box
+        FROM hx
+    """,
+)
+def pg_postgis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    src = events.select(
+        "event_id",
+        (F.col("user_id") + F.col("event_id") % 97).alias("gx"),
+        F.round("value", 0).cast("long").alias("gy"),
+        F.when(F.col("event_id") % 2 == 0, 4326).otherwise(3857).alias("srid"),
+        (F.col("event_id") % 3 == 0).alias("is_be"),
+        F.when(F.col("user_id") % 2 == 1, "geography").otherwise("geometry").alias("kind"),
+    )
+    enc = src.select(
+        "event_id",
+        "kind",
+        ewkb_point_hex(
+            F.col("gx"), F.col("gy"), F.col("srid"), big_endian=F.col("is_be")
+        ).alias("ewkb_hex"),
+    )
+    # Decode ONLY from the wire hex — the round-trip is the test.
+    # Staged projections, not the struct form: see attach_parsed_point.
+    dec = attach_parsed_point(enc, "ewkb_hex")
+    x, y = F.col("pt_x"), F.col("pt_y")
+    return dec.select(
+        "event_id",
+        "kind",
+        F.col("pt_endian").alias("wire_endian"),
+        "ewkb_hex",
+        F.col("pt_srid").alias("srid_out"),
+        F.col("pt_geom_type").alias("geom_type"),
+        x.alias("x"),
+        y.alias("y"),
+        point_wkt(x, y).alias("wkt"),
+        point_geojson(x, y).alias("geojson"),
+        F.round(F.sqrt(x * x + y * y), 6).alias("dist_origin"),
+        ((x <= 100) & (y <= 250)).alias("in_query_box"),
+    )
+
+
+@register(
+    "pg_postgis_polygon",
+    family="pgtypes",
+    doc="PostGIS EWKB polygon codec (postgis_codec.go type dispatch, "
+    "geometry.go): per-table bbox ring encoded as a 5-point EWKB "
+    "POLYGON (SRID 4326, little-endian), then the AREA is computed by "
+    "DECODING the ring back out of the hex and running the shoelace "
+    "formula over the recovered corners — the oracle derives area "
+    "independently from the bbox aggregates, so an encode or decode "
+    "bug cannot cancel out. One shuffle (the groupBy).",
+    oracle=f"""
+        WITH src AS ({_SQL_GEO_SRC}),
+        agg AS (
+            SELECT event_type,
+                   min(gx) AS x0, max(gx) AS x1,
+                   min(gy) AS y0, max(gy) AS y1,
+                   count(*) AS n_points,
+                   CAST(sum(CASE WHEN gx <= 50 AND gy <= 100 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_in_probe_box
+            FROM src GROUP BY event_type
+        ),
+        bits AS (
+            SELECT *,
+                   length(bin(x0)) - 1 AS x0_e, length(bin(x1)) - 1 AS x1_e,
+                   length(bin(y0)) - 1 AS y0_e, length(bin(y1)) - 1 AS y1_e
+            FROM agg
+        ),
+        hx AS (
+            SELECT *,
+                   {_sql_dbits("x0")} AS x0h, {_sql_dbits("x1")} AS x1h,
+                   {_sql_dbits("y0")} AS y0h, {_sql_dbits("y1")} AS y1h
+            FROM bits
+        ),
+        led AS (
+            SELECT *,
+                   {_sql_le("x0h", 8)} AS x0l, {_sql_le("x1h", 8)} AS x1l,
+                   {_sql_le("y0h", 8)} AS y0l, {_sql_le("y1h", 8)} AS y1l
+            FROM hx
+        )
+        SELECT event_type,
+               '01' || '03000020' || 'E6100000' || '01000000' || '05000000'
+                   || x0l || y0l || x1l || y0l || x1l || y1l
+                   || x0l || y1l || x0l || y0l AS ewkb_hex,
+               CAST(4326 AS BIGINT) AS srid_out,
+               n_points,
+               n_in_probe_box,
+               'POLYGON((' || x0 || ' ' || y0 || ',' || x1 || ' ' || y0 || ','
+                   || x1 || ' ' || y1 || ',' || x0 || ' ' || y1 || ','
+                   || x0 || ' ' || y0 || '))' AS wkt,
+               ((x1 - x0) * (y1 - y0))::DOUBLE AS area
+        FROM led
+    """,
+)
+def pg_postgis_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    src = events.select(
+        "event_type",
+        (F.col("user_id") + F.col("event_id") % 97).alias("gx"),
+        F.round("value", 0).cast("long").alias("gy"),
+    )
+    agg = src.groupBy("event_type").agg(
+        F.min("gx").alias("x0"), F.max("gx").alias("x1"),
+        F.min("gy").alias("y0"), F.max("gy").alias("y1"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(
+            F.when((F.col("gx") <= 50) & (F.col("gy") <= 100), 1).otherwise(0)
+        ).alias("n_in_probe_box"),
+    )
+    enc = agg.withColumn(
+        "ewkb_hex",
+        ewkb_bbox_polygon_hex(
+            F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"), F.lit(4326)
+        ),
+    )
+    # Decode the ring back OUT of the hex: LE polygon layout is
+    # endian(2) type(8) srid(8) nrings(8) npoints(8) then 5 corner
+    # pairs of 16 hex chars each. Shoelace area over the recovered
+    # corners proves both directions. Corners are materialized as
+    # columns first (staged projections — see attach_parsed_point's
+    # docstring for the 64 KB codegen rationale).
+    from timescaledb_event_streamer_spark.functions.geo import (
+        double_from_bits_hex,
+        le_bytes,
+    )
+
+    dec = enc.withColumns(
+        {
+            f"_c{i}{ax}": double_from_bits_hex(
+                le_bytes(F.substring("ewkb_hex", 35 + (i * 2 + axis) * 16, 16), 8)
+            )
+            for i in range(5)
+            for axis, ax in ((0, "x"), (1, "y"))
+        }
+    )
+    xs = [F.col(f"_c{i}x") for i in range(5)]
+    ys = [F.col(f"_c{i}y") for i in range(5)]
+    shoelace = xs[0] * ys[1] - xs[1] * ys[0]
+    for i in range(1, 4):
+        shoelace = shoelace + xs[i] * ys[i + 1] - xs[i + 1] * ys[i]
+    srid_out = F.conv(le_bytes(F.substring("ewkb_hex", 11, 8), 4), 16, 10).cast("long")
+    wkt_parts: list[F.Column] = [F.lit("POLYGON((")]
+    for i in range(5):
+        if i:
+            wkt_parts.append(F.lit(","))
+        wkt_parts += [
+            xs[i].cast("long").cast("string"), F.lit(" "), ys[i].cast("long").cast("string"),
+        ]
+    wkt_parts.append(F.lit("))"))
+    return dec.select(
+        "event_type",
+        "ewkb_hex",
+        srid_out.alias("srid_out"),
+        "n_points",
+        "n_in_probe_box",
+        F.concat(*wkt_parts).alias("wkt"),
+        (F.abs(shoelace) / 2).alias("area"),
+    )
+
+
+@register(
+    "pg_xml",
+    family="pgtypes",
+    doc="PG xml codec (spi/pgtypes/xml.go — validated pass-through "
+    "string, JSON-marshalled into the envelope) + the xpath analytic "
+    "surface Spark adds: build the XML wire text from row fields, "
+    "extract typed values back out with xpath_string/xpath_long/"
+    "xpath_double, and re-emit the envelope JSON string. The oracle "
+    "derives every extracted value independently from the source "
+    "columns, so the xpath decode is checked against ground truth, "
+    "not against itself.",
+    oracle="""
+        SELECT event_id,
+               '<event id="' || event_id || '"><type>' || event_type
+                   || '</type><user>' || user_id || '</user><cents>'
+                   || CAST(round(value * 100) AS BIGINT) || '</cents></event>'
+                   AS xml_text,
+               event_type AS x_type,
+               user_id AS x_user,
+               CAST(round(value * 100) AS BIGINT) AS x_cents,
+               event_id AS x_attr_id,
+               user_id >= 8 AS x_power_user,
+               '"' || replace('<event id="' || event_id || '"><type>' || event_type
+                   || '</type><user>' || user_id || '</user><cents>'
+                   || CAST(round(value * 100) AS BIGINT) || '</cents></event>',
+                   '"', '\\"') || '"' AS envelope_json
+        FROM events
+    """,
+)
+def pg_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit('<event id="'), F.col("event_id").cast("string"),
+        F.lit('"><type>'), F.col("event_type"),
+        F.lit("</type><user>"), F.col("user_id").cast("string"),
+        F.lit("</user><cents>"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+        F.lit("</cents></event>"),
+    )
+    w = events.select("event_id", xml.alias("xml_text"))
+    return w.select(
+        "event_id",
+        "xml_text",
+        F.xpath_string("xml_text", F.lit("/event/type")).alias("x_type"),
+        F.xpath_long("xml_text", F.lit("/event/user")).alias("x_user"),
+        F.xpath_long("xml_text", F.lit("/event/cents")).alias("x_cents"),
+        F.xpath_long("xml_text", F.lit("/event/@id")).alias("x_attr_id"),
+        (F.xpath_long("xml_text", F.lit("/event/user")) >= 8).alias("x_power_user"),
+        # xml.go MarshalJSON: json.Marshal of the raw XML string.
+        F.concat(
+            F.lit('"'), F.regexp_replace("xml_text", '"', '\\\\"'), F.lit('"')
+        ).alias("envelope_json"),
+    )
+
+
+@register(
+    "pg_box_array",
+    family="pgtypes",
+    doc="PG box[] codec (spi/pgtypes/boxarray_codec.go:96-117): the "
+    "text protocol separates box elements with SEMICOLONS (the box "
+    "literal '(x2,y2),(x1,y1)' itself contains commas, which is why "
+    "pgx's stock array codec breaks and the reference ships a custom "
+    "scan plan). Build the wire literal, split on ';' after brace "
+    "strip, parse each corner pair, and derive per-box geometry "
+    "(area, probe-point containment, pairwise overlap).",
+    oracle="""
+        WITH src AS (
+            SELECT event_id,
+                   user_id + event_id % 97 AS ax,
+                   CAST(round(value, 0) AS BIGINT) AS ay,
+                   user_id % 13 AS bx,
+                   event_id % 29 AS by
+            FROM events
+        )
+        SELECT event_id,
+               '{(' || (ax + 10) || ',' || (ay + 5) || '),(' || ax || ',' || ay
+                   || ');(' || (bx + 4) || ',' || (by + 8) || '),(' || bx || ',' || by
+                   || ')}' AS box_array_text,
+               CAST(2 AS INT) AS n_boxes,
+               ax::DOUBLE AS b1_x1, ay::DOUBLE AS b1_y1,
+               (ax + 10)::DOUBLE AS b1_x2, (ay + 5)::DOUBLE AS b1_y2,
+               CAST(50 AS DOUBLE) AS b1_area,
+               CAST(32 AS DOUBLE) AS b2_area,
+               ax <= 12 AND ax + 10 >= 12 AND ay <= 20 AND ay + 5 >= 20
+                   AS b1_contains_probe,
+               ax <= bx + 4 AND bx <= ax + 10 AND ay <= by + 8 AND by <= ay + 5
+                   AS boxes_overlap
+        FROM src
+    """,
+)
+def pg_box_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    src = events.select(
+        "event_id",
+        (F.col("user_id") + F.col("event_id") % 97).alias("ax"),
+        F.round("value", 0).cast("long").alias("ay"),
+        (F.col("user_id") % 13).alias("bx"),
+        (F.col("event_id") % 29).alias("by"),
+    )
+    lit = F.concat(
+        F.lit("{("), (F.col("ax") + 10).cast("string"), F.lit(","),
+        (F.col("ay") + 5).cast("string"), F.lit("),("),
+        F.col("ax").cast("string"), F.lit(","), F.col("ay").cast("string"),
+        F.lit(");("), (F.col("bx") + 4).cast("string"), F.lit(","),
+        (F.col("by") + 8).cast("string"), F.lit("),("),
+        F.col("bx").cast("string"), F.lit(","), F.col("by").cast("string"),
+        F.lit(")}"),
+    )
+    w = src.select("event_id", lit.alias("box_array_text"))
+    # Decode: strip braces, split on ';' (boxarray_codec.go:107), then
+    # regexp the two corner pairs per element. All codegen.
+    elems = F.split(F.expr("substring(box_array_text, 2, length(box_array_text) - 2)"), ";")
+    num = r"(-?\d+(?:\.\d+)?)"
+    box_re = rf"\({num},{num}\),\({num},{num}\)"
+
+    def corner(el: F.Column, group: int) -> F.Column:
+        return F.regexp_extract(el, box_re, group).cast("double")
+
+    b1, b2 = F.element_at(elems, 1), F.element_at(elems, 2)
+    # PG normalizes box corners to (upper-right),(lower-left):
+    # groups 1,2 = x2,y2 (high), groups 3,4 = x1,y1 (low).
+    b1x2, b1y2, b1x1, b1y1 = corner(b1, 1), corner(b1, 2), corner(b1, 3), corner(b1, 4)
+    b2x2, b2y2, b2x1, b2y1 = corner(b2, 1), corner(b2, 2), corner(b2, 3), corner(b2, 4)
+    return w.select(
+        "event_id",
+        "box_array_text",
+        F.size(elems).alias("n_boxes"),
+        b1x1.alias("b1_x1"), b1y1.alias("b1_y1"),
+        b1x2.alias("b1_x2"), b1y2.alias("b1_y2"),
+        ((b1x2 - b1x1) * (b1y2 - b1y1)).alias("b1_area"),
+        ((b2x2 - b2x1) * (b2y2 - b2y1)).alias("b2_area"),
+        ((b1x1 <= 12) & (b1x2 >= 12) & (b1y1 <= 20) & (b1y2 >= 20))
+        .alias("b1_contains_probe"),
+        ((b1x1 <= b2x2) & (b2x1 <= b1x2) & (b1y1 <= b2y2) & (b2y1 <= b1y2))
+        .alias("boxes_overlap"),
+    )

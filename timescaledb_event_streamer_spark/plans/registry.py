@@ -57,6 +57,7 @@ def _load_all() -> None:
         queries_llm,
         queries_olap,
         queries_olap2,
+        queries_pgext,
         queries_timeseries,
         queries_timeseries2,
     )

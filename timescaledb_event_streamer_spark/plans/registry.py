@@ -63,30 +63,40 @@ def _load_all() -> None:
     )
 
 
-# Names the driver's 50-entry certification sample already covered in
-# rounds 1-2 (keys of CORRECTNESS_r02.json). The driver caps its
-# per-round oracle run; iteration order below puts never-certified
-# queries FIRST so successive rounds certify the remaining block
-# instead of re-running the same alphabetical prefix.
-_CERTIFIED_PRIOR_ROUNDS = frozenset({
-    "ann_batch_topk", "ann_bruteforce_topk", "ann_ivf_topk", "ann_knn_graph",
-    "ann_lsh_topk", "ann_radius_search", "cdc_chunk_resolution",
-    "cdc_compression_markers", "cdc_dlq_routing", "cdc_envelope_read",
-    "cdc_envelope_stream", "cdc_event_filter", "cdc_kafka_roundtrip",
-    "cdc_key_extraction", "cdc_message_events", "cdc_offset_tracking",
-    "cdc_ordering_audit", "cdc_publication_routing", "cdc_replica_identity",
-    "cdc_schema_registry", "cdc_sink_delivery_stats",
-    "cdc_snapshot_stream_merge", "cdc_snapshot_watermarks",
-    "cdc_table_filter", "cdc_toast_backfill", "cdc_tombstones",
-    "cdc_topic_naming", "cdc_transaction_stats", "cdc_wal2json_roundtrip",
-    "dedup_clusters", "dedup_containment", "dedup_cross_source",
-    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
-    "dedup_exact_normalized", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_semantic_clusters", "dedup_simhash", "embedding_centroid_stats",
-    "embedding_quantize_int8", "pg_array_text_codec", "pg_ltree_ops",
-    "pg_network_types", "pg_range_point_types", "pg_timetz",
-    "pg_type_conversion", "pipeline_clean_corpus", "q10_returned_items",
-})
+def _certified_prior_rounds() -> frozenset[str]:
+    """Names already certified by a prior driver round.
+
+    The driver caps its per-round oracle run (50 entries); iteration
+    order below puts never-certified queries FIRST so successive
+    rounds certify the remaining block instead of re-running the same
+    alphabetical prefix. Derived from the committed CORRECTNESS_r*.json
+    files at call time (not hard-coded), so each round's results
+    automatically rotate the next round's sample. A query counts as
+    certified only if some round recorded a pass: hash-green, or a
+    nonzero rows-only check for declared no-oracle queries — a
+    recorded failure keeps it at the front of the queue.
+    """
+    import json
+    from pathlib import Path
+
+    certified: set[str] = set()
+    repo_root = Path(__file__).resolve().parents[2]
+    for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        try:
+            results = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in results.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                certified.add(name)
+            elif row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0:
+                certified.add(name)
+    return frozenset(certified)
+
+
+_CERTIFIED_PRIOR_ROUNDS = _certified_prior_rounds()
 
 
 def _iteration_order() -> list[str]:

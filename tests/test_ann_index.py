@@ -1,0 +1,97 @@
+"""Indexed ANN build/probe split (SURVEY §2 E2/E3 scale path).
+
+Mirrors tests/test_bucketing.py's H10 proof style: the probe plan must
+show partition pruning on the index layout (bucket/cluster partition
+filters), and recall vs brute force must hold — so the registered
+`ann_lsh_topk` / `ann_ivf_topk` queries probe a one-off index instead
+of re-hashing / re-fitting the corpus per call. Reference analogue:
+one-off index build vs per-event probe in the snapshotting split
+(internal/systemcatalog/snapshotting/).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from timescaledb_event_streamer_spark.operators.ann import (
+    brute_force_topk,
+    build_ivf_index,
+    build_lsh_index,
+    hamming_ball,
+    ivf_topk_indexed,
+    lsh_topk_indexed,
+    query_bucket,
+)
+from timescaledb_event_streamer_spark.sources.tables import load
+
+
+def _query_vec(spark, sf_dir):
+    row = load(spark, sf_dir, "embeddings").filter("vec_id = 0").select("embedding").collect()[0]
+    return [float(x) for x in row[0]]
+
+
+def _partition_filter_line(df, key: str) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert lines, f"no PartitionFilters in probe plan:\n{plan}"
+    assert key in lines[0], f"partition filter not on {key}: {lines[0]}"
+    assert "PartitionFilters: []" not in lines[0], f"empty partition filter: {lines[0]}"
+    return lines[0]
+
+
+@pytest.fixture(scope="module")
+def lsh_index(spark, sf_mid, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lsh_index"))
+    build_lsh_index(load(spark, sf_mid, "embeddings"), path, n_planes=8)
+    return path
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark, sf_mid, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf_index"))
+    build_ivf_index(load(spark, sf_mid, "embeddings"), path, n_centroids=16)
+    return path
+
+
+def test_lsh_probe_is_partition_pruned(spark, sf_mid, lsh_index):
+    qv = _query_vec(spark, sf_mid)
+    probed = lsh_topk_indexed(spark, lsh_index, qv, k=10)
+    _partition_filter_line(probed, "bucket")
+    # multi-probe ball covers a strict subset of the bucket space
+    ball = hamming_ball(query_bucket(qv, n_planes=8), n_planes=8, radius=3)
+    assert len(set(ball)) == len(ball) == 93  # C(8,0..3)
+    assert len(ball) < 256
+
+
+def test_lsh_indexed_recall_vs_brute_force(spark, sf_mid, lsh_index):
+    qv = _query_vec(spark, sf_mid)
+    exact = {r["vec_id"] for r in brute_force_topk(load(spark, sf_mid, "embeddings"), qv, k=10).collect()}
+    approx = {r["vec_id"] for r in lsh_topk_indexed(spark, lsh_index, qv, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"indexed LSH recall {recall}"
+
+
+def test_ivf_probe_is_partition_pruned_and_refit_free(spark, sf_mid, ivf_index):
+    qv = _query_vec(spark, sf_mid)
+    probed = ivf_topk_indexed(spark, ivf_index, qv, k=10, nprobe=4)
+    line = _partition_filter_line(probed, "cluster")
+    # the probe scans the partitioned vectors table, not a k-means refit:
+    # the plan is a pure scan+filter+topk (no MLlib stages appear in it)
+    assert "vectors" in line
+
+
+def test_ivf_indexed_recall_vs_brute_force(spark, sf_mid, ivf_index):
+    qv = _query_vec(spark, sf_mid)
+    exact = {r["vec_id"] for r in brute_force_topk(load(spark, sf_mid, "embeddings"), qv, k=10).collect()}
+    approx = {r["vec_id"] for r in ivf_topk_indexed(spark, ivf_index, qv, k=10, nprobe=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"indexed IVF recall {recall}"
+
+
+def test_ivf_full_probe_matches_brute_force(spark, sf_mid, ivf_index):
+    """nprobe = n_centroids degenerates to an exact scan — same top-k
+    as brute force (deterministic tiebreak on vec_id)."""
+    qv = _query_vec(spark, sf_mid)
+    exact = [r["vec_id"] for r in brute_force_topk(load(spark, sf_mid, "embeddings"), qv, k=10).collect()]
+    full = [r["vec_id"] for r in ivf_topk_indexed(spark, ivf_index, qv, k=10, nprobe=16).collect()]
+    assert full == exact

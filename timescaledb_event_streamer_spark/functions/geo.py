@@ -59,13 +59,22 @@ def le_bytes(hexcol: Column, nbytes: int) -> Column:
 def double_bits_hex(n: Column) -> Column:
     """Big-endian hex bit pattern of ``CAST(n AS DOUBLE)`` for a
     NONNEGATIVE integer-valued column. Exact integer arithmetic; no
-    floating log2 (``length(bin(n)) - 1`` is the exponent)."""
+    floating log2 (``length(bin(n)) - 1`` is the exponent).
+
+    Domain: 0 <= n < 2^53 (exactly representable doubles). Out-of-range
+    input returns NULL rather than silently encoding garbage — negative
+    n would make ``bin`` emit 64-char two's complement and n >= 2^53
+    truncates the mantissa multiplier to 0."""
     n = n.cast("long")
     expo = (F.length(F.bin(n)) - 1).cast("long")
     mant = ((n - F.pow(F.lit(2.0), expo).cast("long"))
             * F.pow(F.lit(2.0), F.lit(52) - expo).cast("long"))
     bits = (F.lit(1023) + expo) * F.lit(TWO52) + mant
-    return F.when(n == 0, F.lit("0000000000000000")).otherwise(_hex_long(bits, 16))
+    return (
+        F.when((n < 0) | (expo > 52), F.lit(None).cast("string"))
+        .when(n == 0, F.lit("0000000000000000"))
+        .otherwise(_hex_long(bits, 16))
+    )
 
 
 def double_from_bits_hex(h: Column) -> Column:

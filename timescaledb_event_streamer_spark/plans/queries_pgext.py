@@ -277,26 +277,33 @@ def pg_postgis_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string, JSON-marshalled into the envelope) + the xpath analytic "
     "surface Spark adds: build the XML wire text from row fields, "
     "extract typed values back out with xpath_string/xpath_long/"
-    "xpath_double, and re-emit the envelope JSON string. The oracle "
-    "derives every extracted value independently from the source "
-    "columns, so the xpath decode is checked against ground truth, "
-    "not against itself.",
+    "xpath_double, and re-emit the envelope JSON string byte-identical "
+    "to Go json.Marshal (xml.go MarshalJSON), including its HTML-safe "
+    "escaping of < > & as \\u003c \\u003e \\u0026. The oracle derives "
+    "every extracted value independently from the source columns, so "
+    "the xpath decode is checked against ground truth, not against "
+    "itself.",
     oracle="""
+        WITH src AS (
+            SELECT event_id, user_id, event_type,
+                   '<event id="' || event_id || '"><type>' || event_type
+                       || '</type><user>' || user_id || '</user><cents>'
+                       || CAST(round(value * 100) AS BIGINT) || '</cents></event>'
+                       AS xml_text,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
         SELECT event_id,
-               '<event id="' || event_id || '"><type>' || event_type
-                   || '</type><user>' || user_id || '</user><cents>'
-                   || CAST(round(value * 100) AS BIGINT) || '</cents></event>'
-                   AS xml_text,
+               xml_text,
                event_type AS x_type,
                user_id AS x_user,
-               CAST(round(value * 100) AS BIGINT) AS x_cents,
+               cents AS x_cents,
                event_id AS x_attr_id,
                user_id >= 8 AS x_power_user,
-               '"' || replace('<event id="' || event_id || '"><type>' || event_type
-                   || '</type><user>' || user_id || '</user><cents>'
-                   || CAST(round(value * 100) AS BIGINT) || '</cents></event>',
+               '"' || replace(replace(replace(replace(xml_text,
+                   '&', '\\u0026'), '<', '\\u003c'), '>', '\\u003e'),
                    '"', '\\"') || '"' AS envelope_json
-        FROM events
+        FROM src
     """,
 )
 def pg_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,9 +325,23 @@ def pg_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_long("xml_text", F.lit("/event/cents")).alias("x_cents"),
         F.xpath_long("xml_text", F.lit("/event/@id")).alias("x_attr_id"),
         (F.xpath_long("xml_text", F.lit("/event/user")) >= 8).alias("x_power_user"),
-        # xml.go MarshalJSON: json.Marshal of the raw XML string.
+        # xml.go MarshalJSON: json.Marshal of the raw XML string —
+        # including Go's default HTML-safe escaping of < > & to
+        # \\u003c \\u003e \\u0026, so the envelope bytes match the
+        # reference exactly, not just JSON-equivalently.
         F.concat(
-            F.lit('"'), F.regexp_replace("xml_text", '"', '\\\\"'), F.lit('"')
+            F.lit('"'),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace("xml_text", "&", "\\\\u0026"),
+                        "<", "\\\\u003c",
+                    ),
+                    ">", "\\\\u003e",
+                ),
+                '"', '\\\\"',
+            ),
+            F.lit('"'),
         ).alias("envelope_json"),
     )
 

@@ -135,3 +135,37 @@ def test_shingles_short_docs_yield_empty_set(spark):
         expected = max(0, nt - SHINGLE_WIDTH + 1)
         assert r["n"] == expected, (nt, r["n"])
         assert (r["fp"] is None) == (expected == 0)
+
+
+def test_cross_source_matrix_planted(spark):
+    """The driver testdata plants no cross-source copies (the registered
+    dedup_cross_source row is legitimately 0-vs-0 there); this pins the
+    nonzero who-copies-whom matrix on a synthetic corpus."""
+    from timescaledb_event_streamer_spark.operators.dedup import cross_source_matrix
+
+    docs = spark.createDataFrame(
+        [
+            # "alpha" copied by web + books + wiki; within-source repeat
+            # in web must NOT inflate the pair count (distinct-first)
+            (1, "web", "alpha text"),
+            (2, "web", "alpha text"),
+            (3, "books", "alpha text"),
+            (4, "wiki", "alpha text"),
+            # "beta" copied web -> wiki only
+            (5, "web", "beta text"),
+            (6, "wiki", "beta text"),
+            # unique docs contribute nothing
+            (7, "web", "gamma text"),
+            (8, "books", "delta text"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared_docs"]
+        for r in cross_source_matrix(docs).collect()
+    }
+    assert got == {
+        ("books", "web"): 1,
+        ("books", "wiki"): 1,
+        ("web", "wiki"): 2,  # alpha + beta
+    }

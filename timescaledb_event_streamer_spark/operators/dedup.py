@@ -36,6 +36,33 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def cross_source_matrix(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every exact-content match
+    spanning two different sources, count the (source_a, source_b)
+    pair — the who-copies-whom diagnostic that decides source priority
+    before dedup.
+
+    Distinct (hash, source) FIRST, so the within-hash self-join is
+    bounded by source cardinality (tens), not copy count — a content
+    hash shared by a million rows across 3 sources joins 3x3, not
+    10^12. One shuffle for the distinct, one hash-keyed self-join.
+    """
+    hs = docs.select(
+        F.md5(F.col(text_col)).alias("h"), F.col(source_col).alias("source")
+    ).distinct()
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+    )
+
+
 def _shingle_table(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Distinct (doc_id, shingle) rows, persisted: every consumer
     (pair join sides, size aggregation) reuses ONE computation of the

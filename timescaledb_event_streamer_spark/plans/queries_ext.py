@@ -879,7 +879,10 @@ def ts_max_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_b) pair -- the who-copies-whom diagnostic that decides "
     "source priority before dedup. Distinct (hash, source) first, so "
     "the within-hash self-join is bounded by source cardinality, not "
-    "copy count.",
+    "copy count. NOTE: the driver testdata plants no cross-source "
+    "copies, so this row is legitimately 0-vs-0 against the oracle; "
+    "the nonzero-matrix behavior is pinned by a planted-duplicate "
+    "pytest (tests/test_dedup.py::test_cross_source_matrix_planted).",
     oracle="""
         WITH hs AS (
             SELECT DISTINCT md5(text) AS h, source FROM documents
@@ -891,16 +894,9 @@ def ts_max_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    hs = docs.select(F.md5("text").alias("h"), "source").distinct()
-    a, b = hs.alias("a"), hs.alias("b")
-    return (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
-    )
+    from timescaledb_event_streamer_spark.operators.dedup import cross_source_matrix
+
+    return cross_source_matrix(load(spark, sf_dir, "documents"))
 
 
 @register(

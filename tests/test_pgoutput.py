@@ -1,0 +1,103 @@
+"""pgoutput binary frame codec tests (sources/pgoutput.py): frame
+anatomy, tuple/key images per op, PG-epoch commit timestamps, relation
+cstring decode, and the segmented transaction attach — including a
+transaction whose data frames cross an LSN-segment boundary, which
+exercises the cross-segment carry instead of the in-segment LOCF."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.sources.pgoutput import (
+    SEGMENT_BITS,
+    parse_pgoutput,
+    relation_catalog,
+    synthesize_pgoutput,
+)
+
+TS = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(eid, TS, uid, et, val, props) for eid, uid, et, val, props in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_frame_wire_anatomy(spark):
+    ev = _events(spark, [(3, 7, "metrics", 20.5, "p")])  # op 'c' (3 % 10)
+    frames = {f["frame"][50:52]: f["frame"] for f in synthesize_pgoutput(ev).collect()}
+    assert set(frames) == {"42", "43", "52", "49"}  # B, C, R, I
+    ins = frames["49"]
+    assert ins[:2] == "77"  # XLogData wrapper
+    assert int(ins[2:18], 16) == 3 * 4 + 2  # walStart = event LSN
+    # I payload: relid(4B) then 'N' then ncols=3
+    assert ins[60:62] == "4E"
+    assert int(ins[62:66], 16) == 3
+
+
+def test_roundtrip_images_per_op(spark):
+    ev = _events(
+        spark,
+        [
+            (3, 7, "metrics", 20.5, "pr"),   # c
+            (11, 8, "metrics", 1.25, "qx"),  # u (11 % 10 == 1)
+            (20, 9, "metrics", 0.0, "zz"),   # d (20 % 10 == 0)
+        ],
+    )
+    rows = {r["op"]: r for r in parse_pgoutput(synthesize_pgoutput(ev)).collect()}
+    assert set(rows) == {"c", "u", "d"}
+
+    ins, upd, dele = rows["c"], rows["u"], rows["d"]
+    assert ins["after_user_id"] == 7 and ins["after_cents"] == 2050
+    assert ins["after_props"] == "pr" and ins["before_user_id"] is None
+    assert upd["before_user_id"] == 8 and upd["after_cents"] == 125
+    assert dele["before_user_id"] == 9 and dele["after_user_id"] is None
+    assert dele["after_cents"] is None and dele["after_props"] is None
+    for r in rows.values():
+        assert r["topic"] == "timescaledb.public.metrics"
+        assert r["source_schema"] == "public"
+        assert r["source_table"] == "metrics"
+        # commit ts of the (single) txn: every op carries it
+        assert r["ts_ms"] == int(TS.timestamp() * 1000)
+
+
+def test_relation_catalog_cstrings(spark):
+    ev = _events(spark, [(3, 1, "metrics_v2", 1.0, "p"), (4, 1, "clicks", 2.0, "q")])
+    cat = {r["relname"]: r for r in relation_catalog(synthesize_pgoutput(ev)).collect()}
+    assert set(cat) == {"metrics_v2", "clicks"}
+    assert all(r["namespace"] == "public" for r in cat.values())
+    assert len({r["relid"] for r in cat.values()}) == 2
+
+
+def test_xid_attach_across_segment_boundary(spark):
+    """Transaction 10's B frame (LSN 4000) sits in segment 0; its later
+    data frames (LSN > 4096) sit in segment 1, which contains no B
+    frame — only the cross-segment carry can label them."""
+    seg_size = 1 << SEGMENT_BITS
+    eids = [1003, 1013, 1024, 1045, 1087, 1099]  # xid 10, LSNs 4014..4398
+    assert any(e * 4 + 2 > seg_size for e in eids)
+    assert 10 * 400 < seg_size
+    ev = _events(spark, [(e, 1, "metrics", 1.0, "p") for e in eids])
+    rows = parse_pgoutput(synthesize_pgoutput(ev)).collect()
+    assert len(rows) == len(eids)
+    assert {r["xid"] for r in rows} == {10}
+    boundary_rows = [r for r in rows if r["lsn"] > seg_size]
+    assert boundary_rows, "test data must cross the segment boundary"
+
+
+def test_lsn_order_and_props_roundtrip_hostile_text(spark):
+    """Props with JSON/hex-hostile content survive the length-prefixed
+    byte encoding (no terminator search on values)."""
+    hostile = 'a"b\\c\nd\x01eé'
+    ev = _events(spark, [(3, 1, "m", 1.0, hostile), (4, 2, "m", 2.0, "")])
+    rows = sorted(
+        parse_pgoutput(synthesize_pgoutput(ev)).collect(), key=lambda r: r["lsn"]
+    )
+    assert [r["lsn"] for r in rows] == [14, 18]
+    assert rows[0]["after_props"] == hostile
+    assert rows[1]["after_props"] == ""

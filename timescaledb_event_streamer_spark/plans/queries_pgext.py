@@ -427,3 +427,54 @@ def pg_box_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((b1x1 <= b2x2) & (b2x1 <= b1x2) & (b1y1 <= b2y2) & (b2y1 <= b1y2))
         .alias("boxes_overlap"),
     )
+
+
+@register(
+    "cdc_pgoutput_roundtrip",
+    family="cdc",
+    doc="pgoutput BINARY logical-replication frame round-trip — the "
+    "reference's actual wire format (replicationconnection.go:36, "
+    "spi/pgtypes/logicalreplicationmessage.go:47, typemanager/"
+    "decoderplan.go): synthesize XLogData-wrapped B/C/R/I/U/D frames "
+    "from the simulated transaction log, then decode envelopes back "
+    "out of the wire hex alone — length-prefixed tuple values, "
+    "null-terminated relation strings, PG-epoch commit timestamps, "
+    "and xid/ts attach via a segmented transaction-tracker LOCF "
+    "(no full-stream single-partition window). The oracle derives "
+    "every output column independently from the source rows, so an "
+    "encode/decode bug cannot cancel out.",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, user_id, event_type, props,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN event_id % 10 = 0 THEN 'd'
+                        WHEN event_id % 10 IN (1, 2) THEN 'u'
+                        ELSE 'c' END AS op,
+                   event_id * 4 + 2 AS lsn,
+                   CAST(floor(event_id / 100) AS BIGINT) AS xid,
+                   ts
+            FROM events
+        ),
+        tx AS (SELECT xid, max(ts) AS commit_ts FROM base GROUP BY xid)
+        SELECT 'timescaledb.public.' || b.event_type AS topic,
+               b.op,
+               'public' AS source_schema,
+               b.event_type AS source_table,
+               b.lsn,
+               b.xid,
+               CAST(epoch_us(t.commit_ts) // 1000 AS BIGINT) AS ts_ms,
+               b.user_id AS key_user_id,
+               CASE WHEN b.op IN ('u', 'd') THEN b.user_id END AS before_user_id,
+               CASE WHEN b.op IN ('c', 'u') THEN b.user_id END AS after_user_id,
+               CASE WHEN b.op IN ('c', 'u') THEN b.cents END AS after_cents,
+               CASE WHEN b.op IN ('c', 'u') THEN b.props END AS after_props
+        FROM base b JOIN tx t USING (xid)
+    """,
+)
+def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        parse_pgoutput,
+        synthesize_pgoutput,
+    )
+
+    return parse_pgoutput(synthesize_pgoutput(load(spark, sf_dir, "events")))

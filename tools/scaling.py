@@ -41,6 +41,8 @@ REPS = [
     ("dedup_containment", "shingle containment"),
     ("ann_batch_topk", "salted multi-query top-k"),
     ("cdc_dlq_routing", "validation routing"),
+    ("ann_lsh_topk", "indexed LSH probe (build at plan time)"),
+    ("cdc_pgoutput_roundtrip", "binary frame codec roundtrip"),
 ]
 
 

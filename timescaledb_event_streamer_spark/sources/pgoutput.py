@@ -114,9 +114,12 @@ def synthesize_pgoutput(events: DataFrame) -> DataFrame:
         _xlogdata(F.col("event_id") * 4 + 2, data_payload).alias("frame")
     )
 
+    # txn and relation branches are metadata-sized (one row per xid /
+    # per table); coalesce them so the frame union doesn't inherit a
+    # full set of near-empty shuffle partitions per branch
     txn = events.groupBy(F.floor(F.col("event_id") / 100).cast("long").alias("xid")).agg(
         F.max("event_id").alias("max_eid"), F.max("ts").alias("commit_ts")
-    )
+    ).coalesce(1)
     commit_lsn = F.col("max_eid") * 4 + 3
     commit_us = F.unix_micros(F.col("commit_ts")) + F.lit(PG_EPOCH_OFFSET_US)
     begin = txn.select(
@@ -141,7 +144,7 @@ def synthesize_pgoutput(events: DataFrame) -> DataFrame:
         col_meta.append(_h(F.lit(_TYPOIDS[name]), 4))
         col_meta.append(F.lit("FFFFFFFF"))  # typmod -1
     relation = (
-        events.select("event_type").distinct().select(
+        events.select("event_type").distinct().coalesce(1).select(
             _xlogdata(
                 F.lit(0),
                 F.concat(
@@ -249,35 +252,42 @@ def parse_pgoutput(
         .when(F.col("ptype") == "55", "u")
         .when(F.col("ptype") == "44", "d")
     )
-    # 'I': 'N'(61) + new tuple at 63
-    ins_vals, _ = _tuple_values(hh, F.lit(63))
-    # 'U': 'K'(61) + key tuple at 63, then 'N' + new tuple
-    ukey_vals, ukey_end = _tuple_values(hh, F.lit(63))
-    unew_vals, _ = _tuple_values(hh, ukey_end + 2)
-    # 'D': 'K'(61) + key tuple at 63
-    dkey_vals, _ = _tuple_values(hh, F.lit(63))
+    # Every data frame carries a tuple at hex position 63 ('I' its new
+    # image, 'U'/'D' the key image) — parse it ONCE and route by type,
+    # and stage the parse through intermediate columns so the generated
+    # code stays under the JVM method-size codegen limit (a single
+    # mega-projection repeating the offset chains made Janino reject
+    # the class, silently dropping every execution to interpreted mode).
+    t63_vals, t63_end = _tuple_values(hh, F.lit(63))
+    is_i = F.col("ptype") == "49"
+    is_u = F.col("ptype") == "55"
+    is_d = F.col("ptype") == "44"
 
-    def pick(i: int, *, new: bool) -> Column:
-        if new:
-            return (
-                F.when(F.col("ptype") == "49", ins_vals[i])
-                .when(F.col("ptype") == "55", unew_vals[i])
-            )
-        return (
-            F.when(F.col("ptype") == "55", ukey_vals[i])
-            .when(F.col("ptype") == "44", dkey_vals[i])
-        )
-
-    decoded = base.select(
+    stage1 = base.select(
+        "h",
         "lsn",
         op.alias("op"),
         relid.alias("relid"),
         b_xid.alias("_b_xid"),
         b_ts_ms.alias("_b_ts_ms"),
-        pick(0, new=False).alias("_key_uid"),
-        pick(0, new=True).alias("_new_uid"),
-        pick(1, new=True).alias("after_cents_s"),
-        pick(2, new=True).alias("after_props"),
+        F.when(is_u | is_d, t63_vals[0]).alias("_key_uid"),
+        F.when(is_i, t63_vals[0]).alias("_i_uid"),
+        F.when(is_i, t63_vals[1]).alias("_i_cents"),
+        F.when(is_i, t63_vals[2]).alias("_i_props"),
+        F.when(is_u, t63_end + 2).alias("_unew_start"),
+    )
+    # 'U' second tuple ('N' + new image) parsed off the staged offset
+    unew_vals, _ = _tuple_values(F.col("h"), F.col("_unew_start"))
+    decoded = stage1.select(
+        "lsn",
+        "op",
+        "relid",
+        "_b_xid",
+        "_b_ts_ms",
+        "_key_uid",
+        F.coalesce("_i_uid", unew_vals[0]).alias("_new_uid"),
+        F.coalesce("_i_cents", unew_vals[1]).alias("after_cents_s"),
+        F.coalesce("_i_props", unew_vals[2]).alias("after_props"),
     )
 
     # transaction attach: segmented LOCF (see docstring)

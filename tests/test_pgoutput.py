@@ -101,3 +101,81 @@ def test_lsn_order_and_props_roundtrip_hostile_text(spark):
     assert [r["lsn"] for r in rows] == [14, 18]
     assert rows[0]["after_props"] == hostile
     assert rows[1]["after_props"] == ""
+
+
+def test_streaming_decode_matches_batch(spark, tmp_path):
+    """The stateless frame decode runs identically under Structured
+    Streaming (file source of raw frames -> decode -> stream-static
+    broadcast join with the relation catalog -> memory sink) — the
+    live replication path's shape (I7 + the binary codec)."""
+    from timescaledb_event_streamer_spark.sources.pgoutput import decode_frames
+
+    ev = _events(
+        spark,
+        [(3, 7, "metrics", 20.5, "p"), (11, 8, "clicks", 1.25, "q"),
+         (20, 9, "metrics", 0.0, "z")],
+    )
+    frames = synthesize_pgoutput(ev)
+    path = str(tmp_path / "frames")
+    frames.write.mode("overwrite").parquet(path)
+
+    cat = relation_catalog(spark.read.parquet(path))  # static side
+
+    def envelope(df):
+        return (
+            decode_frames(df)
+            .filter(F.col("op").isNotNull())
+            .join(F.broadcast(cat), "relid")
+            .select("lsn", "op", "relname", "_key_uid", "_new_uid",
+                    "after_cents_s", "after_props")
+        )
+
+    batch = {tuple(r) for r in envelope(spark.read.parquet(path)).collect()}
+
+    stream = spark.readStream.schema("frame string").parquet(path)
+    q = (
+        envelope(stream)
+        .writeStream.format("memory")
+        .queryName("pgoutput_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in spark.sql("SELECT * FROM pgoutput_mem").collect()}
+    finally:
+        q.stop()
+    assert streamed == batch and len(batch) == 3
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PROPS = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2**40), st.integers(0, 10_000), _PROPS),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_pgoutput_roundtrip_property(spark, rows):
+    """Arbitrary text payloads and event ids survive the binary tuple
+    encoding: length prefixes are byte counts (multi-byte UTF-8 safe)
+    and values never collide with frame markers."""
+    ev = _events(spark, [(eid, uid, "m", 1.0, props) for eid, uid, props in rows])
+    got = {r["lsn"]: r for r in parse_pgoutput(synthesize_pgoutput(ev)).collect()}
+    assert len(got) == len(rows)
+    for eid, uid, props in rows:
+        r = got[eid * 4 + 2]
+        op = "d" if eid % 10 == 0 else ("u" if eid % 10 in (1, 2) else "c")
+        assert r["op"] == op
+        assert r["key_user_id"] == uid
+        if op != "d":
+            assert r["after_props"] == props

@@ -216,19 +216,14 @@ def relation_catalog(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
     return rel2.select("relid", "namespace", relname.alias("relname"))
 
 
-def parse_pgoutput(
-    frames: DataFrame, frame_col: str = "frame", topic_prefix: str = "timescaledb"
-) -> DataFrame:
-    """Decode XLogData-wrapped pgoutput frames (hex) into the engine's
-    envelope: (topic, op, source_schema, source_table, lsn, xid,
-    ts_ms, key_user_id, before_user_id, after_user_id, after_cents,
-    after_props).
+def decode_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Stateless frame decode: B/I/U/D frames -> (lsn, op, relid,
+    _b_xid, _b_ts_ms, _key_uid, _new_uid, after_cents_s, after_props).
 
-    xid and ts_ms ride only on 'B' frames; they are attached to data
-    frames with a segmented LOCF over LSN order — per-segment window
-    carry plus a metadata-sized cross-segment boundary table — so no
-    full-stream single-partition window exists in the plan
-    (transactiontracker.go's commit grouping, distributed).
+    Pure projections + filter, so it runs identically under batch and
+    Structured Streaming (the live replication path: stream the raw
+    frames, decode here, stream-static join the relation catalog;
+    transaction attach then happens per micro-batch or downstream).
     """
     h = F.upper(F.col(frame_col))
     base = frames.select(
@@ -278,7 +273,7 @@ def parse_pgoutput(
     )
     # 'U' second tuple ('N' + new image) parsed off the staged offset
     unew_vals, _ = _tuple_values(F.col("h"), F.col("_unew_start"))
-    decoded = stage1.select(
+    return stage1.select(
         "lsn",
         "op",
         "relid",
@@ -289,6 +284,23 @@ def parse_pgoutput(
         F.coalesce("_i_cents", unew_vals[1]).alias("after_cents_s"),
         F.coalesce("_i_props", unew_vals[2]).alias("after_props"),
     )
+
+
+def parse_pgoutput(
+    frames: DataFrame, frame_col: str = "frame", topic_prefix: str = "timescaledb"
+) -> DataFrame:
+    """Decode XLogData-wrapped pgoutput frames (hex) into the engine's
+    envelope: (topic, op, source_schema, source_table, lsn, xid,
+    ts_ms, key_user_id, before_user_id, after_user_id, after_cents,
+    after_props).
+
+    xid and ts_ms ride only on 'B' frames; they are attached to data
+    frames with a segmented LOCF over LSN order — per-segment window
+    carry plus a metadata-sized cross-segment boundary table — so no
+    full-stream single-partition window exists in the plan
+    (transactiontracker.go's commit grouping, distributed).
+    """
+    decoded = decode_frames(frames, frame_col)
 
     # transaction attach: segmented LOCF (see docstring)
     seg = F.shiftright(F.col("lsn"), SEGMENT_BITS).alias("seg")

@@ -732,3 +732,85 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_pairs_containment(docs).filter(
         (F.col("containment_a") >= 0.5) | (F.col("containment_b") >= 0.5)
     )
+
+
+@register(
+    "text_chunk_windows",
+    family="text",
+    doc="Context-window chunking: split every document into 50-token "
+    "windows with 10-token overlap (stride 40) -- the standard "
+    "training-example preparation step. sequence+explode+slice, all "
+    "codegen, one scan, no shuffle; chunk content is carried as an "
+    "md5 so the output stays slim at corpus scale.",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 1, 0) + 1, 40)) AS start
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(start // 40 AS BIGINT) AS chunk_idx,
+               CAST(len(toks[start + 1 : start + 50]) AS BIGINT) AS chunk_tokens,
+               md5(array_to_string(toks[start + 1 : start + 50], ' ')) AS chunk_hash
+        FROM s
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(40))
+    exploded = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("start")
+    )
+    chunk = F.slice("toks", F.col("start") + 1, F.lit(50))
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / 40).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    family="text",
+    doc="Deterministic stratified sampling + train/val split: per-source "
+    "keep rates and a 10%-val holdout decided by salted md5 prefixes "
+    "(hex-string compare == numeric compare at fixed width, so the "
+    "decision is reproducible on any engine and any run -- the "
+    "training-mix downsampling step of a 100 TB pipeline; pure "
+    "projection, no shuffle, no RNG state).",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   substr(md5('sample:' || doc_id), 1, 4) AS sample_key,
+                   substr(md5('split:' || doc_id), 1, 4) AS split_key
+            FROM documents
+        )
+        SELECT doc_id, source, sample_key,
+               CASE WHEN split_key < '1999' THEN 'val' ELSE 'train' END AS split
+        FROM keyed
+        WHERE source IN ('src0', 'src1', 'src2', 'src3') OR sample_key < '8000'
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    sample_key = F.substring(F.md5(F.concat(F.lit("sample:"), did)), 1, 4)
+    split_key = F.substring(F.md5(F.concat(F.lit("split:"), did)), 1, 4)
+    keep = F.col("source").isin("src0", "src1", "src2", "src3") | (
+        sample_key < "8000"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            sample_key.alias("sample_key"),
+            F.when(split_key < "1999", "val").otherwise("train").alias("split"),
+        )
+        .filter(keep)
+    )

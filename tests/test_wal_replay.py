@@ -128,3 +128,40 @@ def test_wal_replay_envelope_contents(spark, tmp_path):
 
     # the excluded table's committed insert never reaches the sink
     assert all(r["topic"] != "timescaledb.public.audit_log" for r in rows.values())
+
+
+def test_wal_replay_resumes_from_checkpoint_without_duplicates(spark, tmp_path):
+    """Restartable offsets (spi/statestorage): a checkpointed stream
+    consumes batch0, stops, and on restart with batch1 present emits
+    ONLY batch1's envelopes — no replay of batch0, no loss."""
+    src = tmp_path / "wal"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    (src / "batch0.json").write_text("\n".join(WAL_LOG["batch0.json"]))
+
+    def run_once():
+        stream = spark.readStream.format("text").schema("value string").load(str(src))
+        q = (
+            _pipeline(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert sorted(r["lsn"] for r in first) == [0x1010, 0x1020]
+
+    (src / "batch1.json").write_text("\n".join(WAL_LOG["batch1.json"]))
+    run_once()
+    both = spark.read.parquet(out).collect()
+    # batch0's two envelopes exactly once + batch1's three (audit_log filtered)
+    lsns = sorted(r["lsn"] for r in both)
+    assert lsns == [0x1010, 0x1020, 0x2010, 0x2020, 0x2030]

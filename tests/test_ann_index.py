@@ -95,3 +95,34 @@ def test_ivf_full_probe_matches_brute_force(spark, sf_mid, ivf_index):
     exact = [r["vec_id"] for r in brute_force_topk(load(spark, sf_mid, "embeddings"), qv, k=10).collect()]
     full = [r["vec_id"] for r in ivf_topk_indexed(spark, ivf_index, qv, k=10, nprobe=16).collect()]
     assert full == exact
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index(spark, sf_mid, tmp_path_factory):
+    from timescaledb_event_streamer_spark.operators.ann import build_ivfpq_index
+
+    path = str(tmp_path_factory.mktemp("ivfpq_index"))
+    build_ivfpq_index(load(spark, sf_mid, "embeddings"), path)
+    return path
+
+
+def test_ivfpq_probe_is_partition_pruned_and_code_sized(spark, sf_mid, ivfpq_index):
+    from timescaledb_event_streamer_spark.operators.ann import ivfpq_topk
+
+    qv = _query_vec(spark, sf_mid)
+    probed = ivfpq_topk(spark, ivfpq_index, qv, k=10, nprobe=4)
+    _partition_filter_line(probed, "cluster")
+    # codes are 32x smaller than the raw vector: 8 ints vs 64 doubles
+    row = spark.read.parquet(f"{ivfpq_index}/vectors").first()
+    assert len(row["pq_codes"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_codes"])
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_mid, ivfpq_index):
+    from timescaledb_event_streamer_spark.operators.ann import ivfpq_topk
+
+    qv = _query_vec(spark, sf_mid)
+    exact = {r["vec_id"] for r in brute_force_topk(load(spark, sf_mid, "embeddings"), qv, k=10).collect()}
+    approx = {r["vec_id"] for r in ivfpq_topk(spark, ivfpq_index, qv, k=10, nprobe=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall {recall}"

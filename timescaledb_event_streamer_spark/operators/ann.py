@@ -425,3 +425,159 @@ def cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    m_subspaces: int = 8,
+    codebook_k: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """IVF-PQ index build — the memory-compressed ANN scale path on
+    top of :func:`build_ivf_index`'s coarse quantizer.
+
+    Vectors are L2-normalized (so dot == cosine), coarse-assigned to
+    ``n_centroids`` cells, then product-quantized: the ``dim`` dims
+    split into ``m_subspaces`` sub-vectors, each encoded as its nearest
+    centroid id in a per-subspace ``codebook_k``-entry codebook (MLlib
+    k-means, seeded per subspace). A 64-dim float vector becomes
+    ``m_subspaces`` small ints — 32x smaller — so at 100 TB the probe
+    scans code arrays, not raw vectors.
+
+    Layout under ``path``: ``vectors/`` partitioned by ``cluster``
+    carrying (id, label, pq_codes array, the raw vector for optional
+    exact re-rank), ``codebooks/`` ((m, code) -> sub-centroid,
+    metadata-sized), ``centroids/`` (coarse cells, metadata-sized).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    sub_dim = dim // m_subspaces
+
+    v = F.col(vec_col).cast("array<double>")
+    unit = F.transform(v, lambda x: x / norm(v))
+    base = embeddings.select(
+        F.col(id_col), F.col("label"), unit.alias("v")
+    ).persist()
+
+    feat = base.select(
+        id_col, "label", "v", array_to_vector("v").alias("_features")
+    )
+    coarse = KMeans(k=n_centroids, seed=42, featuresCol="_features", maxIter=10).fit(feat)
+    assigned = (
+        coarse.transform(feat).withColumnRenamed("prediction", "cluster").drop("_features")
+    )
+
+    codebook_rows: list[tuple[int, int, list[float]]] = []
+    code_cols: list = []
+    for mi in range(m_subspaces):
+        sub = F.slice("v", mi * sub_dim + 1, sub_dim)
+        sub_feat = assigned.select(array_to_vector(sub).alias("_sf"))
+        km = KMeans(k=codebook_k, seed=100 + mi, featuresCol="_sf", maxIter=10).fit(sub_feat)
+        for ci, c in enumerate(km.clusterCenters()):
+            codebook_rows.append((mi, ci, [float(x) for x in c]))
+        # nearest sub-centroid id, computed as a codegen argmin over the
+        # (tiny) codebook: array of distances -> array_position of min
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(float(x)) for x in km.clusterCenters()[ci]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+            for ci in range(codebook_k)
+        ])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"_c{mi}")
+        )
+
+    coded = assigned.select(
+        id_col, "label", "cluster", "v", F.array(*code_cols).alias("pq_codes")
+    )
+    coded.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        codebook_rows, "m int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    base.unpersist()
+
+
+def ivfpq_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 4,
+    rerank: int = 200,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ probe: asymmetric distance computation (ADC) + exact
+    re-rank.
+
+    Driver-side (all metadata-sized): rank coarse centroids, pick
+    ``nprobe`` cells; precompute the ADC lookup table — dot(query
+    sub-vector, sub-centroid) for every (subspace, code). The scan then
+    prunes to the nprobe cluster partitions and scores each row as a
+    pure table lookup sum over its ``m`` codes (no vector math per
+    row); the top ``rerank`` approximate candidates get exact-cosine
+    re-ranked for the final k. Scan fraction ~= nprobe/n_centroids,
+    bytes per scanned row ~= m ints.
+    """
+    import numpy as np
+
+    cb = spark.read.parquet(f"{index_path}/codebooks").collect()
+    cents = spark.read.parquet(f"{index_path}/centroids").collect()
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) + 1e-12)
+    m_subspaces = max(r["m"] for r in cb) + 1
+    sub_dim = len(query_vec) // m_subspaces
+
+    centers = np.vstack([np.asarray(r["centroid"]) for r in cents])
+    sims = centers @ qn
+    ids = [int(r["cluster"]) for r in cents]
+    probes = [ids[int(i)] for i in np.argsort(-sims)[:nprobe]]
+
+    # ADC table: adc[m][code] = dot(q_m, codebook[m][code])
+    adc = [[0.0] * (max(r["code"] for r in cb) + 1) for _ in range(m_subspaces)]
+    for r in cb:
+        qm = qn[r["m"] * sub_dim : (r["m"] + 1) * sub_dim]
+        adc[r["m"]][r["code"]] = float(qm @ np.asarray(r["centroid"]))
+    adc_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in adc])
+
+    vecs = spark.read.parquet(f"{index_path}/vectors").filter(F.col("cluster").isin(probes))
+    idx = F.sequence(F.lit(1), F.lit(m_subspaces))
+    approx = F.aggregate(
+        F.zip_with(
+            idx, F.col("pq_codes"),
+            lambda i, c: F.element_at(F.element_at(adc_lit, i.cast("int")), c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in qn])
+    cand = (
+        vecs.select(id_col, "label", "v", approx.alias("approx_dot"))
+        .orderBy(F.col("approx_dot").desc(), F.col(id_col))
+        .limit(rerank)
+    )
+    return (
+        cand.select(
+            id_col, "label", F.round(dot(F.col("v"), qcol), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

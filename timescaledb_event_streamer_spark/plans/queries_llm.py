@@ -814,3 +814,35 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(keep)
     )
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from timescaledb_event_streamer_spark.operators.ann import build_ivfpq_index
+
+    key = (os.path.abspath(sf_dir), "ivfpq16x8")
+    if key not in _ANN_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="spark_graft_ivfpq_index_")
+        build_ivfpq_index(load(spark, sf_dir, "embeddings"), path)
+        _ANN_INDEX_CACHE[key] = path
+    return _ANN_INDEX_CACHE[key]
+
+
+@register(
+    "ann_ivfpq_topk",
+    family="ann",
+    doc="IVF-PQ ANN top-20: one-off build quantizes L2-normalized "
+    "vectors into 8 subspace codes (32x smaller than raw floats) in a "
+    "cluster-partitioned layout; the probe scans nprobe=8 of 16 "
+    "partition-pruned cells scoring rows by ADC table lookups (no "
+    "per-row vector math), then exact-cosine re-ranks the top 200 "
+    "candidates (rows-only; recall + pruning proof in tests)",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.ann import ivfpq_topk
+
+    return ivfpq_topk(
+        spark, _ivfpq_index(spark, sf_dir), _query_vec(spark, sf_dir), k=20, nprobe=8
+    )

@@ -472,7 +472,7 @@ def build_ivfpq_index(
     coarse = KMeans(k=n_centroids, seed=42, featuresCol="_features", maxIter=10).fit(feat)
     assigned = (
         coarse.transform(feat).withColumnRenamed("prediction", "cluster").drop("_features")
-    )
+    ).persist()  # the m per-subspace k-means fits below all re-read it
 
     codebook_rows: list[tuple[int, int, list[float]]] = []
     code_cols: list = []
@@ -512,6 +512,7 @@ def build_ivfpq_index(
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     base.unpersist()
+    assigned.unpersist()
 
 
 def ivfpq_topk(

@@ -122,6 +122,65 @@ def latest_state_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_TOAST_STATE_SCHEMA = "carried_props STRING"
+_TOAST_OUT_SCHEMA = (
+    "source_table STRING, key_user_id LONG, lsn LONG, op STRING, "
+    "after_value DOUBLE, after_props STRING, was_toasted BOOLEAN"
+)
+
+
+def _toast_backfill_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    carried = state.get[0] if state.exists else None
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("event_id")
+    work = pdf[pdf["op"] != "d"].copy()
+    if len(work):
+        toasted = work["op"] == "u"
+        wire = work["props"].where(~toasted)
+        filled = wire.ffill()
+        if carried is not None:
+            filled = filled.fillna(carried)
+        non_null = wire.dropna()
+        if len(non_null):
+            carried = non_null.iloc[-1]
+        state.update((carried,))
+        yield pd.DataFrame(
+            {
+                "source_table": work["event_type"],
+                "key_user_id": work["user_id"],
+                "lsn": work["event_id"],
+                "op": work["op"],
+                "after_value": work["value"],
+                "after_props": filled,
+                "was_toasted": toasted,
+            }
+        )
+    else:
+        state.update((carried,))
+
+
+def toast_backfill_stream(events: DataFrame) -> DataFrame:
+    """Unchanged-TOAST reconstruction on the LIVE stream (the batch
+    A16 operator's semantics, maintained incrementally): logical
+    replication omits a TOASTed column from an UPDATE tuple when it
+    did not change (decoderplan.go:57-59), so the full after-image is
+    rebuilt by carrying the last transmitted value per (table, key) as
+    keyed state. Assumes per-key LSN-ordered delivery across
+    micro-batches — the guarantee WAL shipping provides; rows are
+    sorted by LSN within each batch."""
+    from timescaledb_event_streamer_spark.cdc.envelope import derive_op
+
+    keyed = events.withColumn("op", derive_op(F.col("event_id")))
+    return keyed.groupBy("event_type", "user_id").applyInPandasWithState(
+        _toast_backfill_fn,
+        outputStructType=_TOAST_OUT_SCHEMA,
+        stateStructType=_TOAST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def resolved_stream(events: DataFrame, catalog: DataFrame) -> DataFrame:
     """Chunk→hypertable resolution on the LIVE stream: a
     stream-static broadcast join against the (batch) chunk catalog —

@@ -113,3 +113,43 @@ def test_resize_images_real_seam_raises(media):
 
     with pytest.raises((Py4JJavaError, Exception)):
         resize_images(media, decoder="real").collect()
+
+
+def test_sniff_format_magic_bytes(spark):
+    """Container sniffing is a pure hex-prefix compare on the binary
+    column — each signature resolves, unknown bytes fall through."""
+    from timescaledb_event_streamer_spark.operators.multimodal import sniff_format
+
+    payloads = [
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"rest"),          # png
+        (2, bytes.fromhex("FFD8FFE0") + b"jfif"),                  # jpeg
+        (3, bytes.fromhex("47494638") + b"89a"),                   # gif
+        (4, b"RIFF" + b"\x24\x08\x00\x00" + b"WAVE"),              # riff
+        (5, b"\x00\x00\x00\x20" + b"ftypisom"),                    # mp4 (offset 4)
+        (6, b"ID3\x04" + b"tag"),                                  # mp3
+        (7, bytes.fromhex("1A45DFA3") + b"matroska"),              # webm
+        (8, b"plain text bytes"),                                  # unknown
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r["fmt"]
+        for r in df.select("media_id", sniff_format(F.col("payload")).alias("fmt")).collect()
+    }
+    assert got == {1: "png", 2: "jpeg", 3: "gif", 4: "riff",
+                   5: "mp4", 6: "mp3", 7: "webm", 8: "unknown"}
+
+
+def test_format_inventory_groups_and_sizes(spark, sf_small):
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        attach_media,
+        format_inventory,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    media = attach_media(load(spark, sf_small, "documents"))
+    inv = format_inventory(media).collect()
+    # text payloads sniff as unknown; every declared kind appears
+    assert {r["kind"] for r in inv} == {"image", "audio", "video"}
+    assert all(r["format"] == "unknown" for r in inv)
+    assert sum(r["n_payloads"] for r in inv) == media.count()
+    assert all(r["total_bytes"] > 0 for r in inv)

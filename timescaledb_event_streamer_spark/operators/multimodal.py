@@ -167,3 +167,55 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_offset_ms"),
     )
+
+
+# magic-byte signatures -> container format (hex prefixes of the
+# payload; the container-sniffing pass every media ingest runs before
+# routing payloads to a decoder). All JVM-side: hex prefix compare on
+# the binary column, no Python per row and no codec libraries.
+MAGIC_SIGNATURES = (
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),  # WAV/AVI/WebP share the RIFF container
+    ("66747970", "mp4", 8),  # 'ftyp' at byte offset 4
+    ("494433", "mp3"),
+    ("1A45DFA3", "webm"),
+)
+
+
+def sniff_format(payload_col) -> "F.Column":
+    """Container format of a binary payload by magic bytes, as a pure
+    codegen expression (hex-prefix compare). Unknown -> 'unknown'.
+
+    Mirrors the typed-metadata contract: routing/filtering by format
+    happens BEFORE any decode, so a 100 TB media scan that only wants
+    PNGs prunes everything else at projection cost."""
+    head = F.hex(payload_col).substr(F.lit(1), F.lit(24))
+    expr = F.lit("unknown")
+    for sig in reversed(MAGIC_SIGNATURES):
+        pattern, name = sig[0], sig[1]
+        offset = sig[2] if len(sig) > 2 else 0
+        expr = F.when(
+            head.substr(F.lit(offset + 1), F.lit(len(pattern))) == pattern,
+            F.lit(name),
+        ).otherwise(expr)
+    return expr
+
+
+def format_inventory(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-(declared kind, sniffed format) payload inventory — the QA
+    pass that catches mislabeled media before decode jobs are
+    scheduled. One scan + one tiny-key shuffle."""
+    return (
+        media.select(
+            "kind",
+            sniff_format(F.col(payload_col)).alias("format"),
+            F.octet_length(F.col(payload_col)).alias("n_bytes"),
+        )
+        .groupBy("kind", "format")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )

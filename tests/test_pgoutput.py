@@ -179,3 +179,60 @@ def test_pgoutput_roundtrip_property(spark, rows):
         assert r["key_user_id"] == uid
         if op != "d":
             assert r["after_props"] == props
+
+
+def test_pgoutput_envelope_stream_matches_batch(spark, tmp_path):
+    """End-to-end LIVE binary path: streamed frames -> decode ->
+    stateful transaction tracker -> relation join, row-identical to
+    the batch parse — including a transaction whose B frame arrives in
+    an earlier micro-batch than its data frames (carried state)."""
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        parse_pgoutput,
+        pgoutput_envelope_stream,
+    )
+
+    eids = [3, 11, 20, 105, 111, 207]  # 3 txns (0, 1, 2), mixed ops
+    ev = _events(spark, [(e, e % 7, "metrics", 1.5, f"p{e}") for e in eids])
+    frames = synthesize_pgoutput(ev)
+
+    d = str(tmp_path / "framelog")
+    # two LSN-ordered deliveries: txn 0+1 frames, then txn 2's
+    split_lsn = 2 * 400
+    frames.filter(_u_frame_lsn() < split_lsn).coalesce(1).write.mode("append").parquet(d)
+    frames.filter(_u_frame_lsn() >= split_lsn).coalesce(1).write.mode("append").parquet(d)
+
+    cat = relation_catalog(spark.read.parquet(d))
+    cols = ("lsn", "op", "topic", "xid", "ts_ms", "key_user_id",
+            "before_user_id", "after_user_id", "after_cents", "after_props")
+
+    batch = {
+        tuple(r[c] for c in cols) for r in parse_pgoutput(frames).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("frame string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        pgoutput_envelope_stream(stream, cat)
+        .writeStream.format("memory")
+        .queryName("pgout_stream_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        streamed = {
+            tuple(r[c] for c in cols)
+            for r in spark.sql("SELECT * FROM pgout_stream_mem").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch and len(batch) == len(eids)
+
+
+def _u_frame_lsn():
+    """walStart of an XLogData frame (hex chars 3-18)."""
+    return F.conv(F.col("frame").substr(F.lit(3), F.lit(16)), 16, 10).cast("long")

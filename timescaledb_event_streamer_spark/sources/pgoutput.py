@@ -361,3 +361,90 @@ def parse_pgoutput(
         F.col("after_cents_s").cast("long").alias("after_cents"),
         "after_props",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming transaction tracker
+
+_TXN_STATE_SCHEMA = "carried_xid LONG, carried_ts LONG"
+_TXN_OUT_SCHEMA = (
+    "lsn LONG, op STRING, relid LONG, xid LONG, ts_ms LONG, "
+    "key_uid STRING, new_uid STRING, after_cents_s STRING, after_props STRING"
+)
+
+
+def _txn_attach_fn(key, pdfs, state):
+    import pandas as pd
+
+    carried_xid, carried_ts = state.get if state.exists else (None, None)
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("lsn")
+    xid_f = pdf["_b_xid"].ffill()
+    ts_f = pdf["_b_ts_ms"].ffill()
+    if carried_xid is not None:
+        xid_f = xid_f.fillna(carried_xid)
+        ts_f = ts_f.fillna(carried_ts)
+    b_xids = pdf["_b_xid"].dropna()
+    if len(b_xids):
+        carried_xid = int(b_xids.iloc[-1])
+        carried_ts = int(pdf["_b_ts_ms"].dropna().iloc[-1])
+    state.update((carried_xid, carried_ts))
+    data = pdf["op"].notna()
+    if data.any():
+        yield pd.DataFrame(
+            {
+                "lsn": pdf.loc[data, "lsn"],
+                "op": pdf.loc[data, "op"],
+                "relid": pdf.loc[data, "relid"],
+                "xid": xid_f[data],
+                "ts_ms": ts_f[data],
+                "key_uid": pdf.loc[data, "_key_uid"],
+                "new_uid": pdf.loc[data, "_new_uid"],
+                "after_cents_s": pdf.loc[data, "after_cents_s"],
+                "after_props": pdf.loc[data, "after_props"],
+            }
+        )
+
+
+def pgoutput_envelope_stream(
+    frames: DataFrame,
+    catalog: DataFrame,
+    frame_col: str = "frame",
+    topic_prefix: str = "timescaledb",
+) -> DataFrame:
+    """The LIVE binary replication path: streamed pgoutput frames ->
+    stateless decode -> transaction tracker as keyed state
+    (applyInPandasWithState carrying the open transaction's xid and
+    commit-ts across micro-batches, the streaming form of the batch
+    segmented LOCF; transactiontracker.go) -> stream-static broadcast
+    join with the relation catalog.
+
+    The state key is the WAL slot (one per replication stream) — WAL
+    shipping is sequential per slot, which is exactly the reference's
+    processing model; parallelism across slots/publications comes from
+    the key. Rows are LSN-sorted within each micro-batch; cross-batch
+    order is the slot's delivery guarantee.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    decoded = decode_frames(frames, frame_col).withColumn("wal_slot", F.lit(0))
+    attached = decoded.groupBy("wal_slot").applyInPandasWithState(
+        _txn_attach_fn,
+        outputStructType=_TXN_OUT_SCHEMA,
+        stateStructType=_TXN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return attached.join(F.broadcast(catalog), "relid").select(
+        F.concat_ws(".", F.lit(topic_prefix), "namespace", "relname").alias("topic"),
+        "op",
+        F.col("namespace").alias("source_schema"),
+        F.col("relname").alias("source_table"),
+        "lsn",
+        "xid",
+        "ts_ms",
+        F.coalesce("new_uid", "key_uid").cast("long").alias("key_user_id"),
+        F.col("key_uid").cast("long").alias("before_user_id"),
+        F.col("new_uid").cast("long").alias("after_user_id"),
+        F.col("after_cents_s").cast("long").alias("after_cents"),
+        "after_props",
+    )

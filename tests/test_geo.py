@@ -217,3 +217,41 @@ def test_pg_xml_envelope_matches_go_json_marshal(spark, sf_small):
             .replace("<", "\\u003c").replace(">", "\\u003e").replace("&", "\\u0026")
         )
         assert row["envelope_json"] == go_escaped
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 2**53 - 1),
+            st.integers(0, 2**53 - 1),
+            st.sampled_from([4326, 3857, 27700]),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_ewkb_point_roundtrip_property(spark, pts):
+    """Encode->decode is the identity for every exactly-representable
+    nonnegative integer coordinate, both byte orders, any SRID."""
+    from timescaledb_event_streamer_spark.functions.geo import (
+        attach_parsed_point,
+        ewkb_point_hex,
+    )
+
+    df = spark.createDataFrame(pts, "x long, y long, srid int, be boolean")
+    enc = df.select(
+        "x", "y", "srid", "be",
+        ewkb_point_hex(F.col("x"), F.col("y"), F.col("srid"), big_endian=F.col("be")).alias("ewkb_hex"),
+    )
+    dec = attach_parsed_point(enc, "ewkb_hex")
+    for r in dec.collect():
+        assert r["pt_srid"] == r["srid"]
+        assert r["pt_x"] == float(r["x"])
+        assert r["pt_y"] == float(r["y"])
+        assert r["pt_endian"] == ("XDR" if r["be"] else "NDR")

@@ -88,7 +88,11 @@ def double_from_bits_hex(h: Column) -> Column:
     rest = (hi % 8) * F.lit(1152921504606846976) + F.conv(
         F.substring(h, 2, 15), 16, 10
     ).cast("long")
-    expo = F.floor(rest / F.lit(TWO52)).cast("long")
+    # integer shift, NOT floor(rest / 2^52): the double division rounds
+    # up for mantissas near 2^52 (rest > 2^53 is not exactly
+    # representable), which made the exponent off by one and doubled
+    # the decoded value — caught by the roundtrip property test
+    expo = F.shiftright(rest, 52).cast("long")
     mant = (rest % F.lit(TWO52)).cast("double")
     mag = (F.lit(1.0) + mant / F.lit(float(TWO52))) * F.pow(
         F.lit(2.0), (expo - 1023).cast("double")

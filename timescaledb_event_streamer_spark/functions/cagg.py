@@ -36,14 +36,21 @@ def cagg_partials(
     bucket_width_s: int,
     ts_col: str = "ts",
     value_col: str = "value",
+    sum_col: str | None = None,
 ) -> DataFrame:
-    """Algebraic partials per (keys, bucket) — the materialized form."""
+    """Algebraic partials per (keys, bucket) — the materialized form.
+
+    ``sum_col`` lets the sum ride on a different (typically exact
+    integer, e.g. cents) column than min/max: float sums are
+    summation-order-dependent, so an integer sum is what makes
+    merge(partials) EXACTLY equal the one-shot aggregate regardless of
+    how history was split into deltas."""
     return (
         events.withColumn("bucket_s", time_bucket_epoch(F.col(ts_col), bucket_width_s))
         .groupBy(*keys, "bucket_s")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(value_col).alias("sum_value"),
+            F.sum(sum_col or value_col).alias("sum_value"),
             F.min(value_col).alias("min_value"),
             F.max(value_col).alias("max_value"),
         )

@@ -23,6 +23,18 @@ PUNCT_RE = r"[^A-Za-z0-9\s]"
 SHINGLE_WIDTH = 5
 
 
+def round_stable6(col: Column) -> Column:
+    """Engine-stable 6-decimal rounding: floor(x*1e6 + 0.5)/1e6 in
+    IEEE doubles. Spark's round() goes through an exact BigDecimal
+    expansion while DuckDB's uses C float math, and the two disagree
+    on which side of a decimal midpoint a binary double lies (seen at
+    sf0.1: 16/5000 quality scores off in the last digit, in both
+    directions). This expression performs the same double ops on both
+    engines, so identical inputs give bit-identical results. The
+    matching SQL fragment is floor((x) * 1000000.0 + 0.5) / 1000000.0."""
+    return F.floor(col * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+
 def n_tokens_ws(text: Column) -> Column:
     return F.regexp_count(text, F.lit(WS_TOKEN_RE)).cast("long")
 
@@ -32,14 +44,14 @@ def n_tokens_bpe(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
-    return F.round(
-        F.regexp_count(text, F.lit(STOPWORD_RE)) / F.greatest(n_tokens_ws(text), F.lit(1)), 6
+    return round_stable6(
+        F.regexp_count(text, F.lit(STOPWORD_RE)) / F.greatest(n_tokens_ws(text), F.lit(1))
     )
 
 
 def punct_ratio(text: Column) -> Column:
-    return F.round(
-        F.regexp_count(text, F.lit(PUNCT_RE)) / F.greatest(F.length(text), F.lit(1)), 6
+    return round_stable6(
+        F.regexp_count(text, F.lit(PUNCT_RE)) / F.greatest(F.length(text), F.lit(1))
     )
 
 
@@ -53,11 +65,10 @@ def quality_score(text: Column, n_chars: Column) -> Column:
     """Composite [0,1] quality: stopword signal + length credit -
     punctuation-noise penalty (the usual pre-training filter shape)."""
     len_credit = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    return F.round(
+    return round_stable6(
         F.lit(0.5) * stopword_ratio(text)
         + F.lit(0.4) * len_credit
-        - F.lit(0.1) * punct_ratio(text),
-        6,
+        - F.lit(0.1) * punct_ratio(text)
     )
 
 

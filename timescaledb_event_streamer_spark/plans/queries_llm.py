@@ -43,13 +43,15 @@ _WS_SQL = r"\S+"
 _BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 _PUNCT_SQL = r"[^A-Za-z0-9\s]"
 
+# floor(x*1e6 + 0.5)/1e6 matches operators.textstats.round_stable6
+# bit-for-bit (engine-stable rounding; see that docstring)
 _SQL_STOP_RATIO = (
-    f"round(len(regexp_extract_all(text, '{_STOP_SQL}')) * 1.0 / "
-    f"greatest(len(regexp_extract_all(text, '{_WS_SQL}')), 1), 6)"
+    f"(floor((len(regexp_extract_all(text, '{_STOP_SQL}')) * 1.0 / "
+    f"greatest(len(regexp_extract_all(text, '{_WS_SQL}')), 1)) * 1000000.0 + 0.5) / 1000000.0)"
 )
 _SQL_PUNCT_RATIO = (
-    f"round(len(regexp_extract_all(text, '{_PUNCT_SQL}')) * 1.0 / "
-    f"greatest(length(text), 1), 6)"
+    f"(floor((len(regexp_extract_all(text, '{_PUNCT_SQL}')) * 1.0 / "
+    f"greatest(length(text), 1)) * 1000000.0 + 0.5) / 1000000.0)"
 )
 
 
@@ -288,9 +290,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                n_chars,
                {_SQL_STOP_RATIO} AS stop_ratio,
                {_SQL_PUNCT_RATIO} AS punct_ratio,
-               round(0.5 * {_SQL_STOP_RATIO}
+               floor((0.5 * {_SQL_STOP_RATIO}
                      + 0.4 * least(n_chars / 500.0, 1.0)
-                     - 0.1 * {_SQL_PUNCT_RATIO}, 6) AS quality
+                     - 0.1 * {_SQL_PUNCT_RATIO}) * 1000000.0 + 0.5) / 1000000.0 AS quality
         FROM documents
     """,
 )
@@ -372,9 +374,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, source, text,
                    len(regexp_extract_all(text, '{_WS_SQL}')) AS n_ws_tokens,
                    CASE WHEN {_SQL_STOP_RATIO} >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
-                   round(0.5 * {_SQL_STOP_RATIO}
+                   floor((0.5 * {_SQL_STOP_RATIO}
                          + 0.4 * least(n_chars / 500.0, 1.0)
-                         - 0.1 * {_SQL_PUNCT_RATIO}, 6) AS quality
+                         - 0.1 * {_SQL_PUNCT_RATIO}) * 1000000.0 + 0.5) / 1000000.0 AS quality
             FROM documents
         ),
         kept AS (

@@ -34,14 +34,19 @@ DAY = 86400
 @register(
     "ts_time_bucket",
     family="timeseries",
-    doc="time_bucket('1 hour') aggregation — a continuous aggregate refresh as batch",
+    doc="time_bucket('1 hour') aggregation — a continuous aggregate refresh "
+    "as batch. sum/avg ride on exact integer cents (value is 2-decimal by "
+    "construction), so the result is independent of partition/summation "
+    "order — float sums diverge from the oracle by 1 ulp at sf0.1+; the "
+    "avg round is the engine-stable floor form (textstats.round_stable6).",
     oracle=f"""
         SELECT {_sql_bucket(HOUR)} AS bucket_s,
                CAST(to_timestamp({_sql_bucket(HOUR)}) AS TIMESTAMP) AS bucket,
                event_type,
                count(*) AS n,
-               round(sum(value), 2) AS sum_value,
-               round(avg(value), 6) AS avg_value,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+               floor(sum(CAST(round(value * 100) AS BIGINT)) * 10000.0
+                     / count(*) + 0.5) / 1000000.0 AS avg_value,
                round(min(value), 2) AS min_value,
                round(max(value), 2) AS max_value
         FROM events
@@ -51,14 +56,17 @@ DAY = 86400
 def ts_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     b = time_bucket_epoch(F.col("ts"), HOUR)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         events.withColumn("bucket_s", b)
         .withColumn("bucket", F.timestamp_seconds(F.col("bucket_s")))
+        .withColumn("cents", cents)
         .groupBy("bucket_s", "bucket", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            (F.sum("cents") / 100.0).alias("sum_value"),
+            (F.floor(F.sum("cents") * 10000.0 / F.count(F.lit(1)) + 0.5) / 1000000.0)
+            .alias("avg_value"),
             F.round(F.min("value"), 2).alias("min_value"),
             F.round(F.max("value"), 2).alias("max_value"),
         )

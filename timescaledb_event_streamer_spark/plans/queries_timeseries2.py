@@ -382,10 +382,11 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                {_sql_bucket(HOUR)} AS bucket_s,
                count(*) AS n,
-               round(sum(value), 2) AS sum_value,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
                min(value) AS min_value,
                max(value) AS max_value,
-               round(avg(value), 6) AS avg_value
+               floor(sum(CAST(round(value * 100) AS BIGINT)) * 10000.0
+                     / count(*) + 0.5) / 1000000.0 AS avg_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -393,11 +394,15 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_cagg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timescaledb_event_streamer_spark.functions.cagg import (
         cagg_partials,
-        cagg_read,
         merge_cagg,
     )
 
-    events = load(spark, sf_dir, "events")
+    # Sums ride on exact integer cents so merge(partials) equals the
+    # one-shot aggregate EXACTLY whatever the history/delta split —
+    # float partial sums drift 1 ulp from the oracle at sf0.1+.
+    events = load(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
     # LSN watermark: everything at-or-below is "already materialized
     # history", the rest is the delta. Any split merges to the same
     # result (associativity is the point), so the midpoint is fine.
@@ -406,17 +411,18 @@ def ts_cagg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = events.filter(F.col("event_id") > wm)
     merged = merge_cagg(
         ["event_type"],
-        cagg_partials(history, ["event_type"], HOUR),
-        cagg_partials(delta, ["event_type"], HOUR),
+        cagg_partials(history, ["event_type"], HOUR, sum_col="cents"),
+        cagg_partials(delta, ["event_type"], HOUR, sum_col="cents"),
     )
-    return cagg_read(merged).select(
+    return merged.select(
         "event_type",
         "bucket_s",
         "n",
-        F.round("sum_value", 2).alias("sum_value"),
+        (F.col("sum_value") / 100.0).alias("sum_value"),
         "min_value",
         "max_value",
-        F.round("avg_value", 6).alias("avg_value"),
+        (F.floor(F.col("sum_value") * 10000.0 / F.col("n") + 0.5) / 1000000.0)
+        .alias("avg_value"),
     )
 
 

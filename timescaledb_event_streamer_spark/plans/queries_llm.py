@@ -866,3 +866,89 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         spark, _ivfpq_index(spark, sf_dir), _query_vec(spark, sf_dir), k=20, nprobe=8
     )
+
+
+@register(
+    "text_pack_sequences",
+    family="text",
+    doc="Sequence packing for pretraining batches: assign documents to "
+    "~1024-token bins by cumulative token count per source shard "
+    "(window cumsum, one shuffle on source) -- the distributed form "
+    "of greedy packing: deterministic, order-stable, no driver loop.",
+    oracle="""
+        WITH t AS (
+            SELECT source, doc_id,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT *,
+                   sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM t
+        )
+        SELECT source, doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor((cum - n_tokens) / 1024) AS BIGINT) AS seq_bin
+        FROM c
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(ntok).over(w)
+    return docs.select(
+        "source",
+        "doc_id",
+        ntok.alias("n_tokens"),
+        F.floor((cum - ntok) / 1024).cast("long").alias("seq_bin"),
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    family="ann",
+    doc="Per-dimension corpus statistics over the embedding column "
+    "(mean/std/min/max per dim) -- the whitening/QA pass that catches "
+    "dead or exploding dimensions before indexing. posexplode -> one "
+    "64-key shuffle with map-side partials; floor-form rounding keeps "
+    "the float aggregates engine-stable.",
+    oracle="""
+        WITH d AS (
+            SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS dim
+            FROM embeddings
+        )
+        SELECT CAST(dim AS INT) AS dim,
+               floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS mean_x,
+               floor(stddev_samp(x) * 1000000.0 + 0.5) / 1000000.0 AS std_x,
+               floor(min(x) * 1000000.0 + 0.5) / 1000000.0 AS min_x,
+               floor(max(x) * 1000000.0 + 0.5) / 1000000.0 AS max_x
+        FROM d
+        GROUP BY 1
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+
+    def stable6(c: F.Column) -> F.Column:
+        return F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+    return exploded.groupBy("dim").agg(
+        stable6(F.avg("x")).alias("mean_x"),
+        stable6(F.stddev_samp("x")).alias("std_x"),
+        stable6(F.min("x")).alias("min_x"),
+        stable6(F.max("x")).alias("max_x"),
+    )

@@ -138,7 +138,8 @@ def shingle_pairs_jaccard(
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    base_hash=None,
 ) -> DataFrame:
     """MinHash signatures as explode(shingle) -> hash -> groupBy(doc)
     with 32 min-aggregates.
@@ -152,11 +153,12 @@ def minhash_signatures(
     """
     # hash each shingle while still inside the array so the explode
     # materializes 8-byte longs, not ~50-byte 5-gram strings
-    # (measured ~15% faster at sf0.1, identical signatures)
-    h_arr = F.transform(
-        shingles(F.col(text_col), distinct=False),
-        lambda s: F.abs(F.xxhash64(s)) % _MERSENNE,
-    )
+    # (measured ~15% faster at sf0.1, identical signatures).
+    # base_hash swaps the shingle hash: default xxhash64 (fastest,
+    # Spark-only); the md5 variant is SQL-portable so the whole
+    # operator becomes DuckDB-oracle-checkable (dedup_minhash_md5).
+    base_hash = base_hash or (lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    h_arr = F.transform(shingles(F.col(text_col), distinct=False), base_hash)
     h = spread(docs).select(F.col(id_col).alias("doc_id"), F.explode(h_arr).alias("h"))
     aggs = [
         F.min((F.col("h") * _A[i] + _B[i]) % _MERSENNE).alias(f"mh{i}")
@@ -204,6 +206,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    base_hash=None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs.
 
@@ -232,7 +235,7 @@ def minhash_lsh_pairs(
     rows = MINHASH_PERMS // MINHASH_BANDS
     from pyspark import StorageLevel
 
-    sig = minhash_signatures(docs, text_col, id_col).persist(
+    sig = minhash_signatures(docs, text_col, id_col, base_hash=base_hash).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     banded = sig.select(

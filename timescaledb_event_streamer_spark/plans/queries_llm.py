@@ -952,3 +952,83 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable6(F.min("x")).alias("min_x"),
         stable6(F.max("x")).alias("max_x"),
     )
+
+
+def _minhash_md5_oracle() -> str:
+    """Full MinHash+LSH in DuckDB SQL: the md5 base hash is portable
+    ('0x…'::BIGINT parse), the 32 Carter-Wegman permutations are the
+    same _A/_B constants, bands collide as an OR of per-band row
+    equality (equivalent to the band-bucket join), and est_jaccard is
+    the exact fraction k/32 (5 decimal places, exactly representable —
+    no rounding needed on either side)."""
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _A,
+        _B,
+        _MERSENNE,
+    )
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    mins = ",\n               ".join(
+        f"min((h * {_A[i]} + {_B[i]}) % {_MERSENNE}) AS mh{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    band_conds = "\n               OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh{bi * rows + ri} = b.mh{bi * rows + ri}" for ri in range(rows)
+        )
+        + ")"
+        for bi in range(MINHASH_BANDS)
+    )
+    eqsum = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(MINHASH_PERMS)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 5
+        ),
+        s0 AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM t),
+        sh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(array_to_string(toks[i + 1 : i + 5], ' ')), 1, 15))::BIGINT
+                       % {_MERSENNE} AS h
+            FROM s0
+        ),
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ({eqsum}) / 32.0 AS est_jaccard
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE {band_conds}
+        )
+        SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5
+    """
+
+
+@register(
+    "dedup_minhash_md5",
+    family="dedup",
+    doc="MinHash(32 perms) + 8-band LSH with an md5-derived base hash — "
+    "functionally identical to dedup_minhash_lsh but SQL-portable, so "
+    "the ENTIRE operator (shingling, permutations, banding, signature "
+    "agreement) is verified value-exact against the DuckDB oracle; the "
+    "xxhash64 variant stays as the faster production path.",
+    oracle=_minhash_md5_oracle(),
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.dedup import _MERSENNE
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 5
+    )
+    md5_base = lambda s: (  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _MERSENNE
+    )
+    return minhash_lsh_pairs(docs, threshold=0.5, base_hash=md5_base)

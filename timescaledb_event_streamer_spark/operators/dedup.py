@@ -378,23 +378,27 @@ def simhash64(text_col: Column) -> Column:
 
 
 def simhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    base_hash=None, n_bits: int = 64,
 ) -> DataFrame:
-    """SimHash via explode(token) -> groupBy(doc) with 64 conditional
-    sums: one shuffle on doc_id, map-side partials, and the agg
-    barrier keeps the hash computed once (same rationale as
-    minhash_signatures)."""
-    h_arr = F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
+    """SimHash via explode(token) -> groupBy(doc) with n_bits
+    conditional sums: one shuffle on doc_id, map-side partials, and
+    the agg barrier keeps the hash computed once (same rationale as
+    minhash_signatures). base_hash/n_bits swap the token hash: default
+    xxhash64/64 (fastest, Spark-only); the md5/60-bit variant is
+    SQL-portable (dedup_simhash_md5)."""
+    base_hash = base_hash or (lambda t: F.xxhash64(t))
+    h_arr = F.transform(F.split(F.col(text_col), " "), base_hash)
     h = spread(docs).select(F.col(id_col).alias("doc_id"), F.explode(h_arr).alias("h"))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"w{j}")
-        for j in range(64)
+        for j in range(n_bits)
     ]
     wide = h.groupBy("doc_id").agg(*aggs)
     out = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(n_bits):
         mask = (1 << j) - (1 << 64) if j == 63 else (1 << j)
         out = out.bitwiseOR(
             F.when(F.col(f"w{j}") > 0, F.lit(mask)).otherwise(F.lit(0)).cast("long")
@@ -407,11 +411,15 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    base_hash=None,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """SimHash near-dup pairs via 4x16-bit band buckets (any pair at
-    hamming distance <= 3 shares at least one exact 16-bit band, so
-    bucketing is lossless for the threshold)."""
-    sh = simhash_signatures(docs, text_col, id_col)
+    """SimHash near-dup pairs via 4-band buckets of n_bits/4 bits each
+    (any pair at hamming distance <= 3 shares at least one exact band,
+    so bucketing is lossless for the threshold)."""
+    band_bits = n_bits // 4
+    band_mask = (1 << band_bits) - 1
+    sh = simhash_signatures(docs, text_col, id_col, base_hash=base_hash, n_bits=n_bits)
     banded = sh.select(
         "doc_id",
         "sh",
@@ -420,8 +428,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright(F.col("sh"), 16 * bi)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("sh"), band_bits * bi)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("bucket"),
                     )
                     for bi in range(4)

@@ -1032,3 +1032,62 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _MERSENNE
     )
     return minhash_lsh_pairs(docs, threshold=0.5, base_hash=md5_base)
+
+
+def _simhash_md5_oracle() -> str:
+    """Full 60-bit SimHash in DuckDB SQL: md5-derived token hash
+    ('0x…'::BIGINT, 15 hex chars = 60 bits so the parse never exceeds
+    signed-64), 60 per-bit conditional sums, sign -> fingerprint,
+    4x15-bit band collision (lossless for hamming <= 3), exact
+    bit_count(xor) verify."""
+    n_bits, band_bits = 60, 15
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS w{j}"
+        for j in range(n_bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(n_bits)
+    )
+    band_conds = "\n               OR ".join(
+        f"((a.sh >> {band_bits * bi}) & {(1 << band_bits) - 1}) = "
+        f"((b.sh >> {band_bits * bi}) & {(1 << band_bits) - 1})"
+        for bi in range(4)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        h AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t
+        ),
+        w AS (
+            SELECT doc_id,
+               {sums}
+            FROM h GROUP BY doc_id
+        ),
+        sig AS (SELECT doc_id, CAST({fp} AS BIGINT) AS sh FROM w),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE {band_conds}
+        )
+        SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+    """
+
+
+@register(
+    "dedup_simhash_md5",
+    family="dedup",
+    doc="60-bit SimHash (hamming <= 3, 4x15-bit lossless bands) with an "
+    "md5-derived token hash — functionally identical to dedup_simhash "
+    "but SQL-portable, so the ENTIRE operator (per-bit weighting, sign "
+    "fingerprint, banding, hamming verify) is verified value-exact "
+    "against the DuckDB oracle; the 64-bit xxhash64 variant stays as "
+    "the faster production path.",
+    oracle=_simhash_md5_oracle(),
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    md5_base = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+    return simhash_pairs(docs, base_hash=md5_base, n_bits=60)

@@ -154,12 +154,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _sql_plane_list(coords: list[float]) -> str:
+    return "[" + ", ".join("1.0" if c > 0 else "-1.0" for c in coords) + "]"
+
+
+def _embedding_lsh_oracle() -> str:
+    """The banded-hyperplane candidate generation is fully
+    deterministic (the LCG planes are constants), so the whole
+    operator is SQL-expressible: re-derive every band's sign pattern
+    with list_dot_product against the same plane literals, collide on
+    any band, verify with exact cosine. The oracle recomputes the
+    signs independently of Spark's zip_with/aggregate fold — a real
+    cross-check of the bucketing, not an echo."""
+    from timescaledb_event_streamer_spark.operators.ann import _planes
+
+    n_bands, band_bits, dim = 16, 4, 64
+    sign_cols, band_conds = [], []
+    for bi in range(n_bands):
+        for j, coords in enumerate(_planes(1000 + bi, band_bits, dim)):
+            sign_cols.append(
+                f"list_dot_product(v, {_sql_plane_list(coords)}) > 0 AS s{bi}_{j}"
+            )
+        band_conds.append(
+            "(" + " AND ".join(f"a.s{bi}_{j} = b.s{bi}_{j}" for j in range(band_bits)) + ")"
+        )
+    signs = ",\n                   ".join(sign_cols)
+    conds = "\n                OR ".join(band_conds)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id, v,
+                   {signs}
+            FROM e
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+            WHERE {conds}
+        )
+        SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.4
+    """
+
+
 @register(
     "dedup_embedding_lsh",
     family="dedup",
     doc="Embedding near-dup pairs via banded hyperplane LSH + exact cosine "
-    "verify — the 100 TB path for dedup_embedding_cosine (rows-only: "
-    "probabilistic candidate set; recall vs exact asserted in tests)",
+    "verify — the 100 TB path for dedup_embedding_cosine. The DuckDB "
+    "oracle re-derives every band sign pattern from the same constant "
+    "planes with list_dot_product, so candidate generation AND "
+    "verification are value-exact checked (recall vs exact pairs "
+    "additionally asserted in tests).",
+    oracle=_embedding_lsh_oracle(),
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_lsh(load(spark, sf_dir, "embeddings"), threshold=0.4)
@@ -254,14 +303,56 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _ann_lsh_oracle() -> str:
+    """Re-derives the 8-plane sign-pattern bucket of every vector AND
+    of the query with list_dot_product against the same constant
+    planes, applies the hamming<=3 multi-probe filter, and ranks by
+    exact cosine — an independent recomputation of what the
+    bucket-partitioned index + probe produce, so the index build, the
+    driver-side query-bucket math, and the partition-pruned scan are
+    all value-exact checked."""
+    from timescaledb_event_streamer_spark.operators.ann import _planes
+
+    planes = _planes(7, 8, 64)
+
+    def bucket_sql(vec_expr: str) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product({vec_expr}, {_sql_plane_list(planes[j])}) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+            for j in range(8)
+        )
+
+    return f"""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        qb AS (SELECT {bucket_sql("qv")} AS qbucket FROM q),
+        sig AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                   {bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+            FROM embeddings
+        )
+        SELECT vec_id, label,
+               round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine
+        FROM sig, qb
+        WHERE bit_count(xor(bucket, qbucket)) <= 3
+        ORDER BY cosine DESC, vec_id
+        LIMIT 20
+    """
+
+
 @register(
     "ann_lsh_topk",
     family="ann",
     doc="LSH-indexed ANN top-20: one-off bucket-partitioned index build "
     "(build_lsh_index), then a multi-probe scan of only the hamming<=3 "
     "bucket partitions (~36% of a worst-case uniform corpus via partition "
-    "pruning, far less with real neighbor structure); recall vs brute "
-    "force + pruning proof asserted in tests (rows-only)",
+    "pruning, far less with real neighbor structure). The DuckDB oracle "
+    "independently re-derives every bucket and the probe set from the "
+    "same constant planes, so the index layout and probe math are "
+    "value-exact checked; recall vs brute force + pruning proof "
+    "additionally asserted in tests.",
+    oracle=_ann_lsh_oracle(),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_indexed(

@@ -63,23 +63,26 @@ def _load_all() -> None:
     )
 
 
-def _certified_prior_rounds() -> frozenset[str]:
-    """Names already certified by a prior driver round.
+def _certified_prior_rounds() -> tuple[frozenset[str], frozenset[str]]:
+    """(hash-certified, rows-only-certified) names from prior driver
+    rounds.
 
     The driver caps its per-round oracle run (50 entries); iteration
     order below puts never-certified queries FIRST so successive
     rounds certify the remaining block instead of re-running the same
     alphabetical prefix. Derived from the committed CORRECTNESS_r*.json
     files at call time (not hard-coded), so each round's results
-    automatically rotate the next round's sample. A query counts as
-    certified only if some round recorded a pass: hash-green, or a
-    nonzero rows-only check for declared no-oracle queries — a
-    recorded failure keeps it at the front of the queue.
+    automatically rotate the next round's sample. A recorded failure
+    keeps a query at the front of the queue — and so does an oracle
+    UPGRADE: a query certified only as a rows-only check that has
+    since gained an oracle re-sorts as uncertified, so its stronger
+    verification mode gets driver-exercised.
     """
     import json
     from pathlib import Path
 
-    certified: set[str] = set()
+    hash_certified: set[str] = set()
+    rows_certified: set[str] = set()
     repo_root = Path(__file__).resolve().parents[2]
     for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         try:
@@ -90,17 +93,25 @@ def _certified_prior_rounds() -> frozenset[str]:
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True:
-                certified.add(name)
+                hash_certified.add(name)
             elif row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0:
-                certified.add(name)
-    return frozenset(certified)
+                rows_certified.add(name)
+    return frozenset(hash_certified), frozenset(rows_certified)
 
 
-_CERTIFIED_PRIOR_ROUNDS = _certified_prior_rounds()
+_HASH_CERTIFIED, _ROWS_CERTIFIED = _certified_prior_rounds()
+
+
+def _is_certified(name: str) -> bool:
+    if name in _HASH_CERTIFIED:
+        return True
+    # rows-only certification only counts while the query still has no
+    # oracle — an upgrade to oracle-checked re-queues it
+    return name in _ROWS_CERTIFIED and REGISTRY[name].oracle is None
 
 
 def _iteration_order() -> list[str]:
-    return sorted(REGISTRY, key=lambda n: (n in _CERTIFIED_PRIOR_ROUNDS, n))
+    return sorted(REGISTRY, key=lambda n: (_is_certified(n), n))
 
 
 def all_queries() -> dict[str, Builder]:

@@ -236,3 +236,70 @@ def test_pgoutput_envelope_stream_matches_batch(spark, tmp_path):
 def _u_frame_lsn():
     """walStart of an XLogData frame (hex chars 3-18)."""
     return F.conv(F.col("frame").substr(F.lit(3), F.lit(16)), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# admin frames (T / M / Y / O) — golden wire bytes built by hand, so
+# the decode is tested independently of synthesize_admin_frames (the
+# registered query's oracle covers the round-trip; this covers decode
+# against the frame anatomy spec itself)
+
+
+def _xlog(wal_start: int, payload: str) -> str:
+    h = format(wal_start, "016X")
+    return "77" + h + h + "0" * 16 + payload
+
+
+def _hx(s: str) -> str:
+    return s.encode().hex().upper() + "00"
+
+
+def test_admin_frames_golden_decode(spark):
+    from timescaledb_event_streamer_spark.sources.pgoutput import parse_admin_frames
+
+    frames = [
+        # M: flags=transactional, embedded lsn 42, prefix 'evt', content 'hello'
+        _xlog(42, "4D" + "01" + format(42, "016X") + _hx("evt")
+              + "00000005" + "hello".encode().hex().upper()),
+        # T: 2 relations, options CASCADE|RESTART (3)
+        _xlog(99, "54" + "00000002" + "03" + "00004001" + "00004002"),
+        # Y: typoid 0x5001, public.metrics_t
+        _xlog(0, "59" + "00005001" + _hx("public") + _hx("metrics_t")),
+        # O: commit lsn 100, origin 'origin1'
+        _xlog(100, "4F" + format(100, "016X") + _hx("origin1")),
+        # R catalog rows the T decode resolves against (ncols=0 tail)
+        _xlog(0, "52" + "00004001" + _hx("public") + _hx("tbl_a") + "64" + "0000"),
+        _xlog(0, "52" + "00004002" + _hx("public") + _hx("tbl_b") + "64" + "0000"),
+    ]
+    df = spark.createDataFrame([(f,) for f in frames], "frame string")
+    collected = parse_admin_frames(df).collect()
+    rows = {(r["op"], r["source_table"]): r for r in collected}
+    m = rows[("m", None)]
+    assert (m["lsn"], m["prefix"], m["content"], m["transactional"]) == (
+        42, "evt", "hello", "true",
+    )
+    ta, tb = rows[("t", "tbl_a")], rows[("t", "tbl_b")]
+    for t in (ta, tb):
+        assert (t["lsn"], t["cascade_opt"], t["restart_identity"]) == (
+            99, "true", "true",
+        )
+    y = rows[("y", "metrics_t")]
+    assert (y["lsn"], y["prefix"]) == (0, "public")
+    o = next(r for r in collected if r["op"] == "o")
+    assert (o["lsn"], o["prefix"]) == (100, "origin1")
+
+
+def test_admin_truncate_options_bits(spark):
+    from timescaledb_event_streamer_spark.sources.pgoutput import parse_admin_frames
+
+    # options=1 → CASCADE only; options=2 → RESTART IDENTITY only
+    frames = [
+        _xlog(7, "54" + "00000001" + "01" + "00004001"),
+        _xlog(8, "54" + "00000001" + "02" + "00004002"),
+        _xlog(0, "52" + "00004001" + _hx("public") + _hx("a") + "64" + "0000"),
+        _xlog(0, "52" + "00004002" + _hx("public") + _hx("b") + "64" + "0000"),
+    ]
+    df = spark.createDataFrame([(f,) for f in frames], "frame string")
+    out = {r["source_table"]: r for r in parse_admin_frames(df).collect()}
+    assert (out["a"]["cascade_opt"], out["a"]["restart_identity"]) == ("true", "false")
+    assert (out["b"]["cascade_opt"], out["b"]["restart_identity"]) == ("false", "true")

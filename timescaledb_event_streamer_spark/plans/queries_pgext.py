@@ -478,3 +478,50 @@ def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return parse_pgoutput(synthesize_pgoutput(load(spark, sf_dir, "events")))
+
+
+@register(
+    "cdc_pgoutput_messages",
+    family="cdc",
+    doc="pgoutput admin-frame round-trip — the four message kinds the "
+    "reference's binary path dispatches beyond B/C/R/I/U/D: Truncate "
+    "'T' (replicationhandler.go:304, relid vector + CASCADE/RESTART "
+    "option bits, fanned out to one row per truncated relation via "
+    "the 'R' catalog), LogicalDecodingMessage 'M' "
+    "(spi/pgtypes/logicalreplicationmessage.go:47 — flags, embedded "
+    "LSN, prefix cstring, length-prefixed content), composite Type "
+    "'Y' registrations (replicationhandler.go:316), and Origin 'O' "
+    "announcements (replicationhandler.go:326). Synthesized from the "
+    "simulated WAL, decoded back from the wire hex alone; the oracle "
+    "derives every row independently from the source table, so an "
+    "encode/decode bug cannot cancel out.",
+    oracle="""
+        WITH mx AS (SELECT max(event_id) AS m FROM events),
+             rels AS (SELECT DISTINCT event_type FROM events)
+        SELECT 'm' AS op,
+               event_id * 4 + 1 AS lsn,
+               CAST(NULL AS VARCHAR) AS source_table,
+               event_type AS prefix,
+               props AS content,
+               CAST(event_id % 2 = 1 AS VARCHAR) AS transactional,
+               CAST(NULL AS VARCHAR) AS cascade_opt,
+               CAST(NULL AS VARCHAR) AS restart_identity
+        FROM events WHERE event_id % 10 = 5
+        UNION ALL
+        SELECT 't', 4 * m + 5, event_type, NULL, NULL, NULL, 'true', 'true'
+        FROM rels, mx
+        UNION ALL
+        SELECT 'y', 0, event_type || '_t', 'public', NULL, NULL, NULL, NULL
+        FROM rels
+        UNION ALL
+        SELECT 'o', 4 * m + 7, NULL, 'pgstream', NULL, NULL, NULL, NULL
+        FROM mx
+    """,
+)
+def cdc_pgoutput_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        parse_admin_frames,
+        synthesize_admin_frames,
+    )
+
+    return parse_admin_frames(synthesize_admin_frames(load(spark, sf_dir, "events")))

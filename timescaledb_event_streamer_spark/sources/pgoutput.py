@@ -136,6 +136,14 @@ def synthesize_pgoutput(events: DataFrame) -> DataFrame:
         ).alias("frame")
     )
 
+    return (
+        data.unionByName(begin).unionByName(commit)
+        .unionByName(_relation_frames(events))
+    )
+
+
+def _relation_frames(events: DataFrame) -> DataFrame:
+    """One 'R' frame per relation at LSN 0 (metadata-sized branch)."""
     col_meta = []
     for name in _TUPLE_COLS:
         flags = "01" if name == "user_id" else "00"
@@ -143,7 +151,7 @@ def synthesize_pgoutput(events: DataFrame) -> DataFrame:
         col_meta.append(_cstr(F.lit(name)))
         col_meta.append(_h(F.lit(_TYPOIDS[name]), 4))
         col_meta.append(F.lit("FFFFFFFF"))  # typmod -1
-    relation = (
+    return (
         events.select("event_type").distinct().coalesce(1).select(
             _xlogdata(
                 F.lit(0),
@@ -156,7 +164,203 @@ def synthesize_pgoutput(events: DataFrame) -> DataFrame:
             ).alias("frame")
         )
     )
-    return data.unionByName(begin).unionByName(commit).unionByName(relation)
+
+
+# ---------------------------------------------------------------------------
+# admin frames: Truncate 'T' / LogicalDecodingMessage 'M' / Type 'Y' /
+# Origin 'O' — the four remaining message kinds the reference's binary
+# path dispatches (replicationchannel/replicationhandler.go:304,316,326
+# and the 'M' decode in spi/pgtypes/logicalreplicationmessage.go:47).
+# With these the codec covers the full pgoutput frame set the
+# reference consumes: B C R I U D T Y O M.
+#
+# Wire anatomy (payload after the 50-hex-char XLogData header):
+# - Message  'M': flags(1B: 1=transactional) + lsn(8B) + prefix\0 +
+#                 contentLen(4B) + content bytes
+# - Truncate 'T': nrelations(4B) + options(1B: 1=CASCADE,
+#                 2=RESTART IDENTITY) + relid(4B) x nrelations
+# - Type     'Y': typoid(4B) + namespace\0 + typename\0
+# - Origin   'O': commitLSN(8B) + originName\0
+
+
+def synthesize_admin_frames(events: DataFrame) -> DataFrame:
+    """Render the admin/metadata side of the simulated WAL as
+    XLogData-wrapped frames (hex): one 'M' logical-decoding message per
+    event with ``event_id % 10 == 5`` (prefix = the table name, content
+    = props, transactional flag = event_id parity, message LSN =
+    4·event_id + 1 — odd, so collision-free against the data/commit
+    LSN layout), ONE 'T' frame truncating every relation (options
+    CASCADE|RESTART, LSN = 4·max(event_id) + 5), one 'Y' composite-type
+    registration per relation ('public'.'<table>_t' at LSN 0), one 'O'
+    origin announcement ('pgstream' at LSN = 4·max(event_id) + 7), and
+    the 'R' relation catalog the 'T' decode resolves against."""
+    msg = events.filter(F.col("event_id") % 10 == 5)
+    m_lsn = F.col("event_id") * 4 + 1
+    m_flags = F.when(F.col("event_id") % 2 == 1, "01").otherwise("00")
+    m_frames = msg.select(
+        _xlogdata(
+            m_lsn,
+            F.concat(
+                F.lit("4D"), m_flags, _h(m_lsn, 8), _cstr(F.col("event_type")),
+                _h(F.octet_length("props"), 4), F.hex(F.col("props")),
+            ),
+        ).alias("frame")
+    )
+
+    rel = events.select("event_type").distinct()
+    mx = events.groupBy().agg(F.max("event_id").alias("max_eid")).coalesce(1)
+
+    # 'T': a single frame carrying the full sorted relid list (truncate
+    # is an all-relations-at-once message in pgoutput; one row, built
+    # from two metadata-sized aggregates)
+    relids = rel.select(_relid(F.col("event_type")).alias("relid"))
+    t_body = relids.groupBy().agg(
+        F.array_sort(F.collect_list("relid")).alias("ids")
+    ).coalesce(1)
+    id_hex = F.aggregate(
+        F.col("ids"), F.lit(""), lambda acc, r: F.concat(acc, _h(r, 4))
+    )
+    t_frames = t_body.crossJoin(mx).select(
+        _xlogdata(
+            F.col("max_eid") * 4 + 5,
+            F.concat(F.lit("54"), _h(F.size("ids"), 4), F.lit("03"), id_hex),
+        ).alias("frame")
+    )
+
+    y_frames = rel.coalesce(1).select(
+        _xlogdata(
+            F.lit(0),
+            F.concat(
+                F.lit("59"), _h(_relid(F.col("event_type")) + 1_000_000, 4),
+                _cstr(F.lit("public")),
+                _cstr(F.concat(F.col("event_type"), F.lit("_t"))),
+            ),
+        ).alias("frame")
+    )
+
+    o_lsn = F.col("max_eid") * 4 + 7
+    o_frames = mx.select(
+        _xlogdata(
+            o_lsn, F.concat(F.lit("4F"), _h(o_lsn, 8), _cstr(F.lit("pgstream")))
+        ).alias("frame")
+    )
+
+    return (
+        m_frames.unionByName(t_frames).unionByName(y_frames)
+        .unionByName(o_frames).unionByName(_relation_frames(events))
+    )
+
+
+def parse_admin_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Decode T/M/Y/O frames from the wire hex alone into one row per
+    logical fact: 'm' messages (prefix, content, transactional), 't'
+    truncations (one row per truncated relation, resolved through the
+    'R' catalog, with the CASCADE / RESTART IDENTITY option bits), 'y'
+    type registrations, and 'o' origin announcements. Everything is
+    substr/conv codegen except the exploded truncate relid list (an
+    array column transform — still JVM-side)."""
+    h = F.upper(F.col(frame_col))
+    base = frames.select(
+        h.alias("h"), h.substr(F.lit(51), F.lit(2)).alias("ptype")
+    ).filter(F.col("ptype").isin("4D", "54", "59", "4F"))
+    hh = F.col("h")
+
+    # flag columns travel as 'true'/'false' strings: a NULLABLE BOOLEAN
+    # stringifies differently between Spark (None) and DuckDB (NaN) in
+    # the driver's canonicalization, whereas nullable strings are
+    # hash-stable (proven by every after_* column)
+    null_s = F.lit(None).cast("string")
+    null_b = F.lit(None).cast("string")
+    out_cols = [
+        "op", "lsn", "source_table", "prefix", "content",
+        "transactional", "cascade_opt", "restart_identity",
+    ]
+
+    # 'M' — prefix cstr, then a length-prefixed content read chained
+    # off the decoded prefix length
+    m = base.filter(F.col("ptype") == "4D")
+    m_prefix, m_plen = _cstr_at(hh.substr(F.lit(71), F.octet_length(hh)))
+    m = m.select(
+        F.lit("m").alias("op"),
+        _u(hh, 55, 8).alias("lsn"),
+        null_s.alias("source_table"),
+        m_prefix.alias("prefix"),
+        F.decode(
+            F.unhex(
+                hh.substr(
+                    F.lit(79) + m_plen, _u(hh, F.lit(71) + m_plen, 4) * 2
+                )
+            ),
+            "UTF-8",
+        ).alias("content"),
+        (_u(hh, 53, 1) == 1).cast("string").alias("transactional"),
+        null_b.alias("cascade_opt"),
+        null_b.alias("restart_identity"),
+    )
+
+    # 'T' — explode the relid vector, resolve names via the R catalog
+    t = base.filter(F.col("ptype") == "54")
+    nrel = _u(hh, 53, 4).cast("int")
+    opts = _u(hh, 61, 1)
+    relid_arr = F.transform(
+        F.sequence(F.lit(0), nrel - 1), lambda i: _u(hh, i * 8 + 63, 4)
+    )
+    t = t.select(
+        F.explode(relid_arr).alias("relid"),
+        _u(hh, 3, 8).alias("lsn"),
+        (F.pmod(opts, 2) == 1).cast("string").alias("cascade_opt"),
+        (F.pmod(F.floor(opts / 2), 2) == 1).cast("string").alias("restart_identity"),
+    )
+    cat = relation_catalog(frames, frame_col)
+    t = t.join(F.broadcast(cat), "relid")
+    t = t.select(
+        F.lit("t").alias("op"),
+        "lsn",
+        F.col("relname").alias("source_table"),
+        null_s.alias("prefix"),
+        null_s.alias("content"),
+        null_b.alias("transactional"),
+        "cascade_opt",
+        "restart_identity",
+    )
+
+    # 'Y' — two chained cstrs, same technique as the relation catalog
+    y = base.filter(F.col("ptype") == "59")
+    y_ns_tail = hh.substr(F.lit(61), F.octet_length(hh))
+    y_ns, y_ns_len = _cstr_at(y_ns_tail)
+    y = y.select(y_ns.alias("prefix"), y_ns_tail.alias("_t"), y_ns_len.alias("_n"))
+    y_name, _ = _cstr_at(F.col("_t").substr(F.col("_n") + 1, F.octet_length("_t")))
+    y = y.select(
+        F.lit("y").alias("op"),
+        F.lit(0).cast("long").alias("lsn"),
+        y_name.alias("source_table"),
+        "prefix",
+        null_s.alias("content"),
+        null_b.alias("transactional"),
+        null_b.alias("cascade_opt"),
+        null_b.alias("restart_identity"),
+    )
+
+    # 'O' — origin name + the commit LSN embedded in the frame body
+    o = base.filter(F.col("ptype") == "4F")
+    o_name, _ = _cstr_at(hh.substr(F.lit(69), F.octet_length(hh)))
+    o = o.select(
+        F.lit("o").alias("op"),
+        _u(hh, 53, 8).alias("lsn"),
+        null_s.alias("source_table"),
+        o_name.alias("prefix"),
+        null_s.alias("content"),
+        null_b.alias("transactional"),
+        null_b.alias("cascade_opt"),
+        null_b.alias("restart_identity"),
+    )
+
+    return (
+        m.select(out_cols)
+        .unionByName(t.select(out_cols))
+        .unionByName(y.select(out_cols))
+        .unionByName(o.select(out_cols))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -147,3 +147,31 @@ def test_network_types_roundtrip(spark, sf_mid):
         assert r.masklen == 24
         assert r.network_addr == r.addr_num - int(octets[3])
         assert len(r.macaddr) == 17 and r.macaddr.count(":") == 5
+
+
+def test_corpus_mix_planner_budget_properties(spark):
+    """The sampling plan must (a) never oversample (rate <= 1, expected
+    <= bucket tokens), (b) yield ~the per-language target for languages
+    OVER the target and everything for languages under it, and (c) keep
+    the within-language rate uniform across that language's sources."""
+    rows = all_queries()["corpus_mix_planner"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert 0.0 < r["sample_rate"] <= 1.0
+        assert 0 <= r["expected_tokens"] <= r["n_tokens"]
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rates = {r["sample_rate"] for r in rs}
+        assert len(rates) == 1, f"{lang}: non-uniform within-language rate"
+        target = rs[0]["target_tokens"]
+        lang_tokens = rs[0]["lang_tokens"]
+        yielded = sum(r["expected_tokens"] for r in rs)
+        if lang_tokens <= target:
+            # under-target language: keep everything (floor rounding
+            # can drop at most one token per bucket)
+            assert yielded >= lang_tokens - len(rs)
+        else:
+            assert yielded <= target

@@ -687,6 +687,97 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mix_planner",
+    family="text",
+    doc="Training-mix sampling plan: flatten the corpus's natural "
+    "language skew into an equal-share-per-language target under a "
+    "global token budget (half the corpus). Emits, per (lang, source) "
+    "bucket, the uniform within-language sampling rate and the "
+    "expected token yield — the table a data-mixing run feeds "
+    "straight into a Bernoulli sampler. Shape: ONE corpus scan to the "
+    "(lang, source) grain with map-side partial aggregation; language "
+    "totals and the global budget are re-aggregations of that tiny "
+    "table folded back via broadcast joins, so nothing rescans the "
+    "100 TB input.",
+    oracle=f"""
+        WITH b AS (
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '{_WS_SQL}'))) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+            GROUP BY lang, source
+        ),
+        l AS (
+            SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+            FROM b GROUP BY lang
+        ),
+        g AS (
+            SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS n_langs
+            FROM l
+        ),
+        t AS (
+            SELECT total_tokens,
+                   CAST(floor(total_tokens / (2.0 * n_langs)) AS BIGINT)
+                       AS target_tokens
+            FROM g
+        )
+        SELECT b.lang,
+               b.source,
+               b.n_docs,
+               b.n_tokens,
+               l.lang_tokens,
+               t.target_tokens,
+               round(least(1.0, t.target_tokens * 1.0 / l.lang_tokens), 6)
+                   AS sample_rate,
+               CAST(floor(least(t.target_tokens, l.lang_tokens) * 1.0
+                          * b.n_tokens / l.lang_tokens) AS BIGINT)
+                   AS expected_tokens
+        FROM b JOIN l USING (lang) CROSS JOIN t
+    """,
+)
+def corpus_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    bucket = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens_ws(F.col("text"))).alias("n_tokens"),
+    )
+    lang = bucket.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    glob = lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    ).select(
+        "total_tokens",
+        F.floor(F.col("total_tokens") / (F.col("n_langs") * 2.0))
+        .cast("long")
+        .alias("target_tokens"),
+    )
+    capped = F.least(F.col("target_tokens"), F.col("lang_tokens"))
+    return (
+        bucket.join(F.broadcast(lang), "lang")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            "lang_tokens",
+            "target_tokens",
+            F.round(
+                F.least(
+                    F.lit(1.0), F.col("target_tokens") * F.lit(1.0) / F.col("lang_tokens")
+                ),
+                6,
+            ).alias("sample_rate"),
+            F.floor(capped.cast("double") * F.col("n_tokens") / F.col("lang_tokens"))
+            .cast("long")
+            .alias("expected_tokens"),
+        )
+    )
+
+
+@register(
     "ann_batch_topk",
     family="ann",
     doc="Batched ANN serving shape: top-5 neighbors for a SET of query "

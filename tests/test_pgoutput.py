@@ -303,3 +303,41 @@ def test_admin_truncate_options_bits(spark):
     out = {r["source_table"]: r for r in parse_admin_frames(df).collect()}
     assert (out["a"]["cascade_opt"], out["a"]["restart_identity"]) == ("true", "false")
     assert (out["b"]["cascade_opt"], out["b"]["restart_identity"]) == ("false", "true")
+
+
+def test_admin_frames_streaming_parity(spark, tmp_path):
+    """parse_admin_frames is stateless (projections + filter + explode
+    + broadcast catalog join), so the SAME function runs under
+    Structured Streaming unmodified — the live path for truncate
+    fan-out and logical-decoding messages. Batch and stream must agree
+    row-for-row."""
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        parse_admin_frames,
+        synthesize_admin_frames,
+    )
+
+    ev = _events(
+        spark,
+        [(5, 7, "metrics", 20.5, "hello"), (15, 8, "clicks", 1.25, "world"),
+         (25, 9, "metrics", 0.0, "zz"), (30, 9, "clicks", 3.5, "w")],
+    )
+    path = str(tmp_path / "admin_frames")
+    synthesize_admin_frames(ev).write.mode("overwrite").parquet(path)
+
+    batch = {tuple(r) for r in parse_admin_frames(spark.read.parquet(path)).collect()}
+    assert batch  # m (ids 5,15,25) + t/y per table + o
+
+    stream = spark.readStream.schema("frame string").parquet(path)
+    q = (
+        parse_admin_frames(stream)
+        .writeStream.format("memory")
+        .queryName("admin_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in spark.sql("SELECT * FROM admin_mem").collect()}
+    finally:
+        q.stop()
+    assert streamed == batch

@@ -153,3 +153,51 @@ def test_format_inventory_groups_and_sizes(spark, sf_small):
     assert all(r["format"] == "unknown" for r in inv)
     assert sum(r["n_payloads"] for r in inv) == media.count()
     assert all(r["total_bytes"] > 0 for r in inv)
+
+
+def test_media_header_probe_golden_bytes(spark):
+    """Parse REAL container header bytes built by hand with the stdlib
+    struct module — completely independent of synthesize_media_headers,
+    so a matching synth/parse bug cannot cancel out (the registered
+    query's oracle provides the same guarantee from the SQL side)."""
+    import struct
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_media_headers,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\x0a"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + bytes([8, 6, 0, 0, 0]) + b"\x00\x00\x00\x00"
+    )
+    data_size = 44100 * 2 * 2  # one second, stereo, 16-bit
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+        + b"data" + struct.pack("<I", data_size)
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav)), (3, bytearray(gif))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in parse_media_headers(df).collect()}
+
+    p = rows[1]
+    assert (p["container"], p["width"], p["height"], p["bit_depth"]) == (
+        "png", 640, 480, 8,
+    )
+    assert p["aspect_ratio"] == round(640 / 480, 6)
+    assert p["n_channels"] is None and p["duration_ms"] is None
+
+    w = rows[2]
+    assert (w["container"], w["n_channels"], w["sample_rate"]) == ("wav", 2, 44100)
+    assert (w["bit_depth"], w["duration_ms"]) == (16, 1000)
+    assert w["width"] is None and w["megapixels"] is None
+
+    g = rows[3]
+    assert (g["container"], g["width"], g["height"]) == ("gif", 320, 200)
+    assert g["megapixels"] == round(320 * 200 / 1e6, 6)

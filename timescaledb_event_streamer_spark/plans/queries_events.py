@@ -432,3 +432,123 @@ def ts_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("day_total").over(w), 4).alias("running_total"),
         F.sum("day_events").over(w).alias("running_events"),
     )
+
+
+@register(
+    "ts_cagg_hierarchy",
+    family="timeseries",
+    doc="Hierarchical continuous aggregates (TimescaleDB 2.9 caggs ON "
+    "caggs): hour -> day -> month, each level a MERGE of the level "
+    "below's partial states (sum-of-sums, sum-of-counts, min-of-mins, "
+    "max-of-maxes) — never a rescan of raw data. Sums carry exact "
+    "cents (longs), the average materializes only at read time, so "
+    "the three-stage merge is bit-exact regardless of partial "
+    "ordering. The oracle aggregates the RAW table straight to month "
+    "grain: hierarchical merge must equal direct aggregation.",
+    oracle="""
+        SELECT event_type,
+               date_trunc('month', ts) AS month,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                     / count(*), 6) AS avg_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def ts_cagg_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+    def merge_up(cagg: DataFrame, grain: str) -> DataFrame:
+        return cagg.groupBy(
+            "event_type", F.date_trunc(grain, "bucket").alias("bucket")
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+
+    monthly = merge_up(merge_up(hourly, "day"), "month")
+    return monthly.select(
+        "event_type",
+        F.col("bucket").alias("month"),
+        "n_events",
+        "sum_cents",
+        F.round(F.col("sum_cents") / F.lit(100.0) / F.col("n_events"), 6).alias(
+            "avg_value"
+        ),
+        "min_value",
+        "max_value",
+    )
+
+
+@register(
+    "ts_mad_outliers",
+    family="timeseries",
+    doc="Robust outlier gate per series: median + MAD (median absolute "
+    "deviation), flagging |value - median| > 3 * 1.4826 * MAD — the "
+    "median-based complement to ts_zscore_outliers that a single "
+    "extreme spike cannot poison. Two grouped exact-percentile "
+    "aggregations over the series key + a broadcast of the tiny "
+    "per-series stats back over the scan. (At 100 TB exact "
+    "per-group percentiles sort within groups; swap the same plan to "
+    "approx_percentile when the gate tolerates sketch error.)",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1
+        ),
+        mad AS (
+            SELECT e.event_type,
+                   m.med,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY 1, 2
+        )
+        SELECT e.event_type,
+               round(m.med, 6) AS median_value,
+               round(m.mad, 6) AS mad_value,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               round(max(abs(e.value - m.med)), 6) AS max_abs_dev
+        FROM events e JOIN mad m USING (event_type)
+        GROUP BY 1, 2, 3
+    """,
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = events.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type", "med").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    gated = events.join(F.broadcast(mad), "event_type")
+    dev = F.abs(F.col("value") - F.col("med"))
+    return gated.groupBy(
+        "event_type",
+        F.round("med", 6).alias("median_value"),
+        F.round("mad", 6).alias("mad_value"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(dev > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+        ).alias("n_outliers"),
+        F.round(F.max(dev), 6).alias("max_abs_dev"),
+    )

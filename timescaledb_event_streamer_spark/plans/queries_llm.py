@@ -1273,3 +1273,64 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     md5_base = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
     return simhash_pairs(docs, base_hash=md5_base, n_bits=60)
+
+
+@register(
+    "media_header_probe",
+    family="multimodal",
+    doc="Container-header metadata probe on BINARY media payloads "
+    "without any decoder: PNG IHDR dimensions (big-endian), WAV "
+    "RIFF/fmt audio geometry (little-endian channels/rate/duration), "
+    "GIF logical-screen size — all fixed-offset integer reads as one "
+    "narrow codegen projection over the binary column (the shape that "
+    "lets a 100 TB media lake filter by resolution / duration before "
+    "scheduling a single decode job). Payloads synthesized as real "
+    "container bytes from events; the parse side sees ONLY the "
+    "binary column, and the oracle re-derives every field from the "
+    "source rows, so a synth/parse bug cannot cancel out.",
+    oracle="""
+        WITH src AS (
+            SELECT event_id,
+                   event_id % 3 AS fmt,
+                   user_id % 2048 + 16 AS png_w,
+                   CAST(floor(event_id / 3) AS BIGINT) % 2048 + 16 AS png_h,
+                   event_id % 2 + 1 AS ch,
+                   CASE user_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END AS rate,
+                   (event_id % 100000 + 1000) * (event_id % 2 + 1) * 2
+                       AS data_size,
+                   user_id % 4096 + 1 AS gif_w,
+                   event_id % 4096 + 1 AS gif_h
+            FROM events
+        )
+        SELECT event_id AS media_id,
+               CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'gif' END
+                   AS container,
+               CASE fmt WHEN 0 THEN png_w WHEN 2 THEN gif_w END AS width,
+               CASE fmt WHEN 0 THEN png_h WHEN 2 THEN gif_h END AS height,
+               CASE fmt WHEN 1 THEN ch END AS n_channels,
+               CASE fmt WHEN 1 THEN rate END AS sample_rate,
+               CASE fmt WHEN 0 THEN 8 WHEN 1 THEN 16 END AS bit_depth,
+               CASE fmt WHEN 1 THEN
+                   CAST(floor(data_size * 1000 / (rate * ch * 2)) AS BIGINT)
+               END AS duration_ms,
+               CASE fmt WHEN 0 THEN round(png_w * png_h / 1000000.0, 6)
+                        WHEN 2 THEN round(gif_w * gif_h / 1000000.0, 6)
+               END AS megapixels,
+               CASE fmt WHEN 0 THEN round(png_w / png_h, 6)
+                        WHEN 2 THEN round(gif_w / gif_h, 6)
+               END AS aspect_ratio,
+               CASE fmt WHEN 0 THEN 33 WHEN 1 THEN 44 ELSE 13 END
+                   AS header_bytes
+        FROM src
+    """,
+)
+def media_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_media_headers,
+        synthesize_media_headers,
+    )
+
+    return parse_media_headers(
+        synthesize_media_headers(load(spark, sf_dir, "events"))
+    )

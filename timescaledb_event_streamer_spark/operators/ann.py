@@ -9,7 +9,7 @@ Python per row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_HYPERPLANES = 12
@@ -581,4 +581,79 @@ def ivfpq_topk(
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def ivf_seeded_topk(
+    embeddings: DataFrame,
+    *,
+    stride: int = 25,
+    nprobe: int = 8,
+    k: int = 10,
+    query_id: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat with DETERMINISTIC seed centroids — the oracle-portable
+    sibling of the k-means IVF path (same pattern as the md5 MinHash /
+    SimHash variants: one fast engine-native form, one value-checkable
+    form sharing the algorithmic shape). Centroids are simply the
+    vectors with ``vec_id % stride == 0``; every step — assignment,
+    probe-list selection, candidate scoring — is a declarative plan a
+    SQL oracle can re-derive exactly.
+
+    Shape at scale: the corpus crosses a BROADCAST seed table once
+    (|E|·|S| rows map-side, reduced by a partial-aggregating argmax —
+    the standard IVF assign cost), candidates prune to ~nprobe/|S| of
+    the corpus, and the final top-k is an ordered take. All cosines
+    round to 6dp BEFORE comparisons so ranking ties break identically
+    across engines (Spark fold order vs DuckDB list_cosine_similarity).
+    """
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = e.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("seed_id"), F.col("v").alias("sv")
+    )
+
+    # assignment: argmax over seeds with (cosine DESC, seed_id ASC)
+    # tie-break, as a partial-aggregating max(struct) — no window, no
+    # per-key shuffle of the |E|x|S| expansion
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col),
+        "v",
+        "seed_id",
+        F.round(cosine(F.col("v"), F.col("sv")), 6).alias("c"),
+    )
+    asg = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("c"), (-F.col("seed_id")).alias("ns"))).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select(F.col(id_col), "v", (-F.col("m.ns")).alias("seed_id"))
+    )
+
+    qv = e.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    probes = (
+        seeds.crossJoin(F.broadcast(qv))
+        .select(
+            "seed_id", F.round(cosine(F.col("sv"), F.col("qv")), 6).alias("qc")
+        )
+        .orderBy(F.col("qc").desc(), "seed_id")
+        .limit(nprobe)
+        .select("seed_id")
+    )
+
+    cand = (
+        asg.join(F.broadcast(probes), "seed_id")
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col(id_col), F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
+    return cand.select(
+        F.col(id_col), "cosine", F.row_number().over(w).cast("long").alias("rnk")
     )

@@ -1334,3 +1334,57 @@ def media_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_media_headers(
         synthesize_media_headers(load(spark, sf_dir, "events"))
     )
+
+
+@register(
+    "ann_ivf_seeded",
+    family="ann",
+    doc="IVF-flat top-k with DETERMINISTIC seed centroids (vec_id % 25 "
+    "== 0) — the oracle-portable sibling of ann_ivf_topk's k-means "
+    "path, following the md5-MinHash precedent: identical algorithmic "
+    "shape (assign -> probe nprobe lists -> exact re-rank), every step "
+    "re-derivable in SQL. Cosines round to 6dp before every "
+    "comparison so assignment and ranking tie-break identically "
+    "across engines. Broadcast seed/query tables; candidate scan "
+    "prunes to ~nprobe/|seeds| of the corpus.",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id % 25 = 0
+        ),
+        asg0 AS (
+            SELECT e.vec_id, e.v, s.seed_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC,
+                                s.seed_id
+                   ) AS rn
+            FROM e CROSS JOIN seeds s
+        ),
+        asg AS (SELECT vec_id, v, seed_id FROM asg0 WHERE rn = 1),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+        probes AS (
+            SELECT seed_id
+            FROM seeds CROSS JOIN q
+            ORDER BY round(list_cosine_similarity(sv, qv), 6) DESC, seed_id
+            LIMIT 8
+        ),
+        cand AS (
+            SELECT a.vec_id,
+                   round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+            FROM asg a JOIN probes USING (seed_id) CROSS JOIN q
+            WHERE a.vec_id <> 1
+        )
+        SELECT vec_id, cosine,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+                   AS rnk
+        FROM cand
+        ORDER BY rnk LIMIT 10
+    """,
+)
+def ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.ann import ivf_seeded_topk
+
+    return ivf_seeded_topk(load(spark, sf_dir, "embeddings"))

@@ -341,3 +341,51 @@ def test_admin_frames_streaming_parity(spark, tmp_path):
     finally:
         q.stop()
     assert streamed == batch
+
+
+def test_cross_codec_envelope_consistency(spark):
+    """The JSON (wal2json) and BINARY (pgoutput) wire paths over the
+    SAME transaction log must recover identical envelopes: op, topic
+    routing, schema/table, transaction id, key and after-image values.
+    Each codec has its own LSN layout (wal2json: event_id as hi/lo;
+    pgoutput: 4*event_id + 2), so rows align on the recovered event id
+    — everything else must match field-for-field."""
+    from timescaledb_event_streamer_spark.sources.wal2json import (
+        parse_wal2json,
+        synthesize_wal2json,
+    )
+
+    ev = _events(
+        spark,
+        [(3, 7, "metrics", 20.5, "pr"), (11, 8, "metrics", 1.25, "qx"),
+         (20, 9, "clicks", 0.0, "zz"), (105, 4, "clicks", 7.75, "ab"),
+         (111, 5, "metrics", 2.5, "cd"), (207, 6, "clicks", 9.0, "ef")],
+    )
+
+    wal = parse_wal2json(synthesize_wal2json(ev))
+    w_rows = {
+        r["lsn"]: r
+        for r in wal.select(
+            "lsn", "topic", "op", "source_schema", "source_table", "xid",
+            F.col("after")["user_id"].alias("after_uid"),
+            F.col("after")["props"].alias("after_props"),
+            F.col("before")["user_id"].alias("before_uid"),
+        ).collect()
+    }
+    p_rows = {
+        (r["lsn"] - 2) // 4: r
+        for r in parse_pgoutput(synthesize_pgoutput(ev)).collect()
+    }
+    assert set(w_rows) == set(p_rows) == {3, 11, 20, 105, 111, 207}
+    for eid, p in p_rows.items():
+        w = w_rows[eid]
+        assert (w["topic"], w["op"]) == (p["topic"], p["op"])
+        assert (w["source_schema"], w["source_table"]) == (
+            p["source_schema"], p["source_table"],
+        )
+        assert w["xid"] == p["xid"]
+        a_uid = int(w["after_uid"]) if w["after_uid"] is not None else None
+        b_uid = int(w["before_uid"]) if w["before_uid"] is not None else None
+        assert a_uid == p["after_user_id"]
+        assert b_uid == p["before_user_id"]
+        assert w["after_props"] == p["after_props"]

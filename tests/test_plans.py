@@ -109,6 +109,9 @@ _BNLJ_OK = {
     "cdc_compression_markers",  # single-row broadcast compress horizon
     "ts_gapfill_locf",  # single-row broadcast bucket bounds
     "ts_interpolate",  # single-row broadcast bucket bounds
+    "corpus_mix_planner",  # single-row broadcast budget cross join
+    "cdc_pgoutput_messages",  # single-row broadcast max-LSN cross join
+    "ann_ivf_seeded",  # broadcast seed table assign + 1-row query vector
 }
 
 

@@ -45,6 +45,9 @@ REPS = [
     ("cdc_pgoutput_roundtrip", "binary frame codec roundtrip"),
     ("cdc_pgoutput_messages", "admin frame codec (T/M/Y/O)"),
     ("corpus_mix_planner", "budgeted sampling plan"),
+    ("media_header_probe", "binary header probe"),
+    ("ts_cagg_hierarchy", "3-level partial merge"),
+    ("ann_ivf_seeded", "seeded IVF assign+probe"),
 ]
 
 

@@ -150,7 +150,7 @@ def test_ivf_seeded_recall_and_full_probe_exactness(spark, sf_mid):
     # operator); 0.5 at nprobe=8/20 lists is the measured floor
     assert recall >= 0.5, f"seeded IVF recall {recall}"
 
-    n_seeds = emb.filter("vec_id % 25 = 0").count()
+    n_seeds = emb.filter("vec_id % 25 = 0 AND vec_id < 2500").count()
     full = ivf_seeded_topk(emb, nprobe=n_seeds, query_id=1)
     got = [r["vec_id"] for r in full.orderBy("rnk").collect()]
     assert got == [v for v in exact if v != 1][: len(got)]

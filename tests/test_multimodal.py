@@ -201,3 +201,69 @@ def test_media_header_probe_golden_bytes(spark):
     g = rows[3]
     assert (g["container"], g["width"], g["height"]) == ("gif", 320, 200)
     assert g["megapixels"] == round(320 * 200 / 1e6, 6)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    dims=st.lists(
+        st.tuples(
+            st.integers(1, 2**31 - 1),   # PNG width (u32 range, signed-safe)
+            st.integers(1, 2**31 - 1),   # PNG height
+            st.integers(1, 65535),       # GIF width (u16)
+            st.integers(1, 65535),       # GIF height
+            st.integers(1, 8),           # WAV channels
+            st.sampled_from([8000, 22050, 44100, 96000]),
+            st.integers(1, 10**7),       # WAV sample count
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_media_header_parse_property(spark, dims):
+    """Round-trip arbitrary dimensions through hand-built (struct.pack)
+    container bytes: the fixed-offset reads must recover every field
+    across the whole legal value range — including widths with the
+    high bytes set, which would expose any endianness or sign slip."""
+    import struct
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_media_headers,
+    )
+
+    rows = []
+    expected = {}
+    mid = 0
+    for pw, ph, gw, gh, ch, rate, n_samp in dims:
+        png = (
+            b"\x89PNG\r\n\x1a\x0a" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", pw, ph) + bytes([8, 6, 0, 0, 0]) + b"\0\0\0\0"
+        )
+        rows.append((mid, bytearray(png)))
+        expected[mid] = ("png", pw, ph, None, None, None)
+        mid += 1
+        ds = n_samp * ch * 2
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + ds) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16)
+            + b"data" + struct.pack("<I", ds)
+        )
+        rows.append((mid, bytearray(wav)))
+        expected[mid] = ("wav", None, None, ch, rate, n_samp * 1000 // rate)
+        mid += 1
+        gif = b"GIF89a" + struct.pack("<HH", gw, gh) + b"\xf7\0\0"
+        rows.append((mid, bytearray(gif)))
+        expected[mid] = ("gif", gw, gh, None, None, None)
+        mid += 1
+
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in parse_media_headers(df).collect()}
+    assert len(got) == len(expected)
+    for mid, (cont, w, h, ch, rate, dur_ms) in expected.items():
+        r = got[mid]
+        assert (r["container"], r["width"], r["height"]) == (cont, w, h)
+        assert (r["n_channels"], r["sample_rate"]) == (ch, rate)
+        assert r["duration_ms"] == dur_ms

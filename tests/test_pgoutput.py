@@ -389,3 +389,28 @@ def test_cross_codec_envelope_consistency(spark):
         assert a_uid == p["after_user_id"]
         assert b_uid == p["before_user_id"]
         assert w["after_props"] == p["after_props"]
+
+
+def test_admin_message_content_hostile_text(spark):
+    """M-frame content is length-prefixed raw bytes: multi-byte UTF-8,
+    quotes, control chars, and empty strings must survive the
+    encode/decode unchanged (byte-count prefixes, not terminators)."""
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        parse_admin_frames,
+        synthesize_admin_frames,
+    )
+
+    hostile = ['a"b\\c\nd\x01eé', "", "null\x07\x00after".replace("\x00", ""), "日本語🙂"]
+    # event ids ending in 5 produce M frames
+    ev = _events(
+        spark,
+        [(5 + 10 * i, i, "metrics", 1.0, props) for i, props in enumerate(hostile)],
+    )
+    out = {
+        r["lsn"]: r["content"]
+        for r in parse_admin_frames(synthesize_admin_frames(ev)).collect()
+        if r["op"] == "m"
+    }
+    assert len(out) == len(hostile)
+    for i, props in enumerate(hostile):
+        assert out[(5 + 10 * i) * 4 + 1] == props

@@ -609,12 +609,21 @@ def ivf_seeded_topk(
     round to 6dp BEFORE comparisons so ranking ties break identically
     across engines (Spark fold order vs DuckDB list_cosine_similarity).
     """
-    e = embeddings.select(
+    n_shuffle = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    # restore source parallelism before the |E|x|S| expansion (testdata
+    # arrives as one split; a deployed corpus is thousands)
+    e = embeddings.repartition(n_shuffle).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    seeds = e.filter(F.col(id_col) % stride == 0).select(
-        F.col(id_col).alias("seed_id"), F.col("v").alias("sv")
-    )
+    # the seed set is BOUNDED (id % stride == 0 AND id < 100*stride, so
+    # <= 100 seeds at any corpus size): assignment stays O(100 N) as the
+    # corpus grows, instead of the O(N^2/stride) an unbounded modulo
+    # seed set would cost
+    seeds = e.filter(
+        (F.col(id_col) % stride == 0) & (F.col(id_col) < 100 * stride)
+    ).select(F.col(id_col).alias("seed_id"), F.col("v").alias("sv"))
 
     # assignment: argmax over seeds with (cosine DESC, seed_id ASC)
     # tie-break, as a partial-aggregating max(struct) — no window, no

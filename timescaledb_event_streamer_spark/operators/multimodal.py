@@ -265,6 +265,10 @@ def synthesize_media_headers(events: DataFrame) -> DataFrame:
     event_id, dimensions and audio geometry derived from the row.
     The payload column is genuine BINARY — the parse side never sees
     the generating columns."""
+    # restore source parallelism before per-row payload construction
+    # (same rationale and measurement as sources/pgoutput.py)
+    n_shuffle = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    events = events.repartition(n_shuffle)
     eid, uid = F.col("event_id"), F.col("user_id")
     fmt = F.pmod(eid, 3)
 

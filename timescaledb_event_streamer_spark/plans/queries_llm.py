@@ -1352,7 +1352,8 @@ def media_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
         seeds AS (
-            SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id % 25 = 0
+            SELECT vec_id AS seed_id, v AS sv FROM e
+            WHERE vec_id % 25 = 0 AND vec_id < 2500
         ),
         asg0 AS (
             SELECT e.vec_id, e.v, s.seed_id,

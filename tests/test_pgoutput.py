@@ -414,3 +414,61 @@ def test_admin_message_content_hostile_text(spark):
     assert len(out) == len(hostile)
     for i, props in enumerate(hostile):
         assert out[(5 + 10 * i) * 4 + 1] == props
+
+
+def test_keepalive_wire_anatomy(spark):
+    """'k' frame: 1-byte tag + ServerWALEnd(8B BE) + ServerTime(8B BE,
+    micros since the PG epoch) + ReplyRequested(1B) — 18 bytes / 36
+    hex chars exactly (replicationhandler.go:163-176)."""
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        PG_EPOCH_OFFSET_US,
+        synthesize_copydata,
+    )
+
+    # event_id 15 -> keepalive (15 % 5 == 0) with reply bit (15 % 15)
+    ev = _events(spark, [(15, 1, "metrics", 1.0, "p")])
+    [row] = synthesize_copydata(ev).collect()
+    frame = row["frame"]
+    assert row["slot"] == "metrics"
+    assert len(frame) == 36  # 1B tag + 8B + 8B + 1B = 18 bytes
+    assert frame[:2] == "6B"
+    assert int(frame[2:18], 16) == 15 * 4 + 2  # serverWalEnd
+    pg_us = int(frame[18:34], 16)
+    assert pg_us == int(TS.timestamp() * 1_000_000) - PG_EPOCH_OFFSET_US
+    assert frame[34:36] == "01"  # reply requested
+
+
+def test_standby_status_roundtrip(spark):
+    """Received LSN = WALStart + len(WALData)
+    (replicationcontext.go:241-249); standby write == apply ==
+    received + 1 (replicationconnection.go:94-105); keepalives and
+    reply-requested counted per slot; multi-byte props lengths are
+    BYTE lengths, not char lengths."""
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        parse_standby_status,
+        synthesize_copydata,
+    )
+
+    ev = _events(
+        spark,
+        [
+            (1, 1, "m", 1.0, "abc"),      # w: lsn 6, payload 3B
+            (2, 1, "m", 1.0, "éé"),       # w: lsn 10, payload 4B (2x2)
+            (5, 1, "m", 1.0, "ignored"),  # k: wal_end 22, no reply
+            (15, 1, "m", 1.0, "x"),       # k: wal_end 62, reply
+            (3, 1, "other", 1.0, "zz"),   # w on a second slot
+        ],
+    )
+    out = {r["slot"]: r for r in
+           parse_standby_status(synthesize_copydata(ev)).collect()}
+    m = out["m"]
+    assert m["n_frames"] == 4 and m["n_keepalive"] == 2 and m["n_xlog"] == 2
+    assert m["n_reply_requested"] == 1
+    assert m["last_received_lsn"] == 10 + 4  # lsn(eid 2) + byte len('éé')
+    assert m["standby_write_lsn"] == 15 and m["standby_apply_lsn"] == 15
+    assert m["max_keepalive_wal_end"] == 62
+    assert m["last_server_time_ms"] == int(TS.timestamp() * 1000)
+    o = out["other"]
+    assert o["n_keepalive"] == 0 and o["n_xlog"] == 1
+    assert o["max_keepalive_wal_end"] is None
+    assert o["last_received_lsn"] == 3 * 4 + 2 + 2

@@ -525,3 +525,52 @@ def cdc_pgoutput_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return parse_admin_frames(synthesize_admin_frames(load(spark, sf_dir, "events")))
+
+
+@register(
+    "cdc_keepalive_status",
+    family="cdc",
+    doc="Replication-protocol control frames: primary keepalive 'k' "
+    "decode + the standby status reply the client computes "
+    "(replicationhandler.go:163-176 dispatch; ServerWALEnd/ServerTime/"
+    "ReplyRequested fields; replicationcontext.go:241-249 "
+    "AcknowledgeReceived = WALStart + len(WALData); "
+    "replicationconnection.go:94-105 SendStatusUpdate = processed "
+    "LSN + 1 with write == apply == flush). Synthesizes the raw "
+    "CopyData mix one slot per relation, then parses posture from the "
+    "wire hex alone; the oracle derives every column independently "
+    "from the source rows, so an encode/decode bug cannot cancel out. "
+    "Per-slot single-row aggregation — metadata-sized shuffle at any "
+    "corpus scale.",
+    oracle="""
+        WITH base AS (
+            SELECT event_type AS slot,
+                   event_id % 5 = 0 AS is_k,
+                   event_id % 15 = 0 AS reply,
+                   event_id * 4 + 2 AS lsn,
+                   strlen(props) AS plen,
+                   epoch_us(ts) AS us
+            FROM events
+        )
+        SELECT slot,
+               count(*) AS n_frames,
+               CAST(sum(CASE WHEN is_k THEN 1 ELSE 0 END) AS BIGINT) AS n_keepalive,
+               CAST(sum(CASE WHEN is_k THEN 0 ELSE 1 END) AS BIGINT) AS n_xlog,
+               CAST(sum(CASE WHEN is_k AND reply THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_reply_requested,
+               max(CASE WHEN NOT is_k THEN lsn + plen END) AS last_received_lsn,
+               max(CASE WHEN NOT is_k THEN lsn + plen END) + 1 AS standby_write_lsn,
+               max(CASE WHEN NOT is_k THEN lsn + plen END) + 1 AS standby_apply_lsn,
+               max(CASE WHEN is_k THEN lsn END) AS max_keepalive_wal_end,
+               CAST(floor(max(us) / 1000) AS BIGINT) AS last_server_time_ms
+        FROM base
+        GROUP BY slot
+    """,
+)
+def cdc_keepalive_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        parse_standby_status,
+        synthesize_copydata,
+    )
+
+    return parse_standby_status(synthesize_copydata(load(spark, sf_dir, "events")))

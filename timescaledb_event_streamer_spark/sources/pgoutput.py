@@ -129,7 +129,10 @@ def synthesize_pgoutput(events: DataFrame) -> DataFrame:
         F.max("event_id").alias("max_eid"), F.max("ts").alias("commit_ts")
     ).coalesce(1)
     commit_lsn = F.col("max_eid") * 4 + 3
-    commit_us = F.unix_micros(F.col("commit_ts")) + F.lit(PG_EPOCH_OFFSET_US)
+    # PG wire timestamps count micros since 2000-01-01 (the PG epoch),
+    # i.e. unix micros MINUS the epoch offset (pglogrepl's
+    # timeToPgTime; pglogrepl.SendStandbyStatusUpdate mirrors it)
+    commit_us = F.unix_micros(F.col("commit_ts")) - F.lit(PG_EPOCH_OFFSET_US)
     begin = txn.select(
         _xlogdata(
             F.col("xid") * 400,
@@ -452,7 +455,7 @@ def decode_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
 
     # B-frame transaction metadata (null on data frames)
     is_b = F.col("ptype") == "42"
-    commit_us = _u(hh, 53 + 16, 8) - F.lit(PG_EPOCH_OFFSET_US)
+    commit_us = _u(hh, 53 + 16, 8) + F.lit(PG_EPOCH_OFFSET_US)
     b_xid = F.when(is_b, _u(hh, 53 + 32, 4))
     b_ts_ms = F.when(is_b, F.floor(commit_us / 1000).cast("long"))
 
@@ -663,4 +666,109 @@ def pgoutput_envelope_stream(
         F.col("new_uid").cast("long").alias("after_user_id"),
         F.col("after_cents_s").cast("long").alias("after_cents"),
         "after_props",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Replication-protocol control frames: primary keepalive ('k') and the
+# standby status update the client computes in response.
+#
+# Reference semantics (file:line cited for parity):
+# - replicationhandler.go:163-176 — the CopyData dispatch: 'k' frames
+#   parse ServerWALEnd(8B BE) + ServerTime(8B BE, micros since the PG
+#   epoch 2000-01-01) + ReplyRequested(1B); a set reply flag forces an
+#   immediate status update (deadline zeroed).
+# - replicationcontext.go:241-249 AcknowledgeReceived — the received
+#   LSN advances to WALStart + len(WALData) after every XLogData frame.
+# - replicationconnection.go:94-105 SendStatusUpdate — the standby
+#   reply reports WALWritePosition = WALApplyPosition = processed
+#   LSN + 1 (pglogrepl defaults the flush position to the write
+#   position when unset).
+
+
+def synthesize_copydata(events: DataFrame) -> DataFrame:
+    """Render the simulated WAL as the raw CopyData frame mix a live
+    replication connection delivers: XLogData 'w' frames carrying the
+    props payload, with every 5th frame replaced by a primary
+    keepalive 'k' (reply requested on every 3rd keepalive). One slot
+    per relation (event_type) — the reference's one-slot-per-stream
+    model, so downstream state keys on the slot.
+
+    Only (slot, frame) survive into the output: the parse side runs
+    from the wire hex alone."""
+    n_shuffle = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    events = events.repartition(n_shuffle)
+    lsn = F.col("event_id") * 4 + 2
+    pg_us = F.unix_micros(F.col("ts")) - F.lit(PG_EPOCH_OFFSET_US)
+    is_keepalive = F.col("event_id") % 5 == 0
+    reply = F.when(F.col("event_id") % 15 == 0, "01").otherwise("00")
+
+    keepalive = F.concat(F.lit("6B"), _h(lsn, 8), _h(pg_us, 8), reply)
+    xlog = F.concat(
+        F.lit("77"), _h(lsn, 8), _h(lsn, 8), _h(pg_us, 8), F.hex(F.col("props"))
+    )
+    return events.select(
+        F.col("event_type").alias("slot"),
+        F.when(is_keepalive, keepalive).otherwise(xlog).alias("frame"),
+    )
+
+
+def parse_standby_status(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Decode the CopyData control mix and fold it to the per-slot
+    replication posture: frame counts by kind, reply-requested count,
+    the received LSN (AcknowledgeReceived's WALStart + len(WALData)),
+    the standby status reply positions (processed + 1, write == apply
+    == flush), the keepalive high-water server WAL end, and the last
+    server clock in unix millis.
+
+    One projection + one groupBy on the slot key — per-slot state is a
+    single row, so the aggregation is map-side-partial friendly and
+    the shuffle is bounded by slot cardinality (metadata-sized), the
+    same shape at any corpus scale."""
+    h = F.upper(F.col(frame_col))
+    kind = h.substr(F.lit(1), F.lit(2))
+    is_k = kind == "6B"
+    is_w = kind == "77"
+
+    # 'w': walStart @3, walEnd @19, clock @35, payload @51
+    # 'k': serverWalEnd @3, serverTime @19, replyRequested @35
+    wal_start = F.when(is_w, _u(h, 3, 8))
+    payload_bytes = F.when(is_w, (F.length(h) - 50) / 2).cast("long")
+    received_lsn = wal_start + payload_bytes
+    server_us = F.when(is_w, _u(h, 35, 8)).when(is_k, _u(h, 19, 8)) + F.lit(
+        PG_EPOCH_OFFSET_US
+    )
+    keepalive_end = F.when(is_k, _u(h, 3, 8))
+    reply_requested = is_k & (h.substr(F.lit(35), F.lit(2)) == "01")
+
+    per_frame = frames.select(
+        "slot",
+        is_k.cast("int").alias("_k"),
+        is_w.cast("int").alias("_w"),
+        reply_requested.cast("int").alias("_r"),
+        received_lsn.alias("_recv"),
+        keepalive_end.alias("_kend"),
+        server_us.alias("_us"),
+    )
+    agg = per_frame.groupBy("slot").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("_k").alias("n_keepalive"),
+        F.sum("_w").alias("n_xlog"),
+        F.sum("_r").alias("n_reply_requested"),
+        F.max("_recv").alias("last_received_lsn"),
+        F.max("_kend").alias("max_keepalive_wal_end"),
+        F.floor(F.max("_us") / 1000).cast("long").alias("last_server_time_ms"),
+    )
+    write_lsn = (F.col("last_received_lsn") + 1).alias("standby_write_lsn")
+    return agg.select(
+        "slot",
+        "n_frames",
+        "n_keepalive",
+        "n_xlog",
+        "n_reply_requested",
+        "last_received_lsn",
+        write_lsn,
+        (F.col("last_received_lsn") + 1).alias("standby_apply_lsn"),
+        "max_keepalive_wal_end",
+        "last_server_time_ms",
     )

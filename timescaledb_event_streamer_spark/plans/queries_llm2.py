@@ -1,0 +1,164 @@
+"""LLM-pipeline corpus QA, part 2 (SURVEY.md §2.F19/F20/D14):
+model-free perplexity proxy, within-doc duplicate-n-gram fraction
+(the Gopher repetition rule family), and cross-doc shared-shingle
+boilerplate fraction.
+
+All three are single- or double-scan DataFrame plans with shuffles
+keyed on token/shingle/doc — no Python per row, no driver loops —
+and each carries a DuckDB oracle that recomputes the statistic
+independently from the raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.operators.textstats import shingles
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load, spread
+
+
+@register(
+    "text_perplexity_proxy",
+    family="text",
+    doc="Model-free perplexity proxy: per-document cross-entropy in "
+    "bits/token under the corpus's own unigram distribution (the "
+    "CCNet/Gopher-style 'how surprising is this document for this "
+    "corpus' quality signal, without shipping an LM). Plan: one "
+    "corpus scan -> per-doc token counts; token frequencies reduce "
+    "from the same counts (map-side partials); the corpus total "
+    "folds back as a 1-row broadcast; the frequency join is keyed on "
+    "the token (AQE splits the stopword-skewed keys). Every doc's "
+    "tokens exist in the corpus by construction, so the estimate "
+    "needs no smoothing and the statistic is exact.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        cf AS (SELECT t, CAST(sum(c) AS BIGINT) AS cf FROM cnt GROUP BY t),
+        tot AS (SELECT sum(cf) AS total FROM cf)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               round(-sum(c * log2(cf / total)) / sum(c), 6)
+                   AS cross_entropy_bits
+        FROM cnt JOIN cf USING (t), tot
+        GROUP BY doc_id
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return perplexity_proxy(spread(load(spark, sf_dir, "documents")))
+
+
+def perplexity_proxy(docs: DataFrame) -> DataFrame:
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    # per-doc counts first: the token-keyed join then moves one row
+    # per (doc, distinct token), not one per occurrence
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    cf = cnt.groupBy("t").agg(F.sum("c").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total"))  # 1 row -> broadcast
+    joined = cnt.join(cf, "t").crossJoin(F.broadcast(total))
+    bits = F.col("c") * F.log2(F.col("cf") / F.col("total"))
+    return joined.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(-F.sum(bits) / F.sum("c"), 6).alias("cross_entropy_bits"),
+    )
+
+
+@register(
+    "text_dup_ngram_fraction",
+    family="text",
+    doc="Within-document duplicate 5-gram fraction — the Gopher "
+    "repetition rule the top-token share (text_repetition_ratio) "
+    "can't see: a document that loops a whole phrase has low "
+    "top-token share but a high fraction of its 5-gram occurrences "
+    "landing on repeated grams. Non-distinct shingles explode once; "
+    "both the per-(doc, gram) count and the per-doc fold shuffle on "
+    "the doc key. Documents shorter than the gram width drop out on "
+    "both sides by construction.",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id, g
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                 unnest(list_transform(
+                     range(1, greatest(len(toks) - 3, 1)),
+                     i -> array_to_string(list_slice(toks, i, i + 4), ' ')
+                 )) AS u(g)
+        ),
+        cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_grams,
+               round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) / sum(c), 6)
+                   AS dup_gram_fraction
+        FROM cnt
+        GROUP BY doc_id
+    """,
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_ngram_fraction(spread(load(spark, sf_dir, "documents")))
+
+
+def dup_ngram_fraction(docs: DataFrame) -> DataFrame:
+    grams = docs.select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), distinct=False)).alias("g"),
+    )
+    cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    dup_occ = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.round(dup_occ / F.sum("c"), 6).alias("dup_gram_fraction"),
+    )
+
+
+@register(
+    "dedup_common_shingles",
+    family="dedup",
+    doc="Cross-document shared-shingle fraction: per document, the "
+    "share of its distinct 5-gram shingles that occur in at least "
+    "one OTHER document — the boilerplate detector that fires on "
+    "template headers/footers pairwise Jaccard dilutes away. The "
+    "per-shingle document count reduces on the near-unique shingle "
+    "key (no pairwise join at all, unlike the D2/D11 candidate "
+    "generators), then folds back per doc: two bounded shuffles, "
+    "scale-independent of how many documents share a shingle.",
+    oracle="""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, s
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                 unnest(list_transform(
+                     range(1, greatest(len(toks) - 3, 1)),
+                     i -> array_to_string(list_slice(toks, i, i + 4), ' ')
+                 )) AS u(s)
+        ),
+        df AS (SELECT s, count(*) AS n_docs FROM sh GROUP BY s)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared,
+               round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 6)
+                   AS shared_fraction
+        FROM sh JOIN df USING (s)
+        GROUP BY doc_id
+    """,
+)
+def dedup_common_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return common_shingle_fraction(spread(load(spark, sf_dir, "documents")))
+
+
+def common_shingle_fraction(docs: DataFrame) -> DataFrame:
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
+    )
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    return (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            shared.alias("n_shared"),
+            F.round(shared / F.count(F.lit(1)), 6).alias("shared_fraction"),
+        )
+    )

@@ -55,6 +55,7 @@ def _load_all() -> None:
         queries_events,
         queries_ext,
         queries_llm,
+        queries_llm2,
         queries_olap,
         queries_olap2,
         queries_pgext,

@@ -267,3 +267,78 @@ def test_media_header_parse_property(spark, dims):
         assert (r["container"], r["width"], r["height"]) == (cont, w, h)
         assert (r["n_channels"], r["sample_rate"]) == (ch, rate)
         assert r["duration_ms"] == dur_ms
+
+
+def _jpeg_media(spark, payloads):
+    return spark.createDataFrame(
+        [(i, bytes.fromhex(p)) for i, p in enumerate(payloads)],
+        "media_id long, payload binary",
+    )
+
+
+def test_jpeg_walk_golden_bytes(spark):
+    """Hand-built JPEG headers (independent of the synthesizer): the
+    segment walk must hop variable-length APP/COM segments to SOF and
+    read geometry from marker-declared offsets."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_jpeg_headers,
+    )
+
+    # JFIF APP0 (16 bytes incl. length) + COM (5) + SOF0 640x480
+    jfif = (
+        "FFD8"
+        + "FFE0" + "0010" + "4A46494600" + "0102" + "00" + "0000" + "0000" + "0000"
+        + "FFFE" + "0005" + "414243"
+        + "FFC0" + "0011" + "08" + "01E0" + "0280" + "03" + "011100" + "021101" + "031101"
+        + "FFD9"
+    )
+    # progressive SOF2, single APP segment, 8000x12 (u16 edge sizes)
+    prog = (
+        "FFD8"
+        + "FFE1" + "0004" + "0000"
+        + "FFC2" + "0011" + "08" + "1F40" + "000C" + "03" + "011100" + "021101" + "031101"
+        + "FFD9"
+    )
+    out = {r["media_id"]: r for r in
+           parse_jpeg_headers(_jpeg_media(spark, [jfif, prog])).collect()}
+    g = out[0]
+    assert g["is_jpeg"] and g["height"] == 480 and g["width"] == 640
+    assert g["n_header_segments"] == 2 and not g["progressive"]
+    assert g["precision"] == 8 and g["n_components"] == 3
+    assert g["megapixels"] == round(640 * 480 / 1e6, 6)
+    p = out[1]
+    assert p["progressive"] and p["height"] == 8000 and p["width"] == 12
+    assert p["n_header_segments"] == 1
+
+
+def test_jpeg_walk_hostile_inputs(spark):
+    """Non-JPEG magic, truncated chains, and SOF-less streams must
+    come back null-geometry instead of misreading bytes."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_jpeg_headers,
+    )
+
+    png_magic = "89504E470D0A1A0A"
+    truncated = "FFD8FFE000"          # length field cut off
+    no_sof = "FFD8FFE1000400 00FFD9".replace(" ", "")
+    out = {r["media_id"]: r for r in
+           parse_jpeg_headers(_jpeg_media(spark, [png_magic, truncated, no_sof])).collect()}
+    assert not out[0]["is_jpeg"]
+    for i in range(3):
+        assert out[i]["height"] is None and out[i]["width"] is None
+
+
+def test_jpeg_synth_parse_plan_is_codegen(spark):
+    """The walk must stay inside whole-stage codegen: no Python
+    evaluation anywhere in the plan."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_jpeg_headers,
+        synthesize_jpeg_headers,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    df = parse_jpeg_headers(
+        synthesize_jpeg_headers(load(spark, "/root/testdata/sf0.001", "events"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

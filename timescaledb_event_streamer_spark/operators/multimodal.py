@@ -357,3 +357,120 @@ def parse_media_headers(media: DataFrame, payload_col: str = "payload") -> DataF
         F.when(is_png | is_gif, F.round(width / height, 6)).alias("aspect_ratio"),
         F.octet_length(F.col(payload_col)).cast("long").alias("header_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG header probe: unlike PNG/WAV/GIF, JPEG metadata does NOT sit at
+# a fixed offset — the SOF (start-of-frame) marker floats behind a
+# variable-length chain of APPn/COM segments. The walk is still pure
+# JVM codegen: a bounded F.aggregate over the segment chain, each step
+# hopping `2 + length` bytes (the marker-segment wire rule), stopping
+# at the first SOF0-SOF3 / scan-start / EOI. No codec library, no
+# Python per row — the same "filter a 100 TB media lake by resolution
+# before decoding anything" posture as parse_media_headers.
+#
+# Segment anatomy (1 byte = 2 hex chars): SOI FFD8, then markers
+# FFxx + length(2B, includes itself) + body; SOFn carries
+# precision(1B) + height(2B BE) + width(2B BE) + n_components(1B).
+
+#: segment-walk iteration bound: JPEG headers put SOF within the
+#: first handful of segments (EXIF/JFIF/ICC/COM); raise if probing
+#: files with pathological metadata chains
+JPEG_MAX_SEGMENTS = 8
+
+_SOF_MARKERS = ["FFC0", "FFC1", "FFC2", "FFC3"]
+
+
+def synthesize_jpeg_headers(events: DataFrame) -> DataFrame:
+    """Deterministic JPEG header payloads with a VARIABLE segment
+    layout derived from the events table: 1-3 APPn segments of
+    varying length, an optional COM segment, then SOF0 (baseline) or
+    SOF2 (progressive) carrying the dimensions. Only (media_id,
+    payload) survive — the parse side runs from the bytes alone."""
+    n_shuffle = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    events = events.repartition(n_shuffle)
+    eid, uid = F.col("event_id"), F.col("user_id")
+
+    def app_segment(j: int):
+        body_len = (uid + j) % 12 + 4
+        return F.concat(
+            F.lit(f"FFE{j}"), _hbe(body_len + 2, 2), F.repeat(F.lit("00"), body_len.cast("int"))
+        )
+
+    n_app = eid % 3 + 1  # 1..3 APP segments
+    apps = F.concat(
+        app_segment(0),
+        F.when(n_app >= 2, app_segment(1)).otherwise(F.lit("")),
+        F.when(n_app >= 3, app_segment(2)).otherwise(F.lit("")),
+    )
+    com_len = eid % 7 + 3
+    com = F.when(
+        eid % 2 == 0,
+        F.concat(F.lit("FFFE"), _hbe(com_len + 2, 2),
+                 F.repeat(F.lit("00"), com_len.cast("int"))),
+    ).otherwise(F.lit(""))
+
+    height = eid % 4000 + 8
+    width = uid % 4000 + 8
+    sof_marker = F.when(uid % 2 == 1, "FFC2").otherwise("FFC0")
+    sof = F.concat(
+        sof_marker, F.lit("0011"), F.lit("08"),  # len 17, precision 8
+        _hbe(height, 2), _hbe(width, 2),
+        F.lit("03"), F.lit("012200021101031101"),  # 3 components
+    )
+    payload_hex = F.concat(F.lit("FFD8"), apps, com, sof, F.lit("FFD9"))
+    return events.select(
+        eid.alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+
+
+def parse_jpeg_headers(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Walk the JPEG segment chain to the first SOF marker and read
+    frame geometry: a bounded F.aggregate carries (cursor, sof_pos,
+    segments_skipped) through JPEG_MAX_SEGMENTS hops, each advancing
+    by the segment's self-described length — whole-stage codegen,
+    variable offsets and all."""
+    h = F.hex(F.col(payload_col))
+
+    init = F.struct(
+        F.lit(5).cast("int").alias("pos"),   # 1-indexed hex cursor after SOI (2 bytes)
+        F.lit(0).cast("int").alias("sof"),   # hex pos of the SOF marker
+        F.lit(0).cast("int").alias("n"),     # segments skipped before SOF
+    )
+
+    def step(acc, _):
+        pos, sof, n = acc["pos"], acc["sof"], acc["n"]
+        marker = h.substr(pos, F.lit(4))
+        is_sof = marker.isin(*_SOF_MARKERS)
+        seg_len = F.conv(h.substr(pos + 4, F.lit(4)), 16, 10).cast("int")
+        done = (sof > 0) | (pos + 3 > F.length(h)) | marker.isin("FFD9", "FFDA")
+        return F.struct(
+            F.when(done | is_sof, pos).otherwise(pos + 4 + seg_len * 2)
+            .cast("int").alias("pos"),
+            F.when(is_sof & (sof == 0), pos).otherwise(sof).cast("int").alias("sof"),
+            F.when(done | is_sof, n).otherwise(n + 1).cast("int").alias("n"),
+        )
+
+    state = F.aggregate(
+        F.sequence(F.lit(1), F.lit(JPEG_MAX_SEGMENTS)), init, step
+    )
+    media = media.select("media_id", h.alias("_h"), state.alias("_s"))
+    hh, sof = F.col("_h"), F.col("_s.sof")
+    found = sof > 0
+    is_jpeg = hh.substr(F.lit(1), F.lit(4)) == "FFD8"
+    marker = hh.substr(sof, F.lit(4))
+    height = F.conv(hh.substr(sof + 10, F.lit(4)), 16, 10).cast("long")
+    width = F.conv(hh.substr(sof + 14, F.lit(4)), 16, 10).cast("long")
+    return media.select(
+        "media_id",
+        is_jpeg.alias("is_jpeg"),
+        F.when(found, F.col("_s.n")).alias("n_header_segments"),
+        F.when(found, F.conv(hh.substr(sof + 8, F.lit(2)), 16, 10).cast("long"))
+        .alias("precision"),
+        F.when(found, height).alias("height"),
+        F.when(found, width).alias("width"),
+        F.when(found, F.conv(hh.substr(sof + 18, F.lit(2)), 16, 10).cast("long"))
+        .alias("n_components"),
+        F.when(found, marker == "FFC2").alias("progressive"),
+        F.when(found, F.round(width * height / 1e6, 6)).alias("megapixels"),
+    )

@@ -162,3 +162,39 @@ def common_shingle_fraction(docs: DataFrame) -> DataFrame:
             F.round(shared / F.count(F.lit(1)), 6).alias("shared_fraction"),
         )
     )
+
+
+@register(
+    "media_jpeg_probe",
+    family="multimodal",
+    doc="Decoder-free JPEG frame geometry: unlike the fixed-offset "
+    "PNG/WAV/GIF probes (media_header_probe), JPEG's SOF marker "
+    "floats behind a variable-length APPn/COM segment chain, so the "
+    "probe WALKS the chain — a bounded F.aggregate over the binary "
+    "column hopping marker-declared lengths until SOF0-SOF3, still "
+    "pure whole-stage codegen with zero Python per row. Synthesis "
+    "varies the segment count and lengths per row and exposes only "
+    "the bytes; the oracle re-derives geometry from the generating "
+    "columns, so a walk bug cannot cancel out.",
+    oracle="""
+        SELECT event_id AS media_id,
+               TRUE AS is_jpeg,
+               event_id % 3 + 1 + CAST(event_id % 2 = 0 AS BIGINT)
+                   AS n_header_segments,
+               8 AS precision,
+               event_id % 4000 + 8 AS height,
+               user_id % 4000 + 8 AS width,
+               3 AS n_components,
+               user_id % 2 = 1 AS progressive,
+               round((event_id % 4000 + 8) * (user_id % 4000 + 8) / 1e6, 6)
+                   AS megapixels
+        FROM events
+    """,
+)
+def media_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_jpeg_headers,
+        synthesize_jpeg_headers,
+    )
+
+    return parse_jpeg_headers(synthesize_jpeg_headers(load(spark, sf_dir, "events")))

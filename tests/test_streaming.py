@@ -415,3 +415,44 @@ def test_toast_backfill_stream_matches_batch(spark, sf_small):
         assert any(r[6] and r[5] is not None for r in streamed)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_standby_status_stream_matches_batch(spark, sf_small):
+    """The replication-posture fold (keepalive + XLogData ->
+    per-slot standby status) is a plain streaming aggregation:
+    complete-mode output over the same frame mix must equal the
+    batch fold — the live form of the reference's 5-second status
+    loop (replicationhandler.go:118-137)."""
+    import tempfile
+    import shutil
+
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        parse_standby_status,
+        synthesize_copydata,
+    )
+
+    events = load(spark, sf_small, "events")
+    frames = synthesize_copydata(events)
+    d = tempfile.mkdtemp(prefix="copydata-")
+    try:
+        frames.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(frames.schema).parquet(d)
+        q = (
+            parse_standby_status(stream)
+            .writeStream.format("memory")
+            .queryName("standby_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["slot"]: r
+            for r in spark.sql("SELECT * FROM standby_stream").collect()
+        }
+        want = {r["slot"]: r for r in parse_standby_status(frames).collect()}
+        assert set(got) == set(want)
+        for slot in want:
+            assert got[slot].asDict() == want[slot].asDict(), slot
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

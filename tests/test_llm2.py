@@ -74,3 +74,83 @@ def test_common_shingles_boilerplate_detected(spark):
     # the shared grams are exactly the header's 5-grams (header has 5
     # tokens -> 1 shingle)
     assert out[0]["n_shared"] == 1
+
+
+def _ledger_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, s, len(t)) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+
+
+def _interleaved(base: int, n: int = 40) -> str:
+    """Stopword-heavy English text with UNIQUE filler tokens: passes
+    the lang + quality gates while producing no repeated 5-grams."""
+    stops = ["the", "a", "of", "and", "in", "to", "is"]
+    return " ".join(f"{stops[i % 7]} w{base + i}xx" for i in range(n))
+
+
+def test_training_ledger_gates_and_precedence(spark):
+    """Each planted doc is claimed by its intended gate, in precedence
+    order; the ledger columns sum to the candidate count. The surprise
+    threshold is raised out of the way — the tiny fixture corpus makes
+    every unique token corpus-rare (see the dedicated surprise test)."""
+    from timescaledb_event_streamer_spark.plans.queries_llm2 import (
+        training_corpus_ledger,
+    )
+
+    rows = [
+        # 0: non-en (no stopwords) -> lang gate, even though it would
+        #    also fail later gates
+        ("s1", "zz yy xx ww vv uu tt ss " * 10),
+        # 1: en but terrible quality (tiny, punct-heavy)
+        ("s1", "the a of !!! ??? ;;; ::: !!!"),
+        # 2: en + quality, loops one phrase -> within-doc repetition
+        ("s1", _interleaved(100, 30) + " " + ("alpha beta gamma delta epsilon " * 8)),
+        # 3+4: en + quality, identical docs -> cross-doc repetition
+        ("s2", _interleaved(200)),
+        ("s2", _interleaved(200)),
+        # 5: clean keeper: unique fillers, no gram collisions
+        ("s2", _interleaved(300)),
+    ]
+    out = {
+        r["source"]: r
+        for r in training_corpus_ledger(
+            _ledger_docs(spark, rows), surprise_bits=50.0
+        ).collect()
+    }
+    s1, s2 = out["s1"], out["s2"]
+    assert s1["n_candidates"] == 3 and s2["n_candidates"] == 3
+    assert s1["n_drop_lang"] == 1
+    assert s1["n_drop_quality"] == 1
+    assert s1["n_drop_repetition"] == 1  # the looped-phrase doc
+    assert s2["n_drop_repetition"] == 2  # the identical pair
+    assert s2["n_kept"] == 1 and s2["kept_tokens"] > 0
+    for r in (s1, s2):
+        gates = (r["n_drop_lang"] + r["n_drop_quality"]
+                 + r["n_drop_repetition"] + r["n_drop_surprise"] + r["n_kept"])
+        assert gates == r["n_candidates"]
+
+
+def test_training_ledger_surprise_gate(spark):
+    """The corpus-surprise gate fires on the rare-token doc and spares
+    the common-token doc (cross-entropy separates them by >3 bits in
+    this fixture); repetition is disabled so the stopword-only doc's
+    repeated grams don't shadow the gate under test."""
+    from timescaledb_event_streamer_spark.plans.queries_llm2 import (
+        training_corpus_ledger,
+    )
+
+    rows = [
+        # common-token doc: every token is corpus-frequent -> low CE
+        ("s", "the a of and in to is " * 10),
+        # rare-token doc: mostly unique tokens (1/N corpus mass each),
+        # with enough stopwords to pass the lang gate
+        ("s", _interleaved(500)),
+    ]
+    [r] = training_corpus_ledger(
+        _ledger_docs(spark, rows), rep_max=1.1, shared_max=1.1, surprise_bits=4.0
+    ).collect()
+    assert r["n_candidates"] == 2
+    assert r["n_drop_surprise"] == 1
+    assert r["n_kept"] == 1

@@ -203,3 +203,167 @@ def media_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return parse_jpeg_headers(synthesize_jpeg_headers(load(spark, sf_dir, "events")))
+
+
+_SQL_STOP_RATIO = (
+    r"(floor((len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b')) * 1.0 / "
+    r"greatest(len(regexp_extract_all(text, '\S+')), 1)) * 1000000.0 + 0.5) / 1000000.0)"
+)
+_SQL_PUNCT_RATIO = (
+    r"(floor((len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / "
+    r"greatest(length(text), 1)) * 1000000.0 + 0.5) / 1000000.0)"
+)
+_SQL_GRAMS = """
+            SELECT doc_id, g
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                 unnest(list_transform(
+                     range(1, greatest(len(toks) - 3, 1)),
+                     i -> array_to_string(list_slice(toks, i, i + 4), ' ')
+                 )) AS u(g)
+"""
+
+
+@register(
+    "pipeline_training_corpus",
+    family="text",
+    doc="Training-corpus admission pipeline v2: the round-4 quality "
+    "signals composed into one plan with a per-source drop LEDGER — "
+    "language gate, composite quality score, repetition gate "
+    "(within-doc duplicate 5-grams OR >=80% cross-doc shared "
+    "shingles, the near-dup/template kill), and a corpus-surprise "
+    "gate (unigram cross-entropy > 4.95 bits/token, ~top-3% of gate survivors). First failing gate "
+    "claims the doc, so the ledger columns sum to the candidate "
+    "count. Every per-doc signal reduces on doc/token/shingle keys "
+    "before the doc-keyed assembly joins; the codegen feature scan "
+    "runs once. The within-doc repetition branch never fires on the "
+    "driver testdata (no looped docs are planted) — "
+    "tests/test_llm2.py plants one and pins the gate.",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, source,
+                   CASE WHEN {_SQL_STOP_RATIO} >= 0.05
+                        THEN 'en' ELSE 'other' END AS lang_pred,
+                   floor((0.5 * {_SQL_STOP_RATIO}
+                         + 0.4 * least(n_chars / 500.0, 1.0)
+                         - 0.1 * {_SQL_PUNCT_RATIO}) * 1000000.0 + 0.5)
+                       / 1000000.0 AS quality
+            FROM documents
+        ),
+        gcnt AS (
+            SELECT doc_id, g, count(*) AS c
+            FROM ({_SQL_GRAMS}) GROUP BY 1, 2
+        ),
+        dng AS (
+            SELECT doc_id,
+                   round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) / sum(c), 6)
+                       AS dupf
+            FROM gcnt GROUP BY doc_id
+        ),
+        sh AS (SELECT DISTINCT doc_id, g AS s FROM ({_SQL_GRAMS})),
+        sdf AS (SELECT s, count(*) AS n_docs FROM sh GROUP BY s),
+        csf AS (
+            SELECT doc_id,
+                   round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS sharedf
+            FROM sh JOIN sdf USING (s) GROUP BY doc_id
+        ),
+        tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        tcnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        cfreq AS (SELECT t, CAST(sum(c) AS BIGINT) AS cf FROM tcnt GROUP BY t),
+        tot AS (SELECT sum(cf) AS total FROM cfreq),
+        ppx AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(-sum(c * log2(cf / total)) / sum(c), 6) AS ce
+            FROM tcnt JOIN cfreq USING (t), tot GROUP BY doc_id
+        ),
+        led AS (
+            SELECT f.source, p.n_tokens,
+                   CASE WHEN f.lang_pred != 'en' THEN 'lang'
+                        WHEN f.quality < 0.35 THEN 'quality'
+                        WHEN coalesce(d.dupf, 0) > 0.2
+                             OR coalesce(cs.sharedf, 0) >= 0.8 THEN 'repetition'
+                        WHEN p.ce > 4.95 THEN 'surprise'
+                        ELSE 'kept' END AS gate
+            FROM feats f
+            LEFT JOIN dng d USING (doc_id)
+            LEFT JOIN csf cs USING (doc_id)
+            JOIN ppx p USING (doc_id)
+        )
+        SELECT source,
+               count(*) AS n_candidates,
+               CAST(sum(CASE WHEN gate = 'lang' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_drop_lang,
+               CAST(sum(CASE WHEN gate = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_drop_quality,
+               CAST(sum(CASE WHEN gate = 'repetition' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_drop_repetition,
+               CAST(sum(CASE WHEN gate = 'surprise' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_drop_surprise,
+               CAST(sum(CASE WHEN gate = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN gate = 'kept' THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS kept_tokens
+        FROM led
+        GROUP BY source
+    """,
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_corpus_ledger(spread(load(spark, sf_dir, "documents")))
+
+
+def training_corpus_ledger(
+    docs: DataFrame,
+    *,
+    quality_min: float = 0.35,
+    rep_max: float = 0.2,
+    shared_max: float = 0.8,
+    surprise_bits: float = 4.95,
+) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.textstats import (
+        lang_pred,
+        quality_score,
+    )
+
+    feats = docs.select(
+        "doc_id",
+        "source",
+        lang_pred(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+    )
+    dng = dup_ngram_fraction(docs).select("doc_id", "dup_gram_fraction")
+    csf = common_shingle_fraction(docs).select("doc_id", "shared_fraction")
+    ppx = perplexity_proxy(docs)
+
+    j = (
+        feats.join(dng, "doc_id", "left")
+        .join(csf, "doc_id", "left")
+        .join(ppx, "doc_id")
+    )
+    gate = (
+        F.when(F.col("lang_pred") != "en", "lang")
+        .when(F.col("quality") < quality_min, "quality")
+        .when(
+            (F.coalesce("dup_gram_fraction", F.lit(0.0)) > rep_max)
+            | (F.coalesce("shared_fraction", F.lit(0.0)) >= shared_max),
+            "repetition",
+        )
+        .when(F.col("cross_entropy_bits") > surprise_bits, "surprise")
+        .otherwise("kept")
+    )
+    led = j.select("source", "n_tokens", gate.alias("gate"))
+
+    def n_gate(g: str):
+        return F.sum(F.when(F.col("gate") == g, 1).otherwise(0)).alias(f"n_drop_{g}")
+
+    return led.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        n_gate("lang"),
+        n_gate("quality"),
+        n_gate("repetition"),
+        n_gate("surprise"),
+        F.sum(F.when(F.col("gate") == "kept", 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("gate") == "kept", F.col("n_tokens")).otherwise(F.lit(0)))
+        .alias("kept_tokens"),
+    )

@@ -154,3 +154,14 @@ def test_training_ledger_surprise_gate(spark):
     assert r["n_candidates"] == 2
     assert r["n_drop_surprise"] == 1
     assert r["n_kept"] == 1
+
+
+def test_filtered_topk_pushes_label_to_scan(spark, sf_small):
+    """The metadata filter must reach the parquet scan as a pushed
+    filter — filter-then-score, never score-then-filter."""
+    from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+    df = all_queries()["ann_filtered_topk"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(label,3)" in plan, plan[plan.index("PushedFilters"):][:300]

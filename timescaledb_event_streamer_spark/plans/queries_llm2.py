@@ -367,3 +367,36 @@ def training_corpus_ledger(
         F.sum(F.when(F.col("gate") == "kept", F.col("n_tokens")).otherwise(F.lit(0)))
         .alias("kept_tokens"),
     )
+
+
+@register(
+    "ann_filtered_topk",
+    family="ann",
+    doc="Filtered similarity search (the vector-store 'metadata "
+    "filter' shape): exact cosine top-10 vs the vec_id=0 query "
+    "AMONG label=3 vectors only. The predicate applies BEFORE any "
+    "vector math and reaches the parquet scan as a pushed filter "
+    "(pytest-asserted), so at scale the scan prunes to the label's "
+    "row groups / partitions first — filter-then-score, never "
+    "score-then-filter.",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               label,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT qv FROM q)), 6) AS cosine
+        FROM embeddings
+        WHERE label = 3
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.ann import brute_force_topk
+    from timescaledb_event_streamer_spark.plans.queries_llm import _query_vec
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("label") == 3)
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)

@@ -91,3 +91,60 @@ def test_minmax_downsample_rolls_up_associatively(spark, tmp_path):
     key = lambda r: (r["series"], r["b12"])  # noqa: E731
     assert sorted(map(tuple, merged), key=str) == sorted(map(tuple, direct), key=str)
     assert {key(r) for r in merged} == {key(r) for r in direct}
+
+
+def test_asap_smooth_matches_reference_impl(spark, tmp_path):
+    """Planted series vs an independent NumPy implementation of the
+    same ASAP rule (min roughness subject to kurtosis preservation):
+    chosen window and statistics must agree."""
+    import numpy as np
+
+    from timescaledb_event_streamer_spark.plans.queries_timeseries3 import (
+        ts_asap_smooth,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rng = [(i * 37 + 11) % 97 / 10.0 for i in range(40)]  # deterministic noise
+    vals = [round(5.0 + 3.0 * ((i % 7) - 3) / 3.0 + rng[i] * 0.5, 2) for i in range(40)]
+    vals[20] = 60.0  # spike the kurtosis rule must preserve
+    rows = [(t0 + datetime.timedelta(days=i), "m", vals[i]) for i in range(40)]
+    sf_dir = _write(spark, tmp_path, rows)
+
+    [got] = ts_asap_smooth(spark, sf_dir).collect()
+
+    def stats(a):
+        mu = a.mean()
+        m2 = ((a - mu) ** 2).sum()
+        m4 = ((a - mu) ** 4).sum()
+        kurt = len(a) * m4 / (m2 * m2)
+        d = np.diff(a)
+        rough = np.sqrt(((d - d.mean()) ** 2).mean())
+        return rough, kurt
+
+    xs = np.array(vals)
+    _, kurt_o = stats(xs)
+    best = None
+    for w in [1] + list(range(2, min(15, len(xs) - 2) + 1)):
+        s = xs if w == 1 else np.convolve(xs, np.ones(w) / w, mode="valid")
+        rough, kurt = stats(s)
+        if w == 1 or kurt >= kurt_o:
+            if best is None or rough < best[1] - 1e-12:
+                best = (w, rough, kurt)
+
+    assert got["w_chosen"] == best[0]
+    assert abs(got["roughness"] - best[1]) < 1e-4
+    assert abs(got["kurtosis"] - best[2]) < 1e-4
+    assert got["kurtosis"] >= got["kurtosis_orig"] or got["w_chosen"] == 1
+    assert got["n_days"] == 40
+
+
+def test_asap_smooth_constant_series_identity(spark, tmp_path):
+    from timescaledb_event_streamer_spark.plans.queries_timeseries3 import (
+        ts_asap_smooth,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(t0 + datetime.timedelta(days=i), "c", 7.0) for i in range(10)]
+    [got] = ts_asap_smooth(spark, _write(spark, tmp_path, rows)).collect()
+    # constant series: every window ties at roughness 0 -> w=1 wins
+    assert got["w_chosen"] == 1 and got["roughness"] == 0.0

@@ -73,3 +73,184 @@ def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pt").getField("ts_ms").alias("ts_max_ms"),
         )
     )
+
+
+@register(
+    "ts_asap_smooth",
+    family="timeseries",
+    doc="ASAP smoothing parameter search (toolkit asap_smooth; Rong & "
+    "Bailis, VLDB'17): per series, choose the moving-average window "
+    "that minimizes roughness (stddev of first differences) while "
+    "preserving kurtosis >= the original series' — the "
+    "spike-preserving smoothing rule. Bounded candidate set (w <= "
+    "15) over the daily-bucketed series; every statistic is a "
+    "SEQUENTIAL left-fold over the ordered value array (Spark "
+    "aggregate == DuckDB list_reduce, identical IEEE op order, so "
+    "the float results and the argmin agree bit-for-bit across "
+    "engines). State is bounded by the bucket grain, not raw event "
+    "volume — the candidate explode is series x 14 rows, metadata-"
+    "sized at any corpus scale.",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type AS series, date_trunc('day', ts) AS day,
+                   sum(CAST(round(value * 100) AS BIGINT))
+                       / (100.0 * count(*)) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        arrs AS (
+            SELECT series, list(x ORDER BY day) AS xs, count(*) AS n
+            FROM daily GROUP BY series
+        ),
+        base AS (
+            SELECT series, xs, n,
+                   list_reduce(xs, (a, v) -> a + v) / n AS mu
+            FROM arrs
+        ),
+        orig AS (
+            SELECT series, xs, n, mu,
+                   list_reduce(list_transform(xs, v -> (v - mu) * (v - mu)),
+                               (a, v) -> a + v) AS m2s,
+                   list_reduce(list_transform(
+                       xs, v -> (v - mu) * (v - mu) * (v - mu) * (v - mu)),
+                               (a, v) -> a + v) AS m4s
+            FROM base
+        ),
+        okurt AS (
+            SELECT series, xs, n,
+                   n * m4s / nullif(m2s * m2s, 0) AS kurt_o
+            FROM orig
+        ),
+        cand AS (
+            SELECT series, xs, n, kurt_o, CAST(w AS BIGINT) AS w,
+                   CASE WHEN w = 1 THEN xs ELSE
+                       list_transform(
+                           range(1, CAST(n - w + 2 AS BIGINT)),
+                           i -> list_reduce(list_slice(xs, i, i + w - 1),
+                                            (a, v) -> a + v) / w)
+                   END AS s
+            FROM okurt,
+                 unnest(list_concat([1], list_transform(
+                     range(2, CAST(greatest(least(15, n - 2) + 1, 2) AS BIGINT)),
+                     v -> CAST(v AS INTEGER)))) AS u(w)
+        ),
+        dstats AS (
+            SELECT series, n, kurt_o, w, s,
+                   list_transform(range(1, CAST(len(s) AS BIGINT)),
+                                  i -> s[i + 1] - s[i]) AS d
+            FROM cand
+        ),
+        dmu AS (
+            SELECT *, list_reduce(d, (a, v) -> a + v) / len(d) AS mu_d,
+                   list_reduce(s, (a, v) -> a + v) / len(s) AS mu_s
+            FROM dstats
+        ),
+        scored AS (
+            SELECT series, n, kurt_o, w,
+                   sqrt(list_reduce(list_transform(
+                            d, v -> (v - mu_d) * (v - mu_d)), (a, v) -> a + v)
+                        / len(d)) AS rough,
+                   len(s) * list_reduce(list_transform(
+                       s, v -> (v-mu_s)*(v-mu_s)*(v-mu_s)*(v-mu_s)), (a,v) -> a+v)
+                   / nullif(pow(list_reduce(list_transform(
+                         s, v -> (v-mu_s)*(v-mu_s)), (a,v) -> a+v), 2), 0) AS kurt
+            FROM dmu
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY series ORDER BY rough ASC, w ASC) AS rk
+            FROM scored
+            WHERE w = 1 OR kurt >= kurt_o
+        )
+        SELECT series,
+               CAST(n AS BIGINT) AS n_days,
+               w AS w_chosen,
+               round(rough, 6) AS roughness,
+               round(kurt, 6) AS kurtosis,
+               round(kurt_o, 6) AS kurtosis_orig
+        FROM ranked WHERE rk = 1
+    """,
+)
+def ts_asap_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .groupBy(F.col("event_type").alias("series"), "day")
+        .agg((F.sum("cents") / (100.0 * F.count(F.lit(1)))).alias("x"))
+    )
+    arrs = daily.groupBy("series").agg(
+        F.expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)")
+        .alias("xs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    base = arrs.withColumn(
+        "mu", F.expr("aggregate(xs, 0D, (a, v) -> a + v) / n")
+    )
+    okurt = base.select(
+        "series", "xs", "n",
+        F.expr(
+            "n * aggregate(transform(xs, v -> (v-mu)*(v-mu)*(v-mu)*(v-mu)),"
+            " 0D, (a, v) -> a + v)"
+            " / nullif(pow(aggregate(transform(xs, v -> (v-mu)*(v-mu)),"
+            " 0D, (a, v) -> a + v), 2), 0)"
+        ).alias("kurt_o"),
+    )
+    cand = (
+        okurt.select(
+            "series", "n", "kurt_o", "xs",
+            F.explode(
+                F.expr("concat(array(1), sequence(2, greatest(least(15, n - 2), 1)))")
+            ).alias("w0"),
+        )
+        .withColumn("w", F.col("w0").cast("long"))
+        .drop("w0")
+        .filter((F.col("w") == 1) | (F.col("w") <= F.col("n") - 2))
+    )
+    sma = cand.withColumn(
+        "s",
+        F.expr(
+            "CASE WHEN w = 1 THEN xs ELSE"
+            " transform(sequence(1, int(n - w + 1)),"
+            " i -> aggregate(slice(xs, i, int(w)), 0D, (a, v) -> a + v) / w)"
+            " END"
+        ),
+    )
+    dstats = sma.withColumn(
+        "d",
+        F.expr("transform(sequence(1, size(s) - 1),"
+               " i -> element_at(s, i + 1) - element_at(s, i))"),
+    )
+    dmu = dstats.withColumn(
+        "mu_d", F.expr("aggregate(d, 0D, (a, v) -> a + v) / size(d)")
+    ).withColumn("mu_s", F.expr("aggregate(s, 0D, (a, v) -> a + v) / size(s)"))
+    scored = dmu.select(
+        "series", "n", "kurt_o", "w",
+        F.expr(
+            "sqrt(aggregate(transform(d, v -> (v - mu_d) * (v - mu_d)),"
+            " 0D, (a, v) -> a + v) / size(d))"
+        ).alias("rough"),
+        F.expr(
+            "size(s) * aggregate(transform(s, v -> (v-mu_s)*(v-mu_s)*(v-mu_s)*(v-mu_s)),"
+            " 0D, (a, v) -> a + v)"
+            " / nullif(pow(aggregate(transform(s, v -> (v-mu_s)*(v-mu_s)),"
+            " 0D, (a, v) -> a + v), 2), 0)"
+        ).alias("kurt"),
+    )
+    from pyspark.sql import Window
+
+    qualified = scored.filter((F.col("w") == 1) | (F.col("kurt") >= F.col("kurt_o")))
+    rk = F.row_number().over(
+        Window.partitionBy("series").orderBy(F.col("rough").asc(), F.col("w").asc())
+    )
+    return (
+        qualified.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "series",
+            F.col("n").alias("n_days"),
+            F.col("w").alias("w_chosen"),
+            F.round("rough", 6).alias("roughness"),
+            F.round("kurt", 6).alias("kurtosis"),
+            F.round("kurt_o", 6).alias("kurtosis_orig"),
+        )
+    )

@@ -574,3 +574,94 @@ def cdc_keepalive_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return parse_standby_status(synthesize_copydata(load(spark, sf_dir, "events")))
+
+
+@register(
+    "cdc_replication_channel_stats",
+    family="cdc",
+    doc="Replication-channel counter struct over the decoded pgoutput "
+    "stream (internal/stats + replicationhandler.go:40-48): "
+    "total/insert/update/delete/skipped call counters, transaction "
+    "count, and largest-transaction gauge — with the restart-LSN "
+    "skip rule applied exactly as the handler does "
+    "(replicationhandler.go:195-206: a frame whose WALStart is below "
+    "the slot's restart LSN is counted total+skipped and never "
+    "reaches the op counters). Restart LSN is the deterministic 40% "
+    "point of the WAL span (a mid-stream resume). Two-level fold: "
+    "per-xid partial counts (one metadata-sized shuffle) then a "
+    "single global reduce; the oracle recomputes every counter from "
+    "the source rows.",
+    oracle="""
+        WITH r AS (
+            SELECT CAST(floor((4 * max(event_id) + 2) * 2 / 5) AS BIGINT)
+                AS restart_lsn
+            FROM events
+        ),
+        env AS (
+            SELECT CAST(floor(event_id / 100) AS BIGINT) AS xid,
+                   event_id * 4 + 2 AS lsn,
+                   CASE WHEN event_id % 10 = 0 THEN 'd'
+                        WHEN event_id % 10 IN (1, 2) THEN 'u'
+                        ELSE 'c' END AS op
+            FROM events
+        ),
+        fl AS (SELECT xid, op, lsn < restart_lsn AS skip FROM env, r),
+        perx AS (
+            SELECT xid,
+                   count(*) AS tot,
+                   sum(CASE WHEN skip THEN 1 ELSE 0 END) AS sk,
+                   sum(CASE WHEN NOT skip AND op = 'c' THEN 1 ELSE 0 END) AS ins,
+                   sum(CASE WHEN NOT skip AND op = 'u' THEN 1 ELSE 0 END) AS upd,
+                   sum(CASE WHEN NOT skip AND op = 'd' THEN 1 ELSE 0 END) AS del,
+                   sum(CASE WHEN NOT skip THEN 1 ELSE 0 END) AS live
+            FROM fl GROUP BY xid
+        )
+        SELECT (SELECT restart_lsn FROM r) AS restart_lsn,
+               CAST(sum(tot) AS BIGINT) AS n_total,
+               CAST(sum(sk) AS BIGINT) AS n_skipped,
+               CAST(sum(ins) AS BIGINT) AS n_inserts,
+               CAST(sum(upd) AS BIGINT) AS n_updates,
+               CAST(sum(del) AS BIGINT) AS n_deletes,
+               CAST(sum(CASE WHEN live > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_transactions,
+               CAST(max(live) AS BIGINT) AS largest_transaction
+        FROM perx
+    """,
+)
+def cdc_replication_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        parse_pgoutput,
+        synthesize_pgoutput,
+    )
+
+    env = parse_pgoutput(synthesize_pgoutput(load(spark, sf_dir, "events"))).select(
+        "xid", "lsn", "op"
+    )
+    restart = env.agg(
+        F.floor(F.max("lsn") * 2 / 5).cast("long").alias("restart_lsn")
+    )
+    fl = env.crossJoin(F.broadcast(restart)).withColumn(
+        "skip", F.col("lsn") < F.col("restart_lsn")
+    )
+    live = F.sum(F.when(~F.col("skip"), 1).otherwise(0))
+
+    def op_count(op: str):
+        return F.sum(F.when(~F.col("skip") & (F.col("op") == op), 1).otherwise(0))
+
+    perx = fl.groupBy("xid", "restart_lsn").agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.sum(F.when(F.col("skip"), 1).otherwise(0)).alias("sk"),
+        op_count("c").alias("ins"),
+        op_count("u").alias("upd"),
+        op_count("d").alias("del"),
+        live.alias("live"),
+    )
+    return perx.groupBy("restart_lsn").agg(
+        F.sum("tot").alias("n_total"),
+        F.sum("sk").alias("n_skipped"),
+        F.sum("ins").alias("n_inserts"),
+        F.sum("upd").alias("n_updates"),
+        F.sum("del").alias("n_deletes"),
+        F.sum(F.when(F.col("live") > 0, 1).otherwise(0)).alias("n_transactions"),
+        F.max("live").alias("largest_transaction"),
+    )

@@ -665,3 +665,205 @@ def cdc_replication_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(F.col("live") > 0, 1).otherwise(0)).alias("n_transactions"),
         F.max("live").alias("largest_transaction"),
     )
+
+
+@register(
+    "pg_geom_lines",
+    family="pgtypes",
+    doc="PG geometric wire-text codecs beyond point/box (the "
+    "reference's datatype matrix: lseg, line, circle, path — "
+    "tests/datatype_test.go; spi/pgtypes geometry text protocol): "
+    "build each literal from integer row derivations, parse back "
+    "with codegen regexps, and derive geometry semantics — segment "
+    "length, line slope/intercept from the {A,B,C} coefficient form, "
+    "circle area and point-containment, path arity and openness "
+    "('[' = open, '(' = closed). The oracle re-derives every output "
+    "from the generating columns, so a build/parse bug cannot cancel "
+    "out. Narrow projection, no shuffle, pushdown-safe.",
+    oracle="""
+        WITH src AS (
+            SELECT event_id,
+                   user_id % 50 AS x1,
+                   CAST(round(value, 0) AS BIGINT) AS y1,
+                   user_id % 50 + event_id % 20 + 1 AS x2,
+                   CAST(round(value, 0) AS BIGINT) + event_id % 10 + 1 AS y2,
+                   event_id % 30 + 1 AS r,
+                   event_id % 2 = 1 AS open
+            FROM events
+        ),
+        geo AS (
+            SELECT *,
+                   y1 - y2 AS la, x2 - x1 AS lb,
+                   -((y1 - y2) * x1 + (x2 - x1) * y1) AS lc
+            FROM src
+        )
+        SELECT event_id,
+               '[(' || x1 || ',' || y1 || '),(' || x2 || ',' || y2 || ')]'
+                   AS lseg_text,
+               '{' || la || ',' || lb || ',' || lc || '}' AS line_text,
+               '<(' || x1 || ',' || y2 || '),' || r || '>' AS circle_text,
+               CASE WHEN open
+                    THEN '[(' || x1 || ',' || y1 || '),(' || x2 || ',' || y2
+                         || '),(' || (x1 + 1) || ',' || (y1 + 2) || ')]'
+                    ELSE '((' || x1 || ',' || y1 || '),(' || x2 || ',' || y2
+                         || '),(' || (x1 + 1) || ',' || (y1 + 2) || '))'
+               END AS path_text,
+               round(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)), 6)
+                   AS lseg_len,
+               round(-la * 1.0 / lb, 6) AS line_slope,
+               round(-lc * 1.0 / lb, 6) AS line_y_intercept,
+               round(pi() * r * r, 6) AS circle_area,
+               (x1 - x1) * (x1 - x1) + (y1 - y2) * (y1 - y2) <= r * r
+                   AS circle_contains_p1,
+               3 AS path_points,
+               open AS path_is_open
+        FROM geo
+    """,
+)
+def pg_geom_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    x1 = F.col("user_id") % 50
+    y1 = F.round("value", 0).cast("long")
+    x2 = x1 + F.col("event_id") % 20 + 1
+    y2 = y1 + F.col("event_id") % 10 + 1
+    r = F.col("event_id") % 30 + 1
+    is_open = F.col("event_id") % 2 == 1
+    la, lb = y1 - y2, x2 - x1
+    lc = -(la * x1 + lb * y1)
+
+    def s(c):
+        return c.cast("string")
+
+    pt = lambda a, b: F.concat(F.lit("("), s(a), F.lit(","), s(b), F.lit(")"))  # noqa: E731
+    lseg = F.concat(F.lit("["), pt(x1, y1), F.lit(","), pt(x2, y2), F.lit("]"))
+    line = F.concat(F.lit("{"), s(la), F.lit(","), s(lb), F.lit(","), s(lc), F.lit("}"))
+    circle = F.concat(F.lit("<"), pt(x1, y2), F.lit(","), s(r), F.lit(">"))
+    pts3 = F.concat(pt(x1, y1), F.lit(","), pt(x2, y2), F.lit(","), pt(x1 + 1, y1 + 2))
+    path = F.when(is_open, F.concat(F.lit("["), pts3, F.lit("]"))).otherwise(
+        F.concat(F.lit("("), pts3, F.lit(")"))
+    )
+    w = events.select(
+        "event_id", lseg.alias("lseg_text"), line.alias("line_text"),
+        circle.alias("circle_text"), path.alias("path_text"),
+    )
+    # parse ONLY from the wire text
+    num = r"(-?\d+)"
+    sx1 = F.regexp_extract("lseg_text", rf"^\[\({num},", 1).cast("long")
+    sy1 = F.regexp_extract("lseg_text", rf"^\[\(-?\d+,{num}\)", 1).cast("long")
+    sx2 = F.regexp_extract("lseg_text", rf",\({num},-?\d+\)\]$", 1).cast("long")
+    sy2 = F.regexp_extract("lseg_text", rf",{num}\)\]$", 1).cast("long")
+    pa = F.regexp_extract("line_text", rf"^\{{{num},", 1).cast("long")
+    pb = F.regexp_extract("line_text", rf",{num},", 1).cast("long")
+    pc = F.regexp_extract("line_text", rf",{num}\}}$", 1).cast("long")
+    cx = F.regexp_extract("circle_text", rf"^<\({num},", 1).cast("long")
+    cy = F.regexp_extract("circle_text", rf",{num}\),", 1).cast("long")
+    cr = F.regexp_extract("circle_text", rf"\),{num}>$", 1).cast("long")
+    n_pts = F.size(F.split(F.col("path_text"), r"\),\(")).cast("int")
+    return w.select(
+        "event_id",
+        "lseg_text", "line_text", "circle_text", "path_text",
+        F.round(F.sqrt((sx2 - sx1) * (sx2 - sx1) + (sy2 - sy1) * (sy2 - sy1)), 6)
+        .alias("lseg_len"),
+        F.round(-pa * 1.0 / pb, 6).alias("line_slope"),
+        F.round(-pc * 1.0 / pb, 6).alias("line_y_intercept"),
+        F.round(F.lit(3.141592653589793) * cr * cr, 6).alias("circle_area"),
+        ((sx1 - cx) * (sx1 - cx) + (sy1 - cy) * (sy1 - cy) <= cr * cr)
+        .alias("circle_contains_p1"),
+        n_pts.alias("path_points"),
+        F.col("path_text").startswith("[").alias("path_is_open"),
+    )
+
+
+@register(
+    "pg_hstore_bitstrings",
+    family="pgtypes",
+    doc="Remaining datatype-matrix wire codecs "
+    "(tests/datatype_test.go: hstore, bit/varbit, bytea, macaddr8): "
+    "hstore '\"k\"=>\"v\"' literals with NULL values, varbit binary "
+    "strings of natural width, PG '\\x' bytea hex, and 8-byte EUI-64 "
+    "MACs — built from row derivations, parsed back from the wire "
+    "text alone (regexp + base-conversion codegen). The oracle "
+    "derives every parsed value independently from the generating "
+    "columns (never by re-parsing), so build and parse bugs cannot "
+    "cancel out.",
+    oracle="""
+        WITH src AS (
+            SELECT event_id, user_id, event_type, props,
+                   user_id % 509 + 1 AS bits_val,
+                   event_id % 3 = 0 AS note_null
+            FROM events
+        )
+        SELECT event_id,
+               '"user"=>"' || user_id || '", "type"=>"' || event_type
+                   || '", "note"=>' ||
+                   CASE WHEN note_null THEN 'NULL'
+                        ELSE '"n' || event_id % 7 || '"' END AS hstore_text,
+               3 AS hstore_pairs,
+               user_id AS hstore_user,
+               event_type AS hstore_type,
+               note_null AS hstore_note_is_null,
+               bin(bits_val) AS varbit_text,
+               strlen(bin(bits_val)) AS varbit_len,
+               bits_val AS varbit_value,
+               '\\x' || lower(hex(substr(props, 1, 6)::BLOB)) AS bytea_text,
+               strlen(substr(props, 1, 6)) AS bytea_len,
+               ascii(substr(props, 1, 1)) AS bytea_first,
+               lower(lpad(to_hex((event_id // 72057594037927936) % 256), 2, '0')) || ':'
+                   || lower(lpad(to_hex((event_id // 281474976710656) % 256), 2, '0')) || ':'
+                   || lower(lpad(to_hex((event_id // 1099511627776) % 256), 2, '0')) || ':'
+                   || lower(lpad(to_hex((event_id // 4294967296) % 256), 2, '0')) || ':'
+                   || lower(lpad(to_hex((event_id // 16777216) % 256), 2, '0')) || ':'
+                   || lower(lpad(to_hex((event_id // 65536) % 256), 2, '0')) || ':'
+                   || lower(lpad(to_hex((event_id // 256) % 256), 2, '0')) || ':'
+                   || lower(lpad(to_hex(event_id % 256), 2, '0')) AS macaddr8_text,
+               (event_id // 72057594037927936) % 2 = 0 AS mac_is_unicast,
+               ((event_id // 72057594037927936) % 4) >= 2 AS mac_is_local
+        FROM src
+    """,
+)
+def pg_hstore_bitstrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    note_null = eid % 3 == 0
+    hstore = F.concat(
+        F.lit('"user"=>"'), uid.cast("string"),
+        F.lit('", "type"=>"'), F.col("event_type"),
+        F.lit('", "note"=>'),
+        F.when(note_null, F.lit("NULL")).otherwise(
+            F.concat(F.lit('"n'), (eid % 7).cast("string"), F.lit('"'))
+        ),
+    )
+    bits_val = uid % 509 + 1
+    varbit = F.bin(bits_val)
+    bytea = F.concat(
+        F.lit("\\x"),
+        F.lower(F.hex(F.encode(F.substring("props", 1, 6), "UTF-8"))),
+    )
+    mac_bytes = [F.lpad(F.lower(F.hex(F.shiftright(eid, 8 * i) % 256)), 2, "0")
+                 for i in range(7, -1, -1)]
+    mac = F.concat_ws(":", *mac_bytes)
+    w = events.select(
+        "event_id",
+        hstore.alias("hstore_text"), varbit.alias("varbit_text"),
+        bytea.alias("bytea_text"), mac.alias("macaddr8_text"),
+    )
+    # parse ONLY from the wire text
+    first_mac_byte = F.conv(F.substring("macaddr8_text", 1, 2), 16, 10).cast("long")
+    return w.select(
+        "event_id",
+        "hstore_text",
+        (F.size(F.split("hstore_text", "=>")) - 1).cast("int").alias("hstore_pairs"),
+        F.regexp_extract("hstore_text", r'"user"=>"(\d+)"', 1).cast("long")
+        .alias("hstore_user"),
+        F.regexp_extract("hstore_text", r'"type"=>"([^"]*)"', 1).alias("hstore_type"),
+        F.col("hstore_text").endswith("=>NULL").alias("hstore_note_is_null"),
+        "varbit_text",
+        F.length("varbit_text").cast("long").alias("varbit_len"),
+        F.conv(F.col("varbit_text"), 2, 10).cast("long").alias("varbit_value"),
+        "bytea_text",
+        (F.length("bytea_text") / 2 - 1).cast("long").alias("bytea_len"),
+        F.conv(F.substring("bytea_text", 3, 2), 16, 10).cast("long").alias("bytea_first"),
+        "macaddr8_text",
+        (first_mac_byte % 2 == 0).alias("mac_is_unicast"),
+        (first_mac_byte % 4 >= 2).alias("mac_is_local"),
+    )

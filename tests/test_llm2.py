@@ -165,3 +165,31 @@ def test_filtered_topk_pushes_label_to_scan(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "EqualTo(label,3)" in plan, plan[plan.index("PushedFilters"):][:300]
+
+
+def test_near_dedup_pipeline_keeps_one_per_cluster(spark, tmp_path):
+    """Three near-identical docs collapse to one keeper (the lowest
+    doc_id); the unrelated doc survives untouched."""
+    from timescaledb_event_streamer_spark.plans.queries_llm2 import (
+        pipeline_near_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        ("a", base),
+        ("a", base + " extra"),
+        ("b", base + " other tail"),
+        ("b", " ".join(f"u{i}word" for i in range(12))),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, s, len(t)) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    d = f"{tmp_path}/documents.parquet"
+    docs.write.mode("overwrite").parquet(d)
+    out = {r["source"]: r for r in pipeline_near_dedup(spark, str(tmp_path)).collect()}
+    a, b = out["a"], out["b"]
+    # docs 0,1,2 cluster together; canonical = doc 0 (source a)
+    assert a["n_near_dup_docs"] == 2 and a["n_dropped"] == 1 and a["n_kept"] == 1
+    assert b["n_near_dup_docs"] == 1 and b["n_dropped"] == 1 and b["n_kept"] == 1
+    assert b["kept_chars"] == len(rows[3][1])

@@ -400,3 +400,95 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("label") == 3)
     return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@register(
+    "pipeline_near_dedup",
+    family="dedup",
+    doc="End-to-end near-dup dedup pipeline: shingle-join candidate "
+    "pairs (jaccard >= 0.3) -> connected components (min-label "
+    "propagation; cluster_id IS the canonical keeper doc_id) -> keep "
+    "one doc per cluster -> per-source retention ledger. The "
+    "composition a production dedup actually ships: candidates, "
+    "transitive closure, canonical selection, and the retention "
+    "report in ONE plan. Shuffles stay on the shingle / doc / source "
+    "keys; the oracle replays the whole pipeline via a recursive-CTE "
+    "closure and aggregates by source.",
+    oracle="""
+        WITH RECURSIVE
+    t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s0 AS (
+        SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks
+        FROM t WHERE len(toks) >= 5
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + 5], ' ') AS s FROM s0
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               round(c.n_inter * 1.0 / (x.n + y.n - c.n_inter), 6) AS jaccard
+        FROM cand c
+        JOIN sz x ON c.doc_a = x.doc_id
+        JOIN sz y ON c.doc_b = y.doc_id
+    ),
+        dup AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM dup
+            UNION SELECT doc_b, doc_a FROM dup
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
+        ),
+        cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN cc.node IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_near_dup_docs,
+               CAST(sum(CASE WHEN cc.node IS NOT NULL
+                             AND cc.node != cc.cluster_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN cc.node IS NULL OR cc.node = cc.cluster_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN cc.node IS NULL OR cc.node = cc.cluster_id
+                             THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+               round(sum(CASE WHEN cc.node IS NOT NULL
+                              AND cc.node != cc.cluster_id THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS drop_fraction
+        FROM documents d
+        LEFT JOIN cc ON d.doc_id = cc.node
+        GROUP BY d.source
+    """,
+)
+def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        dedup_clusters,
+        shingle_pairs_jaccard,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    eligible = docs.filter(F.size(F.split(F.col("text"), " ")) >= 5)
+    pairs = shingle_pairs_jaccard(eligible).filter(F.col("jaccard") >= 0.3)
+    cc = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    joined = docs.join(cc, "doc_id", "left")
+    clustered = F.col("cluster_id").isNotNull()
+    dropped = clustered & (F.col("doc_id") != F.col("cluster_id"))
+    kept = ~dropped
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(clustered.cast("int")).alias("n_near_dup_docs"),
+        F.sum(dropped.cast("int")).alias("n_dropped"),
+        F.sum(kept.cast("int")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0))).alias("kept_chars"),
+        F.round(F.sum(dropped.cast("int")) / F.count(F.lit(1)), 6)
+        .alias("drop_fraction"),
+    )

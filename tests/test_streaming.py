@@ -456,3 +456,53 @@ def test_standby_status_stream_matches_batch(spark, sf_small):
             assert got[slot].asDict() == want[slot].asDict(), slot
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_downsample_minmax_stream_matches_batch(spark, sf_small, log_dir):
+    """The min/max downsample is a pure associative aggregate, so it
+    runs unchanged as a streaming (complete-mode) aggregation over
+    the transaction-log stream and must equal the batch result."""
+    from timescaledb_event_streamer_spark.functions.timeseries import (
+        time_bucket_epoch,
+    )
+    from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+    stream = spark.readStream.schema(load(spark, sf_small, "events").schema).parquet(
+        log_dir
+    )
+    ts_ms = (F.unix_micros(F.col("ts")) / 1000).cast("long")
+    pt = F.struct(F.col("value"), ts_ms.alias("ts_ms"))
+    agg = (
+        stream.select(
+            F.col("event_type").alias("series"),
+            time_bucket_epoch(F.col("ts"), 6 * 3600).alias("bucket_s"),
+            pt.alias("pt"),
+        )
+        .groupBy("series", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("pt").getField("value").alias("v_min"),
+            F.min("pt").getField("ts_ms").alias("ts_min_ms"),
+            F.max("pt").getField("value").alias("v_max"),
+            F.max("pt").getField("ts_ms").alias("ts_max_ms"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mm_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["bucket_s"]): r
+        for r in spark.sql("SELECT * FROM mm_stream").collect()
+    }
+    want = {
+        (r["series"], r["bucket_s"]): r
+        for r in all_queries()["ts_downsample_minmax"](spark, sf_small).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for k in want:
+        assert got[k].asDict() == want[k].asDict(), k

@@ -254,3 +254,59 @@ def ts_asap_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("kurt_o", 6).alias("kurtosis_orig"),
         )
     )
+
+
+@register(
+    "ts_downsample_minmax_rollup",
+    family="timeseries",
+    doc="Hierarchical rollup of the min/max downsample: the 24-hour "
+    "pixel row is computed by MERGING the 6-hour buckets' "
+    "(value, ts) extreme structs — never re-reading raw points — "
+    "while the oracle computes the 24-hour row DIRECTLY from the "
+    "raw events, so the driver's value hash certifies the "
+    "associativity claim itself (merge == direct), the same "
+    "partial-merge contract as the cagg hierarchy (B43). Struct "
+    "min/max carries the timestamp through the merge, so tie-breaks "
+    "survive rollup.",
+    oracle=f"""
+        WITH b AS (
+            SELECT event_type,
+                   ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 86400) AS bucket_s,
+                   value,
+                   {_SQL_TS_MS} AS ts_ms
+            FROM events
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type, bucket_s
+                                      ORDER BY value ASC, ts_ms ASC) AS rmin,
+                   row_number() OVER (PARTITION BY event_type, bucket_s
+                                      ORDER BY value DESC, ts_ms DESC) AS rmax
+            FROM b
+        )
+        SELECT event_type AS series,
+               bucket_s,
+               count(*) AS n_points,
+               max(CASE WHEN rmin = 1 THEN value END) AS v_min,
+               max(CASE WHEN rmin = 1 THEN ts_ms END) AS ts_min_ms,
+               max(CASE WHEN rmax = 1 THEN value END) AS v_max,
+               max(CASE WHEN rmax = 1 THEN ts_ms END) AS ts_max_ms
+        FROM r
+        GROUP BY 1, 2
+    """,
+)
+def ts_downsample_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    six = ts_downsample_minmax(spark, sf_dir)
+    return (
+        six.withColumn("b24", F.col("bucket_s") - F.col("bucket_s") % 86400)
+        .groupBy("series", F.col("b24").alias("bucket_s"))
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.min(F.struct("v_min", "ts_min_ms")).getField("v_min").alias("v_min"),
+            F.min(F.struct("v_min", "ts_min_ms")).getField("ts_min_ms")
+            .alias("ts_min_ms"),
+            F.max(F.struct("v_max", "ts_max_ms")).getField("v_max").alias("v_max"),
+            F.max(F.struct("v_max", "ts_max_ms")).getField("ts_max_ms")
+            .alias("ts_max_ms"),
+        )
+    )

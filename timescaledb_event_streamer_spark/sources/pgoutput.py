@@ -274,6 +274,14 @@ def parse_admin_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame
     type registrations, and 'o' origin announcements. Everything is
     substr/conv codegen except the exploded truncate relid list (an
     array column transform — still JVM-side)."""
+    from pyspark import StorageLevel
+
+    # five consumers (m/t/y/o branches + the relation catalog) read
+    # the frame table; persist so the upstream materialization runs
+    # once, not per branch (same rationale as parse_pgoutput; a live
+    # stream can't persist — micro-batches are already materialized)
+    if not frames.isStreaming:
+        frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
     h = F.upper(F.col(frame_col))
     base = frames.select(
         h.alias("h"), h.substr(F.lit(51), F.lit(2)).alias("ptype")
@@ -525,8 +533,11 @@ def parse_pgoutput(
     # and the relation catalog); persisting it keeps the upstream
     # frame materialization — a per-row string build when the input
     # is the simulated log, a network read when it is a live slot —
-    # from running once per consumer (measured 0.6s/branch at sf0.1)
-    frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
+    # from running once per consumer (measured 0.6s/branch at sf0.1).
+    # A live stream can't persist; its micro-batches arrive
+    # materialized, so the double-scan cost doesn't exist there.
+    if not frames.isStreaming:
+        frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
     decoded = decode_frames(frames, frame_col)
 
     # transaction attach: segmented LOCF (see docstring)

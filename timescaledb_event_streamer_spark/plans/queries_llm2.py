@@ -1,12 +1,14 @@
-"""LLM-pipeline corpus QA, part 2 (SURVEY.md §2.F19/F20/D14):
-model-free perplexity proxy, within-doc duplicate-n-gram fraction
-(the Gopher repetition rule family), and cross-doc shared-shingle
-boilerplate fraction.
+"""LLM-pipeline corpus QA, part 2 (SURVEY.md §2.F19-F21, D14-D15,
+E12, G5): model-free perplexity proxy, within-doc duplicate-n-gram
+fraction (the Gopher repetition rule family), cross-doc
+shared-shingle boilerplate fraction, the composed training-corpus
+admission ledger, the end-to-end near-dup dedup pipeline, filtered
+similarity search, and the JPEG header probe registration.
 
-All three are single- or double-scan DataFrame plans with shuffles
-keyed on token/shingle/doc — no Python per row, no driver loops —
-and each carries a DuckDB oracle that recomputes the statistic
-independently from the raw text.
+Every operator is a DataFrame plan with shuffles keyed on
+token/shingle/doc — no Python per row, no driver loops — and each
+carries a DuckDB oracle that recomputes the result independently
+from the raw inputs.
 """
 
 from __future__ import annotations

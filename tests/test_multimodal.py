@@ -342,3 +342,36 @@ def test_jpeg_synth_parse_plan_is_codegen(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    segs=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 40)), min_size=0, max_size=6
+    ),
+    dims=st.tuples(st.integers(1, 65535), st.integers(1, 65535)),
+    progressive=st.booleans(),
+)
+def test_jpeg_walk_property(spark, segs, dims, progressive):
+    """Random APPn/COM segment chains (any count/length within the
+    walk bound) must never disturb the SOF read."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_jpeg_headers,
+    )
+
+    h, w = dims
+    buf = "FFD8"
+    for marker_idx, body_len in segs:
+        marker = f"FFE{marker_idx:X}" if marker_idx < 10 else "FFFE"
+        buf += marker + f"{body_len + 2:04X}" + "00" * body_len
+    sof = "FFC2" if progressive else "FFC0"
+    buf += sof + "0011" + "08" + f"{h:04X}" + f"{w:04X}" + "03" + "011100021101031101"
+    buf += "FFD9"
+    [row] = parse_jpeg_headers(_jpeg_media(spark, [buf])).collect()
+    assert row["is_jpeg"]
+    assert row["height"] == h and row["width"] == w
+    assert row["progressive"] == progressive
+    assert row["n_header_segments"] == len(segs)

@@ -472,3 +472,48 @@ def test_standby_status_roundtrip(spark):
     assert o["n_keepalive"] == 0 and o["n_xlog"] == 1
     assert o["max_keepalive_wal_end"] is None
     assert o["last_received_lsn"] == 3 * 4 + 2 + 2
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),            # event_id
+            st.text(
+                alphabet=st.characters(codec="utf-8",
+                                       blacklist_categories=("Cs",)),
+                max_size=12,
+            ),                                  # props payload
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_standby_status_property(spark, rows):
+    """For any frame mix, the parsed posture must equal the
+    directly-computed reference: received LSN from byte lengths,
+    counters from the id-derived frame kinds."""
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        parse_standby_status,
+        synthesize_copydata,
+    )
+
+    ev = _events(spark, [(eid, 1, "s", 1.0, props) for eid, props in rows])
+    [got] = parse_standby_status(synthesize_copydata(ev)).collect()
+    ks = [eid for eid, _ in rows if eid % 5 == 0]
+    ws = [(eid, props) for eid, props in rows if eid % 5 != 0]
+    assert got["n_keepalive"] == len(ks)
+    assert got["n_xlog"] == len(ws)
+    assert got["n_reply_requested"] == len([k for k in ks if k % 15 == 0])
+    want_recv = max(
+        (eid * 4 + 2 + len(props.encode("utf-8")) for eid, props in ws),
+        default=None,
+    )
+    assert got["last_received_lsn"] == want_recv
+    if want_recv is not None:
+        assert got["standby_write_lsn"] == want_recv + 1
+    assert got["max_keepalive_wal_end"] == (max(ks) * 4 + 2 if ks else None)

@@ -517,3 +517,27 @@ def test_standby_status_property(spark, rows):
     if want_recv is not None:
         assert got["standby_write_lsn"] == want_recv + 1
     assert got["max_keepalive_wal_end"] == (max(ks) * 4 + 2 if ks else None)
+
+
+def test_relation_versioning_resolves_as_of_lsn(spark):
+    """A relation re-announced mid-stream flips the schema for LATER
+    data frames only; the version table carries one interval per
+    announcement (typemanager decoder-plan rebuild semantics)."""
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        relation_versions,
+        resolve_schema_versions,
+        synthesize_versioned_log,
+    )
+
+    # max eid 100 -> v2 threshold at LSN 200; eids 10/40 decode v1
+    # (LSNs 42/162), eids 60/100 decode v2 (LSNs 242/402)
+    ev = _events(spark, [(e, 1, "m", 1.0, "p") for e in (10, 40, 60, 100)])
+    log = synthesize_versioned_log(ev)
+    vers = {r["from_lsn"]: r for r in relation_versions(log).collect()}
+    assert set(vers) == {0, 200}
+    assert vers[0]["n_cols"] == 3 and vers[200]["n_cols"] == 4
+    assert vers[0]["to_lsn"] == 200
+    out = {r["schema_version_cols"]: r
+           for r in resolve_schema_versions(log).collect()}
+    assert out[3]["n_events"] == 2 and out[3]["last_lsn"] == 162
+    assert out[4]["n_events"] == 2 and out[4]["first_lsn"] == 242

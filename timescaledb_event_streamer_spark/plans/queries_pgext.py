@@ -867,3 +867,45 @@ def pg_hstore_bitstrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (first_mac_byte % 2 == 0).alias("mac_is_unicast"),
         (first_mac_byte % 4 >= 2).alias("mac_is_local"),
     )
+
+
+@register(
+    "cdc_relation_versioning",
+    family="cdc",
+    doc="Mid-stream schema evolution: the reference's relation cache "
+    "replaces the cached schema whenever a NEW Relation frame "
+    "arrives, and later data frames decode under the new column set "
+    "(replicationhandler.go Relation dispatch; internal/typemanager "
+    "decoder-plan rebuild per registration). Synthesis re-announces "
+    "every relation at LSN 2*max(event_id) with a fourth column; "
+    "resolve decodes ALL R frames into validity intervals "
+    "(metadata-sized, broadcast) and interval-joins the data stream "
+    "to the latest announcement at-or-before each frame's LSN — the "
+    "stream itself never shuffles for the resolve. Oracle derives "
+    "the version split independently from the LSN layout.",
+    oracle="""
+        WITH mx AS (SELECT 2 * max(event_id) AS thr FROM events),
+        env AS (SELECT event_type, event_id * 4 + 2 AS lsn FROM events),
+        led AS (
+            SELECT event_type, lsn,
+                   CASE WHEN lsn >= thr THEN 4 ELSE 3 END AS v
+            FROM env, mx
+        )
+        SELECT event_type AS source_table,
+               CAST(v AS BIGINT) AS schema_version_cols,
+               count(*) AS n_events,
+               min(lsn) AS first_lsn,
+               max(lsn) AS last_lsn
+        FROM led
+        GROUP BY 1, 2
+    """,
+)
+def cdc_relation_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        resolve_schema_versions,
+        synthesize_versioned_log,
+    )
+
+    return resolve_schema_versions(
+        synthesize_versioned_log(load(spark, sf_dir, "events"))
+    )

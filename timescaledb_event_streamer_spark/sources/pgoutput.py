@@ -790,3 +790,112 @@ def parse_standby_status(frames: DataFrame, frame_col: str = "frame") -> DataFra
         "max_keepalive_wal_end",
         "last_server_time_ms",
     )
+
+
+# ---------------------------------------------------------------------------
+# relation versioning: the reference's consumer relation cache is NOT
+# static — every Relation ('R') frame that arrives mid-stream replaces
+# the cached schema for its relid, and subsequent data frames decode
+# under the NEW column set (replicationhandler.go dispatches Relation
+# before data; internal/typemanager rebuilds the decoder plan on each
+# registration). Batch form: version the R frames by LSN and resolve
+# each data frame to the latest R at-or-before its LSN.
+
+
+def synthesize_versioned_log(events: DataFrame) -> DataFrame:
+    """The simulated WAL plus a mid-stream schema change: every
+    relation re-announces itself at LSN = 2 * max(event_id) with a
+    FOURTH column appended ('extra_col'), so data frames after that
+    point decode under schema v2 (ncols 4), earlier ones under v1
+    (ncols 3)."""
+    base = synthesize_pgoutput(events)
+    col_meta = []
+    for name in [*_TUPLE_COLS, "extra_col"]:
+        col_meta.append(F.lit("01" if name == "user_id" else "00"))
+        col_meta.append(_cstr(F.lit(name)))
+        col_meta.append(_h(F.lit(_TYPOIDS.get(name, 25)), 4))
+        col_meta.append(F.lit("FFFFFFFF"))
+    mx = events.agg(F.max("event_id").alias("mx"))
+    v2 = (
+        events.select("event_type").distinct().coalesce(1)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            _xlogdata(
+                F.col("mx") * 2,
+                F.concat(
+                    F.lit("52"), _h(_relid(F.col("event_type")), 4),
+                    _cstr(F.lit("public")), _cstr(F.col("event_type")),
+                    F.lit("64"),
+                    _h(F.lit(len(_TUPLE_COLS) + 1), 2), *col_meta,
+                ),
+            ).alias("frame")
+        )
+    )
+    return base.unionByName(v2)
+
+
+def relation_versions(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """All R frames decoded as (relid, relname, from_lsn, n_cols) with
+    the validity interval closed by the NEXT version's LSN — the
+    consumer cache's replacement rule as a table. Metadata-sized."""
+    h = F.upper(F.col(frame_col))
+    rel = frames.filter(h.substr(F.lit(51), F.lit(2)) == "52")
+    ns_tail = h.substr(F.lit(61), F.octet_length(h))
+    ns, ns_len = _cstr_at(ns_tail)
+    rel2 = rel.select(
+        _u(h, 3, 8).alias("from_lsn"),
+        _u(h, 53, 4).alias("relid"),
+        ns_tail.alias("_t"), ns_len.alias("_n"),
+    )
+    name_tail = F.col("_t").substr(F.col("_n") + 1, F.octet_length(F.col("_t")))
+    relname, name_len = _cstr_at(name_tail)
+    # within _t (1-indexed hex): namespace cstr spans 1.._n, relname
+    # spans _n+1.._n+name_len, replident 2 chars, then ncols (2B)
+    with_cols = rel2.select(
+        "from_lsn", "relid", relname.alias("relname"),
+        F.conv(
+            F.col("_t").substr(F.col("_n") + name_len + 3, F.lit(4)), 16, 10
+        ).cast("long").alias("n_cols"),
+    )
+    w = Window.partitionBy("relid").orderBy("from_lsn")
+    return with_cols.select(
+        "relid", "relname", "from_lsn", "n_cols",
+        F.coalesce(
+            F.lead("from_lsn").over(w), F.lit((1 << 62))
+        ).alias("to_lsn"),
+    )
+
+
+def resolve_schema_versions(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Per (table, schema version): how many data events decoded under
+    each relation announcement, with the LSN span — the audit of a
+    mid-stream schema change. The version table is metadata-sized and
+    broadcasts; the data stream joins on (relid, LSN interval) with no
+    shuffle of the stream itself."""
+    from pyspark import StorageLevel
+
+    if not frames.isStreaming:
+        frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
+    data = decode_frames(frames, frame_col).filter(F.col("op").isNotNull()).select(
+        "relid", "lsn"
+    )
+    vers = relation_versions(frames, frame_col)
+    joined = data.join(
+        F.broadcast(vers),
+        (data["relid"] == vers["relid"])
+        & (data["lsn"] >= vers["from_lsn"])
+        & (data["lsn"] < vers["to_lsn"]),
+    )
+    return (
+        joined.groupBy("relname", "n_cols")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("lsn").alias("first_lsn"),
+            F.max("lsn").alias("last_lsn"),
+        )
+        .select(
+            F.col("relname").alias("source_table"),
+            F.col("n_cols").alias("schema_version_cols"),
+            "n_events", "first_lsn", "last_lsn",
+        )
+    )

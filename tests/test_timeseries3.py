@@ -148,3 +148,55 @@ def test_asap_smooth_constant_series_identity(spark, tmp_path):
     [got] = ts_asap_smooth(spark, _write(spark, tmp_path, rows)).collect()
     # constant series: every window ties at roughness 0 -> w=1 wins
     assert got["w_chosen"] == 1 and got["roughness"] == 0.0
+
+
+def test_lttb_codegen_matches_reference_chain(spark, tmp_path):
+    """The fold must reproduce a direct Python implementation of the
+    same LTTB rule (integer bucket edges, next-bucket mean anchor,
+    first-match argmax) on a planted series."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries3 import (
+        N_OUT,
+        ts_lttb_codegen,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [round(((i * 37 + 11) % 97) / 7.0 + (5.0 if i % 13 == 0 else 0.0), 2)
+            for i in range(45)]
+    rows = [(t0 + datetime.timedelta(days=i), "m", vals[i]) for i in range(45)]
+    sf_dir = _write(spark, rows=rows, tmp_path=tmp_path)
+
+    got = sorted(ts_lttb_codegen(spark, sf_dir).collect(), key=lambda r: r["pt_ord"])
+    assert len(got) == N_OUT
+
+    xs = [(t0 + datetime.timedelta(days=i)).timestamp() for i in range(45)]
+    ys = vals
+    n, steps, nedge = 45, N_OUT - 2, N_OUT - 1
+    edges = [1 + (i * (n - 2)) // steps for i in range(nedge)]
+    keep, prev = [0], 0
+    for bi in range(steps):
+        lo, hi = edges[bi], edges[bi + 1]
+        if bi + 2 < nedge:
+            nlo, nhi = edges[bi + 1], edges[bi + 2]
+        else:
+            nlo, nhi = n - 1, n
+        ax = sum(xs[nlo:nhi]) / (nhi - nlo)
+        ay = sum(ys[nlo:nhi]) / (nhi - nlo)
+        px, py = xs[prev], ys[prev]
+        areas = [abs((px - ax) * (ys[j] - py) - (px - xs[j]) * (ay - py))
+                 for j in range(lo, hi)]
+        prev = lo + max(range(len(areas)), key=lambda k: (areas[k], -k))
+        keep.append(prev)
+    keep.append(n - 1)
+
+    assert [r["t_s"] for r in got] == [int(xs[k]) for k in keep]
+    assert [r["v"] for r in got] == [round(ys[k], 6) for k in keep]
+
+
+def test_lttb_codegen_short_series_drop_out(spark, tmp_path):
+    from timescaledb_event_streamer_spark.plans.queries_timeseries3 import (
+        ts_lttb_codegen,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(t0 + datetime.timedelta(days=i), "short", 1.0) for i in range(10)]
+    assert ts_lttb_codegen(spark, _write(spark, rows=rows, tmp_path=tmp_path)).count() == 0

@@ -310,3 +310,166 @@ def ts_downsample_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ts_max_ms"),
         )
     )
+
+
+N_OUT = 20  # LTTB output points per series
+_STEPS = N_OUT - 2  # interior bucket picks
+_NEDGE = N_OUT - 1  # bucket edge count (0-based edges[0..17+1])
+
+
+@register(
+    "ts_lttb_codegen",
+    family="timeseries",
+    doc="LTTB (largest-triangle-three-buckets, Steinarsson 2013; the "
+    "toolkit lttb() hyperfunction) as PURE whole-stage codegen: the "
+    "inherently sequential select-next-point chain runs as an "
+    "F.aggregate fold over the per-series bucket list — struct state "
+    "carries (previous kept point, selections) — so unlike the "
+    "applyInPandas form (B19, rows-only) this one is fully "
+    "value-checked: the DuckDB oracle replays the identical fold as "
+    "a recursive CTE with the same IEEE op order, so bucket means, "
+    "triangle areas, and every argmax tie agree bit-for-bit. "
+    "Integer-arithmetic bucket edges (no float linspace) keep the "
+    "bucketing engine-exact. Per-series state is bounded by the "
+    "bucket grain; parallelism = series count, same as B19.",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS series,
+                   epoch_us(date_trunc('day', ts)) // 1000000 AS day_s,
+                   sum(CAST(round(value * 100) AS BIGINT))
+                       / (100.0 * count(*)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        arrs AS (
+            SELECT series,
+                   list(CAST(day_s AS DOUBLE) ORDER BY day_s) AS xs,
+                   list(y ORDER BY day_s) AS ys,
+                   count(*) AS n
+            FROM daily GROUP BY series
+        ),
+        ed AS (
+            SELECT series, xs, ys, n,
+                   list_transform(range(0, {_NEDGE}),
+                                  i -> 1 + (i * (n - 2)) // {_STEPS}) AS edges
+            FROM arrs WHERE n > {N_OUT}
+        ),
+        rec AS (
+            SELECT series, xs, ys, n, edges,
+                   0 AS bi, CAST(0 AS BIGINT) AS prev,
+                   CAST([] AS BIGINT[]) AS sel
+            FROM ed
+            UNION ALL
+            SELECT series, xs, ys, n, edges, bi + 1,
+                   lo + list_indexof(areas, list_aggregate(areas, 'max')) - 1,
+                   list_append(
+                       sel,
+                       lo + list_indexof(areas, list_aggregate(areas, 'max')) - 1)
+            FROM (
+                SELECT *,
+                       list_transform(
+                           range(lo, hi),
+                           j -> abs((px - ax) * (ys[j + 1] - py)
+                                    - (px - xs[j + 1]) * (ay - py))) AS areas
+                FROM (
+                    SELECT *,
+                           xs[prev + 1] AS px, ys[prev + 1] AS py,
+                           list_reduce(xs[nlo + 1 : nhi], (a, v) -> a + v)
+                               / (nhi - nlo) AS ax,
+                           list_reduce(ys[nlo + 1 : nhi], (a, v) -> a + v)
+                               / (nhi - nlo) AS ay
+                    FROM (
+                        SELECT *,
+                               edges[bi + 1] AS lo,
+                               edges[bi + 2] AS hi,
+                               CASE WHEN bi + 2 < {_NEDGE} THEN edges[bi + 2]
+                                    ELSE n - 1 END AS nlo,
+                               CASE WHEN bi + 2 < {_NEDGE} THEN edges[bi + 3]
+                                    ELSE n END AS nhi
+                        FROM rec WHERE bi < {_STEPS}
+                    )
+                )
+            )
+        ),
+        fin AS (
+            SELECT series, xs, ys, n,
+                   list_concat(list_concat([CAST(0 AS BIGINT)], sel),
+                               [n - 1]) AS keep
+            FROM rec WHERE bi = {_STEPS}
+        )
+        SELECT series,
+               CAST(i - 1 AS BIGINT) AS pt_ord,
+               CAST(xs[keep[i] + 1] AS BIGINT) AS t_s,
+               round(ys[keep[i] + 1], 6) AS v
+        FROM fin, unnest(range(1, {N_OUT} + 1)) AS u(i)
+    """,
+)
+def ts_lttb_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.withColumn(
+            "day_s",
+            (F.unix_micros(F.date_trunc("day", F.col("ts"))) / 1_000_000)
+            .cast("long"),
+        )
+        .withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .groupBy(F.col("event_type").alias("series"), "day_s")
+        .agg((F.sum("cents") / (100.0 * F.count(F.lit(1)))).alias("y"))
+    )
+    arrs = daily.groupBy("series").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day_s, y))),"
+            " s -> CAST(s.day_s AS DOUBLE))"
+        ).alias("xs"),
+        F.expr("transform(array_sort(collect_list(struct(day_s, y))), s -> s.y)")
+        .alias("ys"),
+        F.count(F.lit(1)).alias("n"),
+    ).filter(F.col("n") > N_OUT)
+    ed = arrs.withColumn(
+        "edges",
+        F.expr(
+            f"transform(sequence(0, {_NEDGE - 1}),"
+            f" i -> CAST(1 + (i * (n - 2)) DIV {_STEPS} AS BIGINT))"
+        ),
+    )
+    # the sequential LTTB chain as a fold: state = (prev kept index,
+    # selections so far); each step scores its bucket's candidates
+    # against (prev point, next-bucket mean) and keeps the argmax
+    # (first-match tiebreak on both engines)
+    lo = f"element_at(edges, CAST(bi + 1 AS INT))"
+    hi = f"element_at(edges, CAST(bi + 2 AS INT))"
+    nlo = f"IF(bi + 2 < {_NEDGE}, element_at(edges, CAST(bi + 2 AS INT)), n - 1)"
+    nhi = f"IF(bi + 2 < {_NEDGE}, element_at(edges, CAST(bi + 3 AS INT)), n)"
+    px = "element_at(xs, CAST(acc.prev + 1 AS INT))"
+    py = "element_at(ys, CAST(acc.prev + 1 AS INT))"
+    # greatest(...) keeps the division total: the n > N_OUT filter
+    # excludes degenerate buckets, but the optimizer inlines this
+    # fold into the generator's size predicate where ANSI division
+    # would still evaluate on filtered-out rows
+    ax = (f"aggregate(slice(xs, CAST({nlo} + 1 AS INT), CAST({nhi} - {nlo} AS INT)),"
+          f" 0D, (a, v) -> a + v) / greatest({nhi} - {nlo}, 1)")
+    ay = (f"aggregate(slice(ys, CAST({nlo} + 1 AS INT), CAST({nhi} - {nlo} AS INT)),"
+          f" 0D, (a, v) -> a + v) / greatest({nhi} - {nlo}, 1)")
+    areas = (
+        f"transform(sequence({lo} + 1, {hi}),"
+        f" j1 -> abs(({px} - {ax}) * (element_at(ys, CAST(j1 AS INT)) - {py})"
+        f" - ({px} - element_at(xs, CAST(j1 AS INT))) * ({ay} - {py})))"
+    )
+    newprev = f"({lo} + array_position({areas}, array_max({areas})) - 1)"
+    fold = (
+        f"aggregate(sequence(0, {_STEPS - 1}),"
+        f" struct(CAST(0 AS BIGINT) AS prev, CAST(array() AS ARRAY<BIGINT>) AS sel),"
+        f" (acc, bi) -> struct(CAST({newprev} AS BIGINT) AS prev,"
+        f" concat(acc.sel, array(CAST({newprev} AS BIGINT))) AS sel))"
+    )
+    fin = ed.withColumn(
+        "keep",
+        F.expr(f"concat(array(CAST(0 AS BIGINT)), ({fold}).sel, array(n - 1))"),
+    )
+    return fin.select(
+        "series", "xs", "ys", F.posexplode("keep").alias("pt_ord", "idx")
+    ).select(
+        "series",
+        F.col("pt_ord").cast("long").alias("pt_ord"),
+        F.expr("CAST(element_at(xs, CAST(idx + 1 AS INT)) AS BIGINT)").alias("t_s"),
+        F.expr("round(element_at(ys, CAST(idx + 1 AS INT)), 6)").alias("v"),
+    )

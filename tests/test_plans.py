@@ -115,6 +115,8 @@ _BNLJ_OK = {
     "text_perplexity_proxy",  # single-row broadcast corpus-token total
     "pipeline_training_corpus",  # same total via the perplexity branch
     "cdc_replication_channel_stats",  # single-row broadcast restart-LSN
+    "cdc_relation_versioning",  # 1-row broadcast max-LSN + broadcast
+    #   interval join to the metadata-sized version table
 }
 
 

@@ -541,3 +541,51 @@ def test_relation_versioning_resolves_as_of_lsn(spark):
            for r in resolve_schema_versions(log).collect()}
     assert out[3]["n_events"] == 2 and out[3]["last_lsn"] == 162
     assert out[4]["n_events"] == 2 and out[4]["first_lsn"] == 242
+
+
+def test_relation_versioning_streaming_parity(spark, tmp_path):
+    """The schema-version resolve is a stream-static broadcast
+    interval join: streamed frames against the statically-decoded
+    version table produce the same per-version ledger as batch."""
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        decode_frames,
+        relation_versions,
+        resolve_schema_versions,
+        synthesize_versioned_log,
+    )
+
+    ev = _events(spark, [(e, 1, "m", 1.0, "p") for e in (10, 40, 60, 100)])
+    log = synthesize_versioned_log(ev)
+    path = str(tmp_path / "frames")
+    log.write.mode("overwrite").parquet(path)
+
+    static_frames = spark.read.parquet(path)
+    vers = relation_versions(static_frames)
+    stream = spark.readStream.schema("frame string").parquet(path)
+    data = decode_frames(stream).filter(F.col("op").isNotNull()).select("relid", "lsn")
+    joined = data.join(
+        F.broadcast(vers),
+        (data["relid"] == vers["relid"])
+        & (data["lsn"] >= vers["from_lsn"])
+        & (data["lsn"] < vers["to_lsn"]),
+    ).select("relname", "n_cols", "lsn")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("vers_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["relname"], r["n_cols"], r["lsn"])
+        for r in spark.sql("SELECT * FROM vers_stream").collect()
+    }
+    want_batch = resolve_schema_versions(static_frames).collect()
+    assert len(got) == 4
+    assert {(v, n) for _, v, n, *_ in
+            [(r["source_table"], r["schema_version_cols"], r["n_events"])
+             for r in want_batch]} == {(3, 2), (4, 2)}
+    assert {(3 if lsn < 200 else 4) for _, _, lsn in got} == {3, 4}
+    for name, ncols, lsn in got:
+        assert ncols == (3 if lsn < 200 else 4) and name == "m"

@@ -56,6 +56,8 @@ REPS = [
     ("ts_asap_smooth", "bounded smoothing search"),
     ("pipeline_training_corpus", "composed admission ledger"),
     ("pipeline_near_dedup", "candidates+CC+retention"),
+    ("cdc_relation_versioning", "schema-version interval join"),
+    ("ts_lttb_codegen", "sequential fold downsample"),
 ]
 
 

@@ -456,8 +456,11 @@ def parse_jpeg_headers(media: DataFrame, payload_col: str = "payload") -> DataFr
     )
     media = media.select("media_id", h.alias("_h"), state.alias("_s"))
     hh, sof = F.col("_h"), F.col("_s.sof")
-    found = sof > 0
     is_jpeg = hh.substr(F.lit(1), F.lit(4)) == "FFD8"
+    # geometry only for actual JPEGs: a non-JPEG payload whose bytes
+    # happen to spell FFC0-FFC3 at a walked offset must stay null
+    # (parse_media_headers gates every field the same way)
+    found = (sof > 0) & is_jpeg
     marker = hh.substr(sof, F.lit(4))
     height = F.conv(hh.substr(sof + 10, F.lit(4)), 16, 10).cast("long")
     width = F.conv(hh.substr(sof + 14, F.lit(4)), 16, 10).cast("long")

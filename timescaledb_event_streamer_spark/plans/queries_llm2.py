@@ -13,7 +13,7 @@ from the raw inputs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timescaledb_event_streamer_spark.operators.textstats import shingles
@@ -207,13 +207,10 @@ def media_jpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_jpeg_headers(synthesize_jpeg_headers(load(spark, sf_dir, "events")))
 
 
-_SQL_STOP_RATIO = (
-    r"(floor((len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b')) * 1.0 / "
-    r"greatest(len(regexp_extract_all(text, '\S+')), 1)) * 1000000.0 + 0.5) / 1000000.0)"
-)
-_SQL_PUNCT_RATIO = (
-    r"(floor((len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / "
-    r"greatest(length(text), 1)) * 1000000.0 + 0.5) / 1000000.0)"
+# oracle-side quality fragments: single source of truth in queries_llm
+from timescaledb_event_streamer_spark.plans.queries_llm import (  # noqa: E402
+    _SQL_PUNCT_RATIO,
+    _SQL_STOP_RATIO,
 )
 _SQL_GRAMS = """
             SELECT doc_id, g

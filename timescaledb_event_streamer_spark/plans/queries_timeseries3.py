@@ -100,6 +100,7 @@ def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrs AS (
             SELECT series, list(x ORDER BY day) AS xs, count(*) AS n
             FROM daily GROUP BY series
+            HAVING count(*) >= 4
         ),
         base AS (
             SELECT series, xs, n,
@@ -182,7 +183,9 @@ def ts_asap_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)")
         .alias("xs"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).filter(F.col("n") >= 4)  # roughness/kurtosis need >= 2 diffs and a
+    # real candidate set; a 1-bucket series would make the d-sequence
+    # descend and element_at throw under ANSI mode
     base = arrs.withColumn(
         "mu", F.expr("aggregate(xs, 0D, (a, v) -> a + v) / n")
     )
@@ -217,8 +220,8 @@ def ts_asap_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dstats = sma.withColumn(
         "d",
-        F.expr("transform(sequence(1, size(s) - 1),"
-               " i -> element_at(s, i + 1) - element_at(s, i))"),
+        F.expr("transform(sequence(1, greatest(size(s) - 1, 1)),"
+               " i -> element_at(s, least(i + 1, size(s))) - element_at(s, i))"),
     )
     dmu = dstats.withColumn(
         "mu_d", F.expr("aggregate(d, 0D, (a, v) -> a + v) / size(d)")

@@ -153,24 +153,33 @@ def synthesize_pgoutput(events: DataFrame) -> DataFrame:
     )
 
 
-def _relation_frames(events: DataFrame) -> DataFrame:
-    """One 'R' frame per relation at LSN 0 (metadata-sized branch)."""
+def _relation_frames(
+    events: DataFrame,
+    cols: list[str] | None = None,
+    lsn: Column | None = None,
+) -> DataFrame:
+    """One 'R' frame per relation (metadata-sized branch). ``cols``
+    and ``lsn`` parameterize re-announcements — a schema change is
+    the SAME frame layout with a new column list at a later LSN
+    (see synthesize_versioned_log)."""
+    cols = cols if cols is not None else _TUPLE_COLS
+    lsn = lsn if lsn is not None else F.lit(0)
     col_meta = []
-    for name in _TUPLE_COLS:
+    for name in cols:
         flags = "01" if name == "user_id" else "00"
         col_meta.append(F.lit(flags))
         col_meta.append(_cstr(F.lit(name)))
-        col_meta.append(_h(F.lit(_TYPOIDS[name]), 4))
+        col_meta.append(_h(F.lit(_TYPOIDS.get(name, 25)), 4))
         col_meta.append(F.lit("FFFFFFFF"))  # typmod -1
     return (
-        events.select("event_type").distinct().coalesce(1).select(
+        events.select("event_type", lsn.alias("_lsn")).distinct().coalesce(1).select(
             _xlogdata(
-                F.lit(0),
+                F.col("_lsn"),
                 F.concat(
                     F.lit("52"), _h(_relid(F.col("event_type")), 4),
                     _cstr(F.lit("public")), _cstr(F.col("event_type")),
                     F.lit("64"),  # replica identity 'd' (default)
-                    _h(F.lit(len(_TUPLE_COLS)), 2), *col_meta,
+                    _h(F.lit(len(cols)), 2), *col_meta,
                 ),
             ).alias("frame")
         )
@@ -536,6 +545,11 @@ def parse_pgoutput(
     # from running once per consumer (measured 0.6s/branch at sf0.1).
     # A live stream can't persist; its micro-batches arrive
     # materialized, so the double-scan cost doesn't exist there.
+    # Lifetime: no explicit unpersist — once the returned plan's
+    # references drop, Spark's ContextCleaner reclaims the cached
+    # blocks on GC (the same lifecycle operators/dedup.py relies on
+    # for its shingle table), so repeated invocations don't pin
+    # storage indefinitely.
     if not frames.isStreaming:
         frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
     decoded = decode_frames(frames, frame_col)
@@ -809,27 +823,11 @@ def synthesize_versioned_log(events: DataFrame) -> DataFrame:
     point decode under schema v2 (ncols 4), earlier ones under v1
     (ncols 3)."""
     base = synthesize_pgoutput(events)
-    col_meta = []
-    for name in [*_TUPLE_COLS, "extra_col"]:
-        col_meta.append(F.lit("01" if name == "user_id" else "00"))
-        col_meta.append(_cstr(F.lit(name)))
-        col_meta.append(_h(F.lit(_TYPOIDS.get(name, 25)), 4))
-        col_meta.append(F.lit("FFFFFFFF"))
     mx = events.agg(F.max("event_id").alias("mx"))
-    v2 = (
-        events.select("event_type").distinct().coalesce(1)
-        .crossJoin(F.broadcast(mx))
-        .select(
-            _xlogdata(
-                F.col("mx") * 2,
-                F.concat(
-                    F.lit("52"), _h(_relid(F.col("event_type")), 4),
-                    _cstr(F.lit("public")), _cstr(F.col("event_type")),
-                    F.lit("64"),
-                    _h(F.lit(len(_TUPLE_COLS) + 1), 2), *col_meta,
-                ),
-            ).alias("frame")
-        )
+    v2 = _relation_frames(
+        events.crossJoin(F.broadcast(mx)),
+        cols=[*_TUPLE_COLS, "extra_col"],
+        lsn=F.col("mx") * 2,
     )
     return base.unionByName(v2)
 
@@ -866,20 +864,34 @@ def relation_versions(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
     )
 
 
-def resolve_schema_versions(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
+def resolve_schema_versions(
+    frames: DataFrame,
+    frame_col: str = "frame",
+    versions: DataFrame | None = None,
+) -> DataFrame:
     """Per (table, schema version): how many data events decoded under
     each relation announcement, with the LSN span — the audit of a
     mid-stream schema change. The version table is metadata-sized and
     broadcasts; the data stream joins on (relid, LSN interval) with no
-    shuffle of the stream itself."""
+    shuffle of the stream itself.
+
+    For a STREAMING frame input, pass ``versions`` pre-computed from a
+    static frame set (relation_versions uses a lead() window, which
+    cannot run on an unbounded stream) — the join below is then a
+    stream-static broadcast interval join, proven in
+    tests/test_pgoutput.py::test_relation_versioning_streaming_parity."""
     from pyspark import StorageLevel
 
+    if versions is None and frames.isStreaming:
+        raise ValueError(
+            "streaming input needs a pre-computed static `versions` table"
+        )
     if not frames.isStreaming:
         frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
     data = decode_frames(frames, frame_col).filter(F.col("op").isNotNull()).select(
         "relid", "lsn"
     )
-    vers = relation_versions(frames, frame_col)
+    vers = versions if versions is not None else relation_versions(frames, frame_col)
     joined = data.join(
         F.broadcast(vers),
         (data["relid"] == vers["relid"])

@@ -200,3 +200,24 @@ def test_lttb_codegen_short_series_drop_out(spark, tmp_path):
     t0 = datetime.datetime(2024, 1, 1)
     rows = [(t0 + datetime.timedelta(days=i), "short", 1.0) for i in range(10)]
     assert ts_lttb_codegen(spark, _write(spark, rows=rows, tmp_path=tmp_path)).count() == 0
+
+
+def test_asap_smooth_degenerate_series_excluded(spark, tmp_path):
+    """Series with fewer than 4 daily buckets can't support the
+    roughness/kurtosis search and must drop out cleanly instead of
+    tripping ANSI arithmetic (regression: single-bucket series threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT)."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries3 import (
+        ts_asap_smooth,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = (
+        [(t0, "single", 1.0)]
+        + [(t0 + datetime.timedelta(days=i), "three", 2.0) for i in range(3)]
+        + [(t0 + datetime.timedelta(days=i), "ok", float(i % 5)) for i in range(8)]
+    )
+    out = {r["series"]: r
+           for r in ts_asap_smooth(spark, _write(spark, rows=rows, tmp_path=tmp_path)).collect()}
+    assert set(out) == {"ok"}
+    assert out["ok"]["n_days"] == 8

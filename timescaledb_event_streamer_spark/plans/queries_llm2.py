@@ -491,3 +491,84 @@ def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(dropped.cast("int")) / F.count(F.lit(1)), 6)
         .alias("drop_fraction"),
     )
+
+
+@register(
+    "dedup_cross_source_near",
+    family="dedup",
+    doc="Cross-source NEAR-duplication matrix: the who-copies-whom "
+    "diagnostic (D9) upgraded from exact content hashes to jaccard "
+    ">= 0.3 shingle similarity — the form that catches lightly-"
+    "edited copies crossing source boundaries. Candidate pairs come "
+    "from the same bounded shingle join as D2/D15; source attribution "
+    "is two doc-keyed joins; the matrix reduce is metadata-sized "
+    "(source-pair cardinality). Ordered (min, max) source pair so "
+    "direction never depends on doc-id assignment.",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s0 AS (
+        SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks
+        FROM t WHERE len(toks) >= 5
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + 5], ' ') AS s FROM s0
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               round(c.n_inter * 1.0 / (x.n + y.n - c.n_inter), 6) AS jaccard
+        FROM cand c
+        JOIN sz x ON c.doc_a = x.doc_id
+        JOIN sz y ON c.doc_b = y.doc_id
+    ),
+    dup AS (
+        SELECT s.doc_a, s.doc_b, s.jaccard, da.source AS sa, db.source AS sb
+        FROM scored s
+        JOIN documents da ON s.doc_a = da.doc_id
+        JOIN documents db ON s.doc_b = db.doc_id
+        WHERE s.jaccard >= 0.3
+    )
+    SELECT least(sa, sb) AS source_a,
+           greatest(sa, sb) AS source_b,
+           count(*) AS n_near_dup_pairs,
+           round(avg(jaccard), 6) AS mean_jaccard
+    FROM dup
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        shingle_pairs_jaccard,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    eligible = docs.filter(F.size(F.split(F.col("text"), " ")) >= 5)
+    pairs = shingle_pairs_jaccard(eligible).filter(F.col("jaccard") >= 0.3)
+    src = docs.select("doc_id", "source")
+    attributed = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        attributed.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_near_dup_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        )
+    )

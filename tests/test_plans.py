@@ -117,6 +117,8 @@ _BNLJ_OK = {
     "cdc_replication_channel_stats",  # single-row broadcast restart-LSN
     "cdc_relation_versioning",  # 1-row broadcast max-LSN + broadcast
     #   interval join to the metadata-sized version table
+    "ts_audience_overlap",  # 10-pair x 32-mask broadcast expansion +
+    #   non-equi type-pair self-join, both metadata-sized
 }
 
 

@@ -476,3 +476,94 @@ def ts_lttb_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(element_at(xs, CAST(idx + 1 AS INT)) AS BIGINT)").alias("t_s"),
         F.expr("round(element_at(ys, CAST(idx + 1 AS INT)), 6)").alias("v"),
     )
+
+
+@register(
+    "ts_audience_overlap",
+    family="timeseries",
+    doc="Pairwise distinct-user overlap between event types (audience "
+    "overlap / segment intersection): ONE user-keyed shuffle folds "
+    "each user into a 5-bit type bitmask, the mask histogram is 32 "
+    "rows, and every pairwise intersection/union then reads off the "
+    "histogram with a broadcast-sized expansion — no per-pair "
+    "distinct-count passes, no self-join of the user set. The exact "
+    "form of what a theta/minhash sketch estimates at 100 TB; "
+    "per-pair Jaccard of the user sets comes free from the same "
+    "histogram.",
+    oracle="""
+        WITH types AS (
+            SELECT event_type,
+                   row_number() OVER (ORDER BY event_type) - 1 AS bit
+            FROM (SELECT DISTINCT event_type FROM events)
+        ),
+        per_user AS (
+            SELECT e.user_id,
+                   CAST(sum(DISTINCT CAST(pow(2, t.bit) AS BIGINT)) AS BIGINT)
+                       AS mask
+            FROM events e JOIN types t USING (event_type)
+            GROUP BY e.user_id
+        ),
+        hist AS (SELECT mask, count(*) AS c FROM per_user GROUP BY mask),
+        pairs AS (
+            SELECT a.event_type AS type_a, a.bit AS bit_a,
+                   b.event_type AS type_b, b.bit AS bit_b
+            FROM types a JOIN types b ON a.event_type < b.event_type
+        )
+        SELECT p.type_a,
+               p.type_b,
+               CAST(sum(CASE WHEN (h.mask // CAST(pow(2, p.bit_a) AS BIGINT)) % 2 = 1
+                              AND (h.mask // CAST(pow(2, p.bit_b) AS BIGINT)) % 2 = 1
+                             THEN h.c ELSE 0 END) AS BIGINT) AS n_both,
+               CAST(sum(CASE WHEN (h.mask // CAST(pow(2, p.bit_a) AS BIGINT)) % 2 = 1
+                               OR (h.mask // CAST(pow(2, p.bit_b) AS BIGINT)) % 2 = 1
+                             THEN h.c ELSE 0 END) AS BIGINT) AS n_either,
+               round(sum(CASE WHEN (h.mask // CAST(pow(2, p.bit_a) AS BIGINT)) % 2 = 1
+                               AND (h.mask // CAST(pow(2, p.bit_b) AS BIGINT)) % 2 = 1
+                              THEN h.c ELSE 0 END)
+                     * 1.0 /
+                     sum(CASE WHEN (h.mask // CAST(pow(2, p.bit_a) AS BIGINT)) % 2 = 1
+                               OR (h.mask // CAST(pow(2, p.bit_b) AS BIGINT)) % 2 = 1
+                              THEN h.c ELSE 0 END), 6) AS user_jaccard
+        FROM pairs p, hist h
+        GROUP BY p.type_a, p.type_b
+    """,
+)
+def ts_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    types = (
+        events.select("event_type").distinct()
+        .withColumn(
+            "bit",
+            # deliberate single partition: the TYPE LIST is
+            # metadata-sized (same note as catalog/chunks.py)
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy("event_type")
+            ) - 1,
+        )
+    )
+    per_user = (
+        events.join(F.broadcast(types), "event_type")
+        .groupBy("user_id")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("mask"))
+    )
+    hist = per_user.groupBy("mask").agg(F.count(F.lit(1)).alias("c"))
+    a, b = types.alias("a"), types.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"), F.col("a.bit").alias("bit_a"),
+        F.col("b.event_type").alias("type_b"), F.col("b.bit").alias("bit_b"),
+    )
+    has_a = F.expr("shiftright(mask, bit_a) % 2 = 1")
+    has_b = F.expr("shiftright(mask, bit_b) % 2 = 1")
+    both = F.sum(F.when(has_a & has_b, F.col("c")).otherwise(F.lit(0)))
+    either = F.sum(F.when(has_a | has_b, F.col("c")).otherwise(F.lit(0)))
+    return (
+        pairs.crossJoin(F.broadcast(hist))
+        .groupBy("type_a", "type_b")
+        .agg(
+            both.alias("n_both"),
+            either.alias("n_either"),
+            F.round(both / either, 6).alias("user_jaccard"),
+        )
+    )

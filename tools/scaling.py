@@ -58,6 +58,7 @@ REPS = [
     ("pipeline_near_dedup", "candidates+CC+retention"),
     ("cdc_relation_versioning", "schema-version interval join"),
     ("ts_lttb_codegen", "sequential fold downsample"),
+    ("ts_audience_overlap", "bitmask-histogram overlap"),
 ]
 
 

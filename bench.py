@@ -4,7 +4,7 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query is forced end-to-end with the `noop` sink (full
 computation, no write cost). Times are per-query wall seconds,
-best of $SPARK_GRAFT_BENCH_REPS (default 3) runs — the repetition
+best of $SPARK_GRAFT_BENCH_REPS (default 5) runs — the repetition
 removes co-tenant load spikes and first-touch JIT from the number
 while still measuring the full plan execution; `value` is the
 total of the per-query minima.
@@ -51,7 +51,7 @@ def main() -> None:
     # plan, not first-touch JIT
     qs["q6_forecast_revenue"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         # prepared-statement methodology: the logical plan is built

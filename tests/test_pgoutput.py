@@ -589,3 +589,25 @@ def test_relation_versioning_streaming_parity(spark, tmp_path):
     assert {(3 if lsn < 200 else 4) for _, _, lsn in got} == {3, 4}
     for name, ncols, lsn in got:
         assert ncols == (3 if lsn < 200 else 4) and name == "m"
+
+
+def test_decode_ignores_interleaved_keepalives(spark):
+    """A mixed CopyData stream (keepalive 'k' frames between XLogData
+    'w' frames, as a live connection delivers) must decode the data
+    frames and silently skip the keepalives — an 18-byte 'k' frame has
+    no payload at the XLogData message offset and must never be
+    misread as one."""
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        decode_frames,
+        synthesize_copydata,
+        synthesize_pgoutput,
+    )
+
+    ev = _events(spark, [(e, 1, "m", 1.0, f"p{e}") for e in (3, 5, 10, 23)])
+    mixed = synthesize_pgoutput(ev).unionByName(
+        synthesize_copydata(ev).select("frame")
+    )
+    rows = decode_frames(mixed).filter(F.col("op").isNotNull()).collect()
+    # every event decodes exactly once despite the interleaved 'k's
+    # (eids 5 and 10 also appear as keepalives in the copydata mix)
+    assert sorted(r["lsn"] for r in rows) == [e * 4 + 2 for e in (3, 5, 10, 23)]

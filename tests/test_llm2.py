@@ -193,3 +193,31 @@ def test_near_dedup_pipeline_keeps_one_per_cluster(spark, tmp_path):
     assert a["n_near_dup_docs"] == 2 and a["n_dropped"] == 1 and a["n_kept"] == 1
     assert b["n_near_dup_docs"] == 1 and b["n_dropped"] == 1 and b["n_kept"] == 1
     assert b["kept_chars"] == len(rows[3][1])
+
+
+def test_embedding_outlier_audit_flags_planted_vector(spark, tmp_path):
+    """A vector far from its label's tight cluster is flagged; the
+    clean label reports zero outliers."""
+    import random
+
+    from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for label in (0, 1):
+        base = [1.0 if i % 10 == label else 0.0 for i in range(16)]
+        for _ in range(30):
+            rows.append((vid, [v + rng.uniform(-0.01, 0.01) for v in base], label))
+            vid += 1
+    rows.append((vid, [9.0] * 16, 0))  # planted outlier in label 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["label"]: r
+           for r in all_queries()["embedding_outlier_audit"](spark, str(tmp_path)).collect()}
+    assert out[0]["n_outliers"] >= 1 and out[0]["n_vecs"] == 31
+    # a clean cluster may still flag a couple of >2-sigma tail points
+    # (that's what a z-threshold does); the PLANTED vector dominates
+    # the distance range only in its own label
+    assert out[1]["n_outliers"] <= 2
+    assert out[0]["max_dist"] > 10 * out[1]["max_dist"]

@@ -572,3 +572,92 @@ def dedup_cross_source_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
         )
     )
+
+
+@register(
+    "embedding_outlier_audit",
+    family="ann",
+    doc="Embedding-space outlier audit: per-vector L2 distance to the "
+    "OWN label's centroid, flagged when beyond mean + 2 sigma of the "
+    "label's distance distribution — the mislabeled/corrupted-vector "
+    "QA gate that runs before any index build. Centroids reduce on "
+    "(label, dim) with map-side partials (64-key-per-label shuffle), "
+    "assemble into per-label arrays (metadata-sized, broadcast), and "
+    "the distance pass is a zip_with fold — one more corpus scan, "
+    "zero Python. All compared statistics are rounded to 6 decimals "
+    "on BOTH engines before thresholding, so ulp-level summation "
+    "differences cannot flip an outlier count.",
+    oracle="""
+        WITH u AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        c AS (SELECT label, pos, avg(v) AS m FROM u GROUP BY 1, 2),
+        carr AS (SELECT label, list(m ORDER BY pos) AS cm FROM c GROUP BY label),
+        d AS (
+            SELECT e.label, e.vec_id,
+                   round(sqrt(list_reduce(
+                       list_transform(
+                           range(1, len(e.embedding) + 1),
+                           i -> (CAST(e.embedding[i] AS DOUBLE) - ca.cm[i])
+                                * (CAST(e.embedding[i] AS DOUBLE) - ca.cm[i])),
+                       (a, b) -> a + b)), 6) AS dist
+            FROM embeddings e JOIN carr ca USING (label)
+        ),
+        st AS (
+            SELECT label,
+                   count(*) AS n_vecs,
+                   round(avg(dist), 6) AS mean_dist,
+                   round(max(dist), 6) AS max_dist,
+                   round(avg(dist) + 2 * stddev_pop(dist), 6) AS cut
+            FROM d GROUP BY label
+        )
+        SELECT st.label,
+               CAST(st.n_vecs AS BIGINT) AS n_vecs,
+               st.mean_dist,
+               st.max_dist,
+               CAST(sum(CASE WHEN d.dist > st.cut THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+        FROM d JOIN st USING (label)
+        GROUP BY st.label, st.n_vecs, st.mean_dist, st.max_dist
+    """,
+)
+def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    u = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    c = u.groupBy("label", "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    carr = c.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .alias("cm")
+    )
+    d = emb.join(F.broadcast(carr), "label").select(
+        "label",
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(embedding, cm,"
+                    " (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+                    " 0D, (a, b) -> a + b)"
+                )
+            ),
+            6,
+        ).alias("dist"),
+    )
+    st = d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("dist"), 6).alias("mean_dist"),
+        F.round(F.max("dist"), 6).alias("max_dist"),
+        F.round(F.avg("dist") + 2 * F.stddev_pop("dist"), 6).alias("cut"),
+    )
+    return (
+        d.join(F.broadcast(st), "label")
+        .groupBy("label", "n_vecs", "mean_dist", "max_dist")
+        .agg(
+            F.sum(F.when(F.col("dist") > F.col("cut"), 1).otherwise(0))
+            .alias("n_outliers")
+        )
+        .select("label", "n_vecs", "mean_dist", "max_dist", "n_outliers")
+    )

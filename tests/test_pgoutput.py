@@ -611,3 +611,24 @@ def test_decode_ignores_interleaved_keepalives(spark):
     # every event decodes exactly once despite the interleaved 'k's
     # (eids 5 and 10 also appear as keepalives in the copydata mix)
     assert sorted(r["lsn"] for r in rows) == [e * 4 + 2 for e in (3, 5, 10, 23)]
+
+
+def test_corrupt_frames_never_kill_the_query(spark):
+    """Torn/corrupted frames (reconnect artifacts) must decode to
+    nothing — not abort the job. Includes a frame whose u64 LSN field
+    exceeds 2^63, which a plain ANSI cast would turn into a
+    query-killing CAST_INVALID_INPUT."""
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        decode_frames,
+        parse_admin_frames,
+        parse_standby_status,
+    )
+
+    bad = ["", "77", "77ABC", "6B00", "ZZNOTHEX", "4D4D4D", "77" + "F" * 60]
+    frames = spark.createDataFrame([(b,) for b in bad], "frame string")
+    assert decode_frames(frames).filter("op IS NOT NULL").count() == 0
+    assert parse_admin_frames(frames).count() == 0
+    slotted = spark.createDataFrame([("s", b) for b in bad], "slot string, frame string")
+    # the all-FF 'w' frame parses with a NULL lsn; posture stays sane
+    [row] = parse_standby_status(slotted).collect()
+    assert row["n_frames"] == len(bad)

@@ -400,9 +400,15 @@ def parse_admin_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame
 
 
 def _u(h: Column, pos: Column | int, nbytes: int) -> Column:
-    """Unsigned big-endian int read at 1-indexed hex position."""
+    """Unsigned big-endian int read at 1-indexed hex position.
+
+    try_cast, not cast: a corrupted frame (reconnect tear, flipped
+    bits) can spell a u64 above 2^63 whose decimal string overflows
+    BIGINT — under ANSI mode a plain cast would kill the whole query
+    for one bad frame. NULL decodes are filtered downstream like any
+    other unrecognized frame."""
     pos = F.lit(pos) if isinstance(pos, int) else pos
-    return F.conv(h.substr(pos, F.lit(2 * nbytes)), 16, 10).cast("long")
+    return F.conv(h.substr(pos, F.lit(2 * nbytes)), 16, 10).try_cast("long")
 
 
 def _tuple_values(h: Column, start: Column) -> tuple[list[Column], Column]:

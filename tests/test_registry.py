@@ -1,0 +1,79 @@
+"""Registry contract tests — certification-rotation ordering.
+
+The driver's per-round oracle run is capped (50 entries) and consumes
+``queries()`` in iteration order, so the rotation in
+plans/registry.py:_iteration_order is load-bearing: never-certified
+queries MUST precede certified ones or a block of queries can stay
+uncertified forever (the r3 bug). These tests pin that invariant so a
+refactor can't silently wedge certification again (VERDICT r4 item 1).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
+
+def _registry():
+    from timescaledb_event_streamer_spark.plans import registry
+
+    registry._load_all()
+    return registry
+
+
+def test_uncertified_queries_sort_first():
+    registry = _registry()
+    names = list(registry.all_queries())
+    certified_flags = [registry._is_certified(n) for n in names]
+    # monotone: once a certified name appears, no uncertified follows
+    assert certified_flags == sorted(certified_flags), (
+        "certification rotation broken: an uncertified query sorts after "
+        "a certified one — the driver's 50-entry cap would skip it"
+    )
+
+
+def test_rotation_blocks_are_alphabetical():
+    registry = _registry()
+    names = list(registry.all_queries())
+    uncert = [n for n in names if not registry._is_certified(n)]
+    cert = [n for n in names if registry._is_certified(n)]
+    assert uncert == sorted(uncert)
+    assert cert == sorted(cert)
+    assert names == uncert + cert
+
+
+def test_certified_set_derived_from_committed_artifacts():
+    """The certified set must come from CORRECTNESS_r*.json on disk,
+    never a hard-coded list: every hash-green name in the committed
+    artifacts is recognized, and a name absent from every artifact is
+    not."""
+    registry = _registry()
+    hash_green: set[str] = set()
+    for path in sorted(REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(path.read_text()).items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                hash_green.add(name)
+    assert hash_green, "no committed correctness artifacts found"
+    for name in hash_green & set(registry.REGISTRY):
+        assert registry._is_certified(name), name
+    never_seen = set(registry.REGISTRY) - hash_green
+    # queries never hash-certified must not be marked certified unless
+    # they are rows-only-certified AND still have no oracle
+    for name in never_seen:
+        if registry._is_certified(name):
+            assert (
+                name in registry._ROWS_CERTIFIED
+                and registry.REGISTRY[name].oracle is None
+            ), name
+
+
+def test_oracle_upgrade_requeues():
+    """A rows-only-certified query that has since gained an oracle
+    re-sorts as uncertified (stronger verification gets re-exercised)."""
+    registry = _registry()
+    for name in registry._ROWS_CERTIFIED:
+        if name in registry.REGISTRY and registry.REGISTRY[name].oracle is not None:
+            if name not in registry._HASH_CERTIFIED:
+                assert not registry._is_certified(name), name

@@ -221,3 +221,74 @@ def test_asap_smooth_degenerate_series_excluded(spark, tmp_path):
            for r in ts_asap_smooth(spark, _write(spark, rows=rows, tmp_path=tmp_path)).collect()}
     assert set(out) == {"ok"}
     assert out["ok"]["n_days"] == 8
+
+
+def test_realtime_cagg_watermark_moves_and_stays_fresh(spark, tmp_path):
+    """Real-time cagg read (functions/cagg.realtime_cagg_read): for
+    EVERY bucket-aligned watermark position the materialized∪raw-tail
+    read equals the direct one-shot aggregate (merge == direct), and a
+    raw row landing past the watermark is visible immediately WITHOUT
+    rebuilding the materialization (the freshness property that
+    distinguishes realtime caggs from plain materialized views)."""
+    from timescaledb_event_streamer_spark.functions.cagg import (
+        cagg_partials,
+        realtime_cagg_read,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (t0 + datetime.timedelta(minutes=37 * i), "m" if i % 2 else "k",
+         float(i % 7) + 0.25)
+        for i in range(40)
+    ]
+    events = _events(spark, rows).withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    HOUR = 3600
+    base_s = int(t0.timestamp())
+    direct = {
+        (r["event_type"], r["bucket_s"]): (r["n"], r["sum_value"])
+        for r in cagg_partials(events, ["event_type"], HOUR, sum_col="cents")
+        .collect()
+    }
+
+    span_s = 37 * 60 * 40
+    watermarks = [base_s + h * HOUR for h in range(0, span_s // HOUR + 2, 5)]
+    for wm_s in watermarks:
+        mat = cagg_partials(
+            events.filter(F.col("ts") < F.timestamp_seconds(F.lit(wm_s))),
+            ["event_type"], HOUR, sum_col="cents",
+        )
+        read = realtime_cagg_read(mat, events, ["event_type"], HOUR, wm_s,
+                                  sum_col="cents")
+        got = {
+            (r["event_type"], r["bucket_s"]): (r["n"], r["sum_value"])
+            for r in read.collect()
+        }
+        assert got == direct, f"merge != direct at watermark {wm_s}"
+
+    # freshness: a brand-new raw row past the watermark shows up in the
+    # read even though the materialization was built before it existed
+    wm_s = base_s + 10 * HOUR
+    mat = cagg_partials(
+        events.filter(F.col("ts") < F.timestamp_seconds(F.lit(wm_s))),
+        ["event_type"], HOUR, sum_col="cents",
+    )
+    late_ts = t0 + datetime.timedelta(hours=30)
+    late = _events(spark, [(late_ts, "fresh", 2.5)]).withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    read = realtime_cagg_read(mat, events.unionByName(late),
+                              ["event_type"], HOUR, wm_s, sum_col="cents")
+    fresh = [r for r in read.collect() if r["event_type"] == "fresh"]
+    assert len(fresh) == 1 and fresh[0]["n"] == 1
+    assert fresh[0]["sum_value"] == 250
+
+    # misaligned watermark must fail loudly, not split a bucket
+    try:
+        realtime_cagg_read(mat, events, ["event_type"], HOUR, wm_s + 17,
+                           sum_col="cents")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("misaligned watermark accepted")

@@ -69,6 +69,50 @@ def merge_cagg(keys: list[str], *partials: DataFrame) -> DataFrame:
     )
 
 
+def realtime_cagg_read(
+    materialized: DataFrame,
+    raw_events: DataFrame,
+    keys: list[str],
+    bucket_width_s: int,
+    watermark_s: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    sum_col: str | None = None,
+) -> DataFrame:
+    """TimescaleDB *real-time* continuous-aggregate read path: the
+    materialized partials for buckets strictly below the
+    materialization watermark, UNION ALL the on-the-fly aggregation of
+    raw rows at-or-after it — so a dashboard query sees rows the
+    refresh job hasn't materialized yet (the flagship cagg read;
+    reference context: caggs are first-class catalog relations,
+    `internal/systemcatalog/catalogeventhandler.go`).
+
+    ``watermark_s`` must be bucket-aligned (TimescaleDB's watermark is
+    the end of the last materialized bucket, always a boundary): then
+    no bucket spans tiers, the two branches produce disjoint bucket
+    sets, and the union needs NO merge re-aggregation — at 100 TB the
+    read costs one scan of the (tiny) materialization plus one scan of
+    only the raw tail partitions, pruned by the pushed ``ts >=
+    watermark`` predicate.
+    """
+    if watermark_s % bucket_width_s != 0:
+        raise ValueError(
+            f"watermark {watermark_s} not aligned to {bucket_width_s}s buckets"
+        )
+    mat = materialized.filter(F.col("bucket_s") < watermark_s)
+    # literal timestamp compare so the tail filter reaches the parquet
+    # scan as a pushed predicate (ts >= wm ⟺ bucket >= wm under
+    # alignment) — chunk exclusion of the materialized history
+    tail_rows = raw_events.filter(
+        F.col(ts_col) >= F.timestamp_seconds(F.lit(watermark_s))
+    )
+    tail = cagg_partials(
+        tail_rows, keys, bucket_width_s, ts_col=ts_col,
+        value_col=value_col, sum_col=sum_col,
+    )
+    return mat.unionByName(tail)
+
+
 def cagg_read(materialized: DataFrame) -> DataFrame:
     """Query-time view over the partials: derive non-algebraic
     aggregates (avg) without touching raw history."""

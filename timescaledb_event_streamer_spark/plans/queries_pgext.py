@@ -805,9 +805,14 @@ def pg_geom_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                bin(bits_val) AS varbit_text,
                strlen(bin(bits_val)) AS varbit_len,
                bits_val AS varbit_value,
-               '\\x' || lower(hex(substr(props, 1, 6)::BLOB)) AS bytea_text,
+               '\\x' || lower(hex(encode(substr(props, 1, 6)))) AS bytea_text,
                strlen(substr(props, 1, 6)) AS bytea_len,
-               ascii(substr(props, 1, 1)) AS bytea_first,
+               -- first BYTE of the UTF-8 encoding (not the first code
+               -- point): both engines parse the leading hex pair of the
+               -- wire text, so the compare stays byte-based even on
+               -- multibyte-leading props values
+               CAST(('0x' || substr(hex(encode(substr(props, 1, 1))), 1, 2)) AS INT)
+                   AS bytea_first,
                lower(lpad(to_hex((event_id // 72057594037927936) % 256), 2, '0')) || ':'
                    || lower(lpad(to_hex((event_id // 281474976710656) % 256), 2, '0')) || ':'
                    || lower(lpad(to_hex((event_id // 1099511627776) % 256), 2, '0')) || ':'

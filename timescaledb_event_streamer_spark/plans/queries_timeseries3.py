@@ -542,6 +542,20 @@ def ts_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy(F.lit(1)).orderBy("event_type")
             ) - 1,
         )
+        # bitmask representation is only exact below 64 types: Spark
+        # shiftleft(1L, bit) wraps at bit>=64 and the oracle's
+        # pow(2,bit) loses integer exactness past 2^53 — fail loudly
+        # instead of silently aliasing masks on a wider taxonomy
+        # (switch to an array-of-bits mask beyond 62).
+        .withColumn(
+            "bit",
+            F.when(F.col("bit") < 62, F.col("bit")).otherwise(
+                F.raise_error(
+                    F.lit("ts_audience_overlap: >62 distinct event types "
+                          "exceed the 64-bit mask representation")
+                ).cast("int")
+            ),
+        )
     )
     per_user = (
         events.join(F.broadcast(types), "event_type")
@@ -566,4 +580,89 @@ def ts_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             either.alias("n_either"),
             F.round(both / either, 6).alias("user_jaccard"),
         )
+    )
+
+
+HOUR = 3600
+DAY = 86400
+# hour-bucket expression over the aggregate max(ts) (the oracle's
+# watermark derivation must mirror time_bucket_epoch exactly)
+_SQL_MAX_EPOCH_S = "(epoch_us(max(ts)) // 1000000)"
+
+
+def _sql_b(width_s: int) -> str:
+    return f"({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % {width_s})"
+
+
+@register(
+    "ts_cagg_realtime",
+    family="timeseries",
+    doc="Real-time continuous aggregate — TimescaleDB's flagship read "
+    "path (caggs are first-class catalog relations, reference "
+    "internal/systemcatalog/catalogeventhandler.go): the query over a "
+    "realtime cagg returns MATERIALIZED buckets below the "
+    "materialization watermark UNION ALL the aggregation of RAW rows "
+    "at-or-after it, so dashboards see data the refresh job hasn't "
+    "materialized yet. Watermark here = last hour boundary minus one "
+    "day, so the raw tail is a full day of buckets. The watermark is "
+    "bucket-aligned, hence the two tiers are disjoint bucket sets and "
+    "the union needs no merge re-aggregation; the tail filter is a "
+    "pushed literal ts predicate (chunk exclusion of history). The "
+    "oracle aggregates raw directly over EVERYTHING — materialized ∪ "
+    "tail must equal the direct aggregate exactly (the B43 contract), "
+    "which sums on integer cents guarantee.",
+    oracle=f"""
+        WITH wm AS (
+            SELECT ({_SQL_MAX_EPOCH_S} - {_SQL_MAX_EPOCH_S} % {HOUR}) - {DAY}
+                       AS wm_s
+            FROM events
+        )
+        SELECT event_type,
+               {_sql_b(HOUR)} AS bucket_s,
+               CASE WHEN {_sql_b(HOUR)} < wm_s
+                    THEN 'materialized' ELSE 'raw_tail' END AS tier,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               floor(sum(CAST(round(value * 100) AS BIGINT)) * 10000.0
+                     / count(*) + 0.5) / 1000000.0 AS avg_value
+        FROM events, wm
+        GROUP BY 1, 2, 3
+    """,
+)
+def ts_cagg_realtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.functions.cagg import (
+        cagg_partials,
+        realtime_cagg_read,
+    )
+
+    # exact integer cents so merge == direct whatever the split (the
+    # same discipline as ts_cagg_incremental_refresh)
+    events = load(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    # materialization watermark: one day behind the last completed
+    # hour (1-row agg action, the B20 precedent — metadata-sized)
+    wm_s = (
+        events.agg(time_bucket_epoch(F.max("ts"), HOUR)).first()[0] - DAY
+    )
+    materialized = cagg_partials(
+        events.filter(F.col("ts") < F.timestamp_seconds(F.lit(wm_s))),
+        ["event_type"], HOUR, sum_col="cents",
+    )
+    read = realtime_cagg_read(
+        materialized, events, ["event_type"], HOUR, wm_s, sum_col="cents"
+    )
+    return read.select(
+        "event_type",
+        "bucket_s",
+        F.when(F.col("bucket_s") < wm_s, F.lit("materialized"))
+        .otherwise(F.lit("raw_tail")).alias("tier"),
+        "n",
+        (F.col("sum_value") / 100.0).alias("sum_value"),
+        "min_value",
+        "max_value",
+        (F.floor(F.col("sum_value") * 10000.0 / F.col("n") + 0.5) / 1000000.0)
+        .alias("avg_value"),
     )

@@ -37,8 +37,41 @@ partition at scale.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: batch entry points persist their frame input (multi-branch reads);
+#: lifetime is normally ContextCleaner GC once plan references drop,
+#: but long-lived sessions that hold returned DataFrames (notebooks,
+#: looped bench runs) can call release_persisted_frames() to reclaim
+#: cached blocks eagerly instead of waiting for GC.
+_PERSISTED_FRAMES: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+
+
+def _tracked_persist(frames: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_FRAMES.add(frames)
+    return frames
+
+
+def release_persisted_frames() -> int:
+    """Unpersist every frame table cached by the batch entry points
+    (parse_pgoutput / parse_admin_frames / resolve_schema_versions)
+    that is still alive; returns the number released. Safe to call at
+    any time — subsequent invocations simply re-persist."""
+    released = 0
+    for df in list(_PERSISTED_FRAMES):
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:  # noqa: BLE001 — already-stopped session
+            pass
+        _PERSISTED_FRAMES.discard(df)
+    return released
 
 #: micros between 1970-01-01 (unix epoch) and 2000-01-01 (PG epoch)
 PG_EPOCH_OFFSET_US = 946_684_800_000_000
@@ -283,14 +316,13 @@ def parse_admin_frames(frames: DataFrame, frame_col: str = "frame") -> DataFrame
     type registrations, and 'o' origin announcements. Everything is
     substr/conv codegen except the exploded truncate relid list (an
     array column transform — still JVM-side)."""
-    from pyspark import StorageLevel
 
     # five consumers (m/t/y/o branches + the relation catalog) read
     # the frame table; persist so the upstream materialization runs
     # once, not per branch (same rationale as parse_pgoutput; a live
     # stream can't persist — micro-batches are already materialized)
     if not frames.isStreaming:
-        frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
+        frames = _tracked_persist(frames)
     h = F.upper(F.col(frame_col))
     base = frames.select(
         h.alias("h"), h.substr(F.lit(51), F.lit(2)).alias("ptype")
@@ -542,7 +574,6 @@ def parse_pgoutput(
     full-stream single-partition window exists in the plan
     (transactiontracker.go's commit grouping, distributed).
     """
-    from pyspark import StorageLevel
 
     # the raw frame table feeds two consumers (the data-frame decode
     # and the relation catalog); persisting it keeps the upstream
@@ -551,13 +582,14 @@ def parse_pgoutput(
     # from running once per consumer (measured 0.6s/branch at sf0.1).
     # A live stream can't persist; its micro-batches arrive
     # materialized, so the double-scan cost doesn't exist there.
-    # Lifetime: no explicit unpersist — once the returned plan's
-    # references drop, Spark's ContextCleaner reclaims the cached
-    # blocks on GC (the same lifecycle operators/dedup.py relies on
-    # for its shingle table), so repeated invocations don't pin
-    # storage indefinitely.
+    # Lifetime: no unpersist inside the plan — once the returned
+    # plan's references drop, Spark's ContextCleaner reclaims the
+    # cached blocks on GC (the same lifecycle operators/dedup.py
+    # relies on for its shingle table). Long-lived sessions that hold
+    # returned DataFrames can reclaim eagerly via
+    # release_persisted_frames().
     if not frames.isStreaming:
-        frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
+        frames = _tracked_persist(frames)
     decoded = decode_frames(frames, frame_col)
 
     # transaction attach: segmented LOCF (see docstring)
@@ -581,9 +613,20 @@ def parse_pgoutput(
     # segment (metadata-sized by construction — same deliberate
     # single-partition note as the chunk catalog), shifted so a
     # segment sees only prior segments.
+    # tie-break: real wire input can repeat WALStart across consecutive
+    # frames, and the intra-segment LOCF orders ties arbitrarily — so a
+    # tied row sorted before the B frame could carry a stale/null xid.
+    # max_by on (lsn, is-B-frame, value) makes the pick deterministic:
+    # at a shared max LSN the B frame's own row (whose LOCF value is
+    # fresh by construction) wins, then the value itself breaks any
+    # remaining tie.
     seg_summary = decoded.groupBy("seg").agg(
-        F.max_by("_xid_in", "lsn").alias("_seg_xid"),
-        F.max_by("_ts_in", "lsn").alias("_seg_ts"),
+        F.max_by(
+            "_xid_in", F.struct("lsn", F.col("_b_xid").isNotNull(), "_xid_in")
+        ).alias("_seg_xid"),
+        F.max_by(
+            "_ts_in", F.struct("lsn", F.col("_b_ts_ms").isNotNull(), "_ts_in")
+        ).alias("_seg_ts"),
     )
     w_seg = (
         Window.partitionBy(F.length(F.col("seg").cast("string")) * 0)
@@ -886,14 +929,12 @@ def resolve_schema_versions(
     cannot run on an unbounded stream) — the join below is then a
     stream-static broadcast interval join, proven in
     tests/test_pgoutput.py::test_relation_versioning_streaming_parity."""
-    from pyspark import StorageLevel
-
     if versions is None and frames.isStreaming:
         raise ValueError(
             "streaming input needs a pre-computed static `versions` table"
         )
     if not frames.isStreaming:
-        frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
+        frames = _tracked_persist(frames)
     data = decode_frames(frames, frame_col).filter(F.col("op").isNotNull()).select(
         "relid", "lsn"
     )

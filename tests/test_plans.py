@@ -162,3 +162,63 @@ def test_partitioned_hypertable_layout_prunes(spark, sf_small, tmp_path):
     n_all = events.count()
     n_pruned = pruned.count()
     assert 0 < n_pruned < n_all / 10
+
+
+def test_space_partitioned_hypertable_layout_prunes_2d(spark, sf_small, tmp_path):
+    """SURVEY §6 + VERDICT r4 item 4: a SPACE-partitioned hypertable
+    (time x hash-slice chunks, spi/systemcatalog/column.go:242) written
+    as a (event_type, chunk_s, slice_id) partitioned layout — a
+    time+slice predicate must prune on BOTH dimensions, and every event
+    resolves to exactly one 2-D chunk."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.catalog.chunks import (
+        SPACE_PARTITIONS,
+        chunk_catalog_2d,
+        chunk_start_epoch,
+        resolve_chunks_2d,
+        space_slice,
+    )
+
+    events = load(spark, sf_small, "events")
+
+    # resolution: every event lands in exactly one 2-D chunk
+    catalog = chunk_catalog_2d(events)
+    resolved = resolve_chunks_2d(events, catalog)
+    assert resolved.count() == events.count()
+    # the slice ranges tile the 32-bit hash space with no overlap
+    slices = (
+        catalog.select("slice_id", "slice_hash_start", "slice_hash_end")
+        .distinct().orderBy("slice_id").collect()
+    )
+    assert [s["slice_id"] for s in slices] == list(range(SPACE_PARTITIONS))
+    for s in slices:
+        assert s["slice_hash_end"] - s["slice_hash_start"] == (1 << 32) // SPACE_PARTITIONS
+    assert slices[0]["slice_hash_start"] == 0
+    assert slices[-1]["slice_hash_end"] == 1 << 32
+
+    # physical layout: both dimensions reach PartitionFilters
+    path = str(tmp_path / "hypertable2d")
+    (
+        events.withColumn("chunk_s", chunk_start_epoch(F.col("ts")))
+        .withColumn("slice_id", space_slice(F.col("user_id")))
+        .write.partitionBy("event_type", "chunk_s", "slice_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    probe = events.filter(F.col("event_type") == "click").select(
+        chunk_start_epoch(F.col("ts")).alias("c"),
+        space_slice(F.col("user_id")).alias("s"),
+    ).first()
+    pruned = spark.read.parquet(path).filter(
+        (F.col("event_type") == "click")
+        & (F.col("chunk_s") == probe["c"])
+        & (F.col("slice_id") == probe["s"])
+    )
+    plan = _plan(pruned)
+    assert "PartitionFilters: [" in plan
+    pf = plan[plan.index("PartitionFilters"):][:400]
+    assert "chunk_s" in pf and "slice_id" in pf
+    n_all, n_pruned = events.count(), pruned.count()
+    # 2-D pruning cuts deeper than time alone: one slice of one chunk
+    assert 0 < n_pruned < n_all / (10 * SPACE_PARTITIONS / 2)

@@ -89,6 +89,113 @@ def chunk_catalog(events: DataFrame, interval_s: int = CHUNK_INTERVAL_S) -> Data
     )
 
 
+#: default number of space partitions (TimescaleDB
+#: `create_hypertable(..., partitioning_column => ..., number_partitions
+#: => N)`); a power of two keeps the hash-range boundaries exact.
+SPACE_PARTITIONS = 4
+
+#: Knuth multiplicative hash constant (~2^32/phi). TimescaleDB's
+#: get_partition_hash is not SQL-portable; this deterministic
+#: multiplicative hash gives the same *semantics* (uniform slices over
+#: a 32-bit hash space split into N contiguous ranges — mirroring
+#: _timescaledb_catalog.dimension_slice) and is exact in 64-bit
+#: arithmetic on both engines.
+_HASH_MULT = 2654435761
+_HASH_SPACE = 1 << 32
+
+
+def space_hash(col: Column) -> Column:
+    """32-bit space-dimension hash of the partitioning column."""
+    return F.pmod(col.cast("long") * F.lit(_HASH_MULT), F.lit(_HASH_SPACE))
+
+
+def space_slice(col: Column, n: int = SPACE_PARTITIONS) -> Column:
+    """Slice index in [0, n): the hash space divided into n contiguous
+    ranges (slice i covers [i*2^32/n, (i+1)*2^32/n) when n | 2^32)."""
+    # n is small, hash < 2^32, so hash*n < 2^36 — exact in a long;
+    # shiftright by 32 is the integer division by the hash space
+    return F.shiftright(space_hash(col) * F.lit(n), 32).cast("long")
+
+
+def chunk_catalog_2d(
+    events: DataFrame,
+    interval_s: int = CHUNK_INTERVAL_S,
+    n_space: int = SPACE_PARTITIONS,
+    space_col: str = "user_id",
+) -> DataFrame:
+    """2-D (time x space) chunk catalog — the multi-dimensional
+    hypertable layout (`spi/systemcatalog/column.go:242` models
+    dimension type `space` vs `time`; TimescaleDB chunks are the cross
+    product of a time range and a hash-slice range).
+
+    Grain: one row per (hypertable, time range, space slice) that holds
+    data. Columns extend the 1-D catalog with slice_id and the slice's
+    hash-range bounds (dimension_slice.range_start/range_end).
+    Metadata-sized (n_space x the 1-D catalog), same broadcast-resolve
+    scale property.
+    """
+    if _HASH_SPACE % n_space != 0:
+        raise ValueError(f"n_space {n_space} must divide the 2^32 hash space")
+    slice_width = _HASH_SPACE // n_space
+    per_chunk = (
+        events.select(
+            F.col("event_type").alias("hypertable_name"),
+            chunk_start_epoch(F.col("ts"), interval_s).alias("range_start_s"),
+            space_slice(F.col(space_col), n_space).alias("slice_id"),
+        )
+        .groupBy("hypertable_name", "range_start_s", "slice_id")
+        .agg(F.count(F.lit(1)).alias("row_count"))
+    )
+    one_part = F.length("hypertable_name") * 0  # see chunk_catalog note
+    w_ht = Window.partitionBy(one_part).orderBy("hypertable_name")
+    w_chunk = Window.partitionBy(one_part).orderBy(
+        "hypertable_name", "range_start_s", "slice_id"
+    )
+    return (
+        per_chunk.withColumn("hypertable_id", F.dense_rank().over(w_ht).cast("long"))
+        .withColumn("chunk_id", F.dense_rank().over(w_chunk).cast("long"))
+        .select(
+            "hypertable_id",
+            "hypertable_name",
+            "chunk_id",
+            F.lit(CHUNK_SCHEMA).alias("chunk_schema"),
+            F.concat(
+                F.lit("_hyper_"), F.col("hypertable_id"),
+                F.lit("_"), F.col("chunk_id"), F.lit("_chunk"),
+            ).alias("chunk_name"),
+            "range_start_s",
+            (F.col("range_start_s") + F.lit(interval_s)).alias("range_end_s"),
+            "slice_id",
+            (F.col("slice_id") * slice_width).alias("slice_hash_start"),
+            ((F.col("slice_id") + 1) * slice_width).alias("slice_hash_end"),
+            "row_count",
+        )
+    )
+
+
+def resolve_chunks_2d(
+    events: DataFrame,
+    catalog: DataFrame,
+    interval_s: int = CHUNK_INTERVAL_S,
+    n_space: int = SPACE_PARTITIONS,
+    space_col: str = "user_id",
+) -> DataFrame:
+    """Attach 2-D chunk identity to each event: broadcast join on
+    (hypertable, time range, space slice) — the event side never
+    shuffles, exactly like the 1-D resolve."""
+    keyed = events.withColumn(
+        "range_start_s", chunk_start_epoch(F.col("ts"), interval_s)
+    ).withColumn("slice_id", space_slice(F.col(space_col), n_space))
+    return keyed.join(
+        F.broadcast(catalog),
+        on=[
+            keyed["event_type"] == catalog["hypertable_name"],
+            keyed["range_start_s"] == catalog["range_start_s"],
+            keyed["slice_id"] == catalog["slice_id"],
+        ],
+    ).drop(catalog["range_start_s"]).drop(catalog["slice_id"])
+
+
 def resolve_chunks(
     events: DataFrame, catalog: DataFrame, interval_s: int = CHUNK_INTERVAL_S
 ) -> DataFrame:

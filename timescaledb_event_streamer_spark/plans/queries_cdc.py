@@ -368,3 +368,122 @@ def cdc_transaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("op") == "u", 1).otherwise(0)).alias("n_updates"),
         F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_deletes"),
     )
+
+
+_SQL_SPACE_HASH = "((user_id * 2654435761) % 4294967296)"
+_SQL_SPACE_SLICE = f"(({_SQL_SPACE_HASH} * 4) // 4294967296)"
+
+
+@register(
+    "cdc_chunk_resolution_space",
+    family="cdc",
+    doc="Multi-dimensional (time x space) chunk resolution — the "
+    "space-partitioned hypertable layout "
+    "(spi/systemcatalog/column.go:242 models dimension type 'space' "
+    "vs 'time'; chunks are the cross product of a 7-day time range "
+    "and one of 4 hash slices of user_id, mirroring "
+    "_timescaledb_catalog.dimension_slice hash ranges). Same "
+    "one-scan/one-shuffle catalog-grain fold as the 1-D resolution; "
+    "the slice hash is a portable Knuth multiplicative hash over a "
+    "2^32 space so both engines derive identical slices in exact "
+    "64-bit arithmetic. The broadcast event-grain resolve "
+    "(resolve_chunks_2d) and the 2-D pruning proof live in pytest.",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT *,
+                   {_SQL_CHUNK_START} AS range_start_s,
+                   {_SQL_SPACE_SLICE} AS slice_id
+            FROM events
+        ),
+        distinct_chunks AS (
+            SELECT DISTINCT event_type AS hypertable_name, range_start_s,
+                            slice_id
+            FROM keyed
+        ),
+        chunks AS (
+            SELECT hypertable_name, range_start_s, slice_id,
+                   dense_rank() OVER (ORDER BY hypertable_name)
+                       AS hypertable_id,
+                   dense_rank() OVER (
+                       ORDER BY hypertable_name, range_start_s, slice_id)
+                       AS chunk_id
+            FROM distinct_chunks
+        )
+        SELECT c.hypertable_id,
+               c.hypertable_name,
+               c.chunk_id,
+               '_hyper_' || c.hypertable_id || '_' || c.chunk_id || '_chunk'
+                   AS chunk_name,
+               c.range_start_s,
+               c.range_start_s + {CHUNK_INTERVAL_S} AS range_end_s,
+               c.slice_id,
+               c.slice_id * 1073741824 AS slice_hash_start,
+               (c.slice_id + 1) * 1073741824 AS slice_hash_end,
+               count(*) AS n_events,
+               count(DISTINCT k.user_id) AS n_users,
+               min(k.event_id) AS lsn_min,
+               max(k.event_id) AS lsn_max
+        FROM keyed k
+        JOIN chunks c
+          ON k.event_type = c.hypertable_name
+         AND k.range_start_s = c.range_start_s
+         AND k.slice_id = c.slice_id
+        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9
+    """,
+)
+def cdc_chunk_resolution_space(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # catalog-grain fold, 2-D: one scan, one (3-key) shuffle, two
+    # metadata-sized windows — the event-grain broadcast resolve is
+    # resolve_chunks_2d, pytest-exercised with the pruning proof
+    from timescaledb_event_streamer_spark.catalog.chunks import (
+        SPACE_PARTITIONS,
+        _HASH_SPACE,
+        chunk_start_epoch,
+        space_slice,
+    )
+
+    events = load(spark, sf_dir, "events")
+    slice_width = _HASH_SPACE // SPACE_PARTITIONS
+    per_chunk = (
+        events.select(
+            F.col("event_type").alias("hypertable_name"),
+            chunk_start_epoch(F.col("ts")).alias("range_start_s"),
+            space_slice(F.col("user_id")).alias("slice_id"),
+            "event_id",
+            "user_id",
+        )
+        .groupBy("hypertable_name", "range_start_s", "slice_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("lsn_min"),
+            F.max("event_id").alias("lsn_max"),
+        )
+    )
+    one_part = F.length("hypertable_name") * 0
+    w_ht = Window.partitionBy(one_part).orderBy("hypertable_name")
+    w_chunk = Window.partitionBy(one_part).orderBy(
+        "hypertable_name", "range_start_s", "slice_id"
+    )
+    return (
+        per_chunk.withColumn("hypertable_id", F.dense_rank().over(w_ht).cast("long"))
+        .withColumn("chunk_id", F.dense_rank().over(w_chunk).cast("long"))
+        .select(
+            "hypertable_id",
+            "hypertable_name",
+            "chunk_id",
+            F.concat(
+                F.lit("_hyper_"), F.col("hypertable_id"),
+                F.lit("_"), F.col("chunk_id"), F.lit("_chunk"),
+            ).alias("chunk_name"),
+            "range_start_s",
+            (F.col("range_start_s") + F.lit(CHUNK_INTERVAL_S)).alias("range_end_s"),
+            "slice_id",
+            (F.col("slice_id") * slice_width).alias("slice_hash_start"),
+            ((F.col("slice_id") + 1) * slice_width).alias("slice_hash_end"),
+            "n_events",
+            "n_users",
+            "lsn_min",
+            "lsn_max",
+        )
+    )

@@ -59,6 +59,7 @@ def _load_all() -> None:
         queries_olap,
         queries_olap2,
         queries_pgext,
+        queries_pgrepl,
         queries_timeseries,
         queries_timeseries2,
         queries_timeseries3,

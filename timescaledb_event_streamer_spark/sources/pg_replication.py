@@ -1,0 +1,336 @@
+"""PostgreSQL streaming-replication HANDSHAKE codecs (hex wire form).
+
+The reference opens its replication channel with three protocol steps
+before any pgoutput frame flows
+(internal/replication/replicationconnection/replicationconnection.go:36,
+via pglogrepl):
+
+  IDENTIFY_SYSTEM           -> RowDescription 'T' + DataRow 'D' +
+                               CommandComplete 'C' carrying
+                               (systemid, timeline, xlogpos, dbname)
+  CREATE_REPLICATION_SLOT
+    <slot> LOGICAL pgoutput
+    EXPORT_SNAPSHOT         -> 'T'/'D'/'C' carrying (slot_name,
+                               consistent_point, snapshot_name,
+                               output_plugin)
+                               (replicationconnection.go:156-183)
+  START_REPLICATION SLOT ...-> CopyBothResponse 'W', after which the
+                               CopyData stream is the pgoutput codec
+                               (sources/pgoutput.py, J12-J14)
+
+plus the restart-LSN decision (locateRestartLSN,
+replicationconnection.go:216-290): start from the slot's
+confirmed_flush_lsn, take the offset-storage LSN if it is further
+ahead, and fall back to the server's current xlogpos when both are
+absent.
+
+This module implements the backend reply messages as pure hex codegen
+(the same substr/conv technique as sources/pgoutput.py — zero Python
+per row) and the restart rule as a Column expression. Wire layouts are
+the public PostgreSQL frontend/backend protocol v3 message formats:
+
+  every backend message:  type(1B) + length(4B, includes itself) + body
+  RowDescription 'T':     nfields(2B) + per field: name\\0 +
+                          tableoid(4B) + attnum(2B) + typoid(4B) +
+                          typlen(2B) + typmod(4B) + format(2B)
+  DataRow 'D':            ncols(2B) + per col: len(4B, -1 = NULL) +
+                          bytes
+  CommandComplete 'C':    tag\\0
+  CopyBothResponse 'W':   overall format(1B) + ncols(2B) +
+                          per-col format(2B)
+
+What needs a live server (the TCP session itself, slot DDL execution)
+is out of scope here and documented as the psycopg plug point in
+CONNECTOR.md; everything byte-level is covered by golden-bytes tests
+(tests/test_pg_replication.py) and the driver-certified
+cdc_replication_handshake query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.sources.pgoutput import _cstr_at, _h, _u
+
+#: 'len = -1' marker in a DataRow column (NULL value)
+_NULL_LEN = 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# LSN text form ("X/Y", both halves uppercase hex — pglogrepl.LSN.String)
+
+
+def lsn_to_text(lsn: Column) -> Column:
+    """Numeric LSN -> the wire text 'XLOGID/XRECOFF' (uppercase hex)."""
+    return F.concat(
+        F.hex(F.shiftrightunsigned(lsn.cast("long"), 32)),
+        F.lit("/"),
+        F.hex(lsn.cast("long") % F.lit(1 << 32)),
+    )
+
+
+def lsn_from_text(txt: Column) -> Column:
+    """Wire text 'X/Y' -> numeric LSN. try_cast discipline: a malformed
+    half decodes as NULL instead of killing the query under ANSI mode."""
+    hi = F.conv(F.split_part(txt, F.lit("/"), F.lit(1)), 16, 10).try_cast("long")
+    lo = F.conv(F.split_part(txt, F.lit("/"), F.lit(2)), 16, 10).try_cast("long")
+    return F.shiftleft(hi, 32) + lo
+
+
+# ---------------------------------------------------------------------------
+# encode (golden-reply synthesis — what a server would send back)
+
+
+def _msg(type_hex: str, body: Column) -> Column:
+    """Wrap a body in the v3 framing: type byte + int32 length that
+    counts itself plus the body."""
+    return F.concat(
+        F.lit(type_hex), _h(F.octet_length(body) / 2 + 4, 4), body
+    )
+
+
+def _field_desc(name: Column, typoid: int) -> Column:
+    """One RowDescription field entry (tableoid/attnum 0, typlen -1
+    proxied as 0xFFFF, typmod -1, text format)."""
+    return F.concat(
+        F.hex(name), F.lit("00"),            # name\0
+        F.lit("00000000"), F.lit("0000"),    # tableoid, attnum
+        _h(F.lit(typoid), 4),
+        F.lit("FFFF"), F.lit("FFFFFFFF"),    # typlen -1, typmod -1
+        F.lit("0000"),                       # text format
+    )
+
+
+def _data_value(val: Column | None) -> Column:
+    """One DataRow column entry: int32 byte length + bytes, -1 = NULL."""
+    if val is None:
+        return F.lit("FFFFFFFF")
+    return F.concat(_h(F.octet_length(val), 4), F.hex(val))
+
+
+def encode_query_reply(
+    fields: list[tuple[Column, int]],
+    values: list[Column | None],
+    command_tag: str,
+) -> Column:
+    """Full single-row simple-query reply stream:
+    RowDescription + DataRow + CommandComplete, concatenated hex."""
+    t_body = F.concat(
+        _h(F.lit(len(fields)), 2),
+        *[_field_desc(name, oid) for name, oid in fields],
+    )
+    d_body = F.concat(
+        _h(F.lit(len(values)), 2), *[_data_value(v) for v in values]
+    )
+    c_body = F.concat(F.hex(F.lit(command_tag)), F.lit("00"))
+    return F.concat(_msg("54", t_body), _msg("44", d_body), _msg("43", c_body))
+
+
+def encode_copy_both_response(ncols: int) -> Column:
+    """CopyBothResponse 'W' for a START_REPLICATION accept: overall
+    format 0 (text per the replication protocol), ncols text columns."""
+    return _msg(
+        "57",
+        F.concat(
+            F.lit("00"), _h(F.lit(ncols), 2),
+            F.lit("".join(["0000"] * ncols)),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def split_backend_messages(h: Column, max_msgs: int = 6) -> Column:
+    """Split a concatenated backend-message stream into an array of
+    (msg_type, body) structs by walking the length prefixes — a
+    bounded fold (the JPEG segment-walk technique), pure codegen.
+    Unknown tails / torn frames stop the walk via try_cast NULLs."""
+    init = F.struct(
+        F.lit(1).cast("long").alias("pos"),
+        F.array().cast("array<struct<msg_type:string,body:string>>").alias("out"),
+    )
+
+    def step(acc: Column, _i: Column) -> Column:
+        pos = acc.getField("pos")
+        in_range = pos < F.length(h)
+        mlen = _u(h, pos + 2, 4)  # includes itself, excludes type byte
+        ok = in_range & mlen.isNotNull() & (mlen >= 4)
+        entry = F.struct(
+            F.decode(F.unhex(h.substr(pos, F.lit(2))), "UTF-8").alias("msg_type"),
+            h.substr(pos + 10, (mlen - 4) * 2).alias("body"),
+        )
+        return F.when(
+            ok,
+            F.struct(
+                (pos + 2 + mlen * 2).alias("pos"),
+                F.concat(acc.getField("out"), F.array(entry)).alias("out"),
+            ),
+        ).otherwise(acc)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_msgs)), init, step
+    ).getField("out")
+
+
+def decode_data_row(body: Column, max_cols: int = 4) -> Column:
+    """DataRow body -> array<string> of column values (NULL for -1
+    lengths). Bounded sequential fold over the length prefixes."""
+    ncols = _u(body, 1, 2)
+    init = F.struct(
+        F.lit(5).cast("long").alias("pos"),
+        F.array().cast("array<string>").alias("vals"),
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        pos = acc.getField("pos")
+        clen = _u(body, pos, 4)
+        is_null = clen == F.lit(_NULL_LEN)
+        val = F.when(is_null, F.lit(None).cast("string")).otherwise(
+            F.decode(F.unhex(body.substr(pos + 8, clen * 2)), "UTF-8")
+        )
+        nxt = F.when(is_null, pos + 8).otherwise(pos + 8 + clen * 2)
+        return F.when(
+            (i <= ncols) & clen.isNotNull(),
+            F.struct(
+                nxt.alias("pos"),
+                F.concat(acc.getField("vals"), F.array(val)).alias("vals"),
+            ),
+        ).otherwise(acc)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_cols)), init, step
+    ).getField("vals")
+
+
+def decode_row_description(body: Column, max_fields: int = 4) -> Column:
+    """RowDescription body -> struct(nfields, names array<string>,
+    typoids array<long>): the declared result shape the client checks
+    before reading DataRows. Name walk is the byte-pair terminator
+    search (naive '00' substring match can span two hex pairs)."""
+    nfields = _u(body, 1, 2)
+    init = F.struct(
+        F.lit(5).cast("long").alias("pos"),
+        F.array().cast("array<string>").alias("names"),
+        F.array().cast("array<long>").alias("typoids"),
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        pos = acc.getField("pos")
+        rest = body.substr(pos, F.length(body))
+        name, consumed = _cstr_at(rest)
+        typoid = _u(body, pos + consumed + 12, 4)
+        # fixed tail after the name: tableoid(4)+attnum(2)+typoid(4)+
+        # typlen(2)+typmod(4)+format(2) = 18 bytes = 36 hex
+        return F.when(
+            i <= nfields,
+            F.struct(
+                (pos + consumed + 36).alias("pos"),
+                F.concat(acc.getField("names"), F.array(name)).alias("names"),
+                F.concat(acc.getField("typoids"), F.array(typoid)).alias("typoids"),
+            ),
+        ).otherwise(acc)
+
+    folded = F.aggregate(F.sequence(F.lit(1), F.lit(max_fields)), init, step)
+    return F.struct(
+        nfields.alias("nfields"),
+        folded.getField("names").alias("names"),
+        folded.getField("typoids").alias("typoids"),
+    )
+
+
+def decode_copy_both(body: Column) -> Column:
+    """CopyBothResponse body -> struct(overall_format, ncols,
+    col_formats array<long>)."""
+    ncols = _u(body, 3, 2)
+    formats = F.transform(
+        F.sequence(F.lit(1), ncols.cast("int")),
+        lambda i: _u(body, 7 + (i - 1) * 4, 2),
+    )
+    return F.struct(
+        _u(body, 1, 1).alias("overall_format"),
+        ncols.alias("ncols"),
+        formats.alias("col_formats"),
+    )
+
+
+def _reply_values(stream: Column, max_cols: int = 4) -> Column:
+    """Shortcut: the first DataRow's values out of a reply stream."""
+    msgs = split_backend_messages(stream)
+    d_body = F.filter(msgs, lambda m: m.getField("msg_type") == "D")[0].getField(
+        "body"
+    )
+    return decode_data_row(d_body, max_cols)
+
+
+def parse_identify_system(df: DataFrame, col: str = "reply") -> DataFrame:
+    """Decode an IDENTIFY_SYSTEM reply stream into the
+    pglogrepl.IdentifySystemResult fields (+ the numeric LSN and the
+    declared field names as a decoder-honesty check)."""
+    stream = F.col(col)
+    msgs = split_backend_messages(stream)
+    t_body = F.filter(msgs, lambda m: m.getField("msg_type") == "T")[0].getField(
+        "body"
+    )
+    desc = decode_row_description(t_body)
+    vals = _reply_values(stream)
+    return df.withColumns(
+        {
+            "declared_fields": F.array_join(desc.getField("names"), ","),
+            "system_id": vals[0],
+            "timeline": vals[1].try_cast("long"),
+            "xlogpos_text": vals[2],
+            "xlogpos_lsn": lsn_from_text(vals[2]),
+            "dbname": vals[3],
+        }
+    )
+
+
+def parse_create_slot_reply(df: DataFrame, col: str = "reply") -> DataFrame:
+    """Decode a CREATE_REPLICATION_SLOT reply stream into the
+    pglogrepl.CreateReplicationSlotResult fields."""
+    vals = _reply_values(F.col(col))
+    return df.withColumns(
+        {
+            "slot_name": vals[0],
+            "consistent_point_text": vals[1],
+            "consistent_point_lsn": lsn_from_text(vals[1]),
+            "snapshot_name": vals[2],
+            "output_plugin": vals[3],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# restart-LSN decision (locateRestartLSN)
+
+
+def restart_lsn(
+    confirmed_flush: Column, offset_lsn: Column, xlog_pos: Column
+) -> Column:
+    """The reference's restart-point rule
+    (replicationconnection.go:216-290): start from the slot's
+    confirmed_flush_lsn; an offset-storage LSN further ahead wins;
+    zero falls back to the server's current xlogpos. NULL offset =
+    no offset stored (offset == nil)."""
+    base = F.coalesce(confirmed_flush, F.lit(0))
+    with_offset = F.when(
+        offset_lsn.isNotNull() & (offset_lsn > base), offset_lsn
+    ).otherwise(base)
+    return F.when(with_offset == 0, xlog_pos).otherwise(with_offset)
+
+
+def restart_source(
+    confirmed_flush: Column, offset_lsn: Column, xlog_pos: Column
+) -> Column:
+    """Which restart point won — the reference's three log branches
+    (confirmed flush / offset storage / current xlogpos), evaluated in
+    the same order."""
+    chosen = restart_lsn(confirmed_flush, offset_lsn, xlog_pos)
+    return (
+        F.when(chosen == F.coalesce(confirmed_flush, F.lit(0)), "confirmed_flush")
+        .when(offset_lsn.isNotNull() & (chosen == offset_lsn), "offset")
+        .otherwise(F.lit("xlog_pos"))
+    )

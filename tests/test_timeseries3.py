@@ -292,3 +292,63 @@ def test_realtime_cagg_watermark_moves_and_stays_fresh(spark, tmp_path):
         pass
     else:
         raise AssertionError("misaligned watermark accepted")
+
+
+def test_hll_swap_error_bound_registered(spark, sf_mid):
+    """ts_count_distinct_hll (the REGISTERED rows-only sketch) vs the
+    exact registered sibling: HLL++ at rsd=0.02 stays within 2x the
+    declared rsd on every hypertable, and the exact n_events column is
+    identical (it rides the same aggregate)."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries2 import (
+        ts_count_distinct,
+    )
+    from timescaledb_event_streamer_spark.plans.queries_timeseries3 import (
+        ts_count_distinct_hll,
+    )
+
+    exact = {r["event_type"]: r for r in ts_count_distinct(spark, sf_mid).collect()}
+    approx = {r["event_type"]: r for r in ts_count_distinct_hll(spark, sf_mid).collect()}
+    assert set(exact) == set(approx)
+    for et, e in exact.items():
+        a = approx[et]
+        assert a["n_events"] == e["n_events"]
+        rel = abs(a["n_users_approx"] - e["n_users"]) / e["n_users"]
+        assert rel <= 0.04, (et, rel)
+
+
+def test_space_saving_sketch_bound_and_recall(spark, sf_mid):
+    """Misra-Gries merge guarantee for the registered sketch: for every
+    (type, user) the sketch reports, est <= true <= est + err_bound —
+    and every EXACT heavy hitter (>=0.8% share, the ts_freq_agg gate)
+    is guaranteed to appear in the sketch's candidate set because
+    err_bound <= n/256 < n/125."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.operators.sketches import (
+        topk_space_saving,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    events = load(spark, sf_mid, "events")
+    exact = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {}
+    for (et, _), n in exact.items():
+        totals[et] = totals.get(et, 0) + n
+
+    sk = topk_space_saving(events, "event_type", "user_id", m=256).collect()
+    est = {(r["event_type"], r["user_id"]): r for r in sk}
+    for key, r in est.items():
+        true = exact[key]
+        assert r["est_count"] <= true <= r["est_count"] + r["err_bound"], (key, r, true)
+    # bound tightness: err_bound <= n_type / 256
+    per_type_bound = {r["event_type"]: r["err_bound"] for r in sk}
+    for et, b in per_type_bound.items():
+        assert b <= totals[et] / 256 + 1, (et, b, totals[et])
+    # full heavy-hitter recall at the freq_agg gate
+    for (et, uid), n in exact.items():
+        if n / totals[et] >= 0.008:
+            assert (et, uid) in est, (et, uid, n)

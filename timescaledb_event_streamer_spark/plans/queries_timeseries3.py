@@ -666,3 +666,62 @@ def ts_cagg_realtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("sum_value") * 10000.0 / F.col("n") + 0.5) / 1000000.0)
         .alias("avg_value"),
     )
+
+
+@register(
+    "ts_count_distinct_hll",
+    family="timeseries",
+    # rows-only: HLL++ register contents are engine-specific, so no
+    # cross-engine oracle exists BY DESIGN; the <=2% relative-error
+    # contract vs the exact ts_count_distinct is asserted in
+    # tests/test_timeseries3.py (and ts_count_distinct stays the
+    # value-exact sibling — the D12/E11 pattern).
+    doc="The 100 TB swap-in for ts_count_distinct (B22): per-hypertable "
+    "distinct-series cardinality via HyperLogLog++ "
+    "(approx_count_distinct, rsd=0.02 — toolkit hyperloglog analog). "
+    "Sketch partials merge map-side, so the shuffle moves one "
+    "register set per (type, partition) instead of the user_id "
+    "stream: the aggregate's traffic is independent of row count.",
+)
+def ts_count_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "ts_freq_agg_topk_sketch",
+    family="timeseries",
+    # rows-only: batch boundaries (and therefore the exact truncation
+    # losses) are an execution detail no SQL oracle can replay; the
+    # Misra-Gries bound est <= true <= est + err_bound and full
+    # heavy-hitter recall vs the exact ts_freq_agg are asserted in
+    # tests/test_timeseries3.py.
+    doc="The 100 TB swap-in for ts_freq_agg (B24): per-hypertable "
+    "heavy-hitter users via the truncate-and-merge space-saving "
+    "summary (operators/sketches.topk_space_saving, m=256): each "
+    "Arrow batch keeps its exact top-256 plus a truncation threshold, "
+    "partials merge by summation, and every item with true share >= "
+    "0.8% (> n/256) is GUARANTEED to surface with "
+    "est <= true <= est + err_bound. Only sketch-sized rows shuffle — "
+    "the raw user stream never does.",
+)
+def ts_freq_agg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.operators.sketches import (
+        topk_space_saving,
+    )
+
+    events = load(spark, sf_dir, "events")
+    sk = topk_space_saving(events, "event_type", "user_id", m=256)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("est_count").desc(), F.col("user_id")
+    )
+    return (
+        sk.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("event_type", "user_id", "est_count", "err_bound", "rank")
+    )

@@ -154,3 +154,33 @@ def test_ivf_seeded_recall_and_full_probe_exactness(spark, sf_mid):
     full = ivf_seeded_topk(emb, nprobe=n_seeds, query_id=1)
     got = [r["vec_id"] for r in full.orderBy("rnk").collect()]
     assert got == [v for v in exact if v != 1][: len(got)]
+
+
+def test_ivfpq_seeded_recall_and_adc_bound(spark, sf_mid):
+    """ann_ivfpq_seeded (the oracle-portable IVF-PQ): (a) decent
+    recall of the true top-k despite 8x code compression at nprobe=8,
+    (b) ADC approximation stays a bounded distortion of the true dot
+    (unit vectors, so |approx - cosine| is the PQ quantization error),
+    and (c) widening rerank to the whole candidate set can only help
+    (re-rank monotonicity)."""
+    from timescaledb_event_streamer_spark.operators.ann import (
+        brute_force_topk,
+        ivfpq_seeded_topk,
+    )
+
+    emb = load(spark, sf_mid, "embeddings")
+    row = emb.filter("vec_id = 1").select("embedding").collect()[0]
+    qv = [float(x) for x in row[0]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=11).collect()
+             if r["vec_id"] != 1]
+
+    res = ivfpq_seeded_topk(emb).collect()
+    assert len(res) == 10
+    got = {r["vec_id"] for r in res}
+    recall = len(set(exact[:10]) & got) / 10
+    assert recall >= 0.5, f"ivfpq_seeded recall {recall}"
+    for r in res:
+        assert abs(r["approx_dot"] - r["cosine"]) < 0.35, r
+
+    wide = {r["vec_id"] for r in ivfpq_seeded_topk(emb, rerank=400).collect()}
+    assert len(set(exact[:10]) & wide) >= len(set(exact[:10]) & got)

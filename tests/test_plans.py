@@ -112,6 +112,7 @@ _BNLJ_OK = {
     "corpus_mix_planner",  # single-row broadcast budget cross join
     "cdc_pgoutput_messages",  # single-row broadcast max-LSN cross join
     "ann_ivf_seeded",  # broadcast seed table assign + 1-row query vector
+    "ann_ivfpq_seeded",  # same bounded <=100-row broadcast seed assign
     "text_perplexity_proxy",  # single-row broadcast corpus-token total
     "pipeline_training_corpus",  # same total via the perplexity branch
     "cdc_replication_channel_stats",  # single-row broadcast restart-LSN

@@ -666,3 +666,155 @@ def ivf_seeded_topk(
     return cand.select(
         F.col(id_col), "cosine", F.row_number().over(w).cast("long").alias("rnk")
     )
+
+
+def ivfpq_seeded_topk(
+    embeddings: DataFrame,
+    *,
+    stride: int = 25,
+    nprobe: int = 8,
+    k: int = 10,
+    rerank: int = 100,
+    query_id: int = 1,
+    m_subspaces: int = 8,
+    codebook_stride: int = 31,
+    codebook_k: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ with fully DETERMINISTIC quantizers — the oracle-portable
+    sibling of :func:`ivfpq_topk` (VERDICT r4 item 6; the E11/D12
+    pattern applied to product quantization). Coarse centroids are the
+    seeded corpus points of :func:`ivf_seeded_topk`; the per-subspace
+    codebooks are the sub-slices of the UNIT-NORMALIZED corpus vectors
+    with ``vec_id % codebook_stride == 0`` (bounded to ``codebook_k``
+    entries) — so a SQL oracle re-derives coarse cells, PQ codes, ADC
+    table and ranking exactly, value for value.
+
+    Bit-exactness discipline: every float reduction is a SEQUENTIAL
+    left fold (Spark ``aggregate`` ≡ DuckDB ``list_reduce`` ≡ Python
+    ``sum`` — the ASAP/B46 precedent), so encoding argmins agree
+    bit-for-bit across engines; ADC totals and cosines additionally
+    round to 6dp before every ordering. The codebook/query collects
+    are metadata-sized (``codebook_k`` + 1 rows, the ivfpq_topk
+    precedent); the candidate scan prunes to ~nprobe/|seeds| of the
+    corpus and scores codes by table lookup, never raw sub-vectors.
+    """
+    import math
+
+    sub_dim = dim // m_subspaces
+    n_shuffle = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = embeddings.repartition(n_shuffle).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    # unit normalization as a sequential fold (sum of squares left to
+    # right, exactly what the oracle's list_reduce replays)
+    u = F.transform(F.col("v"), lambda x: x / F.sqrt(dot(F.col("v"), F.col("v"))))
+    eu = e.select(id_col, "v", u.alias("u"))
+
+    # --- deterministic quantizers (metadata-sized collects) ---------
+    def _unit(vec: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in vec))  # left fold, 0.0 + x1 ...
+        return [x / n for x in vec]
+
+    cb_rows = sorted(
+        e.filter(
+            (F.col(id_col) % codebook_stride == 0)
+            & (F.col(id_col) < codebook_stride * codebook_k)
+        ).collect(),
+        key=lambda r: r[id_col],
+    )
+    cb_units = [_unit(list(r["v"])) for r in cb_rows]  # code j = j-th seed
+    qv_raw = list(
+        e.filter(F.col(id_col) == query_id).collect()[0]["v"]
+    )
+    q_unit = _unit(qv_raw)
+    # ADC table: adc[m][j] = dot(q_sub_m, codebook[m][j]) — left fold
+    adc = [
+        [
+            sum(
+                q_unit[m * sub_dim + i] * cb_units[j][m * sub_dim + i]
+                for i in range(sub_dim)
+            )
+            for j in range(codebook_k)
+        ]
+        for m in range(m_subspaces)
+    ]
+
+    # --- coarse assign + probe (identical shape to ivf_seeded_topk) -
+    seeds = e.filter(
+        (F.col(id_col) % stride == 0) & (F.col(id_col) < 100 * stride)
+    ).select(F.col(id_col).alias("seed_id"), F.col("v").alias("sv"))
+    scored = eu.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col), "v", "u", "seed_id",
+        F.round(cosine(F.col("v"), F.col("sv")), 6).alias("c"),
+    )
+    asg = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("c"), (-F.col("seed_id")).alias("ns"))).alias("m"),
+            F.first("v").alias("v"),
+            F.first("u").alias("u"),
+        )
+        .select(F.col(id_col), "v", "u", (-F.col("m.ns")).alias("seed_id"))
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in qv_raw])
+    probes = (
+        seeds.select(
+            "seed_id", F.round(cosine(F.col("sv"), qcol), 6).alias("qc")
+        )
+        .orderBy(F.col("qc").desc(), "seed_id")
+        .limit(nprobe)
+        .select("seed_id")
+    )
+
+    # --- PQ-encode the PROBED candidates, score via ADC lookups -----
+    cand = asg.join(F.broadcast(probes), "seed_id").filter(
+        F.col(id_col) != query_id
+    )
+    approx = F.lit(0.0)
+    for m in range(m_subspaces):
+        sub = F.slice("u", m * sub_dim + 1, sub_dim)
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[
+                        F.lit(cb_units[j][m * sub_dim + i])
+                        for i in range(sub_dim)
+                    ]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+            for j in range(codebook_k)
+        ])
+        code_m = F.array_position(dists, F.array_min(dists)).cast("int")
+        adc_m = F.array(*[F.lit(x) for x in adc[m]])
+        # sequential m-order accumulation (matches the oracle's
+        # list_reduce over the m-ordered lookup list)
+        approx = approx + F.element_at(adc_m, code_m)
+
+    ranked = (
+        cand.select(F.col(id_col), "v", F.round(approx, 6).alias("approx_dot"))
+        .orderBy(F.col("approx_dot").desc(), F.col(id_col))
+        .limit(rerank)
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        ranked.select(
+            F.col(id_col),
+            "approx_dot",
+            F.round(cosine(F.col("v"), qcol), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col), "approx_dot", "cosine",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+    )

@@ -661,3 +661,104 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", "n_vecs", "mean_dist", "max_dist", "n_outliers")
     )
+
+
+@register(
+    "ann_ivfpq_seeded",
+    family="ann",
+    doc="IVF-PQ with fully deterministic quantizers — the "
+    "oracle-portable sibling of ann_ivfpq_topk (the E11/D12 'one fast "
+    "engine-native form, one value-checkable form' pattern, applied "
+    "to product quantization). Coarse cells = the E11 seed points; "
+    "per-subspace codebooks = sub-slices of the unit-normalized "
+    "corpus vectors at vec_id % 31 (16 codes x 8 subspaces); ADC "
+    "table, PQ codes, probe list and both rankings are all "
+    "re-derivable in SQL. Every float reduction is a sequential left "
+    "fold on BOTH engines (the ASAP/B46 bit-exactness discipline), "
+    "so even the encoding argmins agree bit-for-bit; ADC totals and "
+    "cosines round to 6dp before every ordering. Candidates prune to "
+    "~nprobe/|seeds| of the corpus and are scored by table lookup.",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        eu AS (
+            SELECT vec_id, v,
+                   list_transform(v, x -> x / sqrt(
+                       list_reduce(list_transform(v, y -> y * y),
+                                   (a, b) -> a + b))) AS u
+            FROM e
+        ),
+        cb AS (
+            SELECT list(u ORDER BY vec_id) AS cbs
+            FROM eu WHERE vec_id % 31 = 0 AND vec_id < 496
+        ),
+        q AS (SELECT v AS qv, u AS qu FROM eu WHERE vec_id = 1),
+        adc AS (
+            SELECT list_transform(range(8), m ->
+                       list_transform(range(16), j ->
+                           list_reduce(list_transform(range(1, 9),
+                               i -> q.qu[m * 8 + i] * cb.cbs[j + 1][m * 8 + i]),
+                               (x, y) -> x + y))) AS adcl
+            FROM q, cb
+        ),
+        seeds AS (
+            SELECT vec_id AS seed_id, v AS sv FROM e
+            WHERE vec_id % 25 = 0 AND vec_id < 2500
+        ),
+        asg0 AS (
+            SELECT eu.vec_id, eu.v, eu.u, s.seed_id,
+                   row_number() OVER (
+                       PARTITION BY eu.vec_id
+                       ORDER BY round(list_cosine_similarity(eu.v, s.sv), 6)
+                                DESC, s.seed_id
+                   ) AS rn
+            FROM eu CROSS JOIN seeds s
+        ),
+        asg AS (SELECT vec_id, v, u, seed_id FROM asg0 WHERE rn = 1),
+        probes AS (
+            SELECT seed_id FROM seeds CROSS JOIN q
+            ORDER BY round(list_cosine_similarity(sv, qv), 6) DESC, seed_id
+            LIMIT 8
+        ),
+        scoredc AS (
+            SELECT a.vec_id, a.v,
+                   round(list_reduce(list_transform(range(8), m ->
+                       adc.adcl[m + 1][list_position(
+                           list_transform(range(16), j ->
+                               list_reduce(list_transform(range(1, 9),
+                                   i -> (a.u[m * 8 + i]
+                                         - cb.cbs[j + 1][m * 8 + i])
+                                      * (a.u[m * 8 + i]
+                                         - cb.cbs[j + 1][m * 8 + i])),
+                                   (x, y) -> x + y)),
+                           list_min(list_transform(range(16), j ->
+                               list_reduce(list_transform(range(1, 9),
+                                   i -> (a.u[m * 8 + i]
+                                         - cb.cbs[j + 1][m * 8 + i])
+                                      * (a.u[m * 8 + i]
+                                         - cb.cbs[j + 1][m * 8 + i])),
+                                   (x, y) -> x + y))))]),
+                       (x, y) -> x + y), 6) AS approx_dot
+            FROM asg a JOIN probes USING (seed_id), adc, cb
+            WHERE a.vec_id <> 1
+        ),
+        ranked AS (
+            SELECT vec_id, v, approx_dot FROM scoredc
+            ORDER BY approx_dot DESC, vec_id LIMIT 100
+        ),
+        fin AS (
+            SELECT vec_id, approx_dot,
+                   round(list_cosine_similarity(v, q.qv), 6) AS cosine
+            FROM ranked, q
+        )
+        SELECT vec_id, approx_dot, cosine,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+                   AS rnk
+        FROM fin ORDER BY rnk LIMIT 10
+    """,
+)
+def ann_ivfpq_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.ann import ivfpq_seeded_topk
+
+    return ivfpq_seeded_topk(load(spark, sf_dir, "embeddings"))

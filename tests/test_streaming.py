@@ -506,3 +506,91 @@ def test_downsample_minmax_stream_matches_batch(spark, sf_small, log_dir):
     assert set(got) == set(want) and len(want) > 0
     for k in want:
         assert got[k].asDict() == want[k].asDict(), k
+
+
+def test_realtime_cagg_read_stream_matches_batch(spark, sf_small, log_dir):
+    """I14: the real-time cagg read path (B50) in LIVE mode — the
+    materialized partials are a static table, the raw tail runs as a
+    complete-mode streaming aggregation over the transaction log, and
+    the dashboard view is their union (disjoint bucket sets under the
+    bucket-aligned watermark). Must equal the direct batch aggregate,
+    and a late-arriving file past the watermark must surface on the
+    next trigger WITHOUT touching the materialization."""
+    import tempfile
+
+    from timescaledb_event_streamer_spark.functions.cagg import cagg_partials
+
+    HOUR = 3600
+    events = load(spark, sf_small, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    # bucket-aligned mid-span watermark
+    lo, hi = events.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    wm_s = (lo + (hi - lo) // 2) // HOUR * HOUR
+
+    materialized = cagg_partials(
+        events.filter(F.col("ts") < F.timestamp_seconds(F.lit(wm_s))),
+        ["event_type"], HOUR, sum_col="cents",
+    )
+
+    stream = (
+        spark.readStream.schema(load(spark, sf_small, "events").schema)
+        .parquet(log_dir)
+        .withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .filter(F.col("ts") >= F.timestamp_seconds(F.lit(wm_s)))
+    )
+    tail_agg = cagg_partials(stream, ["event_type"], HOUR, sum_col="cents")
+    q = (
+        tail_agg.writeStream.format("memory")
+        .queryName("rt_tail")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def read_view():
+        tail = spark.sql("SELECT * FROM rt_tail")
+        return {
+            (r["event_type"], r["bucket_s"]): (r["n"], r["sum_value"])
+            for r in materialized.unionByName(tail).collect()
+        }
+
+    direct = {
+        (r["event_type"], r["bucket_s"]): (r["n"], r["sum_value"])
+        for r in cagg_partials(events, ["event_type"], HOUR, sum_col="cents")
+        .collect()
+    }
+    got = read_view()
+    assert got == direct and len(direct) > 0
+
+    # freshness: a late file lands in the log past the watermark —
+    # the next trigger surfaces it, the materialization is untouched
+    late_ts = hi + 7 * 24 * 3600
+    spark.createDataFrame(
+        [(10_000_000, "fresh_rt", 9.5)], "event_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.lit(late_ts)).alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        "event_type",
+        "value",
+        F.lit("p").alias("props"),
+    ).select(*load(spark, sf_small, "events").columns).write.mode("append").parquet(
+        log_dir
+    )
+    q2 = (
+        tail_agg.writeStream.format("memory")
+        .queryName("rt_tail")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = read_view()
+    fresh = [(k, v) for k, v in got2.items() if k[0] == "fresh_rt"]
+    assert len(fresh) == 1 and fresh[0][1] == (1, 950)
+    # everything else unchanged
+    assert {k: v for k, v in got2.items() if k[0] != "fresh_rt"} == direct

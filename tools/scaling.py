@@ -62,6 +62,33 @@ REPS = [
 ]
 
 
+#: rows whose x(0.01->0.1) has exceeded 3x in past rounds, attributed
+#: to the single-split scan (each testdata table is ONE parquet file).
+#: These get a CONTROL run against a 32-split re-materialization of
+#: sf0.1 so the attribution is recorded as data, not prose (VERDICT r4
+#: item 8): if the control time divided by the sf0.01 time comes back
+#: near-linear, the inflated primary ratio was the serial scan.
+WATCHLIST = ["cdc_dlq_routing", "media_jpeg_probe", "pipeline_clean_corpus"]
+
+
+def _materialize_multisplit(spark, src_dir: str, n_splits: int = 32) -> str:
+    """Re-write every table of ``src_dir`` as ``n_splits`` parquet
+    files under /tmp (timestamps already normalized by load(), so the
+    copy round-trips through load() unchanged)."""
+    import tempfile
+
+    from timescaledb_event_streamer_spark.sources.tables import TABLES, load
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ctrl_{os.path.basename(src_dir)}"
+    )
+    for t in TABLES:
+        load(spark, src_dir, t).repartition(n_splits).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
 def main() -> None:
     spark = get_spark("scaling")
     qs = all_queries()
@@ -86,6 +113,19 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             results[name][sf] = round(best, 2)
 
+    # control runs: the watchlist against a 32-split sf0.1 source
+    ctrl_dir = _materialize_multisplit(spark, "/root/testdata/sf0.1")
+    ctrl: dict[str, float] = {}
+    for name in WATCHLIST:
+        df = qs[name](spark, ctrl_dir)
+        df.write.mode("overwrite").format("noop").save()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        ctrl[name] = round(best, 2)
+
     lines = [
         "# SCALING — measured operator times across scale factors",
         "",
@@ -105,7 +145,39 @@ def main() -> None:
         lines.append(
             f"| {name} | {shape} | {r['0.001']} | {r['0.01']} | {r['0.1']} | {ratio} |"
         )
-    lines.extend(['', 'Caveat: each testdata table is ONE parquet file with one row', 'group, so Spark reads it as a single input split — scan-bound', 'operators (e.g. cdc_dlq_routing: a JSON-path probe + tiny-key', 'agg) serialize on that split and show inflated ratios here.', 'Verified by re-timing against a repartitioned source: the gap is', 'the serial scan, not the plan. At deployment scale inputs are', 'thousands of splits and the same plans parallelize; per-row codec', 'operators (pgoutput, the media header probes, keepalive) ', 'repartition the slim source columns explicitly before the ', 'heavy projection for exactly this reason — their residual ', '>2x rows here are the serial FIRST scan of that one split, ', 'measured: the post-repartition stages scale flat.'])
+    lines.extend([
+        "",
+        "## Watchlist control runs (single-split attribution as data)",
+        "",
+        "Each testdata table is ONE parquet file with one row group, so",
+        "Spark reads it as a single input split; scan-bound operators",
+        "serialize on that split and show inflated primary ratios. The",
+        "control below re-times the >3x watchlist rows against the SAME",
+        "sf0.1 data re-materialized as 32 parquet splits (what any",
+        "deployed table looks like): `ctrl ratio` = ctrl sf0.1 /",
+        "sf0.01 — near-or-below linear confirms the inflated primary",
+        "ratio was the serial scan, not the plan.",
+        "",
+        "| operator | sf0.01 | sf0.1 (1 split) | primary ratio |"
+        " sf0.1 (32 splits) | ctrl ratio |",
+        "| --- | --- | --- | --- | --- | --- |",
+    ])
+    for name in WATCHLIST:
+        r = results[name]
+        lines.append(
+            f"| {name} | {r['0.01']} | {r['0.1']} |"
+            f" {round(r['0.1'] / max(r['0.01'], 1e-9), 1)} |"
+            f" {ctrl[name]} |"
+            f" {round(ctrl[name] / max(r['0.01'], 1e-9), 1)} |"
+        )
+    lines.extend([
+        "",
+        "Per-row codec operators (pgoutput, the media header probes,",
+        "keepalive) repartition the slim source columns explicitly",
+        "before the heavy projection for exactly this reason — their",
+        "residual >2x rows above are the serial FIRST scan of the one",
+        "split; the post-repartition stages scale flat.",
+    ])
     lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as f:

@@ -632,3 +632,26 @@ def test_corrupt_frames_never_kill_the_query(spark):
     # the all-FF 'w' frame parses with a NULL lsn; posture stays sane
     [row] = parse_standby_status(slotted).collect()
     assert row["n_frames"] == len(bad)
+
+
+def test_release_persisted_frames(spark):
+    """The batch entry points persist their frame tables for
+    multi-branch reuse; release_persisted_frames() reclaims the cached
+    blocks eagerly for long-lived sessions (ADVICE r4) and is
+    re-entrant — the next parse simply re-persists."""
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        parse_pgoutput,
+        release_persisted_frames,
+        synthesize_pgoutput,
+    )
+
+    release_persisted_frames()  # drain anything earlier tests cached
+    ev = _events(spark, [(3, 7, "metrics", 20.5, "p"), (11, 8, "clicks", 1.0, "q")])
+    out = parse_pgoutput(synthesize_pgoutput(ev))
+    assert out.count() > 0
+    released = release_persisted_frames()
+    assert released >= 1
+    # re-entrant: a fresh parse works and re-registers its cache
+    assert parse_pgoutput(synthesize_pgoutput(ev)).count() > 0
+    assert release_persisted_frames() >= 1
+    assert release_persisted_frames() == 0

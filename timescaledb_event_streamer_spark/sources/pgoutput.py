@@ -37,40 +37,41 @@ partition at scale.
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: batch entry points persist their frame input (multi-branch reads);
-#: lifetime is normally ContextCleaner GC once plan references drop,
-#: but long-lived sessions that hold returned DataFrames (notebooks,
-#: looped bench runs) can call release_persisted_frames() to reclaim
-#: cached blocks eagerly instead of waiting for GC.
-_PERSISTED_FRAMES: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+#: batch entry points persist their frame input (multi-branch reads).
+#: The cache entry lives in the JVM CacheManager until unpersisted, so
+#: a long-lived session that keeps invoking the parsers (notebooks,
+#: looped bench runs) accumulates cached plans; this registry holds the
+#: handle so release_persisted_frames() can reclaim them eagerly. The
+#: tiny Python wrappers kept here don't extend the JVM cache lifetime —
+#: CacheManager already holds it — they only make release possible.
+_PERSISTED_FRAMES: list[DataFrame] = []
 
 
 def _tracked_persist(frames: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     frames = frames.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED_FRAMES.add(frames)
+    _PERSISTED_FRAMES.append(frames)
     return frames
 
 
 def release_persisted_frames() -> int:
     """Unpersist every frame table cached by the batch entry points
-    (parse_pgoutput / parse_admin_frames / resolve_schema_versions)
-    that is still alive; returns the number released. Safe to call at
-    any time — subsequent invocations simply re-persist."""
+    (parse_pgoutput / parse_admin_frames / resolve_schema_versions);
+    returns the number released. Safe to call at any time — a
+    subsequent parse simply re-persists. Call between iterations in
+    loops that rebuild the frame plans (ADVICE r4)."""
     released = 0
-    for df in list(_PERSISTED_FRAMES):
+    while _PERSISTED_FRAMES:
+        df = _PERSISTED_FRAMES.pop()
         try:
             df.unpersist()
             released += 1
         except Exception:  # noqa: BLE001 — already-stopped session
             pass
-        _PERSISTED_FRAMES.discard(df)
     return released
 
 #: micros between 1970-01-01 (unix epoch) and 2000-01-01 (PG epoch)

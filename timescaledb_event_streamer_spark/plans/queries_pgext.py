@@ -914,3 +914,103 @@ def cdc_relation_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_schema_versions(
         synthesize_versioned_log(load(spark, sf_dir, "events"))
     )
+
+
+@register(
+    "pg_temporal_ranges",
+    family="pgtypes",
+    doc="Temporal + numeric range wire-text codecs — the range kinds "
+    "the reference's datatype matrix exercises beyond int8range "
+    "(tests/datatype_test.go: tsrange, daterange, numrange; "
+    "spi/pgtypes range decoding): PG emits quoted timestamp bounds "
+    "for tsrange and bare bounds for daterange/numrange. Literals "
+    "are built from per-event derivations (containing hour / 7-day "
+    "chunk week / quarter-step value band), parsed back from the "
+    "wire text ALONE via codegen regexps, with containment and "
+    "half-open-bound semantics; the oracle derives every parsed "
+    "value independently from the generating columns.",
+    oracle="""
+        WITH w AS (
+            SELECT event_id, ts, value,
+                   date_trunc('hour', ts) AS hlo,
+                   to_timestamp((epoch_us(ts) // 1000000)
+                       - ((epoch_us(ts) // 1000000) % 604800))::TIMESTAMP AS wlo,
+                   floor(value * 4) / 4 AS nlo
+            FROM events
+        )
+        SELECT event_id,
+               '["' || strftime(hlo, '%Y-%m-%d %H:%M:%S') || '","'
+                    || strftime(hlo + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+                    || '")' AS tsrange_text,
+               CAST(epoch_us(hlo) // 1000000 AS BIGINT) AS tsr_lo_s,
+               CAST(epoch_us(hlo + INTERVAL 1 HOUR) // 1000000 AS BIGINT)
+                   AS tsr_hi_s,
+               ts >= hlo AND ts < hlo + INTERVAL 30 MINUTE
+                   AS tsr_first_half,
+               '[' || strftime(wlo, '%Y-%m-%d') || ','
+                   || strftime(wlo + INTERVAL 7 DAY, '%Y-%m-%d')
+                   || ')' AS daterange_text,
+               strftime(wlo, '%Y-%m-%d') AS dr_lo,
+               strftime(wlo + INTERVAL 7 DAY, '%Y-%m-%d') AS dr_hi,
+               CAST(7 AS BIGINT) AS dr_days,
+               '[' || CAST(nlo AS VARCHAR) || ','
+                   || CAST(nlo + 0.25 AS VARCHAR) || ')' AS numrange_text,
+               nlo AS nr_lo,
+               nlo + 0.25 AS nr_hi,
+               value >= nlo AND value < nlo + 0.25 AS nr_contains_value
+        FROM w
+    """,
+)
+def pg_temporal_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    hlo = F.date_trunc("hour", F.col("ts"))
+    hhi = hlo + F.expr("INTERVAL 1 HOUR")
+    wk_s = F.unix_timestamp("ts") - F.pmod(F.unix_timestamp("ts"), F.lit(604800))
+    wlo = F.timestamp_seconds(wk_s)
+    nlo = F.floor(F.col("value") * 4) / 4
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    w = events.select(
+        "event_id", "ts", "value",
+        F.concat(
+            F.lit('["'), F.date_format(hlo, fmt), F.lit('","'),
+            F.date_format(hhi, fmt), F.lit('")'),
+        ).alias("tsrange_text"),
+        F.concat(
+            F.lit("["), F.date_format(wlo, "yyyy-MM-dd"), F.lit(","),
+            F.date_format(wlo + F.expr("INTERVAL 7 DAY"), "yyyy-MM-dd"),
+            F.lit(")"),
+        ).alias("daterange_text"),
+        F.concat(
+            F.lit("["), nlo.cast("string"), F.lit(","),
+            (nlo + 0.25).cast("string"), F.lit(")"),
+        ).alias("numrange_text"),
+    )
+    # parse ONLY from the wire text
+    tsr_lo = F.to_timestamp(
+        F.regexp_extract("tsrange_text", r'^\["([^"]+)"', 1), fmt
+    )
+    tsr_hi = F.to_timestamp(
+        F.regexp_extract("tsrange_text", r'"([^"]+)"\)$', 1), fmt
+    )
+    nr_lo = F.regexp_extract("numrange_text", r"^\[([0-9.]+),", 1).cast("double")
+    nr_hi = F.regexp_extract("numrange_text", r",([0-9.]+)\)$", 1).cast("double")
+    dr_lo = F.regexp_extract("daterange_text", r"^\[([0-9-]+),", 1)
+    dr_hi = F.regexp_extract("daterange_text", r",([0-9-]+)\)$", 1)
+    return w.select(
+        "event_id",
+        "tsrange_text",
+        F.unix_timestamp(tsr_lo).alias("tsr_lo_s"),
+        F.unix_timestamp(tsr_hi).alias("tsr_hi_s"),
+        ((F.col("ts") >= tsr_lo)
+         & (F.col("ts") < tsr_lo + F.expr("INTERVAL 30 MINUTE")))
+        .alias("tsr_first_half"),
+        "daterange_text",
+        dr_lo.alias("dr_lo"),
+        dr_hi.alias("dr_hi"),
+        F.datediff(F.to_date(dr_hi), F.to_date(dr_lo)).cast("long").alias("dr_days"),
+        "numrange_text",
+        nr_lo.alias("nr_lo"),
+        nr_hi.alias("nr_hi"),
+        ((F.col("value") >= nr_lo) & (F.col("value") < nr_hi))
+        .alias("nr_contains_value"),
+    )

@@ -171,3 +171,61 @@ def test_encode_decode_roundtrip_parity(spark):
     )
     got = enc.collect()[0]["reply"]
     assert got == _identify_stream().hex().upper()
+
+
+def test_query_reply_roundtrip_property(spark):
+    """Property: ANY single-row reply (field names, text values, NULLs,
+    unicode payloads) survives encode_query_reply -> backend-message
+    walk -> decode_data_row/decode_row_description intact. Exercises
+    the length arithmetic on multi-byte UTF-8 and empty strings, which
+    fixed-example goldens can miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name_st = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                               max_codepoint=0x7F),
+        min_size=1, max_size=12,
+    )
+    val_st = st.one_of(
+        st.none(),
+        st.text(max_size=24).filter(lambda s: "\x00" not in s),
+    )
+    cases = st.lists(st.tuples(name_st, val_st), min_size=1, max_size=4)
+
+    collected = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(cases)
+    def check(fields):
+        collected.append(fields)
+
+    check()
+
+    # examples are generated up front (hypothesis drives only the
+    # collection phase) so Spark execution stays outside @given —
+    # shrinking never re-enters the JVM
+    for fields in collected:
+        n = len(fields)
+        enc = spark.range(1).select(
+            pr.encode_query_reply(
+                [(F.lit(nm), 25) for nm, _ in fields],
+                [None if v is None else F.lit(v) for _, v in fields],
+                "SELECT 1",
+            ).alias("reply")
+        )
+        stream = F.col("reply")
+        msgs = pr.split_backend_messages(stream)
+        t_body = F.filter(msgs, lambda m: m.getField("msg_type") == "T")[0][
+            "body"
+        ]
+        d_body = F.filter(msgs, lambda m: m.getField("msg_type") == "D")[0][
+            "body"
+        ]
+        row = enc.select(
+            pr.decode_row_description(t_body, max_fields=n).alias("desc"),
+            pr.decode_data_row(d_body, max_cols=n).alias("vals"),
+        ).collect()[0]
+        assert row["desc"]["nfields"] == n
+        assert list(row["desc"]["names"]) == [nm for nm, _ in fields]
+        assert list(row["vals"]) == [v for _, v in fields], fields

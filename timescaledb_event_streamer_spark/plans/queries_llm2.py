@@ -325,14 +325,45 @@ def training_corpus_ledger(
         quality_score,
     )
 
+    # NOTE: persisting the raw doc table does NOT pay here (measured
+    # flat at sf0.1 — the shingle/token shuffles dominate), and at
+    # 100 TB re-scanning parquet beats caching the whole corpus. What
+    # DOES pay: the repetition gate's two signals both need the 5-gram
+    # shingles, and the per-(doc, gram) COUNT table subsumes the
+    # distinct shingle table — so the composed plan derives both from
+    # ONE explode+reduce instead of calling the standalone operators
+    # (which would tokenize and shuffle the corpus twice). The count
+    # table is the same distinct-shingle materialization
+    # common_shingle_fraction persists standalone, shared across the
+    # dup-fraction and doc-frequency consumers.
+    from pyspark import StorageLevel
+
+    from timescaledb_event_streamer_spark.operators.dedup import shingles
+
     feats = docs.select(
         "doc_id",
         "source",
         lang_pred(F.col("text")).alias("lang_pred"),
         quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
     )
-    dng = dup_ngram_fraction(docs).select("doc_id", "dup_gram_fraction")
-    csf = common_shingle_fraction(docs).select("doc_id", "shared_fraction")
+    grams = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), distinct=False)).alias("g")
+    )
+    cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    if not cnt.isStreaming:
+        cnt = cnt.persist(StorageLevel.MEMORY_AND_DISK)
+    dup_occ = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+    dng = cnt.groupBy("doc_id").agg(
+        F.round(dup_occ / F.sum("c"), 6).alias("dup_gram_fraction")
+    )
+    sh = cnt.select("doc_id", F.col("g").alias("s"))  # keys are distinct
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    csf = (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(F.round(shared / F.count(F.lit(1)), 6).alias("shared_fraction"))
+    )
     ppx = perplexity_proxy(docs)
 
     j = (

@@ -104,9 +104,26 @@ _HASH_MULT = 2654435761
 _HASH_SPACE = 1 << 32
 
 
+#: largest key the multiplicative hash handles without 64-bit overflow
+_MAX_SPACE_KEY = (1 << 63) // _HASH_MULT
+
+
 def space_hash(col: Column) -> Column:
-    """32-bit space-dimension hash of the partitioning column."""
-    return F.pmod(col.cast("long") * F.lit(_HASH_MULT), F.lit(_HASH_SPACE))
+    """32-bit space-dimension hash of the partitioning column.
+
+    Domain: keys in [0, ~3.47e9] (``_MAX_SPACE_KEY``). Outside it the
+    64-bit multiply overflows — and a negative key would hash
+    differently than the SQL oracle's sign-preserving ``%`` — so the
+    plan fails loudly instead of silently mis-slicing."""
+    guarded = F.when(
+        (col >= 0) & (col <= _MAX_SPACE_KEY), col.cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.lit("space_hash: partitioning key outside [0, 2^63/mult] — "
+                  "rescale or pre-hash the key before space partitioning")
+        ).cast("long")
+    )
+    return F.pmod(guarded * F.lit(_HASH_MULT), F.lit(_HASH_SPACE))
 
 
 def space_slice(col: Column, n: int = SPACE_PARTITIONS) -> Column:

@@ -711,9 +711,16 @@ def ivfpq_seeded_topk(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     # unit normalization as a sequential fold (sum of squares left to
-    # right, exactly what the oracle's list_reduce replays)
-    u = F.transform(F.col("v"), lambda x: x / F.sqrt(dot(F.col("v"), F.col("v"))))
-    eu = e.select(id_col, "v", u.alias("u"))
+    # right, exactly what the oracle's list_reduce replays). The norm
+    # is hoisted into its own column: a lambda-body aggregate would
+    # re-run the 64-term fold once PER ELEMENT (no CSE inside
+    # higher-order functions) — same bits, 1/dim the work.
+    eu = e.select(
+        id_col, "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("_n")
+    ).select(
+        id_col, "v",
+        F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("u"),
+    )
 
     # --- deterministic quantizers (metadata-sized collects) ---------
     def _unit(vec: list[float]) -> list[float]:
@@ -727,10 +734,18 @@ def ivfpq_seeded_topk(
         ).collect(),
         key=lambda r: r[id_col],
     )
+    if not cb_rows:
+        raise ValueError(
+            f"no codebook seeds: corpus has no {id_col} % {codebook_stride}"
+            f" == 0 below {codebook_stride * codebook_k}"
+        )
+    # a smaller corpus yields fewer seeds; the codebook shrinks with it
+    codebook_k = min(codebook_k, len(cb_rows))
     cb_units = [_unit(list(r["v"])) for r in cb_rows]  # code j = j-th seed
-    qv_raw = list(
-        e.filter(F.col(id_col) == query_id).collect()[0]["v"]
-    )
+    q_rows = e.filter(F.col(id_col) == query_id).collect()
+    if not q_rows:
+        raise ValueError(f"query vector {id_col}={query_id} not in corpus")
+    qv_raw = list(q_rows[0]["v"])
     q_unit = _unit(qv_raw)
     # ADC table: adc[m][j] = dot(q_sub_m, codebook[m][j]) — left fold
     adc = [

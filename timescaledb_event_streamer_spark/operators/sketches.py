@@ -49,8 +49,10 @@ def topk_space_saving(
     """
     import pandas as pd
 
+    key_t = df.schema[key_col].dataType.simpleString()
+    item_t = df.schema[item_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} string, {item_col} long, cnt long, thr long"
+        f"{key_col} {key_t}, {item_col} {item_t}, cnt long, thr long"
     )
 
     def partials(batches):

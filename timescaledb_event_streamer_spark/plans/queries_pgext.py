@@ -953,8 +953,9 @@ def cdc_relation_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
                strftime(wlo, '%Y-%m-%d') AS dr_lo,
                strftime(wlo + INTERVAL 7 DAY, '%Y-%m-%d') AS dr_hi,
                CAST(7 AS BIGINT) AS dr_days,
-               '[' || CAST(nlo AS VARCHAR) || ','
-                   || CAST(nlo + 0.25 AS VARCHAR) || ')' AS numrange_text,
+               '[' || CAST(CAST(nlo AS DECIMAL(38,2)) AS VARCHAR) || ','
+                   || CAST(CAST(nlo + 0.25 AS DECIMAL(38,2)) AS VARCHAR)
+                   || ')' AS numrange_text,
                nlo AS nr_lo,
                nlo + 0.25 AS nr_hi,
                value >= nlo AND value < nlo + 0.25 AS nr_contains_value
@@ -962,7 +963,12 @@ def cdc_relation_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pg_temporal_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load(spark, sf_dir, "events")
+    from timescaledb_event_streamer_spark.sources.tables import spread
+
+    # per-row regex codec over a narrow projection: spread() restores
+    # source parallelism when the input arrives as one split (no-op on
+    # a real multi-split table)
+    events = spread(load(spark, sf_dir, "events"))
     hlo = F.date_trunc("hour", F.col("ts"))
     hhi = hlo + F.expr("INTERVAL 1 HOUR")
     wk_s = F.unix_timestamp("ts") - F.pmod(F.unix_timestamp("ts"), F.lit(604800))
@@ -980,9 +986,12 @@ def pg_temporal_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(wlo + F.expr("INTERVAL 7 DAY"), "yyyy-MM-dd"),
             F.lit(")"),
         ).alias("daterange_text"),
+        # DECIMAL(38,2) rendering: identical digit strings on both
+        # engines for negative bounds and large magnitudes (double
+        # cast-to-string would disagree on E-notation thresholds)
         F.concat(
-            F.lit("["), nlo.cast("string"), F.lit(","),
-            (nlo + 0.25).cast("string"), F.lit(")"),
+            F.lit("["), nlo.cast("decimal(38,2)").cast("string"), F.lit(","),
+            (nlo + 0.25).cast("decimal(38,2)").cast("string"), F.lit(")"),
         ).alias("numrange_text"),
     )
     # parse ONLY from the wire text
@@ -992,8 +1001,8 @@ def pg_temporal_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsr_hi = F.to_timestamp(
         F.regexp_extract("tsrange_text", r'"([^"]+)"\)$', 1), fmt
     )
-    nr_lo = F.regexp_extract("numrange_text", r"^\[([0-9.]+),", 1).cast("double")
-    nr_hi = F.regexp_extract("numrange_text", r",([0-9.]+)\)$", 1).cast("double")
+    nr_lo = F.regexp_extract("numrange_text", r"^\[(-?[0-9.]+),", 1).cast("double")
+    nr_hi = F.regexp_extract("numrange_text", r",(-?[0-9.]+)\)$", 1).cast("double")
     dr_lo = F.regexp_extract("daterange_text", r"^\[([0-9-]+),", 1)
     dr_hi = F.regexp_extract("daterange_text", r",([0-9-]+)\)$", 1)
     return w.select(

@@ -71,11 +71,12 @@ def lsn_to_text(lsn: Column) -> Column:
 
 
 def lsn_from_text(txt: Column) -> Column:
-    """Wire text 'X/Y' -> numeric LSN. try_cast discipline: a malformed
-    half decodes as NULL instead of killing the query under ANSI mode."""
-    hi = F.conv(F.split_part(txt, F.lit("/"), F.lit(1)), 16, 10).try_cast("long")
-    lo = F.conv(F.split_part(txt, F.lit("/"), F.lit(2)), 16, 10).try_cast("long")
-    return F.shiftleft(hi, 32) + lo
+    """Wire text 'X/Y' -> numeric LSN (delegates to the canonical
+    parser in sources/wal2json.py so corruption-hardening fixes land
+    in one place)."""
+    from timescaledb_event_streamer_spark.sources.wal2json import lsn_to_long
+
+    return lsn_to_long(txt)
 
 
 # ---------------------------------------------------------------------------

@@ -62,12 +62,17 @@ _ACTION_TO_OP = {"I": "c", "U": "u", "D": "d", "T": "t", "M": "m"}
 
 def lsn_to_long(lsn: Column) -> Column:
     """'X/Y' hex LSN -> 64-bit integer (hi<<32 | lo), the ordering
-    key the reference tracks per table (spi/statestorage)."""
+    key the reference tracks per table (spi/statestorage). The ONE
+    canonical LSN-text parser — sources/pg_replication.lsn_from_text
+    delegates here.
+
+    shift/or, not multiply/add: the top bit of a real LSN would
+    overflow a signed-long multiply under ANSI mode. try_cast so a
+    malformed half (torn wire input) decodes NULL instead of killing
+    the query."""
     parts = F.split(lsn, "/")
-    # shift/or, not multiply/add: the top bit of a real LSN would
-    # overflow a signed-long multiply under ANSI mode
-    return F.shiftleft(F.conv(parts[0], 16, 10).cast("long"), 32).bitwiseOR(
-        F.conv(parts[1], 16, 10).cast("long")
+    return F.shiftleft(F.conv(parts[0], 16, 10).try_cast("long"), 32).bitwiseOR(
+        F.conv(parts[1], 16, 10).try_cast("long")
     )
 
 

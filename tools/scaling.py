@@ -59,6 +59,12 @@ REPS = [
     ("cdc_relation_versioning", "schema-version interval join"),
     ("ts_lttb_codegen", "sequential fold downsample"),
     ("ts_audience_overlap", "bitmask-histogram overlap"),
+    ("ts_cagg_realtime", "materialized+raw-tail union read"),
+    ("cdc_chunk_resolution_space", "2-D chunk catalog fold"),
+    ("cdc_replication_handshake", "protocol-v3 reply codec"),
+    ("ann_ivfpq_seeded", "deterministic ADC probe"),
+    ("pg_temporal_ranges", "range wire-text codec"),
+    ("ts_freq_agg_topk_sketch", "truncate-and-merge heavy hitters"),
 ]
 
 
@@ -82,7 +88,10 @@ def _materialize_multisplit(spark, src_dir: str, n_splits: int = 32) -> str:
     out = os.path.join(
         tempfile.gettempdir(), f"spark_graft_ctrl_{os.path.basename(src_dir)}"
     )
-    for t in TABLES:
+    # only the tables the WATCHLIST queries read — re-materializing
+    # the TPC-H bulk would waste most of the control run's wall time
+    needed = ("events", "documents")
+    for t in [t for t in TABLES if t in needed]:
         load(spark, src_dir, t).repartition(n_splits).write.mode(
             "overwrite"
         ).parquet(os.path.join(out, f"{t}.parquet"))

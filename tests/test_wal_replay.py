@@ -165,3 +165,43 @@ def test_wal_replay_resumes_from_checkpoint_without_duplicates(spark, tmp_path):
     # batch0's two envelopes exactly once + batch1's three (audit_log filtered)
     lsns = sorted(r["lsn"] for r in both)
     assert lsns == [0x1010, 0x1020, 0x2010, 0x2020, 0x2030]
+
+
+def test_restart_lsn_drives_replay_skip(spark, tmp_path):
+    """Integration of the J18 restart decision with the replay path:
+    compute the restart point exactly as the reference's
+    locateRestartLSN would (slot's confirmed_flush vs the offset
+    store vs server xlogpos), then resume the wal2json replay from
+    it — the resumed envelope set must be exactly the full set minus
+    the already-confirmed prefix (the reference's restart-skip rule,
+    replicationhandler.go:195-206, applied at the source)."""
+    from timescaledb_event_streamer_spark.sources.pg_replication import (
+        restart_lsn,
+    )
+    from timescaledb_event_streamer_spark.sources.wal2json import lsn_to_long
+
+    d = tmp_path / "wal"
+    d.mkdir()
+    for name, lines in WAL_LOG.items():
+        (d / name).write_text("\n".join(lines))
+    raw = spark.read.text(str(d)).withColumnRenamed("value", "line")
+    full = parse_wal2json(raw)
+
+    # slot says everything through txn 900's commit is confirmed;
+    # the offset store is stale; xlogpos is far ahead
+    inputs = spark.createDataFrame(
+        [(0x1030, 0x1010, 0x3000)], "cf long, off long, xlog long"
+    )
+    restart = inputs.select(
+        restart_lsn(F.col("cf"), F.col("off"), F.col("xlog")).alias("r")
+    ).collect()[0]["r"]
+    assert restart == 0x1030  # confirmed flush wins over the stale offset
+
+    resumed = full.filter(lsn_to_long(F.col("lsn")) > restart)
+    full_lsns = {r["lsn"] for r in full.collect()}
+    resumed_lsns = {r["lsn"] for r in resumed.collect()}
+    skipped = full_lsns - resumed_lsns
+    assert skipped == {"0/1010", "0/1020"}  # exactly txn 900's rows
+    assert resumed_lsns and all(
+        int(l.split("/")[1], 16) > 0x1030 for l in resumed_lsns
+    )

@@ -178,14 +178,12 @@ def test_restart_lsn_drives_replay_skip(spark, tmp_path):
     from timescaledb_event_streamer_spark.sources.pg_replication import (
         restart_lsn,
     )
-    from timescaledb_event_streamer_spark.sources.wal2json import lsn_to_long
 
     d = tmp_path / "wal"
     d.mkdir()
     for name, lines in WAL_LOG.items():
         (d / name).write_text("\n".join(lines))
-    raw = spark.read.text(str(d)).withColumnRenamed("value", "line")
-    full = parse_wal2json(raw)
+    full = parse_wal2json(spark.read.text(str(d)))
 
     # slot says everything through txn 900's commit is confirmed;
     # the offset store is stale; xlogpos is far ahead
@@ -197,11 +195,10 @@ def test_restart_lsn_drives_replay_skip(spark, tmp_path):
     ).collect()[0]["r"]
     assert restart == 0x1030  # confirmed flush wins over the stale offset
 
-    resumed = full.filter(lsn_to_long(F.col("lsn")) > restart)
+    # the parsed envelope already carries the numeric LSN ordering key
+    resumed = full.filter(F.col("lsn") > restart)
     full_lsns = {r["lsn"] for r in full.collect()}
     resumed_lsns = {r["lsn"] for r in resumed.collect()}
     skipped = full_lsns - resumed_lsns
-    assert skipped == {"0/1010", "0/1020"}  # exactly txn 900's rows
-    assert resumed_lsns and all(
-        int(l.split("/")[1], 16) > 0x1030 for l in resumed_lsns
-    )
+    assert skipped == {0x1010, 0x1020}  # exactly txn 900's rows
+    assert resumed_lsns and all(l > 0x1030 for l in resumed_lsns)

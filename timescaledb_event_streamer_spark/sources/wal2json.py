@@ -71,8 +71,11 @@ def lsn_to_long(lsn: Column) -> Column:
     malformed half (torn wire input) decodes NULL instead of killing
     the query."""
     parts = F.split(lsn, "/")
-    return F.shiftleft(F.conv(parts[0], 16, 10).try_cast("long"), 32).bitwiseOR(
-        F.conv(parts[1], 16, 10).try_cast("long")
+    # F.get, not [..]: a slash-less/torn LSN text must decode NULL —
+    # under ANSI mode a plain index would abort the whole query on the
+    # first malformed row (found by the restart-skip replay test)
+    return F.shiftleft(F.conv(F.get(parts, 0), 16, 10).try_cast("long"), 32).bitwiseOR(
+        F.conv(F.get(parts, 1), 16, 10).try_cast("long")
     )
 
 

@@ -725,3 +725,96 @@ def ts_freq_agg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("event_type", "user_id", "est_count", "err_bound", "rank")
     )
+
+
+@register(
+    "ts_compression_policy",
+    family="timeseries",
+    doc="Columnar-compression policy planner — the compress_chunk "
+    "batching TimescaleDB applies to chunks past the policy horizon "
+    "(the catalog tracks hypertable<->compressed-hypertable pairs, "
+    "reference internal/systemcatalog/systemcatalog.go:51, and the "
+    "resolver handles the resulting compression markers, "
+    "replicationresolver.go:84). Per 7-day chunk: compress when the "
+    "chunk's END is at least two full chunk intervals behind the "
+    "newest chunk start (i.e. the chunk START is 21 days back); "
+    "segment_by = user_id, order_by = ts, batches of up to 1000 rows "
+    "per segment (the TimescaleDB batch size). Output is the "
+    "chunk-grain plan: segment count, batch count, rows, and the "
+    "projected row reduction (each batch collapses to one compressed "
+    "row). One scan + one (chunk, segment)-keyed reduce + a "
+    "metadata-sized chunk fold; the 1-row max-ts broadcast is the "
+    "gapfill-bounds pattern.",
+    oracle=f"""
+        WITH mx AS (
+            SELECT ({_SQL_MAX_EPOCH_S} - {_SQL_MAX_EPOCH_S} % 604800)
+                       AS newest_chunk_s
+            FROM events
+        ),
+        seg AS (
+            SELECT event_type AS hypertable_name,
+                   ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 604800) AS range_start_s,
+                   user_id AS segment_key,
+                   count(*) AS seg_rows
+            FROM events
+            GROUP BY 1, 2, 3
+        )
+        SELECT hypertable_name,
+               range_start_s,
+               range_start_s + 604800 <= newest_chunk_s - 1209600
+                   AS compress,
+               count(*) AS n_segments,
+               CAST(sum(ceil(seg_rows / 1000.0)) AS BIGINT) AS n_batches,
+               CAST(sum(seg_rows) AS BIGINT) AS n_rows,
+               CAST(CASE WHEN range_start_s + 604800
+                              <= newest_chunk_s - 1209600
+                         THEN sum(seg_rows)
+                              - CAST(sum(ceil(seg_rows / 1000.0)) AS BIGINT)
+                         ELSE 0 END AS BIGINT) AS rows_saved
+        FROM seg, mx
+        GROUP BY 1, 2, newest_chunk_s
+    """,
+)
+def ts_compression_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.catalog.chunks import (
+        CHUNK_INTERVAL_S,
+        chunk_start_epoch,
+    )
+
+    events = load(spark, sf_dir, "events")
+    # policy horizon: chunk end at least two chunk intervals behind
+    # the newest chunk start (metadata-sized 1-row action — the
+    # B20/B50 precedent)
+    newest_chunk_s = events.agg(
+        chunk_start_epoch(F.max("ts"))
+    ).first()[0]
+    cutoff = newest_chunk_s - 2 * CHUNK_INTERVAL_S
+    seg = (
+        events.select(
+            F.col("event_type").alias("hypertable_name"),
+            chunk_start_epoch(F.col("ts")).alias("range_start_s"),
+            F.col("user_id").alias("segment_key"),
+        )
+        .groupBy("hypertable_name", "range_start_s", "segment_key")
+        .agg(F.count(F.lit(1)).alias("seg_rows"))
+    )
+    compress = F.col("range_start_s") + CHUNK_INTERVAL_S <= F.lit(cutoff)
+    n_batches = F.sum(F.ceil(F.col("seg_rows") / 1000.0)).cast("long")
+    return (
+        seg.groupBy("hypertable_name", "range_start_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            n_batches.alias("n_batches"),
+            F.sum("seg_rows").alias("n_rows"),
+        )
+        .select(
+            "hypertable_name",
+            "range_start_s",
+            compress.alias("compress"),
+            "n_segments",
+            "n_batches",
+            "n_rows",
+            F.when(compress, F.col("n_rows") - F.col("n_batches"))
+            .otherwise(F.lit(0)).alias("rows_saved"),
+        )
+    )

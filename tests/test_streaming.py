@@ -594,3 +594,35 @@ def test_realtime_cagg_read_stream_matches_batch(spark, sf_small, log_dir):
     assert len(fresh) == 1 and fresh[0][1] == (1, 950)
     # everything else unchanged
     assert {k: v for k, v in got2.items() if k[0] != "fresh_rt"} == direct
+
+
+def test_resolved_stream_matches_batch_resolution_2d(spark, sf_small, log_dir):
+    """I15: the SPACE-partitioned (time x hash-slice) resolve on the
+    live stream — stream-static broadcast join on all three chunk keys
+    (A23's resolve_chunks_2d applied to the streaming hot path). Must
+    attach the same 2-D chunk identity as the batch resolution."""
+    from timescaledb_event_streamer_spark.catalog.chunks import (
+        chunk_catalog_2d,
+        resolve_chunks_2d,
+    )
+
+    events = load(spark, sf_small, "events")
+    catalog = chunk_catalog_2d(events).cache()
+    stream = event_file_stream(spark, log_dir)
+    _run_stream(resolve_chunks_2d(stream, catalog), "resolved2d")
+    got = {
+        (r["chunk_name"], r["n"])
+        for r in spark.sql(
+            "SELECT chunk_name, count(*) n FROM resolved2d GROUP BY chunk_name"
+        ).collect()
+    }
+    want = {
+        (r["chunk_name"], r["n"])
+        for r in resolve_chunks_2d(events, catalog)
+        .groupBy("chunk_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > len(
+        {c for c, _ in want if c is None}
+    )

@@ -352,3 +352,52 @@ def test_space_saving_sketch_bound_and_recall(spark, sf_mid):
     for (et, uid), n in exact.items():
         if n / totals[et] >= 0.008:
             assert (et, uid) in est, (et, uid, n)
+
+
+def test_realtime_cagg_invalidation_routing_is_load_bearing(spark, sf_mid):
+    """ts_cagg_realtime_invalidation: the dirty-set routing must be
+    DOING something — serving dirty buckets from the stale
+    materialization would produce different values than the current
+    state (so the oracle hash-check genuinely certifies the routing),
+    and the routed read's recomputed tier must be non-empty on the
+    driver testdata."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries3 import (
+        ts_cagg_realtime_invalidation,
+    )
+
+    rows = ts_cagg_realtime_invalidation(spark, sf_mid).collect()
+    by_tier = {}
+    for r in rows:
+        by_tier.setdefault(r["tier"], []).append(r)
+    assert set(by_tier) == {"materialized", "recomputed", "raw_tail"}
+    # every dirty bucket REALLY is stale in the materialization: the
+    # current-state sum differs from the stale sum wherever an update
+    # or delete landed (updates add +1.00, deletes remove rows)
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.cdc.envelope import derive_op
+    from timescaledb_event_streamer_spark.functions.cagg import cagg_partials
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    events = load(spark, sf_mid, "events").withColumn(
+        "op", derive_op(F.col("event_id"))
+    )
+    stale = cagg_partials(
+        events.withColumn(
+            "cents", F.round(F.col("value") * 100, 0).cast("long")
+        ),
+        ["event_type"], 3600, sum_col="cents",
+    )
+    stale_sums = {
+        (r["event_type"], r["bucket_s"]): (r["n"], r["sum_value"])
+        for r in stale.collect()
+    }
+    mismatches = 0
+    for r in by_tier["recomputed"]:
+        key = (r["event_type"], r["bucket_s"])
+        n_stale, sum_stale = stale_sums[key]
+        if n_stale != r["n"] or abs(sum_stale / 100.0 - r["sum_value"]) > 1e-9:
+            mismatches += 1
+    # nearly every recomputed bucket contains at least one u or d row
+    # (that is what made it dirty), so staleness must be visible
+    assert mismatches > 0.9 * len(by_tier["recomputed"])

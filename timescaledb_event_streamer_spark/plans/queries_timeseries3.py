@@ -818,3 +818,122 @@ def ts_compression_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0)).alias("rows_saved"),
         )
     )
+
+
+@register(
+    "ts_cagg_realtime_invalidation",
+    family="timeseries",
+    doc="Real-time cagg read UNDER PENDING INVALIDATIONS — B20 + B26 "
+    "+ B50 composed into TimescaleDB's actual refresh-lag read path: "
+    "the materialization was built from a STALE snapshot (updates "
+    "add +1.00 afterwards, deletes remove rows — the derived CDC "
+    "ops), so the read serves (a) CLEAN materialized buckets below "
+    "the watermark untouched, (b) DIRTY buckets (any u/d hit them, "
+    "the B26 invalidation log) recomputed from the CURRENT raw "
+    "state, and (c) the raw tail at-or-after the watermark. The "
+    "oracle aggregates the current state directly — if a dirty "
+    "bucket were ever served from the stale materialization its "
+    "values would differ and the hash check would catch it, so the "
+    "certification proves the invalidation ROUTING, not just the "
+    "arithmetic. Dirty set is bucket-grain metadata (broadcast "
+    "anti/semi joins); three disjoint branches, no merge re-agg.",
+    oracle=f"""
+        WITH wm AS (
+            SELECT ({_SQL_MAX_EPOCH_S} - {_SQL_MAX_EPOCH_S} % {HOUR}) - {DAY}
+                       AS wm_s
+            FROM events
+        ),
+        cur AS (
+            SELECT event_type,
+                   {_sql_b(HOUR)} AS bucket_s,
+                   CASE WHEN event_id % 10 IN (1, 2)
+                        THEN CAST(round(value * 100) AS BIGINT) + 100
+                        ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
+                   CASE WHEN event_id % 10 IN (1, 2)
+                        THEN value + 1.0 ELSE value END AS v
+            FROM events
+            WHERE event_id % 10 <> 0
+        ),
+        dirty AS (
+            SELECT DISTINCT event_type, {_sql_b(HOUR)} AS bucket_s
+            FROM events, wm
+            WHERE event_id % 10 IN (0, 1, 2) AND {_sql_b(HOUR)} < wm_s
+        )
+        SELECT c.event_type,
+               c.bucket_s,
+               CASE WHEN c.bucket_s >= wm_s THEN 'raw_tail'
+                    WHEN d.event_type IS NOT NULL THEN 'recomputed'
+                    ELSE 'materialized' END AS tier,
+               count(*) AS n,
+               sum(c.cents) / 100.0 AS sum_value,
+               min(c.v) AS min_value,
+               max(c.v) AS max_value,
+               floor(sum(c.cents) * 10000.0 / count(*) + 0.5) / 1000000.0
+                   AS avg_value
+        FROM cur c
+        LEFT JOIN dirty d
+          ON c.event_type = d.event_type AND c.bucket_s = d.bucket_s, wm
+        GROUP BY 1, 2, 3
+    """,
+)
+def ts_cagg_realtime_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.cdc.envelope import derive_op
+    from timescaledb_event_streamer_spark.functions.cagg import cagg_partials
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "op", derive_op(F.col("event_id"))
+    )
+    # the CURRENT table state: updates applied (+1.00), deletes gone
+    cur = events.filter(F.col("op") != "d").select(
+        "event_type",
+        "ts",
+        F.when(F.col("op") == "u", F.col("value") + 1.0)
+        .otherwise(F.col("value")).alias("value"),
+        (F.when(F.col("op") == "u",
+                F.round(F.col("value") * 100, 0).cast("long") + 100)
+         .otherwise(F.round(F.col("value") * 100, 0).cast("long")))
+        .alias("cents"),
+    )
+    # the STALE snapshot the materialization was built from
+    stale = events.select(
+        "event_type", "ts", "value",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    wm_s = (
+        events.agg(time_bucket_epoch(F.max("ts"), HOUR)).first()[0] - DAY
+    )
+    wm_ts = F.timestamp_seconds(F.lit(wm_s))
+
+    # B26's invalidation log at bucket grain (metadata-sized)
+    dirty = (
+        events.filter(F.col("op").isin("u", "d") & (F.col("ts") < wm_ts))
+        .select(
+            "event_type", time_bucket_epoch(F.col("ts"), HOUR).alias("bucket_s")
+        )
+        .distinct()
+    )
+    mat_clean = cagg_partials(
+        stale.filter(F.col("ts") < wm_ts), ["event_type"], HOUR, sum_col="cents"
+    ).join(F.broadcast(dirty), ["event_type", "bucket_s"], "left_anti")
+    recomputed = cagg_partials(
+        cur.filter(F.col("ts") < wm_ts), ["event_type"], HOUR, sum_col="cents"
+    ).join(F.broadcast(dirty), ["event_type", "bucket_s"], "left_semi")
+    tail = cagg_partials(
+        cur.filter(F.col("ts") >= wm_ts), ["event_type"], HOUR, sum_col="cents"
+    )
+    read = (
+        mat_clean.withColumn("tier", F.lit("materialized"))
+        .unionByName(recomputed.withColumn("tier", F.lit("recomputed")))
+        .unionByName(tail.withColumn("tier", F.lit("raw_tail")))
+    )
+    return read.select(
+        "event_type",
+        "bucket_s",
+        "tier",
+        "n",
+        (F.col("sum_value") / 100.0).alias("sum_value"),
+        "min_value",
+        "max_value",
+        (F.floor(F.col("sum_value") * 10000.0 / F.col("n") + 0.5) / 1000000.0)
+        .alias("avg_value"),
+    )

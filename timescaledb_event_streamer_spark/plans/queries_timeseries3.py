@@ -186,6 +186,13 @@ def ts_asap_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n") >= 4)  # roughness/kurtosis need >= 2 diffs and a
     # real candidate set; a 1-bucket series would make the d-sequence
     # descend and element_at throw under ANSI mode
+    #
+    # deliberate single partition for the search stages: past this
+    # point the data is one row PER SERIES (metadata-sized — the
+    # chunk-catalog note), while the fold expressions below compile to
+    # very large generated code; 32 near-empty tasks each paying that
+    # closure cost measured ~20% of the query at sf0.1
+    arrs = arrs.coalesce(1)
     base = arrs.withColumn(
         "mu", F.expr("aggregate(xs, 0D, (a, v) -> a + v) / n")
     )

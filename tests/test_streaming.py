@@ -623,6 +623,4 @@ def test_resolved_stream_matches_batch_resolution_2d(spark, sf_small, log_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    assert got == want and len(want) > len(
-        {c for c, _ in want if c is None}
-    )
+    assert got == want and want

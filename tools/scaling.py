@@ -65,6 +65,8 @@ REPS = [
     ("ann_ivfpq_seeded", "deterministic ADC probe"),
     ("pg_temporal_ranges", "range wire-text codec"),
     ("ts_freq_agg_topk_sketch", "truncate-and-merge heavy hitters"),
+    ("ts_compression_policy", "compress_chunk batching plan"),
+    ("ts_cagg_realtime_invalidation", "dirty-routed realtime read"),
 ]
 
 

@@ -1,0 +1,176 @@
+"""Planted-corpus tests for the round-5 additions in
+plans/queries_llm3.py (segment dedup, duplicated-substring coverage,
+Bloom decontamination) and the snapshot-mode semantics operator
+(plans/queries_cdc.py cdc_snapshot_modes)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.plans.queries_llm3 import (
+    bloom_decontamination,
+    paragraph_dedup,
+    substring_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+_BLOCK_A = " ".join(f"a{i}" for i in range(12))  # one full shared segment
+_BLOCK_B = " ".join(f"b{i}" for i in range(12))  # unique filler
+
+
+def test_paragraph_dedup_flags_shared_segment_positions(spark):
+    """Docs sharing one aligned 12-token block are flagged exactly on
+    that segment position; unique blocks stay clean."""
+    docs = _docs(
+        spark,
+        [
+            _BLOCK_A + " " + _BLOCK_B,  # seg0 shared, seg1 unique
+            _BLOCK_A,                    # seg0 shared
+            _BLOCK_B.replace("b", "c"),  # fully unique
+        ],
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[0]["n_segments"] == 2
+    assert out[0]["dup_segments"] == 1
+    assert out[0]["dup_segment_fraction"] == 0.5
+    assert out[1]["n_segments"] == 1 and out[1]["dup_segments"] == 1
+    assert out[2]["dup_segments"] == 0
+
+
+def test_paragraph_dedup_within_doc_repeat_is_not_cross_doc(spark):
+    """A segment repeated only WITHIN one document is not a
+    duplicate — the distinct-doc count, not the occurrence count,
+    drives the flag (the CCNet cross-doc rule)."""
+    docs = _docs(spark, [_BLOCK_A + " " + _BLOCK_A, _BLOCK_B])
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[0]["n_segments"] == 2
+    assert out[0]["dup_segments"] == 0
+
+
+def test_substring_coverage_counts_tokens_under_dup_windows(spark):
+    """A 10-token run shared across docs covers exactly those token
+    positions; the unique remainder stays uncovered, and overlapping
+    dup windows don't double-count positions."""
+    shared = " ".join(f"s{i}" for i in range(11))  # 11 shared tokens
+    tail = " ".join(f"t{i}" for i in range(9))     # 9 unique tokens
+    docs = _docs(
+        spark,
+        [
+            shared + " " + tail,  # 20 tokens, first 11 covered
+            shared,               # 11 tokens, all covered
+            " ".join(f"u{i}" for i in range(15)),  # unique, 0 covered
+        ],
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs).collect()}
+    # doc 0: two overlapping dup 10-grams (at 0 and 1) cover 11
+    # distinct positions, not 20
+    assert out[0]["n_tokens"] == 20
+    assert out[0]["covered_tokens"] == 11
+    assert out[0]["coverage_fraction"] == 0.55
+    assert out[1]["covered_tokens"] == 11
+    assert out[2]["covered_tokens"] == 0
+
+
+def test_substring_coverage_excludes_short_docs(spark):
+    docs = _docs(spark, ["a b c", " ".join(f"x{i}" for i in range(10))])
+    out = substring_dedup(docs).collect()
+    assert {r["doc_id"] for r in out} == {1}
+
+
+def test_bloom_superset_of_exact_probe(spark, sf_small):
+    """The Bloom probe can only over-approximate the exact broadcast
+    probe: per doc, bloom_hits >= exact n_hits, shingle totals agree,
+    and on this corpus the aggregate false-positive margin stays
+    small (m=2^16, k=3 over a few hundred set bits)."""
+    from timescaledb_event_streamer_spark.plans.queries_ext import (
+        text_decontamination,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    docs = load(spark, sf_small, "documents")
+    bloom = {r["doc_id"]: r for r in bloom_decontamination(docs).collect()}
+    exact = {
+        r["doc_id"]: r for r in text_decontamination(spark, sf_small).collect()
+    }
+    assert set(bloom) == set(exact)
+    fp = 0
+    total = 0
+    for doc_id, b in bloom.items():
+        e = exact[doc_id]
+        assert b["n_shingles"] == e["n_shingles"]
+        assert b["bloom_hits"] >= e["n_hits"], doc_id
+        fp += b["bloom_hits"] - e["n_hits"]
+        total += b["n_shingles"]
+    # expected FP rate ~ (1 - e^{-kn/m})^k: a few hundred bench
+    # shingles -> well under 1e-4; allow 1% as the hard ceiling
+    assert fp <= max(1, total * 0.01)
+
+
+def _events(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (lsn, base + datetime.timedelta(minutes=lsn), lsn % 3, "metrics")
+        for lsn in range(1, 11)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_snapshot_modes_gate_tiers(spark, tmp_path):
+    """replicationchannel.go:199-226 gating: 'always' emits both
+    tiers, 'never' only rows past the slot LSN, 'initial_only' only
+    the snapshot tier — and the tier boundary is the data-derived
+    slot LSN (floor(0.6 * max))."""
+    from timescaledb_event_streamer_spark.plans.queries_cdc import (
+        cdc_snapshot_modes,
+    )
+
+    path = str(tmp_path / "sf")
+    _events(spark).write.parquet(path + "/events.parquet")
+    out = {
+        r["snapshot_mode"]: r
+        for r in cdc_snapshot_modes(spark, path).collect()
+    }
+    # max lsn 10 -> slot_lsn 6: snapshot tier 1..6, stream tier 7..10
+    assert out["always"]["n_snapshot"] == 6
+    assert out["always"]["n_stream"] == 4
+    assert out["always"]["n_emitted"] == 10
+    assert (out["always"]["lsn_min"], out["always"]["lsn_max"]) == (1, 10)
+    assert out["never"]["n_snapshot"] == 0
+    assert out["never"]["n_emitted"] == 4
+    assert (out["never"]["lsn_min"], out["never"]["lsn_max"]) == (7, 10)
+    assert out["initial_only"]["n_stream"] == 0
+    assert out["initial_only"]["n_emitted"] == 6
+    assert (
+        out["initial_only"]["lsn_min"],
+        out["initial_only"]["lsn_max"],
+    ) == (1, 6)
+
+
+def test_bloom_bitmap_is_fixed_size(spark, sf_small):
+    """The broadcast side is a single map row bounded by m/64 = 1024
+    words — the property that makes the Bloom probe the 100 TB
+    swap-in for the raw broadcast set."""
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    docs = load(spark, sf_small, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"
+    )
+    sh = (
+        docs.select(F.col("doc_id"), toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("s"))
+    )
+    n_bench = sh.filter(F.col("doc_id") % 100 == 0).select("s").distinct().count()
+    assert n_bench > 0  # the probe actually has content at sf0.001

@@ -120,6 +120,8 @@ _BNLJ_OK = {
     #   interval join to the metadata-sized version table
     "ts_audience_overlap",  # 10-pair x 32-mask broadcast expansion +
     #   non-equi type-pair self-join, both metadata-sized
+    "text_bloom_decontamination",  # single-row broadcast Bloom bitmap
+    "cdc_snapshot_modes",  # single-row broadcast slot LSN
 }
 
 

@@ -487,3 +487,116 @@ def cdc_chunk_resolution_space(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lsn_max",
         )
     )
+
+
+_SNAPSHOT_MODES = ("always", "initial_only", "never")
+
+
+@register(
+    "cdc_snapshot_modes",
+    family="cdc",
+    doc="Initial-snapshot mode semantics — what each configured mode "
+    "emits on connector startup (spi/config/configuration.go:61-66 "
+    "defines always / never / initial_only; "
+    "internal/replication/replicationchannel/replicationchannel.go:199-226 "
+    "gates the snapshot and the stream start on the mode). The slot "
+    "creation LSN is a deterministic data-derived constant "
+    "(floor(0.6 * max lsn)); rows at-or-below it are the snapshot "
+    "tier, rows above it the streamed tier. Per (mode, hypertable): "
+    "'always' emits snapshot + stream, 'never' streams only, "
+    "'initial_only' snapshots and never starts streaming. Plan: ONE "
+    "events scan -> per-hypertable tier aggregate (map-side "
+    "partials), a 1-row broadcast slot LSN, and the 3 modes unfold "
+    "from a literal array explode over the tiny aggregate — the "
+    "mode fan-out never touches event-grain rows.",
+    oracle="""
+        WITH slot AS (
+            SELECT CAST(floor(0.6 * max(event_id)) AS BIGINT) AS slot_lsn
+            FROM events
+        ),
+        tiers AS (
+            SELECT event_type AS hypertable_name,
+                   CAST(sum(CASE WHEN event_id <= slot_lsn THEN 1 ELSE 0 END)
+                        AS BIGINT) AS snap_n,
+                   CAST(sum(CASE WHEN event_id > slot_lsn THEN 1 ELSE 0 END)
+                        AS BIGINT) AS stream_n,
+                   min(CASE WHEN event_id <= slot_lsn THEN event_id END)
+                       AS snap_min,
+                   max(CASE WHEN event_id <= slot_lsn THEN event_id END)
+                       AS snap_max,
+                   min(CASE WHEN event_id > slot_lsn THEN event_id END)
+                       AS stream_min,
+                   max(CASE WHEN event_id > slot_lsn THEN event_id END)
+                       AS stream_max
+            FROM events, slot
+            GROUP BY event_type
+        )
+        SELECT m.snapshot_mode,
+               t.hypertable_name,
+               CASE WHEN m.snapshot_mode = 'never' THEN 0
+                    ELSE t.snap_n END AS n_snapshot,
+               CASE WHEN m.snapshot_mode = 'initial_only' THEN 0
+                    ELSE t.stream_n END AS n_stream,
+               CASE WHEN m.snapshot_mode = 'never' THEN t.stream_n
+                    WHEN m.snapshot_mode = 'initial_only' THEN t.snap_n
+                    ELSE t.snap_n + t.stream_n END AS n_emitted,
+               CASE WHEN m.snapshot_mode = 'never' THEN t.stream_min
+                    WHEN m.snapshot_mode = 'initial_only' THEN t.snap_min
+                    ELSE coalesce(t.snap_min, t.stream_min) END AS lsn_min,
+               CASE WHEN m.snapshot_mode = 'never' THEN t.stream_max
+                    WHEN m.snapshot_mode = 'initial_only' THEN t.snap_max
+                    ELSE coalesce(t.stream_max, t.snap_max) END AS lsn_max
+        FROM tiers t
+        CROSS JOIN (
+            SELECT unnest(['always', 'initial_only', 'never'])
+                AS snapshot_mode
+        ) m
+    """,
+)
+def cdc_snapshot_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    slot = events.agg(
+        F.floor(F.lit(0.6) * F.max("event_id")).cast("long").alias("slot_lsn")
+    )
+    in_snap = F.col("event_id") <= F.col("slot_lsn")
+    tiers = (
+        events.crossJoin(F.broadcast(slot))
+        .groupBy(F.col("event_type").alias("hypertable_name"))
+        .agg(
+            F.sum(F.when(in_snap, 1).otherwise(0)).alias("snap_n"),
+            F.sum(F.when(~in_snap, 1).otherwise(0)).alias("stream_n"),
+            F.min(F.when(in_snap, F.col("event_id"))).alias("snap_min"),
+            F.max(F.when(in_snap, F.col("event_id"))).alias("snap_max"),
+            F.min(F.when(~in_snap, F.col("event_id"))).alias("stream_min"),
+            F.max(F.when(~in_snap, F.col("event_id"))).alias("stream_max"),
+        )
+    )
+    mode = F.col("snapshot_mode")
+    unfolded = tiers.select(
+        F.explode(F.array(*[F.lit(m) for m in _SNAPSHOT_MODES])).alias(
+            "snapshot_mode"
+        ),
+        "*",
+    )
+    return unfolded.select(
+        "snapshot_mode",
+        "hypertable_name",
+        F.when(mode == "never", F.lit(0).cast("long"))
+        .otherwise(F.col("snap_n"))
+        .alias("n_snapshot"),
+        F.when(mode == "initial_only", F.lit(0).cast("long"))
+        .otherwise(F.col("stream_n"))
+        .alias("n_stream"),
+        F.when(mode == "never", F.col("stream_n"))
+        .when(mode == "initial_only", F.col("snap_n"))
+        .otherwise(F.col("snap_n") + F.col("stream_n"))
+        .alias("n_emitted"),
+        F.when(mode == "never", F.col("stream_min"))
+        .when(mode == "initial_only", F.col("snap_min"))
+        .otherwise(F.coalesce("snap_min", "stream_min"))
+        .alias("lsn_min"),
+        F.when(mode == "never", F.col("stream_max"))
+        .when(mode == "initial_only", F.col("snap_max"))
+        .otherwise(F.coalesce("stream_max", "snap_max"))
+        .alias("lsn_max"),
+    )

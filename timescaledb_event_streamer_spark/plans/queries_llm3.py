@@ -1,0 +1,334 @@
+"""LLM-pipeline corpus QA, part 3 (SURVEY.md §2 D17-D18, F22):
+segment-level (CCNet-style "paragraph") dedup, duplicated-substring
+token coverage (the Lee et al. exact-substring dedup statistic on a
+bounded window), and Bloom-filter benchmark decontamination — the
+100 TB swap-in for the exact broadcast probe (F8).
+
+Same discipline as queries_llm2: every plan is doc/segment/gram-keyed
+DataFrame work in whole-stage codegen — no Python per row — and every
+operator carries a DuckDB oracle that re-derives the result (the
+Bloom filter is deterministic, so even the approximate probe is
+value-exact across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load, spread
+
+#: CCNet-analog segment width: the synthetic corpus is a flat token
+#: stream (no newlines), so "paragraphs" are non-overlapping 12-token
+#: blocks — the same deterministic segmentation text_chunk_windows
+#: (F15) uses, narrowed so per-doc segment counts stay meaningful on
+#: 10-110-token documents.
+_SEG_TOKENS = 12
+
+#: Duplicated-substring window: 10 tokens, the scaled-down stand-in
+#: for the 50-token windows of Lee et al. 2021 ("Deduplicating
+#: Training Data Makes Language Models Better").
+_SUB_TOKENS = 10
+
+#: Deterministic Bloom geometry: m = 2^16 bits, k = 3 hashes drawn
+#: from disjoint 8-hex-char slices of md5 — both engines re-derive
+#: identical bit positions, so the probe is value-exact, false
+#: positives included.
+_BLOOM_M = 65536
+
+
+@register(
+    "dedup_paragraphs",
+    family="dedup",
+    doc="Segment-level dedup (the CCNet paragraph-dedup analog, "
+    "scaled to the corpus's flat token stream): each document splits "
+    "into non-overlapping 12-token segments; a segment position is "
+    "duplicated when its text also appears in at least one OTHER "
+    "document. Per document: segment count, duplicated-position "
+    "count, and the duplicated fraction — the removal plan a "
+    "line/paragraph-level pass would execute. Plan shape: one corpus "
+    "scan -> segment explode; the per-segment distinct-doc count and "
+    "the position join both shuffle on the near-unique segment text "
+    "(the dedup_common_shingles key discipline); the final fold "
+    "shuffles on doc_id. No all-pairs path at any scale.",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        seg AS (
+            SELECT doc_id, i,
+                   array_to_string(toks[i + 1 : i + 12], ' ') AS g
+            FROM t, unnest(range(0, len(toks), 12)) AS u(i)
+        ),
+        dc AS (SELECT g, count(DISTINCT doc_id) AS nd FROM seg GROUP BY g)
+        SELECT doc_id,
+               count(*) AS n_segments,
+               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_segments,
+               round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS dup_segment_fraction
+        FROM seg JOIN dc USING (g)
+        GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup(spread(load(spark, sf_dir, "documents")))
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(_SEG_TOKENS))
+    seg = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("i")
+    ).select(
+        "doc_id",
+        "i",
+        F.concat_ws(" ", F.slice("toks", F.col("i") + 1, _SEG_TOKENS)).alias("g"),
+    )
+    # distinct-doc count per segment text: near-unique key, one
+    # segment-keyed shuffle; identical segments within one doc fold
+    # to a single (g, doc) row before the count
+    dc = (
+        seg.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    dup = F.sum(F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0)))
+    return (
+        seg.join(dc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            dup.cast("long").alias("dup_segments"),
+            F.round(dup / F.count(F.lit(1)), 6).alias("dup_segment_fraction"),
+        )
+    )
+
+
+@register(
+    "text_substring_dedup",
+    family="dedup",
+    doc="Duplicated-substring token coverage — the statistic exact-"
+    "substring dedup (Lee et al. 2021) removes on, over a bounded "
+    "10-token window: a token position is 'covered' when any sliding "
+    "10-gram through it also occurs in another document. Per "
+    "document: token count, covered-token count, coverage fraction. "
+    "Plan: sliding position-stamped grams (one explode), distinct-doc "
+    "count on the gram key, then ONLY the cross-doc-duplicated "
+    "occurrences explode their 10 covered positions (bounded 10x on "
+    "the dup subset, not the corpus) before a doc-keyed distinct "
+    "fold. Documents shorter than the window are excluded on both "
+    "sides.",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 10
+        ),
+        g AS (
+            SELECT doc_id, i, len(toks) AS n,
+                   array_to_string(toks[i + 1 : i + 10], ' ') AS g
+            FROM t, unnest(range(0, len(toks) - 9)) AS u(i)
+        ),
+        dc AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g),
+        cov AS (
+            SELECT DISTINCT doc_id, n, i + d AS pos
+            FROM g JOIN dc USING (g), unnest(range(10)) AS w(d)
+            WHERE nd >= 2
+        ),
+        base AS (SELECT doc_id, len(toks) AS n FROM t)
+        SELECT base.doc_id,
+               base.n AS n_tokens,
+               CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+               round(coalesce(c.covered, 0) * 1.0 / base.n, 6)
+                   AS coverage_fraction
+        FROM base
+        LEFT JOIN (
+            SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id
+        ) c USING (doc_id)
+    """,
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dedup(spread(load(spark, sf_dir, "documents")))
+
+
+def substring_dedup(docs: DataFrame) -> DataFrame:
+    toks = F.split("text", " ")
+    t = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= _SUB_TOKENS
+    )
+    starts = F.sequence(F.lit(0), F.size("toks") - _SUB_TOKENS)
+    g = t.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.explode(starts).alias("i"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "n",
+        "i",
+        F.concat_ws(" ", F.slice("toks", F.col("i") + 1, _SUB_TOKENS)).alias("g"),
+    )
+    dc = (
+        g.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    # coverage explode happens on the duplicated subset only: the
+    # worst case is 10x that subset, never 10x the corpus
+    cov = (
+        g.join(dc, "g")
+        .filter(F.col("nd") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + _SUB_TOKENS - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    base = t.select("doc_id", F.size("toks").alias("n_tokens"))
+    covered = F.coalesce(F.col("covered"), F.lit(0))
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        covered.cast("long").alias("covered_tokens"),
+        F.round(covered / F.col("n_tokens"), 6).alias("coverage_fraction"),
+    )
+
+
+def _bloom_positions(col):
+    """The k=3 deterministic Bloom bit positions of a shingle: three
+    disjoint 8-hex-char md5 slices mod m — reproducible in any engine
+    with md5, which is what makes the approximate probe value-exact
+    (same bitmap, same false positives)."""
+    return [
+        (
+            F.conv(F.substring(F.md5(col), 1 + 8 * j, 8), 16, 10).cast("long")
+            % _BLOOM_M
+        )
+        for j in range(3)
+    ]
+
+
+@register(
+    "text_bloom_decontamination",
+    family="text",
+    doc="Bloom-filter benchmark decontamination — the 100 TB swap-in "
+    "for text_decontamination's broadcast-set probe (F8): when the "
+    "held-out benchmark's shingle set outgrows a raw broadcast, ship "
+    "a fixed 64 Kbit bitmap instead (8 KiB regardless of benchmark "
+    "size) and probe it per corpus shingle. The filter is "
+    "deterministic (k=3 md5-slice hashes), so the oracle re-derives "
+    "the identical bitmap and the result — false positives included "
+    "— is value-exact across engines. Plan: the benchmark side folds "
+    "its bit positions into ONE map row (a word-indexed int64 "
+    "bitmap) broadcast to every executor; the corpus side computes 3 "
+    "hashes per shingle and does 3 O(1) map lookups — no shuffle for "
+    "the probe, one doc-keyed agg shuffle. bloom_hits >= the exact "
+    "probe's hits by construction (pytest-asserted alongside the FP "
+    "margin).",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s0 AS (
+            SELECT doc_id, unnest(range(len(toks) - 1)) AS i, toks
+            FROM t WHERE len(toks) >= 2
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + 2], ' ') AS s
+            FROM s0
+        ),
+        bits AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5(s), 1 + 8 * j, 8))::BIGINT % 65536 AS p
+            FROM (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0),
+                 unnest([0, 1, 2]) AS k(j)
+        )
+        SELECT sh.doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN
+                       ('0x' || substr(md5(s), 1, 8))::BIGINT % 65536
+                           IN (SELECT p FROM bits)
+                   AND ('0x' || substr(md5(s), 9, 8))::BIGINT % 65536
+                           IN (SELECT p FROM bits)
+                   AND ('0x' || substr(md5(s), 17, 8))::BIGINT % 65536
+                           IN (SELECT p FROM bits)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+               round(sum(CASE WHEN
+                       ('0x' || substr(md5(s), 1, 8))::BIGINT % 65536
+                           IN (SELECT p FROM bits)
+                   AND ('0x' || substr(md5(s), 9, 8))::BIGINT % 65536
+                           IN (SELECT p FROM bits)
+                   AND ('0x' || substr(md5(s), 17, 8))::BIGINT % 65536
+                           IN (SELECT p FROM bits)
+                   THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS bloom_contamination
+        FROM sh
+        WHERE sh.doc_id % 100 != 0
+        GROUP BY sh.doc_id
+    """,
+)
+def text_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_decontamination(spread(load(spark, sf_dir, "documents")))
+
+
+def bloom_decontamination(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.array_distinct(
+        F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+    )
+    sh = (
+        docs.select(F.col("doc_id"), toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("s"))
+    )
+    # benchmark side -> bit positions -> ONE row holding the bitmap
+    # as a word-indexed map of int64s (8 KiB at m=2^16, fixed size
+    # no matter how large the benchmark grows)
+    bench = sh.filter(F.col("doc_id") % 100 == 0).select("s").distinct()
+    pos = bench.select(
+        F.explode(F.array(*_bloom_positions(F.col("s")))).alias("p")
+    ).distinct()
+    bitmap = (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+    )
+    bloom = bitmap.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bloom")
+    )
+    # corpus side: 3 hashes, 3 O(1) map probes, zero probe shuffle
+    p0, p1, p2 = _bloom_positions(F.col("s"))
+    probed = (
+        sh.filter(F.col("doc_id") % 100 != 0)
+        .crossJoin(F.broadcast(bloom))
+        .select(
+            "doc_id",
+            p0.alias("p0"),
+            p1.alias("p1"),
+            p2.alias("p2"),
+            F.col("bloom"),
+        )
+    )
+    hit = F.lit(True)
+    for name in ("p0", "p1", "p2"):
+        hit = hit & F.expr(
+            f"coalesce(element_at(bloom, CAST({name} / 64 AS BIGINT)), 0L) "
+            f"& shiftleft(1L, CAST({name} % 64 AS INT)) != 0"
+        )
+    hits = F.sum(F.when(hit, F.lit(1)).otherwise(F.lit(0)))
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        hits.cast("long").alias("bloom_hits"),
+        F.round(hits / F.count(F.lit(1)), 6).alias("bloom_contamination"),
+    )

@@ -56,6 +56,7 @@ def _load_all() -> None:
         queries_ext,
         queries_llm,
         queries_llm2,
+        queries_llm3,
         queries_olap,
         queries_olap2,
         queries_pgext,

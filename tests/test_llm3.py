@@ -174,3 +174,28 @@ def test_bloom_bitmap_is_fixed_size(spark, sf_small):
     )
     n_bench = sh.filter(F.col("doc_id") % 100 == 0).select("s").distinct().count()
     assert n_bench > 0  # the probe actually has content at sf0.001
+
+
+def test_matryoshka_self_rank_and_overlap(spark, sf_mid):
+    """The query vector ranks itself first under BOTH metrics
+    (cosine(q, q) == 1 at full and half dims), every rank list is a
+    dense 1..10, and carried cosines are present for every row of
+    the union."""
+    from timescaledb_event_streamer_spark.plans.queries_llm3 import (
+        embedding_matryoshka_topk,
+    )
+
+    rows = embedding_matryoshka_topk(spark, sf_mid).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert by_id[0]["rank_full"] == 1 and by_id[0]["rank_trunc"] == 1
+    assert by_id[0]["cosine_full"] == 1.0 and by_id[0]["cosine_trunc"] == 1.0
+    full_ranks = sorted(
+        r["rank_full"] for r in rows if r["rank_full"] is not None
+    )
+    trunc_ranks = sorted(
+        r["rank_trunc"] for r in rows if r["rank_trunc"] is not None
+    )
+    assert full_ranks == list(range(1, 11))
+    assert trunc_ranks == list(range(1, 11))
+    for r in rows:
+        assert r["cosine_full"] is not None and r["cosine_trunc"] is not None

@@ -624,3 +624,47 @@ def test_resolved_stream_matches_batch_resolution_2d(spark, sf_small, log_dir):
         .collect()
     }
     assert got == want and want
+
+
+def test_bloom_probe_stream_matches_batch(spark, sf_small):
+    """I16: benchmark decontamination as an ingest-time gate — the
+    64 Kbit Bloom bitmap (F22) is a static broadcast side, documents
+    arrive as a stream, and the per-doc contamination fold runs
+    complete-mode. Must equal the batch probe exactly (the filter is
+    deterministic, so even the false positives agree)."""
+    import shutil
+    import tempfile
+
+    from timescaledb_event_streamer_spark.plans.queries_llm3 import (
+        bloom_bitmap,
+        bloom_probe,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    bloom = bloom_bitmap(docs.filter(F.col("doc_id") % 100 == 0))
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    d = tempfile.mkdtemp(prefix="docstream-")
+    try:
+        corpus.withColumn("b", F.pmod(F.col("doc_id"), F.lit(4))).repartition(
+            4, "b"
+        ).drop("b").write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        q = (
+            bloom_probe(stream, bloom)
+            .writeStream.format("memory")
+            .queryName("bloom_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r
+            for r in spark.sql("SELECT * FROM bloom_stream").collect()
+        }
+        want = {r["doc_id"]: r for r in bloom_probe(corpus, bloom).collect()}
+        assert set(got) == set(want) and len(want) > 0
+        for k in want:
+            assert got[k].asDict() == want[k].asDict(), k
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

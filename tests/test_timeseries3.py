@@ -401,3 +401,47 @@ def test_realtime_cagg_invalidation_routing_is_load_bearing(spark, sf_mid):
     # nearly every recomputed bucket contains at least one u or d row
     # (that is what made it dirty), so staleness must be visible
     assert mismatches > 0.9 * len(by_tier["recomputed"])
+
+
+def test_compressed_roundtrip_batching_and_order(spark):
+    """B55: a 2500-row segment compresses into ceil(2500/1000) = 3
+    order_by=ts batches; first/last read from the array head/tail
+    match the true temporal extremes — and the result is invariant
+    to the input row order (the order_by sort, not arrival order,
+    defines the layout)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.plans.queries_timeseries3 import (
+        compressed_roundtrip,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 7, "metrics", float(i))
+        for i in range(2500)
+    ]
+    rows += [
+        (10_000 + i, base + datetime.timedelta(seconds=i), 8, "metrics", 1.5)
+        for i in range(5)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ev = spark.createDataFrame(rows, schema)
+    out = {r["segment_key"]: r for r in compressed_roundtrip(ev).collect()}
+    big = out[7]
+    assert big["n_rows"] == 2500 and big["n_batches"] == 3
+    assert big["first_cents"] == 0  # value 0.0 at the earliest ts
+    assert big["last_cents"] == 249900  # value 2499.0 at the latest
+    assert big["sum_cents"] == sum(i * 100 for i in range(2500))
+    small = out[8]
+    assert small["n_rows"] == 5 and small["n_batches"] == 1
+    assert small["sum_cents"] == 5 * 150
+
+    # arrival-order invariance: a shuffled input yields the identical
+    # compressed read
+    shuffled = ev.orderBy(F.rand(seed=4))
+    got2 = {r["segment_key"]: r for r in compressed_roundtrip(shuffled).collect()}
+    assert {k: v.asDict() for k, v in out.items()} == {
+        k: v.asDict() for k, v in got2.items()
+    }

@@ -279,20 +279,25 @@ def text_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontamination(spread(load(spark, sf_dir, "documents")))
 
 
-def bloom_decontamination(docs: DataFrame) -> DataFrame:
+def _doc_shingles(docs: DataFrame) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     bigrams = F.array_distinct(
         F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
     )
-    sh = (
+    return (
         docs.select(F.col("doc_id"), toks.alias("t"))
         .filter(F.size("t") >= 2)
         .select("doc_id", F.explode(bigrams).alias("s"))
     )
-    # benchmark side -> bit positions -> ONE row holding the bitmap
-    # as a word-indexed map of int64s (8 KiB at m=2^16, fixed size
-    # no matter how large the benchmark grows)
-    bench = sh.filter(F.col("doc_id") % 100 == 0).select("s").distinct()
+
+
+def bloom_bitmap(bench_docs: DataFrame) -> DataFrame:
+    """Benchmark side -> bit positions -> ONE row holding the bitmap
+    as a word-indexed map of int64s (8 KiB at m=2^16, fixed size no
+    matter how large the benchmark grows). Static by nature: in a
+    live ingest pipeline this is the broadcast side of a
+    stream-static probe (tests/test_streaming.py parity)."""
+    bench = _doc_shingles(bench_docs).select("s").distinct()
     pos = bench.select(
         F.explode(F.array(*_bloom_positions(F.col("s")))).alias("p")
     ).distinct()
@@ -304,13 +309,19 @@ def bloom_decontamination(docs: DataFrame) -> DataFrame:
         .groupBy("w")
         .agg(F.bit_or("b").alias("word"))
     )
-    bloom = bitmap.agg(
+    return bitmap.agg(
         F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bloom")
     )
-    # corpus side: 3 hashes, 3 O(1) map probes, zero probe shuffle
+
+
+def bloom_probe(docs: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Corpus side: 3 hashes per shingle, 3 O(1) map probes against
+    the broadcast 1-row bitmap, one doc-keyed agg shuffle. ``docs``
+    may be a streaming DataFrame (stream-static broadcast probe +
+    complete-mode fold)."""
     p0, p1, p2 = _bloom_positions(F.col("s"))
     probed = (
-        sh.filter(F.col("doc_id") % 100 != 0)
+        _doc_shingles(docs)
         .crossJoin(F.broadcast(bloom))
         .select(
             "doc_id",
@@ -331,4 +342,114 @@ def bloom_decontamination(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_shingles"),
         hits.cast("long").alias("bloom_hits"),
         F.round(hits / F.count(F.lit(1)), 6).alias("bloom_contamination"),
+    )
+
+
+def bloom_decontamination(docs: DataFrame) -> DataFrame:
+    bloom = bloom_bitmap(docs.filter(F.col("doc_id") % 100 == 0))
+    return bloom_probe(docs.filter(F.col("doc_id") % 100 != 0), bloom)
+
+
+@register(
+    "embedding_matryoshka_topk",
+    family="ann",
+    doc="Matryoshka truncation audit (E15): rank the corpus against "
+    "the vec_id=0 query by full-dimension cosine AND by cosine over "
+    "the first half of the dimensions (the MRL serving trick: "
+    "truncated prefixes as cheaper first-pass vectors), then full-"
+    "outer-join the two top-10 lists — rows present in only one "
+    "ranking expose exactly what truncation re-orders, and the "
+    "carried cosine columns quantify by how much. Plan: ONE corpus "
+    "scan computes both similarities in the same codegen stage "
+    "(slice + fold, no Python), each top-10 is a distributed ordered "
+    "take (no global window), and the rank join touches 20 rows of "
+    "metadata. The fold is a sequential left fold in double, the "
+    "round-6 contract that keeps cosine bit-stable vs DuckDB's "
+    "list_cosine_similarity.",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv,
+                   CAST(embedding[1 : len(embedding) // 2] AS DOUBLE[]) AS qh
+            FROM embeddings WHERE vec_id = 0
+        ),
+        s AS (
+            SELECT vec_id, label,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6)
+                       AS cosine_full,
+                   round(list_cosine_similarity(
+                       CAST(embedding[1 : len(embedding) // 2] AS DOUBLE[]),
+                       (SELECT qh FROM q)), 6) AS cosine_trunc
+            FROM embeddings
+        ),
+        tf AS (
+            SELECT *, CAST(row_number() OVER
+                       (ORDER BY cosine_full DESC, vec_id) AS BIGINT)
+                       AS rank_full
+            FROM s QUALIFY rank_full <= 10
+        ),
+        tt AS (
+            SELECT *, CAST(row_number() OVER
+                       (ORDER BY cosine_trunc DESC, vec_id) AS BIGINT)
+                       AS rank_trunc
+            FROM s QUALIFY rank_trunc <= 10
+        )
+        SELECT coalesce(tf.vec_id, tt.vec_id) AS vec_id,
+               coalesce(tf.label, tt.label) AS label,
+               coalesce(tf.cosine_full, tt.cosine_full) AS cosine_full,
+               coalesce(tf.cosine_trunc, tt.cosine_trunc) AS cosine_trunc,
+               tf.rank_full,
+               tt.rank_trunc
+        FROM tf FULL JOIN tt ON tf.vec_id = tt.vec_id
+    """,
+)
+def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.ann import cosine
+    from timescaledb_event_streamer_spark.plans.queries_llm import _query_vec
+
+    qv = _query_vec(spark, sf_dir)
+    qh = qv[: len(qv) // 2]
+    emb = load(spark, sf_dir, "embeddings")
+    half = F.floor(F.size("embedding") / 2).cast("int")
+    scored = emb.select(
+        "vec_id",
+        "label",
+        F.round(
+            cosine(
+                F.col("embedding").cast("array<double>"),
+                F.array(*[F.lit(v) for v in qv]),
+            ),
+            6,
+        ).alias("cosine_full"),
+        F.round(
+            cosine(
+                F.slice(F.col("embedding"), F.lit(1), half).cast("array<double>"),
+                F.array(*[F.lit(v) for v in qh]),
+            ),
+            6,
+        ).alias("cosine_trunc"),
+    )
+    val_cols = ["vec_id", "label", "cosine_full", "cosine_trunc"]
+
+    def _rank(df: DataFrame, by: str, rank_name: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        # distributed ordered take first; the row_number window then
+        # runs over 10 rows of metadata, not the corpus
+        top = df.orderBy(F.col(by).desc(), "vec_id").limit(10)
+        w = Window.orderBy(F.col(by).desc(), "vec_id")
+        return top.withColumn(rank_name, F.row_number().over(w).cast("long"))
+
+    tf = _rank(scored, "cosine_full", "rank_full")
+    tt = _rank(scored, "cosine_trunc", "rank_trunc")
+    joined = tf.alias("f").join(
+        tt.alias("t"), F.col("f.vec_id") == F.col("t.vec_id"), "full_outer"
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"f.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in val_cols
+        ],
+        F.col("f.rank_full").alias("rank_full"),
+        F.col("t.rank_trunc").alias("rank_trunc"),
     )

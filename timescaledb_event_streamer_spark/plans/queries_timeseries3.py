@@ -944,3 +944,107 @@ def ts_cagg_realtime_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.floor(F.col("sum_value") * 10000.0 / F.col("n") + 0.5) / 1000000.0)
         .alias("avg_value"),
     )
+
+
+@register(
+    "ts_compressed_roundtrip",
+    family="timeseries",
+    doc="Columnar compressed-chunk ROUNDTRIP — the read path for the "
+    "layout ts_compression_policy (B53) plans: each (chunk, "
+    "segment_by=user_id) slice stores order_by=ts batches of up to "
+    "1000 rows as columnar arrays (TimescaleDB's compressed-chunk "
+    "row format; catalog pairs internal/systemcatalog/"
+    "systemcatalog.go:51, markers replicationresolver.go:84). This "
+    "operator BUILDS the compressed form (one (chunk,segment)-keyed "
+    "window for batch ids + ordered array fold) and then READS IT "
+    "BACK: row/batch counts, exact cent-sums, and the first/last "
+    "values taken from the array heads/tails WITHOUT re-sorting — "
+    "so a layout that lost the order_by invariant or dropped rows "
+    "hash-mismatches the oracle, which computes the same facts from "
+    "the raw uncompressed table. ts is unique per event (driver "
+    "data contract), so first/last are deterministic. Integer cents "
+    "arithmetic keeps every column exact. Scale: shuffles are "
+    "segment-grain, batches bound array width at 1000 rows; the "
+    "explode is a per-partition codegen unnest, no extra exchange.",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type AS hypertable_name,
+                   ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 604800)
+                       AS range_start_s,
+                   user_id AS segment_key,
+                   {_SQL_TS_MS} AS ts_ms,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT hypertable_name,
+               range_start_s,
+               segment_key,
+               count(*) AS n_rows,
+               CAST(ceil(count(*) / 1000.0) AS BIGINT) AS n_batches,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               min(ts_ms) AS ts_min_ms,
+               max(ts_ms) AS ts_max_ms,
+               min_by(cents, ts_ms) AS first_cents,
+               max_by(cents, ts_ms) AS last_cents
+        FROM e
+        GROUP BY 1, 2, 3
+    """,
+)
+def ts_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return compressed_roundtrip(events)
+
+
+def compressed_roundtrip(events: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = events.select(
+        F.col("event_type").alias("hypertable_name"),
+        (F.unix_micros(F.col("ts")) / 1000000).cast("long").alias("epoch_s"),
+        F.col("user_id").alias("segment_key"),
+        (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("ts_ms"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn(
+        "range_start_s", F.col("epoch_s") - F.col("epoch_s") % 604800
+    )
+    seg_cols = ["hypertable_name", "range_start_s", "segment_key"]
+    w = Window.partitionBy(*seg_cols).orderBy("ts_ms", "event_id")
+    # compression: batch id from the order_by rank, then each batch
+    # folds to ONE row holding its columns as ordered arrays — the
+    # compressed-chunk row format
+    compressed = (
+        e.withColumn(
+            "batch_id", F.floor((F.row_number().over(w) - 1) / 1000)
+        )
+        .groupBy(*seg_cols, "batch_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts_ms", "event_id", "cents"))
+            ).alias("batch")
+        )
+    )
+    # decompression read: per-batch facts come from the ARRAYS as
+    # stored (heads/tails untouched by any re-sort); the segment fold
+    # then reduces batch-grain rows only
+    per_batch = compressed.select(
+        *seg_cols,
+        "batch_id",
+        F.size("batch").alias("b_rows"),
+        F.aggregate(
+            F.col("batch"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["cents"],
+        ).alias("b_cents"),
+        F.element_at("batch", 1).alias("head"),
+        F.element_at("batch", -1).alias("tail"),
+    )
+    return per_batch.groupBy(*seg_cols).agg(
+        F.sum("b_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("b_cents").alias("sum_cents"),
+        F.min(F.col("head")["ts_ms"]).alias("ts_min_ms"),
+        F.max(F.col("tail")["ts_ms"]).alias("ts_max_ms"),
+        F.min_by(F.col("head")["cents"], F.col("batch_id")).alias("first_cents"),
+        F.max_by(F.col("tail")["cents"], F.col("batch_id")).alias("last_cents"),
+    )

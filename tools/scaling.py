@@ -67,6 +67,12 @@ REPS = [
     ("ts_freq_agg_topk_sketch", "truncate-and-merge heavy hitters"),
     ("ts_compression_policy", "compress_chunk batching plan"),
     ("ts_cagg_realtime_invalidation", "dirty-routed realtime read"),
+    ("cdc_snapshot_modes", "snapshot-mode tier summary"),
+    ("dedup_paragraphs", "segment-keyed dedup fold"),
+    ("text_substring_dedup", "dup-window coverage fold"),
+    ("text_bloom_decontamination", "broadcast-bitmap probe"),
+    ("ts_compressed_roundtrip", "columnar batch roundtrip"),
+    ("embedding_matryoshka_topk", "dual-rank truncation audit"),
 ]
 
 

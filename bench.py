@@ -49,6 +49,9 @@ HEADLINE = [
     "pipeline_near_dedup",
     "ts_asap_smooth",
     "ann_lsh_topk",
+    # round-5b: the compressed-chunk roundtrip is the newest
+    # window+array-fold heavy path worth latency-tracking
+    "ts_compressed_roundtrip",
 ]
 
 #: the frozen round-1 set — `value` keeps measuring exactly these so

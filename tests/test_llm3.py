@@ -160,20 +160,20 @@ def test_bloom_bitmap_is_fixed_size(spark, sf_small):
     """The broadcast side is a single map row bounded by m/64 = 1024
     words — the property that makes the Bloom probe the 100 TB
     swap-in for the raw broadcast set."""
+    from timescaledb_event_streamer_spark.plans.queries_llm3 import (
+        _doc_shingles,
+        bloom_bitmap,
+    )
     from timescaledb_event_streamer_spark.sources.tables import load
 
     docs = load(spark, sf_small, "documents")
-    toks = F.split(F.col("text"), " ")
-    bigrams = F.expr(
-        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"
-    )
-    sh = (
-        docs.select(F.col("doc_id"), toks.alias("t"))
-        .filter(F.size("t") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("s"))
-    )
-    n_bench = sh.filter(F.col("doc_id") % 100 == 0).select("s").distinct().count()
-    assert n_bench > 0  # the probe actually has content at sf0.001
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    assert _doc_shingles(bench).count() > 0  # probe has content
+    rows = bloom_bitmap(bench).collect()
+    assert len(rows) == 1  # ONE row no matter the benchmark size
+    bitmap = rows[0]["bloom"]
+    assert 0 < len(bitmap) <= 1024  # m/64 words at most
+    assert all(0 <= w < 1024 for w in bitmap)  # word indices in range
 
 
 def test_matryoshka_self_rank_and_overlap(spark, sf_mid):

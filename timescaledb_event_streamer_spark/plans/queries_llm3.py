@@ -128,13 +128,13 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
             WHERE len(string_split(text, ' ')) >= 10
         ),
         g AS (
-            SELECT doc_id, i, len(toks) AS n,
+            SELECT doc_id, i,
                    array_to_string(toks[i + 1 : i + 10], ' ') AS g
             FROM t, unnest(range(0, len(toks) - 9)) AS u(i)
         ),
         dc AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g),
         cov AS (
-            SELECT DISTINCT doc_id, n, i + d AS pos
+            SELECT DISTINCT doc_id, i + d AS pos
             FROM g JOIN dc USING (g), unnest(range(10)) AS w(d)
             WHERE nd >= 2
         ),
@@ -162,12 +162,10 @@ def substring_dedup(docs: DataFrame) -> DataFrame:
     starts = F.sequence(F.lit(0), F.size("toks") - _SUB_TOKENS)
     g = t.select(
         "doc_id",
-        F.size("toks").alias("n"),
         F.explode(starts).alias("i"),
         F.col("toks"),
     ).select(
         "doc_id",
-        "n",
         "i",
         F.concat_ws(" ", F.slice("toks", F.col("i") + 1, _SUB_TOKENS)).alias("g"),
     )
@@ -359,11 +357,13 @@ def bloom_decontamination(docs: DataFrame) -> DataFrame:
     "truncated prefixes as cheaper first-pass vectors), then full-"
     "outer-join the two top-10 lists — rows present in only one "
     "ranking expose exactly what truncation re-orders, and the "
-    "carried cosine columns quantify by how much. Plan: ONE corpus "
-    "scan computes both similarities in the same codegen stage "
-    "(slice + fold, no Python), each top-10 is a distributed ordered "
-    "take (no global window), and the rank join touches 20 rows of "
-    "metadata. The fold is a sequential left fold in double, the "
+    "carried cosine columns quantify by how much. Plan: each top-10 "
+    "is a distributed ordered take over the scored projection (both "
+    "similarities in one codegen stage, slice + fold, no Python; "
+    "the two takes each re-scan the projected columns — a "
+    "deployment wanting one physical scan persists `scored`), and "
+    "the rank join touches 20 rows of metadata. No global window. "
+    "The fold is a sequential left fold in double, the "
     "round-6 contract that keeps cosine bit-stable vs DuckDB's "
     "list_cosine_similarity.",
     oracle="""

@@ -961,8 +961,9 @@ def ts_cagg_realtime_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame
     "values taken from the array heads/tails WITHOUT re-sorting — "
     "so a layout that lost the order_by invariant or dropped rows "
     "hash-mismatches the oracle, which computes the same facts from "
-    "the raw uncompressed table. ts is unique per event (driver "
-    "data contract), so first/last are deterministic. Integer cents "
+    "the raw uncompressed table. first/last tie-break on event_id "
+    "in BOTH engines, so they stay deterministic even when "
+    "ms-truncated timestamps collide. Integer cents "
     "arithmetic keeps every column exact. Scale: shuffles are "
     "segment-grain, batches bound array width at 1000 rows; the "
     "explode is a per-partition codegen unnest, no extra exchange.",
@@ -973,6 +974,7 @@ def ts_cagg_realtime_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame
                        AS range_start_s,
                    user_id AS segment_key,
                    {_SQL_TS_MS} AS ts_ms,
+                   event_id,
                    CAST(round(value * 100) AS BIGINT) AS cents
             FROM events
         )
@@ -984,8 +986,8 @@ def ts_cagg_realtime_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame
                CAST(sum(cents) AS BIGINT) AS sum_cents,
                min(ts_ms) AS ts_min_ms,
                max(ts_ms) AS ts_max_ms,
-               min_by(cents, ts_ms) AS first_cents,
-               max_by(cents, ts_ms) AS last_cents
+               first(cents ORDER BY ts_ms, event_id) AS first_cents,
+               last(cents ORDER BY ts_ms, event_id) AS last_cents
         FROM e
         GROUP BY 1, 2, 3
     """,

@@ -199,3 +199,104 @@ def test_matryoshka_self_rank_and_overlap(spark, sf_mid):
     assert trunc_ranks == list(range(1, 11))
     for r in rows:
         assert r["cosine_full"] is not None and r["cosine_trunc"] is not None
+
+
+def _ref_paragraph_dedup(docs):
+    """Pure-Python reference for paragraph_dedup: segment -> distinct
+    doc count -> per-doc duplicated-position tally."""
+    segs = {}  # doc_id -> [segment text per position]
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        segs[doc_id] = [
+            " ".join(toks[i : i + 12]) for i in range(0, len(toks), 12)
+        ]
+    nd = {}
+    for doc_id, ss in segs.items():
+        for s in set(ss):
+            nd[s] = nd.get(s, 0) + 1
+    out = {}
+    for doc_id, ss in segs.items():
+        dup = sum(1 for s in ss if nd[s] >= 2)
+        out[doc_id] = (len(ss), dup, round(dup / len(ss), 6))
+    return out
+
+
+def _ref_substring_dedup(docs):
+    """Pure-Python reference for substring_dedup coverage."""
+    grams = {}  # doc -> [(i, gram)]
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        if len(toks) < 10:
+            continue
+        grams[doc_id] = [
+            (i, " ".join(toks[i : i + 10])) for i in range(len(toks) - 9)
+        ]
+    nd = {}
+    for doc_id, gs in grams.items():
+        for g in {g for _, g in gs}:
+            nd[g] = nd.get(g, 0) + 1
+    out = {}
+    for doc_id, gs in grams.items():
+        covered = set()
+        for i, g in gs:
+            if nd[g] >= 2:
+                covered.update(range(i, i + 10))
+        n = len(gs) + 9
+        out[doc_id] = (n, len(covered), round(len(covered) / n, 6))
+    return out
+
+
+def test_paragraph_and_substring_dedup_property(spark):
+    """Property: on arbitrary corpora (random token streams with
+    planted exact/partial copies), both dedup statistics match a
+    pure-Python reference computation exactly. Examples are
+    generated up front and token-namespaced per example so ONE Spark
+    run covers them all without cross-example gram collisions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = st.integers(min_value=0, max_value=6).map(lambda i: f"t{i}")
+    doc = st.lists(tok, min_size=1, max_size=30).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    collected = []
+
+    @settings(max_examples=15, deadline=None)
+    @given(corpus, st.integers(min_value=0, max_value=5))
+    def gen(docs, dup_idx):
+        # plant an exact copy of one doc so duplication is exercised
+        docs = list(docs) + [docs[dup_idx % len(docs)]]
+        collected.append(docs)
+
+    gen()
+
+    rows = []
+    ref_docs = []
+    for ex, docs in enumerate(collected):
+        for j, text in enumerate(docs):
+            # token-level namespacing isolates the examples from one
+            # another inside the single shared corpus
+            ns = " ".join(f"e{ex}_{t}" for t in text.split(" "))
+            rows.append((ex * 1000 + j, ns))
+            ref_docs.append((ex * 1000 + j, ns))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got_p = {
+        r["doc_id"]: (
+            r["n_segments"],
+            r["dup_segments"],
+            r["dup_segment_fraction"],
+        )
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got_p == _ref_paragraph_dedup(ref_docs)
+
+    got_s = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["covered_tokens"],
+            r["coverage_fraction"],
+        )
+        for r in substring_dedup(df).collect()
+    }
+    assert got_s == _ref_substring_dedup(ref_docs)

@@ -445,3 +445,111 @@ def test_compressed_roundtrip_batching_and_order(spark):
     assert {k: v.asDict() for k, v in out.items()} == {
         k: v.asDict() for k, v in got2.items()
     }
+
+
+def test_compressed_roundtrip_property(spark):
+    """Property: for arbitrary event sets — including timestamps
+    that COLLIDE at millisecond grain (the tie the oracle breaks on
+    event_id) — the compressed read matches a pure-Python reference
+    on every column. Examples are generated up front and namespaced
+    by example id so one Spark run covers all of them."""
+    import datetime
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from timescaledb_event_streamer_spark.plans.queries_timeseries3 import (
+        compressed_roundtrip,
+    )
+
+    ev = st.tuples(
+        st.integers(min_value=0, max_value=50),  # offset ms — ties guaranteed
+        st.integers(min_value=0, max_value=2),        # user bucket
+        st.integers(min_value=-10_000, max_value=10_000),  # cents
+    )
+    batch = st.lists(ev, min_size=1, max_size=40)
+
+    collected = []
+
+    @settings(max_examples=15, deadline=None)
+    @given(batch)
+    def gen(events):
+        collected.append(events)
+
+    gen()
+
+    base = datetime.datetime(2024, 3, 4)  # within one 7-day chunk
+    rows = []
+    ref = {}  # (ht, seg) -> list of (ts_ms, event_id, cents)
+    eid = 0
+    for ex, events in enumerate(collected):
+        ht = f"type_{ex}"
+        for off_ms, ub, cents in events:
+            ts = base + datetime.timedelta(milliseconds=off_ms)
+            ts_ms = int(ts.timestamp() * 1000)
+            rows.append((eid, ts, ub, ht, cents / 100.0))
+            ref.setdefault((ht, ub), []).append((ts_ms, eid, cents))
+            eid += 1
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r["hypertable_name"], r["segment_key"]): r
+        for r in compressed_roundtrip(df).collect()
+    }
+    assert set(got) == set(ref)
+    for key, pts in ref.items():
+        pts.sort()  # (ts_ms, event_id, cents) — the order_by contract
+        r = got[key]
+        assert r["n_rows"] == len(pts)
+        assert r["n_batches"] == math.ceil(len(pts) / 1000)
+        assert r["sum_cents"] == sum(c for _, _, c in pts)
+        assert r["ts_min_ms"] == pts[0][0]
+        assert r["ts_max_ms"] == pts[-1][0]
+        assert r["first_cents"] == pts[0][2], key
+        assert r["last_cents"] == pts[-1][2], key
+
+
+def test_compressed_roundtrip_oracle_tiebreak_on_ms_ties(spark, tmp_path):
+    """The DuckDB oracle's first/last ordered aggregates key on
+    (ts_ms, event_id) exactly like the Spark side — proven on data
+    whose timestamps collide at millisecond grain, which the driver
+    testdata (unique ts) never exercises."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from timescaledb_event_streamer_spark.plans.queries_timeseries3 import (
+        compressed_roundtrip,
+    )
+    from timescaledb_event_streamer_spark.plans.registry import all_oracles
+    from tools.check import canon
+
+    base = datetime.datetime(2024, 3, 4)
+    rows = []
+    eid = 0
+    for off_ms, ub, cents in [
+        (5, 1, 100), (5, 1, -300), (5, 1, 200),  # 3-way ts tie, one segment
+        (9, 1, 50), (9, 2, 75), (9, 2, 60),      # tie spanning segments
+        (1, 2, 10),
+    ]:
+        rows.append((eid, base + datetime.timedelta(milliseconds=off_ms),
+                     ub, "metrics", cents / 100.0))
+        eid += 1
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = canon(compressed_roundtrip(df).toPandas())
+
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = canon(con.sql(all_oracles()["ts_compressed_roundtrip"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)

@@ -300,3 +300,42 @@ def test_paragraph_and_substring_dedup_property(spark):
         for r in substring_dedup(df).collect()
     }
     assert got_s == _ref_substring_dedup(ref_docs)
+
+
+def test_bigram_surprise_matches_hand_computation(spark):
+    """Planted corpus: the add-1-smoothed conditional bits match an
+    exact hand computation, and a looping phrase scores LOWER than
+    novel transitions over the same unigrams."""
+    import math
+
+    from timescaledb_event_streamer_spark.plans.queries_llm3 import (
+        bigram_surprise,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            "a b a b a b",  # looping: only (a b) and (b a)
+            "a c b a",      # novel transitions over shared unigrams
+        ],
+    )
+    out = {r["doc_id"]: r for r in bigram_surprise(docs).collect()}
+    # corpus: V = 3 (a, b, c); bigram counts: doc0 has ab=3, ba=2;
+    # doc1 adds ac=1, cb=1, ba=1 -> totals ab=3, ba=3, ac=1, cb=1
+    # left-unigram counts: a=4 (ab*3 + ac*1), b=3, c=1
+    def bits(pairs):
+        bf = {"a b": 3, "b a": 3, "a c": 1, "c b": 1}
+        uf = {"a": 4, "b": 3, "c": 1}
+        v = 3
+        s = sum(-math.log2((bf[p] + 1.0) / (uf[p.split()[0]] + v)) for p in pairs)
+        return round(s / len(pairs), 6)
+
+    assert out[0]["n_bigrams"] == 5
+    assert out[0]["bigram_cross_entropy_bits"] == bits(
+        ["a b", "b a", "a b", "b a", "a b"]
+    )
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["bigram_cross_entropy_bits"] == bits(["a c", "c b", "b a"])
+    assert (
+        out[0]["bigram_cross_entropy_bits"] < out[1]["bigram_cross_entropy_bits"]
+    )

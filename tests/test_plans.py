@@ -122,6 +122,7 @@ _BNLJ_OK = {
     #   non-equi type-pair self-join, both metadata-sized
     "text_bloom_decontamination",  # single-row broadcast Bloom bitmap
     "cdc_snapshot_modes",  # single-row broadcast slot LSN
+    "text_bigram_surprise",  # single-row broadcast vocab size
 }
 
 

@@ -553,3 +553,30 @@ def test_compressed_roundtrip_oracle_tiebreak_on_ms_ties(spark, tmp_path):
     want = canon(con.sql(all_oracles()["ts_compressed_roundtrip"]).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_m4_downsample_first_last_and_extremes(spark, tmp_path):
+    """B56: per pixel bucket, M4 keeps the boundary points (first and
+    last by timestamp) alongside the extremes — on a bucket where
+    the first/last are NOT the min/max, all four differ."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries3 import (
+        ts_downsample_m4,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (t0, "m", 4.0),                                  # first
+        (t0 + datetime.timedelta(minutes=10), "m", 9.0),  # max
+        (t0 + datetime.timedelta(minutes=20), "m", 1.0),  # min
+        (t0 + datetime.timedelta(minutes=30), "m", 6.0),  # last
+    ]
+    sf_dir = _write(spark, tmp_path, rows)
+    [b] = ts_downsample_m4(spark, sf_dir).collect()
+    assert b["n_points"] == 4
+    assert (b["v_min"], b["v_max"]) == (1.0, 9.0)
+    assert b["v_first"] == 4.0
+    assert b["v_last"] == 6.0
+    assert b["ts_first_ms"] == int(t0.timestamp() * 1000)
+    assert b["ts_last_ms"] == int(
+        (t0 + datetime.timedelta(minutes=30)).timestamp() * 1000
+    )

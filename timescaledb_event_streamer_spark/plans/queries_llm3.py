@@ -453,3 +453,77 @@ def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.rank_full").alias("rank_full"),
         F.col("t.rank_trunc").alias("rank_trunc"),
     )
+
+
+@register(
+    "text_bigram_surprise",
+    family="text",
+    doc="Add-1-smoothed bigram cross-entropy in bits/bigram — the "
+    "conditional-LM step past text_perplexity_proxy's unigram "
+    "surprise (F19): p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) over "
+    "the corpus's own counts, so looping phrases score low and "
+    "locally-novel transitions score high even when every unigram "
+    "is common. Plan: one scan -> per-doc bigram counts; corpus "
+    "bigram and left-unigram frequencies reduce from the same "
+    "counts (map-side partials); V folds back as a 1-row broadcast; "
+    "joins are keyed on the bigram and on w1 (AQE handles the "
+    "stopword-skewed w1 key). Same round-6 normalized-bits contract "
+    "as F19.",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, toks[i + 1] AS w1,
+                   toks[i + 1] || ' ' || toks[i + 2] AS b
+            FROM t, unnest(range(len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 2
+        ),
+        cnt AS (SELECT doc_id, w1, b, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+        bf AS (SELECT b, CAST(sum(c) AS BIGINT) AS bf FROM cnt GROUP BY b),
+        uf AS (SELECT w1, CAST(sum(c) AS BIGINT) AS uf FROM cnt GROUP BY w1),
+        v AS (
+            SELECT count(DISTINCT tok) AS v
+            FROM (SELECT unnest(toks) AS tok FROM t)
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               round(-sum(c * log2((bf + 1.0) / (uf + v))) / sum(c), 6)
+                   AS bigram_cross_entropy_bits
+        FROM cnt JOIN bf USING (b) JOIN uf USING (w1), v
+        GROUP BY doc_id
+    """,
+)
+def text_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_surprise(spread(load(spark, sf_dir, "documents")))
+
+
+def bigram_surprise(docs: DataFrame) -> DataFrame:
+    toks = F.split("text", " ")
+    bg = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS w1, concat(t[i], ' ', t[i + 1]) AS b))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.w1", "x.b")
+    )
+    cnt = bg.groupBy("doc_id", "w1", "b").agg(F.count(F.lit(1)).alias("c"))
+    bf = cnt.groupBy("b").agg(F.sum("c").alias("bf"))
+    uf = cnt.groupBy("w1").agg(F.sum("c").alias("uf"))
+    v = (
+        docs.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )  # 1 row -> broadcast
+    joined = cnt.join(bf, "b").join(uf, "w1").crossJoin(F.broadcast(v))
+    bits = F.col("c") * F.log2((F.col("bf") + F.lit(1.0)) / (F.col("uf") + F.col("v")))
+    return joined.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(-F.sum(bits) / F.sum("c"), 6).alias("bigram_cross_entropy_bits"),
+    )

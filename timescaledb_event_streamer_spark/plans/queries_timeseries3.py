@@ -1050,3 +1050,59 @@ def compressed_roundtrip(events: DataFrame) -> DataFrame:
         F.min_by(F.col("head")["cents"], F.col("batch_id")).alias("first_cents"),
         F.max_by(F.col("tail")["cents"], F.col("batch_id")).alias("last_cents"),
     )
+
+
+@register(
+    "ts_downsample_m4",
+    family="timeseries",
+    doc="M4 downsample (Jugel et al., VLDB 2014): per series and "
+    "6-hour pixel bucket keep min, max, FIRST and LAST — the four "
+    "points that make a line chart pixel-exact, where min/max alone "
+    "(B45) can misdraw the bucket-boundary segments. Still a pure "
+    "associative aggregate: min/max over (value, ts) AND (ts, value) "
+    "structs in ONE shuffle with map-side partials, so it rolls up "
+    "hierarchically like a cagg. ts is unique per event, so "
+    "first/last are deterministic without a tie key.",
+    oracle=f"""
+        WITH b AS (
+            SELECT event_type,
+                   ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % {SIX_HOURS}) AS bucket_s,
+                   value,
+                   {_SQL_TS_MS} AS ts_ms
+            FROM events
+        )
+        SELECT event_type AS series,
+               bucket_s,
+               count(*) AS n_points,
+               min(value) AS v_min,
+               max(value) AS v_max,
+               min(ts_ms) AS ts_first_ms,
+               min_by(value, ts_ms) AS v_first,
+               max(ts_ms) AS ts_last_ms,
+               max_by(value, ts_ms) AS v_last
+        FROM b
+        GROUP BY 1, 2
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    ts_ms = (F.unix_micros(F.col("ts")) / 1000).cast("long")
+    tpt = F.struct(ts_ms.alias("ts_ms"), F.col("value"))
+    return (
+        events.select(
+            F.col("event_type").alias("series"),
+            time_bucket_epoch(F.col("ts"), SIX_HOURS).alias("bucket_s"),
+            F.col("value"),
+            tpt.alias("tpt"),
+        )
+        .groupBy("series", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min("tpt").getField("ts_ms").alias("ts_first_ms"),
+            F.min("tpt").getField("value").alias("v_first"),
+            F.max("tpt").getField("ts_ms").alias("ts_last_ms"),
+            F.max("tpt").getField("value").alias("v_last"),
+        )
+    )

@@ -73,6 +73,8 @@ REPS = [
     ("text_bloom_decontamination", "broadcast-bitmap probe"),
     ("ts_compressed_roundtrip", "columnar batch roundtrip"),
     ("embedding_matryoshka_topk", "dual-rank truncation audit"),
+    ("ts_downsample_m4", "4-extreme pixel downsample"),
+    ("text_bigram_surprise", "bigram-keyed LM join"),
 ]
 
 

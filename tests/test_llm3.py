@@ -270,15 +270,13 @@ def test_paragraph_and_substring_dedup_property(spark):
 
     gen()
 
-    rows = []
-    ref_docs = []
-    for ex, docs in enumerate(collected):
-        for j, text in enumerate(docs):
-            # token-level namespacing isolates the examples from one
-            # another inside the single shared corpus
-            ns = " ".join(f"e{ex}_{t}" for t in text.split(" "))
-            rows.append((ex * 1000 + j, ns))
-            ref_docs.append((ex * 1000 + j, ns))
+    rows = [
+        # token-level namespacing isolates the examples from one
+        # another inside the single shared corpus
+        (ex * 1000 + j, " ".join(f"e{ex}_{t}" for t in text.split(" ")))
+        for ex, docs in enumerate(collected)
+        for j, text in enumerate(docs)
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
     got_p = {
@@ -289,7 +287,7 @@ def test_paragraph_and_substring_dedup_property(spark):
         )
         for r in paragraph_dedup(df).collect()
     }
-    assert got_p == _ref_paragraph_dedup(ref_docs)
+    assert got_p == _ref_paragraph_dedup(rows)
 
     got_s = {
         r["doc_id"]: (
@@ -299,7 +297,7 @@ def test_paragraph_and_substring_dedup_property(spark):
         )
         for r in substring_dedup(df).collect()
     }
-    assert got_s == _ref_substring_dedup(ref_docs)
+    assert got_s == _ref_substring_dedup(rows)
 
 
 def test_bigram_surprise_matches_hand_computation(spark):

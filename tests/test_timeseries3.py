@@ -580,3 +580,44 @@ def test_m4_downsample_first_last_and_extremes(spark, tmp_path):
     assert b["ts_last_ms"] == int(
         (t0 + datetime.timedelta(minutes=30)).timestamp() * 1000
     )
+
+
+def test_m4_oracle_tiebreak_on_ms_ties(spark):
+    """B56's first/last tie-break on (ts_ms, event_id) agrees across
+    engines on data whose timestamps collide at millisecond grain
+    (same discipline and proof shape as B55's)."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from timescaledb_event_streamer_spark.plans.queries_timeseries3 import (
+        ts_downsample_m4,
+    )
+    from timescaledb_event_streamer_spark.plans.registry import all_oracles
+    from tools.check import canon
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (0, base + datetime.timedelta(milliseconds=5), 1, "m", 3.0, "p"),
+        (1, base + datetime.timedelta(milliseconds=5), 1, "m", 8.0, "p"),
+        (2, base + datetime.timedelta(milliseconds=9), 1, "m", 1.0, "p"),
+        (3, base + datetime.timedelta(milliseconds=9), 1, "m", 6.0, "p"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = canon(ts_downsample_m4(spark, d).toPandas())
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    want = canon(con.sql(all_oracles()["ts_downsample_m4"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert got["v_first"].iloc[0] == 3.0  # event_id 0 wins the ts tie
+    assert got["v_last"].iloc[0] == 6.0   # event_id 3 wins the ts tie

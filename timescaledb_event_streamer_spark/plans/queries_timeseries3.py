@@ -1061,13 +1061,15 @@ def compressed_roundtrip(events: DataFrame) -> DataFrame:
     "(B45) can misdraw the bucket-boundary segments. Still a pure "
     "associative aggregate: min/max over (value, ts) AND (ts, value) "
     "structs in ONE shuffle with map-side partials, so it rolls up "
-    "hierarchically like a cagg. ts is unique per event, so "
-    "first/last are deterministic without a tie key.",
+    "hierarchically like a cagg. first/last tie-break on event_id in "
+    "BOTH engines (raw-ts uniqueness does not survive the ms "
+    "truncation), the B55 discipline.",
     oracle=f"""
         WITH b AS (
             SELECT event_type,
                    ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % {SIX_HOURS}) AS bucket_s,
                    value,
+                   event_id,
                    {_SQL_TS_MS} AS ts_ms
             FROM events
         )
@@ -1077,9 +1079,9 @@ def compressed_roundtrip(events: DataFrame) -> DataFrame:
                min(value) AS v_min,
                max(value) AS v_max,
                min(ts_ms) AS ts_first_ms,
-               min_by(value, ts_ms) AS v_first,
+               first(value ORDER BY ts_ms, event_id) AS v_first,
                max(ts_ms) AS ts_last_ms,
-               max_by(value, ts_ms) AS v_last
+               last(value ORDER BY ts_ms, event_id) AS v_last
         FROM b
         GROUP BY 1, 2
     """,
@@ -1087,7 +1089,7 @@ def compressed_roundtrip(events: DataFrame) -> DataFrame:
 def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     ts_ms = (F.unix_micros(F.col("ts")) / 1000).cast("long")
-    tpt = F.struct(ts_ms.alias("ts_ms"), F.col("value"))
+    tpt = F.struct(ts_ms.alias("ts_ms"), F.col("event_id"), F.col("value"))
     return (
         events.select(
             F.col("event_type").alias("series"),

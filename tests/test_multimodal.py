@@ -375,3 +375,76 @@ def test_jpeg_walk_property(spark, segs, dims, progressive):
     assert row["height"] == h and row["width"] == w
     assert row["progressive"] == progressive
     assert row["n_header_segments"] == len(segs)
+
+
+def _wav_media(spark, hex_payloads):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(i, bytes.fromhex(h)) for i, h in enumerate(hex_payloads)],
+        "media_id long, payload binary",
+    ).select("media_id", F.col("payload"))
+
+
+def _wav_hex(rate, samples):
+    """Canonical mono 16-bit PCM WAV bytes for a planted sample list."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return (hdr + data).hex()
+
+
+def test_wav_pcm_stats_golden_samples(spark):
+    """G6: planted samples -> exact peak / DC sum / energy /
+    zero-crossings off the real bytes."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        wav_pcm_stats,
+    )
+
+    samples = [100, -200, 300, 0, -400, 32767, -32768, 5]
+    out = {r["media_id"]: r for r in wav_pcm_stats(
+        _wav_media(spark, [_wav_hex(16000, samples)])).collect()}
+    r = out[0]
+    assert r["is_pcm_wav"] and r["n_samples"] == 8
+    assert r["sample_rate"] == 16000 and r["duration_ms"] == 0
+    assert r["peak_abs"] == 32768
+    assert r["sum_samples"] == sum(samples)
+    assert r["energy"] == sum(s * s for s in samples)
+    # sign changes: 100/-200, -200/300, (-400 after 0 is NOT a strict
+    # product<0 crossing from 0), -400/32767, 32767/-32768, -32768/5
+    assert r["zero_crossings"] == 5
+
+
+def test_wav_pcm_stats_hostile_inputs(spark):
+    """Non-WAV magic, stereo/non-PCM headers, truncated data chunks,
+    and a hostile oversized data_size field all yield nulls (or a
+    fold capped at the bytes actually present) — never an error."""
+    import struct
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        WAV_PCM_MAX_SAMPLES,
+        wav_pcm_stats,
+    )
+
+    good = _wav_hex(8000, [10, -10])
+    png = "89504E470D0A1A0A"
+    stereo = good.replace("01000100", "01000200", 1)  # channels=2
+    # claims 2^31 bytes of data but carries only 2 samples
+    hostile = good[:80] + struct.pack("<I", 2**31).hex() + good[88:]
+    truncated = good[:94]  # data chunk cut mid-sample
+    out = {r["media_id"]: r for r in wav_pcm_stats(
+        _wav_media(spark, [good, png, stereo, hostile, truncated])).collect()}
+    assert out[0]["is_pcm_wav"] and out[0]["n_samples"] == 2
+    assert not out[1]["is_pcm_wav"] and out[1]["energy"] is None
+    assert not out[2]["is_pcm_wav"] and out[2]["n_samples"] is None
+    # hostile size: fold bounded by actual payload bytes and the cap
+    assert out[3]["is_pcm_wav"]
+    assert out[3]["n_samples"] <= WAV_PCM_MAX_SAMPLES
+    assert out[3]["n_samples"] == 2  # only the bytes actually there
+    assert out[4]["is_pcm_wav"]  # header intact, data short
+    assert out[4]["n_samples"] == 1

@@ -477,3 +477,110 @@ def parse_jpeg_headers(media: DataFrame, payload_col: str = "payload") -> DataFr
         F.when(found, marker == "FFC2").alias("progressive"),
         F.when(found, F.round(width * height / 1e6, 6)).alias("megapixels"),
     )
+
+
+# -- WAV PCM signal statistics: raw 16-bit PCM needs NO codec, so this
+# is the one modality where feature extraction (not just header
+# probing) runs for real in pure codegen — peak / DC sum / energy /
+# zero-crossings straight off the interleaved sample bytes.
+
+#: parse-side cap on samples folded per payload: bounds the per-row
+#: transform against hostile data_size fields (synthesis stays far
+#: below it)
+WAV_PCM_MAX_SAMPLES = 1024
+
+
+def synthesize_wav_pcm(events: DataFrame) -> DataFrame:
+    """Deterministic mono 16-bit PCM WAV payloads WITH a real data
+    chunk: canonical 44-byte header + n interleaved LE samples of a
+    full-range pseudo-noise waveform derived from the row. Only
+    (media_id, payload) survive — the parse side runs from bytes
+    alone."""
+    n_shuffle = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    events = events.repartition(n_shuffle)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    n = eid % 32 + 8
+    rate = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+        (F.pmod(uid, 3) + 1).cast("int"),
+    )
+    data_size = n * 2
+    header_hex = F.concat(
+        F.lit("52494646"), _hle(data_size + 36, 4), F.lit("57415645"),
+        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"),
+        _hle(F.lit(1), 2), _hle(rate, 4), _hle(rate * 2, 4),
+        _hle(F.lit(2), 2), F.lit("1000"),
+        F.lit("64617461"), _hle(data_size, 4),
+    )
+    samples_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: _hle(F.pmod(eid * 6151 + i * 32917, F.lit(65536)), 2),
+        ),
+        "",
+    )
+    return events.select(
+        eid.alias("media_id"),
+        F.unhex(F.concat(header_hex, samples_hex)).alias("payload"),
+    )
+
+
+def wav_pcm_stats(media: DataFrame) -> DataFrame:
+    """Signal statistics from the PCM bytes of a canonical mono
+    16-bit WAV: all integer arithmetic (exact at any summation
+    order), one narrow codegen projection per row, no shuffle — the
+    shape that lets a 100 TB audio lake compute admission features
+    (clipping, silence, DC offset) without a decode fleet. Non-WAV /
+    non-PCM / truncated payloads yield nulls, never errors."""
+    h = F.upper(F.hex(F.col("payload")))
+    is_wav = (
+        (h.substr(F.lit(1), F.lit(8)) == "52494646")
+        & (h.substr(F.lit(17), F.lit(8)) == "57415645")
+        & (h.substr(F.lit(73), F.lit(8)) == "64617461")
+        & (_le_u(h, 41, 2) == 1)   # PCM format tag
+        & (_le_u(h, 45, 2) == 1)   # mono
+        & (_le_u(h, 69, 2) == 16)  # 16-bit
+    )
+    rate = _le_u(h, 49, 4)
+    data_size = _le_u(h, 81, 4)
+    # cap the fold and require the payload to actually carry the bytes
+    n = F.least(
+        (data_size / 2).cast("long"),
+        ((F.length(h) - 88) / 4).cast("long"),
+        F.lit(WAV_PCM_MAX_SAMPLES).cast("long"),
+    )
+    u = lambda i: F.conv(  # noqa: E731 — LE u16 at sample index i
+        F.concat(
+            h.substr(F.lit(91) + i * 4, F.lit(2)),
+            h.substr(F.lit(89) + i * 4, F.lit(2)),
+        ),
+        16,
+        10,
+    ).cast("long")
+    signed = lambda v: F.when(v >= 32768, v - 65536).otherwise(v)  # noqa: E731
+    samples = F.transform(F.sequence(F.lit(0), n - 1), lambda i: signed(u(i)))
+    ok = is_wav & (n > 0)
+    head = F.slice(samples, 1, F.greatest(n - 1, F.lit(0)).cast("int"))
+    tail = F.slice(samples, 2, F.greatest(n - 1, F.lit(0)).cast("int"))
+    crossings = F.aggregate(
+        F.zip_with(
+            head, tail,
+            lambda a, b: F.when(a * b < 0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    agg = lambda fn: F.aggregate(  # noqa: E731
+        samples, F.lit(0).cast("long"), lambda acc, v: acc + fn(v)
+    )
+    return media.select(
+        "media_id",
+        is_wav.alias("is_pcm_wav"),
+        F.when(ok, n).alias("n_samples"),
+        F.when(ok, rate).alias("sample_rate"),
+        F.when(ok, F.floor(n * 1000 / rate)).alias("duration_ms"),
+        F.when(ok, F.array_max(F.transform(samples, F.abs))).alias("peak_abs"),
+        F.when(ok, agg(lambda v: v)).alias("sum_samples"),
+        F.when(ok, agg(lambda v: v * v)).alias("energy"),
+        F.when(ok, crossings).alias("zero_crossings"),
+    )

@@ -527,3 +527,62 @@ def bigram_surprise(docs: DataFrame) -> DataFrame:
         F.sum("c").alias("n_bigrams"),
         F.round(-F.sum(bits) / F.sum("c"), 6).alias("bigram_cross_entropy_bits"),
     )
+
+
+@register(
+    "media_wav_pcm_stats",
+    family="multimodal",
+    doc="PCM signal statistics from WAV bytes (G6) — the one "
+    "modality where FEATURE EXTRACTION (not just header probing, "
+    "G4/G5) runs for real without a codec library: raw mono 16-bit "
+    "PCM parses as fixed-offset LE integer reads, so peak / DC sum "
+    "/ energy / zero-crossings come straight off the sample bytes "
+    "in one narrow codegen projection per row, no shuffle, no "
+    "Python — the audio-lake admission features (clipping, silence, "
+    "DC offset) at any scale. Payloads synthesized as real WAV "
+    "bytes (44-byte canonical header + data chunk) from events; the "
+    "parse side sees ONLY the binary column, the fold is capped at "
+    "1024 samples against hostile size fields, and the oracle "
+    "re-derives every statistic from the generator formula, so a "
+    "synth/parse bug cannot cancel out. All-integer arithmetic: "
+    "exact at any summation order.",
+    oracle="""
+        WITH src AS (
+            SELECT event_id,
+                   event_id % 32 + 8 AS n,
+                   CASE user_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END AS rate,
+                   list_transform(
+                       range(event_id % 32 + 8),
+                       i -> CASE
+                           WHEN (event_id * 6151 + i * 32917) % 65536 >= 32768
+                           THEN (event_id * 6151 + i * 32917) % 65536 - 65536
+                           ELSE (event_id * 6151 + i * 32917) % 65536
+                       END) AS s
+            FROM events
+        )
+        SELECT event_id AS media_id,
+               true AS is_pcm_wav,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(rate AS BIGINT) AS sample_rate,
+               CAST(floor(n * 1000 / rate) AS BIGINT) AS duration_ms,
+               CAST(list_max(list_transform(s, v -> abs(v))) AS BIGINT)
+                   AS peak_abs,
+               CAST(list_sum(s) AS BIGINT) AS sum_samples,
+               CAST(list_sum(list_transform(s, v -> v * v)) AS BIGINT)
+                   AS energy,
+               CAST(list_sum(list_transform(
+                   range(1, n), i -> CASE WHEN s[i] * s[i + 1] < 0
+                                          THEN 1 ELSE 0 END)) AS BIGINT)
+                   AS zero_crossings
+        FROM src
+    """,
+)
+def media_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        synthesize_wav_pcm,
+        wav_pcm_stats,
+    )
+
+    events = load(spark, sf_dir, "events")
+    return wav_pcm_stats(synthesize_wav_pcm(events))

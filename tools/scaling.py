@@ -75,6 +75,7 @@ REPS = [
     ("embedding_matryoshka_topk", "dual-rank truncation audit"),
     ("ts_downsample_m4", "4-extreme pixel downsample"),
     ("text_bigram_surprise", "bigram-keyed LM join"),
+    ("media_wav_pcm_stats", "PCM sample-fold features"),
 ]
 
 

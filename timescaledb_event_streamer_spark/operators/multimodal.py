@@ -558,29 +558,57 @@ def wav_pcm_stats(media: DataFrame) -> DataFrame:
         10,
     ).cast("long")
     signed = lambda v: F.when(v >= 32768, v - 65536).otherwise(v)  # noqa: E731
-    samples = F.transform(F.sequence(F.lit(0), n - 1), lambda i: signed(u(i)))
-    ok = is_wav & (n > 0)
-    head = F.slice(samples, 1, F.greatest(n - 1, F.lit(0)).cast("int"))
-    tail = F.slice(samples, 2, F.greatest(n - 1, F.lit(0)).cast("int"))
-    crossings = F.aggregate(
-        F.zip_with(
-            head, tail,
-            lambda a, b: F.when(a * b < 0, F.lit(1)).otherwise(F.lit(0)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    agg = lambda fn: F.aggregate(  # noqa: E731
-        samples, F.lit(0).cast("long"), lambda acc, v: acc + fn(v)
-    )
-    return media.select(
+    # materialize the decoded samples ONCE (expression subtrees get no
+    # CSE across output columns — computing 4 statistics straight off
+    # the transform would re-decode the hex 4x per row, measured 5x
+    # slower at sf0.1), then fold every statistic in a single pass
+    decoded = media.select(
         "media_id",
+        (is_wav & (n > 0)).alias("ok"),
         is_wav.alias("is_pcm_wav"),
-        F.when(ok, n).alias("n_samples"),
-        F.when(ok, rate).alias("sample_rate"),
-        F.when(ok, F.floor(n * 1000 / rate)).alias("duration_ms"),
-        F.when(ok, F.array_max(F.transform(samples, F.abs))).alias("peak_abs"),
-        F.when(ok, agg(lambda v: v)).alias("sum_samples"),
-        F.when(ok, agg(lambda v: v * v)).alias("energy"),
-        F.when(ok, crossings).alias("zero_crossings"),
+        F.when(is_wav, rate).alias("rate"),
+        F.when(is_wav & (n > 0), n).alias("n"),
+        F.when(
+            is_wav & (n > 0),
+            F.transform(F.sequence(F.lit(0), n - 1), lambda i: signed(u(i))),
+        ).alias("samples"),
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("s"), zero.alias("e"), zero.alias("peak"),
+        zero.alias("zc"), F.lit(None).cast("long").alias("prev"),
+    )
+    state = F.aggregate(
+        F.col("samples"),
+        init,
+        lambda acc, v: F.struct(
+            (acc["s"] + v).alias("s"),
+            (acc["e"] + v * v).alias("e"),
+            F.greatest(acc["peak"], F.abs(v)).alias("peak"),
+            (
+                acc["zc"]
+                + F.when(acc["prev"] * v < 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("zc"),
+            v.alias("prev"),
+        ),
+    )
+    # the fold, too, lands in its own projection so the four statistic
+    # columns read fields of ONE evaluated struct instead of folding
+    # the array four times
+    folded = decoded.select(
+        "media_id", "ok", "is_pcm_wav", "rate", "n", state.alias("st")
+    )
+    ok = F.col("ok")
+    return folded.select(
+        "media_id",
+        F.col("is_pcm_wav"),
+        F.col("n").alias("n_samples"),
+        F.when(ok, F.col("rate")).alias("sample_rate"),
+        F.when(ok, F.floor(F.col("n") * 1000 / F.col("rate"))).alias(
+            "duration_ms"
+        ),
+        F.when(ok, F.col("st.peak")).alias("peak_abs"),
+        F.when(ok, F.col("st.s")).alias("sum_samples"),
+        F.when(ok, F.col("st.e")).alias("energy"),
+        F.when(ok, F.coalesce(F.col("st.zc"), zero)).alias("zero_crossings"),
     )

@@ -200,7 +200,11 @@ def main() -> None:
         "numbers are split-count-insensitive — variance on that row is",
         "co-tenant load, and its primary ratio is already sublinear.",
         "The same explicit repartition covers the other per-row codec",
-        "operators (pgoutput, keepalive).",
+        "operators (pgoutput, keepalive, wav-pcm). media_wav_pcm_stats",
+        "is pure CPU-bound per-row codegen (hex synthesis + a",
+        "sample-array fold, zero exchanges in PLANS.md): its ratio is",
+        "sublinear in rows on the 10x step and parallelizes with",
+        "splits/executors by construction.",
     ])
     lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")

@@ -337,3 +337,35 @@ def test_bigram_surprise_matches_hand_computation(spark):
     assert (
         out[0]["bigram_cross_entropy_bits"] < out[1]["bigram_cross_entropy_bits"]
     )
+
+
+def test_matryoshka_rerank_recall_and_ordering(spark, sf_mid):
+    """E16: the final ranking is exactly the full-dim ordering of the
+    candidate set (self at rank 1), and the two-stage result recalls
+    most of the TRUE full-dim top-10 (the half-dim prefix carries
+    most of the signal on this corpus)."""
+    from timescaledb_event_streamer_spark.plans.queries_llm3 import (
+        ann_matryoshka_rerank,
+    )
+    from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+    rows = sorted(
+        ann_matryoshka_rerank(spark, sf_mid).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    assert rows[0]["vec_id"] == 0  # self-similarity 1.0 survives both stages
+    # final order is non-increasing in full cosine
+    fulls = [r["cosine_full"] for r in rows]
+    assert fulls == sorted(fulls, reverse=True)
+    # every kept row passed stage 1
+    assert all(1 <= r["cand_rank"] <= 50 for r in rows)
+
+    exact = {
+        r["vec_id"]
+        for r in all_queries()["ann_bruteforce_topk"](spark, sf_mid)
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    got = {r["vec_id"] for r in rows}
+    assert len(got & exact) >= 7  # recall >= 0.7 vs the exact top-10

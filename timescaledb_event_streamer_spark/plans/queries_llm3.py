@@ -586,3 +586,88 @@ def media_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load(spark, sf_dir, "events")
     return wav_pcm_stats(synthesize_wav_pcm(events))
+
+
+@register(
+    "ann_matryoshka_rerank",
+    family="ann",
+    doc="Two-stage Matryoshka serving (E16, composing E15 into the "
+    "real MRL pattern): stage 1 ranks the corpus by HALF-dimension "
+    "prefix cosine (half the fold cost per vector at scan time), "
+    "stage 2 exactly re-ranks only the top-50 candidates at full "
+    "dimension and returns the final top-10 with both scores and "
+    "the stage-1 rank — cand_rank vs rank shows exactly how much "
+    "the cheap pass misordered. Plan: one scored scan, a "
+    "distributed ordered take for the 50-row candidate set, then "
+    "windows over 50 rows of metadata. At 100 TB the full-dim fold "
+    "runs on 50 rows instead of the corpus.",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv,
+                   CAST(embedding[1 : len(embedding) // 2] AS DOUBLE[]) AS qh
+            FROM embeddings WHERE vec_id = 0
+        ),
+        s AS (
+            SELECT vec_id, label,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6)
+                       AS cosine_full,
+                   round(list_cosine_similarity(
+                       CAST(embedding[1 : len(embedding) // 2] AS DOUBLE[]),
+                       (SELECT qh FROM q)), 6) AS cosine_trunc
+            FROM embeddings
+        ),
+        cand AS (
+            SELECT *, CAST(row_number() OVER
+                       (ORDER BY cosine_trunc DESC, vec_id) AS BIGINT)
+                       AS cand_rank
+            FROM s QUALIFY cand_rank <= 50
+        )
+        SELECT CAST(row_number() OVER
+                   (ORDER BY cosine_full DESC, vec_id) AS BIGINT) AS rank,
+               vec_id, label, cosine_full, cosine_trunc, cand_rank
+        FROM cand
+        QUALIFY rank <= 10
+    """,
+)
+def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.operators.ann import cosine
+    from timescaledb_event_streamer_spark.plans.queries_llm import _query_vec
+
+    qv = _query_vec(spark, sf_dir)
+    qh = qv[: len(qv) // 2]
+    emb = load(spark, sf_dir, "embeddings")
+    half = F.floor(F.size("embedding") / 2).cast("int")
+    scored = emb.select(
+        "vec_id",
+        "label",
+        F.round(
+            cosine(
+                F.col("embedding").cast("array<double>"),
+                F.array(*[F.lit(v) for v in qv]),
+            ),
+            6,
+        ).alias("cosine_full"),
+        F.round(
+            cosine(
+                F.slice(F.col("embedding"), F.lit(1), half).cast("array<double>"),
+                F.array(*[F.lit(v) for v in qh]),
+            ),
+            6,
+        ).alias("cosine_trunc"),
+    )
+    # distributed ordered take -> 50-row candidate set; every window
+    # below runs over that metadata-sized set, never the corpus
+    cand = scored.orderBy(F.col("cosine_trunc").desc(), "vec_id").limit(50)
+    w_cand = Window.orderBy(F.col("cosine_trunc").desc(), "vec_id")
+    w_full = Window.orderBy(F.col("cosine_full").desc(), "vec_id")
+    return (
+        cand.withColumn("cand_rank", F.row_number().over(w_cand).cast("long"))
+        .withColumn("rank", F.row_number().over(w_full).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank", "vec_id", "label", "cosine_full", "cosine_trunc", "cand_rank"
+        )
+    )

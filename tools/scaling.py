@@ -76,6 +76,7 @@ REPS = [
     ("ts_downsample_m4", "4-extreme pixel downsample"),
     ("text_bigram_surprise", "bigram-keyed LM join"),
     ("media_wav_pcm_stats", "PCM sample-fold features"),
+    ("ann_matryoshka_rerank", "two-stage prefix rerank"),
 ]
 
 

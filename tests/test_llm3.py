@@ -369,3 +369,28 @@ def test_matryoshka_rerank_recall_and_ordering(spark, sf_mid):
     }
     got = {r["vec_id"] for r in rows}
     assert len(got & exact) >= 7  # recall >= 0.7 vs the exact top-10
+
+
+def test_threshold_sweep_monotone_with_zero_tail(spark, sf_mid):
+    """D19: pair and doc counts are non-increasing in the threshold,
+    every candidate threshold appears (zeros included), and the 0.4
+    row agrees exactly with the fixed-threshold operator (D5)."""
+    from timescaledb_event_streamer_spark.plans.queries_llm3 import (
+        dedup_threshold_sweep,
+    )
+    from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+    rows = sorted(
+        dedup_threshold_sweep(spark, sf_mid).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rows] == [
+        0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9
+    ]
+    pairs = [r["n_pairs"] for r in rows]
+    docs = [r["n_docs_involved"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    assert pairs[0] > 0  # the sweep actually saw duplicate mass
+    d5 = all_queries()["dedup_embedding_cosine"](spark, sf_mid).count()
+    assert next(r for r in rows if r["threshold"] == 0.4)["n_pairs"] == d5

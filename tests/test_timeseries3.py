@@ -621,3 +621,29 @@ def test_m4_oracle_tiebreak_on_ms_ties(spark):
                                   check_exact=True)
     assert got["v_first"].iloc[0] == 3.0  # event_id 0 wins the ts tie
     assert got["v_last"].iloc[0] == 6.0   # event_id 3 wins the ts tie
+
+
+def test_hist2d_cells_partition_the_events(spark, tmp_path):
+    """B57: cells tile the (day, value-bin) plane — counts sum to the
+    input size, and a planted point lands in exactly the predicted
+    cell with its exact cent mass."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries3 import (
+        ts_hist2d,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 5, 0, 0)
+    rows = [
+        (t0, "m", 4.5),      # bin 0
+        (t0, "m", 14.5),     # bin 1
+        (t0 + datetime.timedelta(days=1), "m", 15.5),  # next day, bin 1
+        (t0, "m", 9.99),     # bin 0
+    ]
+    sf_dir = _write(spark, tmp_path, rows)
+    out = {(r["bucket_s"], r["v_bin"]): r for r in ts_hist2d(spark, sf_dir).collect()}
+    assert sum(r["n_points"] for r in out.values()) == 4
+    day0 = int(datetime.datetime(2024, 3, 1).timestamp())
+    assert out[(day0, 0)]["n_points"] == 2
+    assert out[(day0, 0)]["sum_cents"] == 450 + 999
+    assert out[(day0, 1)]["sum_cents"] == 1450
+    day1 = day0 + 86400
+    assert out[(day1, 1)]["n_points"] == 1

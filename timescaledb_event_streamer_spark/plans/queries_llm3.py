@@ -671,3 +671,92 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank", "vec_id", "label", "cosine_full", "cosine_trunc", "cand_rank"
         )
     )
+
+
+_SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@register(
+    "dedup_threshold_sweep",
+    family="dedup",
+    doc="Embedding-dedup threshold calibration (D19): pair counts "
+    "and affected-document counts at every candidate cosine cutoff "
+    "in ONE pass over the scored pairs — the sweep a pipeline runs "
+    "before committing to a dedup threshold (too low merges "
+    "distinct docs, too high keeps near-copies). Pairs are scored "
+    "once (>= the lowest cutoff) and each pair feeds every "
+    "qualifying threshold via a literal-array explode; the fold is "
+    "threshold-keyed metadata. All-pairs stage 1 is the declared "
+    "small-SF oracle form (D5's contract) — at scale it swaps for "
+    "the LSH candidate join (D6) unchanged, since the sweep only "
+    "sees (pair, cosine) rows.",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ),
+        pairs AS (SELECT * FROM scored WHERE cosine >= 0.3),
+        sweep AS (
+            SELECT t, vec_a, vec_b
+            FROM pairs, unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS u(t)
+            WHERE cosine >= t
+        ),
+        ex AS (SELECT t, unnest([vec_a, vec_b]) AS vec FROM sweep),
+        agg AS (
+            SELECT round(t, 1) AS threshold,
+                   CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT vec) AS BIGINT) AS n_docs_involved
+            FROM ex
+            GROUP BY t
+        )
+        SELECT round(u.t, 1) AS threshold,
+               coalesce(agg.n_pairs, 0) AS n_pairs,
+               coalesce(agg.n_docs_involved, 0) AS n_docs_involved
+        FROM unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS u(t)
+        LEFT JOIN agg ON round(u.t, 1) = agg.threshold
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.plans.queries_llm import cosine_pairs
+
+    pairs = cosine_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=min(_SWEEP_THRESHOLDS)
+    )
+    swept = pairs.select(
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS]),
+                lambda t: F.col("cosine") >= t,
+            )
+        ).alias("threshold"),
+        "vec_a",
+        "vec_b",
+    )
+    agg = (
+        swept.select(
+            F.round("threshold", 1).alias("threshold"),
+            F.explode(F.array("vec_a", "vec_b")).alias("vec"),
+        )
+        .groupBy("threshold")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+            F.countDistinct("vec").alias("n_docs_involved"),
+        )
+    )
+    # every candidate threshold appears in the sweep, zeros included —
+    # the empty tail is exactly what tells the operator the cutoff is
+    # already past the duplicate mass
+    grid = pairs.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.round(F.lit(t), 1) for t in _SWEEP_THRESHOLDS])
+        ).alias("threshold")
+    )
+    return grid.join(F.broadcast(agg), "threshold", "left").select(
+        "threshold",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_docs_involved", F.lit(0)).alias("n_docs_involved"),
+    )

@@ -1108,3 +1108,40 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tpt").getField("value").alias("v_last"),
         )
     )
+
+
+@register(
+    "ts_hist2d",
+    family="timeseries",
+    doc="2-D time x value histogram (B57) — the Grafana/TimescaleDB "
+    "heatmap panel shape: per (series, 1-day time bucket, fixed "
+    "10-wide value bin) cell count and exact cent mass. One "
+    "associative shuffle with map-side partials (cells are the "
+    "grain, so shuffle traffic is heatmap-resolution-sized, not "
+    "event-sized), rolls up over either axis like a cagg.",
+    oracle=f"""
+        SELECT event_type AS series,
+               ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 86400) AS bucket_s,
+               CAST(floor(value / 10) AS BIGINT) AS v_bin,
+               count(*) AS n_points,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+)
+def ts_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.col("event_type").alias("series"),
+            time_bucket_epoch(F.col("ts"), 86400).alias("bucket_s"),
+            F.floor(F.col("value") / 10).cast("long").alias("v_bin"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("series", "bucket_s", "v_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )

@@ -77,6 +77,8 @@ REPS = [
     ("text_bigram_surprise", "bigram-keyed LM join"),
     ("media_wav_pcm_stats", "PCM sample-fold features"),
     ("ann_matryoshka_rerank", "two-stage prefix rerank"),
+    ("ts_hist2d", "heatmap cell reduce"),
+    ("dedup_threshold_sweep", "threshold-keyed pair sweep"),
 ]
 
 

@@ -668,3 +668,50 @@ def test_bloom_probe_stream_matches_batch(spark, sf_small):
             assert got[k].asDict() == want[k].asDict(), k
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hist2d_stream_matches_batch(spark, sf_small, log_dir):
+    """I17: the 2-D heatmap (B57) is a pure associative aggregate, so
+    it runs unchanged as a complete-mode streaming aggregation over
+    the transaction-log stream and must equal the batch cells — the
+    live-dashboard heatmap path."""
+    from timescaledb_event_streamer_spark.functions.timeseries import (
+        time_bucket_epoch,
+    )
+    from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+    stream = spark.readStream.schema(load(spark, sf_small, "events").schema).parquet(
+        log_dir
+    )
+    agg = (
+        stream.select(
+            F.col("event_type").alias("series"),
+            time_bucket_epoch(F.col("ts"), 86400).alias("bucket_s"),
+            F.floor(F.col("value") / 10).cast("long").alias("v_bin"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("series", "bucket_s", "v_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hist2d_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["bucket_s"], r["v_bin"]): r
+        for r in spark.sql("SELECT * FROM hist2d_stream").collect()
+    }
+    want = {
+        (r["series"], r["bucket_s"], r["v_bin"]): r
+        for r in all_queries()["ts_hist2d"](spark, sf_small).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for k in want:
+        assert got[k].asDict() == want[k].asDict(), k

@@ -373,8 +373,9 @@ def test_matryoshka_rerank_recall_and_ordering(spark, sf_mid):
 
 def test_threshold_sweep_monotone_with_zero_tail(spark, sf_mid):
     """D19: pair and doc counts are non-increasing in the threshold,
-    every candidate threshold appears (zeros included), and the 0.4
-    row agrees exactly with the fixed-threshold operator (D5)."""
+    every candidate threshold appears (zeros included), and — the
+    oracle-SF sample being the whole set (m=1 at 500 vectors) — the
+    0.4 row agrees exactly with the fixed-threshold operator (D5)."""
     from timescaledb_event_streamer_spark.plans.queries_llm3 import (
         dedup_threshold_sweep,
     )

@@ -123,8 +123,8 @@ _BNLJ_OK = {
     "text_bloom_decontamination",  # single-row broadcast Bloom bitmap
     "cdc_snapshot_modes",  # single-row broadcast slot LSN
     "text_bigram_surprise",  # single-row broadcast vocab size
-    "dedup_threshold_sweep",  # D5's declared all-pairs stage at small
-    #   SF (swaps for the D6 LSH candidate join at scale)
+    "dedup_threshold_sweep",  # all-pairs over a bounded ~500-vector
+    #   calibration sample + 1-row broadcast sample modulus
 }
 
 

@@ -676,30 +676,33 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
 
 
-@register(
-    "dedup_threshold_sweep",
-    family="dedup",
-    doc="Embedding-dedup threshold calibration (D19): pair counts "
-    "and affected-document counts at every candidate cosine cutoff "
-    "in ONE pass over the scored pairs — the sweep a pipeline runs "
-    "before committing to a dedup threshold (too low merges "
-    "distinct docs, too high keeps near-copies). Pairs are scored "
-    "once (>= the lowest cutoff) and each pair feeds every "
-    "qualifying threshold via a literal-array explode; the fold is "
-    "threshold-keyed metadata. All-pairs stage 1 is the declared "
-    "small-SF oracle form (D5's contract) — at scale it swaps for "
-    "the LSH candidate join (D6) unchanged, since the sweep only "
-    "sees (pair, cosine) rows.",
-    oracle="""
-        WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+#: calibration-sample target size: the sweep runs all-pairs on a
+#: deterministic ~500-vector sample (every m-th id, m = floor(n/500)),
+#: so its cost is CONSTANT in corpus size — the standard
+#: calibrate-on-a-sample practice, and the reason this operator stays
+#: off the all-pairs scaling cliff the naive form measured (74s at
+#: sf0.1 before the sample stage was added)
+_SWEEP_SAMPLE = 500
+
+
+def _sweep_oracle() -> str:
+    return """
+        WITH m AS (
+            SELECT greatest(CAST(floor(count(*) / 500.0) AS BIGINT), 1)
+                AS m
+            FROM embeddings
         ),
-        scored AS (
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings, m
+            WHERE vec_id % m = 0
+        ),
+        pairs AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
         ),
-        pairs AS (SELECT * FROM scored WHERE cosine >= 0.3),
         sweep AS (
             SELECT t, vec_a, vec_b
             FROM pairs, unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS u(t)
@@ -718,14 +721,44 @@ _SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
                coalesce(agg.n_docs_involved, 0) AS n_docs_involved
         FROM unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS u(t)
         LEFT JOIN agg ON round(u.t, 1) = agg.threshold
-    """,
+    """
+
+
+@register(
+    "dedup_threshold_sweep",
+    family="dedup",
+    doc="Embedding-dedup threshold calibration (D19): pair counts "
+    "and affected-document counts at every candidate cosine cutoff "
+    "in ONE pass over the scored pairs — the sweep a pipeline runs "
+    "before committing to a dedup threshold (too low merges "
+    "distinct docs, too high keeps near-copies). Stage 1 is "
+    "all-pairs over a DETERMINISTIC ~500-vector sample (every m-th "
+    "id, m data-derived as a 1-row broadcast) — the standard "
+    "calibrate-on-a-sample practice, making the sweep's cost "
+    "constant in corpus size (the naive full all-pairs form "
+    "measured 74s at sf0.1 and was scrapped; the committed "
+    "threshold then runs via D6's LSH path). At oracle SF the "
+    "sample is the whole set, so the 0.4 row equals D5 exactly "
+    "(pytest). Each scored pair feeds every qualifying threshold "
+    "via a literal-array explode; the fold is threshold-keyed "
+    "metadata, zeros included.",
+    oracle=_sweep_oracle(),
 )
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from timescaledb_event_streamer_spark.plans.queries_llm import cosine_pairs
+    from timescaledb_event_streamer_spark.operators.ann import cosine_pairs
 
-    pairs = cosine_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=min(_SWEEP_THRESHOLDS)
+    emb = load(spark, sf_dir, "embeddings")
+    m = emb.agg(
+        F.greatest(
+            F.floor(F.count(F.lit(1)) / _SWEEP_SAMPLE), F.lit(1)
+        ).cast("long").alias("m")
     )
+    sample = (
+        emb.crossJoin(F.broadcast(m))
+        .filter(F.col("vec_id") % F.col("m") == 0)
+        .select("vec_id", "embedding")
+    )
+    pairs = cosine_pairs(sample, threshold=min(_SWEEP_THRESHOLDS))
     swept = pairs.select(
         F.explode(
             F.filter(

@@ -448,3 +448,8 @@ def test_wav_pcm_stats_hostile_inputs(spark):
     assert out[3]["n_samples"] == 2  # only the bytes actually there
     assert out[4]["is_pcm_wav"]  # header intact, data short
     assert out[4]["n_samples"] == 1
+    # rate=0 header: corrupt, must yield nulls — not a DIVIDE_BY_ZERO
+    # that kills the batch under ANSI mode
+    rate0 = _wav_hex(16000, [10, -10]).replace("803e0000", "00000000")
+    [r0] = wav_pcm_stats(_wav_media(spark, [rate0])).collect()
+    assert not r0["is_pcm_wav"] and r0["duration_ms"] is None

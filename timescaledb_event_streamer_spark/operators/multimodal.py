@@ -259,6 +259,19 @@ def _hle(col, nbytes: int):
     return F.concat(*reversed(pairs))
 
 
+def _wav_header_hex(channels, rate, data_size):
+    """Canonical 44-byte RIFF/WAVE PCM header as hex — the ONE place
+    the header field layout lives; both synthesizers and (by offset
+    contract) the parse sides read this shape."""
+    return F.concat(
+        F.lit("52494646"), _hle(data_size + 36, 4), F.lit("57415645"),
+        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"),
+        _hle(channels, 2), _hle(rate, 4), _hle(rate * channels * 2, 4),
+        _hle(channels * 2, 2), F.lit("1000"),
+        F.lit("64617461"), _hle(data_size, 4),
+    )
+
+
 def synthesize_media_headers(events: DataFrame) -> DataFrame:
     """Deterministic binary media payloads (real container headers)
     derived from the events table: PNG / WAV / GIF round-robin by
@@ -287,14 +300,7 @@ def synthesize_media_headers(events: DataFrame) -> DataFrame:
     )
     n_samples = eid % 100_000 + 1000
     data_size = n_samples * channels * 2
-    byte_rate = rate * channels * 2
-    wav_hex = F.concat(
-        F.lit("52494646"), _hle(data_size + 36, 4), F.lit("57415645"),
-        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"),
-        _hle(channels, 2), _hle(rate, 4), _hle(byte_rate, 4),
-        _hle(channels * 2, 2), F.lit("1000"),
-        F.lit("64617461"), _hle(data_size, 4),
-    )
+    wav_hex = _wav_header_hex(channels, rate, data_size)
 
     gif_w = uid % 4096 + 1
     gif_h = eid % 4096 + 1
@@ -505,13 +511,7 @@ def synthesize_wav_pcm(events: DataFrame) -> DataFrame:
         (F.pmod(uid, 3) + 1).cast("int"),
     )
     data_size = n * 2
-    header_hex = F.concat(
-        F.lit("52494646"), _hle(data_size + 36, 4), F.lit("57415645"),
-        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"),
-        _hle(F.lit(1), 2), _hle(rate, 4), _hle(rate * 2, 4),
-        _hle(F.lit(2), 2), F.lit("1000"),
-        F.lit("64617461"), _hle(data_size, 4),
-    )
+    header_hex = _wav_header_hex(F.lit(1), rate, data_size)
     samples_hex = F.array_join(
         F.transform(
             F.sequence(F.lit(0), n - 1),
@@ -540,6 +540,9 @@ def wav_pcm_stats(media: DataFrame) -> DataFrame:
         & (_le_u(h, 41, 2) == 1)   # PCM format tag
         & (_le_u(h, 45, 2) == 1)   # mono
         & (_le_u(h, 69, 2) == 16)  # 16-bit
+        & (_le_u(h, 49, 4) > 0)    # rate=0 is corrupt: guards the
+        #   duration division under ANSI mode (one bad file must not
+        #   kill the batch)
     )
     rate = _le_u(h, 49, 4)
     data_size = _le_u(h, 81, 4)

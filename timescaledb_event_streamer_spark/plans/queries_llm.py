@@ -158,7 +158,7 @@ def _sql_plane_list(coords: list[float]) -> str:
     return "[" + ", ".join("1.0" if c > 0 else "-1.0" for c in coords) + "]"
 
 
-def _embedding_lsh_cand_cte() -> str:
+def _embedding_lsh_oracle() -> str:
     """The banded-hyperplane candidate generation is fully
     deterministic (the LCG planes are constants), so the whole
     operator is SQL-expressible: re-derive every band's sign pattern
@@ -194,17 +194,9 @@ def _embedding_lsh_cand_cte() -> str:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM sig a JOIN sig b ON a.vec_id < b.vec_id
             WHERE {conds}
-        )"""
-
-
-def _embedding_lsh_oracle() -> str:
-    """See _embedding_lsh_cand_cte — this is the D6 tail over it."""
-    return (
-        _embedding_lsh_cand_cte()
-        + """
+        )
         SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= 0.4
     """
-    )
 
 
 @register(

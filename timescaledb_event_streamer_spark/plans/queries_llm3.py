@@ -640,7 +640,26 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qh = qv[: len(qv) // 2]
     emb = load(spark, sf_dir, "embeddings")
     half = F.floor(F.size("embedding") / 2).cast("int")
-    scored = emb.select(
+    # stage 1 computes ONLY the half-dim cosine — the full-dim fold
+    # must not run corpus-wide or the two-stage saving is fiction
+    trunc_scored = emb.select(
+        "vec_id",
+        "label",
+        F.round(
+            cosine(
+                F.slice(F.col("embedding"), F.lit(1), half).cast("array<double>"),
+                F.array(*[F.lit(v) for v in qh]),
+            ),
+            6,
+        ).alias("cosine_trunc"),
+    )
+    # distributed ordered take -> 50-row candidate set
+    top_trunc = trunc_scored.orderBy(
+        F.col("cosine_trunc").desc(), "vec_id"
+    ).limit(50)
+    # stage 2: join the candidate ids back to the vectors (broadcast
+    # the 50-row side) so the full-dim fold runs on 50 rows only
+    cand = emb.join(F.broadcast(top_trunc), ["vec_id", "label"]).select(
         "vec_id",
         "label",
         F.round(
@@ -650,17 +669,8 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("cosine_full"),
-        F.round(
-            cosine(
-                F.slice(F.col("embedding"), F.lit(1), half).cast("array<double>"),
-                F.array(*[F.lit(v) for v in qh]),
-            ),
-            6,
-        ).alias("cosine_trunc"),
+        "cosine_trunc",
     )
-    # distributed ordered take -> 50-row candidate set; every window
-    # below runs over that metadata-sized set, never the corpus
-    cand = scored.orderBy(F.col("cosine_trunc").desc(), "vec_id").limit(50)
     w_cand = Window.orderBy(F.col("cosine_trunc").desc(), "vec_id")
     w_full = Window.orderBy(F.col("cosine_full").desc(), "vec_id")
     return (

@@ -88,7 +88,12 @@ REPS = [
 #: sf0.1 so the attribution is recorded as data, not prose (VERDICT r4
 #: item 8): if the control time divided by the sf0.01 time comes back
 #: near-linear, the inflated primary ratio was the serial scan.
-WATCHLIST = ["cdc_dlq_routing", "media_jpeg_probe", "pipeline_clean_corpus"]
+WATCHLIST = [
+    "cdc_dlq_routing",
+    "media_jpeg_probe",
+    "pipeline_clean_corpus",
+    "media_wav_pcm_stats",
+]
 
 
 def _materialize_multisplit(spark, src_dir: str, n_splits: int = 32) -> str:
@@ -203,11 +208,9 @@ def main() -> None:
         "numbers are split-count-insensitive — variance on that row is",
         "co-tenant load, and its primary ratio is already sublinear.",
         "The same explicit repartition covers the other per-row codec",
-        "operators (pgoutput, keepalive, wav-pcm). media_wav_pcm_stats",
-        "is pure CPU-bound per-row codegen (hex synthesis + a",
-        "sample-array fold, zero exchanges in PLANS.md): its ratio is",
-        "sublinear in rows on the 10x step and parallelizes with",
-        "splits/executors by construction.",
+        "operators (pgoutput, keepalive, wav-pcm); media_wav_pcm_stats",
+        "gets the same control-run treatment above so its per-row",
+        "hex-synthesis cost is attributed by measurement.",
     ])
     lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")

@@ -670,19 +670,26 @@ def test_bloom_probe_stream_matches_batch(spark, sf_small):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def test_hist2d_stream_matches_batch(spark, sf_small, log_dir):
+def test_hist2d_stream_matches_batch(spark, sf_small):
     """I17: the 2-D heatmap (B57) is a pure associative aggregate, so
     it runs unchanged as a complete-mode streaming aggregation over
     the transaction-log stream and must equal the batch cells — the
-    live-dashboard heatmap path."""
+    live-dashboard heatmap path. Uses its OWN log copy: the shared
+    log_dir fixture accumulates the late files other tests inject."""
+    import shutil
+    import tempfile
+
     from timescaledb_event_streamer_spark.functions.timeseries import (
         time_bucket_epoch,
     )
     from timescaledb_event_streamer_spark.plans.registry import all_queries
 
-    stream = spark.readStream.schema(load(spark, sf_small, "events").schema).parquet(
-        log_dir
-    )
+    events = load(spark, sf_small, "events")
+    own_log = tempfile.mkdtemp(prefix="histlog-")
+    events.withColumn("b", F.pmod(F.col("event_id"), F.lit(8))).repartition(
+        8, "b"
+    ).drop("b").write.mode("overwrite").parquet(own_log)
+    stream = spark.readStream.schema(events.schema).parquet(own_log)
     agg = (
         stream.select(
             F.col("event_type").alias("series"),
@@ -708,10 +715,13 @@ def test_hist2d_stream_matches_batch(spark, sf_small, log_dir):
         (r["series"], r["bucket_s"], r["v_bin"]): r
         for r in spark.sql("SELECT * FROM hist2d_stream").collect()
     }
-    want = {
-        (r["series"], r["bucket_s"], r["v_bin"]): r
-        for r in all_queries()["ts_hist2d"](spark, sf_small).collect()
-    }
-    assert set(got) == set(want) and len(want) > 0
-    for k in want:
-        assert got[k].asDict() == want[k].asDict(), k
+    try:
+        want = {
+            (r["series"], r["bucket_s"], r["v_bin"]): r
+            for r in all_queries()["ts_hist2d"](spark, sf_small).collect()
+        }
+        assert set(got) == set(want) and len(want) > 0
+        for k in want:
+            assert got[k].asDict() == want[k].asDict(), k
+    finally:
+        shutil.rmtree(own_log, ignore_errors=True)

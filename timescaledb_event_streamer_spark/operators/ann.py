@@ -411,17 +411,25 @@ def cosine_pairs(
     bucket count is small enough that this full pairwise form is the
     reference result the bucketed variant is tested against.
     """
+    # normalize ONCE per vector (own projection per the no-CSE rule),
+    # so the pair score is a single dot fold instead of dot + two
+    # norms recomputed for every partner (~3x less fold work, and the
+    # per-vector norm is no longer redone n times across the join)
     e = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    a = e.alias("a")
-    b = e.alias("b")
+    nrm = e.select("vid", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    unit = nrm.select(
+        "vid", F.transform("v", lambda x: x / F.col("nrm")).alias("v")
+    )
+    a = unit.alias("a")
+    b = unit.alias("b")
     return (
         a.join(b, F.col("a.vid") < F.col("b.vid"))
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            F.round(dot(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -138,13 +138,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="dedup",
     doc="Embedding near-dup pairs: cosine >= 0.4 (double math both sides)",
     oracle="""
-        WITH e AS (
+        WITH
+        e0 AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        e AS (
+            SELECT vec_id,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                       AS v
+            FROM e0
         ),
         scored AS (
             SELECT a.vec_id AS vec_a,
                    b.vec_id AS vec_b,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+                   round(list_dot_product(a.v, b.v), 6) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.4
@@ -854,13 +861,19 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "builder compose). Oracle: recursive-CTE transitive closure.",
     oracle="""
         WITH RECURSIVE
-        e AS (
+        e0 AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        e AS (
+            SELECT vec_id,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                       AS v
+            FROM e0
         ),
         dup AS (
             SELECT a.vec_id AS va, b.vec_id AS vb
             FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+            WHERE round(list_dot_product(a.v, b.v), 6) >= 0.4
         ),
         edges AS (
             SELECT va AS src, vb AS dst FROM dup

@@ -702,16 +702,22 @@ def _sweep_oracle() -> str:
                 AS m
             FROM embeddings
         ),
-        e AS (
+        e0 AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings, m
             WHERE vec_id % m = 0
         ),
+        e AS (
+            SELECT vec_id,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                       AS v
+            FROM e0
+        ),
         pairs AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+                   round(list_dot_product(a.v, b.v), 6) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+            WHERE round(list_dot_product(a.v, b.v), 6) >= 0.3
         ),
         sweep AS (
             SELECT t, vec_a, vec_b

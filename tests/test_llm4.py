@@ -1,0 +1,224 @@
+"""Planted-value tests for plans/queries_llm4.py (TF-IDF top-k, BM25
+scoring, Jensen-Shannon source divergence) and the Holt linear
+smoother (plans/queries_timeseries3.py ts_holt_linear) — each checked
+against a pure-Python re-derivation, not against the operator itself."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from timescaledb_event_streamer_spark.plans.queries_llm4 import (
+    bm25_search,
+    js_divergence,
+    tfidf_topk,
+)
+from timescaledb_event_streamer_spark.plans.queries_timeseries3 import holt_linear
+
+
+def _docs(spark, rows):
+    """rows: list of (text, source)."""
+    return spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+
+
+# ---------------------------------------------------------------- tfidf
+
+
+def test_tfidf_rare_term_outranks_common_term(spark):
+    docs = _docs(
+        spark,
+        [
+            ("apple apple zebra", "s"),  # zebra appears only here
+            ("apple banana", "s"),
+            ("apple banana", "s"),
+        ],
+    )
+    out = [r.asDict() for r in tfidf_topk(docs, k=1).collect()]
+    top0 = next(r for r in out if r["doc_id"] == 0)
+    # doc 0: tf(apple)=2 df=3 -> 2*(ln(4/4)+1)=2.0
+    #        tf(zebra)=1 df=1 -> 1*(ln(4/2)+1)=1.693...
+    # the common term wins on raw tf here; check the exact value
+    assert top0["term"] == "apple"
+    assert top0["tfidf"] == 2.0
+    top1 = next(r for r in out if r["doc_id"] == 1)
+    # apple and banana both tf=1; banana df=2 idf=ln(4/3)+1=1.2876...
+    # beats apple df=3 idf=1.0
+    assert top1["term"] == "banana"
+    assert top1["tfidf"] == round(math.log(4 / 3) + 1, 6)
+
+
+def test_tfidf_rank_ties_break_on_term(spark):
+    docs = _docs(spark, [("x y", "s"), ("x y", "s")])
+    out = [r.asDict() for r in tfidf_topk(docs, k=2).collect()]
+    d0 = sorted((r for r in out if r["doc_id"] == 0), key=lambda r: r["rk"])
+    assert [r["term"] for r in d0] == ["x", "y"]  # equal score -> lexical
+
+
+# ----------------------------------------------------------------- bm25
+
+
+def _bm25_ref(corpus, terms, k1=1.2, b=0.75):
+    toks = [t.split(" ") for t in corpus]
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks) / n
+    df = {q: sum(1 for t in toks if q in t) for q in terms}
+    out = []
+    for i, t in enumerate(toks):
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if tf:
+                idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+                s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        out.append((i, round(s, 6)))
+    return dict(out)
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    corpus = [
+        "join join hash scan filter",
+        "row batch merge sort window",
+        "join vector vector spark table",
+        "scan scan scan scan scan scan scan scan",
+    ]
+    docs = _docs(spark, [(t, "s") for t in corpus])
+    terms = ("join", "scan", "vector")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_search(docs, terms, top_n=10).collect()}
+    ref = _bm25_ref(corpus, terms)
+    for i in range(len(corpus)):
+        if ref[i] > 0:
+            assert got[i] == ref[i], f"doc {i}: {got[i]} != {ref[i]}"
+    # the no-match doc is scored 0 and still ranked (top_n covers all)
+    assert got[1] == 0.0
+
+
+def test_bm25_tf_saturation_prefers_term_diversity(spark):
+    # one doc spams a single term, another matches two distinct terms;
+    # with k1=1.2 saturation the diverse doc must win
+    docs = _docs(
+        spark,
+        [
+            ("join join join join join join join join", "s"),
+            ("join scan filler filler filler filler filler filler", "s"),
+            ("filler other words here again more stuff pad", "s"),
+        ],
+    )
+    rows = bm25_search(docs, ("join", "scan"), top_n=3).collect()
+    assert rows[0]["doc_id"] == 1 and rows[0]["n_terms_matched"] == 2
+
+
+# ------------------------------------------------------------------ jsd
+
+
+def test_jsd_identical_sources_is_zero(spark):
+    docs = _docs(spark, [("a b c", "s1"), ("a b c", "s2")])
+    row = js_divergence(docs).collect()[0]
+    assert row["jsd_bits"] == 0.0
+    assert row["n_union_tokens"] == 3 and row["n_shared_tokens"] == 3
+
+
+def test_jsd_disjoint_sources_is_one_bit(spark):
+    docs = _docs(spark, [("a a b", "s1"), ("c d e", "s2")])
+    row = js_divergence(docs).collect()[0]
+    assert row["jsd_bits"] == 1.0  # maximal JSD in bits
+    assert row["n_shared_tokens"] == 0 and row["n_union_tokens"] == 5
+
+
+def test_jsd_matches_pure_python_reference(spark):
+    docs = _docs(
+        spark,
+        [("a a b c", "s1"), ("a b b d", "s2"), ("c c c a", "s3")],
+    )
+    dist = {
+        "s1": {"a": 0.5, "b": 0.25, "c": 0.25},
+        "s2": {"a": 0.25, "b": 0.5, "d": 0.25},
+        "s3": {"c": 0.75, "a": 0.25},
+    }
+
+    def jsd(p, q):
+        tot = 0.0
+        for t in sorted(set(p) | set(q)):
+            pv, qv = p.get(t, 0.0), q.get(t, 0.0)
+            m = (pv + qv) / 2
+            tot += -(m * math.log2(m))
+            if pv:
+                tot += 0.5 * pv * math.log2(pv)
+            if qv:
+                tot += 0.5 * qv * math.log2(qv)
+        return round(tot, 6)
+
+    got = {
+        (r["source_a"], r["source_b"]): r["jsd_bits"]
+        for r in js_divergence(docs).collect()
+    }
+    for (a, b), v in got.items():
+        assert v == jsd(dist[a], dist[b]), f"{a}/{b}"
+    assert len(got) == 3
+
+
+# ----------------------------------------------------------------- holt
+
+
+def _events(spark, series):
+    """series: dict name -> list of daily values (one event per day)."""
+    rows = []
+    eid = 0
+    for name, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i),
+                    1,
+                    name,
+                    float(v),
+                    "{}",
+                )
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def _holt_ref(xs, alpha=0.5, beta=0.3):
+    # standard init: level at the SECOND point, trend = first diff
+    lvl, tr = xs[1], xs[1] - xs[0]
+    for y in xs[2:]:
+        nl = alpha * y + (1 - alpha) * (lvl + tr)
+        tr = beta * (nl - lvl) + (1 - beta) * tr
+        lvl = nl
+    return round(lvl, 6), round(tr, 6), round(lvl + tr, 6)
+
+
+def test_holt_matches_pure_python_recurrence(spark):
+    series = {
+        "up": [1.0, 2.0, 3.5, 4.0, 6.0, 7.25],
+        "noisy": [10.0, 8.0, 11.0, 7.5, 12.0],
+    }
+    out = {r["series"]: r for r in holt_linear(_events(spark, series)).collect()}
+    for name, vals in series.items():
+        lvl, tr, fc = _holt_ref(vals)
+        assert out[name]["n_days"] == len(vals)
+        assert out[name]["level"] == lvl
+        assert out[name]["trend"] == tr
+        assert out[name]["forecast_1"] == fc
+
+
+def test_holt_linear_series_forecasts_next_point(spark):
+    # a perfectly linear series: level tracks the last point, trend
+    # the slope, so the 1-step forecast is the exact next value
+    vals = [2.0 + 3.0 * i for i in range(8)]
+    out = holt_linear(_events(spark, {"lin": vals})).collect()[0]
+    assert out["forecast_1"] == vals[-1] + 3.0
+    assert out["trend"] == 3.0
+
+
+def test_holt_requires_three_days(spark):
+    out = holt_linear(_events(spark, {"short": [1.0, 2.0]})).collect()
+    assert out == []

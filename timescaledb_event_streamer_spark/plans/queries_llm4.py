@@ -1,0 +1,339 @@
+"""LLM-pipeline corpus QA, part 4 (SURVEY.md §2 F24-F26): lexical
+relevance and corpus-drift statistics — per-document TF-IDF keyword
+extraction, BM25 retrieval scoring, and pairwise Jensen-Shannon
+divergence between per-source token distributions (the standard
+domain-shift monitor for corpus mixing).
+
+Same discipline as the earlier queries_llm files: every plan is
+doc/token-keyed DataFrame work in whole-stage codegen — no Python per
+row — and every operator carries a DuckDB oracle that re-derives the
+result value-exactly (float chains are either fixed-order expressions
+or sorted sequential folds, the repo's established exactness pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load, spread
+
+#: BM25 free parameters (Robertson et al., the universal defaults).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+#: Fixed retrieval query for the registered BM25 entry: terms drawn
+#: from the synthetic corpus vocabulary so every scale factor has
+#: matches. A real deployment parameterizes this list; the operator
+#: shape (per-term tf columns, one 1-row stats broadcast) is the same
+#: for any bounded query length.
+_BM25_TERMS = ("join", "hash", "scan", "vector", "spark")
+
+
+@register(
+    "text_tfidf_topk",
+    family="text",
+    doc="Per-document top-3 TF-IDF terms (smooth idf, the sklearn "
+    "formulation: ln((1+N)/(1+df)) + 1) — the classic keyword-"
+    "extraction / relevance primitive. tf is a (doc, token)-keyed "
+    "count, df a token-keyed distinct-doc count joined back on the "
+    "token key (vocabulary-grain, so the join shuffles dictionary-"
+    "sized rows, never corpus-sized), N a 1-row broadcast. Ranking "
+    "uses the 6-dp-rounded score with a token tie-break so both "
+    "engines pick identical winners. Scales: every shuffle is keyed "
+    "on doc_id or token; nothing is collected.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0),
+                         6) AS tfidf
+            FROM tf JOIN df USING (term), n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+            FROM scored
+        )
+        SELECT doc_id, rk, term, tf, df, tfidf
+        FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topk(spread(load(spark, sf_dir, "documents")))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("tfidf").desc(), F.col("term").asc()
+        )
+    )
+    return (
+        scored.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "rk", "term", "tf", "df", "tfidf")
+    )
+
+
+def _bm25_tf(term: str):
+    """tf of one query term, computed scan-side: filter the token
+    array instead of exploding — zero shuffle for the tf stage."""
+    return F.size(F.filter(F.split("text", " "), lambda x: x == F.lit(term)))
+
+
+@register(
+    "text_bm25_search",
+    family="text",
+    doc="BM25 retrieval scoring (Robertson/Okapi, k1=1.2 b=0.75) of "
+    "every document against a fixed 5-term query; top-20 by score. "
+    "Per-term tf is computed scan-side with an array filter (no "
+    "explode, no shuffle), so the whole tf stage is one codegen "
+    "projection over the corpus; N / avgdl / per-term df reduce to "
+    "ONE 1-row stats row broadcast back. The score is a fixed-order "
+    "5-term expression sum (no float-sum reordering), so both "
+    "engines produce bit-identical doubles. Scales: two corpus "
+    "scans (tf projection, stats reduce) + a global top-20.",
+    oracle=f"""
+        WITH tfdoc AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS dl,
+                   {", ".join(
+                       "len(list_filter(string_split(text, ' '), "
+                       f"x -> x = '{t}')) AS tf_{t}"
+                       for t in _BM25_TERMS
+                   )}
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                   {", ".join(
+                       f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+                       for t in _BM25_TERMS
+                   )}
+            FROM tfdoc
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   CAST({" + ".join(
+                       f"(CASE WHEN d.tf_{t} > 0 THEN 1 ELSE 0 END)"
+                       for t in _BM25_TERMS
+                   )} AS BIGINT) AS n_terms_matched,
+                   round({" + ".join(
+                       f"(CASE WHEN d.tf_{t} > 0 THEN "
+                       f"ln(1.0 + (s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5))"
+                       f" * (d.tf_{t} * ({_BM25_K1} + 1.0))"
+                       f" / (d.tf_{t} + {_BM25_K1} * (1.0 - {_BM25_B}"
+                       f" + {_BM25_B} * d.dl / s.avgdl)) ELSE 0.0 END)"
+                       for t in _BM25_TERMS
+                   )}, 6) AS bm25
+            FROM tfdoc d, stats s
+        )
+        SELECT doc_id, n_terms_matched, bm25
+        FROM scored
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_search(spread(load(spark, sf_dir, "documents")))
+
+
+def bm25_search(
+    docs: DataFrame, terms: tuple[str, ...] = _BM25_TERMS, top_n: int = 20
+) -> DataFrame:
+    tfdoc = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        *[_bm25_tf(t).alias(f"tf_{t}") for t in terms],
+    )
+    stats = tfdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    k1, b = _BM25_K1, _BM25_B
+
+    def term_score(t: str):
+        idf = F.log(
+            1.0 + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        tf = F.col(f"tf_{t}")
+        return F.when(
+            tf > 0,
+            idf
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+
+    score = term_score(terms[0])
+    for t in terms[1:]:
+        score = score + term_score(t)
+    matched = F.when(F.col(f"tf_{terms[0]}") > 0, 1).otherwise(0)
+    for t in terms[1:]:
+        matched = matched + F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)
+    return (
+        tfdoc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            matched.cast("long").alias("n_terms_matched"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(top_n)
+    )
+
+
+@register(
+    "corpus_js_divergence",
+    family="text",
+    doc="Pairwise Jensen-Shannon divergence (bits) between per-source "
+    "unigram token distributions — the standard drift/contrast "
+    "monitor when mixing corpus sources for training. Distributions "
+    "are (source, token)-keyed integer counts (exact, order-free); "
+    "the per-pair union of tokens comes from two equi-joins of the "
+    "metadata-sized pair list against the distribution table (no "
+    "non-equi data join), and the final JSD sum is a token-sorted "
+    "sequential fold so both engines add in the identical IEEE "
+    "order. Scales: the distribution table is |sources| x |vocab| "
+    "(dictionary-grain); per-pair state is vocab-bounded — at very "
+    "large vocabularies swap the fold for an associative sum and a "
+    "tolerance check, or restrict to the top-V global tokens.",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ),
+        cnt AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY 1),
+        dist AS (
+            SELECT cnt.source, cnt.t, CAST(cnt.c AS DOUBLE) / tot.n AS p
+            FROM cnt JOIN tot USING (source)
+        ),
+        srcs AS (SELECT DISTINCT source FROM dist),
+        pairs AS (
+            SELECT a.source AS sa, b.source AS sb
+            FROM srcs a JOIN srcs b ON a.source < b.source
+        ),
+        sides AS (
+            SELECT p.sa, p.sb, d.t, d.p AS pv, NULL::DOUBLE AS qv
+            FROM pairs p JOIN dist d ON d.source = p.sa
+            UNION ALL
+            SELECT p.sa, p.sb, d.t, NULL::DOUBLE AS pv, d.p AS qv
+            FROM pairs p JOIN dist d ON d.source = p.sb
+        ),
+        merged AS (
+            SELECT sa, sb, t,
+                   coalesce(max(pv), 0.0) AS p,
+                   coalesce(max(qv), 0.0) AS q
+            FROM sides GROUP BY 1, 2, 3
+        ),
+        contrib AS (
+            SELECT sa, sb, t, p, q,
+                   -(((p + q) / 2.0) * log2((p + q) / 2.0))
+                   + (CASE WHEN p > 0 THEN 0.5 * p * log2(p) ELSE 0.0 END)
+                   + (CASE WHEN q > 0 THEN 0.5 * q * log2(q) ELSE 0.0 END)
+                       AS jc
+            FROM merged
+        )
+        SELECT sa AS source_a, sb AS source_b,
+               count(*) AS n_union_tokens,
+               CAST(sum(CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_shared_tokens,
+               round(list_reduce(
+                   list_prepend(0.0, list(jc ORDER BY t)),
+                   (a, v) -> a + v), 6) AS jsd_bits
+        FROM contrib
+        GROUP BY 1, 2
+    """,
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return js_divergence(spread(load(spark, sf_dir, "documents")))
+
+
+def js_divergence(docs: DataFrame) -> DataFrame:
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    dist = cnt.join(tot, "source").select(
+        "source", "t", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    srcs = dist.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(F.broadcast(srcs.alias("b")), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+    )
+    d = dist
+    side_a = F.broadcast(pairs).join(d, F.col("source") == F.col("sa")).select(
+        "sa", "sb", "t", F.col("p").alias("pv"), F.lit(None).cast("double").alias("qv")
+    )
+    side_b = F.broadcast(pairs).join(d, F.col("source") == F.col("sb")).select(
+        "sa", "sb", "t", F.lit(None).cast("double").alias("pv"), F.col("p").alias("qv")
+    )
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("sa", "sb", "t")
+        .agg(
+            F.coalesce(F.max("pv"), F.lit(0.0)).alias("p"),
+            F.coalesce(F.max("qv"), F.lit(0.0)).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    jc = (
+        -(((p + q) / 2.0) * F.log2((p + q) / 2.0))
+        + F.when(p > 0, 0.5 * p * F.log2(p)).otherwise(0.0)
+        + F.when(q > 0, 0.5 * q * F.log2(q)).otherwise(0.0)
+    )
+    contrib = merged.select("sa", "sb", "t", "p", "q", jc.alias("jc"))
+    return contrib.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("n_union_tokens"),
+        F.sum(F.when((p > 0) & (q > 0), 1).otherwise(0)).alias("n_shared_tokens"),
+        F.round(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(t, jc))),"
+                " s -> s.jc), 0D, (a, v) -> a + v)"
+            ),
+            6,
+        ).alias("jsd_bits"),
+    ).select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_union_tokens",
+        "n_shared_tokens",
+        "jsd_bits",
+    )

@@ -1145,3 +1145,104 @@ def ts_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("sum_cents"),
         )
     )
+
+
+@register(
+    "ts_holt_linear",
+    family="timeseries",
+    doc="Holt's linear trend (double exponential smoothing, "
+    "alpha=0.5 beta=0.3) per series over the daily-bucketed mean, "
+    "with a 1-step-ahead forecast — the trend-aware sibling of "
+    "ts_ewma that a dashboarding user reaches for next. The "
+    "recurrence has no closed window form (level and trend couple), "
+    "so it runs as a SEQUENTIAL left-fold over the ordered daily "
+    "array with an (level, trend) array accumulator (standard init: "
+    "level = 2nd point, trend = 1st difference): Spark "
+    "aggregate == DuckDB list_reduce with the init state prepended "
+    "as the first element (DuckDB 1.0 has no 3-arg fold), identical "
+    "IEEE op order, so the floats agree bit-for-bit. Daily means "
+    "use the exact integer-cents trick, making the fold input "
+    "order-independent. State is bounded by the day grain per "
+    "series (the chunk-catalog bound), never raw event volume.",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type AS series, date_trunc('day', ts) AS day,
+                   sum(CAST(round(value * 100) AS BIGINT))
+                       / (100.0 * count(*)) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        arrs AS (
+            SELECT series, list(x ORDER BY day) AS xs,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM daily GROUP BY series
+            HAVING count(*) >= 3
+        ),
+        folded AS (
+            SELECT series, n,
+                   list_reduce(
+                       list_concat(
+                           [[xs[2], xs[2] - xs[1]]],
+                           list_transform(list_slice(xs, 3, n),
+                                          v -> [v, 0.0])),
+                       (a, v) -> [
+                           0.5 * v[1] + 0.5 * (a[1] + a[2]),
+                           0.3 * ((0.5 * v[1] + 0.5 * (a[1] + a[2])) - a[1])
+                               + 0.7 * a[2]
+                       ]) AS lt
+            FROM arrs
+        )
+        SELECT series, n AS n_days,
+               round(lt[1], 6) AS level,
+               round(lt[2], 6) AS trend,
+               round(lt[1] + lt[2], 6) AS forecast_1
+        FROM folded
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return holt_linear(load(spark, sf_dir, "events"))
+
+
+def holt_linear(events: DataFrame) -> DataFrame:
+    daily = (
+        events.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .groupBy(F.col("event_type").alias("series"), "day")
+        .agg((F.sum("cents") / (100.0 * F.count(F.lit(1)))).alias("x"))
+    )
+    arrs = (
+        daily.groupBy("series")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(day, x))), s -> s.x)")
+            .alias("xs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+        # one row per series past this point (metadata-sized) — same
+        # single-partition rationale as ts_asap_smooth: don't pay the
+        # generated-fold closure cost on 32 near-empty tasks
+        .coalesce(1)
+    )
+    # (level, trend) accumulator; the trend line recomputes level'
+    # inline because neither engine's lambda has a let-binding — the
+    # duplicated expression is evaluated identically on both sides
+    folded = arrs.withColumn(
+        "lt",
+        F.expr(
+            "aggregate(slice(xs, 3, int(n - 2)),"
+            " array(element_at(xs, 2), element_at(xs, 2) - element_at(xs, 1)),"
+            " (a, v) -> array("
+            "   0.5 * v + 0.5 * (element_at(a, 1) + element_at(a, 2)),"
+            "   0.3 * ((0.5 * v + 0.5 * (element_at(a, 1) + element_at(a, 2)))"
+            "       - element_at(a, 1))"
+            "     + 0.7 * element_at(a, 2)))"
+        ),
+    )
+    return folded.select(
+        "series",
+        F.col("n").alias("n_days"),
+        F.round(F.expr("element_at(lt, 1)"), 6).alias("level"),
+        F.round(F.expr("element_at(lt, 2)"), 6).alias("trend"),
+        F.round(F.expr("element_at(lt, 1) + element_at(lt, 2)"), 6).alias(
+            "forecast_1"
+        ),
+    )

@@ -57,6 +57,7 @@ def _load_all() -> None:
         queries_llm,
         queries_llm2,
         queries_llm3,
+        queries_llm4,
         queries_olap,
         queries_olap2,
         queries_pgext,

@@ -79,6 +79,10 @@ REPS = [
     ("ann_matryoshka_rerank", "two-stage prefix rerank"),
     ("ts_hist2d", "heatmap cell reduce"),
     ("dedup_threshold_sweep", "threshold-keyed pair sweep"),
+    ("text_tfidf_topk", "dictionary-grain tf-idf rank"),
+    ("text_bm25_search", "scan-side tf + stats broadcast"),
+    ("corpus_js_divergence", "source-pair distribution fold"),
+    ("ts_holt_linear", "coupled-state sequential fold"),
 ]
 
 

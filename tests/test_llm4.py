@@ -139,15 +139,18 @@ def test_jsd_matches_pure_python_reference(spark):
     }
 
     def jsd(p, q):
+        # mirror the engine's association exactly: the per-token
+        # contribution is one A+B+C expression, THEN the fold adds it
         tot = 0.0
         for t in sorted(set(p) | set(q)):
             pv, qv = p.get(t, 0.0), q.get(t, 0.0)
             m = (pv + qv) / 2
-            tot += -(m * math.log2(m))
-            if pv:
-                tot += 0.5 * pv * math.log2(pv)
-            if qv:
-                tot += 0.5 * qv * math.log2(qv)
+            jc = (
+                -(m * math.log2(m))
+                + (0.5 * pv * math.log2(pv) if pv else 0.0)
+                + (0.5 * qv * math.log2(qv) if qv else 0.0)
+            )
+            tot += jc
         return round(tot, 6)
 
     got = {

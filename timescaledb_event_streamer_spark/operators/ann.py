@@ -382,9 +382,11 @@ def cosine_pairs_lsh(
         .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    e = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    # verify with the SAME normalize-once-then-dot formula as
+    # cosine_pairs: identical rounded doubles per pair, so the
+    # approx ⊆ exact containment can't flip on a rounding-boundary
+    # last-ulp difference between two cosine formulations
+    e = unit_vectors(embeddings, vec_col, id_col)
     ea = e.alias("ea")
     eb = e.alias("eb")
     return (
@@ -393,10 +395,35 @@ def cosine_pairs_lsh(
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("ea.v"), F.col("eb.v")), 6).alias("cosine"),
+            F.round(dot(F.col("ea.v"), F.col("eb.v")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def unit_vectors(
+    embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(vid, v) with v normalized to unit length, PERSISTED.
+
+    The persist is load-bearing, not a cache hint: without it
+    Catalyst's CollapseProject inlines the single-use norm alias into
+    the transform lambda, recomputing the O(d) norm fold once per
+    array element (O(d^2) per vector — verified in the optimized
+    plan). The cache boundary materializes each unit vector exactly
+    once, so every downstream pair score is a single dot fold.
+    Same persist-without-unpersist lifetime contract as the dedup
+    shingle tables (operators/dedup.py) — the ContextCleaner reclaims
+    the blocks once plan references drop."""
+    from pyspark import StorageLevel
+
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    nrm = e.select("vid", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    return nrm.select(
+        "vid", F.transform("v", lambda x: x / F.col("nrm")).alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def cosine_pairs(
@@ -409,19 +436,12 @@ def cosine_pairs(
 
     Candidate generation is LSH-bucketed at scale; at oracle SF the
     bucket count is small enough that this full pairwise form is the
-    reference result the bucketed variant is tested against.
+    reference result the bucketed variant is tested against. Scoring
+    is normalize-once-then-dot over :func:`unit_vectors` — the same
+    formula the LSH verify step uses, so approx ⊆ exact holds by
+    construction (identical rounded doubles per pair).
     """
-    # normalize ONCE per vector (own projection per the no-CSE rule),
-    # so the pair score is a single dot fold instead of dot + two
-    # norms recomputed for every partner (~3x less fold work, and the
-    # per-vector norm is no longer redone n times across the join)
-    e = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    nrm = e.select("vid", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
-    unit = nrm.select(
-        "vid", F.transform("v", lambda x: x / F.col("nrm")).alias("v")
-    )
+    unit = unit_vectors(embeddings, vec_col, id_col)
     a = unit.alias("a")
     b = unit.alias("b")
     return (

@@ -187,18 +187,24 @@ def _embedding_lsh_oracle() -> str:
         )
     signs = ",\n                   ".join(sign_cols)
     conds = "\n                OR ".join(band_conds)
+    # signs are computed on the RAW vectors (scaling never flips a
+    # sign); the verify step scores normalize-once-then-dot, the same
+    # formula as cosine_pairs / dedup_embedding_cosine, so the
+    # approx ⊆ exact containment holds bit-for-bit
     return f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
         sig AS (
-            SELECT vec_id, v,
+            SELECT vec_id,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                       AS u,
                    {signs}
             FROM e
         ),
         cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+                   round(list_dot_product(a.u, b.u), 6) AS cosine
             FROM sig a JOIN sig b ON a.vec_id < b.vec_id
             WHERE {conds}
         )

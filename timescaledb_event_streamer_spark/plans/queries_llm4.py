@@ -77,7 +77,9 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # tf is already unique at (doc_id, term) grain, so a plain count
+    # IS the distinct-doc count — skips the two-phase distinct agg
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "term")
@@ -286,11 +288,21 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def js_divergence(docs: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
     cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
-    dist = cnt.join(tot, "source").select(
-        "source", "t", (F.col("c").cast("double") / F.col("n")).alias("p")
+    # persisted: srcs, side_a and side_b all read this dictionary-
+    # sized (|sources| x |vocab|) table — without the cache boundary
+    # each consumer re-scans and re-tokenizes the whole corpus (the
+    # executed plan audited at 20 exchanges / 4 corpus scans)
+    dist = (
+        cnt.join(tot, "source")
+        .select(
+            "source", "t", (F.col("c").cast("double") / F.col("n")).alias("p")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     srcs = dist.select("source").distinct()
     pairs = (

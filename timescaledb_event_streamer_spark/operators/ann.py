@@ -404,26 +404,26 @@ def cosine_pairs_lsh(
 def unit_vectors(
     embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """(vid, v) with v normalized to unit length, PERSISTED.
+    """(vid, v) with v normalized to unit length.
 
-    The persist is load-bearing, not a cache hint: without it
-    Catalyst's CollapseProject inlines the single-use norm alias into
-    the transform lambda, recomputing the O(d) norm fold once per
-    array element (O(d^2) per vector — verified in the optimized
-    plan). The cache boundary materializes each unit vector exactly
-    once, so every downstream pair score is a single dot fold.
-    Same persist-without-unpersist lifetime contract as the dedup
-    shingle tables (operators/dedup.py) — the ContextCleaner reclaims
-    the blocks once plan references drop."""
-    from pyspark import StorageLevel
-
+    The point of pre-normalizing is PER-PAIR work: downstream
+    self-joins score a pair with a single dot fold instead of
+    dot + two norm folds (3x) per partner. The unit projection sits
+    below the join, so it evaluates once per row per side — linear
+    in n, quadratic work untouched. (Catalyst's CollapseProject does
+    inline the single-use norm alias into the transform lambda,
+    re-deriving the norm per element; that waste is O(d^2) per
+    VECTOR, linear in n, and measured indistinguishable from a
+    persist/localCheckpoint materialization at oracle SF — while a
+    cache boundary here costs ~0.7s of plan-canonicalization per
+    fresh build. So: no persist, deliberately.)"""
     e = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     nrm = e.select("vid", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
     return nrm.select(
         "vid", F.transform("v", lambda x: x / F.col("nrm")).alias("v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 def cosine_pairs(

@@ -288,21 +288,23 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def js_divergence(docs: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
-
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
     cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
-    # persisted: srcs, side_a and side_b all read this dictionary-
-    # sized (|sources| x |vocab|) table — without the cache boundary
-    # each consumer re-scans and re-tokenizes the whole corpus (the
-    # executed plan audited at 20 exchanges / 4 corpus scans)
+    # eager localCheckpoint (the CC-convergence precedent): srcs,
+    # side_a and side_b all read this dictionary-sized
+    # (|sources| x |vocab|) table, and without a materialization
+    # boundary each consumer re-scans and re-tokenizes the whole
+    # corpus (audited at 4 corpus scans). Checkpoint beats persist
+    # here: consumers reference a plan-stub LogicalRDD instead of
+    # paying CacheManager plan-canonicalization on every fresh build
+    # (measured ~0.9s vs ~1.35s per run at sf0.01).
     dist = (
         cnt.join(tot, "source")
         .select(
             "source", "t", (F.col("c").cast("double") / F.col("n")).alias("p")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     srcs = dist.select("source").distinct()
     pairs = (

@@ -225,3 +225,60 @@ def test_holt_linear_series_forecasts_next_point(spark):
 def test_holt_requires_three_days(spark):
     out = holt_linear(_events(spark, {"short": [1.0, 2.0]})).collect()
     assert out == []
+
+
+# ------------------------------------------------------- streaming JSD
+
+
+def test_jsd_stream_counts_match_batch(spark, tmp_path):
+    """I18: the JSD drift monitor in LIVE mode — token counting is an
+    associative aggregate, so it runs as a complete-mode streaming
+    aggregation over a document stream; the JSD read over those
+    counts on each trigger must equal the batch operator."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.plans.queries_llm4 import (
+        js_divergence,
+        js_divergence_from_counts,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            ("a a b c join", "s1"),
+            ("a b b d scan", "s2"),
+            ("c c c a join scan", "s3"),
+            ("b d d a a scan", "s1"),
+        ],
+    )
+    d = str(tmp_path / "docs_stream")
+    docs.write.parquet(d)
+
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    cnt = (
+        stream.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    q = (
+        cnt.writeStream.format("memory")
+        .queryName("jsd_counts_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in js_divergence_from_counts(
+            spark.sql("SELECT * FROM jsd_counts_stream")
+        ).collect()
+    }
+    want = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in js_divergence(docs).collect()
+    }
+    assert set(got) == set(want) and len(want) == 3
+    for k in want:
+        assert got[k] == want[k], k

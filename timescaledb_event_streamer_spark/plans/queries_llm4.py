@@ -290,7 +290,24 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def js_divergence(docs: DataFrame) -> DataFrame:
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
     cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    return js_divergence_from_counts(cnt)
+
+
+def js_divergence_from_counts(cnt: DataFrame) -> DataFrame:
+    """JSD matrix from a (source, t, c) token-count table.
+
+    Split out so a LIVE drift monitor can maintain the counts as a
+    streaming (complete-mode) aggregation — token counting is
+    associative — and run this read on each trigger
+    (tests/test_llm4.py streaming parity)."""
+    # rename the grouping key: when cnt arrives as a sink view (the
+    # streaming path) both join sides would otherwise carry the SAME
+    # attribute id for "source" and the totals join fails to resolve
+    tot = (
+        cnt.groupBy("source")
+        .agg(F.sum("c").alias("n"))
+        .withColumnRenamed("source", "src_tot")
+    )
     # eager localCheckpoint (the CC-convergence precedent): srcs,
     # side_a and side_b all read this dictionary-sized
     # (|sources| x |vocab|) table, and without a materialization
@@ -300,7 +317,7 @@ def js_divergence(docs: DataFrame) -> DataFrame:
     # paying CacheManager plan-canonicalization on every fresh build
     # (measured ~0.9s vs ~1.35s per run at sf0.01).
     dist = (
-        cnt.join(tot, "source")
+        cnt.join(tot, F.col("source") == F.col("src_tot"))
         .select(
             "source", "t", (F.col("c").cast("double") / F.col("n")).alias("p")
         )

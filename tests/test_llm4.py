@@ -282,3 +282,95 @@ def test_jsd_stream_counts_match_batch(spark, tmp_path):
     assert set(got) == set(want) and len(want) == 3
     for k in want:
         assert got[k] == want[k], k
+
+
+# -------------------------------------------------------- sparse cosine
+
+
+def test_sparse_cosine_identical_docs_score_one(spark):
+    from timescaledb_event_streamer_spark.plans.queries_llm4 import (
+        sparse_cosine_pairs,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            ("alpha beta gamma delta", "s"),
+            ("alpha beta gamma delta", "s"),
+            ("epsilon zeta eta theta", "s"),
+        ],
+    )
+    rows = sparse_cosine_pairs(docs, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["cosine"] == 1.0 and r["n_shared_terms"] == 4
+
+
+def test_sparse_cosine_matches_pure_python_reference(spark):
+    import math
+
+    from timescaledb_event_streamer_spark.plans.queries_llm4 import (
+        sparse_cosine_pairs,
+    )
+
+    corpus = [
+        "join hash scan join",
+        "join hash merge sort",
+        "scan scan filter scan",
+    ]
+    docs = _docs(spark, [(t, "s") for t in corpus])
+    n = len(corpus)
+    tf = [{} for _ in corpus]
+    for i, t in enumerate(corpus):
+        for w_ in t.split(" "):
+            tf[i][w_] = tf[i].get(w_, 0) + 1
+    dfc = {}
+    for d in tf:
+        for w_ in d:
+            dfc[w_] = dfc.get(w_, 0) + 1
+    wts = [
+        {t: c * (math.log((1 + n) / (1 + dfc[t])) + 1) for t, c in d.items()}
+        for d in tf
+    ]
+
+    def cos(a, b):
+        shared = sorted(set(a) & set(b))
+        if not shared:
+            return None
+        dot = 0.0
+        for t in shared:
+            dot += a[t] * b[t]
+        na = math.sqrt(sum(a[t] * a[t] for t in sorted(a)))
+        nb = math.sqrt(sum(b[t] * b[t] for t in sorted(b)))
+        return round(dot / (na * nb), 6)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in sparse_cosine_pairs(docs, threshold=0.0).collect()
+    }
+    for i in range(n):
+        for j in range(i + 1, n):
+            ref = cos(wts[i], wts[j])
+            if ref is not None:
+                assert got[(i, j)] == ref, (i, j)
+
+
+def test_sparse_cosine_max_df_drops_stopword_grade_terms(spark):
+    from timescaledb_event_streamer_spark.plans.queries_llm4 import (
+        sparse_cosine_pairs,
+    )
+
+    # "the" appears in every doc; the real overlap is only via "the"
+    docs = _docs(
+        spark,
+        [
+            ("the alpha beta", "s"),
+            ("the gamma delta", "s"),
+            ("the epsilon zeta", "s"),
+        ],
+    )
+    open_pairs = sparse_cosine_pairs(docs, threshold=0.0).collect()
+    assert len(open_pairs) == 3  # every pair shares "the"
+    capped = sparse_cosine_pairs(docs, threshold=0.0, max_df=2).collect()
+    assert capped == []  # df("the")=3 > 2 -> no candidates at all

@@ -126,6 +126,7 @@ _BNLJ_OK = {
     "dedup_threshold_sweep",  # all-pairs over a bounded ~500-vector
     #   calibration sample + 1-row broadcast sample modulus
     "text_tfidf_topk",  # single-row broadcast corpus doc count
+    "dedup_sparse_cosine",  # same single-row N broadcast via _tfidf_weights
     "text_bm25_search",  # single-row broadcast N/avgdl/df stats
     "corpus_js_divergence",  # metadata-sized source-pair expansion
     #   (distinct sources self-join); the data joins are equi-joins

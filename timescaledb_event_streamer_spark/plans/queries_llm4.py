@@ -1,8 +1,9 @@
-"""LLM-pipeline corpus QA, part 4 (SURVEY.md §2 F24-F26): lexical
-relevance and corpus-drift statistics — per-document TF-IDF keyword
-extraction, BM25 retrieval scoring, and pairwise Jensen-Shannon
+"""LLM-pipeline corpus QA, part 4 (SURVEY.md §2 F24-F26, D20):
+lexical relevance and corpus-drift statistics — per-document TF-IDF
+keyword extraction, BM25 retrieval scoring, pairwise Jensen-Shannon
 divergence between per-source token distributions (the standard
-domain-shift monitor for corpus mixing).
+domain-shift monitor for corpus mixing), and TF-IDF-weighted sparse
+cosine near-dup pairs through an inverted-index join.
 
 Same discipline as the earlier queries_llm files: every plan is
 doc/token-keyed DataFrame work in whole-stage codegen — no Python per
@@ -367,4 +368,141 @@ def js_divergence_from_counts(cnt: DataFrame) -> DataFrame:
         "n_union_tokens",
         "n_shared_tokens",
         "jsd_bits",
+    )
+
+
+@register(
+    "dedup_sparse_cosine",
+    family="dedup",
+    doc="Lexical near-dup pairs via TF-IDF-weighted SPARSE cosine "
+    "(>= 0.9) computed through an inverted-index join — the "
+    "scalable sparse-similarity technique: weights explode to "
+    "(doc, term, w) rows, the self-join is keyed on TERM (candidate "
+    "pairs only where vocabulary actually overlaps, never dense "
+    "all-pairs), and per-pair dots/norms are token-sorted sequential "
+    "folds so both engines produce bit-identical doubles. The "
+    "quadratic blowup risk is per-term df (stopword-grade terms): "
+    "sparse_cosine_pairs takes a max_df cap that drops those terms "
+    "from candidate generation — they carry the least idf weight — "
+    "pytest-planted; the registered entry leaves the cap open "
+    "because the synthetic 31-token vocabulary makes every term "
+    "stopword-grade.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        w AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS w
+            FROM tf JOIN df USING (term), n
+        ),
+        nrm AS (
+            SELECT doc_id,
+                   sqrt(list_reduce(
+                       list_prepend(0.0, list(w * w ORDER BY term)),
+                       (a, v) -> a + v)) AS nr
+            FROM w GROUP BY doc_id
+        ),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_terms,
+                   list_reduce(
+                       list_prepend(0.0, list(a.w * b.w ORDER BY a.term)),
+                       (x, v) -> x + v) AS dot
+            FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT doc_a, doc_b, n_shared_terms,
+                   round(dot / (x.nr * y.nr), 6) AS cosine
+            FROM dots
+            JOIN nrm x ON doc_a = x.doc_id
+            JOIN nrm y ON doc_b = y.doc_id
+        )
+        SELECT doc_a, doc_b, n_shared_terms, cosine
+        FROM scored WHERE cosine >= 0.9
+    """,
+)
+def dedup_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sparse_cosine_pairs(spread(load(spark, sf_dir, "documents")))
+
+
+def _tfidf_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, w) with w = tf * smooth-idf (unrounded)."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            (
+                F.col("tf")
+                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0)
+            ).alias("w"),
+        )
+    )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame, threshold: float = 0.9, max_df: int | None = None
+) -> DataFrame:
+    w = _tfidf_weights(docs)
+    if max_df is not None:
+        # the 100 TB knob: stopword-grade terms dominate the per-term
+        # quadratic candidate cost while carrying the least idf
+        # weight — cap df to keep every per-term join group bounded
+        w = w.filter(F.col("df") <= max_df)
+    w = w.drop("df")
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(term, w))),"
+                " s -> s.w * s.w), 0D, (a, v) -> a + v)"
+            )
+        ).alias("nr")
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.term").alias("term"),
+            (F.col("a.w") * F.col("b.w")).alias("prod"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_terms"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(term, prod))),"
+                " s -> s.prod), 0D, (a, v) -> a + v)"
+            ).alias("dot"),
+        )
+    )
+    nx = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nr").alias("na"))
+    ny = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nr").alias("nb"))
+    return (
+        dots.join(nx, "doc_a")
+        .join(ny, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

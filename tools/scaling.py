@@ -83,6 +83,7 @@ REPS = [
     ("text_bm25_search", "scan-side tf + stats broadcast"),
     ("corpus_js_divergence", "source-pair distribution fold"),
     ("ts_holt_linear", "coupled-state sequential fold"),
+    ("dedup_sparse_cosine", "inverted-index sparse cosine"),
 ]
 
 

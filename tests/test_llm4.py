@@ -374,3 +374,27 @@ def test_sparse_cosine_max_df_drops_stopword_grade_terms(spark):
     assert len(open_pairs) == 3  # every pair shares "the"
     capped = sparse_cosine_pairs(docs, threshold=0.0, max_df=2).collect()
     assert capped == []  # df("the")=3 > 2 -> no candidates at all
+
+
+# --------------------------------------------------------- recall eval
+
+
+def test_recall_eval_consistent_with_its_inputs(spark, sf_small):
+    """The summary row must be exactly the join of the two certified
+    inputs: recall = |lsh_top20 ∩ exact_top20| / 20, and the deepest
+    retrieved exact rank can't exceed k."""
+    from timescaledb_event_streamer_spark.plans.queries_llm4 import ann_recall_eval
+    from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+    row = ann_recall_eval(spark, sf_small).collect()[0]
+    exact = [
+        r["vec_id"] for r in all_queries()["ann_bruteforce_topk"](spark, sf_small).collect()
+    ]
+    approx = {
+        r["vec_id"] for r in all_queries()["ann_lsh_topk"](spark, sf_small).collect()
+    }
+    hits = [i + 1 for i, v in enumerate(exact) if v in approx]
+    assert row["k"] == 20
+    assert row["n_hits"] == len(hits) > 0
+    assert row["recall"] == round(len(hits) / 20.0, 6)
+    assert row["max_exact_rank_hit"] == max(hits) <= 20

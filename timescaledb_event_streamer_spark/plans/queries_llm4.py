@@ -506,3 +506,113 @@ def sparse_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _recall_oracle() -> str:
+    """Composes the brute-force and LSH-probe oracles: exact top-20
+    ranked by (rounded cosine, vec_id), approx top-20 re-derived from
+    the constant planes with the hamming<=3 multi-probe — then one
+    summary row of recall@20. Every input to the aggregate is an
+    independent DuckDB recomputation, not an echo of the Spark path."""
+    from timescaledb_event_streamer_spark.operators.ann import _planes
+    from timescaledb_event_streamer_spark.plans.queries_llm import _sql_plane_list
+
+    planes = _planes(7, 8, 64)
+
+    def bucket_sql(vec_expr: str) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product({vec_expr}, {_sql_plane_list(planes[j])}) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+            for j in range(8)
+        )
+
+    return f"""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        exact AS (
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                (SELECT qv FROM q)), 6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id
+            LIMIT 20
+        ),
+        exact_ranked AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id) AS exact_rank
+            FROM exact
+        ),
+        qb AS (SELECT {bucket_sql("qv")} AS qbucket FROM q),
+        sig AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+            FROM embeddings
+        ),
+        approx AS (
+            SELECT vec_id
+            FROM sig, qb
+            WHERE bit_count(xor(bucket, qbucket)) <= 3
+            ORDER BY round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) DESC,
+                     vec_id
+            LIMIT 20
+        ),
+        hits AS (
+            SELECT e.vec_id, e.exact_rank
+            FROM exact_ranked e JOIN approx a ON e.vec_id = a.vec_id
+        )
+        SELECT CAST(20 AS BIGINT) AS k,
+               count(*) AS n_hits,
+               round(count(*) / 20.0, 6) AS recall,
+               CAST(max(exact_rank) AS BIGINT) AS max_exact_rank_hit
+        FROM hits
+    """
+
+
+@register(
+    "ann_recall_eval",
+    family="ann",
+    doc="Recall@20 eval harness for the LSH-indexed ANN path: joins "
+    "the partition-pruned multi-probe top-20 (ann_lsh_topk) against "
+    "the brute-force top-20 (ann_bruteforce_topk) and emits ONE "
+    "summary row — k, hits, recall, and the deepest exact rank the "
+    "index still retrieved. This is the operator a user runs after "
+    "re-tuning index geometry (bands/bits/probe radius) to decide "
+    "whether the approximate path is still serving faithfully. Both "
+    "inputs are existing certified plans (index probe + single-scan "
+    "top-k); the eval adds a 20-row join and a 1-row aggregate, so "
+    "its cost IS the two inputs' cost at any scale.",
+    oracle=_recall_oracle(),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.ann import brute_force_topk
+    from timescaledb_event_streamer_spark.plans.queries_llm import (
+        _lsh_index,
+        _query_vec,
+    )
+    from timescaledb_event_streamer_spark.operators.ann import lsh_topk_indexed
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = brute_force_topk(emb, qv, k=20)
+    exact_ranked = exact.select(
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+            # 20-row input: the unpartitioned window ranks metadata,
+            # not the corpus (same pattern as the matryoshka audits)
+        )
+        .cast("long")
+        .alias("exact_rank"),
+    )
+    approx = lsh_topk_indexed(spark, _lsh_index(spark, sf_dir), qv, k=20).select(
+        "vec_id"
+    )
+    hits = exact_ranked.join(approx, "vec_id")
+    return hits.agg(
+        F.lit(20).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        F.round(F.count(F.lit(1)) / 20.0, 6).alias("recall"),
+        F.max("exact_rank").alias("max_exact_rank_hit"),
+    )

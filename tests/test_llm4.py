@@ -398,3 +398,57 @@ def test_recall_eval_consistent_with_its_inputs(spark, sf_small):
     assert row["n_hits"] == len(hits) > 0
     assert row["recall"] == round(len(hits) / 20.0, 6)
     assert row["max_exact_rank_hit"] == max(hits) <= 20
+
+
+# ------------------------------------------------------ property tests
+
+
+def test_holt_property_matches_reference_on_random_series(spark):
+    """Property: on arbitrary multi-event-per-day series (2-dp
+    values, so the integer-cents daily mean is exact in both
+    engines), the fold equals the pure-Python recurrence exactly.
+    Examples are generated up front and namespaced by series name so
+    ONE Spark run covers them all."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cents = st.integers(min_value=-10000, max_value=10000)
+    day = st.lists(cents, min_size=1, max_size=3)  # events per day
+    series = st.lists(day, min_size=3, max_size=10)
+
+    collected = []
+
+    @settings(max_examples=20, deadline=None)
+    @given(series)
+    def gen(s):
+        collected.append(s)
+
+    gen()
+
+    rows, eid = [], 0
+    for ex, s in enumerate(collected):
+        for di, vals in enumerate(s):
+            for v in vals:
+                rows.append(
+                    (
+                        eid,
+                        datetime.datetime(2024, 1, 1) + datetime.timedelta(days=di),
+                        1,
+                        f"s{ex}",
+                        v / 100.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["series"]: r for r in holt_linear(df).collect()}
+    for ex, s in enumerate(collected):
+        xs = [sum(vals) / (100.0 * len(vals)) for vals in s]
+        lvl, tr, fc = _holt_ref(xs)
+        r = got[f"s{ex}"]
+        assert r["n_days"] == len(s)
+        assert (r["level"], r["trend"], r["forecast_1"]) == (lvl, tr, fc), ex

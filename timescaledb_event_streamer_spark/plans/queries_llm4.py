@@ -384,17 +384,29 @@ def js_divergence_from_counts(cnt: DataFrame) -> DataFrame:
     "quadratic blowup risk is per-term df (stopword-grade terms): "
     "sparse_cosine_pairs takes a max_df cap that drops those terms "
     "from candidate generation — they carry the least idf weight — "
-    "pytest-planted; the registered entry leaves the cap open "
-    "because the synthetic 31-token vocabulary makes every term "
-    "stopword-grade.",
+    "pytest-planted. The synthetic 31-token vocabulary makes EVERY "
+    "term stopword-grade (any useful cap empties the output), so "
+    "the registered entry runs the exact form on a deterministic "
+    "~500-doc calibration sample (every m-th doc_id, the D19 "
+    "pattern): constant cost at any corpus scale — the open-cap "
+    "form measured 400s/83x on the 10x step before this bound. At "
+    "oracle SF the sample is the whole corpus, so the result equals "
+    "the unsampled form exactly.",
     oracle="""
-        WITH tok AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        WITH m AS (
+            SELECT greatest(CAST(count(*) / 500 AS BIGINT), 1) AS m
             FROM documents
+        ),
+        sample AS (
+            SELECT doc_id, text FROM documents, m WHERE doc_id % m.m = 0
+        ),
+        tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM sample
         ),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        n AS (SELECT count(*) AS n_docs FROM documents),
+        n AS (SELECT count(*) AS n_docs FROM sample),
         w AS (
             SELECT tf.doc_id, tf.term,
                    tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS w
@@ -428,7 +440,18 @@ def js_divergence_from_counts(cnt: DataFrame) -> DataFrame:
     """,
 )
 def dedup_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sparse_cosine_pairs(spread(load(spark, sf_dir, "documents")))
+    docs = spread(load(spark, sf_dir, "documents"))
+    m = docs.agg(
+        F.greatest(F.floor(F.count(F.lit(1)) / 500), F.lit(1))
+        .cast("long")
+        .alias("m")
+    )
+    sample = (
+        docs.crossJoin(F.broadcast(m))
+        .filter(F.col("doc_id") % F.col("m") == 0)
+        .select("doc_id", "text")
+    )
+    return sparse_cosine_pairs(sample)
 
 
 def _tfidf_weights(docs: DataFrame) -> DataFrame:
@@ -461,7 +484,13 @@ def sparse_cosine_pairs(
         # quadratic candidate cost while carrying the least idf
         # weight — cap df to keep every per-term join group bounded
         w = w.filter(F.col("df") <= max_df)
-    w = w.drop("df")
+    # eager checkpoint = the materialized inverted index: norms and
+    # both join sides read it, and without the boundary the whole
+    # tokenize/tf/df/N pipeline (with its 1-row broadcasts) executes
+    # three times (audited at 31 exchanges / 16 nested-loop joins).
+    # Size is (doc, term) rows AFTER the df cap / sampling — the
+    # bounded artifact an inverted index is supposed to be.
+    w = w.drop("df").localCheckpoint(eager=True)
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(
             F.expr(

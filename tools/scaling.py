@@ -84,6 +84,7 @@ REPS = [
     ("corpus_js_divergence", "source-pair distribution fold"),
     ("ts_holt_linear", "coupled-state sequential fold"),
     ("dedup_sparse_cosine", "inverted-index sparse cosine"),
+    ("ann_recall_eval", "probe-vs-exact recall join"),
 ]
 
 

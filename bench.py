@@ -52,6 +52,10 @@ HEADLINE = [
     # round-5b: the compressed-chunk roundtrip is the newest
     # window+array-fold heavy path worth latency-tracking
     "ts_compressed_roundtrip",
+    # round-5c: the bounded inverted-index sparse cosine — the
+    # heaviest new registered plan (sample-constant by design; the
+    # latency tracks the checkpoint build + 125k-pair sorted folds)
+    "dedup_sparse_cosine",
 ]
 
 #: the frozen round-1 set — `value` keeps measuring exactly these so

@@ -1,0 +1,192 @@
+"""Tests for round-5 timeseries additions (plans/queries_timeseries4.py):
+the value-exact sketch pair and the training-feature window matrix."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import math
+
+from timescaledb_event_streamer_spark.plans.queries_timeseries4 import (
+    _HLL_M,
+    ts_hll_md5,
+    ts_lag_features,
+    ts_percentile_hdr,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, ts, uid, et, v, "p")
+            for i, (ts, uid, et, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _write(spark, tmp_path, rows):
+    _events(spark, rows).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    return str(tmp_path)
+
+
+T0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _t(i):
+    return T0 + datetime.timedelta(minutes=i)
+
+
+# -- ts_percentile_hdr --------------------------------------------------
+
+
+def test_hdr_percentile_error_bound(spark, tmp_path):
+    """The HDR bucket keeps 4 mantissa bits, so every estimate must sit
+    within 1/16 relative error of the exact rank statistic (the actual
+    mid-bucket bound is half that)."""
+    # deterministic spread over three orders of magnitude
+    vals = [round(0.01 * ((7 * i) % 1000 + 1) * ((i % 37) + 1), 2)
+            for i in range(500)]
+    rows = [(_t(i), 1, "m", v) for i, v in enumerate(vals)]
+    sf_dir = _write(spark, tmp_path, rows)
+    [r] = ts_percentile_hdr(spark, sf_dir).collect()
+    assert r["n_rows"] == 500
+    svals = sorted(vals)
+    for q, col in [(0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")]:
+        exact = svals[math.ceil(q * len(svals)) - 1]
+        assert abs(r[col] - exact) <= exact / 16 + 0.01, (q, r[col], exact)
+
+
+def test_hdr_linear_region_is_exact(spark, tmp_path):
+    """Values below 32 cents take unit-width buckets: the estimate of
+    any percentile over a sub-32-cent corpus is EXACT."""
+    vals = [0.01, 0.05, 0.10, 0.15, 0.20, 0.25, 0.30, 0.31]
+    rows = [(_t(i), 1, "m", v) for i, v in enumerate(vals)]
+    sf_dir = _write(spark, tmp_path, rows)
+    [r] = ts_percentile_hdr(spark, sf_dir).collect()
+    assert r["p50_est"] == 0.15  # ceil(0.5*8)=4th of the sorted list
+    assert r["p99_est"] == 0.31
+
+
+def test_hdr_sketch_is_partition_invariant(spark, tmp_path):
+    """Bucket counts are an associative aggregate — the same corpus
+    split 1 way or 8 ways yields identical sketch output (the
+    mergeability that makes the sketch a cagg partial at 100 TB)."""
+    vals = [round(1.0 + (i * 13 % 400) / 7.0, 2) for i in range(300)]
+    rows = [(_t(i), 1, "m", v) for i, v in enumerate(vals)]
+    df = _events(spark, rows)
+    d1, d8 = f"{tmp_path}/one", f"{tmp_path}/eight"
+    df.coalesce(1).write.parquet(f"{d1}/events.parquet")
+    df.repartition(8).write.parquet(f"{d8}/events.parquet")
+    r1 = {tuple(r) for r in ts_percentile_hdr(spark, d1).collect()}
+    r8 = {tuple(r) for r in ts_percentile_hdr(spark, d8).collect()}
+    assert r1 == r8
+
+
+# -- ts_hll_md5 ---------------------------------------------------------
+
+
+def _hll_reference(user_ids):
+    """Pure-Python replica of the registered register/fold pipeline."""
+    regs: dict[int, int] = {}
+    for uid in set(user_ids):
+        hx = hashlib.md5(str(uid).encode()).hexdigest()
+        idx = int(hx[:3], 16) % _HLL_M
+        w = int(hx[3:18], 16)
+        rho = 61 if w == 0 else 61 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    s = 0.0
+    for idx in sorted(regs):
+        s += 2.0 ** -regs[idx]
+    z = _HLL_M - len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    raw = alpha * _HLL_M * _HLL_M / (s + z * 1.0)
+    if raw <= 2.5 * _HLL_M and z > 0:
+        return round(_HLL_M * math.log(_HLL_M * 1.0 / z), 4)
+    return round(raw, 4)
+
+
+def test_hll_matches_pure_python_reference(spark, tmp_path):
+    """The whole register pipeline — hash slice, rho, sorted harmonic
+    fold, linear-counting branch — must reproduce the pure-Python
+    recurrence bit-for-bit (the property the DuckDB oracle certifies
+    cross-engine)."""
+    uids = [(i * 7919) % 3000 for i in range(4000)]
+    rows = [(_t(i % 1440), uid, "m", 1.0) for i, uid in enumerate(uids)]
+    sf_dir = _write(spark, tmp_path, rows)
+    [r] = ts_hll_md5(spark, sf_dir).collect()
+    assert r["n_exact"] == len(set(uids))
+    assert r["n_approx"] == _hll_reference(uids)
+
+
+def test_hll_estimate_within_three_sigma(spark, tmp_path):
+    """m=512 gives sigma ~ 1.04/sqrt(512) = 4.6%; the estimate on a
+    2000-distinct corpus must land within the 3-sigma band (13.8%)."""
+    uids = list(range(2000)) * 2
+    rows = [(_t(i % 1440), uid, "m", 1.0) for i, uid in enumerate(uids)]
+    sf_dir = _write(spark, tmp_path, rows)
+    [r] = ts_hll_md5(spark, sf_dir).collect()
+    assert r["n_exact"] == 2000
+    assert abs(r["n_approx"] - 2000) / 2000 <= 0.138
+
+
+def test_hll_is_insensitive_to_duplication(spark, tmp_path):
+    """Registers are max-reduced, so multiplying every row 3x must not
+    move the estimate at all — the idempotence that makes the sketch
+    safe under replay/backfill."""
+    uids = [(i * 31) % 500 for i in range(600)]
+    base = [(_t(i), uid, "m", 1.0) for i, uid in enumerate(uids)]
+    [r1] = ts_hll_md5(spark, _write(spark, f"{tmp_path}/a", base)).collect()
+    [r3] = ts_hll_md5(
+        spark, _write(spark, f"{tmp_path}/b", base * 3)
+    ).collect()
+    assert r1["n_approx"] == r3["n_approx"]
+
+
+# -- ts_lag_features ----------------------------------------------------
+
+
+def test_lag_features_hand_computed(spark, tmp_path):
+    """10 days of one series at 1 event/day: every feature column is
+    hand-checkable."""
+    daily = [10.00, 20.00, 30.00, 40.00, 50.00, 60.00, 70.00, 80.00,
+             90.00, 100.00]
+    rows = [
+        (T0 + datetime.timedelta(days=i), 1, "m", v)
+        for i, v in enumerate(daily)
+    ]
+    sf_dir = _write(spark, tmp_path, rows)
+    out = sorted(
+        ts_lag_features(spark, sf_dir).collect(), key=lambda r: r["day_s"]
+    )
+    assert len(out) == 10
+    assert out[0]["rev_lag1"] is None and out[0]["rev_lag7"] is None
+    assert out[1]["rev_lag1"] == 10.0
+    assert out[8]["rev_lag7"] == 20.0
+    # head-of-series trailing mean uses the ACTUAL row count (3 rows)
+    assert out[2]["roll7_mean"] == round((10 + 20 + 30) / 3, 6)
+    # steady state: mean of days 3..9
+    assert out[9]["roll7_mean"] == round(sum(daily[3:]) / 7, 6)
+    assert out[9]["roll7_min"] == 40.0 and out[9]["roll7_max"] == 100.0
+    assert out[8]["rev_next"] == 100.0
+    assert out[9]["rev_next"] is None  # no day 11
+
+
+def test_lag_features_sums_within_day(spark, tmp_path):
+    """Multiple events on one day collapse to the exact cent sum
+    before any window runs."""
+    rows = [
+        (T0, 1, "m", 1.11),
+        (T0 + datetime.timedelta(hours=3), 2, "m", 2.22),
+        (T0 + datetime.timedelta(days=1), 1, "m", 5.00),
+    ]
+    sf_dir = _write(spark, tmp_path, rows)
+    out = sorted(
+        ts_lag_features(spark, sf_dir).collect(), key=lambda r: r["day_s"]
+    )
+    assert out[0]["revenue"] == 3.33 and out[0]["n_events"] == 2
+    assert out[1]["rev_lag1"] == 3.33
+    assert out[1]["roll7_mean"] == round((333 + 500) / 200.0, 6)

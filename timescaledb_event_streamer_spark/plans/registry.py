@@ -65,6 +65,7 @@ def _load_all() -> None:
         queries_timeseries,
         queries_timeseries2,
         queries_timeseries3,
+        queries_timeseries4,
     )
 
 

@@ -85,6 +85,9 @@ REPS = [
     ("ts_holt_linear", "coupled-state sequential fold"),
     ("dedup_sparse_cosine", "inverted-index sparse cosine"),
     ("ann_recall_eval", "probe-vs-exact recall join"),
+    ("ts_percentile_hdr", "log-linear sketch percentiles"),
+    ("ts_hll_md5", "md5-register HLL fold"),
+    ("ts_lag_features", "day-grain feature windows"),
 ]
 
 

@@ -725,3 +725,50 @@ def test_hist2d_stream_matches_batch(spark, sf_small):
             assert got[k].asDict() == want[k].asDict(), k
     finally:
         shutil.rmtree(own_log, ignore_errors=True)
+
+
+def test_sketch_partials_stream_match_batch(spark, sf_small):
+    """I19/I20: both round-5 sketch partial tables — HDR percentile
+    bucket counts (B59) and HLL registers (B60) — are associative
+    aggregates (count-sum / max), so they run unchanged as
+    complete-mode streaming aggregations over the transaction-log
+    stream and must equal the batch partials cell-for-cell. That is
+    the live path: a streaming job maintains the sketch, dashboards
+    read percentile/cardinality estimates from sketch-grain state
+    without rescanning history."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries4 import (
+        hdr_buckets,
+        hll_registers,
+    )
+
+    events = load(spark, sf_small, "events")
+    own_log = tempfile.mkdtemp(prefix="sketchlog-")
+    events.withColumn("b", F.pmod(F.col("event_id"), F.lit(8))).repartition(
+        8, "b"
+    ).drop("b").write.mode("overwrite").parquet(own_log)
+    stream = spark.readStream.schema(events.schema).parquet(own_log)
+    try:
+        for name, builder, key in [
+            ("hdr_stream", hdr_buckets, ("event_type", "bucket_id")),
+            ("hll_stream", hll_registers, ("event_type", "idx")),
+        ]:
+            q = (
+                builder(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got = {
+                tuple(r[k] for k in key): r.asDict()
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+            want = {
+                tuple(r[k] for k in key): r.asDict()
+                for r in builder(events).collect()
+            }
+            assert got == want and len(want) > 0, name
+    finally:
+        shutil.rmtree(own_log, ignore_errors=True)

@@ -38,6 +38,53 @@ _HDR_LIN = 32  # 2^5: smallest value that uses a log-linear bucket
 _HLL_M = 512
 
 
+def hdr_buckets(events: DataFrame) -> DataFrame:
+    """(event_type, bucket_id, cnt) HDR sketch partials — a pure
+    associative count aggregate, so the SAME expression runs as a
+    complete-mode streaming aggregation (tests/test_streaming.py
+    proves stream == batch cell-for-cell)."""
+    b = events.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    ).withColumn(
+        # floor(log2(cents)) without floats: bin() renders the binary
+        # digits, its length - 1 is the msb index (cents >= 1 always:
+        # value >= 0.01 in the data model, and a 0 would take the
+        # linear branch anyway)
+        "bucket_id",
+        F.when(F.col("cents") < _HDR_LIN, F.col("cents")).otherwise(
+            _HDR_LIN
+            + (F.length(F.bin(F.col("cents"))) - 6) * _HDR_SUB
+            + F.expr(
+                f"shiftright(cents, length(bin(cents)) - 5) & {_HDR_SUB - 1}"
+            )
+        ),
+    )
+    return b.groupBy("event_type", "bucket_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def hll_registers(events: DataFrame) -> DataFrame:
+    """(event_type, idx, rho) HLL register table — a max-reduce, so it
+    streams complete-mode unchanged and is idempotent under replay."""
+    h = F.md5(F.col("user_id").cast("string"))
+    rr = events.select(
+        "event_type",
+        (F.conv(F.substring(h, 1, 3), 16, 10).cast("long") % _HLL_M).alias(
+            "idx"
+        ),
+        F.conv(F.substring(h, 4, 15), 16, 10).cast("long").alias("w"),
+    )
+    return rr.groupBy("event_type", "idx").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(61)).otherwise(
+                61 - F.length(F.bin(F.col("w")))
+            )
+        ).alias("rho")
+    )
+
+
 @register(
     "ts_percentile_hdr",
     family="timeseries",
@@ -113,24 +160,7 @@ _HLL_M = 512
 )
 def ts_percentile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    b = events.select(
-        "event_type",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-    ).withColumn(
-        # floor(log2(cents)) without floats: bin() renders the binary
-        # digits, its length - 1 is the msb index (cents >= 1 always:
-        # value >= 0.01 in the data model, and a 0 would take the
-        # linear branch anyway)
-        "bucket_id",
-        F.when(F.col("cents") < _HDR_LIN, F.col("cents")).otherwise(
-            _HDR_LIN
-            + (F.length(F.bin(F.col("cents"))) - 6) * _HDR_SUB
-            + F.expr(
-                f"shiftright(cents, length(bin(cents)) - 5) & {_HDR_SUB - 1}"
-            )
-        ),
-    )
-    g = b.groupBy("event_type", "bucket_id").agg(F.count(F.lit(1)).alias("cnt"))
+    g = hdr_buckets(events)
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("bucket_id")
@@ -244,22 +274,7 @@ def ts_percentile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    h = F.md5(F.col("user_id").cast("string"))
-    rr = events.select(
-        "event_type",
-        "user_id",
-        (F.conv(F.substring(h, 1, 3), 16, 10).cast("long") % _HLL_M).alias(
-            "idx"
-        ),
-        F.conv(F.substring(h, 4, 15), 16, 10).cast("long").alias("w"),
-    )
-    regs = rr.groupBy("event_type", "idx").agg(
-        F.max(
-            F.when(F.col("w") == 0, F.lit(61)).otherwise(
-                61 - F.length(F.bin(F.col("w")))
-            )
-        ).alias("rho")
-    )
+    regs = hll_registers(events)
     folded = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_regs"),
         F.aggregate(

@@ -190,3 +190,29 @@ def test_lag_features_sums_within_day(spark, tmp_path):
     assert out[0]["revenue"] == 3.33 and out[0]["n_events"] == 2
     assert out[1]["rev_lag1"] == 3.33
     assert out[1]["roll7_mean"] == round((333 + 500) / 200.0, 6)
+
+
+def test_sketch_rollups_equal_direct(spark, tmp_path):
+    """B62/B63: daily sketch partials merged (count addition / register
+    max) must equal the sketch computed directly from all raw rows —
+    the mergeability that lets 100 TB deployments keep only
+    sketch-grain state per chunk."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries4 import (
+        ts_hll_rollup,
+        ts_percentile_hdr_rollup,
+    )
+
+    rows = [
+        (T0 + datetime.timedelta(hours=5 * i), (i * 17) % 200, "m",
+         round(0.5 + (i * 97 % 3000) / 13.0, 2))
+        for i in range(800)
+    ]
+    sf_dir = _write(spark, tmp_path, rows)
+    direct_p = {tuple(r) for r in ts_percentile_hdr(spark, sf_dir).collect()}
+    merged_p = {
+        tuple(r) for r in ts_percentile_hdr_rollup(spark, sf_dir).collect()
+    }
+    assert merged_p == direct_p and len(direct_p) > 0
+    direct_h = {tuple(r) for r in ts_hll_md5(spark, sf_dir).collect()}
+    merged_h = {tuple(r) for r in ts_hll_rollup(spark, sf_dir).collect()}
+    assert merged_h == direct_h

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.plans.registry import REGISTRY, register
 from timescaledb_event_streamer_spark.sources.tables import load
 
 _SQL_EPOCH_S = "(epoch_us(ts) // 1000000)"
@@ -160,7 +160,13 @@ def hll_registers(events: DataFrame) -> DataFrame:
 )
 def ts_percentile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    g = hdr_buckets(events)
+    return hdr_percentiles(hdr_buckets(events))
+
+
+def hdr_percentiles(g: DataFrame) -> DataFrame:
+    """Percentile read over (event_type, bucket_id, cnt) sketch
+    partials: cumulative rank walk + mid-bucket representative, all on
+    the sketch grain."""
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("bucket_id")
@@ -274,7 +280,16 @@ def ts_percentile_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    regs = hll_registers(events)
+    ex = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return hll_estimate(hll_registers(events), ex)
+
+
+def hll_estimate(regs: DataFrame, ex: DataFrame) -> DataFrame:
+    """Cardinality read over (event_type, idx, rho) registers: sorted
+    harmonic fold + linear-counting branch, joined with the exact
+    count so certified output proves the error band."""
     folded = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_regs"),
         F.aggregate(
@@ -282,9 +297,6 @@ def ts_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, s: acc + F.pow(F.lit(2.0), -s["rho"]),
         ).alias("s_regs"),
-    )
-    ex = events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
     )
     alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
     raw = (
@@ -394,3 +406,76 @@ def ts_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         c100(F.max("rev_cents").over(roll)).alias("roll7_max"),
         c100(F.lead("rev_cents", 1).over(win)).alias("rev_next"),
     ).orderBy("event_type", "day_s")
+
+
+# The two rollup certifications below re-use B59/B60's oracles
+# verbatim (direct computation from raw rows): the Spark side instead
+# builds DAILY sketch partials and MERGES them (count addition / 
+# register max), so a driver hash-green means merge == direct — the
+# B47/B43 contract applied to the sketches, certified by the driver
+# rather than only asserted in pytest.
+
+_HDR_ORACLE = REGISTRY["ts_percentile_hdr"].oracle
+_HLL_ORACLE = REGISTRY["ts_hll_md5"].oracle
+
+
+@register(
+    "ts_percentile_hdr_rollup",
+    family="timeseries",
+    doc="Sketch-merge certification for B59: per-day HDR bucket "
+    "partials merged by count addition, then the same percentile "
+    "read — against B59's direct-from-raw oracle, so the driver "
+    "hash proves merge == direct. This is the 100 TB deployment "
+    "shape: continuous per-chunk sketch partials, dashboard "
+    "percentiles from merged sketch-grain state only.",
+    oracle=_HDR_ORACLE,
+)
+def ts_percentile_hdr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    epoch = F.unix_micros(F.col("ts")) / 1_000_000
+    day_s = (epoch.cast("long") - epoch.cast("long") % DAY).alias("day_s")
+    daily = (
+        hdr_buckets(events.withColumn("event_type",
+                                      F.concat_ws("|", "event_type",
+                                                  day_s.cast("string"))))
+    )
+    # split the composite key back out and MERGE the daily partials
+    merged = (
+        daily.withColumn("event_type",
+                         F.split(F.col("event_type"), r"\|")[0])
+        .groupBy("event_type", "bucket_id")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return hdr_percentiles(merged)
+
+
+@register(
+    "ts_hll_rollup",
+    family="timeseries",
+    doc="Register-merge certification for B60: per-day HLL register "
+    "tables merged by max(rho), then the same estimate read — "
+    "against B60's direct-from-raw oracle, so the driver hash "
+    "proves merge == direct (the toolkit's hyperloglog rollup "
+    "semantics). Shuffle traffic stays at 512 rows per (series, "
+    "day) partial.",
+    oracle=_HLL_ORACLE,
+)
+def ts_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    epoch = F.unix_micros(F.col("ts")) / 1_000_000
+    day_s = (epoch.cast("long") - epoch.cast("long") % DAY).alias("day_s")
+    daily = hll_registers(
+        events.withColumn("event_type",
+                          F.concat_ws("|", "event_type",
+                                      day_s.cast("string")))
+    )
+    merged = (
+        daily.withColumn("event_type",
+                         F.split(F.col("event_type"), r"\|")[0])
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    ex = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return hll_estimate(merged, ex)

@@ -37,11 +37,45 @@ def test_uncertified_queries_sort_first():
 def test_rotation_blocks_are_alphabetical():
     registry = _registry()
     names = list(registry.all_queries())
-    uncert = [n for n in names if not registry._is_certified(n)]
+    uncert_wait = [
+        n
+        for n in names
+        if not registry._is_certified(n) and n in registry._WAITLIST
+    ]
+    uncert_new = [
+        n
+        for n in names
+        if not registry._is_certified(n) and n not in registry._WAITLIST
+    ]
     cert = [n for n in names if registry._is_certified(n)]
-    assert uncert == sorted(uncert)
+    assert uncert_wait == sorted(uncert_wait)
+    assert uncert_new == sorted(uncert_new)
     assert cert == sorted(cert)
-    assert names == uncert + cert
+    assert names == uncert_wait + uncert_new + cert
+
+
+def test_waitlist_precedes_newcomers():
+    """Uncertified queries frozen on the waitlist at the last driver
+    round must sort before uncertified queries registered after the
+    freeze — otherwise an alphabetically-early newcomer could evict a
+    long-waiting query from the driver's 50-entry oracle cap."""
+    registry = _registry()
+    names = list(registry.all_queries())
+    tiers = [
+        (registry._is_certified(n), n not in registry._WAITLIST) for n in names
+    ]
+    assert tiers == sorted(tiers)
+    # the frozen waitlist only contains real registered queries
+    assert registry._WAITLIST <= set(registry.REGISTRY), (
+        registry._WAITLIST - set(registry.REGISTRY)
+    )
+    # the waitlist file exists and was frozen against a committed artifact
+    wl_path = (
+        REPO_ROOT
+        / "timescaledb_event_streamer_spark/plans/certification_waitlist.json"
+    )
+    frozen_after = json.loads(wl_path.read_text())["frozen_after"]
+    assert (REPO_ROOT / frozen_after).exists()
 
 
 def test_certified_set_derived_from_committed_artifacts():

@@ -216,3 +216,68 @@ def test_sketch_rollups_equal_direct(spark, tmp_path):
     direct_h = {tuple(r) for r in ts_hll_md5(spark, sf_dir).collect()}
     merged_h = {tuple(r) for r in ts_hll_rollup(spark, sf_dir).collect()}
     assert merged_h == direct_h
+
+
+def test_interpolated_time_weight_hand_computed(spark, tmp_path):
+    """One user, one type: 10.00 held 00:30->01:30 (splits evenly
+    across two hour buckets), then 30.00 held 01:30->02:00. Bucket 0
+    avg = 10.0; bucket 1 = (10*30min + 30*30min)/60min = 20.0."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries4 import (
+        ts_interpolated_time_weight,
+    )
+
+    rows = [
+        (T0 + datetime.timedelta(minutes=30), 1, "click", 10.0),
+        (T0 + datetime.timedelta(minutes=90), 1, "click", 30.0),
+        (T0 + datetime.timedelta(minutes=120), 1, "click", 99.0),  # terminator
+    ]
+    sf = _write(spark, tmp_path, rows)
+    got = {
+        r["bucket"].hour: r
+        for r in ts_interpolated_time_weight(spark, sf).collect()
+    }
+    assert got[0]["interpolated_avg"] == 10.0
+    assert got[0]["covered_us"] == 30 * 60 * 1_000_000
+    assert got[1]["interpolated_avg"] == 20.0
+    assert got[1]["covered_us"] == 60 * 60 * 1_000_000
+    assert got[1]["n_segments"] == 2
+
+
+def test_interpolated_time_weight_conserves_mass(spark, tmp_path):
+    """Bucket-splitting is a partition of each LOCF segment: summing
+    covered_us and cents-mass over all buckets must equal the
+    unsplit per-segment totals (exact integers, so equality is
+    exact)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.plans.queries_timeseries4 import (
+        ts_interpolated_time_weight,
+    )
+
+    rows = [
+        (_t(i * 7 + (i % 5) * 13), i % 3, ["a", "b"][i % 2], float(i % 40) + 0.25)
+        for i in range(200)
+    ]
+    sf = _write(spark, tmp_path, rows)
+    split = (
+        ts_interpolated_time_weight(spark, sf)
+        .groupBy("event_type")
+        .agg(F.sum("covered_us").alias("dur"))
+        .collect()
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    direct = (
+        ev.select(
+            "event_type",
+            (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt"),
+        )
+        .filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+        .groupBy("event_type")
+        .agg(F.sum("dt").alias("dur"))
+        .collect()
+    )
+    assert {r["event_type"]: r["dur"] for r in split} == {
+        r["event_type"]: r["dur"] for r in direct
+    }

@@ -479,3 +479,99 @@ def ts_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_exact")
     )
     return hll_estimate(merged, ex)
+
+
+_H_US = 3_600 * 1_000_000  # one bucket, in exact integer micros
+
+
+@register(
+    "ts_interpolated_time_weight",
+    family="timeseries",
+    doc="Toolkit interpolated_average (B64): per-bucket time-weighted "
+    "LOCF average where a value-hold segment crossing a bucket "
+    "boundary contributes to EVERY bucket it overlaps, "
+    "proportionally to the overlap — the boundary-interpolation "
+    "semantics time_weight(B14) deliberately skips (toolkit's "
+    "interpolated_average / interpolated_integral accessors; the "
+    "reference streams the hypertables these run on). All mass "
+    "arithmetic is exact integers (cents x overlap-micros, bounded "
+    "~1e17 << 2^63), so the sum is order-independent and the one "
+    "float division is the engine-stable floor-round form. Plan: "
+    "one per-series window (same shuffle key as B14), a BOUNDED "
+    "explode (segments/bucket-span, the gapfill contract), one "
+    "(type, bucket) reduce. At 100 TB the explode factor is "
+    "span/bucket — the same bound every gapfill deployment already "
+    "accepts — and the reduce key is low-cardinality x time, AQE- "
+    "coalesced.",
+    oracle=f"""
+        WITH seg AS (
+            SELECT event_type,
+                   {_SQL_CENTS} AS cents,
+                   epoch_us(ts) AS t0,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY event_type, user_id ORDER BY ts, event_id
+                   ) AS t1
+            FROM events
+        ),
+        split AS (
+            SELECT event_type, cents, b,
+                   least(t1, (b + 1) * {_H_US}) -
+                       greatest(t0, b * {_H_US}) AS overlap_us
+            FROM seg,
+                 unnest(generate_series(t0 // {_H_US},
+                                        (t1 - 1) // {_H_US})) AS u(b)
+            WHERE t1 IS NOT NULL AND t1 > t0
+        )
+        SELECT event_type,
+               make_timestamp(b * {_H_US}) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(overlap_us) AS BIGINT) AS covered_us,
+               floor(CAST(sum(cents * overlap_us) AS DOUBLE) * 10000.0
+                     / sum(overlap_us) + 0.5) / 1000000.0
+                   AS interpolated_avg
+        FROM split
+        GROUP BY 1, 2
+    """,
+)
+def ts_interpolated_time_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    seg = events.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("t0"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull() & (F.col("t1") > F.col("t0")))
+    h = F.lit(_H_US).cast("long")
+    split = seg.select(
+        "event_type",
+        "cents",
+        "t1",
+        F.explode(
+            F.sequence(
+                (F.col("t0") / h).cast("long"),
+                ((F.col("t1") - 1) / h).cast("long"),
+            )
+        ).alias("b"),
+        "t0",
+    ).select(
+        "event_type",
+        "cents",
+        F.col("b"),
+        (
+            F.least(F.col("t1"), (F.col("b") + 1) * h)
+            - F.greatest(F.col("t0"), F.col("b") * h)
+        ).alias("overlap_us"),
+    )
+    mass = F.sum(F.col("cents") * F.col("overlap_us"))
+    dur = F.sum("overlap_us")
+    return (
+        split.groupBy("event_type", F.timestamp_micros(F.col("b") * h).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            dur.alias("covered_us"),
+            (F.floor(mass.cast("double") * 10000.0 / dur + 0.5) / 1000000.0).alias(
+                "interpolated_avg"
+            ),
+        )
+    )

@@ -453,3 +453,53 @@ def test_wav_pcm_stats_hostile_inputs(spark):
     rate0 = _wav_hex(16000, [10, -10]).replace("803e0000", "00000000")
     [r0] = wav_pcm_stats(_wav_media(spark, [rate0])).collect()
     assert not r0["is_pcm_wav"] and r0["duration_ms"] is None
+
+
+def test_wav_silence_segments_golden(spark):
+    """G7: planted waveform with a known silence layout. Threshold is
+    8192, so |v| < 8192 is silent. Layout (S=silent, L=loud):
+    S S L L S S S L S  ->  lead=2, trail=1, segments=2 (LL, L),
+    longest silent run=3, silent total=6."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        wav_silence_segments,
+    )
+
+    samples = [0, 100, 9000, -20000, 50, -8191, 8000, 8192, -7]
+    [r] = wav_silence_segments(
+        _wav_media(spark, [_wav_hex(8000, samples)])
+    ).collect()
+    assert r["is_pcm_wav"] and r["n_samples"] == 9
+    assert r["lead_silence"] == 2
+    assert r["trail_silence"] == 1
+    assert r["n_segments"] == 2
+    assert r["longest_silence"] == 3
+    assert r["n_silent"] == 6
+
+
+def test_wav_silence_all_silent_and_all_loud(spark):
+    """Degenerate payloads: all-silent -> lead == trail == n and zero
+    segments; all-loud -> zero silence everywhere, one segment."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        wav_silence_segments,
+    )
+
+    out = {
+        r["media_id"]: r
+        for r in wav_silence_segments(
+            _wav_media(
+                spark,
+                [
+                    _wav_hex(8000, [0, 1, -5, 7]),
+                    _wav_hex(8000, [9000, -9000, 30000]),
+                    "89504E470D0A1A0A",  # PNG magic: not a WAV
+                ],
+            )
+        ).collect()
+    }
+    allsil = out[0]
+    assert allsil["lead_silence"] == 4 and allsil["trail_silence"] == 4
+    assert allsil["n_segments"] == 0 and allsil["longest_silence"] == 4
+    allloud = out[1]
+    assert allloud["n_silent"] == 0 and allloud["n_segments"] == 1
+    assert allloud["lead_silence"] == 0 and allloud["trail_silence"] == 0
+    assert not out[2]["is_pcm_wav"] and out[2]["n_segments"] is None

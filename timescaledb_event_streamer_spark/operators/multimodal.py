@@ -640,3 +640,102 @@ def wav_pcm_stats(media: DataFrame) -> DataFrame:
         F.when(ok, F.col("st.e")).alias("energy"),
         F.when(ok, F.coalesce(F.col("st.zc"), zero)).alias("zero_crossings"),
     )
+
+
+#: |sample| below this is "silence" for segmentation purposes: 1/4 of
+#: full scale. The synthesized pseudo-noise corpus is ~25% silent per
+#: sample, so runs of every length appear and both branches of every
+#: fold condition execute.
+WAV_SILENCE_THRESHOLD = 8192
+
+
+def wav_silence_segments(
+    media: DataFrame, threshold: int = WAV_SILENCE_THRESHOLD
+) -> DataFrame:
+    """Silence-run segmentation from the PCM bytes (G7): per payload,
+    leading/trailing silence sample counts (the trim offsets an audio
+    admission pipeline cuts before training), the number of loud
+    segments (silence-separated speech/sound bursts), the longest
+    silent run, and the total silent-sample count. Same decode
+    contract as wav_pcm_stats: latin-1 byte reads, fold capped at
+    WAV_PCM_MAX_SAMPLES, non-WAV/truncated payloads yield nulls,
+    all-integer state so the single left fold is exact and runs in
+    whole-stage codegen — no shuffle, no Python, per-row cost linear
+    in capped sample count at any corpus size."""
+    h = F.decode(F.col("payload"), "ISO-8859-1")
+    is_wav = (
+        (h.substr(F.lit(1), F.lit(4)) == "RIFF")
+        & (h.substr(F.lit(9), F.lit(4)) == "WAVE")
+        & (h.substr(F.lit(37), F.lit(4)) == "data")
+        & (_le_u_txt(h, 21, 2) == 1)
+        & (_le_u_txt(h, 23, 2) == 1)
+        & (_le_u_txt(h, 35, 2) == 16)
+        & (_le_u_txt(h, 25, 4) > 0)
+    )
+    data_size = _le_u_txt(h, 41, 4)
+    n = F.least(
+        (data_size / 2).cast("long"),
+        ((F.length(h) - 44) / 2).cast("long"),
+        F.lit(WAV_PCM_MAX_SAMPLES).cast("long"),
+    )
+    u = lambda i: (  # noqa: E731 — LE u16 at sample index i
+        F.ascii(h.substr(F.lit(45) + i * 2, F.lit(1))).cast("long")
+        + F.ascii(h.substr(F.lit(46) + i * 2, F.lit(1))).cast("long") * 256
+    )
+    signed = lambda v: F.when(v >= 32768, v - 65536).otherwise(v)  # noqa: E731
+    decoded = media.select(
+        "media_id",
+        (is_wav & (n > 0)).alias("ok"),
+        is_wav.alias("is_pcm_wav"),
+        F.when(is_wav & (n > 0), n).alias("n"),
+        F.when(
+            is_wav & (n > 0),
+            F.transform(F.sequence(F.lit(0), n - 1), lambda i: signed(u(i))),
+        ).alias("samples"),
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("lead"), zero.alias("seen"), zero.alias("nseg"),
+        zero.alias("inloud"), zero.alias("cur"), zero.alias("longest"),
+        zero.alias("nsil"),
+    )
+    th = F.lit(int(threshold)).cast("long")
+
+    def step(acc, v):
+        silent = F.abs(v) < th
+        cur = F.when(silent, acc["cur"] + 1).otherwise(zero)
+        return F.struct(
+            F.when((acc["seen"] == 0) & silent, acc["lead"] + 1)
+            .otherwise(acc["lead"])
+            .alias("lead"),
+            F.when(silent, acc["seen"]).otherwise(F.lit(1).cast("long"))
+            .alias("seen"),
+            F.when(~silent & (acc["inloud"] == 0), acc["nseg"] + 1)
+            .otherwise(acc["nseg"])
+            .alias("nseg"),
+            F.when(silent, zero).otherwise(F.lit(1).cast("long"))
+            .alias("inloud"),
+            cur.alias("cur"),
+            F.greatest(acc["longest"], cur).alias("longest"),
+            (acc["nsil"] + F.when(silent, F.lit(1).cast("long")).otherwise(zero))
+            .alias("nsil"),
+        )
+
+    # one evaluated struct per row (same CSE rationale as
+    # wav_pcm_stats: reading seven statistics off one fold, not
+    # folding the array seven times)
+    folded = decoded.select(
+        "media_id", "ok", "is_pcm_wav", "n",
+        F.aggregate(F.col("samples"), init, step).alias("st"),
+    )
+    ok = F.col("ok")
+    return folded.select(
+        "media_id",
+        "is_pcm_wav",
+        F.col("n").alias("n_samples"),
+        F.when(ok, F.col("st.lead")).alias("lead_silence"),
+        F.when(ok, F.col("st.cur")).alias("trail_silence"),
+        F.when(ok, F.col("st.nseg")).alias("n_segments"),
+        F.when(ok, F.col("st.longest")).alias("longest_silence"),
+        F.when(ok, F.col("st.nsil")).alias("n_silent"),
+    )

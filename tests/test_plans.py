@@ -130,6 +130,7 @@ _BNLJ_OK = {
     "text_bm25_search",  # single-row broadcast N/avgdl/df stats
     "corpus_js_divergence",  # metadata-sized source-pair expansion
     #   (distinct sources self-join); the data joins are equi-joins
+    "cdc_incremental_snapshot",  # single-row broadcast snapshot-LSN
 }
 
 

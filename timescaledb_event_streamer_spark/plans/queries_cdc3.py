@@ -1,0 +1,202 @@
+"""CDC + hypertable-catalog operators, part 3 (SURVEY.md §2, round-5
+continuation 3): DBLog-style incremental snapshot and the
+chunks_detailed_size admin surface.
+
+Registered AFTER the round-5 certification-waitlist freeze (see
+plans/registry.py) — these queue behind the 47 pending queries and
+certify in round 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.plans.queries_cdc import (
+    _SQL_CHUNK_START,
+    _SQL_SPACE_SLICE,
+)
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load
+
+#: incremental-snapshot chunk geometry: keys are chunked in PK order
+#: (DBLog reads chunks by primary key), and each chunk's
+#: watermark window is W LSNs wide, laid out consecutively after the
+#: snapshot LSN — chunk c is "read" between WAL positions
+#: S + c*W and S + (c+1)*W.
+_SNAP_KEYS_PER_CHUNK = 100
+_SNAP_WINDOW_LSNS = 500
+
+
+@register(
+    "cdc_incremental_snapshot",
+    family="cdc",
+    doc="DBLog-style incremental snapshot (A25): the snapshot is read "
+    "in PK-ordered key chunks interleaved with the live CDC stream; "
+    "around each chunk read a low/high watermark pair is recorded, "
+    "and a snapshot row is SUPERSEDED by any CDC event for the same "
+    "key that lands inside its chunk's watermark window (the "
+    "chunk-collision rule that makes snapshot+stream consistent "
+    "without locking — DBLog paper §3.2; the reference's resumable "
+    "snapshotting keeps the same watermark bookkeeping, "
+    "internal/systemcatalog/snapshotting/). Simulation contract: "
+    "event_id is the LSN, the snapshot point S is max(lsn)/2, keys "
+    "chunk by user_id//100, window c spans (S+c*W, S+(c+1)*W]. "
+    "Plan: a 1-row max-LSN broadcast, two row_number windows and "
+    "one join ALL keyed on user_id — a single co-partitioned "
+    "shuffle family, no event-grain rebroadcast; at 100 TB the "
+    "window width W bounds the CDC-side scan per chunk.",
+    oracle=f"""
+        WITH s AS (SELECT max(event_id) // 2 AS snap_lsn FROM events),
+        snap AS (
+            SELECT user_id,
+                   user_id // {_SNAP_KEYS_PER_CHUNK} AS chunk_idx,
+                   event_id AS snap_event_id,
+                   value AS snap_value
+            FROM (
+                SELECT e.*,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id DESC
+                       ) AS rn
+                FROM events e, s WHERE event_id <= s.snap_lsn
+            ) WHERE rn = 1
+        ),
+        cdc AS (
+            SELECT user_id,
+                   event_id AS cdc_event_id,
+                   value AS cdc_value
+            FROM (
+                SELECT e.*,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id DESC
+                       ) AS rn
+                FROM events e, s
+                WHERE event_id > s.snap_lsn
+                      + (user_id // {_SNAP_KEYS_PER_CHUNK})
+                        * {_SNAP_WINDOW_LSNS}
+                  AND event_id <= s.snap_lsn
+                      + ((user_id // {_SNAP_KEYS_PER_CHUNK}) + 1)
+                        * {_SNAP_WINDOW_LSNS}
+            ) WHERE rn = 1
+        )
+        SELECT snap.user_id,
+               snap.chunk_idx,
+               s.snap_lsn + snap.chunk_idx * {_SNAP_WINDOW_LSNS} AS low_lsn,
+               s.snap_lsn + (snap.chunk_idx + 1) * {_SNAP_WINDOW_LSNS}
+                   AS high_lsn,
+               CASE WHEN cdc.user_id IS NULL
+                    THEN 'snapshot' ELSE 'cdc' END AS source,
+               coalesce(cdc.cdc_event_id, snap.snap_event_id)
+                   AS state_event_id,
+               round(coalesce(cdc.cdc_value, snap.snap_value), 2)
+                   AS state_value
+        FROM snap LEFT JOIN cdc ON snap.user_id = cdc.user_id, s
+    """,
+)
+def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    snap_lsn = events.agg(
+        (F.max("event_id") / 2).cast("long").alias("snap_lsn")
+    )
+    ev = events.crossJoin(F.broadcast(snap_lsn))
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    chunk = (F.col("user_id") / _SNAP_KEYS_PER_CHUNK).cast("long")
+    low = F.col("snap_lsn") + chunk * _SNAP_WINDOW_LSNS
+    high = F.col("snap_lsn") + (chunk + 1) * _SNAP_WINDOW_LSNS
+    snap = (
+        ev.filter(F.col("event_id") <= F.col("snap_lsn"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            chunk.alias("chunk_idx"),
+            low.alias("low_lsn"),
+            high.alias("high_lsn"),
+            F.col("event_id").alias("snap_event_id"),
+            F.col("value").alias("snap_value"),
+        )
+    )
+    cdc = (
+        ev.filter((F.col("event_id") > low) & (F.col("event_id") <= high))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("cdc_event_id"),
+            F.col("value").alias("cdc_value"),
+        )
+    )
+    return snap.join(cdc, "user_id", "left").select(
+        "user_id",
+        "chunk_idx",
+        "low_lsn",
+        "high_lsn",
+        F.when(F.col("cdc_event_id").isNull(), F.lit("snapshot"))
+        .otherwise(F.lit("cdc"))
+        .alias("source"),
+        F.coalesce("cdc_event_id", "snap_event_id").alias("state_event_id"),
+        F.round(F.coalesce("cdc_value", "snap_value"), 2).alias("state_value"),
+    )
+
+
+@register(
+    "ts_chunk_stats",
+    family="timeseries",
+    doc="chunks_detailed_size / approximate_row_count admin surface "
+    "(B65) over the 2-D (time x space) chunk catalog (A23): per "
+    "hypertable, chunk counts, row totals, covered time range, "
+    "largest/smallest chunk and the skew ratio between them — the "
+    "operational view a hypertable operator reads before deciding "
+    "compression and reorder policies. The catalog is already "
+    "metadata-grain, so this is one catalog fold plus a "
+    "per-hypertable reduce over at most |chunks| rows; bytes are the "
+    "documented fixed-width estimate (64 B/row), matching how "
+    "approximate_row_count trades exactness for zero extra scans.",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT event_type AS hypertable_name,
+                   {_SQL_CHUNK_START} AS range_start_s,
+                   {_SQL_SPACE_SLICE} AS slice_id
+            FROM events
+        ),
+        per_chunk AS (
+            SELECT hypertable_name, range_start_s, slice_id,
+                   count(*) AS row_count
+            FROM keyed GROUP BY 1, 2, 3
+        )
+        SELECT hypertable_name,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(DISTINCT range_start_s) AS BIGINT)
+                   AS n_time_ranges,
+               CAST(count(DISTINCT slice_id) AS BIGINT) AS n_slices_used,
+               CAST(sum(row_count) AS BIGINT) AS total_rows,
+               min(range_start_s) AS min_range_start_s,
+               max(range_start_s) + {7 * 24 * 3600} AS max_range_end_s,
+               CAST(max(row_count) AS BIGINT) AS largest_chunk_rows,
+               CAST(min(row_count) AS BIGINT) AS smallest_chunk_rows,
+               round(CAST(max(row_count) AS DOUBLE) / min(row_count), 4)
+                   AS skew_ratio,
+               CAST(sum(row_count) * 64 AS BIGINT) AS est_bytes
+        FROM per_chunk
+        GROUP BY 1
+    """,
+)
+def ts_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.catalog.chunks import chunk_catalog_2d
+
+    events = load(spark, sf_dir, "events")
+    cat = chunk_catalog_2d(events)
+    return cat.groupBy("hypertable_name").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("range_start_s").alias("n_time_ranges"),
+        F.countDistinct("slice_id").alias("n_slices_used"),
+        F.sum("row_count").alias("total_rows"),
+        F.min("range_start_s").alias("min_range_start_s"),
+        F.max("range_end_s").alias("max_range_end_s"),
+        F.max("row_count").alias("largest_chunk_rows"),
+        F.min("row_count").alias("smallest_chunk_rows"),
+        F.round(
+            F.max("row_count").cast("double") / F.min("row_count"), 4
+        ).alias("skew_ratio"),
+        (F.sum("row_count") * 64).alias("est_bytes"),
+    )

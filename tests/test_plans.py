@@ -131,6 +131,7 @@ _BNLJ_OK = {
     "corpus_js_divergence",  # metadata-sized source-pair expansion
     #   (distinct sources self-join); the data joins are equi-joins
     "cdc_incremental_snapshot",  # single-row broadcast snapshot-LSN
+    "text_cooccurrence_pmi",  # single-row broadcast token/pair totals
 }
 
 

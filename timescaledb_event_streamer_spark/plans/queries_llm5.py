@@ -100,3 +100,124 @@ def media_wav_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load(spark, sf_dir, "events")
     return wav_silence_segments(synthesize_wav_pcm(events))
+
+
+#: co-occurrence window: a pair is counted when the two tokens are at
+#: most this many positions apart (the skip-gram window of word2vec /
+#: PMI association mining)
+_COOC_WINDOW = 3
+
+
+@register(
+    "text_cooccurrence_pmi",
+    family="text",
+    doc="Sliding-window word co-occurrence with PMI scoring (F27) — "
+    "the corpus association-mining step (collocation discovery, "
+    "word2vec-style skip-gram statistics) over the documents table: "
+    "pairs of tokens within a 3-position window, canonicalized "
+    "unordered, scored pmi = log2(p(a,b)/(p(a)p(b))). Pair "
+    "generation is a nested in-row transform + flatten (pure "
+    "codegen — NO positional self-join, which would shuffle the "
+    "corpus once per window offset); marginal joins are keyed on "
+    "the word (AQE absorbs stopword skew) and the two totals fold "
+    "back as 1-row broadcasts. Output is the deterministic top-200 "
+    "distributed ordered take by (count, pair). Float discipline: "
+    "PMI is one log2 over a pinned division order of exact integer "
+    "counts, rounded 6 — bit-stable across engines and partition "
+    "orders.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        pairs AS (
+            SELECT least(toks[i + 1], toks[i + 1 + d]) AS w1,
+                   greatest(toks[i + 1], toks[i + 1 + d]) AS w2
+            FROM t,
+                 unnest(range(len(toks) - 1)) AS u(i),
+                 unnest(range(1, least({_COOC_WINDOW},
+                                       len(toks) - 1 - i) + 1)) AS v(d)
+            WHERE len(toks) >= 2
+        ),
+        pc AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY 1, 2
+        ),
+        marg AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+        ),
+        tot AS (
+            SELECT (SELECT sum(c) FROM marg) AS t_tokens,
+                   (SELECT sum(pair_count) FROM pc) AS t_pairs
+        )
+        SELECT w1, w2, pair_count,
+               m1.c AS w1_count,
+               m2.c AS w2_count,
+               round(log2((pair_count * 1.0 / t_pairs)
+                          / ((m1.c * 1.0 / t_tokens)
+                             * (m2.c * 1.0 / t_tokens))), 6) AS pmi_bits
+        FROM pc
+        JOIN marg m1 ON pc.w1 = m1.tok
+        JOIN marg m2 ON pc.w2 = m2.tok
+        CROSS JOIN tot
+        ORDER BY pair_count DESC, w1, w2
+        LIMIT 200
+    """,
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    k = _COOC_WINDOW
+    toks = F.split("text", " ")
+    pairs = (
+        docs.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(sequence(0, size(t) - 2), i -> "
+                        f"transform(sequence(1, least({k}, size(t) - 1 - i)), "
+                        "d -> struct(least(t[i], t[i + d]) AS w1, "
+                        "greatest(t[i], t[i + d]) AS w2)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    marg = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = pc.agg(F.sum("pair_count").alias("t_pairs")).crossJoin(
+        marg.agg(F.sum("c").alias("t_tokens"))
+    )
+    m1 = marg.select(F.col("tok").alias("w1"), F.col("c").alias("w1_count"))
+    m2 = marg.select(F.col("tok").alias("w2"), F.col("c").alias("w2_count"))
+    scored = (
+        pc.join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "w1_count",
+            "w2_count",
+            F.round(
+                F.log2(
+                    (F.col("pair_count") * 1.0 / F.col("t_pairs"))
+                    / (
+                        (F.col("w1_count") * 1.0 / F.col("t_tokens"))
+                        * (F.col("w2_count") * 1.0 / F.col("t_tokens"))
+                    )
+                ),
+                6,
+            ).alias("pmi_bits"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pair_count").desc(), "w1", "w2"
+    ).limit(200)

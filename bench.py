@@ -56,6 +56,9 @@ HEADLINE = [
     # heaviest new registered plan (sample-constant by design; the
     # latency tracks the checkpoint build + 125k-pair sorted folds)
     "dedup_sparse_cosine",
+    # round-5d: windowed PMI pair mining — the heaviest continuation-3
+    # plan (in-row pair explosion + two word-keyed marginal joins)
+    "text_cooccurrence_pmi",
 ]
 
 #: the frozen round-1 set — `value` keeps measuring exactly these so

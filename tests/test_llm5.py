@@ -46,3 +46,66 @@ def test_cooccurrence_window_bound(spark, tmp_path):
     rows = {(r["w1"], r["w2"]) for r in text_cooccurrence_pmi(spark, sf).collect()}
     assert ("x", "y") not in rows  # distance 4
     assert ("r", "x") in rows  # distance 3
+
+
+def test_epoch_shuffle_deterministic_and_salted(spark, tmp_path):
+    """Shard assignment reproduces from (doc_id, epoch) alone, and the
+    epoch salt actually reshuffles: with 64 docs over 8 shards the
+    probability every doc keeps its shard across two epochs is 8^-64."""
+    import hashlib
+
+    from timescaledb_event_streamer_spark.plans.queries_llm5 import (
+        _N_EPOCHS,
+        _N_SHARDS,
+        corpus_epoch_shuffle,
+    )
+
+    texts = [f"doc number {i} body" for i in range(64)]
+    sf = _docs(spark, tmp_path, texts)
+    out = corpus_epoch_shuffle(spark, sf).collect()
+    got = {(r["epoch"], r["shard"]): r["n_docs"] for r in out}
+    # recompute the whole manifest driver-side from the hash contract
+    want: dict = {}
+    for i in range(64):
+        for e in range(_N_EPOCHS):
+            h = hashlib.md5(f"{i}:{e}".encode()).hexdigest()
+            key = (e, int(h[:8], 16) % _N_SHARDS)
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+    # each epoch accounts for every doc
+    for e in range(_N_EPOCHS):
+        assert sum(v for (ep, _), v in got.items() if ep == e) == 64
+    # the salt reshuffles: shard maps of epoch 0 and 1 differ somewhere
+    m0 = [int(hashlib.md5(f"{i}:0".encode()).hexdigest()[:8], 16) % _N_SHARDS
+          for i in range(64)]
+    m1 = [int(hashlib.md5(f"{i}:1".encode()).hexdigest()[:8], 16) % _N_SHARDS
+          for i in range(64)]
+    assert m0 != m1
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark, tmp_path):
+    """Two near-identical docs (jaccard 1.0) must land in the SAME
+    split even though their doc_ids hash to different folds; the
+    emitted violation counter is zero."""
+    import hashlib
+
+    from timescaledb_event_streamer_spark.plans.queries_llm5 import (
+        corpus_leakage_safe_split,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [dup, dup] + [f"unique text body number {i} filler words here pad" for i in range(30)]
+    sf = _docs(spark, tmp_path, texts)
+    rows = corpus_leakage_safe_split(spark, sf).collect()
+    assert rows and all(r["leakage_violations"] == 0 for r in rows)
+    # the dup pair's group is min(doc_id)=0; both docs counted under
+    # the fold of group "0"
+    fold = int(hashlib.md5(b"0").hexdigest()[:8], 16) % 10
+    split = "train" if fold < 8 else ("val" if fold == 8 else "test")
+    by_split = {(r["split"], r["source"]): r for r in rows}
+    r = by_split[(split, "src0")]
+    # group 0 contributes 2 docs but only 1 group
+    assert r["n_docs"] >= 2
+    assert r["n_docs"] - r["n_groups"] >= 1
+    # totals: every doc assigned exactly once
+    assert sum(r["n_docs"] for r in rows) == 32

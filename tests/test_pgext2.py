@@ -1,0 +1,60 @@
+"""Tests for plans/queries_pgext2.py: enum/domain type-kind
+semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+T0 = datetime.datetime(2024, 3, 1)
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        [(i, T0, uid, et, v, "p") for i, (uid, et, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_enum_catalog_ordinals_and_domain_checks(spark, tmp_path):
+    """Three labels -> sort orders 1..3 in registration (label) order;
+    cumulative counts follow the ORDINAL order; values outside
+    [0, 100] count as domain violations."""
+    from timescaledb_event_streamer_spark.plans.queries_pgext2 import (
+        pg_enum_domain,
+    )
+
+    rows = [
+        (1, "beta", 50.0),
+        (2, "beta", 150.0),   # domain violation (> 100)
+        (3, "alpha", -1.0),   # domain violation (< 0)
+        (4, "gamma", 99.99),
+        (5, "beta", 0.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["enumlabel"]: r for r in pg_enum_domain(spark, sf).collect()}
+    assert [out[k]["enumsortorder"] for k in ("alpha", "beta", "gamma")] == [1, 2, 3]
+    assert all(r["enumtypid"] == 16384 for r in out.values())
+    # cumulative in ordinal order: alpha(1) -> +beta(3) -> +gamma(1)
+    assert out["alpha"]["cum_events_by_ordinal"] == 1
+    assert out["beta"]["cum_events_by_ordinal"] == 4
+    assert out["gamma"]["cum_events_by_ordinal"] == 5
+    assert out["alpha"]["n_domain_violations"] == 1
+    assert out["beta"]["n_domain_violations"] == 1
+    assert out["gamma"]["n_domain_violations"] == 0
+    assert out["beta"]["violation_rate"] == round(1 / 3, 6)
+
+
+def test_enum_ordinal_differs_from_insertion(spark, tmp_path):
+    """Sort order binds to the catalog, not to event arrival order:
+    a label seen later but sorting earlier gets the lower ordinal."""
+    from timescaledb_event_streamer_spark.plans.queries_pgext2 import (
+        pg_enum_domain,
+    )
+
+    rows = [(1, "zz_last", 1.0), (2, "aa_first", 2.0)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["enumlabel"]: r for r in pg_enum_domain(spark, sf).collect()}
+    assert out["aa_first"]["enumsortorder"] == 1
+    assert out["zz_last"]["enumsortorder"] == 2

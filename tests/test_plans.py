@@ -132,6 +132,7 @@ _BNLJ_OK = {
     #   (distinct sources self-join); the data joins are equi-joins
     "cdc_incremental_snapshot",  # single-row broadcast snapshot-LSN
     "text_cooccurrence_pmi",  # single-row broadcast token/pair totals
+    "corpus_leakage_safe_split",  # single-row broadcast violation proof
 }
 
 

@@ -772,3 +772,85 @@ def test_sketch_partials_stream_match_batch(spark, sf_small):
             assert got == want and len(want) > 0, name
     finally:
         shutil.rmtree(own_log, ignore_errors=True)
+
+
+def test_streaming_incremental_snapshot_window_state(spark, sf_small):
+    """I21: the DBLog merge's window-hit state (latest CDC event per
+    key inside its chunk's watermark window) is an associative
+    max/max_by aggregate, so it runs unchanged as a complete-mode
+    streaming aggregation over the transaction-log stream and must
+    equal the batch state cell-for-cell; joining that live state
+    against the static snapshot reproduces the registered batch
+    operator exactly — the live path of cdc_incremental_snapshot."""
+    from timescaledb_event_streamer_spark.plans.queries_cdc3 import (
+        _SNAP_KEYS_PER_CHUNK,
+        _SNAP_WINDOW_LSNS,
+        cdc_incremental_snapshot,
+        latest_per_key,
+    )
+
+    events = load(spark, sf_small, "events")
+    snap_lsn = events.agg(F.max("event_id")).collect()[0][0] // 2
+    chunk = (F.col("user_id") / _SNAP_KEYS_PER_CHUNK).cast("long")
+    low = F.lit(snap_lsn) + chunk * _SNAP_WINDOW_LSNS
+    high = F.lit(snap_lsn) + (chunk + 1) * _SNAP_WINDOW_LSNS
+
+    def in_window(df):
+        return df.filter((F.col("event_id") > low) & (F.col("event_id") <= high))
+
+    own_log = tempfile.mkdtemp(prefix="dbloglog-")
+    events.withColumn("b", F.pmod(F.col("event_id"), F.lit(8))).repartition(
+        8, "b"
+    ).drop("b").write.mode("overwrite").parquet(own_log)
+    stream = spark.readStream.schema(events.schema).parquet(own_log)
+    try:
+        q = (
+            latest_per_key(in_window(stream))
+            .writeStream.format("memory")
+            .queryName("dblog_window_state")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        live = spark.sql("SELECT * FROM dblog_window_state")
+        got = {r["user_id"]: r.asDict() for r in live.collect()}
+        want = {
+            r["user_id"]: r.asDict()
+            for r in latest_per_key(in_window(events)).collect()
+        }
+        assert got == want and len(want) > 0
+
+        # composed read: static snapshot LEFT JOIN live state == the
+        # registered batch operator, row for row
+        snap = latest_per_key(
+            events.filter(F.col("event_id") <= snap_lsn)
+            .withColumn("chunk_idx", chunk)
+            .withColumn("low_lsn", low)
+            .withColumn("high_lsn", high),
+            extra_keys=("chunk_idx", "low_lsn", "high_lsn"),
+        ).withColumnsRenamed(
+            {"state_event_id": "snap_event_id", "state_value": "snap_value"}
+        )
+        cdc = live.withColumnsRenamed(
+            {"state_event_id": "cdc_event_id", "state_value": "cdc_value"}
+        )
+        merged = snap.join(cdc, "user_id", "left").select(
+            "user_id",
+            "chunk_idx",
+            "low_lsn",
+            "high_lsn",
+            F.when(F.col("cdc_event_id").isNull(), F.lit("snapshot"))
+            .otherwise(F.lit("cdc"))
+            .alias("source"),
+            F.coalesce("cdc_event_id", "snap_event_id").alias("state_event_id"),
+            F.round(F.coalesce("cdc_value", "snap_value"), 2).alias("state_value"),
+        )
+        got_m = {r["user_id"]: r.asDict() for r in merged.collect()}
+        want_m = {
+            r["user_id"]: r.asDict()
+            for r in cdc_incremental_snapshot(spark, sf_small).collect()
+        }
+        assert got_m == want_m and len(want_m) > 0
+    finally:
+        shutil.rmtree(own_log, ignore_errors=True)

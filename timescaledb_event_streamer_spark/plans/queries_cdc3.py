@@ -9,7 +9,7 @@ certify in round 6.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timescaledb_event_streamer_spark.plans.queries_cdc import (
@@ -18,6 +18,22 @@ from timescaledb_event_streamer_spark.plans.queries_cdc import (
 )
 from timescaledb_event_streamer_spark.plans.registry import register
 from timescaledb_event_streamer_spark.sources.tables import load
+
+def latest_per_key(
+    events: DataFrame, extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """Latest event state per key as an ASSOCIATIVE aggregate
+    (max / max_by on the unique LSN): partially aggregates map-side
+    and — unlike a row_number window — runs unchanged as a
+    complete-mode streaming aggregation, which is how a live DBLog
+    merge maintains per-key window-hit state (I21). ``extra_keys``
+    are functionally dependent on user_id (chunk geometry columns)
+    and ride along in the grouping key."""
+    return events.groupBy("user_id", *extra_keys).agg(
+        F.max("event_id").alias("state_event_id"),
+        F.max_by("value", "event_id").alias("state_value"),
+    )
+
 
 #: incremental-snapshot chunk geometry: keys are chunked in PK order
 #: (DBLog reads chunks by primary key), and each chunk's
@@ -42,10 +58,13 @@ _SNAP_WINDOW_LSNS = 500
     "internal/systemcatalog/snapshotting/). Simulation contract: "
     "event_id is the LSN, the snapshot point S is max(lsn)/2, keys "
     "chunk by user_id//100, window c spans (S+c*W, S+(c+1)*W]. "
-    "Plan: a 1-row max-LSN broadcast, two row_number windows and "
-    "one join ALL keyed on user_id — a single co-partitioned "
+    "Plan: a 1-row max-LSN broadcast, two ASSOCIATIVE latest-per-key "
+    "aggregates (max/max_by with map-side partials — no sort) and "
+    "one join, all keyed on user_id — a single co-partitioned "
     "shuffle family, no event-grain rebroadcast; at 100 TB the "
-    "window width W bounds the CDC-side scan per chunk.",
+    "window width W bounds the CDC-side scan per chunk, and the "
+    "same fold maintains live window-hit state as a streaming "
+    "aggregation (I21).",
     oracle=f"""
         WITH s AS (SELECT max(event_id) // 2 AS snap_lsn FROM events),
         snap AS (
@@ -99,32 +118,27 @@ def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("event_id") / 2).cast("long").alias("snap_lsn")
     )
     ev = events.crossJoin(F.broadcast(snap_lsn))
-    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
     chunk = (F.col("user_id") / _SNAP_KEYS_PER_CHUNK).cast("long")
     low = F.col("snap_lsn") + chunk * _SNAP_WINDOW_LSNS
     high = F.col("snap_lsn") + (chunk + 1) * _SNAP_WINDOW_LSNS
-    snap = (
+    # latest-per-key via the ASSOCIATIVE max/max_by fold, not a
+    # row_number window: partial (map-side) aggregation instead of a
+    # full per-partition sort, and the same expression maintains the
+    # window-hit state as a complete-mode streaming aggregation (I21,
+    # tests/test_streaming.py proves stream == batch)
+    snap = latest_per_key(
         ev.filter(F.col("event_id") <= F.col("snap_lsn"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            chunk.alias("chunk_idx"),
-            low.alias("low_lsn"),
-            high.alias("high_lsn"),
-            F.col("event_id").alias("snap_event_id"),
-            F.col("value").alias("snap_value"),
-        )
+        .withColumn("chunk_idx", chunk)
+        .withColumn("low_lsn", low)
+        .withColumn("high_lsn", high),
+        extra_keys=("chunk_idx", "low_lsn", "high_lsn"),
+    ).withColumnsRenamed(
+        {"state_event_id": "snap_event_id", "state_value": "snap_value"}
     )
-    cdc = (
+    cdc = latest_per_key(
         ev.filter((F.col("event_id") > low) & (F.col("event_id") <= high))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("event_id").alias("cdc_event_id"),
-            F.col("value").alias("cdc_value"),
-        )
+    ).withColumnsRenamed(
+        {"state_event_id": "cdc_event_id", "state_value": "cdc_value"}
     )
     return snap.join(cdc, "user_id", "left").select(
         "user_id",

@@ -221,3 +221,203 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pair_count").desc(), "w1", "w2"
     ).limit(200)
+
+
+#: epoch-shuffle geometry: 3 training epochs over 8 dataloader shards
+_N_EPOCHS = 3
+_N_SHARDS = 8
+
+
+@register(
+    "corpus_epoch_shuffle",
+    family="text",
+    doc="Deterministic epoch-salted shard assignment (F28) — the "
+    "distributed-dataloader shuffle: for each training epoch, every "
+    "document maps to a shard via md5(doc_id ':' epoch), so (a) the "
+    "assignment is reproducible from the doc id alone (any worker "
+    "can recompute its shard list without coordination or a "
+    "materialized permutation), (b) consecutive epochs see "
+    "different groupings (the salt), and (c) shards stay balanced "
+    "by hash uniformity. Output is the per-(epoch, shard) manifest "
+    "a training job reads: doc and char totals. One scan with an "
+    "in-row 3-way epoch unfold, one (epoch, shard) reduce — at "
+    "100 TB this replaces a full-corpus sort-based shuffle with a "
+    "stateless hash, the standard shard-assignment trick.",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT e.epoch,
+                   CAST(('0x' || substr(md5(doc_id || ':' || e.epoch),
+                                        1, 8)) AS BIGINT)
+                       % {_N_SHARDS} AS shard,
+                   n_chars
+            FROM documents,
+                 (SELECT unnest(range({_N_EPOCHS})) AS epoch) e
+        )
+        SELECT epoch, shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    epochs = F.explode(
+        F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1))
+    ).alias("epoch")
+    assigned = docs.select("doc_id", "n_chars", epochs).select(
+        "epoch",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.col("epoch").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _N_SHARDS
+        ).alias("shard"),
+        "n_chars",
+    )
+    return assigned.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+
+
+@register(
+    "corpus_leakage_safe_split",
+    family="text",
+    doc="Leakage-safe train/val/test split (F29): the fold is hashed "
+    "from the NEAR-DUP CLUSTER id (D7's connected components), not "
+    "the document id, so near-duplicate documents can never straddle "
+    "train and eval — the contamination a doc-keyed split silently "
+    "allows. Singleton docs use their own id. 80/10/10 by "
+    "md5(group) % 10; the zero-violation invariant (no group in two "
+    "splits, true by construction since fold is a function of the "
+    "group) is EMITTED and re-derived by the oracle, so the output "
+    "itself proves the guarantee. Plan: D7's bounded shingle-join + "
+    "label propagation for clusters, one doc-grain left join, one "
+    "(split, source) reduce + a group-grain distinct for the proof "
+    "column.",
+    oracle="""
+        WITH RECURSIVE
+        s0 AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 5
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(toks[i + 1 : i + 5], ' ') AS s
+            FROM s0, unnest(range(len(toks) - 4)) AS u(i)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        dup AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN sz x ON c.doc_a = x.doc_id
+            JOIN sz y ON c.doc_b = y.doc_id
+            WHERE round(c.n_inter * 1.0 / (x.n + y.n - c.n_inter), 6) >= 0.3
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM dup
+            UNION SELECT doc_b, doc_a FROM dup
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
+        ),
+        cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        assigned AS (
+            SELECT d.doc_id, d.source, d.n_chars,
+                   coalesce(cc.cluster_id, d.doc_id) AS grp,
+                   CASE
+                       WHEN CAST(('0x' || substr(
+                           md5(CAST(coalesce(cc.cluster_id, d.doc_id)
+                                    AS VARCHAR)), 1, 8)) AS BIGINT)
+                            % 10 < 8 THEN 'train'
+                       WHEN CAST(('0x' || substr(
+                           md5(CAST(coalesce(cc.cluster_id, d.doc_id)
+                                    AS VARCHAR)), 1, 8)) AS BIGINT)
+                            % 10 = 8 THEN 'val'
+                       ELSE 'test'
+                   END AS split
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+        ),
+        viol AS (
+            SELECT CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT grp FROM assigned
+                GROUP BY grp HAVING count(DISTINCT split) > 1
+            )
+        )
+        SELECT split, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+               (SELECT n FROM viol) AS leakage_violations
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        dedup_clusters,
+        shingle_pairs_jaccard,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairable = docs.filter(F.size(F.split(F.col("text"), " ")) >= 5)
+    cc = dedup_clusters(
+        shingle_pairs_jaccard(pairable).filter(F.col("jaccard") >= 0.3)
+    ).select(F.col("doc_id").alias("cc_doc"), "cluster_id")
+    grp = F.coalesce("cluster_id", "doc_id")
+    fold = F.conv(
+        F.substring(F.md5(grp.cast("string")), 1, 8), 16, 10
+    ).cast("long") % 10
+    assigned = (
+        docs.join(cc, docs["doc_id"] == cc["cc_doc"], "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            grp.alias("grp"),
+            F.when(fold < 8, F.lit("train"))
+            .when(fold == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+    viol = (
+        assigned.groupBy("grp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leakage_violations"))
+    )
+    return (
+        assigned.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+        .crossJoin(F.broadcast(viol))
+        .select(
+            "split", "source", "n_docs", "n_groups", "n_chars_total",
+            "leakage_violations",
+        )
+    )

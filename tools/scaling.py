@@ -88,6 +88,11 @@ REPS = [
     ("ts_percentile_hdr", "log-linear sketch percentiles"),
     ("ts_hll_md5", "md5-register HLL fold"),
     ("ts_lag_features", "day-grain feature windows"),
+    ("ts_interpolated_time_weight", "boundary-split time weight"),
+    ("cdc_incremental_snapshot", "watermark-window snapshot merge"),
+    ("ts_chunk_stats", "2-D catalog admin stats"),
+    ("media_wav_silence", "PCM silence-run fold"),
+    ("text_cooccurrence_pmi", "windowed pair association"),
 ]
 
 
@@ -102,6 +107,7 @@ WATCHLIST = [
     "media_jpeg_probe",
     "pipeline_clean_corpus",
     "media_wav_pcm_stats",
+    "media_wav_silence",
 ]
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timescaledb_event_streamer_spark.plans.registry import register
-from timescaledb_event_streamer_spark.sources.tables import load
+from timescaledb_event_streamer_spark.sources.tables import load, spread
 
 
 @register(
@@ -165,7 +165,11 @@ _COOC_WINDOW = 3
     """,
 )
 def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread(): the in-row pair explosion is the expensive projection,
+    # and the single-split local parquet would run it on one core
+    # (measured 0.97s -> 0.70s at sf0.1; no-op on a real multi-split
+    # table)
+    docs = spread(load(spark, sf_dir, "documents"))
     k = _COOC_WINDOW
     toks = F.split("text", " ")
     pairs = (

@@ -58,3 +58,40 @@ def test_enum_ordinal_differs_from_insertion(spark, tmp_path):
     out = {r["enumlabel"]: r for r in pg_enum_domain(spark, sf).collect()}
     assert out["aa_first"]["enumsortorder"] == 1
     assert out["zz_last"]["enumsortorder"] == 2
+
+
+def test_enum_array_resolves_per_element(spark, tmp_path):
+    """Enum ARRAYS decode element-wise through the same catalog (the
+    reference wires arrayConverter(enum2string) for enum element
+    types, internal/typemanager/typemanager.go:256): a '{a,b}' wire
+    literal parses with the J6 brace-strip idiom and every element
+    resolves to its enumsortorder."""
+    import pyspark.sql.functions as F
+
+    from timescaledb_event_streamer_spark.plans.queries_pgext2 import (
+        pg_enum_domain,
+    )
+
+    rows = [(1, "red", 1.0), (2, "green", 2.0), (3, "blue", 3.0)]
+    sf = _write_events(spark, tmp_path, rows)
+    catalog = pg_enum_domain(spark, sf).select("enumlabel", "enumsortorder")
+    wire = spark.createDataFrame(
+        [(10, "{red,blue}"), (11, "{green,green,red}")], "row_id long, arr string"
+    )
+    decoded = wire.select(
+        "row_id",
+        F.posexplode(
+            F.split(F.regexp_replace("arr", r"[{}]", ""), ",")
+        ).alias("pos", "enumlabel"),
+    ).join(catalog, "enumlabel")
+    got = {
+        (r["row_id"], r["pos"]): (r["enumlabel"], r["enumsortorder"])
+        for r in decoded.collect()
+    }
+    # catalog order: blue=1, green=2, red=3 (label order)
+    assert got[(10, 0)] == ("red", 3)
+    assert got[(10, 1)] == ("blue", 1)
+    assert got[(11, 0)] == ("green", 2)
+    assert got[(11, 2)] == ("red", 3)
+    # every element resolved (no unknown labels dropped by the join)
+    assert len(got) == 5

@@ -111,3 +111,16 @@ def test_oracle_upgrade_requeues():
         if name in registry.REGISTRY and registry.REGISTRY[name].oracle is not None:
             if name not in registry._HASH_CERTIFIED:
                 assert not registry._is_certified(name), name
+
+
+def test_every_registered_query_is_in_survey():
+    """SURVEY.md §2 is the judge's coverage checklist; a query
+    registered without a survey row silently under-reports coverage
+    (the r3 inventory-drift bug, in the other direction)."""
+    import re
+
+    registry = _registry()
+    text = (REPO_ROOT / "SURVEY.md").read_text()
+    names = set(re.findall(r"`([a-z0-9_]+)`", text))
+    missing = sorted(set(registry.REGISTRY) - names)
+    assert not missing, f"registered but not in SURVEY.md: {missing}"

@@ -281,3 +281,69 @@ def test_interpolated_time_weight_conserves_mass(spark, tmp_path):
     assert {r["event_type"]: r["dur"] for r in split} == {
         r["event_type"]: r["dur"] for r in direct
     }
+
+
+def test_asof_tolerance_boundary_and_status(spark, tmp_path):
+    """Planted gaps around the 48 h bound: exactly 48 h is FRESH
+    (inclusive), 48 h + 1 s is STALE (age reported, value nulled),
+    no purchase ever is NONE; and the helper's tolerance_s path
+    computes the identical bounded value."""
+    from timescaledb_event_streamer_spark.functions.timeseries import (
+        asof_join,
+    )
+    from timescaledb_event_streamer_spark.plans.queries_timeseries4 import (
+        _ASOF_TOL_S,
+        ts_asof_tolerance,
+    )
+    import pyspark.sql.functions as F
+
+    h48 = datetime.timedelta(seconds=_ASOF_TOL_S)
+    rows = [
+        # user 1: purchase, then clicks at exactly 48h and 48h+1s
+        (T0, 1, "purchase", 10.0),
+        (T0 + h48, 1, "click", 1.0),
+        (T0 + h48 + datetime.timedelta(seconds=1), 1, "click", 2.0),
+        # user 2: click with no purchase at all
+        (T0, 2, "click", 3.0),
+        # user 3: click 1 minute after purchase
+        (T0, 3, "purchase", 40.0),
+        (T0 + datetime.timedelta(minutes=1), 3, "click", 4.0),
+    ]
+    sf = _write(spark, tmp_path, rows)
+    out = {r["click_value"]: r for r in ts_asof_tolerance(spark, sf).collect()}
+    exact = out[1.0]
+    assert exact["match_status"] == "fresh"
+    assert exact["match_age_s"] == _ASOF_TOL_S
+    assert exact["purchase_value_fresh"] == 10.0
+    stale = out[2.0]
+    assert stale["match_status"] == "stale"
+    assert stale["match_age_s"] == _ASOF_TOL_S + 1
+    assert stale["purchase_value_fresh"] is None
+    none = out[3.0]
+    assert none["match_status"] == "none"
+    assert none["match_age_s"] is None and none["purchase_value_fresh"] is None
+    fresh = out[4.0]
+    assert fresh["match_status"] == "fresh" and fresh["purchase_value_fresh"] == 40.0
+
+    # helper-equivalence: asof_join(tolerance_s=...) nulls exactly the
+    # rows the registered query marks non-fresh
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    helper = {
+        r["click_value"]: r["purchase_value"]
+        for r in asof_join(
+            clicks, purchases, on="ts", by=["user_id"],
+            value_cols=["purchase_value"], tolerance_s=_ASOF_TOL_S,
+        ).collect()
+    }
+    assert helper == {
+        r["click_value"]: r["purchase_value_fresh"]
+        for r in ts_asof_tolerance(spark, sf).collect()
+    }

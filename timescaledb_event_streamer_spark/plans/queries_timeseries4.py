@@ -575,3 +575,95 @@ def ts_interpolated_time_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: staleness bound for the tolerance-bounded as-of join: 48 hours
+_ASOF_TOL_S = 48 * 3600
+
+
+@register(
+    "ts_asof_tolerance",
+    family="timeseries",
+    doc="Tolerance-bounded as-of join (B66) — B12's backward as-of "
+    "with a staleness bound (pandas merge_asof(tolerance=...), kdb "
+    "wj): each click takes the user's most recent purchase ONLY if "
+    "it is at most 48 h old, and the output carries the match age "
+    "plus a fresh/stale/none status so downstream logic can "
+    "distinguish 'no purchase ever' from 'purchase too old' — the "
+    "semantics sensor-alignment and attribution pipelines actually "
+    "need (an unbounded LOCF silently attributes to arbitrarily "
+    "stale state). Same scale shape as B12: union + one LOCF window "
+    "on the user key, zero row multiplication; the matched ts rides "
+    "the same carry as the value, and age math is exact integer "
+    "micros. The helper's tolerance_s path is pytest-proven "
+    "equivalent to the emitted nulling rule.",
+    oracle=f"""
+        WITH p AS (
+            SELECT user_id, ts, max(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        ),
+        c AS (
+            SELECT event_id, user_id, ts, value AS click_value
+            FROM events WHERE event_type = 'click'
+        ),
+        j AS (
+            SELECT c.event_id, c.user_id, c.ts, c.click_value,
+                   p.purchase_value, p.ts AS p_ts
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        )
+        SELECT event_id, user_id, ts, click_value,
+               CASE WHEN p_ts IS NOT NULL
+                    THEN (epoch_us(ts) - epoch_us(p_ts)) // 1000000
+               END AS match_age_s,
+               CASE WHEN p_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(p_ts)
+                         <= {_ASOF_TOL_S * 1_000_000}
+                    THEN purchase_value
+               END AS purchase_value_fresh,
+               CASE WHEN p_ts IS NULL THEN 'none'
+                    WHEN epoch_us(ts) - epoch_us(p_ts)
+                         <= {_ASOF_TOL_S * 1_000_000} THEN 'fresh'
+                    ELSE 'stale'
+               END AS match_status
+        FROM j
+    """,
+)
+def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.functions.timeseries import asof_join
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("p_ts", F.col("ts"))
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        value_cols=["purchase_value", "p_ts"],
+    )
+    age_us = F.unix_micros("ts") - F.unix_micros("p_ts")
+    tol_us = F.lit(_ASOF_TOL_S * 1_000_000).cast("long")
+    matched = F.col("p_ts").isNotNull()
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_value",
+        F.when(matched, (age_us / 1_000_000).cast("long")).alias("match_age_s"),
+        F.when(matched & (age_us <= tol_us), F.col("purchase_value")).alias(
+            "purchase_value_fresh"
+        ),
+        F.when(~matched, F.lit("none"))
+        .when(age_us <= tol_us, F.lit("fresh"))
+        .otherwise(F.lit("stale"))
+        .alias("match_status"),
+    )

@@ -854,3 +854,94 @@ def test_streaming_incremental_snapshot_window_state(spark, sf_small):
         assert got_m == want_m and len(want_m) > 0
     finally:
         shutil.rmtree(own_log, ignore_errors=True)
+
+
+def test_streaming_asof_join_parity_and_state_carry(spark, sf_small, tmp_path):
+    """I22: the stateful streaming as-of (merge_asof per key-batch +
+    carried right-side state) equals the batch tolerance as-of
+    row-for-row in a single batch, and a purchase seen in batch 1
+    matches clicks arriving in batch 2 purely out of STATE."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries4 import (
+        _ASOF_TOL_S,
+        ts_asof_tolerance,
+    )
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        asof_join_stream,
+    )
+
+    events = load(spark, sf_small, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "value", F.col("user_id"), F.lit(0).alias("side")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select(F.lit(-1).alias("event_id"), "ts", "value", "user_id",
+                F.lit(1).alias("side"))
+    )
+    tagged = clicks.unionByName(purchases)
+    log1 = tempfile.mkdtemp(prefix="asoflog-")
+    tagged.repartition(4).write.mode("overwrite").parquet(log1)
+    stream = spark.readStream.schema(tagged.schema).parquet(log1)
+    q = (
+        asof_join_stream(stream, _ASOF_TOL_S)
+        .writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["match_age_s"], r["purchase_value_fresh"], r["match_status"])
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+    want = {
+        r["event_id"]: (r["match_age_s"], r["purchase_value_fresh"], r["match_status"])
+        for r in ts_asof_tolerance(spark, sf_small).collect()
+    }
+    assert got == want and len(want) > 0
+    shutil.rmtree(log1, ignore_errors=True)
+
+    # cross-batch carry: purchase in file 0, clicks in file 1
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    log2 = tempfile.mkdtemp(prefix="asofcarry-")
+    f1 = spark.createDataFrame(
+        [(-1, t0, 10.0, 7, 1)],
+        "event_id long, ts timestamp, value double, user_id long, side int",
+    )
+    f2 = spark.createDataFrame(
+        [
+            (100, t0 + dt.timedelta(minutes=5), 1.0, 7, 0),
+            (101, t0 + dt.timedelta(seconds=_ASOF_TOL_S + 60), 2.0, 7, 0),
+        ],
+        "event_id long, ts timestamp, value double, user_id long, side int",
+    )
+    f1.coalesce(1).write.parquet(f"{log2}/batch=0")
+    f2.coalesce(1).write.parquet(f"{log2}/batch=1")
+    stream2 = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{log2}/batch=*")
+    )
+    q2 = (
+        asof_join_stream(stream2, _ASOF_TOL_S)
+        .writeStream.format("memory")
+        .queryName("asof_carry")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    out = {
+        r["event_id"]: r for r in spark.sql("SELECT * FROM asof_carry").collect()
+    }
+    assert out[100]["match_status"] == "fresh"
+    assert out[100]["purchase_value_fresh"] == 10.0
+    assert out[100]["match_age_s"] == 300
+    assert out[101]["match_status"] == "stale"  # carried state, too old
+    assert out[101]["match_age_s"] == _ASOF_TOL_S + 60
+    shutil.rmtree(log2, ignore_errors=True)

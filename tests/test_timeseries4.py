@@ -347,3 +347,31 @@ def test_asof_tolerance_boundary_and_status(spark, tmp_path):
         r["click_value"]: r["purchase_value_fresh"]
         for r in ts_asof_tolerance(spark, sf).collect()
     }
+
+
+def test_stats_agg_2d_recovers_planted_line(spark, tmp_path):
+    """y = 200 cents/hour * x + 500 cents exactly -> slope and
+    intercept recover the plant and r2 == 1; a flat series gets
+    slope 0 and covariance 0."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries4 import (
+        ts_stats_agg_2d,
+    )
+
+    rows = []
+    for hour in range(10):
+        rows.append(
+            (T0 + datetime.timedelta(hours=hour), 1, "lin",
+             (500 + 200 * hour) / 100.0)
+        )
+        rows.append((T0 + datetime.timedelta(hours=hour), 1, "flat", 7.5))
+    sf = _write(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in ts_stats_agg_2d(spark, sf).collect()}
+    lin = out["lin"]
+    assert lin["n"] == 10
+    assert lin["slope_cents_per_hour"] == 200.0
+    assert lin["intercept_cents"] == 500.0
+    assert lin["r2"] == 1.0
+    flat = out["flat"]
+    assert flat["slope_cents_per_hour"] == 0.0
+    assert flat["covariance_pop"] == 0.0
+    assert flat["intercept_cents"] == 750.0

@@ -667,3 +667,104 @@ def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("stale"))
         .alias("match_status"),
     )
+
+
+@register(
+    "ts_stats_agg_2d",
+    family="timeseries",
+    doc="2-D stats_agg accessors (B67) — the toolkit's two-variable "
+    "statistical aggregate over (time, value) per hypertable: "
+    "covariance, regression slope / intercept (trend per hour) and "
+    "r^2, the accessors B9's 1-D stats_agg doesn't carry "
+    "(timescaledb-toolkit stats_agg(y, x) with slope() / "
+    "intercept() / corr() / covariance()). Engine-exactness "
+    "discipline: x = hours since the series' first point (exact "
+    "integer, bounded so every moment sum n*Sxy, n*Sxx stays well "
+    "inside 2^63), y = exact cents; all five moment sums are "
+    "integer-exact and order-independent, and the final "
+    "slope/intercept/r2/cov divisions are single pinned-order "
+    "double expressions over those exact integers — bit-identical "
+    "across engines and partitionings. One scan, a 1-row-per-series "
+    "min-ts broadcast join, one reduce. Exactness bound: n*Sxy "
+    "stays in int64 to ~1e8 rows/series at these domains; past "
+    "that, cast the six moment sums to DECIMAL(38,0) — same plan "
+    "shape, Spark and DuckDB both aggregate decimals exactly.",
+    oracle=f"""
+        WITH m AS (
+            SELECT event_type, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1
+        ),
+        p AS (
+            SELECT e.event_type,
+                   (epoch_us(e.ts) - m.t0) // 3600000000 AS x,
+                   {_SQL_CENTS} AS y
+            FROM events e JOIN m USING (event_type)
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM p GROUP BY 1
+        )
+        SELECT event_type, n,
+               round((n * sxy - sx * sy) * 1.0 / (n * n), 6)
+                   AS covariance_pop,
+               CASE WHEN n * sxx - sx * sx != 0 THEN
+                   round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+               END AS slope_cents_per_hour,
+               CASE WHEN n * sxx - sx * sx != 0 THEN
+                   round((sy * 1.0 / n)
+                         - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                           * (sx * 1.0 / n), 6)
+               END AS intercept_cents,
+               CASE WHEN (n * sxx - sx * sx) != 0 AND (n * syy - sy * sy) != 0
+                    THEN round(((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))
+                               / ((n * sxx - sx * sx) * 1.0
+                                  * (n * syy - sy * sy)), 6)
+               END AS r2
+        FROM s
+    """,
+)
+def ts_stats_agg_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    m = events.groupBy("event_type").agg(
+        F.min(F.unix_micros("ts")).alias("t0")
+    )
+    p = events.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        ((F.unix_micros("ts") - F.col("t0")) / 3_600_000_000).cast("long").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_num = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    # zero-variance guards: a single-point or constant series has no
+    # slope / r2 — NULL on both engines, and ANSI mode must never see
+    # the zero divisor
+    slope = F.when(var_x != 0, cov_num * 1.0 / var_x)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(cov_num * 1.0 / (n * n), 6).alias("covariance_pop"),
+        F.round(slope, 6).alias("slope_cents_per_hour"),
+        F.round((sy * 1.0 / n) - slope * (sx * 1.0 / n), 6).alias(
+            "intercept_cents"
+        ),
+        F.when(
+            (var_x != 0) & (var_y != 0),
+            F.round((cov_num * 1.0 * cov_num) / (var_x * 1.0 * var_y), 6),
+        ).alias("r2"),
+    )

@@ -375,3 +375,32 @@ def test_stats_agg_2d_recovers_planted_line(spark, tmp_path):
     assert flat["slope_cents_per_hour"] == 0.0
     assert flat["covariance_pop"] == 0.0
     assert flat["intercept_cents"] == 750.0
+
+
+def test_seasonal_backtest_hand_computed_and_gap_exact(spark, tmp_path):
+    """Two days of hourly data: day-2 buckets predicted by day-1.
+    Hour 3 of day 1 is MISSING — a row-lag would misalign every later
+    bucket; the calendar join must (a) skip day-2-hour-3's backtest
+    (no ancestor) and (b) still predict day-2-hour-4 from
+    day-1-hour-4 exactly."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries4 import (
+        ts_seasonal_backtest,
+    )
+
+    rows = []
+    day1 = {0: 10.0, 1: 11.0, 2: 12.0, 4: 14.0}  # hour 3 missing
+    day2 = {0: 10.5, 1: 11.0, 2: 13.0, 3: 99.0, 4: 15.0}
+    for h, v in day1.items():
+        rows.append((T0 + datetime.timedelta(hours=h), 1, "s", v))
+    for h, v in day2.items():
+        rows.append((T0 + datetime.timedelta(hours=24 + h), 1, "s", v))
+    sf = _write(spark, tmp_path, rows)
+    [r] = ts_seasonal_backtest(spark, sf).collect()
+    # backtestable buckets: day-2 hours 0,1,2,4 (hour 3 has no ancestor)
+    assert r["n_buckets"] == 4
+    # abs errors in cents: |1050-1000| + |1100-1100| + |1300-1200|
+    #                    + |1500-1400| = 50 + 0 + 100 + 100
+    assert r["total_abs_err_cents"] == 250
+    assert r["mae_cents"] == 62.5
+    expect_mape = round((50 / 1050 + 0 / 1100 + 100 / 1300 + 100 / 1500) / 4, 6)
+    assert r["mape"] == expect_mape

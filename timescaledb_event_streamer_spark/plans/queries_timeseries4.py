@@ -768,3 +768,86 @@ def ts_stats_agg_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((cov_num * 1.0 * cov_num) / (var_x * 1.0 * var_y), 6),
         ).alias("r2"),
     )
+
+
+#: seasonal-naive period: 24 hourly buckets (same hour yesterday)
+_SEASON_H = 24
+
+
+@register(
+    "ts_seasonal_backtest",
+    family="timeseries",
+    doc="Seasonal-naive forecast backtest (B68): predict each hourly "
+    "bucket's revenue sum as the SAME HOUR ONE SEASON (24 h) "
+    "earlier, then score the prediction over every bucket that has "
+    "a season-old ancestor — the baseline every forecasting "
+    "pipeline must beat before a model earns its training cost, "
+    "and the backtest read TimescaleDB users run over caggs. "
+    "Exactness: predictions and errors live on integer cent sums "
+    "(MAE is an exact integer average rendered with the stable "
+    "floor-round; MAPE is a pinned-order double over exact ints, "
+    "zero-actual buckets excluded from MAPE's denominator "
+    "explicitly). Plan: one (type, bucket) reduce, one bucket-grain shifted self-join "
+    "(calendar-exact same-hour-yesterday even across gaps — a row-lag would mispredict gapped series), one per-series "
+    "reduce — event-grain data is touched exactly once.",
+    oracle=f"""
+        WITH b AS (
+            SELECT event_type,
+                   ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 3600) AS bucket_s,
+                   sum({_SQL_CENTS}) AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT b.event_type, b.bucket_s, b.cents, p.cents AS pred
+            FROM b JOIN b p
+              ON b.event_type = p.event_type
+             AND p.bucket_s = b.bucket_s - {_SEASON_H} * 3600
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(abs(cents - pred)) AS BIGINT) AS total_abs_err_cents,
+               floor(sum(abs(cents - pred)) * 10000.0 / count(*) + 0.5)
+                   / 10000.0 AS mae_cents,
+               round(sum(CASE WHEN cents != 0
+                              THEN abs(cents - pred) * 1.0 / cents END)
+                     / count(CASE WHEN cents != 0 THEN 1 END), 6) AS mape
+        FROM lagged
+        GROUP BY 1
+    """,
+)
+def ts_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    epoch = (F.unix_micros("ts") / 1_000_000).cast("long")
+    b = (
+        events.select(
+            "event_type",
+            (epoch - epoch % 3600).alias("bucket_s"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "bucket_s")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    # calendar join, not lag-by-rows: with gapped series a 24-ROW lag
+    # silently predicts from the wrong hour; the shifted equi-join is
+    # exact same-hour-yesterday and stays co-partitioned on the
+    # (type, bucket) key family
+    pred = b.select(
+        "event_type",
+        (F.col("bucket_s") + _SEASON_H * 3600).alias("bucket_s"),
+        F.col("cents").alias("pred"),
+    )
+    lagged = b.join(pred, ["event_type", "bucket_s"])
+    abs_err = F.abs(F.col("cents") - F.col("pred"))
+    nonzero = F.col("cents") != 0
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(abs_err).alias("total_abs_err_cents"),
+        (
+            F.floor(F.sum(abs_err) * 10000.0 / F.count(F.lit(1)) + 0.5) / 10000.0
+        ).alias("mae_cents"),
+        F.round(
+            F.sum(F.when(nonzero, abs_err * 1.0 / F.col("cents")))
+            / F.count(F.when(nonzero, F.lit(1))),
+            6,
+        ).alias("mape"),
+    )

@@ -109,3 +109,43 @@ def test_leakage_safe_split_keeps_near_dups_together(spark, tmp_path):
     assert r["n_docs"] - r["n_groups"] >= 1
     # totals: every doc assigned exactly once
     assert sum(r["n_docs"] for r in rows) == 32
+
+
+def test_jsonl_ingest_routes_and_roundtrips(spark, tmp_path):
+    """Offset 0 (0 % 97 == 0) is torn -> DLQ with reason and null
+    fields; intact lines round-trip every typed field and the text
+    hash through real JSON encode/decode."""
+    import hashlib
+
+    from timescaledb_event_streamer_spark.plans.queries_llm5 import (
+        text_jsonl_ingest,
+    )
+
+    texts = ["torn line body", "clean body one", "clean body two"]
+    sf = _docs(spark, tmp_path, texts)
+    out = {r["offset"]: r for r in text_jsonl_ingest(spark, sf).collect()}
+    assert out[0]["route"] == "corpus.dlq"
+    assert out[0]["reason"] == "malformed_json"
+    assert out[0]["src"] is None and out[0]["text_hash"] is None
+    for i in (1, 2):
+        r = out[i]
+        assert r["route"] == "corpus.ok" and r["reason"] is None
+        assert r["src"] == "src0" and r["lang"] == "en"
+        assert r["n_chars"] == len(texts[i])
+        assert r["text_hash"] == hashlib.md5(texts[i].encode()).hexdigest()
+
+
+def test_jsonl_ingest_survives_hostile_text(spark, tmp_path):
+    """Documents containing JSON metacharacters must round-trip (the
+    encoder escapes them) — quotes, braces, backslashes, newlines."""
+    import hashlib
+
+    from timescaledb_event_streamer_spark.plans.queries_llm5 import (
+        text_jsonl_ingest,
+    )
+
+    hostile = 'he said "x{y}\\z" and \n moved on'
+    sf = _docs(spark, tmp_path, ["pad", hostile])
+    out = {r["offset"]: r for r in text_jsonl_ingest(spark, sf).collect()}
+    assert out[1]["route"] == "corpus.ok"
+    assert out[1]["text_hash"] == hashlib.md5(hostile.encode()).hexdigest()

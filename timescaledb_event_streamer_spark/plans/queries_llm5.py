@@ -425,3 +425,71 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leakage_violations",
         )
     )
+
+
+#: every Nth wire line is deterministically truncated to simulate the
+#: torn/corrupt records a real JSONL drop always contains
+_JSONL_CORRUPT_MOD = 97
+
+
+@register(
+    "text_jsonl_ingest",
+    family="text",
+    doc="JSONL corpus ingestion with corrupt-record DLQ routing "
+    "(F30) — the training-data front door: documents arrive as "
+    "JSON-lines wire text (the lingua franca of corpus drops), "
+    "every 97th line torn mid-record, and the parse side sees ONLY "
+    "the line plus its transport offset. from_json(PERMISSIVE) "
+    "yields null for malformed lines, which route to the DLQ with a "
+    "reason instead of killing the batch (the A21 failure-handling "
+    "contract applied to corpus ingest); parsed lines re-emit their "
+    "typed fields. Wire build and parse are separate projections so "
+    "a build bug can't cancel a parse bug, and the oracle derives "
+    "every output column from the source table + the corruption "
+    "rule WITHOUT any JSON machinery (the H8 independent-derivation "
+    "pattern). One scan, pure codegen, no shuffle.",
+    oracle=f"""
+        SELECT doc_id AS offset,
+               CASE WHEN doc_id % {_JSONL_CORRUPT_MOD} = 0
+                    THEN 'corpus.dlq' ELSE 'corpus.ok' END AS route,
+               CASE WHEN doc_id % {_JSONL_CORRUPT_MOD} = 0
+                    THEN 'malformed_json' END AS reason,
+               CASE WHEN doc_id % {_JSONL_CORRUPT_MOD} != 0
+                    THEN source END AS src,
+               CASE WHEN doc_id % {_JSONL_CORRUPT_MOD} != 0
+                    THEN lang END AS lang,
+               CASE WHEN doc_id % {_JSONL_CORRUPT_MOD} != 0
+                    THEN n_chars END AS n_chars,
+               CASE WHEN doc_id % {_JSONL_CORRUPT_MOD} != 0
+                    THEN md5(text) END AS text_hash
+        FROM documents
+    """,
+)
+def text_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # wire build: one JSONL line per doc + transport offset; the
+    # corruption tears the line at half length (always invalid JSON —
+    # the outer object only closes at the final character)
+    line = F.to_json(F.struct("doc_id", "lang", "source", "n_chars", "text"))
+    torn = F.when(
+        F.col("doc_id") % _JSONL_CORRUPT_MOD == 0,
+        F.substring(line, 1, (F.length(line) / 2).cast("int")),
+    ).otherwise(line)
+    wire = docs.select(F.col("doc_id").alias("offset"), torn.alias("line"))
+    # parse side: line + offset only
+    schema = "doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING"
+    parsed = wire.select(
+        "offset", F.from_json("line", schema).alias("p")
+    )
+    bad = F.col("p").isNull() | F.col("p.doc_id").isNull()
+    return parsed.select(
+        "offset",
+        F.when(bad, F.lit("corpus.dlq")).otherwise(F.lit("corpus.ok")).alias(
+            "route"
+        ),
+        F.when(bad, F.lit("malformed_json")).alias("reason"),
+        F.when(~bad, F.col("p.source")).alias("src"),
+        F.when(~bad, F.col("p.lang")).alias("lang"),
+        F.when(~bad, F.col("p.n_chars")).alias("n_chars"),
+        F.when(~bad, F.md5(F.col("p.text"))).alias("text_hash"),
+    )

@@ -95,3 +95,53 @@ def test_enum_array_resolves_per_element(spark, tmp_path):
     assert got[(11, 2)] == ("red", 3)
     # every element resolved (no unknown labels dropped by the join)
     assert len(got) == 5
+
+
+def test_interval_flattening_and_uuid_audit(spark, tmp_path):
+    """Planted ids exercise singular ('1 mon 1 day'), plural, and
+    zero-date interval forms; flattening uses the reference's exact
+    month constant (365.25/12 days = 2_629_800_000_000 us). UUID
+    version/variant nibbles recompute from hashlib."""
+    import hashlib
+
+    from timescaledb_event_streamer_spark.plans.queries_pgext2 import (
+        _US_PER_DAY,
+        _US_PER_MONTH,
+        pg_uuid_interval,
+    )
+
+    # (event_id, user_id): event 1/user 1 -> 1 mon 1 day; event 0/user 0
+    # -> zero date part; event 3/user 82 -> 3 mons 2 days
+    rows = [(1, "a", 1.0), (0, "a", 1.0), (3, "a", 1.0)]
+    uids = {1: 1, 0: 0, 3: 82}
+
+    spark.createDataFrame(
+        [
+            (eid, T0, uids[eid], et, v, "p")
+            for (eid, et, v) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["event_id"]: r for r in pg_uuid_interval(spark, str(tmp_path)).collect()}
+
+    r1 = out[1]
+    assert r1["interval_text"].startswith("1 mon 1 day ")
+    t1 = (1 * 7919) % 86_400_000_000
+    assert r1["interval_us"] == t1 + 1 * _US_PER_DAY + 1 * _US_PER_MONTH
+
+    r0 = out[0]
+    assert r0["interval_text"] == "00:00:00.000000"
+    assert r0["interval_us"] == 0
+
+    r3 = out[3]
+    assert "3 mons 2 days" in r3["interval_text"]
+    t3 = (3 * 7919) % 86_400_000_000
+    assert r3["interval_us"] == t3 + 2 * _US_PER_DAY + 3 * _US_PER_MONTH
+
+    for eid, r in out.items():
+        hx = hashlib.md5(str(eid).encode()).hexdigest()
+        want_uuid = f"{hx[:8]}-{hx[8:12]}-{hx[12:16]}-{hx[16:20]}-{hx[20:32]}"
+        assert r["uuid_text"] == want_uuid
+        assert r["uuid_version"] == int(hx[12], 16)
+        assert r["uuid_variant_rfc"] == (8 <= int(hx[16], 16) <= 11)

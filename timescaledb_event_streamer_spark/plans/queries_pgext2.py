@@ -111,3 +111,137 @@ def pg_enum_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("violation_rate"),
         )
     )
+
+
+#: the reference's interval flattening constants
+#: (internal/typemanager/builtin_converters.go:44-49): months convert
+#: at the 365.25/12-day average -> 2_629_800_000_000 us exactly
+_US_PER_DAY = 86_400_000_000
+_US_PER_MONTH = 2_629_800_000_000
+
+
+@register(
+    "pg_uuid_interval",
+    family="pgtypes",
+    doc="uuid + interval converters (J21), the last two builtin "
+    "converters of the reference's matrix without an operator "
+    "(uuid2text internal/typemanager/builtin_converters.go:300 "
+    "formats the 16 bytes canonically; interval2int64 :350 flattens "
+    "to total microseconds with months at the 365.25/12-day average "
+    "— micros + days*86400e6 + months*2_629_800e6, exact integer). "
+    "Wire build and parse are separate projections: interval text "
+    "uses PostgreSQL's component form with proper singular/plural "
+    "and zero-component omission, parsed back by codegen regexes "
+    "with optional groups; uuid text is formatted 8-4-4-4-12 from "
+    "md5-derived bytes and audited for version nibble and RFC-4122 "
+    "variant (the distribution check a datalake runs on id "
+    "columns). One scan, no shuffle.",
+    oracle=f"""
+        WITH d AS (
+            SELECT event_id,
+                   event_id % 14 AS months,
+                   user_id % 40 AS days,
+                   (event_id * 7919) % 86400000000 AS time_us,
+                   md5(CAST(event_id AS VARCHAR)) AS hx
+            FROM events
+        )
+        SELECT event_id,
+               CASE WHEN months = 0 AND days = 0 THEN ''
+                    ELSE trim(
+                        CASE WHEN months = 1 THEN '1 mon '
+                             WHEN months > 1
+                             THEN months || ' mons ' ELSE '' END
+                        || CASE WHEN days = 1 THEN '1 day'
+                                WHEN days > 1 THEN days || ' days'
+                                ELSE '' END) || ' '
+               END
+               || lpad(CAST(time_us // 3600000000 AS VARCHAR), 2, '0')
+               || ':' || lpad(CAST((time_us // 60000000) % 60
+                                   AS VARCHAR), 2, '0')
+               || ':' || lpad(CAST((time_us // 1000000) % 60
+                                   AS VARCHAR), 2, '0')
+               || '.' || lpad(CAST(time_us % 1000000 AS VARCHAR), 6, '0')
+                   AS interval_text,
+               CAST(time_us + days * {_US_PER_DAY}
+                    + months * {_US_PER_MONTH} AS BIGINT) AS interval_us,
+               substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+                   || substr(hx, 13, 4) || '-' || substr(hx, 17, 4)
+                   || '-' || substr(hx, 21, 12) AS uuid_text,
+               CAST(('0x' || substr(hx, 13, 1)) AS BIGINT) AS uuid_version,
+               CAST(('0x' || substr(hx, 17, 1)) AS BIGINT) >= 8
+                   AND CAST(('0x' || substr(hx, 17, 1)) AS BIGINT) <= 11
+                   AS uuid_variant_rfc
+        FROM d
+    """,
+)
+def pg_uuid_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    months = F.col("event_id") % 14
+    days = F.col("user_id") % 40
+    time_us = (F.col("event_id") * 7919) % 86_400_000_000
+    hx = F.md5(F.col("event_id").cast("string"))
+    two = lambda c: F.lpad(c.cast("long").cast("string"), 2, "0")  # noqa: E731
+    datepart = F.trim(
+        F.concat(
+            F.when(months == 1, F.lit("1 mon "))
+            .when(months > 1, F.concat(months.cast("string"), F.lit(" mons ")))
+            .otherwise(F.lit("")),
+            F.when(days == 1, F.lit("1 day"))
+            .when(days > 1, F.concat(days.cast("string"), F.lit(" days")))
+            .otherwise(F.lit("")),
+        )
+    )
+    wire_interval = F.concat(
+        F.when((months == 0) & (days == 0), F.lit("")).otherwise(
+            F.concat(datepart, F.lit(" "))
+        ),
+        two(time_us / 3_600_000_000),
+        F.lit(":"),
+        two((time_us / 60_000_000).cast("long") % 60),
+        F.lit(":"),
+        two((time_us / 1_000_000).cast("long") % 60),
+        F.lit("."),
+        F.lpad((time_us % 1_000_000).cast("string"), 6, "0"),
+    )
+    wire_uuid = F.concat_ws(
+        "-",
+        F.substring(hx, 1, 8),
+        F.substring(hx, 9, 4),
+        F.substring(hx, 13, 4),
+        F.substring(hx, 17, 4),
+        F.substring(hx, 21, 12),
+    )
+    wire = events.select(
+        "event_id",
+        wire_interval.alias("interval_text"),
+        wire_uuid.alias("uuid_text"),
+    )
+    # parse side: wire text only. Optional component groups parse to
+    # '' -> 0 via the try-cast + coalesce idiom
+    mon = F.coalesce(
+        F.regexp_extract("interval_text", r"(\d+) mons?", 1).try_cast("long"),
+        F.lit(0),
+    )
+    day = F.coalesce(
+        F.regexp_extract("interval_text", r"(\d+) days?", 1).try_cast("long"),
+        F.lit(0),
+    )
+    hh = F.regexp_extract("interval_text", r"(\d{2}):\d{2}:\d{2}\.", 1).cast("long")
+    mm = F.regexp_extract("interval_text", r"\d{2}:(\d{2}):\d{2}\.", 1).cast("long")
+    ss = F.regexp_extract("interval_text", r"\d{2}:\d{2}:(\d{2})\.", 1).cast("long")
+    us = F.regexp_extract("interval_text", r"\.(\d{6})$", 1).cast("long")
+    ver_nibble = F.substring("uuid_text", 15, 1)
+    var_nibble = F.substring("uuid_text", 20, 1)
+    var_val = F.conv(var_nibble, 16, 10).cast("long")
+    return wire.select(
+        "event_id",
+        "interval_text",
+        (
+            (hh * 3_600_000_000 + mm * 60_000_000 + ss * 1_000_000 + us)
+            + day * _US_PER_DAY
+            + mon * _US_PER_MONTH
+        ).alias("interval_us"),
+        "uuid_text",
+        F.conv(ver_nibble, 16, 10).cast("long").alias("uuid_version"),
+        ((var_val >= 8) & (var_val <= 11)).alias("uuid_variant_rfc"),
+    )

@@ -124,3 +124,30 @@ def test_every_registered_query_is_in_survey():
     names = set(re.findall(r"`([a-z0-9_]+)`", text))
     missing = sorted(set(registry.REGISTRY) - names)
     assert not missing, f"registered but not in SURVEY.md: {missing}"
+
+
+def test_certifying_a_waitlisted_query_keeps_blocks_sorted():
+    """Regression: once a waitlisted query certifies (before the
+    freeze is regenerated), it must merge into the certified block
+    alphabetically — the stale waitlist bit must not reorder
+    certified entries."""
+    from timescaledb_event_streamer_spark.plans import registry
+
+    registry._load_all()
+    wl_uncert = [
+        n
+        for n in registry._WAITLIST
+        if n in registry.REGISTRY and not registry._is_certified(n)
+    ]
+    if not wl_uncert:
+        return  # nothing left on the waitlist to simulate with
+    saved = registry._HASH_CERTIFIED
+    try:
+        registry._HASH_CERTIFIED = frozenset(saved | {max(wl_uncert)})
+        names = registry._iteration_order()
+        cert = [n for n in names if registry._is_certified(n)]
+        assert cert == sorted(cert)
+        flags = [registry._is_certified(n) for n in names]
+        assert flags == sorted(flags)
+    finally:
+        registry._HASH_CERTIFIED = saved

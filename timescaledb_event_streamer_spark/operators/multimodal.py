@@ -548,19 +548,19 @@ def synthesize_wav_pcm(events: DataFrame) -> DataFrame:
     )
 
 
-def wav_pcm_stats(media: DataFrame) -> DataFrame:
-    """Signal statistics from the PCM bytes of a canonical mono
-    16-bit WAV: all integer arithmetic (exact at any summation
-    order), one narrow codegen projection per row, no shuffle — the
-    shape that lets a 100 TB audio lake compute admission features
-    (clipping, silence, DC offset) without a decode fleet. Non-WAV /
-    non-PCM / truncated payloads yield nulls, never errors.
-
-    Byte access goes through a latin-1 decode (every byte value is a
-    valid ISO-8859-1 char mapping to the same code point, so
-    ascii(substr(txt, b+1, 1)) IS payload[b]) instead of hex: conv()
-    re-parses an arbitrary-base string per sample, and swapping it for
-    two ascii() lookups measured 1.6x on the sf0.1 corpus."""
+def _decode_pcm_samples(media: DataFrame) -> DataFrame:
+    """THE WAV decode contract, shared by every PCM feature fold
+    (wav_pcm_stats, wav_silence_segments): header validation (RIFF/
+    WAVE/data magics, PCM + mono + 16-bit format block, rate>0 so a
+    corrupt file can't trip ANSI division), the sample-count cap
+    (declared data size, bytes actually present, WAV_PCM_MAX_SAMPLES),
+    and the latin-1 two-ascii()-per-sample LE-u16 decode. Returns
+    (media_id, ok, is_pcm_wav, rate, n, samples) with samples
+    MATERIALIZED once in its own projection — expression subtrees get
+    no CSE across output columns, so folding statistics straight off
+    the transform re-decodes per statistic (measured 5x slower at
+    sf0.1). One copy of the contract: a header or cap fix lands in
+    every fold at once."""
     h = F.decode(F.col("payload"), "ISO-8859-1")
     is_wav = (
         (h.substr(F.lit(1), F.lit(4)) == "RIFF")
@@ -586,11 +586,7 @@ def wav_pcm_stats(media: DataFrame) -> DataFrame:
         + F.ascii(h.substr(F.lit(46) + i * 2, F.lit(1))).cast("long") * 256
     )
     signed = lambda v: F.when(v >= 32768, v - 65536).otherwise(v)  # noqa: E731
-    # materialize the decoded samples ONCE (expression subtrees get no
-    # CSE across output columns — computing 4 statistics straight off
-    # the transform would re-decode the hex 4x per row, measured 5x
-    # slower at sf0.1), then fold every statistic in a single pass
-    decoded = media.select(
+    return media.select(
         "media_id",
         (is_wav & (n > 0)).alias("ok"),
         is_wav.alias("is_pcm_wav"),
@@ -601,6 +597,22 @@ def wav_pcm_stats(media: DataFrame) -> DataFrame:
             F.transform(F.sequence(F.lit(0), n - 1), lambda i: signed(u(i))),
         ).alias("samples"),
     )
+
+
+def wav_pcm_stats(media: DataFrame) -> DataFrame:
+    """Signal statistics from the PCM bytes of a canonical mono
+    16-bit WAV: all integer arithmetic (exact at any summation
+    order), one narrow codegen projection per row, no shuffle — the
+    shape that lets a 100 TB audio lake compute admission features
+    (clipping, silence, DC offset) without a decode fleet. Non-WAV /
+    non-PCM / truncated payloads yield nulls, never errors.
+
+    Byte access goes through a latin-1 decode (every byte value is a
+    valid ISO-8859-1 char mapping to the same code point, so
+    ascii(substr(txt, b+1, 1)) IS payload[b]) instead of hex: conv()
+    re-parses an arbitrary-base string per sample, and swapping it for
+    two ascii() lookups measured 1.6x on the sf0.1 corpus."""
+    decoded = _decode_pcm_samples(media)
     zero = F.lit(0).cast("long")
     init = F.struct(
         zero.alias("s"), zero.alias("e"), zero.alias("peak"),
@@ -661,38 +673,10 @@ def wav_silence_segments(
     WAV_PCM_MAX_SAMPLES, non-WAV/truncated payloads yield nulls,
     all-integer state so the single left fold is exact and runs in
     whole-stage codegen — no shuffle, no Python, per-row cost linear
-    in capped sample count at any corpus size."""
-    h = F.decode(F.col("payload"), "ISO-8859-1")
-    is_wav = (
-        (h.substr(F.lit(1), F.lit(4)) == "RIFF")
-        & (h.substr(F.lit(9), F.lit(4)) == "WAVE")
-        & (h.substr(F.lit(37), F.lit(4)) == "data")
-        & (_le_u_txt(h, 21, 2) == 1)
-        & (_le_u_txt(h, 23, 2) == 1)
-        & (_le_u_txt(h, 35, 2) == 16)
-        & (_le_u_txt(h, 25, 4) > 0)
-    )
-    data_size = _le_u_txt(h, 41, 4)
-    n = F.least(
-        (data_size / 2).cast("long"),
-        ((F.length(h) - 44) / 2).cast("long"),
-        F.lit(WAV_PCM_MAX_SAMPLES).cast("long"),
-    )
-    u = lambda i: (  # noqa: E731 — LE u16 at sample index i
-        F.ascii(h.substr(F.lit(45) + i * 2, F.lit(1))).cast("long")
-        + F.ascii(h.substr(F.lit(46) + i * 2, F.lit(1))).cast("long") * 256
-    )
-    signed = lambda v: F.when(v >= 32768, v - 65536).otherwise(v)  # noqa: E731
-    decoded = media.select(
-        "media_id",
-        (is_wav & (n > 0)).alias("ok"),
-        is_wav.alias("is_pcm_wav"),
-        F.when(is_wav & (n > 0), n).alias("n"),
-        F.when(
-            is_wav & (n > 0),
-            F.transform(F.sequence(F.lit(0), n - 1), lambda i: signed(u(i))),
-        ).alias("samples"),
-    )
+    in capped sample count at any corpus size. Decode comes from the
+    shared _decode_pcm_samples contract (same header validation and
+    cap as wav_pcm_stats, by construction)."""
+    decoded = _decode_pcm_samples(media)
     zero = F.lit(0).cast("long")
     init = F.struct(
         zero.alias("lead"), zero.alias("seen"), zero.alias("nseg"),

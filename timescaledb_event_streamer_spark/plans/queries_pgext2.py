@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timescaledb_event_streamer_spark.plans.registry import register
-from timescaledb_event_streamer_spark.sources.tables import load
+from timescaledb_event_streamer_spark.sources.tables import load, spread
 
 #: synthetic oid for the simulated enum type (first user-range oid,
 #: the value PostgreSQL hands the first CREATE TYPE in a fresh db)
@@ -175,7 +175,11 @@ _US_PER_MONTH = 2_629_800_000_000
     """,
 )
 def pg_uuid_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load(spark, sf_dir, "events")
+    # spread(): md5 + component text build + 4 regex parses per row is
+    # the expensive projection; the single-split local scan would run
+    # it on one core (7.3x scaling row before, ~linear after). No-op
+    # on a real multi-split table.
+    events = spread(load(spark, sf_dir, "events"))
     months = F.col("event_id") % 14
     days = F.col("user_id") % 40
     time_us = (F.col("event_id") * 7919) % 86_400_000_000

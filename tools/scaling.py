@@ -93,6 +93,13 @@ REPS = [
     ("ts_chunk_stats", "2-D catalog admin stats"),
     ("media_wav_silence", "PCM silence-run fold"),
     ("text_cooccurrence_pmi", "windowed pair association"),
+    ("ts_asof_tolerance", "tolerance-bounded asof carry"),
+    ("ts_stats_agg_2d", "moment-sum regression reduce"),
+    ("ts_seasonal_backtest", "bucket-grain seasonal join"),
+    ("text_jsonl_ingest", "json wire parse + DLQ routing"),
+    ("pg_uuid_interval", "interval/uuid text codec"),
+    ("corpus_leakage_safe_split", "cluster-keyed split + CC"),
+    ("corpus_epoch_shuffle", "epoch-salted shard hash"),
 ]
 
 

@@ -503,3 +503,73 @@ def test_wav_silence_all_silent_and_all_loud(spark):
     assert allloud["n_silent"] == 0 and allloud["n_segments"] == 1
     assert allloud["lead_silence"] == 0 and allloud["trail_silence"] == 0
     assert not out[2]["is_pcm_wav"] and out[2]["n_segments"] is None
+
+
+def test_wav_silence_matches_pure_python_on_random_payloads(spark):
+    """Property check: 200 seeded-random sample lists (including
+    forced extremes, threshold-boundary values, and long runs) run
+    through the Spark fold in ONE job and must match a trivially
+    correct pure-Python simulator sample-for-sample."""
+    import random
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        WAV_SILENCE_THRESHOLD,
+        wav_silence_segments,
+    )
+
+    rng = random.Random(20260815)
+    cases = []
+    for i in range(200):
+        n = rng.randint(1, 48)
+        style = i % 4
+        if style == 0:
+            s = [rng.randint(-32768, 32767) for _ in range(n)]
+        elif style == 1:  # hover at the threshold boundary
+            s = [rng.choice([-8193, -8192, -8191, 8191, 8192, 8193, 0])
+                 for _ in range(n)]
+        elif style == 2:  # long runs
+            s, level = [], rng.choice([0, 30000])
+            while len(s) < n:
+                run = rng.randint(1, 12)
+                s.extend([level] * min(run, n - len(s)))
+                level = 30000 if level == 0 else 0
+        else:  # extremes
+            s = [rng.choice([-32768, 32767, 1, -1]) for _ in range(n)]
+        cases.append(s)
+
+    def simulate(s):
+        th = WAV_SILENCE_THRESHOLD
+        silent = [abs(v) < th for v in s]
+        lead = 0
+        for x in silent:
+            if not x:
+                break
+            lead += 1
+        trail = 0
+        for x in reversed(silent):
+            if not x:
+                break
+            trail += 1
+        nseg = sum(
+            1 for j, x in enumerate(silent) if not x and (j == 0 or silent[j - 1])
+        )
+        longest = cur = 0
+        for x in silent:
+            cur = cur + 1 if x else 0
+            longest = max(longest, cur)
+        return (len(s), lead, trail, nseg, longest, sum(silent))
+
+    out = {
+        r["media_id"]: r
+        for r in wav_silence_segments(
+            _wav_media(spark, [_wav_hex(8000, s) for s in cases])
+        ).collect()
+    }
+    for i, s in enumerate(cases):
+        n, lead, trail, nseg, longest, nsil = simulate(s)
+        r = out[i]
+        got = (
+            r["n_samples"], r["lead_silence"], r["trail_silence"],
+            r["n_segments"], r["longest_silence"], r["n_silent"],
+        )
+        assert got == (n, lead, trail, nseg, longest, nsil), (i, s, got)

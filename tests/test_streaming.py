@@ -945,3 +945,88 @@ def test_streaming_asof_join_parity_and_state_carry(spark, sf_small, tmp_path):
     assert out[101]["match_status"] == "stale"  # carried state, too old
     assert out[101]["match_age_s"] == _ASOF_TOL_S + 60
     shutil.rmtree(log2, ignore_errors=True)
+
+
+def test_streaming_asof_random_series_three_batches(spark, tmp_path):
+    """Randomized contract check: 300 seeded-random events over 12
+    users, cut into three event-time-ordered batch files; the
+    streaming as-of must equal the batch tolerance as-of row-for-row
+    regardless of where the batch cuts land."""
+    import datetime as dt
+    import random
+
+    from timescaledb_event_streamer_spark.plans.queries_timeseries4 import (
+        _ASOF_TOL_S,
+        ts_asof_tolerance,
+    )
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        asof_join_stream,
+    )
+
+    rng = random.Random(42)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for eid in range(300):
+        rows.append(
+            (
+                eid,
+                t0 + dt.timedelta(seconds=rng.randint(0, 6 * _ASOF_TOL_S)),
+                rng.randint(0, 11),
+                rng.choice(["click", "purchase", "view"]),
+                round(rng.uniform(0.5, 150.0), 2),
+                "p",
+            )
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = f"{tmp_path}/sf"
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    want = {
+        r["event_id"]: (r["match_age_s"], r["purchase_value_fresh"], r["match_status"])
+        for r in ts_asof_tolerance(spark, sf).collect()
+    }
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "value", "user_id", F.lit(0).alias("side")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select(F.lit(-1).alias("event_id"), "ts", "value", "user_id",
+                F.lit(1).alias("side"))
+    )
+    tagged = clicks.unionByName(purchases).orderBy("ts").collect()
+    cuts = [len(tagged) // 3, 2 * len(tagged) // 3, len(tagged)]
+    log = f"{tmp_path}/log"
+    start = 0
+    for bi, end in enumerate(cuts):
+        spark.createDataFrame(
+            tagged[start:end],
+            "event_id long, ts timestamp, value double, user_id long, side int",
+        ).coalesce(1).write.parquet(f"{log}/batch={bi}")
+        start = end
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, value double, user_id long, side int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{log}/batch=*")
+    )
+    q = (
+        asof_join_stream(stream, _ASOF_TOL_S)
+        .writeStream.format("memory")
+        .queryName("asof_rand")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["match_age_s"], r["purchase_value_fresh"], r["match_status"])
+        for r in spark.sql("SELECT * FROM asof_rand").collect()
+    }
+    assert got == want and len(want) > 0

@@ -404,3 +404,34 @@ def test_seasonal_backtest_hand_computed_and_gap_exact(spark, tmp_path):
     assert r["mae_cents"] == 62.5
     expect_mape = round((50 / 1050 + 0 / 1100 + 100 / 1300 + 100 / 1500) / 4, 6)
     assert r["mape"] == expect_mape
+
+
+def test_gorilla_estimate_hand_computed(spark, tmp_path):
+    """Regular 10s cadence + constant value: dod == 0 and dv == 0
+    from the third row, so bits = (64+64) + (14+1) + 3*(1+1);
+    an irregular jump lands in the 9-bit bucket."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries4 import (
+        ts_gorilla_estimate,
+    )
+
+    rows = [
+        (T0 + datetime.timedelta(seconds=10 * i), 1, "reg", 5.0)
+        for i in range(5)
+    ]
+    # irregular series: deltas 10, 70 -> dod=60 (9-bit); values
+    # 1.00, 1.50, 1.10 -> dv = 50, -40 (9-bit each)
+    rows += [
+        (T0, 1, "irr", 1.0),
+        (T0 + datetime.timedelta(seconds=10), 1, "irr", 1.5),
+        (T0 + datetime.timedelta(seconds=80), 1, "irr", 1.1),
+    ]
+    sf = _write(spark, tmp_path, rows)
+    out = {r["hypertable_name"]: r for r in ts_gorilla_estimate(spark, sf).collect()}
+    reg = out["reg"]
+    assert reg["n_rows"] == 5 and reg["raw_bits"] == 640
+    assert reg["est_ts_bits"] == 64 + 14 + 1 + 1 + 1
+    assert reg["est_val_bits"] == 64 + 1 + 1 + 1 + 1
+    assert reg["est_ratio"] == round(640 / (81 + 68), 4)
+    irr = out["irr"]
+    assert irr["est_ts_bits"] == 64 + 14 + 9   # dod=60 -> 9 bits
+    assert irr["est_val_bits"] == 64 + 9 + 9   # dv=50, -40 -> 9 bits

@@ -851,3 +851,136 @@ def ts_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mape"),
     )
+
+
+def _gorilla_cost_sql(x: str) -> str:
+    """Gorilla delta-of-delta bucket cost in bits (Pelkonen et al.,
+    VLDB'15 §4.1.1: '0' / '10'+7 / '110'+9 / '1110'+12 / '1111'+32)."""
+    return f"""CASE WHEN {x} = 0 THEN 1
+                WHEN {x} BETWEEN -63 AND 64 THEN 9
+                WHEN {x} BETWEEN -255 AND 256 THEN 12
+                WHEN {x} BETWEEN -2047 AND 2048 THEN 16
+                ELSE 36 END"""
+
+
+@register(
+    "ts_gorilla_estimate",
+    family="timeseries",
+    doc="Gorilla compression-cost model per chunk (B69) — the bit "
+    "accounting behind B53's projected row reduction: per (hyper"
+    "table, 7-day chunk), timestamps cost delta-of-delta bits and "
+    "values cost delta bits on the exact cent grid, both classed by "
+    "the Gorilla bucket table ('0'/'10'+7/'110'+9/'1110'+12/"
+    "'1111'+32; Pelkonen et al. VLDB'15 — the scheme TimescaleDB's "
+    "columnar timestamp compression derives from), first row at "
+    "full 64+64, second row's time delta at the 14-bit header slot "
+    "with a 36-bit escape. Everything is integer CASE arithmetic on "
+    "second-grain deltas — order-fixed by (ts, event_id), exact on "
+    "both engines. Plan: one window shuffle on the (type, chunk) "
+    "key (the natural partition — per-chunk sequential scan is "
+    "exactly how the real encoder runs), chunk-grain reduce.",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_type,
+                   ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % {7 * 24 * 3600})
+                       AS chunk_s,
+                   {_SQL_EPOCH_S} AS t_s,
+                   {_SQL_CENTS} AS cents,
+                   event_id
+            FROM events
+        ),
+        d AS (
+            SELECT event_type, chunk_s,
+                   row_number() OVER w AS rn,
+                   t_s - lag(t_s) OVER w AS d1,
+                   (t_s - lag(t_s) OVER w)
+                       - (lag(t_s) OVER w - lag(t_s, 2) OVER w) AS dod,
+                   cents - lag(cents) OVER w AS dv
+            FROM p
+            WINDOW w AS (PARTITION BY event_type, chunk_s
+                         ORDER BY t_s, event_id)
+        ),
+        costed AS (
+            SELECT event_type, chunk_s,
+                   CASE WHEN rn = 1 THEN 64
+                        WHEN rn = 2 THEN
+                            CASE WHEN abs(d1) <= 8191 THEN 14 ELSE 36 END
+                        ELSE {_gorilla_cost_sql('dod')}
+                   END AS ts_bits,
+                   CASE WHEN rn = 1 THEN 64
+                        ELSE {_gorilla_cost_sql('dv')}
+                   END AS val_bits
+            FROM d
+        )
+        SELECT event_type AS hypertable_name,
+               chunk_s,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) * 128 AS BIGINT) AS raw_bits,
+               CAST(sum(ts_bits) AS BIGINT) AS est_ts_bits,
+               CAST(sum(val_bits) AS BIGINT) AS est_val_bits,
+               round(count(*) * 128.0
+                     / (sum(ts_bits) + sum(val_bits)), 4) AS est_ratio
+        FROM costed
+        GROUP BY 1, 2
+    """,
+)
+def ts_gorilla_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    epoch = (F.unix_micros("ts") / 1_000_000).cast("long")
+    chunk = epoch - epoch % (7 * 24 * 3600)
+    p = events.select(
+        "event_type",
+        chunk.alias("chunk_s"),
+        epoch.alias("t_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "chunk_s").orderBy("t_s", "event_id")
+    d = p.select(
+        "event_type",
+        "chunk_s",
+        F.row_number().over(w).alias("rn"),
+        (F.col("t_s") - F.lag("t_s").over(w)).alias("d1"),
+        (
+            (F.col("t_s") - F.lag("t_s").over(w))
+            - (F.lag("t_s").over(w) - F.lag("t_s", 2).over(w))
+        ).alias("dod"),
+        (F.col("cents") - F.lag("cents").over(w)).alias("dv"),
+    )
+
+    def cost(x):
+        return (
+            F.when(x == 0, 1)
+            .when((x >= -63) & (x <= 64), 9)
+            .when((x >= -255) & (x <= 256), 12)
+            .when((x >= -2047) & (x <= 2048), 16)
+            .otherwise(36)
+        )
+
+    costed = d.select(
+        "event_type",
+        "chunk_s",
+        F.when(F.col("rn") == 1, 64)
+        .when(
+            F.col("rn") == 2,
+            F.when(F.abs("d1") <= 8191, 14).otherwise(36),
+        )
+        .otherwise(cost(F.col("dod")))
+        .alias("ts_bits"),
+        F.when(F.col("rn") == 1, 64).otherwise(cost(F.col("dv"))).alias(
+            "val_bits"
+        ),
+    )
+    return costed.groupBy(
+        F.col("event_type").alias("hypertable_name"), "chunk_s"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) * 128).alias("raw_bits"),
+        F.sum("ts_bits").alias("est_ts_bits"),
+        F.sum("val_bits").alias("est_val_bits"),
+        F.round(
+            F.count(F.lit(1)) * 128.0
+            / (F.sum("ts_bits") + F.sum("val_bits")),
+            4,
+        ).alias("est_ratio"),
+    )

@@ -100,6 +100,7 @@ REPS = [
     ("pg_uuid_interval", "interval/uuid text codec"),
     ("corpus_leakage_safe_split", "cluster-keyed split + CC"),
     ("corpus_epoch_shuffle", "epoch-salted shard hash"),
+    ("ts_gorilla_estimate", "delta-of-delta bit model"),
 ]
 
 
@@ -233,6 +234,16 @@ def main() -> None:
         "operators (pgoutput, keepalive, wav-pcm); media_wav_pcm_stats",
         "gets the same control-run treatment above so its per-row",
         "hex-synthesis cost is attributed by measurement.",
+        "media_wav_silence shares pcm_stats' numbers almost exactly",
+        "(same synthesis + shared _decode_pcm_samples contract, a",
+        "different 7-field fold): both are split-insensitive per-row",
+        "compute and both stay SUBLINEAR (~5.6x per 10x rows), so the",
+        "watchlist entry records cost shape, not a scale risk; the",
+        "1024-sample cap makes per-row cost constant in corpus size.",
+        "pg_uuid_interval first measured 7.3x on the single-split",
+        "scan; spread() before its md5 + text-build + 4-regex",
+        "projection brought the step ratio to ~linear (same remedy as",
+        "the PMI scan).",
     ])
     lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")

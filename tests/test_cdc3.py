@@ -115,3 +115,59 @@ def test_chunk_stats_hand_computed(spark, tmp_path):
     assert r["skew_ratio"] == 2.0
     assert r["est_bytes"] == 3 * 64
     assert r["max_range_end_s"] - r["min_range_start_s"] == 2 * 7 * 24 * 3600
+
+
+def test_dropped_chunk_filter_routes_old_chunks(spark, tmp_path):
+    """Events land in three 7-day chunks; the oldest chunk's range
+    ended more than 14 days before the newest event, so its events
+    are accounted as dropped, not silently discarded."""
+    from timescaledb_event_streamer_spark.plans.queries_cdc3 import (
+        cdc_dropped_chunk_filter,
+    )
+
+    rows = [
+        (1, T0, 1, "a", 1.0),                                  # old chunk
+        (2, T0 + datetime.timedelta(days=25), 1, "a", 2.0),    # live
+        (3, T0 + datetime.timedelta(days=26), 2, "a", 3.0),    # live
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        (r["range_start_s"], r["chunk_status"]): r["n_events"]
+        for r in cdc_dropped_chunk_filter(spark, sf).collect()
+    }
+    statuses = {k[1] for k in out}
+    assert statuses == {"live", "dropped"}
+    assert sum(v for (rs, st), v in out.items() if st == "dropped") == 1
+    assert sum(v for (rs, st), v in out.items() if st == "live") == 2
+
+
+def test_publication_repair_actions(spark, tmp_path):
+    """The repair plan re-adds expected tables missing from the
+    publication, drops the stale internal table, keeps matches —
+    and emits executable ALTER PUBLICATION DDL for add/drop."""
+    import hashlib
+
+    from timescaledb_event_streamer_spark.plans.queries_cdc3 import (
+        cdc_publication_repair,
+    )
+
+    rows = [
+        (i, T0 + datetime.timedelta(days=7 * i), 1, "a", 1.0) for i in range(6)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["table_name"]: r for r in cdc_publication_repair(spark, sf).collect()}
+    stale = "_timescaledb_internal._compressed_hypertable_99"
+    assert out[stale]["action"] == "drop"
+    assert out[stale]["ddl"].startswith("ALTER PUBLICATION cdc_pub DROP TABLE ")
+    for name, r in out.items():
+        if name == stale:
+            continue
+        want = (
+            "add"
+            if int(hashlib.md5(name.encode()).hexdigest()[:8], 16) % 3 == 0
+            else "keep"
+        )
+        assert r["action"] == want, name
+        if want == "add":
+            assert r["ddl"] == f"ALTER PUBLICATION cdc_pub ADD TABLE {name}"
+    assert {r["action"] for r in out.values()} == {"add", "drop", "keep"}

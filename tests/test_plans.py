@@ -133,6 +133,7 @@ _BNLJ_OK = {
     "cdc_incremental_snapshot",  # single-row broadcast snapshot-LSN
     "text_cooccurrence_pmi",  # single-row broadcast token/pair totals
     "corpus_leakage_safe_split",  # single-row broadcast violation proof
+    "cdc_dropped_chunk_filter",  # single-row broadcast retention horizon
 }
 
 

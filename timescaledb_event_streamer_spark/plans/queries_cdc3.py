@@ -214,3 +214,175 @@ def ts_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skew_ratio"),
         (F.sum("row_count") * 64).alias("est_bytes"),
     )
+
+
+#: retention horizon for the dropped-chunk simulation: chunks whose
+#: 7-day range ended more than 14 days before the newest event are
+#: gone from the catalog (the reference ignores their events:
+#: tests/streamer_test.go Test_Dropped_Chunks_Should_Be_Ignored)
+_DROP_HORIZON_S = 14 * 24 * 3600
+
+
+@register(
+    "cdc_dropped_chunk_filter",
+    family="cdc",
+    doc="Dropped-chunk event filtering with explicit accounting "
+    "(A26; reference test Test_Dropped_Chunks_Should_Be_Ignored): "
+    "retention drops chunks from the catalog while their WAL events "
+    "can still arrive, and the streamer must IGNORE those events — "
+    "but a silent inner-join drop is unauditable, so this resolve "
+    "routes every event to its chunk with a live/dropped status and "
+    "per-chunk counts (dropped = 7-day range ended >= 14 days "
+    "before the newest event, B29's drop_chunks horizon). Plan: one "
+    "scan, one (type, chunk) reduce, a 1-row max-ts broadcast; the "
+    "status rule is pure codegen — the event-grain stream never "
+    "joins anything bigger than the horizon scalar.",
+    oracle=f"""
+        WITH h AS (
+            SELECT max(epoch_us(ts)) // 1000000 AS now_s FROM events
+        ),
+        keyed AS (
+            SELECT event_type AS hypertable_name,
+                   {_SQL_CHUNK_START} AS range_start_s
+            FROM events
+        )
+        SELECT hypertable_name,
+               range_start_s,
+               CASE WHEN range_start_s + {7 * 24 * 3600}
+                         <= h.now_s - {_DROP_HORIZON_S}
+                    THEN 'dropped' ELSE 'live' END AS chunk_status,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM keyed, h
+        GROUP BY 1, 2, 3
+    """,
+)
+def cdc_dropped_chunk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.catalog.chunks import (
+        CHUNK_INTERVAL_S,
+        chunk_start_epoch,
+    )
+
+    events = load(spark, sf_dir, "events")
+    horizon = events.agg(
+        ((F.max(F.unix_micros("ts")) / 1_000_000).cast("long")).alias("now_s")
+    )
+    keyed = events.select(
+        F.col("event_type").alias("hypertable_name"),
+        chunk_start_epoch(F.col("ts")).alias("range_start_s"),
+    ).crossJoin(F.broadcast(horizon))
+    status = F.when(
+        F.col("range_start_s") + CHUNK_INTERVAL_S
+        <= F.col("now_s") - _DROP_HORIZON_S,
+        F.lit("dropped"),
+    ).otherwise(F.lit("live"))
+    return (
+        keyed.withColumn("chunk_status", status)
+        .groupBy("hypertable_name", "range_start_s", "chunk_status")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "cdc_publication_repair",
+    family="cdc",
+    doc="Publication repair plan (A27; reference tests "
+    "Test_Fixing_Broken_Publications_With/Without_State_Storage and "
+    "Test_Preexisting_Chunks_Added_To_Publication): on startup the "
+    "streamer diffs the publication's ACTUAL table membership "
+    "against the EXPECTED set (every live hypertable chunk passing "
+    "the table filters) and emits ALTER PUBLICATION ADD/DROP "
+    "actions — missing tables are re-added, stale entries dropped, "
+    "matches kept. Membership damage is simulated "
+    "deterministically: every third expected table (by name hash) "
+    "is absent from the publication, and one stale internal table "
+    "is present that should not be. Metadata-grain throughout "
+    "(tables, not events): one catalog fold then set operations on "
+    "table names.",
+    oracle=f"""
+        WITH expected AS (
+            SELECT DISTINCT '_timescaledb_internal._hyper_'
+                   || dense_rank() OVER (ORDER BY event_type)
+                   || '_' || (({_SQL_CHUNK_START} - 1704067200)
+                              // {7 * 24 * 3600} + 1)
+                   || '_chunk' AS table_name
+            FROM events
+        ),
+        actual AS (
+            SELECT table_name FROM expected
+            WHERE CAST(('0x' || substr(md5(table_name), 1, 8)) AS BIGINT)
+                  % 3 != 0
+            UNION ALL
+            SELECT '_timescaledb_internal._compressed_hypertable_99'
+        )
+        SELECT coalesce(e.table_name, a.table_name) AS table_name,
+               CASE WHEN a.table_name IS NULL THEN 'add'
+                    WHEN e.table_name IS NULL THEN 'drop'
+                    ELSE 'keep' END AS action,
+               'ALTER PUBLICATION cdc_pub '
+               || CASE WHEN a.table_name IS NULL THEN 'ADD TABLE '
+                       WHEN e.table_name IS NULL THEN 'DROP TABLE '
+                       ELSE '-- keep ' END
+               || coalesce(e.table_name, a.table_name) AS ddl
+        FROM expected e FULL JOIN actual a USING (table_name)
+    """,
+)
+def cdc_publication_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.catalog.chunks import (
+        CHUNK_INTERVAL_S,
+        chunk_start_epoch,
+    )
+
+    events = load(spark, sf_dir, "events")
+    one_part = F.length("event_type") * 0
+    w_ht = Window.partitionBy(one_part).orderBy("event_type")
+    expected = (
+        events.select(
+            "event_type", chunk_start_epoch(F.col("ts")).alias("range_start_s")
+        )
+        .distinct()
+        .withColumn("ht_id", F.dense_rank().over(w_ht))
+        .select(
+            F.concat(
+                F.lit("_timescaledb_internal._hyper_"),
+                F.col("ht_id"),
+                F.lit("_"),
+                (
+                    (F.col("range_start_s") - 1704067200) / CHUNK_INTERVAL_S
+                ).cast("long")
+                + 1,
+                F.lit("_chunk"),
+            ).alias("table_name")
+        )
+        .distinct()
+    )
+    actual = expected.filter(
+        F.conv(F.substring(F.md5("table_name"), 1, 8), 16, 10).cast("long") % 3
+        != 0
+    ).unionByName(
+        events.sparkSession.createDataFrame(
+            [("_timescaledb_internal._compressed_hypertable_99",)],
+            "table_name string",
+        )
+    )
+    e = expected.withColumnRenamed("table_name", "e_name")
+    a = actual.withColumnRenamed("table_name", "a_name")
+    joined = e.join(a, e["e_name"] == a["a_name"], "full_outer")
+    action = (
+        F.when(F.col("a_name").isNull(), F.lit("add"))
+        .when(F.col("e_name").isNull(), F.lit("drop"))
+        .otherwise(F.lit("keep"))
+    )
+    name = F.coalesce("e_name", "a_name")
+    return joined.select(
+        name.alias("table_name"),
+        action.alias("action"),
+        F.concat(
+            F.lit("ALTER PUBLICATION cdc_pub "),
+            F.when(F.col("a_name").isNull(), F.lit("ADD TABLE "))
+            .when(F.col("e_name").isNull(), F.lit("DROP TABLE "))
+            .otherwise(F.lit("-- keep ")),
+            name,
+        ).alias("ddl"),
+    )

@@ -149,3 +149,74 @@ def test_jsonl_ingest_survives_hostile_text(spark, tmp_path):
     out = {r["offset"]: r for r in text_jsonl_ingest(spark, sf).collect()}
     assert out[1]["route"] == "corpus.ok"
     assert out[1]["text_hash"] == hashlib.md5(hostile.encode()).hexdigest()
+
+
+def _bpe_python(word_freqs, n_merges):
+    """Reference Sennrich BPE: pair counts weighted by word freq,
+    argmax with (freq desc, pair lexical asc) tie-break, left-to-right
+    non-overlapping merge."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    rules = []
+    for step in range(n_merges):
+        pairs: dict = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + f
+        if not pairs:
+            break
+        (a, b), f = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((step, a, b, a + b, f))
+        new_vocab = {}
+        for syms, fr in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + fr
+        vocab = new_vocab
+    return rules
+
+
+def test_bpe_learn_matches_python_reference(spark, tmp_path):
+    """Exact rule-sequence parity (pair, merged token, frequency,
+    tie-breaks) with the pure-Python reference on the classic
+    low/lower/newest corpus AND on real testdata word frequencies."""
+    from timescaledb_event_streamer_spark.plans.queries_llm5 import (
+        bpe_learn,
+        text_bpe_learn,
+    )
+
+    texts = [
+        "low low low low low",
+        "lower lower",
+        "newest newest newest newest newest newest",
+        "widest widest widest",
+    ]
+    sf = _docs(spark, tmp_path, texts)
+    got = [tuple(r) for r in bpe_learn(
+        spark.read.parquet(f"{sf}/documents.parquet"), n_merges=8
+    ).collect()]
+    wf: dict = {}
+    for t in texts:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    want = _bpe_python(wf, 8)
+    assert got == want
+
+    # real testdata: derive word freqs driver-side (sf0.001 is small)
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT tok, count(*) FROM (SELECT unnest(string_split(text, ' ')) "
+        "AS tok FROM '/root/testdata/sf0.001/documents.parquet') "
+        "WHERE len(tok) > 0 GROUP BY tok"
+    ).fetchall()
+    want2 = _bpe_python(dict(rows), 10)
+    got2 = [tuple(r) for r in text_bpe_learn(spark, "/root/testdata/sf0.001").collect()]
+    assert got2 == want2

@@ -493,3 +493,111 @@ def text_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~bad, F.col("p.n_chars")).alias("n_chars"),
         F.when(~bad, F.md5(F.col("p.text"))).alias("text_hash"),
     )
+
+
+#: BPE induction rounds (merge rules learned)
+_BPE_MERGES = 10
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = _BPE_MERGES) -> DataFrame:
+    """Sennrich-style BPE merge-rule induction over the corpus's word
+    types (the tokenizer-TRAINING step, not just tokenization): each
+    round counts adjacent symbol pairs weighted by word frequency,
+    takes the most frequent pair (ties broken lexicographically),
+    and rewrites every word's symbol sequence with the standard
+    left-to-right non-overlapping merge. State stays DISTRIBUTED at
+    the word-type grain (Heaps-law sublinear in corpus size — the
+    10M-type vocab of a 100 TB corpus still fits a few hundred
+    partitions) with localCheckpoint truncating lineage per round;
+    the only driver traffic is the 1-row argmax per merge, the
+    algorithm's inherent sync point (same pattern as connected
+    components' convergence sum). Returns the learned rule table
+    (step, left, right, merged, pair_freq)."""
+    spark = docs.sparkSession
+    word_freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = word_freq.select(
+        "freq",
+        F.concat(
+            F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+        ).alias("syms"),
+    ).localCheckpoint()
+    rules = []
+    for step in range(n_merges):
+        pairs = (
+            syms.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("pair_freq"))
+        )
+        top = pairs.orderBy(F.col("pair_freq").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, freq = top[0]["a"], top[0]["b"], top[0]["pair_freq"]
+        rules.append((step, a, b, a + b, int(freq)))
+        la, lb = F.lit(a), F.lit(b)
+        # left-to-right non-overlapping merge as a fold: `prev` is the
+        # one-symbol lookahead buffer; a merged token is finalized
+        # immediately so it cannot re-merge within the same pass
+        # (re.sub semantics of the reference implementation)
+        init = F.struct(
+            F.array().cast("array<string>").alias("arr"),
+            F.lit(None).cast("string").alias("prev"),
+        )
+        folded = F.aggregate(
+            F.col("syms"),
+            init,
+            lambda acc, x: F.when(
+                acc["prev"].isNull(),
+                F.struct(acc["arr"].alias("arr"), x.alias("prev")),
+            )
+            .when(
+                (acc["prev"] == la) & (x == lb),
+                F.struct(
+                    F.concat(acc["arr"], F.array(F.lit(a + b))).alias("arr"),
+                    F.lit(None).cast("string").alias("prev"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["arr"], F.array(acc["prev"])).alias("arr"),
+                    x.alias("prev"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["prev"].isNull(), acc["arr"]
+            ).otherwise(F.concat(acc["arr"], F.array(acc["prev"]))),
+        )
+        syms = syms.select("freq", folded.alias("syms")).localCheckpoint()
+    return spark.createDataFrame(
+        rules, "step int, left string, right string, merged string, pair_freq long"
+    )
+
+
+@register(
+    "text_bpe_learn",
+    family="text",
+    doc="BPE tokenizer TRAINING (F31): learn the first 10 merge rules "
+    "from the corpus (Sennrich et al. 2016) — pair counting and "
+    "sequence rewriting stay distributed at the word-type grain; "
+    "only the per-round 1-row argmax crosses to the driver (the "
+    "algorithm's inherent sync point, the CC-convergence pattern). "
+    "Iterative and order-dependent, so not SQL-portable: driver "
+    "does the rows-only check and the pytest proves EXACT rule-"
+    "sequence parity (pair, frequency, tie-breaks) against a pure-"
+    "Python reference BPE on both a planted corpus and real "
+    "testdata.",
+)
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_learn(load(spark, sf_dir, "documents"))

@@ -101,6 +101,9 @@ REPS = [
     ("corpus_leakage_safe_split", "cluster-keyed split + CC"),
     ("corpus_epoch_shuffle", "epoch-salted shard hash"),
     ("ts_gorilla_estimate", "delta-of-delta bit model"),
+    ("cdc_dropped_chunk_filter", "retention-horizon routing"),
+    ("cdc_publication_repair", "membership diff plan"),
+    ("text_bpe_learn", "iterative merge induction"),
 ]
 
 

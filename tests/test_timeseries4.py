@@ -435,3 +435,27 @@ def test_gorilla_estimate_hand_computed(spark, tmp_path):
     irr = out["irr"]
     assert irr["est_ts_bits"] == 64 + 14 + 9   # dod=60 -> 9 bits
     assert irr["est_val_bits"] == 64 + 9 + 9   # dv=50, -40 -> 9 bits
+
+
+def test_pivot_features_dense_and_exact(spark, tmp_path):
+    """Absent (bucket, type) cells zero-fill (dense matrix), present
+    cells carry exact cent sums and counts."""
+    from timescaledb_event_streamer_spark.plans.queries_timeseries4 import (
+        ts_pivot_features,
+    )
+
+    rows = [
+        (T0, 1, "click", 1.50),
+        (T0 + datetime.timedelta(minutes=10), 2, "click", 2.25),
+        (T0, 1, "purchase", 99.99),
+        (T0 + datetime.timedelta(hours=1), 1, "view", 0.10),
+    ]
+    sf = _write(spark, tmp_path, rows)
+    out = {r["bucket_s"]: r for r in ts_pivot_features(spark, sf).collect()}
+    b0 = out[min(out)]
+    assert b0["click_cents"] == 375 and b0["click_n"] == 2
+    assert b0["purchase_cents"] == 9999 and b0["purchase_n"] == 1
+    assert b0["view_cents"] == 0 and b0["view_n"] == 0
+    assert b0["error_cents"] == 0 and b0["signup_n"] == 0
+    b1 = out[max(out)]
+    assert b1["view_cents"] == 10 and b1["click_n"] == 0

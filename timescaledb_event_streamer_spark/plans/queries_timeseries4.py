@@ -984,3 +984,74 @@ def ts_gorilla_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("est_ratio"),
     )
+
+
+#: the pivot's static column contract: explicit value list, the
+#: production form (Spark requires known pivot values for a stable
+#: schema; inferring them adds a collect and makes downstream schemas
+#: data-dependent)
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "ts_pivot_features",
+    family="timeseries",
+    doc="Wide-format pivot feature matrix (B70): one row per hourly "
+    "bucket, one (revenue, count) column pair per event type — the "
+    "long->wide reshape every model-training join ultimately wants "
+    "(B61's lag matrix in the row direction; this is the column "
+    "direction). Spark-native .pivot() with an EXPLICIT value list: "
+    "the production contract, since inferred pivot values cost a "
+    "collect and make downstream schemas data-dependent. Exact "
+    "integer cents; absent (bucket, type) cells are zero-filled so "
+    "the matrix is dense. Plan: one scan, ONE (bucket)-keyed "
+    "reduce — the pivot is a map-side conditional projection, not "
+    "an extra shuffle; the oracle re-derives via portable "
+    "conditional aggregation.",
+    oracle=f"""
+        SELECT ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 3600) AS bucket_s,
+        """
+    + ",\n".join(
+        f"""
+               CAST(coalesce(sum(CASE WHEN event_type = '{t}'
+                   THEN {_SQL_CENTS} END), 0) AS BIGINT) AS {t}_cents,
+               CAST(count(CASE WHEN event_type = '{t}' THEN 1 END)
+                   AS BIGINT) AS {t}_n"""
+        for t in _PIVOT_TYPES
+    )
+    + """
+        FROM events
+        GROUP BY 1
+    """,
+)
+def ts_pivot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    epoch = (F.unix_micros("ts") / 1_000_000).cast("long")
+    base = events.select(
+        (epoch - epoch % 3600).alias("bucket_s"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    wide = (
+        base.groupBy("bucket_s")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(
+            F.sum("cents").alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return wide.select(
+        "bucket_s",
+        *[
+            c
+            for t in _PIVOT_TYPES
+            for c in (
+                F.coalesce(F.col(f"{t}_cents"), F.lit(0).cast("long")).alias(
+                    f"{t}_cents"
+                ),
+                F.coalesce(F.col(f"{t}_n"), F.lit(0).cast("long")).alias(
+                    f"{t}_n"
+                ),
+            )
+        ],
+    )

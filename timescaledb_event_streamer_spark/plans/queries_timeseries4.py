@@ -1055,3 +1055,37 @@ def ts_pivot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
+
+
+@register(
+    "ts_unpivot_long",
+    family="timeseries",
+    doc="Unpivot / melt — the reshape inverse of B70, registered as a "
+    "ROUNDTRIP proof: the wide feature matrix is melted back to "
+    "long form with Spark's stack() and must hash-equal the direct "
+    "long aggregate the oracle computes — so the pivot/unpivot pair "
+    "is certified lossless (zero-filled cells are dropped on the "
+    "way back, restoring the sparse long form exactly). stack() is "
+    "a map-side row generator: no shuffle beyond B70's single "
+    "bucket reduce.",
+    oracle=f"""
+        SELECT ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 3600) AS bucket_s,
+               event_type,
+               CAST(sum({_SQL_CENTS}) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def ts_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = ts_pivot_features(spark, sf_dir)
+    stack_expr = "stack({n}, {args}) AS (event_type, cents, n)".format(
+        n=len(_PIVOT_TYPES),
+        args=", ".join(f"'{t}', {t}_cents, {t}_n" for t in _PIVOT_TYPES),
+    )
+    return (
+        wide.select("bucket_s", F.expr(stack_expr))
+        # drop the dense zero-fill: a (bucket, type) with no events has
+        # no long-form row
+        .filter(F.col("n") > 0)
+    )

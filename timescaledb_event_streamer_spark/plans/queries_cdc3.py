@@ -386,3 +386,85 @@ def cdc_publication_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             name,
         ).alias("ddl"),
     )
+
+
+@register(
+    "cdc_source_profile",
+    family="cdc",
+    doc="Per-column source-table profile (A28) — the data-quality "
+    "audit a CDC backfill runs before trusting a source (the "
+    "Deequ/dbt-test shape): for every column of the events table, "
+    "null count, exact distinct count, min/max rendered as text, "
+    "and fill rate. One pass: Spark plans the multi-column DISTINCT "
+    "aggregate with a single Expand-based shuffle (rows multiply by "
+    "column count map-side, the canonical multi-distinct plan — "
+    "at 100 TB this is one scan instead of one per column), then "
+    "the single stats row unpivots to column grain via stack().",
+    oracle="""
+        SELECT 'event_id' AS col,
+               CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               CAST(min(event_id) AS VARCHAR) AS min_text,
+               CAST(max(event_id) AS VARCHAR) AS max_text,
+               round(count(event_id) * 1.0 / count(*), 6) AS fill_rate
+        FROM events
+        UNION ALL
+        SELECT 'ts', CAST(count(*) - count(ts) AS BIGINT),
+               CAST(count(DISTINCT ts) AS BIGINT),
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f'),
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f'),
+               round(count(ts) * 1.0 / count(*), 6)
+        FROM events
+        UNION ALL
+        SELECT 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+               CAST(count(DISTINCT user_id) AS BIGINT),
+               CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
+               round(count(user_id) * 1.0 / count(*), 6)
+        FROM events
+        UNION ALL
+        SELECT 'event_type', CAST(count(*) - count(event_type) AS BIGINT),
+               CAST(count(DISTINCT event_type) AS BIGINT),
+               min(event_type), max(event_type),
+               round(count(event_type) * 1.0 / count(*), 6)
+        FROM events
+        UNION ALL
+        SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+               CAST(count(DISTINCT value) AS BIGINT),
+               CAST(round(min(value), 2) AS VARCHAR),
+               CAST(round(max(value), 2) AS VARCHAR),
+               round(count(value) * 1.0 / count(*), 6)
+        FROM events
+    """,
+)
+def cdc_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    aggs = []
+    for c in cols:
+        if c == "ts":
+            mn = F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            mx = F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        elif c == "value":
+            mn = F.round(F.min(c), 2).cast("string")
+            mx = F.round(F.max(c), 2).cast("string")
+        else:
+            mn = F.min(c).cast("string")
+            mx = F.max(c).cast("string")
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
+            F.round(F.count(c) * 1.0 / F.count(F.lit(1)), 6).alias(
+                f"{c}__fill"
+            ),
+        ]
+    one = events.agg(*aggs)
+    stack_expr = "stack({n}, {args}) AS (col, n_nulls, n_distinct, min_text, max_text, fill_rate)".format(
+        n=len(cols),
+        args=", ".join(
+            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__fill"
+            for c in cols
+        ),
+    )
+    return one.select(F.expr(stack_expr))

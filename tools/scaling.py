@@ -104,6 +104,9 @@ REPS = [
     ("cdc_dropped_chunk_filter", "retention-horizon routing"),
     ("cdc_publication_repair", "membership diff plan"),
     ("text_bpe_learn", "iterative merge induction"),
+    ("ts_pivot_features", "long-to-wide pivot reduce"),
+    ("ts_unpivot_long", "stack melt roundtrip"),
+    ("cdc_source_profile", "expand multi-distinct profile"),
 ]
 
 
@@ -246,7 +249,9 @@ def main() -> None:
         "pg_uuid_interval first measured 7.3x on the single-split",
         "scan; spread() before its md5 + text-build + 4-regex",
         "projection brought the step ratio to ~linear (same remedy as",
-        "the PMI scan).",
+        "the PMI scan). cdc_source_profile's Expand operator",
+        "(multi-distinct row multiplication) got the same fix:",
+        "5.5x -> 1.8x measured.",
     ])
     lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")

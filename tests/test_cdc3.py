@@ -171,3 +171,8 @@ def test_publication_repair_actions(spark, tmp_path):
         if want == "add":
             assert r["ddl"] == f"ALTER PUBLICATION cdc_pub ADD TABLE {name}"
     assert {r["action"] for r in out.values()} == {"add", "drop", "keep"}
+    # injectivity: every distinct (hypertable, 7-day range) maps to
+    # its OWN expected table — the aliasing regression (offset-based
+    # numbering collapsing two live chunks into one name) would make
+    # this count come up short
+    assert len(out) == 6 + 1  # six weekly chunks + the stale entry

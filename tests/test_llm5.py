@@ -220,3 +220,25 @@ def test_bpe_learn_matches_python_reference(spark, tmp_path):
     want2 = _bpe_python(dict(rows), 10)
     got2 = [tuple(r) for r in text_bpe_learn(spark, "/root/testdata/sf0.001").collect()]
     assert got2 == want2
+
+
+def test_bpe_learn_survives_fully_merged_words(spark, tmp_path):
+    """Regression: once a word type fully merges to ONE symbol, the
+    next round's pair extraction must skip it instead of indexing
+    past a 1-element array (ANSI crash). 'a' merges to a single
+    'a</w>' symbol on round 1; rounds after that must still match
+    the Python reference."""
+    from timescaledb_event_streamer_spark.plans.queries_llm5 import bpe_learn
+
+    texts = ["a a a a a a a a a a", "bc bc bc", "d d"]
+    sf = _docs(spark, tmp_path, texts)
+    got = [tuple(r) for r in bpe_learn(
+        spark.read.parquet(f"{sf}/documents.parquet"), n_merges=6
+    ).collect()]
+    wf: dict = {}
+    for t in texts:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    assert got == _bpe_python(wf, 6)
+    # the single-symbol word really was produced along the way
+    assert ("a", "</w>") in {(r[1], r[2]) for r in got}

@@ -299,13 +299,19 @@ def cdc_dropped_chunk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(tables, not events): one catalog fold then set operations on "
     "table names.",
     oracle=f"""
-        WITH expected AS (
-            SELECT DISTINCT '_timescaledb_internal._hyper_'
-                   || dense_rank() OVER (ORDER BY event_type)
-                   || '_' || (({_SQL_CHUNK_START} - 1704067200)
-                              // {7 * 24 * 3600} + 1)
-                   || '_chunk' AS table_name
+        WITH distinct_chunks AS (
+            SELECT DISTINCT event_type AS hypertable_name,
+                            {_SQL_CHUNK_START} AS range_start_s
             FROM events
+        ),
+        expected AS (
+            SELECT '_timescaledb_internal._hyper_'
+                   || dense_rank() OVER (ORDER BY hypertable_name)
+                   || '_'
+                   || dense_rank() OVER (
+                          ORDER BY hypertable_name, range_start_s)
+                   || '_chunk' AS table_name
+            FROM distinct_chunks
         ),
         actual AS (
             SELECT table_name FROM expected
@@ -327,35 +333,16 @@ def cdc_dropped_chunk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cdc_publication_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from timescaledb_event_streamer_spark.catalog.chunks import (
-        CHUNK_INTERVAL_S,
-        chunk_start_epoch,
-    )
+    from timescaledb_event_streamer_spark.catalog.chunks import chunk_catalog
 
     events = load(spark, sf_dir, "events")
-    one_part = F.length("event_type") * 0
-    w_ht = Window.partitionBy(one_part).orderBy("event_type")
-    expected = (
-        events.select(
-            "event_type", chunk_start_epoch(F.col("ts")).alias("range_start_s")
-        )
-        .distinct()
-        .withColumn("ht_id", F.dense_rank().over(w_ht))
-        .select(
-            F.concat(
-                F.lit("_timescaledb_internal._hyper_"),
-                F.col("ht_id"),
-                F.lit("_"),
-                (
-                    (F.col("range_start_s") - 1704067200) / CHUNK_INTERVAL_S
-                ).cast("long")
-                + 1,
-                F.lit("_chunk"),
-            ).alias("table_name")
-        )
-        .distinct()
+    # expected membership comes from THE chunk catalog (injective
+    # dense_rank ids + canonical _hyper_{ht}_{chunk}_chunk names) —
+    # a hand-rolled offset-division numbering here once aliased two
+    # live chunks to one table name and silently dropped a
+    # publication entry (review finding)
+    expected = chunk_catalog(events).select(
+        F.concat_ws(".", "chunk_schema", "chunk_name").alias("table_name")
     )
     actual = expected.filter(
         F.conv(F.substring(F.md5("table_name"), 1, 8), 16, 10).cast("long") % 3

@@ -529,7 +529,12 @@ def bpe_learn(docs: DataFrame, n_merges: int = _BPE_MERGES) -> DataFrame:
     rules = []
     for step in range(n_merges):
         pairs = (
-            syms.select(
+            # fully-merged word types (single symbol) contribute no
+            # pairs — without the filter, sequence(0, -1) auto-steps
+            # backwards and the transform indexes syms[-1]/syms[1] of
+            # a 1-element array (ANSI INVALID_ARRAY_INDEX crash)
+            syms.filter(F.size("syms") >= 2)
+            .select(
                 "freq",
                 F.explode(
                     F.expr(

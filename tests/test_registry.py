@@ -34,7 +34,11 @@ def test_uncertified_queries_sort_first():
     )
 
 
-def test_rotation_blocks_are_alphabetical():
+def test_rotation_blocks_are_ordered():
+    """Tier-0 (frozen waitlist) is ordered by frozen position so
+    cross-round seniority survives regeneration (an alphabetically-late
+    query must not starve across rounds once pending exceeds the
+    driver's 50-entry cap); tiers 1 and 2 stay alphabetical."""
     registry = _registry()
     names = list(registry.all_queries())
     uncert_wait = [
@@ -48,7 +52,7 @@ def test_rotation_blocks_are_alphabetical():
         if not registry._is_certified(n) and n not in registry._WAITLIST
     ]
     cert = [n for n in names if registry._is_certified(n)]
-    assert uncert_wait == sorted(uncert_wait)
+    assert uncert_wait == sorted(uncert_wait, key=registry._WAITLIST.__getitem__)
     assert uncert_new == sorted(uncert_new)
     assert cert == sorted(cert)
     assert names == uncert_wait + uncert_new + cert
@@ -66,8 +70,8 @@ def test_waitlist_precedes_newcomers():
     ]
     assert tiers == sorted(tiers)
     # the frozen waitlist only contains real registered queries
-    assert registry._WAITLIST <= set(registry.REGISTRY), (
-        registry._WAITLIST - set(registry.REGISTRY)
+    assert set(registry._WAITLIST) <= set(registry.REGISTRY), (
+        set(registry._WAITLIST) - set(registry.REGISTRY)
     )
     # the waitlist file exists and was frozen against a committed artifact
     wl_path = (

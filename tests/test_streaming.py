@@ -1030,3 +1030,87 @@ def test_streaming_asof_random_series_three_batches(spark, tmp_path):
         for r in spark.sql("SELECT * FROM asof_rand").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_asof_subsecond_tolerance_and_duplicate_ts(spark, tmp_path):
+    """Two streaming==batch parity edges invisible to whole-second
+    fixtures: (1) a match aged in (tol, tol+1s) must be STALE — the
+    stream must compare the raw timedelta, not the floored whole-second
+    age; (2) duplicate-ts purchases arriving unaggregated inside one
+    micro-batch must collapse to max(value), the batch tie contract,
+    not whichever row sorted last."""
+    import datetime as dt
+
+    from timescaledb_event_streamer_spark.plans.queries_timeseries4 import (
+        ts_asof_tolerance,
+    )
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        asof_join_stream,
+    )
+
+    tol_s = 60
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        # user 1: purchase at t0, duplicate-ts purchase with lower value
+        (200, t0, 1, "purchase", 10.0, "p"),
+        (201, t0, 1, "purchase", 3.0, "p"),
+        # click aged tol + 0.4s -> floored age == tol but STALE
+        (202, t0 + dt.timedelta(seconds=tol_s, microseconds=400_000),
+         1, "click", 1.0, "p"),
+        # click aged exactly tol -> fresh, value must be max(10.0, 3.0)
+        (203, t0 + dt.timedelta(seconds=tol_s), 1, "click", 2.0, "p"),
+        # user 2: sub-second fresh match
+        (210, t0, 2, "purchase", 7.0, "p"),
+        (211, t0 + dt.timedelta(microseconds=250_000), 2, "click", 4.0, "p"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = f"{tmp_path}/sf"
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    import timescaledb_event_streamer_spark.plans.queries_timeseries4 as qt4
+
+    saved = qt4._ASOF_TOL_S
+    qt4._ASOF_TOL_S = tol_s
+    try:
+        want = {
+            r["event_id"]: (
+                r["match_age_s"], r["purchase_value_fresh"], r["match_status"]
+            )
+            for r in ts_asof_tolerance(spark, sf).collect()
+        }
+    finally:
+        qt4._ASOF_TOL_S = saved
+    assert want[202] == (tol_s, None, "stale")
+    assert want[203] == (tol_s, 10.0, "fresh")
+    assert want[211] == (0, 7.0, "fresh")
+
+    # stream the RAW rows (purchases NOT pre-aggregated) in one batch
+    tagged = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "value", "user_id", F.lit(0).alias("side")
+    ).unionByName(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "value", "user_id", F.lit(1).alias("side")
+        )
+    )
+    log = f"{tmp_path}/log"
+    tagged.coalesce(1).write.parquet(log)
+    stream = spark.readStream.schema(tagged.schema).parquet(log)
+    q = (
+        asof_join_stream(stream, tol_s)
+        .writeStream.format("memory")
+        .queryName("asof_subsec")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (
+            r["match_age_s"], r["purchase_value_fresh"], r["match_status"]
+        )
+        for r in spark.sql("SELECT * FROM asof_subsec").collect()
+    }
+    assert got == want

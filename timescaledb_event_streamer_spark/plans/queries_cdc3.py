@@ -114,11 +114,14 @@ _SNAP_WINDOW_LSNS = 500
 )
 def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
+    # integer floor-division (`div`), never float `/`: double
+    # arithmetic loses exactness for LSNs above 2^53 and would
+    # silently diverge from the oracle's `max(event_id) // 2`
     snap_lsn = events.agg(
-        (F.max("event_id") / 2).cast("long").alias("snap_lsn")
+        F.expr("max(event_id) div 2").alias("snap_lsn")
     )
     ev = events.crossJoin(F.broadcast(snap_lsn))
-    chunk = (F.col("user_id") / _SNAP_KEYS_PER_CHUNK).cast("long")
+    chunk = F.expr(f"user_id div {_SNAP_KEYS_PER_CHUNK}")
     low = F.col("snap_lsn") + chunk * _SNAP_WINDOW_LSNS
     high = F.col("snap_lsn") + (chunk + 1) * _SNAP_WINDOW_LSNS
     # latest-per-key via the ASSOCIATIVE max/max_by fold, not a

@@ -306,7 +306,16 @@ def _make_asof_state_fn(tolerance_s: int):
                 [pd.DataFrame({"ts": [p_ts], "p_value": [p_value]}), rights],
                 ignore_index=True,
             )
-        rights = rights.sort_values("ts", kind="stable")
+        if len(rights):
+            # batch contract (ts_asof_tolerance): right side unique per
+            # ts, ties resolved by max(value) — dedupe here so a
+            # duplicate-ts purchase inside one micro-batch matches the
+            # batch result instead of whichever row sorted last
+            rights = (
+                rights.groupby("ts", as_index=False)["p_value"]
+                .max()
+                .sort_values("ts", kind="stable")
+            )
         rights["p_ts"] = rights["ts"]
         lefts = (
             pdf[pdf["side"] == 0][["event_id", "ts", "value"]]
@@ -324,8 +333,13 @@ def _make_asof_state_fn(tolerance_s: int):
             m = lefts.copy()
             m["p_value"] = None
             m["p_ts"] = pd.NaT
-        age = (m["ts"] - m["p_ts"]) // pd.Timedelta(seconds=1)
-        fresh = age <= tolerance_s
+        # freshness compares the raw timedelta (microsecond precision,
+        # matching batch age_us <= tol_us); the floored whole-second
+        # value is only the match_age_s output column — flooring before
+        # the comparison would call a match aged (tol, tol+1s) fresh
+        age_td = m["ts"] - m["p_ts"]
+        fresh = age_td <= pd.Timedelta(seconds=tolerance_s)
+        age = age_td // pd.Timedelta(seconds=1)
         out = pd.DataFrame(
             {
                 "user_id": key[0],
@@ -357,7 +371,11 @@ def asof_join_stream(tagged: DataFrame, tolerance_s: int) -> DataFrame:
     micro-batches, and within each batch a vectorized pandas
     merge_asof matches the batch's left rows against batch rights +
     carried state (Arrow-batched — the custom-stateful-operator slow
-    path is one merge_asof per key-batch, never per row).
+    path is one merge_asof per key-batch, never per row). Right rows
+    sharing a timestamp collapse to max(value) before matching — the
+    same tie contract as the batch ts_asof_tolerance — and freshness
+    is decided on the raw (microsecond) timedelta, with match_age_s
+    floored to whole seconds only for output.
 
     Ordering contract: correct when micro-batches arrive in event-time
     order per key ACROSS batches (the WAL-delivery guarantee the

@@ -7,6 +7,16 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Property tests must be reproducible: an unpinned hypothesis seed
+# loses the failing example (the r5 Holt flake). derandomize derives
+# examples from the test body, so every run explores the same set;
+# per-test @settings(...) decorators inherit this unless they
+# explicitly override derandomize.
+from hypothesis import settings as _hyp_settings
+
+_hyp_settings.register_profile("repo", derandomize=True)
+_hyp_settings.load_profile("repo")
+
 from timescaledb_event_streamer_spark.session import get_spark
 
 SF0001 = "/root/testdata/sf0.001"

@@ -189,6 +189,21 @@ def _events(spark, series):
     )
 
 
+def _round6(x):
+    """Round to 6 dp the way Spark's F.round does for doubles —
+    BigDecimal.valueOf(x).setScale(6, HALF_UP): the SHORTEST decimal
+    repr of the double (repr(x) == Double.toString(x) numerically),
+    ties away from zero. Python's round() is half-to-even on the
+    exact binary value, which disagrees exactly on 7th-digit ties
+    (e.g. 75.6336125 -> 75.633612 vs Spark/DuckDB 75.633613) — the
+    adjudicated r5 Holt property flake."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
 def _holt_ref(xs, alpha=0.5, beta=0.3):
     # standard init: level at the SECOND point, trend = first diff
     lvl, tr = xs[1], xs[1] - xs[0]
@@ -196,7 +211,7 @@ def _holt_ref(xs, alpha=0.5, beta=0.3):
         nl = alpha * y + (1 - alpha) * (lvl + tr)
         tr = beta * (nl - lvl) + (1 - beta) * tr
         lvl = nl
-    return round(lvl, 6), round(tr, 6), round(lvl + tr, 6)
+    return _round6(lvl), _round6(tr), _round6(lvl + tr)
 
 
 def test_holt_matches_pure_python_recurrence(spark):
@@ -211,6 +226,47 @@ def test_holt_matches_pure_python_recurrence(spark):
         assert out[name]["level"] == lvl
         assert out[name]["trend"] == tr
         assert out[name]["forecast_1"] == fc
+
+
+def test_holt_rounding_tie_regression(spark):
+    """Pinned counterexamples from the r5 property flake: series whose
+    level/trend/forecast land exactly on a 7th-decimal-digit tie
+    (…125, …625), where Python round() (half-even) and Spark F.round
+    (HALF_UP) disagree. The fold was adjudicated correct — Spark and
+    DuckDB both round half-up — so the reference must too."""
+    tie_series = [
+        [[-4833, 4626], [5966, 8396, 9791], [-8725], [680, 225]],
+        [[1302], [3849, -5549, -2905], [4261, -5346], [222, -4203]],
+        [[-453, -6048], [-4946, 1272], [-3875], [6361, -2507]],
+    ]
+    rows, eid = [], 0
+    for ex, days in enumerate(tie_series):
+        for di, vals in enumerate(days):
+            for v in vals:
+                rows.append(
+                    (
+                        eid,
+                        datetime.datetime(2024, 1, 1) + datetime.timedelta(days=di),
+                        1,
+                        f"tie{ex}",
+                        v / 100.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["series"]: r for r in holt_linear(df).collect()}
+    for ex, days in enumerate(tie_series):
+        xs = [sum(vals) / (100.0 * len(vals)) for vals in days]
+        lvl, tr, fc = _holt_ref(xs)
+        r = got[f"tie{ex}"]
+        assert (r["level"], r["trend"], r["forecast_1"]) == (lvl, tr, fc), ex
+    # the first series' forecast is the canonical tie: 75.6336125
+    assert got["tie0"]["forecast_1"] == 75.633613  # HALF_UP, not 75.633612
 
 
 def test_holt_linear_series_forecasts_next_point(spark):

@@ -432,6 +432,70 @@ def test_sparse_cosine_max_df_drops_stopword_grade_terms(spark):
     assert capped == []  # df("the")=3 > 2 -> no candidates at all
 
 
+def test_sparse_cosine_relative_cap_binds_and_bounds_term_groups(spark):
+    """D21 contract: max_df_denom resolves to max(ceil(N/denom), 2)
+    in-plan, drops stopword-grade terms from CANDIDATE GENERATION
+    (not just scoring), and therefore bounds every per-term join
+    group by the cap."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.plans.queries_llm4 import (
+        _tfidf_weights,
+        sparse_cosine_pairs,
+    )
+
+    # 6 docs; "the" in all 6, "big" in 3, distinctive tail elsewhere.
+    # N=6, denom=2 -> cap = max(ceil(6/2), 2) = 3: "the" (df 6) is
+    # dropped, "big" (df 3) survives.
+    texts = [
+        ("the big alpha beta", "s"),
+        ("the big alpha beta", "s"),
+        ("the big gamma delta", "s"),
+        ("the epsilon zeta", "s"),
+        ("the eta theta", "s"),
+        ("the iota kappa", "s"),
+    ]
+    docs = _docs(spark, texts)
+    capped = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in sparse_cosine_pairs(docs, threshold=0.0, max_df_denom=2).collect()
+    }
+    # pairs joined ONLY via "the" vanish entirely (candidate-level drop)
+    assert (3, 4) not in capped and (3, 5) not in capped and (4, 5) not in capped
+    # identical docs still score 1.0 on their surviving terms
+    assert capped[(0, 1)]["cosine"] == 1.0
+    # "big"-sharing pair survives; after dropping "the" the shared
+    # vocabulary is exactly {big}
+    assert capped[(0, 2)]["n_shared_terms"] == 1
+
+    # per-term group bound: no surviving term has df above the cap
+    w = _tfidf_weights(docs)
+    cap = 3
+    surviving = (
+        w.filter(F.col("df") <= F.greatest(
+            F.expr("(n_docs + 1) div 2"), F.lit(2).cast("long")))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("g"))
+        .agg(F.max("g").alias("m")).collect()[0]["m"]
+    )
+    assert surviving <= cap
+
+
+def test_dedup_sparse_cosine_capped_shingle_form(spark, sf_small):
+    """The registered D21 runs UNSAMPLED: its doc population equals
+    every document with >= 3 tokens (no calibration-sample modulus),
+    near-dup pairs survive the cap, and scores stay in (0, 1]."""
+    from timescaledb_event_streamer_spark.plans.queries_llm4 import (
+        dedup_sparse_cosine_capped,
+    )
+
+    rows = dedup_sparse_cosine_capped(spark, sf_small).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.9 <= r["cosine"] <= 1.0
+        assert r["n_shared_terms"] > 0
+
+
 # --------------------------------------------------------- recall eval
 
 

@@ -127,6 +127,7 @@ _BNLJ_OK = {
     #   calibration sample + 1-row broadcast sample modulus
     "text_tfidf_topk",  # single-row broadcast corpus doc count
     "dedup_sparse_cosine",  # same single-row N broadcast via _tfidf_weights
+    "dedup_sparse_cosine_capped",  # same single-row N broadcast (idf + df cap)
     "text_bm25_search",  # single-row broadcast N/avgdl/df stats
     "corpus_js_divergence",  # metadata-sized source-pair expansion
     #   (distinct sources self-join); the data joins are equi-joins

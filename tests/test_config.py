@@ -1,0 +1,278 @@
+"""Config-file-driven assembly (VERDICT r5 item 4).
+
+The reference wires its whole pipeline from TOML/YAML
+(`spi/config/configuration.go`, `config.example.toml`); these tests
+prove `config.from_config` turns that exact surface into the repo's
+operators: a round-trip on the reference's own example file, the
+GetOrDefault env-override/zero-value semantics
+(configuration.go:374-441), and a built pipeline with filters,
+event flags, naming prefix, tombstones and sink shaping applied.
+"""
+
+from __future__ import annotations
+
+import os
+import textwrap
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.config import (
+    EngineConfig,
+    PipelineAssembly,
+    condition_to_sql,
+    from_config,
+    get_or_default,
+    load_config,
+    load_raw,
+)
+from timescaledb_event_streamer_spark.sources.tables import load
+
+REFERENCE_EXAMPLE = "/root/reference/config.example.toml"
+
+
+# ----------------------------------------------------- parsing + lookup
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_EXAMPLE), reason="reference tree not mounted"
+)
+def test_reference_example_round_trip():
+    """The reference's shipped example file parses into the exact
+    settings its Go loader would resolve."""
+    cfg = load_config(REFERENCE_EXAMPLE)
+    assert cfg.connection == "postgres://repl_user@localhost:5432/postgres"
+    assert cfg.state_storage_type == "file"
+    assert cfg.state_storage_path == "/tmp/statestorage.dat"
+    assert cfg.sink_type == "stdout"
+    assert cfg.sink_tombstone is False
+    assert cfg.naming_strategy == "debezium"
+    assert cfg.topic_prefix == "timescaledb"
+    assert cfg.hypertables.excludes == ("pgcatalog.*",)
+    assert cfg.hypertables.includes == ("public.test",)
+    assert cfg.pg_tables.excludes == ("pgcatalog.*",)
+    assert cfg.pg_tables.includes == ("public.*",)
+    # timescaledb.events: read..truncate true, message false,
+    # compression/decompression false (explicit in the example)
+    assert cfg.ts_events.read and cfg.ts_events.truncate
+    assert not cfg.ts_events.message
+    assert not cfg.ts_events.compression and not cfg.ts_events.decompression
+    assert cfg.pg_events.insert and not cfg.pg_events.message
+    # commented-out keys resolve to the reference defaults
+    assert cfg.snapshot_initial == "always"
+    assert cfg.snapshot_batchsize == 1000
+    assert cfg.publication_name == ""
+
+
+def _write(tmp_path: Path, body: str) -> str:
+    p = tmp_path / "cfg.toml"
+    p.write_text(textwrap.dedent(body))
+    return str(p)
+
+
+def test_get_or_default_env_override_and_naming(tmp_path, monkeypatch):
+    """configuration.go:428-430: upper-case, double underscores,
+    dots to single underscores; env wins over the file; empty env is
+    ignored."""
+    raw = load_raw(
+        _write(tmp_path, "sink.type = 'kafka'\n[a_b]\nc = 'file-value'\n")
+    )
+    assert get_or_default(raw, "sink.type", "stdout") == "kafka"
+    monkeypatch.setenv("SINK_TYPE", "nats")
+    assert get_or_default(raw, "sink.type", "stdout") == "nats"
+    monkeypatch.setenv("SINK_TYPE", "")
+    assert get_or_default(raw, "sink.type", "stdout") == "kafka"
+    # underscore doubling: property a_b.c -> env A__B_C
+    assert get_or_default(raw, "a_b.c", "d") == "file-value"
+    monkeypatch.setenv("A__B_C", "env-value")
+    assert get_or_default(raw, "a_b.c", "d") == "env-value"
+    # typed conversion follows the default's type
+    monkeypatch.setenv("POSTGRESQL_SNAPSHOT_BATCHSIZE", "250")
+    assert get_or_default(raw, "postgresql.snapshot.batchsize", 1000) == 250
+    monkeypatch.setenv("SINK_TOMBSTONE", "true")
+    assert get_or_default(raw, "sink.tombstone", False) is True
+
+
+def test_get_or_default_zero_values_fall_back(tmp_path):
+    """Go-zero values re-resolve to the default
+    (configuration.go:396 IsZero)."""
+    raw = load_raw(
+        _write(
+            tmp_path,
+            """\
+            [postgresql]
+            connection = ''
+            [timescaledb.hypertables]
+            includes = []
+            """,
+        )
+    )
+    assert get_or_default(raw, "postgresql.connection", "dflt") == "dflt"
+    assert get_or_default(raw, "timescaledb.hypertables.includes", ["x"]) == ["x"]
+    assert get_or_default(raw, "missing.path.entirely", 7) == 7
+
+
+def test_unknown_enumerations_raise(tmp_path):
+    with pytest.raises(ValueError, match="unknown sink type"):
+        load_config(_write(tmp_path, "sink.type = 'rabbitmq'\n"))
+    with pytest.raises(ValueError, match="unknown naming strategy"):
+        load_config(_write(tmp_path, "topic.namingstrategy.type = 'confluent'\n"))
+    with pytest.raises(ValueError, match="unknown initial snapshot mode"):
+        load_config(_write(tmp_path, "postgresql.snapshot.initial = 'sometimes'\n"))
+    with pytest.raises(ValueError, match="requires statestorage.file.path"):
+        load_config(_write(tmp_path, "statestorage.type = 'file'\n"))
+
+
+def test_snapshot_mode_decision(tmp_path):
+    """replicationchannel.go:199-226: 'always' snapshots every
+    start, 'never' never, 'initial_only' only without a prior
+    offset."""
+    for mode, no_offset, with_offset in (
+        ("always", True, True),
+        ("never", False, False),
+        ("initial_only", True, False),
+    ):
+        cfg = load_config(
+            _write(tmp_path, f"postgresql.snapshot.initial = '{mode}'\n")
+        )
+        asm = PipelineAssembly(cfg)
+        assert asm.include_initial_snapshot(has_offset=False) is no_offset
+        assert asm.include_initial_snapshot(has_offset=True) is with_offset
+
+
+def test_condition_translation():
+    assert (
+        condition_to_sql('value.op == "u" && value.before.id == 2')
+        == 'value.op  =  "u"  AND  value.before.id  =  2'
+    )
+    assert condition_to_sql("a != 1 || !b") == "a != 1  OR   NOT b"
+
+
+# ------------------------------------------------------------- assembly
+
+
+PIPELINE_TOML = """\
+postgresql.connection = 'postgres://repl_user@localhost:5432/postgres'
+
+statestorage.type = 'file'
+statestorage.file.path = '{state_path}'
+
+sink.type = '{sink}'
+sink.tombstone = {tombstone}
+
+topic.namingstrategy.type = 'debezium'
+topic.prefix = '{prefix}'
+
+timescaledb.hypertables.excludes = ['public.purchase']
+timescaledb.hypertables.includes = ['public.*']
+timescaledb.events.read = true
+timescaledb.events.insert = true
+timescaledb.events.update = {update}
+timescaledb.events.delete = true
+"""
+
+
+def _assembly(tmp_path, **kw) -> PipelineAssembly:
+    defaults = dict(
+        state_path=str(tmp_path / "state.dat"),
+        sink="stdout",
+        tombstone="false",
+        prefix="timescaledb",
+        update="true",
+    )
+    defaults.update(kw)
+    return from_config(_write(tmp_path, PIPELINE_TOML.format(**defaults)))
+
+
+def test_build_applies_table_filter_and_prefix(spark, sf_small, tmp_path):
+    asm = _assembly(tmp_path, prefix="cdcprefix")
+    env = asm.build(load(spark, sf_small, "events"))
+    tables = {r["source_table"] for r in env.select("source_table").distinct().collect()}
+    assert "purchase" not in tables and len(tables) > 0
+    topics = {r["topic"] for r in env.select("topic").distinct().collect()}
+    assert all(t.startswith("cdcprefix.public.") for t in topics)
+    # opt-in filtering: no includes -> nothing replicates
+    # (systemcatalog.go:75-85, acceptedByDefault=false)
+    assert asm.table_filter.enabled("public", "purchase") is False
+    assert asm.table_filter.enabled("public", "click") is True
+
+
+def test_build_applies_event_flags(spark, sf_small, tmp_path):
+    asm = _assembly(tmp_path, update="false")
+    env = asm.build(load(spark, sf_small, "events"))
+    ops = {r["op"] for r in env.select("op").distinct().collect()}
+    assert "u" not in ops and {"c", "d"} <= ops
+    baseline = _assembly(tmp_path).build(load(spark, sf_small, "events"))
+    base_ops = {r["op"] for r in baseline.select("op").distinct().collect()}
+    assert "u" in base_ops  # only the flag removed the updates
+
+
+def test_build_emits_tombstones_when_configured(spark, sf_small, tmp_path):
+    asm = _assembly(tmp_path, tombstone="true")
+    env = asm.build(load(spark, sf_small, "events"))
+    tombs = env.filter(F.col("is_tombstone"))
+    n_tombs = tombs.count()
+    n_deletes = env.filter(F.col("op") == "d").count()
+    assert n_tombs == n_deletes > 0
+    r = tombs.select("op", "after_value", "after_props").first()
+    assert r["op"] is None and r["after_value"] is None and r["after_props"] is None
+    # without the flag (reference default, resolver.go:105): none
+    asm2 = _assembly(tmp_path)
+    assert asm2.build(load(spark, sf_small, "events")).filter(
+        F.col("is_tombstone")
+    ).count() == 0
+
+
+def test_event_filter_condition_applied(spark, sf_small, tmp_path):
+    cfg_path = _write(
+        tmp_path,
+        PIPELINE_TOML.format(
+            state_path=str(tmp_path / "s.dat"),
+            sink="stdout",
+            tombstone="false",
+            prefix="timescaledb",
+            update="true",
+        )
+        + "\nsink.filters.updonly.condition = '''op == \"u\"'''\n"
+        + "sink.filters.updonly.default = false\n",
+    )
+    asm = from_config(cfg_path)
+    assert len(asm.config.sink_filters) == 1
+    env = asm.build(load(spark, sf_small, "events"))
+    ops = {r["op"] for r in env.select("op").distinct().collect()}
+    assert ops == {"u"}
+
+
+def test_sink_shaping_matches_wire_contracts(spark, sf_small, tmp_path):
+    events = load(spark, sf_small, "events")
+    shaped_cols = {
+        "stdout": None,  # passthrough
+        "kafka": {"key", "value", "topic"},
+        "kinesis": {"stream", "partition_key", "data"},
+        "sqs": {"message_group_id", "message_deduplication_id", "message_body"},
+        "nats": {"subject", "data"},
+        "redis": {"stream", "key", "envelope"},
+        "http": {"url", "body"},
+    }
+    for sink, want in shaped_cols.items():
+        asm = _assembly(tmp_path, sink=sink)
+        out = asm.shape(asm.build(events))
+        if want is None:
+            assert "topic" in out.columns
+        else:
+            got = set(out.columns)
+            assert want <= got or got == want, (sink, out.columns)
+
+
+def test_engine_config_defaults_match_reference():
+    """Bare config: every default mirrors the reference's
+    GetOrDefault call sites."""
+    cfg = EngineConfig(raw={})
+    assert cfg.sink_type == "stdout"
+    assert cfg.sink_tombstone is False  # replicationresolver.go:105
+    assert cfg.snapshot_initial == "always"
+    assert cfg.snapshot_batchsize == 1000  # snapshotter.go:89
+    assert cfg.ts_events.read and cfg.ts_events.truncate
+    assert not cfg.ts_events.compression  # replicationresolver.go:124-135
+    assert cfg.topic_prefix == "timescaledb"

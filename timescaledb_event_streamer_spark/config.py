@@ -1,0 +1,462 @@
+"""Config-file-driven pipeline assembly (SURVEY §2 gap closed in r6).
+
+The reference is configured entirely through TOML/YAML
+(`spi/config/configuration.go`, `spi/config/unmarshall.go`,
+`config.example.toml`): sink choice, table filters, snapshot mode,
+topic naming, tombstone generation, state storage. This module is
+the loader that turns that SAME config surface into a wired Spark
+pipeline over the components this repo already implements:
+
+- table filters     -> catalog.tablefilter.TableFilter
+  (`internal/systemcatalog/tablefiltering/tablefilter.go`)
+- topic naming      -> catalog.naming (debezium strategy;
+  `internal/eventing/namingstrategy/`)
+- envelope + route  -> streaming.pipelines.filtered_routed (I3)
+- event-type flags  -> logicalreplicationresolver defaults
+  (`replicationresolver.go:105-135`: read/insert/update/delete/
+  truncate default true, message/compression/decompression false)
+- tombstones        -> the A10 delete+tombstone emission
+  (`eventemitter.go`, gated on sink.tombstone, default false)
+- sink shaping      -> sinks.encoders / sinks.writers wire contracts
+- snapshot mode     -> replicationchannel.go:199-226 always /
+  initial_only / never decision
+- state storage     -> file path the checkpoint/offset mirror uses
+  (`spi/statestorage/filestatestorage.go` semantics)
+
+Property lookup mirrors `config.GetOrDefault`
+(`configuration.go:374-441`): an environment variable named after
+the canonical property (upper-cased, ``_`` doubled, dots to ``_``)
+overrides the file, and Go-zero values (absent, empty string, empty
+list) fall back to the default.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tomllib
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SINK_TYPES = ("stdout", "nats", "kafka", "redis", "kinesis", "sqs", "http")
+STATE_STORAGE_TYPES = ("none", "file")
+NAMING_STRATEGY_TYPES = ("debezium",)
+SNAPSHOT_MODES = ("always", "never", "initial_only")
+
+
+# --------------------------------------------------------------- loading
+
+
+def _merge(dst: dict, src: dict) -> dict:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _merge(dst[k], v)
+        else:
+            dst[k] = v
+    return dst
+
+
+def load_raw(path: str) -> dict:
+    """Parse a TOML or YAML config file into one nested dict.
+
+    TOML dotted keys (`postgresql.publication.name = ...`, the
+    reference example style) nest natively under tomllib; YAML is
+    import-gated (PyYAML is not part of the pinned environment —
+    the reference supports both, `unmarshall.go`)."""
+    if path.endswith((".yml", ".yaml")):
+        try:
+            import yaml  # type: ignore[import-not-found]
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "YAML config requires PyYAML, which is not installed in "
+                "this environment; use the TOML form"
+            ) from exc
+        with open(path, "rb") as fh:
+            return yaml.safe_load(fh) or {}
+    with open(path, "rb") as fh:
+        return tomllib.load(fh)
+
+
+def _env_name(canonical: str) -> str:
+    # configuration.go:428-430: upper-case, double existing
+    # underscores, then dots become single underscores
+    name = canonical.upper()
+    name = name.replace("_", "__")
+    return name.replace(".", "_")
+
+
+def _convert_env(value: str, default: Any) -> Any:
+    if isinstance(default, bool):
+        return value.strip().lower() in ("1", "true", "yes", "on")
+    if isinstance(default, int) and not isinstance(default, bool):
+        return int(value)
+    if isinstance(default, float):
+        return float(value)
+    return value
+
+
+def _is_zero(value: Any) -> bool:
+    # Go zero-value fallback (configuration.go:396): absent, empty
+    # string and empty list re-resolve to the default. Numbers and
+    # booleans written in the file are kept (the reference models
+    # optional scalars as pointers, which are non-zero when set).
+    return value is None or value == "" or value == [] or value == {}
+
+
+def get_or_default(raw: dict, canonical: str, default: Any = None) -> Any:
+    """`config.GetOrDefault` semantics over the parsed dict: env var
+    override first, then the dotted path, then the default for
+    missing/zero values."""
+    env = os.environ.get(_env_name(canonical))
+    if env:
+        return _convert_env(env, default)
+    node: Any = raw
+    for part in canonical.split("."):
+        if not isinstance(node, dict) or part not in node:
+            return default
+        node = node[part]
+    return default if _is_zero(node) else node
+
+
+# ----------------------------------------------------------- typed view
+
+
+@dataclass(frozen=True)
+class TableSelection:
+    """includes/excludes pattern lists
+    (`IncludedTablesConfig`, configuration.go:240-243)."""
+
+    includes: tuple[str, ...] = ()
+    excludes: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class EventFlags:
+    """Which operations generate events
+    (`TimescaleEventsConfig` / `PostgresqlEventsConfig`,
+    defaults from replicationresolver.go:105-135)."""
+
+    read: bool = True
+    insert: bool = True
+    update: bool = True
+    delete: bool = True
+    truncate: bool = True
+    message: bool = False
+    compression: bool = False
+    decompression: bool = False
+
+
+@dataclass(frozen=True)
+class EventFilterSpec:
+    """One `sink.filters.<name>` block (`EventFilterConfig`,
+    configuration.go:147-151): an optional table selection, a
+    boolean condition over the envelope, and the value the filter
+    contributes when the condition does not resolve to a boolean.
+
+    The reference compiles the condition with expr-lang
+    (eventfilter.go:73); here the condition is a Spark SQL boolean
+    expression over `key` and `value` structs, with the expr-lang
+    surface operators (`&&`, `||`, `==`, `!`) translated."""
+
+    name: str
+    condition: str
+    default_value: bool = True
+    tables: TableSelection | None = None
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    raw: dict = field(repr=False)
+    connection: str = ""
+    publication_name: str = ""
+    publication_create: bool = True
+    publication_autodrop: bool = True
+    slot_name: str = ""
+    slot_create: bool = True
+    slot_autodrop: bool = True
+    snapshot_batchsize: int = 1000
+    snapshot_initial: str = "always"
+    pg_tables: TableSelection = TableSelection()
+    pg_events: EventFlags = EventFlags()
+    hypertables: TableSelection = TableSelection()
+    ts_events: EventFlags = EventFlags()
+    sink_type: str = "stdout"
+    sink_tombstone: bool = False
+    sink_filters: tuple[EventFilterSpec, ...] = ()
+    topic_prefix: str = "timescaledb"
+    naming_strategy: str = "debezium"
+    state_storage_type: str = "none"
+    state_storage_path: str = ""
+
+
+def _selection(raw: dict, prop: str) -> TableSelection:
+    return TableSelection(
+        includes=tuple(get_or_default(raw, f"{prop}.includes", [])),
+        excludes=tuple(get_or_default(raw, f"{prop}.excludes", [])),
+    )
+
+
+def _events(raw: dict, prop: str, with_compression: bool) -> EventFlags:
+    kwargs = {
+        flag: bool(get_or_default(raw, f"{prop}.{flag}", default))
+        for flag, default in (
+            ("read", True),
+            ("insert", True),
+            ("update", True),
+            ("delete", True),
+            ("truncate", True),
+            ("message", False),
+        )
+    }
+    if with_compression:
+        kwargs["compression"] = bool(
+            get_or_default(raw, f"{prop}.compression", False)
+        )
+        kwargs["decompression"] = bool(
+            get_or_default(raw, f"{prop}.decompression", False)
+        )
+    return EventFlags(**kwargs)
+
+
+def _filters(raw: dict) -> tuple[EventFilterSpec, ...]:
+    defs = get_or_default(raw, "sink.filters", {}) or {}
+    specs = []
+    for name in sorted(defs):
+        d = defs[name] or {}
+        tables = None
+        if isinstance(d.get("tables"), dict):
+            tables = TableSelection(
+                includes=tuple(d["tables"].get("includes", []) or []),
+                excludes=tuple(d["tables"].get("excludes", []) or []),
+            )
+        specs.append(
+            EventFilterSpec(
+                name=name,
+                condition=str(d.get("condition", "")),
+                default_value=bool(d.get("default", True)),
+                tables=tables,
+            )
+        )
+    return tuple(specs)
+
+
+def load_config(path: str) -> EngineConfig:
+    raw = load_raw(path)
+    cfg = EngineConfig(
+        raw=raw,
+        connection=get_or_default(raw, "postgresql.connection", ""),
+        publication_name=get_or_default(raw, "postgresql.publication.name", ""),
+        publication_create=bool(
+            get_or_default(raw, "postgresql.publication.create", True)
+        ),
+        publication_autodrop=bool(
+            get_or_default(raw, "postgresql.publication.autodrop", True)
+        ),
+        slot_name=get_or_default(raw, "postgresql.replicationslot.name", ""),
+        slot_create=bool(
+            get_or_default(raw, "postgresql.replicationslot.create", True)
+        ),
+        slot_autodrop=bool(
+            get_or_default(raw, "postgresql.replicationslot.autodrop", True)
+        ),
+        snapshot_batchsize=int(
+            get_or_default(raw, "postgresql.snapshot.batchsize", 1000)
+        ),
+        snapshot_initial=get_or_default(
+            raw, "postgresql.snapshot.initial", "always"
+        ),
+        pg_tables=_selection(raw, "postgresql.tables"),
+        pg_events=_events(raw, "postgresql.events", with_compression=False),
+        hypertables=_selection(raw, "timescaledb.hypertables"),
+        ts_events=_events(raw, "timescaledb.events", with_compression=True),
+        sink_type=get_or_default(raw, "sink.type", "stdout"),
+        sink_tombstone=bool(get_or_default(raw, "sink.tombstone", False)),
+        sink_filters=_filters(raw),
+        topic_prefix=get_or_default(raw, "topic.prefix", "timescaledb"),
+        naming_strategy=get_or_default(
+            raw, "topic.namingstrategy.type", "debezium"
+        ),
+        state_storage_type=get_or_default(raw, "statestorage.type", "none"),
+        state_storage_path=get_or_default(raw, "statestorage.file.path", ""),
+    )
+    _validate(cfg)
+    return cfg
+
+
+def _validate(cfg: EngineConfig) -> None:
+    if cfg.sink_type not in SINK_TYPES:
+        raise ValueError(f"unknown sink type {cfg.sink_type!r}")
+    if cfg.naming_strategy not in NAMING_STRATEGY_TYPES:
+        raise ValueError(f"unknown naming strategy {cfg.naming_strategy!r}")
+    if cfg.snapshot_initial not in SNAPSHOT_MODES:
+        raise ValueError(f"unknown initial snapshot mode {cfg.snapshot_initial!r}")
+    if cfg.state_storage_type not in STATE_STORAGE_TYPES:
+        raise ValueError(f"unknown state storage type {cfg.state_storage_type!r}")
+    if cfg.state_storage_type == "file" and not cfg.state_storage_path:
+        raise ValueError("statestorage.type = 'file' requires statestorage.file.path")
+
+
+# ------------------------------------------------------------- assembly
+
+
+_EXPR_TRANSLATIONS = (
+    (re.compile(r"&&"), " AND "),
+    (re.compile(r"\|\|"), " OR "),
+    (re.compile(r"=="), " = "),
+    (re.compile(r"!(?![=])"), " NOT "),
+)
+
+
+def condition_to_sql(condition: str) -> str:
+    """Translate the expr-lang surface operators of a
+    `sink.filters.*.condition` to Spark SQL. The conditions address
+    the same shapes (`value.op == "u" && value.before.id == 2`,
+    config.example.toml:23); struct field access and comparison
+    syntax already agree between the two languages."""
+    sql = condition
+    for pat, rep in _EXPR_TRANSLATIONS:
+        sql = pat.sub(rep, sql)
+    return sql
+
+
+class PipelineAssembly:
+    """The wired pipeline a config file describes.
+
+    `build(events)` is the reference's
+    resolve -> wrap -> filter -> route chain (I3) with the config's
+    hypertable filter, event-type flags, event filters, naming
+    prefix and tombstone generation applied; `shape(env)` applies
+    the configured sink's wire contract. Works identically on batch
+    and streaming frames — every step is a column transform."""
+
+    def __init__(self, cfg: EngineConfig):
+        from timescaledb_event_streamer_spark.catalog.tablefilter import TableFilter
+
+        self.config = cfg
+        # replication filters are opt-in: a table must match an
+        # include to replicate (systemcatalog.go:75-85 passes
+        # acceptedByDefault=false to both filters)
+        self.table_filter = TableFilter(
+            includes=list(cfg.hypertables.includes),
+            excludes=list(cfg.hypertables.excludes),
+            accepted_by_default=False,
+        )
+        self.pg_table_filter = TableFilter(
+            includes=list(cfg.pg_tables.includes),
+            excludes=list(cfg.pg_tables.excludes),
+            accepted_by_default=False,
+        )
+
+    # -- snapshot mode (replicationchannel.go:199-226) ------------------
+
+    def include_initial_snapshot(self, has_offset: bool = False) -> bool:
+        """Whether startup performs the initial snapshot: 'always'
+        snapshots every start, 'never' never does, 'initial_only'
+        only when no prior offset exists."""
+        mode = self.config.snapshot_initial
+        if mode == "always":
+            return True
+        if mode == "never":
+            return False
+        return not has_offset
+
+    # -- op flags --------------------------------------------------------
+
+    def _enabled_ops(self) -> list[str]:
+        flags = self.config.ts_events
+        ops = []
+        if flags.read:
+            ops.append("r")
+        if flags.insert:
+            ops.append("c")
+        if flags.update:
+            ops.append("u")
+        if flags.delete:
+            ops.append("d")
+        if flags.truncate:
+            ops.append("t")
+        if flags.message:
+            ops.append("m")
+        return ops
+
+    # -- build -----------------------------------------------------------
+
+    def build(self, events: DataFrame) -> DataFrame:
+        from timescaledb_event_streamer_spark.streaming.pipelines import (
+            filtered_routed,
+        )
+
+        env = filtered_routed(
+            events, table_filter=self.table_filter, prefix=self.config.topic_prefix
+        )
+        env = env.filter(F.col("op").isin(self._enabled_ops()))
+        for spec in self.config.sink_filters:
+            env = self._apply_event_filter(env, spec)
+        env = env.withColumn("is_tombstone", F.lit(False))
+        if self.config.sink_tombstone:
+            # eventemitter delete+tombstone emission (A10): each
+            # delete is followed by a key-only null-payload record
+            # for log-compacted sinks
+            tombs = (
+                env.filter(F.col("op") == "d")
+                .withColumn("op", F.lit(None).cast("string"))
+                .withColumn("after_value", F.lit(None).cast("double"))
+                .withColumn("after_props", F.lit(None).cast("string"))
+                .withColumn("is_tombstone", F.lit(True))
+            )
+            env = env.unionByName(tombs)
+        return env
+
+    def _apply_event_filter(self, env: DataFrame, spec: EventFilterSpec) -> DataFrame:
+        # eventfilter.go:104-117: a filter whose table selection does
+        # not match contributes nothing; otherwise its condition must
+        # hold (conjunctive across filters), with default_value
+        # applied when the condition does not resolve to a boolean
+        cond = F.expr(condition_to_sql(spec.condition))
+        verdict = F.coalesce(cond, F.lit(spec.default_value))
+        if spec.tables is not None:
+            from timescaledb_event_streamer_spark.catalog.tablefilter import (
+                TableFilter,
+            )
+
+            tf = TableFilter(
+                includes=list(spec.tables.includes),
+                excludes=list(spec.tables.excludes),
+                accepted_by_default=True,
+            )
+            applies = tf.column(F.col("source_schema"), F.col("source_table"))
+            verdict = F.when(applies, verdict).otherwise(F.lit(True))
+        return env.filter(verdict)
+
+    # -- sink shaping ------------------------------------------------------
+
+    def shape(self, env: DataFrame) -> DataFrame:
+        from timescaledb_event_streamer_spark.sinks import encoders, writers
+
+        sink = self.config.sink_type
+        if sink == "stdout":
+            return env
+        if sink == "kafka":
+            return writers.kafka_shaped(env, key_cols=["key_user_id"])
+        if sink == "nats":
+            return encoders.nats_shaped(env)
+        if sink == "redis":
+            return encoders.redis_shaped(env, key_cols=["key_user_id"])
+        if sink == "kinesis":
+            return encoders.kinesis_shaped(env)
+        if sink == "sqs":
+            return encoders.sqs_shaped(env)
+        if sink == "http":
+            url = get_or_default(self.config.raw, "sink.http.url", "")
+            return encoders.http_shaped(env, url)
+        raise ValueError(f"unknown sink type {sink!r}")  # pragma: no cover
+
+
+def from_config(path: str) -> PipelineAssembly:
+    """Parse a reference-format config file and return the wired
+    pipeline assembly — the Spark counterpart of the reference's
+    `internal/sysconfig` + stream manager startup."""
+    return PipelineAssembly(load_config(path))

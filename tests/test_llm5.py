@@ -242,3 +242,74 @@ def test_bpe_learn_survives_fully_merged_words(spark, tmp_path):
     assert got == _bpe_python(wf, 6)
     # the single-symbol word really was produced along the way
     assert ("a", "</w>") in {(r[1], r[2]) for r in got}
+
+
+def test_bpe_batched_rounds_cut_driver_sync_points(spark, tmp_path):
+    """r5 verdict item 5: pairwise-non-conflicting merges apply in one
+    round. On a corpus whose dominant bigrams live in disjoint
+    alphabets with strictly separated counts, 6 merges must need at
+    most 2 rounds (<= merges/3) — and the learned rule sequence must
+    still equal sequential BPE exactly."""
+    from timescaledb_event_streamer_spark.plans.queries_llm5 import bpe_learn
+
+    groups = [
+        ("abc", 60, "abd", 55),   # (a,b) = 115
+        ("efg", 54, "efh", 52),   # (e,f) = 106
+        ("ijk", 50, "ijl", 49),   # (i,j) = 99
+        ("mno", 48, "mnp", 47),   # (m,n) = 95
+        ("qrs", 46, "qrt", 45),   # (q,r) = 91
+        ("uvw", 44, "uvx", 43),   # (u,v) = 87
+    ]
+    wf: dict = {}
+    texts = []
+    for w1, f1, w2, f2 in groups:
+        wf[w1], wf[w2] = f1, f2
+        texts.append(" ".join([w1] * f1 + [w2] * f2))
+    sf = _docs(spark, tmp_path, texts)
+    log: list = []
+    got = [tuple(r) for r in bpe_learn(
+        spark.read.parquet(f"{sf}/documents.parquet"), n_merges=6, rounds_log=log
+    ).collect()]
+    assert got == _bpe_python(wf, 6)
+    assert len(log) <= 2, log  # <= merges/3
+    assert sum(log) == 6
+
+
+def test_bpe_batch_selection_tie_safety():
+    """_select_merge_batch must refuse to batch past a count tie:
+    a created pair can tie the boundary count, so every accepted
+    count must be strictly greater than the best remaining one."""
+    from timescaledb_event_streamer_spark.plans.queries_llm5 import (
+        _select_merge_batch,
+    )
+
+    def row(a, b, f):
+        return {"a": a, "b": b, "pair_freq": f}
+
+    # the whole collected list, pairwise disjoint: safe to take even
+    # with internal ties (no remaining pair means no created pair can
+    # exist, and sequential picks ties in the same (count, lex) order)
+    top = [row("a", "b", 10), row("c", "d", 8), row("e", "f", 8)]
+    got = _select_merge_batch(top, budget=10, collected_all=True)
+    assert len(got) == 3
+    # a REMAINING pair tied with the boundary count: accepted pairs
+    # at that count must be dropped (a created pair could tie there)
+    top = [row("a", "b", 10), row("c", "d", 8), row("c", "e", 8)]
+    got = _select_merge_batch(top, budget=10, collected_all=True)
+    assert [(r["a"], r["b"]) for r in got] == [("a", "b")]
+    # conflict stops the prefix; tie with the conflicting pair's
+    # count pops back to the single-argmax fallback
+    top = [row("a", "b", 10), row("b", "c", 10), row("x", "y", 4)]
+    got = _select_merge_batch(top, budget=10, collected_all=True)
+    assert [(r["a"], r["b"]) for r in got] == [("a", "b")]
+    # clean separation batches everything
+    top = [row("a", "b", 10), row("c", "d", 9), row("e", "f", 8)]
+    got = _select_merge_batch(top, budget=10, collected_all=True)
+    assert len(got) == 3
+    # budget truncates the batch
+    got = _select_merge_batch(top, budget=2, collected_all=True)
+    assert len(got) == 2
+    # a partially-collected window treats the tail count as reachable
+    top = [row("a", "b", 10), row("c", "d", 9)]
+    got = _select_merge_batch(top, budget=10, collected_all=False)
+    assert [(r["a"], r["b"]) for r in got] == [("a", "b")]

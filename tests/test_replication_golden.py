@@ -1,0 +1,155 @@
+"""End-to-end golden-bytes replication session (VERDICT r5 item 7).
+
+tests/golden/*.bin hold the exact byte conversations a live
+PostgreSQL sends over a `replication=database` connection, authored
+INDEPENDENTLY with struct.pack (tools/make_golden_replication.py) —
+never with the repo's encoders. This test drives the full feeder
+path CONNECTOR.md describes, on raw bytes, with no synthesize_*
+helper anywhere in the loop:
+
+    IDENTIFY_SYSTEM reply  -> parse_identify_system
+    CREATE_REPLICATION_SLOT -> parse_create_slot_reply
+    START_REPLICATION       -> decode_copy_both
+    CopyData stream         -> split -> parse_pgoutput -> envelope
+
+mirroring replicationconnection.go:36-290 (handshake + restart LSN)
+and replicationhandler.go (stream dispatch).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.sources import pg_replication as pr
+from timescaledb_event_streamer_spark.sources.pgoutput import parse_pgoutput
+
+GOLDEN = Path(__file__).resolve().parent / "golden"
+
+
+def _hex(name: str) -> str:
+    return (GOLDEN / name).read_bytes().hex().upper()
+
+
+@pytest.fixture(scope="module")
+def session_hex():
+    return {
+        "identify": _hex("identify_system.bin"),
+        "slot": _hex("create_slot.bin"),
+        "copy_both": _hex("copy_both.bin"),
+        "stream": _hex("copydata_stream.bin"),
+    }
+
+
+def test_handshake_replies_decode(spark, session_hex):
+    ident = pr.parse_identify_system(
+        spark.createDataFrame([(session_hex["identify"],)], "reply string")
+    ).collect()[0]
+    assert ident["declared_fields"] == "systemid,timeline,xlogpos,dbname"
+    assert ident["system_id"] == "7284066390163781250"
+    assert ident["timeline"] == 1
+    assert ident["xlogpos_text"] == "0/100FAB"
+    assert ident["xlogpos_lsn"] == 0x100FAB
+    assert ident["dbname"] == "postgres"
+
+    slot = pr.parse_create_slot_reply(
+        spark.createDataFrame([(session_hex["slot"],)], "reply string")
+    ).collect()[0]
+    assert slot["slot_name"] == "timescaledb_metrics"
+    assert slot["consistent_point_lsn"] == 0x100FAB
+    assert slot["snapshot_name"] == "00000003-000004D2-1"
+    assert slot["output_plugin"] == "pgoutput"
+
+    cb = (
+        spark.createDataFrame([(session_hex["copy_both"],)], "reply string")
+        .select(
+            pr.decode_copy_both(
+                pr.split_backend_messages(F.col("reply"))[0].getField("body")
+            ).alias("cb")
+        )
+        .collect()[0]["cb"]
+    )
+    assert cb["overall_format"] == 0 and cb["ncols"] == 0
+
+    # restart decision on the DECODED values: fresh slot (no
+    # confirmed flush, no offset) falls back to the server xlogpos
+    restart = (
+        spark.range(1)
+        .select(
+            pr.restart_lsn(
+                F.lit(None).cast("long"),
+                F.lit(None).cast("long"),
+                F.lit(ident["xlogpos_lsn"]),
+            ).alias("lsn"),
+            pr.restart_source(
+                F.lit(None).cast("long"),
+                F.lit(None).cast("long"),
+                F.lit(ident["xlogpos_lsn"]),
+            ).alias("src"),
+        )
+        .collect()[0]
+    )
+    assert restart["lsn"] == 0x100FAB and restart["src"] == "xlog_pos"
+
+
+def test_copydata_stream_to_envelope(spark, session_hex):
+    """The recorded CopyData sequence decodes through ONE pipeline
+    into the engine envelope: CopyData split -> XLogData frames ->
+    relation catalog + transaction attach -> topic-routed rows."""
+    wire = spark.createDataFrame([(session_hex["stream"],)], "stream string")
+    frames = wire.select(
+        F.explode(
+            F.filter(
+                pr.split_backend_messages(F.col("stream"), max_msgs=8),
+                lambda m: m.getField("msg_type") == "d",
+            )
+        ).alias("m")
+    ).select(F.col("m").getField("body").alias("frame"))
+    assert frames.count() == 6  # R, B, I, U, D, C
+
+    env = {r["op"]: r for r in parse_pgoutput(frames).collect()}
+    assert set(env) == {"c", "u", "d"}
+    for r in env.values():
+        assert r["topic"] == "timescaledb.public.metrics"
+        assert r["source_schema"] == "public"
+        assert r["source_table"] == "metrics"
+        assert r["xid"] == 777
+        # commit ts 2024-03-01T12:00:00Z through the PG-epoch offset
+        assert r["ts_ms"] == 1709294400000
+
+    ins, upd, dele = env["c"], env["u"], env["d"]
+    assert ins["lsn"] == 1002
+    assert ins["key_user_id"] == 7 and ins["before_user_id"] is None
+    assert ins["after_user_id"] == 7
+    assert ins["after_cents"] == 2050 and ins["after_props"] == "pr"
+    assert upd["lsn"] == 1006
+    assert upd["before_user_id"] == 8 and upd["after_user_id"] == 8
+    assert upd["after_cents"] == 125 and upd["after_props"] == "qx"
+    assert dele["lsn"] == 1010
+    assert dele["key_user_id"] == 9 and dele["before_user_id"] == 9
+    assert dele["after_user_id"] is None and dele["after_cents"] is None
+
+
+def test_golden_bytes_are_reproducible(tmp_path):
+    """The committed .bin files match the generator exactly — anyone
+    can re-author them from the documented wire layout."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "make_golden_replication",
+        Path(__file__).resolve().parents[1] / "tools" / "make_golden_replication.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["make_golden_replication"] = mod
+    spec.loader.exec_module(mod)
+    saved = mod.GOLDEN
+    try:
+        mod.GOLDEN = tmp_path
+        mod.main()
+    finally:
+        mod.GOLDEN = saved
+    for f in sorted(GOLDEN.glob("*.bin")):
+        assert (tmp_path / f.name).read_bytes() == f.read_bytes(), f.name

@@ -573,3 +573,217 @@ def test_wav_silence_matches_pure_python_on_random_payloads(spark):
             r["n_segments"], r["longest_silence"], r["n_silent"],
         )
         assert got == (n, lead, trail, nseg, longest, nsil), (i, s, got)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python PNG codec (r6): real decode/resize on the decoder="real"
+# seam. Golden PNGs below are authored INDEPENDENTLY (struct + zlib +
+# spec filter arithmetic, never png_codec's encoder) so an encode bug
+# cannot cancel a decode bug.
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def _golden_png(pixels: "np.ndarray", row_filters: list[int]) -> bytes:
+    """Spec-faithful PNG writer: applies the REQUESTED filter per
+    scanline with the RFC 2083 prediction formulas."""
+    h, w, ch = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    rows = pixels.reshape(h, w * ch).astype(int)
+    raw = bytearray()
+    for y, ft in enumerate(row_filters):
+        raw.append(ft)
+        prev = rows[y - 1] if y else np.zeros(w * ch, dtype=int)
+        for x in range(w * ch):
+            cur = rows[y][x]
+            left = rows[y][x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                filt = cur
+            elif ft == 1:
+                filt = cur - left
+            elif ft == 2:
+                filt = cur - up
+            elif ft == 3:
+                filt = cur - ((left + up) >> 1)
+            else:
+                filt = cur - paeth(left, up, ul)
+            raw.append(filt & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _rng_pixels(h, w, ch, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+
+
+def test_png_decode_every_filter_type():
+    from timescaledb_event_streamer_spark.operators.png_codec import png_decode
+
+    px = _rng_pixels(5, 4, 3, seed=7)
+    got = png_decode(_golden_png(px, [0, 1, 2, 3, 4]))
+    assert got.shape == (5, 4, 3)
+    assert np.array_equal(got, px)
+
+
+def test_png_decode_gray_rgba_gray_alpha():
+    from timescaledb_event_streamer_spark.operators.png_codec import png_decode
+
+    for ch in (1, 2, 4):
+        px = _rng_pixels(6, 3, ch, seed=10 + ch)
+        got = png_decode(_golden_png(px, [4, 3, 2, 1, 0, 4]))
+        assert np.array_equal(got, px), ch
+
+
+def test_png_decode_palette():
+    from timescaledb_event_streamer_spark.operators.png_codec import png_decode
+
+    # 2x3 palette image: indices into a 4-color palette
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    raw = b"\x00" + idx[0].tobytes() + b"\x00" + idx[1].tobytes()
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = png_decode(png)
+    assert np.array_equal(got, palette[idx])
+
+
+def test_png_unsupported_variants_raise():
+    from timescaledb_event_streamer_spark.operators.png_codec import png_decode
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    sixteen = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    adam7 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    for ihdr, msg in ((sixteen, "bit depth"), (adam7, "interlaced")):
+        with pytest.raises(ValueError, match=msg):
+            png_decode(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr))
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"GIF89a....")
+
+
+def test_png_encode_header_agrees_with_jvm_probe(spark):
+    """Cross-check: the codec's encoder output parses through the
+    INDEPENDENT JVM header probe (parse_media_headers reads width/
+    height via hex offsets) — two implementations, one wire truth."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_media_headers,
+    )
+    from timescaledb_event_streamer_spark.operators.png_codec import (
+        png_decode,
+        png_encode,
+    )
+
+    px = _rng_pixels(11, 17, 3, seed=3)
+    data = png_encode(px)
+    assert np.array_equal(png_decode(data), px)  # roundtrip
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id long, payload binary")
+    r = parse_media_headers(df).collect()[0]
+    assert r["container"] == "png"
+    assert r["width"] == 17 and r["height"] == 11 and r["bit_depth"] == 8
+
+
+def test_resize_images_real_decoder_on_golden_pngs(spark):
+    """The G2 seam closed: resize_images(decoder='real') decodes real
+    PNG payloads, nearest-resizes to the PLANNED (target_w, target_h)
+    and re-encodes — pixels verified against a numpy-computed
+    expectation."""
+    from timescaledb_event_streamer_spark.operators.multimodal import resize_images
+    from timescaledb_event_streamer_spark.operators.png_codec import png_decode
+
+    imgs = {
+        1: _rng_pixels(64, 128, 3, seed=1),
+        2: _rng_pixels(200, 100, 4, seed=2),
+        3: _rng_pixels(20, 30, 1, seed=3),  # under max_side: no upscale
+    }
+    rows = [
+        (mid, "image", bytearray(_golden_png(px, [0, 1, 2, 3, 4] * (px.shape[0] // 5)
+                                              + [0] * (px.shape[0] % 5))),
+         px.shape[1], px.shape[0], 0)
+        for mid, px in imgs.items()
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int, "
+        "duration_ms int",
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 64, decoder="real").collect()}
+    assert set(out) == {1, 2, 3}
+    for mid, px in imgs.items():
+        r = out[mid]
+        got = png_decode(bytes(r["payload"]))
+        assert got.shape == (r["target_h"], r["target_w"], px.shape[2])
+        h, w = px.shape[:2]
+        ys = np.minimum(((np.arange(r["target_h"]) + 0.5) * h / r["target_h"]).astype(int), h - 1)
+        xs = np.minimum(((np.arange(r["target_w"]) + 0.5) * w / r["target_w"]).astype(int), w - 1)
+        assert np.array_equal(got, px[ys][:, xs]), mid
+    # aspect ratio + no-upscale contracts still hold through the real path
+    assert (out[1]["target_w"], out[1]["target_h"]) == (64, 32)
+    assert (out[2]["target_w"], out[2]["target_h"]) == (32, 64)
+    assert (out[3]["target_w"], out[3]["target_h"]) == (30, 20)
+
+
+def test_extract_features_real_decoder_on_golden_pngs(spark):
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    px = _rng_pixels(16, 16, 3, seed=5)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_golden_png(px, [0] * 16)), 16, 16, 0)],
+        "media_id long, kind string, payload binary, width int, height int, "
+        "duration_ms int",
+    )
+    r = extract_features(media, decoder="real").collect()[0]
+    f = r["features"]
+    pxf = px.astype(np.float64)
+    want = [
+        16.0, 16.0, 3.0, pxf.mean(), pxf.std(), pxf.min(), pxf.max(),
+        np.abs(np.diff(pxf, axis=1)).mean(),
+    ]
+    assert f[:3] == want[:3]
+    for got_v, want_v in zip(f[3:], want[3:]):
+        assert abs(got_v - want_v) < 1e-5  # features column is float32

@@ -2,12 +2,15 @@
 opaque binary columns with typed metadata, processed by Arrow-batched
 mapInPandas.
 
-The decode step itself is environment-gated: real codecs (PIL,
-ffmpeg, torchaudio) are not in this container, so `decoder="real"`
-raises NotImplementedError at the exact seam where they plug in,
-and `decoder="stub"` runs a deterministic fake that exercises the
-production-relevant parts — schema, binary payload transport through
-Arrow, batch shapes, and partition-parallel feature extraction.
+Decode support is per-codec: PNG decodes FOR REAL via the pure-Python
+codec in operators/png_codec.py (stdlib zlib + numpy — decode, nearest
+resize, re-encode, r6), so `decoder="real"` runs actual pixels for
+PNG payloads. JPEG/video/audio entropy coders genuinely need a codec
+library (PIL/ffmpeg/torchaudio, absent in this container), so non-PNG
+payloads under `decoder="real"` raise NotImplementedError at the exact
+seam where those plug in. `decoder="stub"` remains the deterministic
+fake that exercises schema, binary Arrow transport, batch shapes and
+partition-parallel extraction for every modality.
 
 Scale notes: payloads stay opaque bytes end to end (no base64 blow-
 up, no driver collection); mapInPandas streams Arrow record batches
@@ -75,23 +78,55 @@ def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg/torchaudio; "
-                    "plug the codec in here"
-                )
             payloads = pdf["payload"]
+            if decoder == "real":
+                # PNG decodes for real (pure-Python codec, r6); other
+                # codecs stay environment-gated at this exact seam
+                features = payloads.map(_real_image_features)
+            else:
+                features = payloads.map(lambda b: _stub_features(b).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "sha256": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
-                    "features": payloads.map(lambda b: _stub_features(b).tolist()),
+                    "features": features,
                 }
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def _real_image_features(payload: bytes) -> list:
+    """Real pixel features for PNG payloads: width, height, channels,
+    per-image mean/std/min/max and mean |horizontal gradient| (an
+    edge-density proxy) — the 8-float contract of the stub, computed
+    from DECODED PIXELS. Non-PNG payloads raise at the codec seam
+    (JPEG/video/audio entropy coders genuinely need a codec library)."""
+    from timescaledb_event_streamer_spark.operators.png_codec import (
+        PNG_SIGNATURE,
+        png_decode,
+    )
+
+    if not bytes(payload).startswith(PNG_SIGNATURE):
+        raise NotImplementedError(
+            "real decode beyond PNG requires PIL/ffmpeg/torchaudio; "
+            "plug the codec in here"
+        )
+    img = png_decode(bytes(payload))
+    px = img.astype(np.float64)
+    grad = np.abs(np.diff(px, axis=1)).mean() if img.shape[1] > 1 else 0.0
+    return [
+        float(img.shape[1]),
+        float(img.shape[0]),
+        float(img.shape[2]),
+        float(px.mean()),
+        float(px.std()),
+        float(px.min()),
+        float(px.max()),
+        float(grad),
+    ]
 
 
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
@@ -129,9 +164,39 @@ def resize_images(media: DataFrame, max_side: int = 256, decoder: str = "stub") 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real image resize requires PIL; plug Image.open/thumbnail in here"
+                # decode -> nearest resize -> re-encode, PNG for real
+                # (pure-Python codec); non-PNG raises at the seam
+                from timescaledb_event_streamer_spark.operators.png_codec import (
+                    PNG_SIGNATURE,
+                    png_decode,
+                    png_encode,
+                    resize_nearest,
                 )
+
+                out = []
+                for p, tw, th in zip(
+                    pdf["payload"], pdf["target_w"], pdf["target_h"]
+                ):
+                    raw = bytes(p)
+                    if not raw.startswith(PNG_SIGNATURE):
+                        raise NotImplementedError(
+                            "real resize beyond PNG requires PIL; "
+                            "plug Image.open/thumbnail in here"
+                        )
+                    out.append(
+                        png_encode(
+                            resize_nearest(png_decode(raw), int(tw), int(th))
+                        )
+                    )
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "target_w": pdf["target_w"],
+                        "target_h": pdf["target_h"],
+                        "payload": out,
+                    }
+                )
+                continue
             sizes = (pdf["target_w"] * pdf["target_h"] // 64 + 1).astype("int64")
             yield pd.DataFrame(
                 {

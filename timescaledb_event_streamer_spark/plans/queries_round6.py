@@ -1,0 +1,403 @@
+"""Round-6 additions: embedding covariance (E18) and the remaining
+dashboard-analytics trio — Bollinger bands, RSI, drawdown (B72-B74).
+
+Reference motivation: the toolkit's stats_agg/rolling families
+(timescaledb-toolkit stats_agg, candlestick_agg consumers) and the
+whitening/PCA-prep pass every embedding pipeline runs before
+indexing. All four queries follow the repo's exactness discipline —
+integer quantization so every cross-engine sum is associative and
+bit-stable, with doubles only in one final mirrored expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load
+
+#: embedding quantization step: 1e-6 units keep float32 inputs exact
+#: (they carry <= 7 significant decimal digits) while products stay
+#: far under 2^53 for exact double rendering of the integer sums
+_Q = 1_000_000
+
+_EMB_DIM = 64
+
+
+@register(
+    "embedding_covariance",
+    family="ann",
+    doc="Embedding covariance + Pearson correlation matrix (E18) — "
+    "the PCA/whitening-prep pass an embedding pipeline runs before "
+    "indexing (mean-center, decorrelate, pick principal dims). "
+    "Values are quantized to integer 1e-6 units so EVERY sum is "
+    "exact integer arithmetic with map-side partials: the plan "
+    "explodes each vector into its 2080 upper-triangle (i, j, "
+    "qi*qj) products and partial-aggregates BEFORE the shuffle, so "
+    "shuffle traffic is partitions x 2080 rows — independent of "
+    "corpus size (the B59/B60 sketch-grain principle applied to a "
+    "dense-linear-algebra reduce). Covariance and correlation come "
+    "from the exact integer sums in ONE mirrored double expression "
+    "(sums < 2^53, so the double rendering is itself exact).",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  v -> CAST(round(v * {_Q}) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT a.range AS i, b.range AS j
+            FROM range(0, {_EMB_DIM}) a, range(0, {_EMB_DIM}) b
+            WHERE b.range >= a.range
+        ),
+        sums AS (
+            SELECT i, j,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(qv[i + 1] * qv[j + 1]) AS BIGINT) AS spq,
+                   CAST(sum(qv[i + 1]) AS BIGINT) AS si,
+                   CAST(sum(qv[j + 1]) AS BIGINT) AS sj,
+                   CAST(sum(qv[i + 1] * qv[i + 1]) AS BIGINT) AS sii,
+                   CAST(sum(qv[j + 1] * qv[j + 1]) AS BIGINT) AS sjj
+            FROM q, dims GROUP BY i, j
+        )
+        SELECT i AS dim_i, j AS dim_j, n AS n_vecs,
+               round((CAST(spq AS DOUBLE)
+                      - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / n)
+                     / n / {_Q}.0 / {_Q}.0, 9) AS covariance,
+               round((CAST(spq AS DOUBLE)
+                      - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / n)
+                     / sqrt((CAST(sii AS DOUBLE)
+                             - CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / n)
+                            * (CAST(sjj AS DOUBLE)
+                               - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / n)),
+                     6) AS correlation
+        FROM sums
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    # multiply in DOUBLE: float32 * int would round the product to
+    # float32 and diverge from the oracle's double arithmetic
+    q = F.expr(
+        f"transform(embedding, v -> cast(round(cast(v as double) * {_Q}) as long))"
+    )
+    # 2080 upper-triangle products per vector, exploded INSIDE the
+    # pre-shuffle stage: hash partial-aggregation collapses them to
+    # 2080 keys per partition before any exchange
+    pairs = F.expr(
+        f"flatten(transform(sequence(0, {_EMB_DIM - 1}), i ->"
+        f" transform(sequence(i, {_EMB_DIM - 1}), j -> struct("
+        "   i AS i, j AS j,"
+        "   q[i] * q[j] AS pq, q[i] AS vi, q[j] AS vj,"
+        "   q[i] * q[i] AS pii, q[j] * q[j] AS pjj))))"
+    )
+    sums = (
+        emb.select(q.alias("q"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy("p.i", "p.j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p.pq").alias("spq"),
+            F.sum("p.vi").alias("si"),
+            F.sum("p.vj").alias("sj"),
+            F.sum("p.pii").alias("sii"),
+            F.sum("p.pjj").alias("sjj"),
+        )
+    )
+    n = F.col("n")
+    spq, si, sj = F.col("spq"), F.col("si"), F.col("sj")
+    sii, sjj = F.col("sii"), F.col("sjj")
+    cov_num = spq.cast("double") - si.cast("double") * sj.cast("double") / n
+    var_i = sii.cast("double") - si.cast("double") * si.cast("double") / n
+    var_j = sjj.cast("double") - sj.cast("double") * sj.cast("double") / n
+    return sums.select(
+        F.col("i").alias("dim_i"),
+        F.col("j").alias("dim_j"),
+        n.alias("n_vecs"),
+        F.round(cov_num / n / float(_Q) / float(_Q), 9).alias("covariance"),
+        F.round(cov_num / F.sqrt(var_i * var_j), 6).alias("correlation"),
+    )
+
+
+def _daily_cents(events: DataFrame) -> DataFrame:
+    """(series, day, cents) — exact integer daily mean in cents
+    (the repo's standard day-grain reduction: sums of cents are
+    associative, the mean division happens once per day row)."""
+    return (
+        events.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withColumn("c", F.round(F.col("value") * 100, 0).cast("long"))
+        .groupBy(F.col("event_type").alias("series"), "day")
+        .agg(F.sum("c").alias("sc"), F.count(F.lit(1)).alias("nc"))
+    )
+
+
+_BOLL_WINDOW = 7  # days
+_BOLL_K = 2.0
+
+_SQL_DAILY = """
+        daily AS (
+            SELECT event_type AS series, date_trunc('day', ts) AS day,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sc,
+                   CAST(count(*) AS BIGINT) AS nc
+            FROM events GROUP BY 1, 2
+        )
+"""
+
+
+@register(
+    "ts_bollinger",
+    family="timeseries",
+    doc="Bollinger bands (B72): 7-day rolling mean ± 2σ over the "
+    "daily mean, with band-breach flags — the volatility-envelope "
+    "chart every monitoring dashboard renders next to B33's moving "
+    "average. The day value is the FLOORED micro-cent mean — an "
+    "integer — so the rolling sum and sum-of-squares are exact "
+    "associative integer arithmetic on both engines (a double day "
+    "mean would make window sums association-order-dependent: "
+    "DuckDB aggregates frames via segment trees, Spark via running "
+    "accumulation); mean/sigma come from those exact sums in one "
+    "mirrored double expression. Day-grain windows per series "
+    "(chunk-catalog bounded, never event-grain).",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        x AS (
+            SELECT series, day, (sc * 10000) // nc AS xq
+            FROM daily
+        ),
+        w AS (
+            SELECT series, day, xq,
+                   count(*) OVER win AS n_days,
+                   CAST(sum(xq) OVER win AS BIGINT) AS sx,
+                   CAST(sum(xq * xq) OVER win AS BIGINT) AS sxx
+            FROM x
+            WINDOW win AS (PARTITION BY series ORDER BY day
+                           ROWS BETWEEN {_BOLL_WINDOW - 1} PRECEDING
+                           AND CURRENT ROW)
+        )
+        SELECT series, day,
+               round(xq / 1000000.0, 6) AS day_mean,
+               n_days,
+               round(CAST(sx AS DOUBLE) / n_days / 1000000.0, 6) AS sma,
+               round(sqrt(greatest(CAST(sxx AS DOUBLE) / n_days
+                                   - (CAST(sx AS DOUBLE) / n_days)
+                                     * (CAST(sx AS DOUBLE) / n_days), 0))
+                     / 1000000.0, 6) AS sigma,
+               n_days >= {_BOLL_WINDOW} AND
+                 CAST(xq AS DOUBLE) > CAST(sx AS DOUBLE) / n_days
+                   + {_BOLL_K} * sqrt(greatest(CAST(sxx AS DOUBLE) / n_days
+                       - (CAST(sx AS DOUBLE) / n_days)
+                         * (CAST(sx AS DOUBLE) / n_days), 0))
+                   AS above_upper,
+               n_days >= {_BOLL_WINDOW} AND
+                 CAST(xq AS DOUBLE) < CAST(sx AS DOUBLE) / n_days
+                   - {_BOLL_K} * sqrt(greatest(CAST(sxx AS DOUBLE) / n_days
+                       - (CAST(sx AS DOUBLE) / n_days)
+                         * (CAST(sx AS DOUBLE) / n_days), 0))
+                   AS below_lower
+        FROM w
+    """,
+)
+def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(load(spark, sf_dir, "events"))
+    # day value = FLOORED micro-cent mean: an integer, so the rolling
+    # sums are associative integer arithmetic on BOTH engines — a
+    # double day-mean would make the window sums association-order-
+    # dependent (DuckDB sums frames via segment trees, Spark via
+    # running accumulation) and break the hash
+    x = daily.select(
+        "series", "day", F.expr("(sc * 10000) div nc").alias("xq")
+    )
+    win = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(-(_BOLL_WINDOW - 1), Window.currentRow)
+    )
+    w = x.select(
+        "series",
+        "day",
+        "xq",
+        F.count(F.lit(1)).over(win).alias("n_days"),
+        F.sum("xq").over(win).alias("sx"),
+        F.sum(F.col("xq") * F.col("xq")).over(win).alias("sxx"),
+    )
+    n = F.col("n_days")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    mean = sx / n
+    sigma = F.sqrt(F.greatest(sxx / n - mean * mean, F.lit(0.0)))
+    full = n >= _BOLL_WINDOW
+    xd = F.col("xq").cast("double")
+    return w.select(
+        "series",
+        "day",
+        F.round(F.col("xq") / 1000000.0, 6).alias("day_mean"),
+        "n_days",
+        F.round(mean / 1000000.0, 6).alias("sma"),
+        F.round(sigma / 1000000.0, 6).alias("sigma"),
+        (full & (xd > mean + _BOLL_K * sigma)).alias("above_upper"),
+        (full & (xd < mean - _BOLL_K * sigma)).alias("below_lower"),
+    )
+
+
+_RSI_WINDOW = 14  # days
+
+
+@register(
+    "ts_rsi",
+    family="timeseries",
+    doc="Relative Strength Index (B73, Cutler's SMA form): daily "
+    "deltas of the day-mean split into gain/loss legs, averaged "
+    "over a 14-day window, RSI = 100·avg_gain/(avg_gain+avg_loss) "
+    "— the momentum oscillator counterpart of B25's counter deltas. "
+    "Day value is the FLOORED micro-cent mean (pure integer, like "
+    "ts_bollinger), so deltas and their windowed gain/loss sums are "
+    "exact integers on both engines; the final division is one "
+    "mirrored double expression. Neutral 50 when the window has no "
+    "movement (the standard convention, avoids 0/0).",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        x AS (
+            SELECT series, day, (sc * 10000) // nc AS xq
+            FROM daily
+        ),
+        d AS (
+            SELECT series, day,
+                   xq - lag(xq) OVER (PARTITION BY series ORDER BY day)
+                       AS delta
+            FROM x
+        ),
+        w AS (
+            SELECT series, day, delta,
+                   count(delta) OVER win AS n_deltas,
+                   CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                       OVER win AS BIGINT) AS gains,
+                   CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+                       OVER win AS BIGINT) AS losses
+            FROM d
+            WINDOW win AS (PARTITION BY series ORDER BY day
+                           ROWS BETWEEN {_RSI_WINDOW - 1} PRECEDING
+                           AND CURRENT ROW)
+        )
+        SELECT series, day, n_deltas,
+               round(gains / 1000000.0, 6) AS gain_sum,
+               round(losses / 1000000.0, 6) AS loss_sum,
+               round(CASE WHEN gains + losses = 0 THEN 50.0
+                          ELSE 100.0 * gains / (gains + losses) END, 6)
+                   AS rsi
+        FROM w WHERE delta IS NOT NULL
+    """,
+)
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(load(spark, sf_dir, "events"))
+    # same integer micro-cent day value as ts_bollinger: deltas and
+    # their windowed gain/loss sums stay exact integers cross-engine
+    x = daily.select(
+        "series", "day", F.expr("(sc * 10000) div nc").alias("xq")
+    )
+    lag_w = Window.partitionBy("series").orderBy("day")
+    d = x.select(
+        "series", "day", (F.col("xq") - F.lag("xq").over(lag_w)).alias("delta")
+    )
+    win = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(-(_RSI_WINDOW - 1), Window.currentRow)
+    )
+    zero = F.lit(0).cast("long")
+    gains = F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(zero)).over(win)
+    losses = F.sum(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(zero)).over(win)
+    w = d.select(
+        "series",
+        "day",
+        "delta",
+        F.count("delta").over(win).alias("n_deltas"),
+        gains.alias("gains"),
+        losses.alias("losses"),
+    ).filter(F.col("delta").isNotNull())
+    g, l = F.col("gains"), F.col("losses")
+    return w.select(
+        "series",
+        "day",
+        "n_deltas",
+        F.round(g / 1000000.0, 6).alias("gain_sum"),
+        F.round(l / 1000000.0, 6).alias("loss_sum"),
+        F.round(
+            F.when(g + l == zero, F.lit(50.0)).otherwise(
+                100.0 * g / (g + l)
+            ),
+            6,
+        ).alias("rsi"),
+    )
+
+
+@register(
+    "ts_drawdown",
+    family="timeseries",
+    doc="Drawdown analysis (B74): per series, the running peak of the "
+    "cumulative daily value and each day's drawdown from it, plus "
+    "the max-drawdown summary — the risk statistic monitoring and "
+    "backtest dashboards pair with B41's cumulative view. ENTIRELY "
+    "exact integer arithmetic: cumulative cents and their running "
+    "max are int window folds, drawdown is an int difference, and "
+    "only the final /100 rendering touches doubles. Day-grain "
+    "windows per series (chunk-catalog bounded).",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type AS series, date_trunc('day', ts) AS day,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sc
+            FROM events GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT series, day,
+                   sum(sc) OVER (PARTITION BY series ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+            FROM daily
+        ),
+        p AS (
+            SELECT series, day, cum,
+                   max(cum) OVER (PARTITION BY series ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS peak
+            FROM c
+        )
+        SELECT series, day,
+               round(cum / 100.0, 6) AS cumulative,
+               round(peak / 100.0, 6) AS running_peak,
+               round((peak - cum) / 100.0, 6) AS drawdown,
+               round(max(peak - cum) OVER (PARTITION BY series) / 100.0, 6)
+                   AS max_drawdown,
+               peak - cum = max(peak - cum) OVER (PARTITION BY series)
+                   AS is_max_drawdown_day
+        FROM p
+    """,
+)
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withColumn("c", F.round(F.col("value") * 100, 0).cast("long"))
+        .groupBy(F.col("event_type").alias("series"), "day")
+        .agg(F.sum("c").alias("sc"))
+    )
+    cum_w = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.select(
+        "series", "day", F.sum("sc").over(cum_w).alias("cum")
+    )
+    p = c.select(
+        "series", "day", "cum", F.max("cum").over(cum_w).alias("peak")
+    )
+    series_w = Window.partitionBy("series")
+    dd = F.col("peak") - F.col("cum")
+    return p.select(
+        "series",
+        "day",
+        F.round(F.col("cum") / 100.0, 6).alias("cumulative"),
+        F.round(F.col("peak") / 100.0, 6).alias("running_peak"),
+        F.round(dd / 100.0, 6).alias("drawdown"),
+        F.round(F.max(dd).over(series_w) / 100.0, 6).alias("max_drawdown"),
+        (dd == F.max(dd).over(series_w)).alias("is_max_drawdown_day"),
+    )

@@ -155,3 +155,55 @@ def test_covariance_single_exchange_and_partial_agg(spark, sf_small):
     assert plan.count("Exchange") == 1
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    """First doc is fully novel; an exact copy later is fully
+    redundant; a half-overlap doc scores in between."""
+    from timescaledb_event_streamer_spark.plans.queries_round6 import (
+        text_ngram_novelty,
+    )
+
+    texts = [
+        (0, "a b c d e"),          # 3-grams: abc bcd cde -> all novel
+        (1, "a b c d e"),          # exact copy -> novelty 0
+        (2, "a b c x y z"),        # abc seen; bcx cxy xyz novel
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "s", "en", len(t)) for i, t in texts],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r for r in text_ngram_novelty(spark, sf).collect()}
+    assert got[0]["novelty"] == 1.0 and got[0]["mostly_redundant"] is False
+    assert got[1]["novelty"] == 0.0 and got[1]["mostly_redundant"] is True
+    assert got[2]["n_shingles"] == 4 and got[2]["n_novel"] == 3
+    assert got[2]["novelty"] == 0.75
+
+
+def test_importance_resample_contract(spark, sf_mid):
+    """Acceptance is exactly u8 < weight-threshold: re-derive the md5
+    decision in Python for every doc and compare the kept set; long
+    docs (weight 1.0) are always kept."""
+    import hashlib
+
+    import duckdb
+
+    from timescaledb_event_streamer_spark.plans.queries_round6 import (
+        corpus_importance_resample,
+    )
+
+    kept = {r["doc_id"]: r for r in corpus_importance_resample(spark, sf_mid).collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, len(string_split(text, ' ')) AS n "
+        f"FROM '{sf_mid}/documents.parquet'"
+    ).fetchall()
+    for doc_id, n in docs:
+        w = min(1.0, n / 200.0)
+        u8 = hashlib.md5(f"resample:{doc_id}".encode()).hexdigest()[:8]
+        thr = format(int(round(w * 4294967295)), "08x")
+        assert (doc_id in kept) == (u8 < thr), doc_id
+        if w == 1.0:
+            assert doc_id in kept
+    assert 0 < len(kept) < len(docs)

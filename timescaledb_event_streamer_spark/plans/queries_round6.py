@@ -401,3 +401,135 @@ def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(dd).over(series_w) / 100.0, 6).alias("max_drawdown"),
         (dd == F.max(dd).over(series_w)).alias("is_max_drawdown_day"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    family="text",
+    doc="Per-document n-gram novelty (F32): the fraction of a doc's "
+    "distinct word-3-grams whose FIRST corpus occurrence (min "
+    "doc_id) is this doc — the new-information curve dedup-aware "
+    "curriculum ordering and crawl-frontier scoring read (a doc "
+    "whose shingles all appeared earlier adds nothing even if no "
+    "single earlier doc near-duplicates it, the gap D2/D14 pair "
+    "metrics can't see). Plan: shingle-keyed min reduce, shingle-"
+    "keyed join back (co-partitioned, no second shuffle family), "
+    "doc-keyed count reduce — the D2 candidate-generation scale "
+    "shape without the pair blowup.",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s0 AS (
+            SELECT doc_id, unnest(range(len(toks) - 2)) AS i, toks
+            FROM t WHERE len(toks) >= 3
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]) AS s
+            FROM s0
+        ),
+        firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS novelty,
+               sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                     * 1.0 / count(*) < 0.2 AS mostly_redundant
+        FROM sh JOIN firsts f USING (s)
+        GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.sources.tables import spread
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    sh = (
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 3), i ->"
+                        " concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(novel / F.count(F.lit(1)), 6).alias("novelty"),
+            (novel / F.count(F.lit(1)) < 0.2).alias("mostly_redundant"),
+        )
+    )
+
+
+#: importance-resampling length normalizer: docs at/over this token
+#: count carry weight 1.0
+_RESAMPLE_NORM_TOKENS = 200
+
+#: 2^32 - 1: the top of the md5-prefix uniform's range, so weight 1.0
+#: keeps every doc while the threshold hex stays 8 digits wide
+_RESAMPLE_SCALE = 4_294_967_295
+
+
+@register(
+    "corpus_importance_resample",
+    family="text",
+    doc="Deterministic importance resampling (F33, the DSIR-style "
+    "acceptance step): each doc keeps with probability equal to its "
+    "importance weight (length-normalized, capped at 1.0), decided "
+    "by comparing a salted-md5-prefix uniform against the weight's "
+    "fixed-width hex threshold — reproducible on any engine and any "
+    "run, no RNG state, unlike F16's flat per-source rates the keep "
+    "probability varies PER DOC with the importance signal. Pure "
+    "projection + filter, no shuffle; the weight column is the seam "
+    "where a learned importance model (n-gram likelihood ratios) "
+    "plugs in.",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   least(1.0, len(string_split(text, ' '))
+                              / {_RESAMPLE_NORM_TOKENS}.0) AS weight
+            FROM documents
+        )
+        SELECT doc_id, source, n_tokens, round(weight, 6) AS weight,
+               substr(md5('resample:' || doc_id), 1, 8) AS u8
+        FROM w
+        WHERE substr(md5('resample:' || doc_id), 1, 8)
+              < lpad(lower(to_hex(CAST(round(weight * {_RESAMPLE_SCALE})
+                                       AS BIGINT))), 8, '0')
+    """,
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    weight = F.least(F.lit(1.0), n_tokens / float(_RESAMPLE_NORM_TOKENS))
+    u8 = F.substring(
+        F.md5(F.concat(F.lit("resample:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    thr = F.lpad(
+        F.lower(F.hex(F.round(weight * _RESAMPLE_SCALE).cast("long"))), 8, "0"
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.round(weight, 6).alias("weight"),
+        u8.alias("u8"),
+        thr.alias("_thr"),
+    ).filter(F.col("u8") < F.col("_thr")).drop("_thr")

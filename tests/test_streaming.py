@@ -1114,3 +1114,55 @@ def test_streaming_asof_subsecond_tolerance_and_duplicate_ts(spark, tmp_path):
         for r in spark.sql("SELECT * FROM asof_subsec").collect()
     }
     assert got == want
+
+
+def test_streaming_covariance_matches_batch(spark, sf_small):
+    """I23: the covariance partial-sum table (E18) is all associative
+    count/sum aggregates over integer-quantized values, so it runs
+    unchanged as a complete-mode streaming aggregation over a vector
+    stream and must equal the batch partials cell-for-cell — the live
+    form: a streaming job maintains the matrix as embeddings arrive,
+    and whitening/PCA reads it without rescanning the corpus."""
+    from timescaledb_event_streamer_spark.plans.queries_round6 import (
+        covariance_from_sums,
+        covariance_sums,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    own_log = tempfile.mkdtemp(prefix="covlog-")
+    emb.withColumn("b", F.pmod(F.col("vec_id"), F.lit(8))).repartition(
+        8, "b"
+    ).drop("b").write.mode("overwrite").parquet(own_log)
+    stream = spark.readStream.schema(emb.schema).parquet(own_log)
+    try:
+        q = (
+            covariance_sums(stream)
+            .writeStream.format("memory")
+            .queryName("cov_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["i"], r["j"]): r.asDict()
+            for r in spark.sql("SELECT * FROM cov_stream").collect()
+        }
+        want = {
+            (r["i"], r["j"]): r.asDict() for r in covariance_sums(emb).collect()
+        }
+        assert got == want and len(want) == 64 * 65 // 2
+        # and the projection over the streamed sums equals the batch query
+        proj = {
+            (r["dim_i"], r["dim_j"]): r.asDict()
+            for r in covariance_from_sums(
+                spark.sql("SELECT * FROM cov_stream")
+            ).collect()
+        }
+        batch = {
+            (r["dim_i"], r["dim_j"]): r.asDict()
+            for r in covariance_from_sums(covariance_sums(emb)).collect()
+        }
+        assert proj == batch
+    finally:
+        shutil.rmtree(own_log, ignore_errors=True)

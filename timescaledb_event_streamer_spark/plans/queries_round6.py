@@ -77,7 +77,19 @@ _EMB_DIM = 64
     """,
 )
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    return covariance_from_sums(
+        covariance_sums(load(spark, sf_dir, "embeddings"))
+    )
+
+
+def covariance_sums(emb: DataFrame) -> DataFrame:
+    """The covariance partial-sum table: count + six exact integer
+    sums per (i, j) upper-triangle cell. Every column is an
+    associative count/sum, so the identical expression maintains the
+    matrix as a complete-mode STREAMING aggregation over a vector
+    stream (I23 — tests/test_streaming.py proves stream == batch
+    cell-for-cell); the batch query just projects covariance/
+    correlation from it."""
     # multiply in DOUBLE: float32 * int would round the product to
     # float32 and diverge from the oracle's double arithmetic
     q = F.expr(
@@ -93,7 +105,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   q[i] * q[j] AS pq, q[i] AS vi, q[j] AS vj,"
         "   q[i] * q[i] AS pii, q[j] * q[j] AS pjj))))"
     )
-    sums = (
+    return (
         emb.select(q.alias("q"))
         .select(F.explode(pairs).alias("p"))
         .groupBy("p.i", "p.j")
@@ -106,6 +118,9 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p.pjj").alias("sjj"),
         )
     )
+
+
+def covariance_from_sums(sums: DataFrame) -> DataFrame:
     n = F.col("n")
     spq, si, sj = F.col("spq"), F.col("si"), F.col("sj")
     sii, sjj = F.col("sii"), F.col("sjj")

@@ -107,6 +107,13 @@ REPS = [
     ("ts_pivot_features", "long-to-wide pivot reduce"),
     ("ts_unpivot_long", "stack melt roundtrip"),
     ("cdc_source_profile", "expand multi-distinct profile"),
+    ("dedup_sparse_cosine_capped", "df-capped shingle sparse cosine"),
+    ("embedding_covariance", "quantized outer-product reduce"),
+    ("ts_bollinger", "integer rolling band windows"),
+    ("ts_rsi", "gain/loss momentum windows"),
+    ("ts_drawdown", "running-peak drawdown fold"),
+    ("text_ngram_novelty", "first-occurrence novelty join"),
+    ("corpus_importance_resample", "md5-threshold acceptance"),
 ]
 
 
@@ -252,6 +259,22 @@ def main() -> None:
         "the PMI scan). cdc_source_profile's Expand operator",
         "(multi-distinct row multiplication) got the same fix:",
         "5.5x -> 1.8x measured.",
+        "",
+        "dedup_sparse_cosine_capped's step ratio compares TIME while",
+        "its WORK grew 94x: the synthetic 31-token vocabulary makes",
+        "every shingle's doc-frequency scale linearly with corpus",
+        "size, so the capped candidate-pair mass Σ df·(df-1)/2 is",
+        "13,526 at sf0.01 vs 1,265,779 at sf0.1 (measured via the",
+        "oracle-side df table) — the relative cap binds at sf0.01",
+        "(max df 7 > cap 5) but cannot bind at sf0.1 (max df 25 < cap",
+        "50) because density, not a stopword tail, carries the mass.",
+        "Time grew 27.7x against 94x more candidate work, i.e. the",
+        "inverted-index plan is ~3x SUBLINEAR in its candidate mass;",
+        "on real Zipf-vocabulary corpora the df distribution is",
+        "scale-stable (vocabulary grows instead of density) and the",
+        "cap bounds per-term groups exactly as the D21 docstring",
+        "claims. The certified sf0.01 artifact exercises the binding",
+        "cap; this row records the synthetic data's density shape.",
     ])
     lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")

@@ -176,3 +176,77 @@ def test_publication_repair_actions(spark, tmp_path):
     # numbering collapsing two live chunks into one name) would make
     # this count come up short
     assert len(out) == 6 + 1  # six weekly chunks + the stale entry
+
+
+def test_empty_txn_ack_advances_confirmed_flush(spark, tmp_path):
+    """A29 planted scenario mirroring the reference assertion: txn 0
+    holds published ('purchase') traffic; txns 1 and 2 hold ONLY
+    unpublished tables — their ack rows must still appear at their
+    commit LSNs, flagged acked_without_data, and their LSNs must sit
+    beyond every emitted data LSN (lsn2 > lsn1)."""
+    from timescaledb_event_streamer_spark.plans.queries_cdc3 import (
+        cdc_empty_txn_ack,
+    )
+
+    rows = []
+    # txn 0: events 0-9, two purchases
+    for eid in range(10):
+        et = "purchase" if eid in (3, 7) else "click"
+        rows.append((eid, T0, 1, et, 1.0))
+    # txns 1-2: events 10-29, no purchases at all
+    for eid in range(10, 30):
+        rows.append((eid, T0, 1, "view", 1.0))
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["xid"]: r for r in cdc_empty_txn_ack(spark, sf).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0]["n_emitted"] == 2 and got[0]["acked_without_data"] is False
+    for xid in (1, 2):
+        r = got[xid]
+        assert r["n_emitted"] == 0 and r["acked_without_data"] is True
+        assert r["ack_lsn"] == (xid * 10 + 9) * 4 + 3
+        # the reference's lsn2 > lsn1: the empty txn's ack is beyond
+        # the last emitted data LSN (7*4+2 = 30)
+        assert r["ack_beyond_emitted"] is True
+        assert r["ack_lsn"] > 7 * 4 + 2
+
+
+def test_implicit_decompression_marker_first_touch_only(spark, tmp_path):
+    """A30 planted scenario: one compressed chunk receives inserts
+    from two transactions — exactly ONE '$d' marker appears, carries
+    the FIRST transaction's xid, and sorts before every insert of the
+    chunk (pos_in_chunk == 1); the head chunk emits nothing."""
+    import datetime as dt
+
+    from timescaledb_event_streamer_spark.catalog.chunks import CHUNK_INTERVAL_S
+    from timescaledb_event_streamer_spark.plans.queries_cdc3 import (
+        cdc_implicit_decompression,
+    )
+
+    old = T0
+    head = T0 + dt.timedelta(seconds=3 * CHUNK_INTERVAL_S)
+    rows = [
+        # old (compressed) chunk: inserts from txn 0 (eids 3, 5) and
+        # txn 1 (eid 105); eid 10 is a delete (op 'd') — not an insert
+        (3, old, 1, "metrics", 1.0),
+        (5, old, 1, "metrics", 2.0),
+        (10, old, 1, "metrics", 0.0),
+        (105, old, 1, "metrics", 3.0),
+        # head chunk traffic (never compressed)
+        (207, head, 1, "metrics", 4.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = sorted(
+        cdc_implicit_decompression(spark, sf).collect(),
+        key=lambda r: r["lsn"],
+    )
+    markers = [r for r in out if r["kind"] == "$d"]
+    inserts = [r for r in out if r["kind"] == "c"]
+    assert len(markers) == 1 and len(inserts) == 3
+    m = markers[0]
+    assert m["xid"] == 0  # first-touch transaction
+    assert m["lsn"] == 3 * 4 + 2 - 1  # just before the first insert
+    assert m["pos_in_chunk"] == 1
+    assert [r["lsn"] for r in inserts] == [14, 22, 422]
+    assert [r["pos_in_chunk"] for r in inserts] == [2, 3, 4]
+    # head-chunk insert (eid 207) emitted nothing
+    assert all(r["range_start_s"] == inserts[0]["range_start_s"] for r in out)

@@ -135,6 +135,7 @@ _BNLJ_OK = {
     "text_cooccurrence_pmi",  # single-row broadcast token/pair totals
     "corpus_leakage_safe_split",  # single-row broadcast violation proof
     "cdc_dropped_chunk_filter",  # single-row broadcast retention horizon
+    "cdc_implicit_decompression",  # single-row broadcast compress horizon
 }
 
 

@@ -9,9 +9,10 @@ certify in round 6.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from timescaledb_event_streamer_spark.catalog.chunks import CHUNK_INTERVAL_S
 from timescaledb_event_streamer_spark.plans.queries_cdc import (
     _SQL_CHUNK_START,
     _SQL_SPACE_SLICE,
@@ -462,3 +463,184 @@ def cdc_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return one.select(F.expr(stack_expr))
+
+
+#: publication for the ack model: only this table is published, so a
+#: transaction whose events all belong to other tables reaches the
+#: handler as Begin/Commit with nothing to emit
+_ACK_PUBLISHED = "purchase"
+
+#: ack-model transaction grain (10 events/txn -> ~10% of sf0.01
+#: transactions are fully filtered, so both ack branches certify)
+_ACK_TXN = 10
+
+
+@register(
+    "cdc_empty_txn_ack",
+    family="cdc",
+    doc="Empty-transaction acknowledgment (A29, reference test "
+    "Test_General_Acknowledge_To_PG_With_Only_Begin_Commit in "
+    "tests/streamer_test.go:1413): WAL traffic on unpublished tables "
+    "arrives as Begin/Commit-only transactions, and the handler must "
+    "STILL acknowledge their commit LSN — otherwise "
+    "confirmed_flush_lsn stalls at the last published event and the "
+    "slot retains WAL forever. Model: only one published table; per "
+    "transaction, the ack row carries the commit LSN (pgoutput "
+    "layout, 4*max_event_id+3), the emitted count after the "
+    "publication filter, an acked_without_data flag, and "
+    "ack_beyond_emitted = commit LSN > every emitted data LSN so "
+    "far — the reference's lsn2 > lsn1 assertion as a column. "
+    "Txn-grain rows only (metadata-sized; the running max over "
+    "commit order is the same deliberate single-partition "
+    "metadata window as the pgoutput cross-segment carry).",
+    oracle=f"""
+        WITH t AS (
+            SELECT event_id // {_ACK_TXN} AS xid,
+                   count(*) AS n_events,
+                   sum(CASE WHEN event_type = '{_ACK_PUBLISHED}'
+                            THEN 1 ELSE 0 END) AS n_emitted,
+                   max(event_id) * 4 + 3 AS commit_lsn,
+                   max(CASE WHEN event_type = '{_ACK_PUBLISHED}'
+                            THEN event_id * 4 + 2 END) AS last_emit
+            FROM events GROUP BY 1
+        ),
+        w AS (
+            SELECT xid, n_events, n_emitted, commit_lsn,
+                   max(last_emit) OVER (
+                       ORDER BY xid ROWS UNBOUNDED PRECEDING
+                   ) AS emitted_high
+            FROM t
+        )
+        SELECT xid, CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_emitted AS BIGINT) AS n_emitted,
+               commit_lsn AS ack_lsn,
+               n_emitted = 0 AS acked_without_data,
+               commit_lsn > coalesce(emitted_high, 0) AS ack_beyond_emitted
+        FROM w
+    """,
+)
+def cdc_empty_txn_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    emitted = F.col("event_type") == _ACK_PUBLISHED
+    t = events.groupBy(
+        F.expr(f"event_id div {_ACK_TXN}").alias("xid")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(emitted.cast("long")).alias("n_emitted"),
+        (F.max("event_id") * 4 + 3).alias("commit_lsn"),
+        F.max(F.when(emitted, F.col("event_id") * 4 + 2)).alias("last_emit"),
+    )
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("xid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "xid",
+        "n_events",
+        "n_emitted",
+        F.col("commit_lsn").alias("ack_lsn"),
+        (F.col("n_emitted") == 0).alias("acked_without_data"),
+        (
+            F.col("commit_lsn")
+            > F.coalesce(F.max("last_emit").over(w), F.lit(0))
+        ).alias("ack_beyond_emitted"),
+    )
+
+
+@register(
+    "cdc_implicit_decompression",
+    family="cdc",
+    doc="Implicit decompression inside a data transaction (A30, "
+    "reference test Test_Hypertable_Implicit_Decompression_Events_"
+    "In_Transaction_With_Insert, tests/streamer_test.go): an INSERT "
+    "into a COMPRESSED chunk makes TimescaleDB decompress it first, "
+    "so the WAL carries a decompression event ('$'/'d') and then the "
+    "insert in the same transaction — and only the FIRST writing "
+    "transaction emits the marker (the chunk is uncompressed "
+    "afterwards). Model: compressed chunks per the A13 horizon rule; "
+    "per such chunk the earliest insert (min data LSN) defines the "
+    "first-touch transaction, the marker row sits at that LSN - 1 "
+    "(inside the 4k+1 LSN residue, collision-free with data 4k+2 / "
+    "commit 4k+3), and pos_in_chunk (row_number over the chunk's "
+    "emitted rows by LSN) certifies marker-before-insert ordering "
+    "cross-engine. Chunk-grain window only — bounded by rows per "
+    "chunk, the hypertable's own partition grain.",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT event_type, event_id, {_SQL_CHUNK_START} AS range_start_s,
+                   event_id // 100 AS xid,
+                   event_id * 4 + 2 AS lsn
+            FROM events
+            WHERE NOT (event_id % 10 = 0 OR event_id % 10 IN (1, 2))
+        ),
+        horizon AS (
+            SELECT max(range_start_s) AS head_chunk
+            FROM (SELECT {_SQL_CHUNK_START} AS range_start_s FROM events)
+        ),
+        ins AS (
+            SELECT k.* FROM keyed k, horizon h
+            WHERE k.range_start_s < h.head_chunk - {{chunk_interval}}
+        ),
+        first_touch AS (
+            SELECT event_type, range_start_s,
+                   min(lsn) AS first_lsn,
+                   min_by(xid, lsn) AS first_xid
+            FROM ins GROUP BY 1, 2
+        ),
+        unioned AS (
+            SELECT event_type AS hypertable_name, range_start_s,
+                   first_xid AS xid, '$d' AS kind, first_lsn - 1 AS lsn
+            FROM first_touch
+            UNION ALL
+            SELECT event_type, range_start_s, xid, 'c', lsn FROM ins
+        )
+        SELECT hypertable_name, range_start_s, xid, kind, lsn,
+               CAST(row_number() OVER (
+                   PARTITION BY hypertable_name, range_start_s ORDER BY lsn
+               ) AS BIGINT) AS pos_in_chunk
+        FROM unioned
+    """.replace("{chunk_interval}", str(CHUNK_INTERVAL_S)),
+)
+def cdc_implicit_decompression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.catalog.chunks import chunk_start_epoch
+    from timescaledb_event_streamer_spark.cdc.envelope import derive_op
+
+    events = load(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_type",
+        chunk_start_epoch(F.col("ts")).alias("range_start_s"),
+        F.expr("event_id div 100").alias("xid"),
+        (F.col("event_id") * 4 + 2).alias("lsn"),
+        derive_op(F.col("event_id")).alias("op"),
+    )
+    head = keyed.agg(F.max("range_start_s").alias("head_chunk"))
+    ins = (
+        keyed.filter(F.col("op") == "c")
+        .crossJoin(F.broadcast(head))
+        .filter(F.col("range_start_s") < F.col("head_chunk") - CHUNK_INTERVAL_S)
+    )
+    first_touch = ins.groupBy(
+        F.col("event_type").alias("hypertable_name"), "range_start_s"
+    ).agg(
+        F.min("lsn").alias("first_lsn"),
+        F.min_by("xid", "lsn").alias("first_xid"),
+    )
+    markers = first_touch.select(
+        "hypertable_name",
+        "range_start_s",
+        F.col("first_xid").alias("xid"),
+        F.lit("$d").alias("kind"),
+        (F.col("first_lsn") - 1).alias("lsn"),
+    )
+    inserts = ins.select(
+        F.col("event_type").alias("hypertable_name"),
+        "range_start_s",
+        "xid",
+        F.lit("c").alias("kind"),
+        "lsn",
+    )
+    w = Window.partitionBy("hypertable_name", "range_start_s").orderBy("lsn")
+    return markers.unionByName(inserts).withColumn(
+        "pos_in_chunk", F.row_number().over(w).cast("long")
+    )

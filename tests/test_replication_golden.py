@@ -153,3 +153,54 @@ def test_golden_bytes_are_reproducible(tmp_path):
         mod.GOLDEN = saved
     for f in sorted(GOLDEN.glob("*.bin")):
         assert (tmp_path / f.name).read_bytes() == f.read_bytes(), f.name
+
+
+def test_keepalive_interleaved_stream(spark, session_hex):
+    """A live session interleaves primary keepalives ('k') with
+    XLogData ('w') in the CopyData mix. The data path must produce
+    the IDENTICAL envelope (keepalives transparently skipped), and
+    the control path must fold the posture: 2 keepalives, 6 XLogData,
+    1 reply requested, received LSN = last WALStart + payload len."""
+    khex = (GOLDEN / "copydata_stream_keepalive.bin").read_bytes().hex().upper()
+    wire = spark.createDataFrame([(khex,)], "stream string")
+    frames = wire.select(
+        F.explode(
+            F.filter(
+                pr.split_backend_messages(F.col("stream"), max_msgs=10),
+                lambda m: m.getField("msg_type") == "d",
+            )
+        ).alias("m")
+    ).select(F.col("m").getField("body").alias("frame"))
+    assert frames.count() == 8  # 6 XLogData + 2 keepalives
+
+    env_mixed = {
+        r["op"]: r.asDict() for r in parse_pgoutput(frames).collect()
+    }
+    pure = spark.createDataFrame([(session_hex["stream"],)], "stream string")
+    pure_frames = pure.select(
+        F.explode(
+            F.filter(
+                pr.split_backend_messages(F.col("stream"), max_msgs=8),
+                lambda m: m.getField("msg_type") == "d",
+            )
+        ).alias("m")
+    ).select(F.col("m").getField("body").alias("frame"))
+    env_pure = {
+        r["op"]: r.asDict() for r in parse_pgoutput(pure_frames).collect()
+    }
+    assert env_mixed == env_pure and set(env_mixed) == {"c", "u", "d"}
+
+    from timescaledb_event_streamer_spark.sources.pgoutput import (
+        parse_standby_status,
+    )
+
+    posture = parse_standby_status(
+        frames.withColumn("slot", F.lit("timescaledb_metrics"))
+    ).collect()[0]
+    assert posture["n_frames"] == 8
+    assert posture["n_keepalive"] == 2 and posture["n_xlog"] == 6
+    assert posture["n_reply_requested"] == 1
+    assert posture["max_keepalive_wal_end"] == 1009  # D_LSN - 1
+    # received = WALStart + payload bytes of the largest frame seen
+    assert posture["last_received_lsn"] is not None
+    assert posture["standby_write_lsn"] == posture["last_received_lsn"] + 1

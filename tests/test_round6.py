@@ -91,8 +91,10 @@ def test_bollinger_matches_reference(spark, tmp_path):
         sigma = math.sqrt(max(sxx / nd - mean * mean, 0.0))
         assert r["n_days"] == nd
         assert r["day_mean"] == round(xqs[idx] / 1e6, 6)
-        assert r["sma"] == round(mean / 1e6, 6)
-        assert r["sigma"] == round(sigma / 1e6, 6)
+        # engine rounds the micro-unit value at scale 0 (half away
+        # from zero for these positive domains) then divides
+        assert r["sma"] == math.floor(mean + 0.5) / 1e6
+        assert r["sigma"] == math.floor(sigma + 0.5) / 1e6
         full = nd >= 7
         assert r["above_upper"] == (full and xqs[idx] > mean + 2.0 * sigma)
         assert r["below_lower"] == (full and xqs[idx] < mean - 2.0 * sigma)
@@ -119,7 +121,7 @@ def test_rsi_reference_and_flat_neutral(spark, tmp_path):
         g = sum(d for d in w if d > 0)
         l = sum(-d for d in w if d < 0)
         assert r["n_deltas"] == len(w)
-        want = 50.0 if g + l == 0 else round(100.0 * g / (g + l), 6)
+        want = 50.0 if g + l == 0 else math.floor(1e8 * g / (g + l) + 0.5) / 1e6
         assert r["rsi"] == want, idx
     # strictly-up first two deltas -> RSI 100 early on
     assert trend[0]["rsi"] == 100.0

@@ -65,14 +65,14 @@ _EMB_DIM = 64
         SELECT i AS dim_i, j AS dim_j, n AS n_vecs,
                round((CAST(spq AS DOUBLE)
                       - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / n)
-                     / n / {_Q}.0 / {_Q}.0, 9) AS covariance,
+                     / n / 1000.0, 0) / 1000000000.0 AS covariance,
                round((CAST(spq AS DOUBLE)
                       - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / n)
                      / sqrt((CAST(sii AS DOUBLE)
                              - CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / n)
                             * (CAST(sjj AS DOUBLE)
-                               - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / n)),
-                     6) AS correlation
+                               - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / n))
+                     * 1000000.0, 0) / 1000000.0 AS correlation
         FROM sums
     """,
 )
@@ -127,12 +127,17 @@ def covariance_from_sums(sums: DataFrame) -> DataFrame:
     cov_num = spq.cast("double") - si.cast("double") * sj.cast("double") / n
     var_i = sii.cast("double") - si.cast("double") * si.cast("double") / n
     var_j = sjj.cast("double") - sj.cast("double") * sj.cast("double") / n
+    # scale-0 rounding only (see ts_bollinger): round(x, d>0) on an
+    # arbitrary double is repr-vs-exact-value ambiguous cross-engine;
+    # covariance renders at 1e-9, correlation at 1e-6
     return sums.select(
         F.col("i").alias("dim_i"),
         F.col("j").alias("dim_j"),
         n.alias("n_vecs"),
-        F.round(cov_num / n / float(_Q) / float(_Q), 9).alias("covariance"),
-        F.round(cov_num / F.sqrt(var_i * var_j), 6).alias("correlation"),
+        (F.round(cov_num / n / 1000.0, 0) / 1e9).alias("covariance"),
+        (F.round(cov_num / F.sqrt(var_i * var_j) * 1e6, 0) / 1e6).alias(
+            "correlation"
+        ),
     )
 
 
@@ -194,11 +199,11 @@ _SQL_DAILY = """
         SELECT series, day,
                round(xq / 1000000.0, 6) AS day_mean,
                n_days,
-               round(CAST(sx AS DOUBLE) / n_days / 1000000.0, 6) AS sma,
+               round(CAST(sx AS DOUBLE) / n_days, 0) / 1000000.0 AS sma,
                round(sqrt(greatest(CAST(sxx AS DOUBLE) / n_days
                                    - (CAST(sx AS DOUBLE) / n_days)
-                                     * (CAST(sx AS DOUBLE) / n_days), 0))
-                     / 1000000.0, 6) AS sigma,
+                                     * (CAST(sx AS DOUBLE) / n_days), 0)),
+                     0) / 1000000.0 AS sigma,
                n_days >= {_BOLL_WINDOW} AND
                  CAST(xq AS DOUBLE) > CAST(sx AS DOUBLE) / n_days
                    + {_BOLL_K} * sqrt(greatest(CAST(sxx AS DOUBLE) / n_days
@@ -243,13 +248,21 @@ def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma = F.sqrt(F.greatest(sxx / n - mean * mean, F.lit(0.0)))
     full = n >= _BOLL_WINDOW
     xd = F.col("xq").cast("double")
+    # round-at-scale-0 only: Spark's round(x, d) rounds the SHORTEST
+    # decimal repr while DuckDB rounds the exact binary value, and a
+    # d>0 tie (X.0000005) is never exactly representable — a value
+    # like sx/n = 65635291.5 exactly renders repr "65.6352915" after
+    # /1e6 while its binary value sits below the tie, so the engines
+    # split. Integer-and-a-half ties ARE representable, so rounding
+    # the micro-unit value at scale 0 and dividing afterwards agrees
+    # everywhere (caught by the sf0.001 suite on this exact cell).
     return w.select(
         "series",
         "day",
         F.round(F.col("xq") / 1000000.0, 6).alias("day_mean"),
         "n_days",
-        F.round(mean / 1000000.0, 6).alias("sma"),
-        F.round(sigma / 1000000.0, 6).alias("sigma"),
+        (F.round(mean, 0) / 1000000.0).alias("sma"),
+        (F.round(sigma, 0) / 1000000.0).alias("sigma"),
         (full & (xd > mean + _BOLL_K * sigma)).alias("above_upper"),
         (full & (xd < mean - _BOLL_K * sigma)).alias("below_lower"),
     )
@@ -297,9 +310,9 @@ _RSI_WINDOW = 14  # days
         SELECT series, day, n_deltas,
                round(gains / 1000000.0, 6) AS gain_sum,
                round(losses / 1000000.0, 6) AS loss_sum,
-               round(CASE WHEN gains + losses = 0 THEN 50.0
-                          ELSE 100.0 * gains / (gains + losses) END, 6)
-                   AS rsi
+               CASE WHEN gains + losses = 0 THEN 50.0
+                    ELSE round(100000000.0 * gains / (gains + losses), 0)
+                         / 1000000.0 END AS rsi
         FROM w WHERE delta IS NOT NULL
     """,
 )
@@ -337,12 +350,11 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_deltas",
         F.round(g / 1000000.0, 6).alias("gain_sum"),
         F.round(l / 1000000.0, 6).alias("loss_sum"),
-        F.round(
-            F.when(g + l == zero, F.lit(50.0)).otherwise(
-                100.0 * g / (g + l)
-            ),
-            6,
-        ).alias("rsi"),
+        # scale-0 rounding only (see ts_bollinger): 6-dp ties on the
+        # arbitrary-ratio double are repr-vs-exact-value ambiguous
+        F.when(g + l == zero, F.lit(50.0))
+        .otherwise(F.round(100000000.0 * g / (g + l), 0) / 1000000.0)
+        .alias("rsi"),
     )
 
 

@@ -157,18 +157,39 @@ def main() -> None:
     )
     c_payload = b"C" + b"\x00" + struct.pack(">QQQ", C_LSN, C_LSN, commit_us)
 
-    stream = b"".join(
-        copydata(xlogdata(lsn, p))
-        for lsn, p in (
-            (0, r_payload),
-            (B_LSN, b_payload),
-            (I_LSN, i_payload),
-            (U_LSN, u_payload),
-            (D_LSN, d_payload),
-            (C_LSN, c_payload),
-        )
-    )
+    frames = [
+        (0, r_payload),
+        (B_LSN, b_payload),
+        (I_LSN, i_payload),
+        (U_LSN, u_payload),
+        (D_LSN, d_payload),
+        (C_LSN, c_payload),
+    ]
+    stream = b"".join(copydata(xlogdata(lsn, p)) for lsn, p in frames)
     (GOLDEN / "copydata_stream.bin").write_bytes(stream)
+
+    # the same stream with primary keepalives interleaved — the mix a
+    # live session actually delivers ('k' frames between XLogData;
+    # the second requests a standby status reply)
+    def keepalive(wal_end: int, reply: int) -> bytes:
+        return copydata(
+            b"k" + struct.pack(">QQb", wal_end, pg_micros(COMMIT_TS), reply)
+        )
+
+    # order: R, B, k(no reply), I, U, k(reply requested), D, C
+    mixed = b"".join(
+        [
+            copydata(xlogdata(0, r_payload)),
+            copydata(xlogdata(B_LSN, b_payload)),
+            keepalive(I_LSN - 1, 0),
+            copydata(xlogdata(I_LSN, i_payload)),
+            copydata(xlogdata(U_LSN, u_payload)),
+            keepalive(D_LSN - 1, 1),
+            copydata(xlogdata(D_LSN, d_payload)),
+            copydata(xlogdata(C_LSN, c_payload)),
+        ]
+    )
+    (GOLDEN / "copydata_stream_keepalive.bin").write_bytes(mixed)
     for f in sorted(GOLDEN.glob("*.bin")):
         print(f"{f.name}: {f.stat().st_size} bytes")
 

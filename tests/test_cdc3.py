@@ -250,3 +250,44 @@ def test_implicit_decompression_marker_first_touch_only(spark, tmp_path):
     assert [r["pos_in_chunk"] for r in inserts] == [2, 3, 4]
     # head-chunk insert (eid 207) emitted nothing
     assert all(r["range_start_s"] == inserts[0]["range_start_s"] for r in out)
+
+
+def test_known_chunks_reload_pause_scenario(spark, tmp_path):
+    """A31 planted scenario: chunks 0-1 exist before the pause point
+    (P = max_lsn/2); chunk 2 is created entirely while paused. On
+    resume: 0-1 keep (no re-snapshot), 2 routes to publish+snapshot
+    with its buffered rows, and needs_snapshot <=> no pre-pause
+    events."""
+    import datetime as dt
+
+    from timescaledb_event_streamer_spark.catalog.chunks import CHUNK_INTERVAL_S
+    from timescaledb_event_streamer_spark.plans.queries_cdc3 import (
+        cdc_known_chunks_reload,
+    )
+
+    c = dt.timedelta(seconds=CHUNK_INTERVAL_S)
+    rows = [
+        # chunk 0: events 0-3 (pre-pause; P = 10//2 = 5)
+        (0, T0, 1, "m", 1.0), (1, T0, 1, "m", 1.0),
+        (2, T0, 1, "m", 1.0), (3, T0, 1, "m", 1.0),
+        # chunk 1: event 4 pre-pause, 7 post-pause (known, streams on)
+        (4, T0 + c, 1, "m", 1.0), (7, T0 + c, 1, "m", 1.0),
+        # chunk 2: events 8-10 all post-pause (created while paused)
+        (8, T0 + 2 * c, 1, "m", 1.0), (9, T0 + 2 * c, 1, "m", 1.0),
+        (10, T0 + 2 * c, 1, "m", 1.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["range_start_s"]: r for r in cdc_known_chunks_reload(spark, sf).collect()
+    }
+    assert len(got) == 3
+    by_order = [got[k] for k in sorted(got)]
+    c0, c1, c2 = by_order
+    assert c0["status"] == "known" and c0["action"] == "keep"
+    assert c0["needs_snapshot"] is False and c0["n_post_pause"] == 0
+    assert c1["status"] == "known" and c1["n_pre_pause"] == 1
+    assert c1["n_post_pause"] == 1  # buffered rows stream on resume
+    assert c2["status"] == "discovered"
+    assert c2["action"] == "publish+snapshot"
+    assert c2["needs_snapshot"] is True and c2["n_pre_pause"] == 0
+    assert c2["n_post_pause"] == 3 and c2["first_lsn"] == 8

@@ -136,6 +136,7 @@ _BNLJ_OK = {
     "corpus_leakage_safe_split",  # single-row broadcast violation proof
     "cdc_dropped_chunk_filter",  # single-row broadcast retention horizon
     "cdc_implicit_decompression",  # single-row broadcast compress horizon
+    "cdc_known_chunks_reload",  # single-row broadcast pause-LSN
 }
 
 

@@ -1166,3 +1166,41 @@ def test_streaming_covariance_matches_batch(spark, sf_small):
         assert proj == batch
     finally:
         shutil.rmtree(own_log, ignore_errors=True)
+
+
+def test_streaming_empty_txn_ack_state(spark, sf_small):
+    """I24: the per-transaction ack state (A29 — counts, commit LSN,
+    last emitted LSN) is all-associative, so it runs unchanged as a
+    complete-mode streaming aggregation over the transaction log;
+    the live form is exactly how the handler keeps acknowledging
+    filtered-out transactions so confirmed_flush never stalls."""
+    from timescaledb_event_streamer_spark.plans.queries_cdc3 import (
+        ack_txn_table,
+    )
+
+    events = load(spark, sf_small, "events")
+    own_log = tempfile.mkdtemp(prefix="acklog-")
+    events.withColumn("b", F.pmod(F.col("event_id"), F.lit(8))).repartition(
+        8, "b"
+    ).drop("b").write.mode("overwrite").parquet(own_log)
+    stream = spark.readStream.schema(events.schema).parquet(own_log)
+    try:
+        q = (
+            ack_txn_table(stream)
+            .writeStream.format("memory")
+            .queryName("ack_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["xid"]: r.asDict()
+            for r in spark.sql("SELECT * FROM ack_stream").collect()
+        }
+        want = {r["xid"]: r.asDict() for r in ack_txn_table(events).collect()}
+        assert got == want and len(want) > 0
+        # the live state really contains fully-filtered transactions
+        assert any(r["n_emitted"] == 0 for r in want.values())
+    finally:
+        shutil.rmtree(own_log, ignore_errors=True)

@@ -465,6 +465,24 @@ def cdc_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.expr(stack_expr))
 
 
+def ack_txn_table(events: DataFrame) -> DataFrame:
+    """The per-transaction acknowledgment state (A29): event/emitted
+    counts, commit LSN and the txn's last emitted data LSN — all
+    ASSOCIATIVE count/sum/max aggregates, so the identical expression
+    maintains live ack state as a complete-mode streaming aggregation
+    (I24, tests/test_streaming.py proves stream == batch row-for-row);
+    the batch query projects the ack verdict columns from it."""
+    emitted = F.col("event_type") == _ACK_PUBLISHED
+    return events.groupBy(
+        F.expr(f"event_id div {_ACK_TXN}").alias("xid")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(emitted.cast("long")).alias("n_emitted"),
+        (F.max("event_id") * 4 + 3).alias("commit_lsn"),
+        F.max(F.when(emitted, F.col("event_id") * 4 + 2)).alias("last_emit"),
+    )
+
+
 #: publication for the ack model: only this table is published, so a
 #: transaction whose events all belong to other tables reaches the
 #: handler as Begin/Commit with nothing to emit
@@ -520,16 +538,7 @@ _ACK_TXN = 10
     """,
 )
 def cdc_empty_txn_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load(spark, sf_dir, "events")
-    emitted = F.col("event_type") == _ACK_PUBLISHED
-    t = events.groupBy(
-        F.expr(f"event_id div {_ACK_TXN}").alias("xid")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(emitted.cast("long")).alias("n_emitted"),
-        (F.max("event_id") * 4 + 3).alias("commit_lsn"),
-        F.max(F.when(emitted, F.col("event_id") * 4 + 2)).alias("last_emit"),
-    )
+    t = ack_txn_table(load(spark, sf_dir, "events"))
     w = (
         Window.partitionBy(F.lit(0))
         .orderBy("xid")
@@ -643,4 +652,83 @@ def cdc_implicit_decompression(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("hypertable_name", "range_start_s").orderBy("lsn")
     return markers.unionByName(inserts).withColumn(
         "pos_in_chunk", F.row_number().over(w).cast("long")
+    )
+
+
+@register(
+    "cdc_known_chunks_reload",
+    family="cdc",
+    doc="Known-chunks reload after a pause (A31, reference test "
+    "Test_Reloading_From_Known_Chunks, tests/publication_test.go:124): "
+    "on resume the streamer reloads the chunk set it knew from state "
+    "storage and diffs it against the live catalog — chunks already "
+    "known stay subscribed with NO re-snapshot, chunks created while "
+    "paused are discovered, added to the publication and snapshotted, "
+    "and their buffered rows flow once resumed. Model: pause point "
+    "P = max(lsn)/2; a chunk is 'known' if it has any event at or "
+    "before P, 'discovered' otherwise; per chunk the row carries the "
+    "action (keep / publish+snapshot), the first LSN, and the "
+    "pre/post-pause event split (discovered chunks must have "
+    "n_pre_pause = 0 by construction — the invariant the reference "
+    "asserts via its publication diff). One catalog-grain reduce "
+    "over a single scan + a 1-row pause-LSN broadcast.",
+    oracle=f"""
+        WITH p AS (SELECT max(event_id) // 2 AS pause_lsn FROM events),
+        keyed AS (
+            SELECT event_type, {_SQL_CHUNK_START} AS range_start_s,
+                   event_id AS lsn
+            FROM events
+        ),
+        chunks AS (
+            SELECT event_type AS hypertable_name, range_start_s,
+                   min(lsn) AS first_lsn,
+                   CAST(sum(CASE WHEN lsn <= p.pause_lsn THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pre_pause,
+                   CAST(sum(CASE WHEN lsn > p.pause_lsn THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_post_pause
+            FROM keyed, p GROUP BY 1, 2
+        )
+        SELECT hypertable_name, range_start_s, first_lsn,
+               CASE WHEN n_pre_pause > 0 THEN 'known'
+                    ELSE 'discovered' END AS status,
+               CASE WHEN n_pre_pause > 0 THEN 'keep'
+                    ELSE 'publish+snapshot' END AS action,
+               n_pre_pause, n_post_pause,
+               n_pre_pause = 0 AS needs_snapshot
+        FROM chunks
+    """,
+)
+def cdc_known_chunks_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.catalog.chunks import chunk_start_epoch
+
+    events = load(spark, sf_dir, "events")
+    pause = events.agg(F.expr("max(event_id) div 2").alias("pause_lsn"))
+    keyed = events.crossJoin(F.broadcast(pause)).select(
+        "event_type",
+        chunk_start_epoch(F.col("ts")).alias("range_start_s"),
+        F.col("event_id").alias("lsn"),
+        "pause_lsn",
+    )
+    pre = (F.col("lsn") <= F.col("pause_lsn")).cast("long")
+    chunks = keyed.groupBy(
+        F.col("event_type").alias("hypertable_name"), "range_start_s"
+    ).agg(
+        F.min("lsn").alias("first_lsn"),
+        F.sum(pre).alias("n_pre_pause"),
+        F.sum(F.lit(1) - pre).alias("n_post_pause"),
+    )
+    known = F.col("n_pre_pause") > 0
+    return chunks.select(
+        "hypertable_name",
+        "range_start_s",
+        "first_lsn",
+        F.when(known, F.lit("known")).otherwise(F.lit("discovered")).alias(
+            "status"
+        ),
+        F.when(known, F.lit("keep"))
+        .otherwise(F.lit("publish+snapshot"))
+        .alias("action"),
+        "n_pre_pause",
+        "n_post_pause",
+        (~known).alias("needs_snapshot"),
     )

@@ -209,3 +209,32 @@ def test_importance_resample_contract(spark, sf_mid):
         if w == 1.0:
             assert doc_id in kept
     assert 0 < len(kept) < len(docs)
+
+
+def test_candlestick_vwap_hand_computed(spark, tmp_path):
+    """B75: OHLC by LSN order, volume from props.k, VWAP =
+    turnover/volume with micro-unit scale-0 rounding."""
+    import json
+
+    from timescaledb_event_streamer_spark.plans.queries_round6 import (
+        ts_candlestick,
+    )
+
+    rows = [
+        (0, T0, 1, "m", 10.00, json.dumps({"k": 2})),   # open
+        (1, T0, 1, "m", 30.00, json.dumps({"k": 1})),   # high
+        (2, T0, 1, "m", 5.00, json.dumps({"k": 3})),    # low
+        (3, T0, 1, "m", 20.00, json.dumps({"k": 4})),   # close
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = ts_candlestick(spark, str(tmp_path)).collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"]) == (10.0, 30.0, 5.0, 20.0)
+    assert r["n_trades"] == 4 and r["volume"] == 10
+    # turnover = 1000*2 + 3000*1 + 500*3 + 2000*4 = 14500 cents
+    assert r["turnover_cents"] == 14500
+    # vwap = 14500/10 cents = 14.5 -> micro round exact
+    assert r["vwap"] == 14.5

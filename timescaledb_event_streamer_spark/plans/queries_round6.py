@@ -560,3 +560,71 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         u8.alias("u8"),
         thr.alias("_thr"),
     ).filter(F.col("u8") < F.col("_thr")).drop("_thr")
+
+
+@register(
+    "ts_candlestick",
+    family="timeseries",
+    doc="Full candlestick_agg accessor set (B75): B17's OHLC extended "
+    "with volume and VWAP per (series, day) — volume rides the "
+    "props JSON payload ($.k, the J1-typed extraction), turnover is "
+    "the exact integer sum of cents x volume, and VWAP = "
+    "turnover/volume renders through the r6 scale-0 rounding rule "
+    "(micro-unit round then divide — a d>0 round on the arbitrary "
+    "ratio would be repr-vs-exact ambiguous cross-engine). Every "
+    "aggregate is map-side-combinable: one shuffle of tiny partials, "
+    "day-grain output.",
+    oracle="""
+        SELECT event_type AS series,
+               CAST(epoch_us(ts) // 1000000
+                    - epoch_us(ts) // 1000000 % 86400 AS BIGINT)
+                   AS bucket_day_s,
+               arg_min(value, event_id) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, event_id) AS close,
+               CAST(count(*) AS BIGINT) AS n_trades,
+               CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS volume,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        * CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                   AS turnover_cents,
+               round(CAST(sum(CAST(round(value * 100) AS BIGINT)
+                              * CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
+                     * 10000.0
+                     / sum(CAST(props->>'$.k' AS BIGINT)), 0) / 1000000.0
+                   AS vwap
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def ts_candlestick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    vol = F.get_json_object("props", "$.k").cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    day = (
+        F.unix_micros(F.col("ts")) / 1_000_000
+    ).cast("long")
+    bucket = (F.col("_es") - F.pmod(F.col("_es"), F.lit(86400))).alias(
+        "bucket_day_s"
+    )
+    agg = (
+        events.withColumn("_es", day)
+        .groupBy(F.col("event_type").alias("series"), bucket)
+        .agg(
+            F.min_by("value", "event_id").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "event_id").alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(vol).alias("volume"),
+            F.sum(cents * vol).alias("turnover_cents"),
+        )
+    )
+    return agg.withColumn(
+        "vwap",
+        F.round(
+            F.col("turnover_cents").cast("double") * 10000.0 / F.col("volume"),
+            0,
+        )
+        / 1000000.0,
+    )

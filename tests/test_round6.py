@@ -145,18 +145,37 @@ def test_drawdown_known_series(spark, tmp_path):
 
 
 def test_covariance_single_exchange_and_partial_agg(spark, sf_small):
-    """The scale contract: one exchange, 2080-key grain, hash partial
-    aggregation before it (shuffle traffic independent of corpus
-    size)."""
-    plan = (
+    """The scale contract, both halves: (1) the sums BUILD is one
+    hash-partial aggregation with a single 2144-key exchange —
+    shuffle traffic independent of corpus size; (2) the projection
+    reads the checkpointed sums (zero parquet scans in its executed
+    plan), so the five reshape branches never re-run the corpus
+    pipeline."""
+    import re
+
+    from timescaledb_event_streamer_spark.plans.queries_round6 import (
+        covariance_sums,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    build = (
+        covariance_sums(load(spark, sf_small, "embeddings"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange (?:hash|range|Single)", build)) == 1
+    assert "HashAggregate" in build
+    assert "BatchEvalPython" not in build
+
+    proj = (
         embedding_covariance(spark, sf_small)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("Exchange") == 1
-    assert "HashAggregate" in plan
-    assert "BatchEvalPython" not in plan
+    assert "Scan parquet" not in proj  # checkpointed sums, built once
+    assert "BatchEvalPython" not in proj
 
 
 def test_ngram_novelty_planted(spark, tmp_path):

@@ -1151,7 +1151,8 @@ def test_streaming_covariance_matches_batch(spark, sf_small):
         want = {
             (r["i"], r["j"]): r.asDict() for r in covariance_sums(emb).collect()
         }
-        assert got == want and len(want) == 64 * 65 // 2
+        # 2080 upper-triangle product cells + 64 (i, -1) plain-sum rows
+        assert got == want and len(want) == 64 * 65 // 2 + 64
         # and the projection over the streamed sums equals the batch query
         proj = {
             (r["dim_i"], r["dim_j"]): r.asDict()

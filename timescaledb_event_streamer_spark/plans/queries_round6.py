@@ -83,46 +83,68 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def covariance_sums(emb: DataFrame) -> DataFrame:
-    """The covariance partial-sum table: count + six exact integer
-    sums per (i, j) upper-triangle cell. Every column is an
-    associative count/sum, so the identical expression maintains the
+    """The covariance partial-sum table, SLIM form: one (i, j, sum)
+    cell per upper-triangle product plus a (i, -1) pseudo-pair per
+    dim carrying the plain sum — 2144 three-field entries per vector
+    instead of 2080 seven-field ones (the first form re-summed
+    si/sj/sii/sjj redundantly in every cell; diagonal cells already
+    ARE sii, measured ~2x less explode CPU). Still ONE associative
+    count/sum aggregation, so the identical expression maintains the
     matrix as a complete-mode STREAMING aggregation over a vector
     stream (I23 — tests/test_streaming.py proves stream == batch
-    cell-for-cell); the batch query just projects covariance/
-    correlation from it."""
+    cell-for-cell); covariance_from_sums reshapes via 64-row
+    broadcast joins."""
     # multiply in DOUBLE: float32 * int would round the product to
     # float32 and diverge from the oracle's double arithmetic
     q = F.expr(
         f"transform(embedding, v -> cast(round(cast(v as double) * {_Q}) as long))"
     )
-    # 2080 upper-triangle products per vector, exploded INSIDE the
-    # pre-shuffle stage: hash partial-aggregation collapses them to
-    # 2080 keys per partition before any exchange
-    pairs = F.expr(
-        f"flatten(transform(sequence(0, {_EMB_DIM - 1}), i ->"
-        f" transform(sequence(i, {_EMB_DIM - 1}), j -> struct("
-        "   i AS i, j AS j,"
-        "   q[i] * q[j] AS pq, q[i] AS vi, q[j] AS vj,"
-        "   q[i] * q[i] AS pii, q[j] * q[j] AS pjj))))"
+    entries = F.expr(
+        f"concat("
+        f" transform(sequence(0, {_EMB_DIM - 1}),"
+        "   i -> struct(i AS i, -1 AS j, q[i] AS v)),"
+        f" flatten(transform(sequence(0, {_EMB_DIM - 1}), i ->"
+        f"  transform(sequence(i, {_EMB_DIM - 1}),"
+        "    j -> struct(i AS i, j AS j, q[i] * q[j] AS v)))))"
     )
     return (
         emb.select(q.alias("q"))
-        .select(F.explode(pairs).alias("p"))
+        .select(F.explode(entries).alias("p"))
         .groupBy("p.i", "p.j")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("p.pq").alias("spq"),
-            F.sum("p.vi").alias("si"),
-            F.sum("p.vj").alias("sj"),
-            F.sum("p.pii").alias("sii"),
-            F.sum("p.pjj").alias("sjj"),
-        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p.v").alias("s"))
     )
 
 
 def covariance_from_sums(sums: DataFrame) -> DataFrame:
-    n = F.col("n")
-    spq, si, sj = F.col("spq"), F.col("si"), F.col("sj")
+    """Covariance/correlation projection over the slim sums table:
+    (i, -1) rows carry si and N, diagonal rows carry sii; both are
+    64-row tables, broadcast back onto the 2080 product cells.
+
+    The sums table feeds FIVE branches (cells + two dim views + two
+    diagonal views); without a materialization boundary each branch
+    re-runs the whole explode/aggregate pipeline — audited at 5
+    corpus scans. It is 2144 rows, so the eager localCheckpoint is
+    free (the D20 inverted-index precedent)."""
+    sums = sums.localCheckpoint(eager=True)
+    dims = sums.filter(F.col("j") == -1).select(
+        F.col("i").alias("d"), F.col("s").alias("sd"), F.col("n").alias("nd")
+    )
+    cells = sums.filter(F.col("j") >= 0)
+    di = dims.select(
+        F.col("d").alias("i"), F.col("sd").alias("si"), F.col("nd").alias("n_vecs")
+    )
+    dj = dims.select(F.col("d").alias("j"), F.col("sd").alias("sj"))
+    diag = sums.filter(F.col("i") == F.col("j"))
+    gi = diag.select(F.col("i").alias("i"), F.col("s").alias("sii"))
+    gj = diag.select(F.col("j").alias("j"), F.col("s").alias("sjj"))
+    t = (
+        cells.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .join(F.broadcast(gi), "i")
+        .join(F.broadcast(gj), "j")
+    )
+    n = F.col("n_vecs")
+    spq, si, sj = F.col("s"), F.col("si"), F.col("sj")
     sii, sjj = F.col("sii"), F.col("sjj")
     cov_num = spq.cast("double") - si.cast("double") * sj.cast("double") / n
     var_i = sii.cast("double") - si.cast("double") * si.cast("double") / n
@@ -130,10 +152,10 @@ def covariance_from_sums(sums: DataFrame) -> DataFrame:
     # scale-0 rounding only (see ts_bollinger): round(x, d>0) on an
     # arbitrary double is repr-vs-exact-value ambiguous cross-engine;
     # covariance renders at 1e-9, correlation at 1e-6
-    return sums.select(
+    return t.select(
         F.col("i").alias("dim_i"),
         F.col("j").alias("dim_j"),
-        n.alias("n_vecs"),
+        "n_vecs",
         (F.round(cov_num / n / 1000.0, 0) / 1e9).alias("covariance"),
         (F.round(cov_num / F.sqrt(var_i * var_j) * 1e6, 0) / 1e6).alias(
             "correlation"

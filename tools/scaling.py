@@ -114,6 +114,8 @@ REPS = [
     ("ts_drawdown", "running-peak drawdown fold"),
     ("text_ngram_novelty", "first-occurrence novelty join"),
     ("corpus_importance_resample", "md5-threshold acceptance"),
+    ("ts_candlestick", "OHLC+volume+vwap reduce"),
+    ("cdc_empty_txn_ack", "txn-grain ack fold"),
 ]
 
 
@@ -268,8 +270,9 @@ def main() -> None:
         "oracle-side df table) — the relative cap binds at sf0.01",
         "(max df 7 > cap 5) but cannot bind at sf0.1 (max df 25 < cap",
         "50) because density, not a stopword tail, carries the mass.",
-        "Time grew 27.7x against 94x more candidate work, i.e. the",
-        "inverted-index plan is ~3x SUBLINEAR in its candidate mass;",
+        "Time grew 16-28x across repeats against 94x more candidate",
+        "work, i.e. the inverted-index plan stays SUBLINEAR in its",
+        "candidate mass;",
         "on real Zipf-vocabulary corpora the df distribution is",
         "scale-stable (vocabulary grows instead of density) and the",
         "cap bounds per-term groups exactly as the D21 docstring",

@@ -210,6 +210,71 @@ def test_empty_txn_ack_advances_confirmed_flush(spark, tmp_path):
         assert r["ack_lsn"] > 7 * 4 + 2
 
 
+def test_empty_txn_ack_prefix_scan_multibucket(spark, tmp_path):
+    """The two-phase prefix max (ack_emitted_high) must equal the
+    naive global running max even when the txns span many buckets —
+    bucket=16 over 40 txns forces 3 buckets, exercising the exclusive
+    bucket-prefix broadcast + bucket-local window composition."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.plans.queries_cdc3 import (
+        ack_emitted_high,
+        ack_txn_table,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    rows = []
+    # 40 txns x 10 events; purchases scattered so last_emit is null
+    # for some txns and the running max crosses bucket boundaries
+    for eid in range(400):
+        et = "purchase" if eid % 37 == 3 else "view"
+        rows.append((eid, T0, 1, et, 1.0))
+    sf = _write_events(spark, tmp_path, rows)
+    t = ack_txn_table(load(spark, sf, "events"))
+    got = {
+        r["xid"]: r["emitted_high"]
+        for r in ack_emitted_high(t, bucket=16).collect()
+    }
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("xid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["xid"]: r["eh"]
+        for r in t.select(
+            "xid", F.max("last_emit").over(w).alias("eh")
+        ).collect()
+    }
+    assert len(got) == 40 and got == want
+
+
+def test_empty_txn_ack_no_global_window_over_txn_rows(spark, sf_small):
+    """Plan audit for the r6 verdict's scale finding: the txn-grain
+    running max must be a bucket-partitioned window; the only
+    unpartitioned window allowed is the one over the metadata-sized
+    bucket table (orders by ack_bucket, not xid)."""
+    from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+    plan = (
+        all_queries()["cdc_empty_txn_ack"](spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition(" not in line:
+            continue
+        spec = line[line.index("windowspecdefinition(") :]
+        if "xid#" in spec.split(",")[0] or ", xid#" in spec.split(")")[0]:
+            # txn-grain ordering -> must be partitioned by the bucket
+            assert "ack_bucket#" in spec, line
+        else:
+            # bucket-grain window: orders by ack_bucket only
+            assert "ack_bucket#" in spec, line
+
+
 def test_implicit_decompression_marker_first_touch_only(spark, tmp_path):
     """A30 planted scenario: one compressed chunk receives inserts
     from two transactions — exactly ONE '$d' marker appears, carries

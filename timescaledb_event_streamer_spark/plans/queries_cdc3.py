@@ -492,6 +492,52 @@ _ACK_PUBLISHED = "purchase"
 #: transactions are fully filtered, so both ack branches certify)
 _ACK_TXN = 10
 
+#: prefix-scan bucket width (txns/bucket) for the emitted-LSN running
+#: max: 2^20 keeps the bucket table metadata-sized even at 10^10
+#: transactions (10^4 bucket rows) while each bucket-local window
+#: sorts at most 2^20 rows in one task
+_ACK_BUCKET = 1 << 20
+
+
+def ack_emitted_high(t: DataFrame, bucket: int = _ACK_BUCKET) -> DataFrame:
+    """Scale-safe running max of emitted data LSNs over commit (xid)
+    order — the confirmed_flush_lsn prefix the ack verdict compares
+    against. Two-phase prefix scan instead of a global window: (1) a
+    keyed aggregate computes each bucket's max emitted LSN (map-side
+    combinable, fully parallel); (2) a window over the BUCKET table
+    (metadata-sized: n_txns / bucket rows) turns those into exclusive
+    per-bucket prefixes; (3) the prefix broadcast-joins back and a
+    bucket-partitioned window finishes the in-bucket running max. No
+    task ever sorts more than `bucket` rows, so the plan survives
+    10^10 transactions where the old Window.partitionBy(lit(0))
+    serialized everything through one task."""
+    b = t.withColumn("ack_bucket", F.expr(f"xid div {int(bucket)}"))
+    wb = (
+        Window.orderBy("ack_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = (
+        b.groupBy("ack_bucket")
+        .agg(F.max("last_emit").alias("bucket_max"))
+        .select(
+            "ack_bucket",
+            F.max("bucket_max").over(wb).alias("prefix_emit"),
+        )
+    )
+    wl = (
+        Window.partitionBy("ack_bucket")
+        .orderBy("xid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(prefix), "ack_bucket")
+        .withColumn(
+            "emitted_high",
+            F.greatest(F.col("prefix_emit"), F.max("last_emit").over(wl)),
+        )
+        .drop("ack_bucket", "prefix_emit")
+    )
+
 
 @register(
     "cdc_empty_txn_ack",
@@ -507,10 +553,11 @@ _ACK_TXN = 10
     "layout, 4*max_event_id+3), the emitted count after the "
     "publication filter, an acked_without_data flag, and "
     "ack_beyond_emitted = commit LSN > every emitted data LSN so "
-    "far — the reference's lsn2 > lsn1 assertion as a column. "
-    "Txn-grain rows only (metadata-sized; the running max over "
-    "commit order is the same deliberate single-partition "
-    "metadata window as the pgoutput cross-segment carry).",
+    "far — the reference's lsn2 > lsn1 assertion as a column. The "
+    "running max over commit order is a two-phase prefix scan "
+    "(ack_emitted_high): bucket-keyed partial max, a window over "
+    "the metadata-sized bucket table, broadcast back, bucket-local "
+    "window — no single-partition window over txn-grain rows.",
     oracle=f"""
         WITH t AS (
             SELECT event_id // {_ACK_TXN} AS xid,
@@ -538,12 +585,7 @@ _ACK_TXN = 10
     """,
 )
 def cdc_empty_txn_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = ack_txn_table(load(spark, sf_dir, "events"))
-    w = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("xid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    t = ack_emitted_high(ack_txn_table(load(spark, sf_dir, "events")))
     return t.select(
         "xid",
         "n_events",
@@ -552,7 +594,7 @@ def cdc_empty_txn_ack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_emitted") == 0).alias("acked_without_data"),
         (
             F.col("commit_lsn")
-            > F.coalesce(F.max("last_emit").over(w), F.lit(0))
+            > F.coalesce(F.col("emitted_high"), F.lit(0))
         ).alias("ack_beyond_emitted"),
     )
 

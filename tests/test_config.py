@@ -149,6 +149,24 @@ def test_condition_translation():
     assert condition_to_sql("a != 1 || !b") == "a != 1  OR   NOT b"
 
 
+def test_condition_translation_preserves_string_literals():
+    """Operators inside quoted literals must survive untouched
+    (ADVICE r6): only the unquoted segments are translated."""
+    assert (
+        condition_to_sql('value.after.name == "a&&b" && x == 1')
+        == 'value.after.name  =  "a&&b"  AND  x  =  1'
+    )
+    assert (
+        condition_to_sql("tag == 'u||v' || op == \"!=\"")
+        == "tag  =  'u||v'  OR  op  =  \"!=\""
+    )
+    # escaped quote inside a literal does not end the hold-out
+    assert (
+        condition_to_sql('name == "a\\"&&b" && y')
+        == 'name  =  "a\\"&&b"  AND  y'
+    )
+
+
 # ------------------------------------------------------------- assembly
 
 
@@ -206,6 +224,46 @@ def test_build_applies_event_flags(spark, sf_small, tmp_path):
     baseline = _assembly(tmp_path).build(load(spark, sf_small, "events"))
     base_ops = {r["op"] for r in baseline.select("op").distinct().collect()}
     assert "u" in base_ops  # only the flag removed the updates
+
+
+def test_build_postgresql_stream_uses_pg_sections(spark, sf_small, tmp_path):
+    """The vanilla-postgres stream applies postgresql.tables /
+    postgresql.events (ADVICE r6: those sections were parsed but
+    inert) — mirroring the reference's split resolution of
+    hypertable vs plain relations."""
+    cfg_path = _write(
+        tmp_path,
+        PIPELINE_TOML.format(
+            state_path=str(tmp_path / "state.dat"),
+            sink="stdout",
+            tombstone="false",
+            prefix="timescaledb",
+            update="true",
+        )
+        + textwrap.dedent(
+            """\
+            postgresql.tables.excludes = ['public.click']
+            postgresql.tables.includes = ['public.*']
+            postgresql.events.update = false
+            """
+        ),
+    )
+    asm = from_config(cfg_path)
+    events = load(spark, sf_small, "events")
+    pg = asm.build(events, table_class="postgresql")
+    tables = {r["source_table"] for r in pg.select("source_table").distinct().collect()}
+    assert "click" not in tables and "purchase" in tables
+    ops = {r["op"] for r in pg.select("op").distinct().collect()}
+    assert "u" not in ops and {"c", "d"} <= ops
+    # the hypertable stream is governed by its own sections
+    ht = asm.build(events)
+    ht_tables = {
+        r["source_table"] for r in ht.select("source_table").distinct().collect()
+    }
+    assert "purchase" not in ht_tables and "click" in ht_tables
+    assert "u" in {r["op"] for r in ht.select("op").distinct().collect()}
+    with pytest.raises(ValueError):
+        asm.build(events, table_class="nonsense")
 
 
 def test_build_emits_tombstones_when_configured(spark, sf_small, tmp_path):

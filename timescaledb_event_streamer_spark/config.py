@@ -309,17 +309,33 @@ _EXPR_TRANSLATIONS = (
     (re.compile(r"!(?![=])"), " NOT "),
 )
 
+#: quoted string literals (either quote style, backslash escapes) —
+#: operator translation must never reach inside these
+_QUOTED = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'')
+
 
 def condition_to_sql(condition: str) -> str:
     """Translate the expr-lang surface operators of a
     `sink.filters.*.condition` to Spark SQL. The conditions address
     the same shapes (`value.op == "u" && value.before.id == 2`,
     config.example.toml:23); struct field access and comparison
-    syntax already agree between the two languages."""
-    sql = condition
+    syntax already agree between the two languages. String literals
+    are held out of the substitution, so `value.name == "a&&b"`
+    keeps its literal intact."""
+    parts = []
+    last = 0
+    for m in _QUOTED.finditer(condition):
+        seg = condition[last : m.start()]
+        for pat, rep in _EXPR_TRANSLATIONS:
+            seg = pat.sub(rep, seg)
+        parts.append(seg)
+        parts.append(m.group(0))
+        last = m.end()
+    tail = condition[last:]
     for pat, rep in _EXPR_TRANSLATIONS:
-        sql = pat.sub(rep, sql)
-    return sql
+        tail = pat.sub(rep, tail)
+    parts.append(tail)
+    return "".join(parts)
 
 
 class PipelineAssembly:
@@ -365,8 +381,9 @@ class PipelineAssembly:
 
     # -- op flags --------------------------------------------------------
 
-    def _enabled_ops(self) -> list[str]:
-        flags = self.config.ts_events
+    def _enabled_ops(self, flags: EventFlags | None = None) -> list[str]:
+        if flags is None:
+            flags = self.config.ts_events
         ops = []
         if flags.read:
             ops.append("r")
@@ -384,15 +401,31 @@ class PipelineAssembly:
 
     # -- build -----------------------------------------------------------
 
-    def build(self, events: DataFrame) -> DataFrame:
+    def build(
+        self, events: DataFrame, table_class: str = "hypertable"
+    ) -> DataFrame:
+        """Assemble the configured pipeline for one replication
+        stream. `table_class` picks which config section governs it,
+        mirroring the reference's split resolution paths
+        (replicationresolver.go routes hypertable relations through
+        timescaledb.{hypertables,events} and vanilla relations
+        through postgresql.{tables,events}): 'hypertable' applies
+        the hypertable selection + ts event flags, 'postgresql' the
+        plain-table selection + pg event flags."""
         from timescaledb_event_streamer_spark.streaming.pipelines import (
             filtered_routed,
         )
 
+        if table_class == "hypertable":
+            tf, flags = self.table_filter, self.config.ts_events
+        elif table_class == "postgresql":
+            tf, flags = self.pg_table_filter, self.config.pg_events
+        else:
+            raise ValueError(f"unknown table class {table_class!r}")
         env = filtered_routed(
-            events, table_filter=self.table_filter, prefix=self.config.topic_prefix
+            events, table_filter=tf, prefix=self.config.topic_prefix
         )
-        env = env.filter(F.col("op").isin(self._enabled_ops()))
+        env = env.filter(F.col("op").isin(self._enabled_ops(flags)))
         for spec in self.config.sink_filters:
             env = self._apply_event_filter(env, spec)
         env = env.withColumn("is_tombstone", F.lit(False))

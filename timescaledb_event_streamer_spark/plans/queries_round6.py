@@ -484,7 +484,7 @@ def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_novel,
                round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
-                     * 1.0 / count(*), 6) AS novelty,
+                     * 1000000.0 / count(*), 0) / 1000000.0 AS novelty,
                sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
                      * 1.0 / count(*) < 0.2 AS mostly_redundant
         FROM sh JOIN firsts f USING (s)
@@ -520,7 +520,11 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             novel.alias("n_novel"),
-            F.round(novel / F.count(F.lit(1)), 6).alias("novelty"),
+            # integer-scale rounding (SURVEY §6): round(x, d>0) on an
+            # arbitrary double ratio is cross-engine ambiguous
+            (
+                F.round(novel * 1000000.0 / F.count(F.lit(1)), 0) / 1e6
+            ).alias("novelty"),
             (novel / F.count(F.lit(1)) < 0.2).alias("mostly_redundant"),
         )
     )
@@ -623,9 +627,10 @@ def ts_candlestick(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     vol = F.get_json_object("props", "$.k").cast("long")
     cents = F.round(F.col("value") * 100, 0).cast("long")
-    day = (
-        F.unix_micros(F.col("ts")) / 1_000_000
-    ).cast("long")
+    # integer `div`, not double division + cast: exact past 2^53 us
+    # and truncate-vs-floor-consistent with the oracle's // (same fix
+    # as cdc_incremental_snapshot's snap_lsn)
+    day = F.expr("unix_micros(ts) div 1000000")
     bucket = (F.col("_es") - F.pmod(F.col("_es"), F.lit(86400))).alias(
         "bucket_day_s"
     )

@@ -335,3 +335,299 @@ def restart_source(
         .when(offset_lsn.isNotNull() & (chosen == offset_lsn), "offset")
         .otherwise(F.lit("xlog_pos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# transport loop: the receive/ack pump the reference runs around these
+# codecs (replicationhandler.go:115-190 receive loop + 5s standby
+# cadence, replicationconnection.go:93-104 SendStatusUpdate with
+# write == apply == processed + 1). Pure driver-side Python — it moves
+# bytes between a socket/file-like and the landing directory the Spark
+# file stream watches; every frame it lands is decoded by the SAME
+# column codecs above (parse_pgoutput et al.), so the transport adds
+# no byte knowledge of its own beyond protocol-v3 framing. psycopg is
+# NOT required: any object with recv()/sendall() (a socket) or
+# read()/write() (a file pair, a pipe) carries the session.
+
+
+def _frame_reader(conn):
+    """Adapt a socket or file-like to a pull-one-chunk callable."""
+    if hasattr(conn, "recv"):
+        return lambda n: conn.recv(n)
+    return lambda n: conn.read(n)
+
+
+def _frame_writer(conn):
+    if hasattr(conn, "sendall"):
+        return conn.sendall
+    if hasattr(conn, "write"):
+        return conn.write
+    return lambda b: None  # read-only replay source: acks are logged
+
+
+class ProtocolError(RuntimeError):
+    """Backend sent an ErrorResponse or a malformed frame."""
+
+
+class ReplicationFeeder:
+    """The live-session transport pump (VERDICT r6 item 3).
+
+    Drives a `replication=database` conversation over any byte
+    transport: sends the three handshake commands, decodes their
+    replies (the same layouts `parse_identify_system` /
+    `parse_create_slot_reply` / `decode_copy_both` cover — a pytest
+    cross-checks this parser against those column codecs on the
+    golden bytes), then pumps CopyData frames into `landing_dir` as
+    hex lines while maintaining the standby-status cadence:
+
+    - every `status_interval_s` (reference: 5s,
+      replicationhandler.go:119) a StandbyStatusUpdate goes out with
+      write == apply == flush == processed + 1, where processed is
+      the AcknowledgeReceived position walStart + len(payload) —
+      identical to parse_standby_status / cdc_keepalive_status (J14);
+    - a primary keepalive with reply-requested forces the status out
+      immediately (replicationhandler.go:174-176 zeroes the
+      deadline);
+    - frames land atomically (tmp + rename), one hex frame per line,
+      so Spark's file source never sees a partial file.
+
+    The clock is injected for determinism in tests; a live deployment
+    passes nothing and gets wall time.
+    """
+
+    STATUS_INTERVAL_S = 5.0
+
+    def __init__(
+        self,
+        conn,
+        landing_dir=None,
+        slot_name: str = "timescaledb_streamer",
+        publication: str = "timescaledb_streamer",
+        status_interval_s: float = STATUS_INTERVAL_S,
+        frames_per_file: int = 64,
+        clock=None,
+        wallclock_us=None,
+    ):
+        import time as _time
+
+        self._recv = _frame_reader(conn)
+        self._send = _frame_writer(conn)
+        self.landing_dir = landing_dir
+        self.slot_name = slot_name
+        self.publication = publication
+        self.status_interval_s = status_interval_s
+        self.frames_per_file = frames_per_file
+        self._clock = clock or _time.monotonic
+        self._wallclock_us = wallclock_us or (
+            lambda: int(_time.time() * 1_000_000)
+        )
+        self._buf = b""
+        self._pending: list[str] = []
+        self._file_seq = 0
+        #: AcknowledgeReceived position (walStart + payload length of
+        #: the last XLogData) — what SendStatusUpdate acks + 1
+        self.processed_lsn = 0
+        self.server_wal_end = 0
+        self.frames_landed = 0
+        self.status_log: list[dict] = []
+        self._next_status_at = self._clock() + status_interval_s
+
+    # -- protocol-v3 framing ------------------------------------------------
+
+    def _read_message(self):
+        """One backend message (type byte, body bytes) or None on a
+        clean EOF at a message boundary."""
+        import struct
+
+        while len(self._buf) < 5:
+            chunk = self._recv(65536)
+            if not chunk:
+                if self._buf:
+                    raise ProtocolError(
+                        f"EOF mid-frame ({len(self._buf)} bytes buffered)"
+                    )
+                return None
+            self._buf += chunk
+        mtype = self._buf[0:1]
+        (length,) = struct.unpack(">I", self._buf[1:5])
+        total = 1 + length
+        while len(self._buf) < total:
+            chunk = self._recv(65536)
+            if not chunk:
+                raise ProtocolError("EOF mid-frame")
+            self._buf += chunk
+        body = self._buf[5:total]
+        self._buf = self._buf[total:]
+        if mtype == b"E":
+            raise ProtocolError(f"backend ErrorResponse: {body!r}")
+        return mtype.decode(), body
+
+    def _query(self, sql: str) -> None:
+        import struct
+
+        body = sql.encode() + b"\x00"
+        self._send(b"Q" + struct.pack(">I", len(body) + 4) + body)
+
+    # -- handshake ------------------------------------------------------------
+
+    @staticmethod
+    def _simple_reply(messages) -> dict:
+        """Fold a RowDescription + DataRow reply into {field: text} —
+        the same layout parse_identify_system/parse_create_slot_reply
+        decode column-side (cross-checked in pytest)."""
+        import struct
+
+        fields: list[str] = []
+        values: list = []
+        for mtype, body in messages:
+            if mtype == "T":
+                (nf,) = struct.unpack(">h", body[:2])
+                pos = 2
+                for _ in range(nf):
+                    end = body.index(b"\x00", pos)
+                    fields.append(body[pos:end].decode())
+                    pos = end + 1 + 18  # fixed per-field descriptor
+            elif mtype == "D":
+                (nc,) = struct.unpack(">h", body[:2])
+                pos = 2
+                for _ in range(nc):
+                    (ln,) = struct.unpack(">i", body[pos : pos + 4])
+                    pos += 4
+                    if ln < 0:
+                        values.append(None)
+                    else:
+                        values.append(body[pos : pos + ln].decode())
+                        pos += ln
+        return dict(zip(fields, values))
+
+    def _read_simple_reply(self) -> dict:
+        msgs = []
+        while True:
+            m = self._read_message()
+            if m is None:
+                raise ProtocolError("EOF during simple-query reply")
+            msgs.append(m)
+            if m[0] == "C":  # CommandComplete ends the reply
+                return self._simple_reply(msgs)
+
+    def handshake(self, restart_lsn_text: str | None = None) -> dict:
+        """IDENTIFY_SYSTEM -> CREATE_REPLICATION_SLOT ->
+        START_REPLICATION, returning the decoded session facts. The
+        start point defaults to the slot's consistent point (fresh
+        slot, the restart rule's confirmed-flush branch)."""
+        self._query("IDENTIFY_SYSTEM")
+        ident = self._read_simple_reply()
+        self._query(
+            f"CREATE_REPLICATION_SLOT {self.slot_name} LOGICAL pgoutput "
+            "EXPORT_SNAPSHOT"
+        )
+        slot = self._read_simple_reply()
+        start_at = restart_lsn_text or slot.get(
+            "consistent_point", ident.get("xlogpos", "0/0")
+        )
+        self._query(
+            f"START_REPLICATION SLOT {self.slot_name} LOGICAL {start_at} "
+            f"(proto_version '1', publication_names '{self.publication}')"
+        )
+        m = self._read_message()
+        if m is None or m[0] != "W":
+            raise ProtocolError(f"expected CopyBothResponse, got {m!r}")
+        return {
+            "system_id": ident.get("systemid"),
+            "timeline": int(ident["timeline"]) if ident.get("timeline") else None,
+            "xlogpos_text": ident.get("xlogpos"),
+            "slot_name": slot.get("slot_name"),
+            "consistent_point_text": slot.get("consistent_point"),
+            "snapshot_name": slot.get("snapshot_name"),
+            "output_plugin": slot.get("output_plugin"),
+            "start_lsn_text": start_at,
+        }
+
+    # -- standby status -------------------------------------------------------
+
+    def send_status(self, reply_requested: bool = False) -> dict:
+        """StandbyStatusUpdate with write == flush == apply ==
+        processed + 1 (replicationconnection.go:96-101; pglogrepl
+        copies write into flush when unset)."""
+        import struct
+
+        pos = self.processed_lsn + 1
+        client_us = self._wallclock_us() - 946_684_800_000_000  # PG epoch
+        body = b"r" + struct.pack(
+            ">QQQQb", pos, pos, pos, client_us, 1 if reply_requested else 0
+        )
+        self._send(b"d" + struct.pack(">I", len(body) + 4) + body)
+        rec = {
+            "write_lsn": pos,
+            "flush_lsn": pos,
+            "apply_lsn": pos,
+            "reply_requested": bool(reply_requested),
+        }
+        self.status_log.append(rec)
+        self._next_status_at = self._clock() + self.status_interval_s
+        return rec
+
+    # -- landing ---------------------------------------------------------------
+
+    def _land(self, frame: bytes) -> None:
+        self._pending.append(frame.hex().upper())
+        self.frames_landed += 1
+        if self.landing_dir and len(self._pending) >= self.frames_per_file:
+            self.flush_landing()
+
+    def flush_landing(self) -> int:
+        """Write pending frames as one atomically-renamed text file
+        (one hex frame per line) — the contract the Spark file
+        stream consumes."""
+        import os
+
+        if not self._pending or not self.landing_dir:
+            return 0
+        os.makedirs(self.landing_dir, exist_ok=True)
+        n = len(self._pending)
+        final = os.path.join(
+            self.landing_dir, f"frames-{self._file_seq:08d}.txt"
+        )
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(self._pending) + "\n")
+        os.rename(tmp, final)
+        self._file_seq += 1
+        self._pending = []
+        return n
+
+    # -- receive loop -----------------------------------------------------------
+
+    def pump(self, max_frames: int | None = None) -> int:
+        """The replicationhandler.go receive loop: land XLogData,
+        track keepalives, keep the status cadence. Returns the number
+        of CopyData frames landed this call; ends on EOF or after
+        max_frames."""
+        import struct
+
+        landed = 0
+        while max_frames is None or landed < max_frames:
+            if self._clock() >= self._next_status_at:
+                self.send_status()
+            m = self._read_message()
+            if m is None:
+                break
+            mtype, body = m
+            if mtype != "d":
+                continue  # reference warns + skips non-CopyData
+            kind = body[0:1]
+            if kind == b"k":
+                wal_end, _server_us, reply = struct.unpack(">QQb", body[1:18])
+                self.server_wal_end = max(self.server_wal_end, wal_end)
+                if reply:
+                    self.send_status(reply_requested=False)
+            elif kind == b"w":
+                wal_start, _wal_end, _us = struct.unpack(">QQQ", body[1:25])
+                payload_len = len(body) - 25
+                self.processed_lsn = max(
+                    self.processed_lsn, wal_start + payload_len
+                )
+                self._land(body)
+                landed += 1
+        self.flush_landing()
+        return landed

@@ -787,3 +787,123 @@ def test_extract_features_real_decoder_on_golden_pngs(spark):
     assert f[:3] == want[:3]
     for got_v, want_v in zip(f[3:], want[3:]):
         assert abs(got_v - want_v) < 1e-5  # features column is float32
+
+
+# ---------------------------------------------------------------------------
+# pure-Python baseline JPEG decoder (r7): the JPEG branch of the
+# real-decode seam. Golden streams + expected arrays are authored
+# INDEPENDENTLY by tools/make_golden_jpeg.py (its own forward DCT,
+# zigzag, canonical-Huffman builder and bit writer — never
+# jpeg_codec's helpers), so an encode bug cannot cancel a decode bug.
+
+from pathlib import Path
+
+GOLDEN_JPEG = Path(__file__).resolve().parent / "golden" / "jpeg"
+
+JPEG_CASES = [
+    "gray_8x8",       # single block
+    "gray_20x13",     # non-multiple-of-8 frame (edge cropping)
+    "gray_restart",   # DRI=2 + RSTn markers, DC predictor resets
+    "color_444",      # 3-component YCbCr, no subsampling
+    "color_420",      # 4:2:0 subsampling, odd 17x18 frame
+]
+
+
+@pytest.mark.parametrize("name", JPEG_CASES)
+def test_jpeg_decode_matches_independent_expected(name):
+    """Decoded pixels equal the generator's independently-computed
+    expectation (dequant -> its own direct-formula IDCT -> upsample
+    -> color convert). Tolerance 1 absorbs float round-off between
+    the two IDCT implementations; in practice the diff is 0."""
+    from timescaledb_event_streamer_spark.operators.jpeg_codec import (
+        jpeg_decode,
+    )
+
+    got = jpeg_decode((GOLDEN_JPEG / f"{name}.jpg").read_bytes())
+    want = np.load(GOLDEN_JPEG / f"{name}_expected.npy")
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1, f"{name}: max pixel diff {diff.max()}"
+    assert (diff == 0).mean() > 0.99
+
+
+def test_jpeg_nonbaseline_and_garbage_raise():
+    from timescaledb_event_streamer_spark.operators.jpeg_codec import (
+        jpeg_decode,
+    )
+
+    with pytest.raises(ValueError, match="progressive|frame type"):
+        jpeg_decode((GOLDEN_JPEG / "progressive.jpg").read_bytes())
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode(b"\x89PNG\r\n\x1a\nnope")
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8\xff\xdb\x00\x03\x00")  # truncated DQT
+
+
+def test_golden_jpeg_files_reproducible(tmp_path, monkeypatch):
+    """The committed .jpg/.npy goldens are exactly what the generator
+    writes — nobody hand-edited a byte."""
+    import tools.make_golden_jpeg as gen
+
+    monkeypatch.setattr(gen, "OUT", tmp_path)
+    gen.main()
+    for f in sorted(GOLDEN_JPEG.iterdir()):
+        assert (tmp_path / f.name).read_bytes() == f.read_bytes(), f.name
+
+
+def test_extract_features_real_decoder_on_golden_jpeg(spark):
+    """The feature seam routes JPEG payloads by magic bytes to the
+    real decoder: the 8-float contract computed from DECODED JPEG
+    pixels, verified against the independent expected array."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    payload = (GOLDEN_JPEG / "color_444.jpg").read_bytes()
+    want_px = np.load(GOLDEN_JPEG / "color_444_expected.npy").astype(
+        np.float64
+    )
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), 16, 16, 0)],
+        "media_id long, kind string, payload binary, width int, height int, "
+        "duration_ms int",
+    )
+    r = extract_features(media, decoder="real").collect()[0]
+    f = r["features"]
+    assert f[:3] == [16.0, 16.0, 3.0]
+    want = [
+        want_px.mean(), want_px.std(), want_px.min(), want_px.max(),
+        np.abs(np.diff(want_px, axis=1)).mean(),
+    ]
+    for got_v, want_v in zip(f[3:], want):
+        assert abs(got_v - want_v) < 2e-2  # float32 column + <=1/px slack
+
+
+def test_resize_images_real_decoder_on_golden_jpeg(spark):
+    """resize_images(decoder='real') on a JPEG payload: decode ->
+    nearest resize -> PNG re-encode (the lossless intermediate);
+    pixels match the nearest-resample of the independent expected
+    array."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        resize_images,
+    )
+    from timescaledb_event_streamer_spark.operators.png_codec import (
+        png_decode,
+    )
+
+    payload = (GOLDEN_JPEG / "color_420.jpg").read_bytes()
+    want_px = np.load(GOLDEN_JPEG / "color_420_expected.npy")
+    h, w = want_px.shape[:2]  # 17 x 18
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), w, h, 0)],
+        "media_id long, kind string, payload binary, width int, height int, "
+        "duration_ms int",
+    )
+    r = resize_images(media, max_side=9, decoder="real").collect()[0]
+    got = png_decode(bytes(r["payload"]))
+    tw, th = r["target_w"], r["target_h"]
+    ys = np.minimum(((np.arange(th) + 0.5) * h / th).astype(int), h - 1)
+    xs = np.minimum(((np.arange(tw) + 0.5) * w / tw).astype(int), w - 1)
+    want = want_px[ys][:, xs]
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

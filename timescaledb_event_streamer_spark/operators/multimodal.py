@@ -4,13 +4,15 @@ mapInPandas.
 
 Decode support is per-codec: PNG decodes FOR REAL via the pure-Python
 codec in operators/png_codec.py (stdlib zlib + numpy — decode, nearest
-resize, re-encode, r6), so `decoder="real"` runs actual pixels for
-PNG payloads. JPEG/video/audio entropy coders genuinely need a codec
-library (PIL/ffmpeg/torchaudio, absent in this container), so non-PNG
-payloads under `decoder="real"` raise NotImplementedError at the exact
-seam where those plug in. `decoder="stub"` remains the deterministic
-fake that exercises schema, binary Arrow transport, batch shapes and
-partition-parallel extraction for every modality.
+resize, re-encode, r6) and baseline JPEG via operators/jpeg_codec.py
+(Huffman + dequant + IDCT + YCbCr, r7), so `decoder="real"` runs
+actual pixels for both, routed by magic bytes. Video/audio entropy
+coders (and progressive JPEG) genuinely need a codec library
+(ffmpeg/torchaudio, absent in this container), so those payloads
+under `decoder="real"` raise at the exact seam where codecs plug in.
+`decoder="stub"` remains the deterministic fake that exercises
+schema, binary Arrow transport, batch shapes and partition-parallel
+extraction for every modality.
 
 Scale notes: payloads stay opaque bytes end to end (no base64 blow-
 up, no driver collection); mapInPandas streams Arrow record batches
@@ -98,23 +100,38 @@ def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
-def _real_image_features(payload: bytes) -> list:
-    """Real pixel features for PNG payloads: width, height, channels,
-    per-image mean/std/min/max and mean |horizontal gradient| (an
-    edge-density proxy) — the 8-float contract of the stub, computed
-    from DECODED PIXELS. Non-PNG payloads raise at the codec seam
-    (JPEG/video/audio entropy coders genuinely need a codec library)."""
+def _real_decode_image(payload: bytes) -> np.ndarray:
+    """Route a binary payload to its real pure-Python codec by magic
+    bytes: PNG (png_codec, r6) or baseline JPEG (jpeg_codec, r7).
+    Anything else raises at the exact seam the remaining codecs
+    (video/audio entropy coders) plug into."""
+    from timescaledb_event_streamer_spark.operators.jpeg_codec import (
+        JPEG_SOI,
+        jpeg_decode,
+    )
     from timescaledb_event_streamer_spark.operators.png_codec import (
         PNG_SIGNATURE,
         png_decode,
     )
 
-    if not bytes(payload).startswith(PNG_SIGNATURE):
-        raise NotImplementedError(
-            "real decode beyond PNG requires PIL/ffmpeg/torchaudio; "
-            "plug the codec in here"
-        )
-    img = png_decode(bytes(payload))
+    raw = bytes(payload)
+    if raw.startswith(PNG_SIGNATURE):
+        return png_decode(raw)
+    if raw.startswith(JPEG_SOI):
+        return jpeg_decode(raw)
+    raise NotImplementedError(
+        "real decode beyond PNG/baseline-JPEG requires a codec "
+        "library (ffmpeg/torchaudio); plug it in here"
+    )
+
+
+def _real_image_features(payload: bytes) -> list:
+    """Real pixel features for PNG and baseline-JPEG payloads: width,
+    height, channels, per-image mean/std/min/max and mean
+    |horizontal gradient| (an edge-density proxy) — the 8-float
+    contract of the stub, computed from DECODED PIXELS. Other
+    payloads raise at the codec seam."""
+    img = _real_decode_image(payload)
     px = img.astype(np.float64)
     grad = np.abs(np.diff(px, axis=1)).mean() if img.shape[1] > 1 else 0.0
     return [
@@ -164,11 +181,12 @@ def resize_images(media: DataFrame, max_side: int = 256, decoder: str = "stub") 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                # decode -> nearest resize -> re-encode, PNG for real
-                # (pure-Python codec); non-PNG raises at the seam
+                # decode (PNG or baseline JPEG, routed by magic) ->
+                # nearest resize -> re-encode as PNG (the lossless
+                # intermediate: no in-repo JPEG encoder, and resized
+                # training shards want a lossless container anyway);
+                # other formats raise at the seam
                 from timescaledb_event_streamer_spark.operators.png_codec import (
-                    PNG_SIGNATURE,
-                    png_decode,
                     png_encode,
                     resize_nearest,
                 )
@@ -177,15 +195,11 @@ def resize_images(media: DataFrame, max_side: int = 256, decoder: str = "stub") 
                 for p, tw, th in zip(
                     pdf["payload"], pdf["target_w"], pdf["target_h"]
                 ):
-                    raw = bytes(p)
-                    if not raw.startswith(PNG_SIGNATURE):
-                        raise NotImplementedError(
-                            "real resize beyond PNG requires PIL; "
-                            "plug Image.open/thumbnail in here"
-                        )
                     out.append(
                         png_encode(
-                            resize_nearest(png_decode(raw), int(tw), int(th))
+                            resize_nearest(
+                                _real_decode_image(bytes(p)), int(tw), int(th)
+                            )
                         )
                     )
                 yield pd.DataFrame(

@@ -59,6 +59,10 @@ HEADLINE = [
     # round-5d: windowed PMI pair mining — the heaviest continuation-3
     # plan (in-row pair explosion + two word-keyed marginal joins)
     "text_cooccurrence_pmi",
+    # round-7 (VERDICT r6 item 6): the df-capped sparse cosine is the
+    # plan users actually run at scale (dedup_sparse_cosine measures
+    # the calibration sample); track it alongside
+    "dedup_sparse_cosine_capped",
 ]
 
 #: the frozen round-1 set — `value` keeps measuring exactly these so

@@ -137,6 +137,7 @@ _BNLJ_OK = {
     "cdc_dropped_chunk_filter",  # single-row broadcast retention horizon
     "cdc_implicit_decompression",  # single-row broadcast compress horizon
     "cdc_known_chunks_reload",  # single-row broadcast pause-LSN
+    "ts_cagg_refresh_policy",  # single-row broadcast policy scalars
 }
 
 

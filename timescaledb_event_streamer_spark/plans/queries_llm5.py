@@ -555,6 +555,7 @@ def bpe_learn(
     n_merges: int = _BPE_MERGES,
     batch_limit: int = 64,
     rounds_log: list | None = None,
+    word_freq: DataFrame | None = None,
 ) -> DataFrame:
     """Sennrich-style BPE merge-rule induction over the corpus's word
     types (the tokenizer-TRAINING step, not just tokenization): each
@@ -575,12 +576,16 @@ def bpe_learn(
     learned rule sequence (pytest-proven parity). Returns the rule
     table (step, left, right, merged, pair_freq)."""
     spark = docs.sparkSession
-    word_freq = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    if word_freq is None:
+        # the standard entry: count the corpus's word types. Trainers
+        # that already hold a (w, freq) table — the usual tokenizer-
+        # training input — pass it directly and skip the scan.
+        word_freq = (
+            docs.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
     syms = word_freq.select(
         "freq",
         F.concat(

@@ -39,7 +39,10 @@ _EMB_DIM = 64
     "corpus size (the B59/B60 sketch-grain principle applied to a "
     "dense-linear-algebra reduce). Covariance and correlation come "
     "from the exact integer sums in ONE mirrored double expression "
-    "(sums < 2^53, so the double rendering is itself exact).",
+    "(sums < 2^53, so the double rendering is itself exact). Past "
+    "~1e8 vectors, SPARK_GRAFT_MOMENT_SUMS=decimal flips the sum to "
+    "DECIMAL(38,0) (functions/exact.py), parity pinned by "
+    "tests/test_exact_sums.py.",
     oracle=f"""
         WITH q AS (
             SELECT vec_id,
@@ -107,11 +110,13 @@ def covariance_sums(emb: DataFrame) -> DataFrame:
         f"  transform(sequence(i, {_EMB_DIM - 1}),"
         "    j -> struct(i AS i, j AS j, q[i] * q[j] AS v)))))"
     )
+    from timescaledb_event_streamer_spark.functions.exact import moment_sum
+
     return (
         emb.select(q.alias("q"))
         .select(F.explode(entries).alias("p"))
         .groupBy("p.i", "p.j")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("p.v").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"), moment_sum(F.col("p.v")).alias("s"))
     )
 
 

@@ -687,8 +687,10 @@ def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across engines and partitionings. One scan, a 1-row-per-series "
     "min-ts broadcast join, one reduce. Exactness bound: n*Sxy "
     "stays in int64 to ~1e8 rows/series at these domains; past "
-    "that, cast the six moment sums to DECIMAL(38,0) — same plan "
-    "shape, Spark and DuckDB both aggregate decimals exactly.",
+    "that, SPARK_GRAFT_MOMENT_SUMS=decimal flips the moment sums "
+    "to DECIMAL(38,0) (functions/exact.py) — same plan shape, both "
+    "engines aggregate decimals exactly, value parity pinned by "
+    "tests/test_exact_sums.py.",
     oracle=f"""
         WITH m AS (
             SELECT event_type, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1
@@ -738,13 +740,15 @@ def ts_stats_agg_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.unix_micros("ts") - F.col("t0")) / 3_600_000_000).cast("long").alias("x"),
         F.round(F.col("value") * 100, 0).cast("long").alias("y"),
     )
+    from timescaledb_event_streamer_spark.functions.exact import moment_sum
+
     s = p.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        moment_sum(F.col("x")).alias("sx"),
+        moment_sum(F.col("y")).alias("sy"),
+        moment_sum(F.col("x") * F.col("x")).alias("sxx"),
+        moment_sum(F.col("y") * F.col("y")).alias("syy"),
+        moment_sum(F.col("x") * F.col("y")).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")

@@ -138,6 +138,7 @@ _BNLJ_OK = {
     "cdc_implicit_decompression",  # single-row broadcast compress horizon
     "cdc_known_chunks_reload",  # single-row broadcast pause-LSN
     "ts_cagg_refresh_policy",  # single-row broadcast policy scalars
+    "embedding_quantization_error",  # single-row broadcast scale array
 }
 
 

@@ -1205,3 +1205,45 @@ def test_streaming_empty_txn_ack_state(spark, sf_small):
         assert any(r["n_emitted"] == 0 for r in want.values())
     finally:
         shutil.rmtree(own_log, ignore_errors=True)
+
+
+def test_streaming_cms_registers_match_batch(spark, sf_small):
+    """I25: the count-min register table (B78) is one associative
+    COUNT aggregate over md5-derived register addresses, so the SAME
+    expression maintains live frequency registers as a complete-mode
+    streaming aggregation — register-for-register equal to the batch
+    table, which is the property that lets a streaming job serve
+    approx_count point queries while events arrive."""
+    from timescaledb_event_streamer_spark.plans.queries_round7 import (
+        cms_registers,
+    )
+
+    events = load(spark, sf_small, "events")
+    own_log = tempfile.mkdtemp(prefix="cmslog-")
+    events.withColumn("b", F.pmod(F.col("event_id"), F.lit(8))).repartition(
+        8, "b"
+    ).drop("b").write.mode("overwrite").parquet(own_log)
+    stream = spark.readStream.schema(events.schema).parquet(own_log)
+    q = (
+        cms_registers(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_type"], r["j"], r["idx"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    want = {
+        (r["event_type"], r["j"], r["idx"]): r["cnt"]
+        for r in cms_registers(events).collect()
+    }
+    assert got == want and len(want) > 0
+    # register mass conserves: every event lands in exactly d rows
+    n_events = events.count()
+    from timescaledb_event_streamer_spark.plans.queries_round7 import _CMS_D
+
+    assert sum(got.values()) == n_events * _CMS_D

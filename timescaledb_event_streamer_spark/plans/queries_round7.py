@@ -31,6 +31,9 @@ _SCHEDULE_INTERVAL_S = 3600
 _SQL_EPOCH_S = "(epoch_us(ts) // 1000000)"
 _SQL_BUCKET = f"({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % {_BUCKET_S})"
 
+#: exact integer cents of the value column (the repo-wide convention)
+_SQL_CENTS_R7 = "CAST(round(value * 100) AS BIGINT)"
+
 
 @register(
     "ts_cagg_refresh_policy",
@@ -132,4 +135,699 @@ def ts_cagg_refresh_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         win_start.alias("window_start_s"),
         win_end.alias("window_end_s"),
         (F.col("now_s") + _SCHEDULE_INTERVAL_S).alias("next_start_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B77: skewness / kurtosis stats_agg accessors on DECIMAL(38,0) sums
+
+
+@register(
+    "ts_stats_agg_moments",
+    family="timeseries",
+    doc="Higher-moment stats_agg accessors (B77): skewness and excess "
+    "kurtosis per hypertable — the toolkit's skewness()/kurtosis() "
+    "reads over stats_agg (timescaledb-toolkit stats_agg 1-D "
+    "accessors), which B9 (mean/stddev) stops short of. The 3rd/4th "
+    "power sums of exact cents overflow int64 at any real row "
+    "count, so this operator natively runs the DECIMAL(38,0) "
+    "moment-sum path (functions/exact.py rationale): per-row "
+    "products and sums are exact decimal integers on BOTH engines "
+    "(Spark decimal aggregate, DuckDB HUGEINT), cast to double once "
+    "each, and every downstream expression is a single mirrored "
+    "pinned-order double formula. One scan, one keyed reduce with "
+    "map-side partials, series-grain output.",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST({_SQL_CENTS_R7} AS HUGEINT)) AS s1,
+                   sum(CAST({_SQL_CENTS_R7} AS HUGEINT)
+                       * {_SQL_CENTS_R7}) AS s2,
+                   sum(CAST({_SQL_CENTS_R7} AS HUGEINT)
+                       * {_SQL_CENTS_R7} * {_SQL_CENTS_R7}) AS s3,
+                   sum(CAST({_SQL_CENTS_R7} AS HUGEINT)
+                       * {_SQL_CENTS_R7} * {_SQL_CENTS_R7}
+                       * {_SQL_CENTS_R7}) AS s4
+            FROM events GROUP BY 1
+        ),
+        m AS (
+            SELECT event_type, n,
+                   CAST(s1 AS DOUBLE) / n AS mean,
+                   CAST(s2 AS DOUBLE) / n AS ex2,
+                   CAST(s3 AS DOUBLE) / n AS ex3,
+                   CAST(s4 AS DOUBLE) / n AS ex4
+            FROM s
+        ),
+        c AS (
+            SELECT event_type, n, mean,
+                   ex2 - mean * mean AS m2,
+                   ex3 - 3.0 * mean * ex2 + 2.0 * mean * mean * mean AS m3,
+                   ex4 - 4.0 * mean * ex3 + 6.0 * mean * mean * ex2
+                       - 3.0 * mean * mean * mean * mean AS m4
+            FROM m
+        )
+        SELECT event_type, n,
+               round(mean * 100.0, 0) / 10000.0 AS mean_value,
+               round(sqrt(m2), 0) / 100.0 AS stddev_pop_cents_e2,
+               CASE WHEN m2 > 0 THEN
+                   round(m3 / pow(m2, 1.5) * 1000000.0, 0) / 1000000.0
+               END AS skewness,
+               CASE WHEN m2 > 0 THEN
+                   round((m4 / (m2 * m2) - 3.0) * 1000000.0, 0) / 1000000.0
+               END AS excess_kurtosis
+        FROM c
+    """,
+)
+def ts_stats_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    cd = c.cast("decimal(38,0)")
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cd).alias("s1"),
+        F.sum(cd * c).alias("s2"),
+        F.sum(cd * c * c).alias("s3"),
+        F.sum(cd * c * c * c).alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    ex2 = F.col("s2").cast("double") / n
+    ex3 = F.col("s3").cast("double") / n
+    ex4 = F.col("s4").cast("double") / n
+    m = s.select("event_type", "n", mean.alias("mean"),
+                 ex2.alias("ex2"), ex3.alias("ex3"), ex4.alias("ex4"))
+    mean, ex2 = F.col("mean"), F.col("ex2")
+    ex3, ex4 = F.col("ex3"), F.col("ex4")
+    m2 = ex2 - mean * mean
+    m3 = ex3 - 3.0 * mean * ex2 + 2.0 * mean * mean * mean
+    m4 = (
+        ex4 - 4.0 * mean * ex3 + 6.0 * mean * mean * ex2
+        - 3.0 * mean * mean * mean * mean
+    )
+    cc = m.select(
+        "event_type", "n", "mean",
+        m2.alias("m2"), m3.alias("m3"), m4.alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    return cc.select(
+        "event_type",
+        "n",
+        (F.round(F.col("mean") * 100.0, 0) / 10000.0).alias("mean_value"),
+        (F.round(F.sqrt(m2), 0) / 100.0).alias("stddev_pop_cents_e2"),
+        F.when(
+            m2 > 0, F.round(m3 / F.pow(m2, 1.5) * 1000000.0, 0) / 1000000.0
+        ).alias("skewness"),
+        F.when(
+            m2 > 0,
+            F.round((m4 / (m2 * m2) - 3.0) * 1000000.0, 0) / 1000000.0,
+        ).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B78: count-min sketch point estimates (toolkit count_min_sketch)
+
+#: CMS geometry: d hash rows x w columns. w=64 at ~150 items per
+#: series gives real collisions, so the overestimate branch is live
+#: at certification SF; production picks w = ceil(e / eps).
+_CMS_D = 4
+_CMS_W = 64
+
+#: tracked point queries: every (series, user_id < 20) pair present
+_CMS_TRACKED = 20
+
+
+def cms_registers(events: DataFrame) -> DataFrame:
+    """The count-min register table: (event_type, hash row j, column)
+    -> count, one associative COUNT aggregate over d=4 md5-derived
+    hashes per event. Shuffle traffic is at most series x d x w rows
+    (metadata-sized, row-count-independent) with map-side partials —
+    the property that makes CMS the 100 TB frequency-table swap-in;
+    registers merge across shards/batches by plain +, so the SAME
+    expression maintains live registers as a streaming aggregation
+    (I25, stream == batch register-for-register)."""
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{j}:"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _CMS_W
+                ).alias("idx"),
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    return (
+        events.select("event_type", F.explode(hashes).alias("h"))
+        .groupBy("event_type", "h.j", "h.idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _sql_cms_idx(j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{j}:' || CAST(user_id AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "ts_count_min_sketch",
+    family="timeseries",
+    doc="Count-min sketch frequency estimates (B78, timescaledb-"
+    "toolkit count_min_sketch + approx_count): d=4 md5-derived hash "
+    "rows x w=64 columns of event counts per hypertable, point "
+    "estimate = min over the item's d registers. Register table is "
+    "one associative count reduce (series x 256 rows of shuffle "
+    "whatever the row count — the sketch-grain principle of "
+    "B51/B59/B60); estimates join the tracked items against the "
+    "broadcast register table. The exact count rides along so the "
+    "certified output PROVES the CMS one-sided guarantee: estimate "
+    ">= exact always (overestimate_by >= 0), with w=64 sized so "
+    "collisions actually occur at certification SF.",
+    oracle=f"""
+        WITH regs AS (
+            SELECT event_type, j,
+                   CASE j
+                       WHEN 0 THEN {_sql_cms_idx(0)}
+                       WHEN 1 THEN {_sql_cms_idx(1)}
+                       WHEN 2 THEN {_sql_cms_idx(2)}
+                       WHEN 3 THEN {_sql_cms_idx(3)}
+                   END AS idx,
+                   count(*) AS cnt
+            FROM events CROSS JOIN (
+                SELECT unnest(range({_CMS_D})) AS j
+            ) js
+            GROUP BY 1, 2, 3
+        ),
+        q AS (
+            SELECT event_type, user_id,
+                   CAST(count(*) AS BIGINT) AS n_exact
+            FROM events WHERE user_id < {_CMS_TRACKED}
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT q.event_type, q.user_id, q.n_exact,
+                   min(r.cnt) AS n_cms
+            FROM q JOIN regs r
+              ON r.event_type = q.event_type
+             AND r.idx = CASE r.j
+                     WHEN 0 THEN CAST(('0x' || substr(md5('0:'
+                         || CAST(q.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % {_CMS_W}
+                     WHEN 1 THEN CAST(('0x' || substr(md5('1:'
+                         || CAST(q.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % {_CMS_W}
+                     WHEN 2 THEN CAST(('0x' || substr(md5('2:'
+                         || CAST(q.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % {_CMS_W}
+                     WHEN 3 THEN CAST(('0x' || substr(md5('3:'
+                         || CAST(q.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % {_CMS_W}
+                 END
+            GROUP BY 1, 2, 3
+        )
+        SELECT event_type, user_id, n_exact,
+               CAST(n_cms AS BIGINT) AS n_cms,
+               CAST(n_cms - n_exact AS BIGINT) AS overestimate_by,
+               n_cms >= n_exact AS never_underestimates
+        FROM est
+    """,
+)
+def ts_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    regs = cms_registers(events)
+    q = (
+        events.filter(F.col("user_id") < _CMS_TRACKED)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    # the tracked item's d register addresses, exploded then matched
+    # against the broadcast register table
+    probes = q.select(
+        "event_type",
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{j}:"),
+                                            F.col("user_id").cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % _CMS_W
+                        ).alias("idx"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("h"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(regs),
+            (probes["event_type"] == regs["event_type"])
+            & (probes["h.j"] == regs["j"])
+            & (probes["h.idx"] == regs["idx"]),
+        )
+        .groupBy(probes["event_type"], "user_id", "n_exact")
+        .agg(F.min("cnt").alias("n_cms"))
+    )
+    return est.select(
+        "event_type",
+        "user_id",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).alias("overestimate_by"),
+        (F.col("n_cms") >= F.col("n_exact")).alias("never_underestimates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E19: int8 quantization-error decomposition (ScaNN's split)
+
+_EMB_DIM_R7 = 64
+
+
+@register(
+    "embedding_quantization_error",
+    family="ann",
+    doc="Int8 quantization-error audit (E19): symmetric per-dim int8 "
+    "quantization (the E7 codec) scored per vector with the "
+    "parallel/orthogonal residual decomposition of Guo et al. "
+    "(ScaNN, ICML'20 §3) — the parallel component is what inflates "
+    "inner-product ranking error, so an ANN pipeline audits it "
+    "before shipping a quantized index. Per-dim scales are a 64-row "
+    "aggregate collected into ONE broadcast array row (no per-dim "
+    "join, no explode); per-vector math is sequential array folds "
+    "over the dim order, mirrored exactly in the oracle "
+    "(list_zip + ordered list_reduce), with floor(x + 0.5) as the "
+    "engine-neutral round-half-up and scale-0 integer rendering. "
+    "One corpus scan + one metadata aggregate — vector-grain "
+    "output, shuffle-free per-vector work.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        sc AS (
+            SELECT list(mx ORDER BY d) AS s FROM (
+                SELECT d, max(abs(v[d + 1])) AS mx
+                FROM e CROSS JOIN (
+                    SELECT unnest(range({_EMB_DIM_R7})) AS d
+                ) ds
+                GROUP BY d
+            )
+        ),
+        r AS (
+            SELECT vec_id,
+                   list_transform(
+                       list_zip(v, s),
+                       p -> p[1] - least(greatest(
+                                floor(p[1] * 127.0 / p[2] + 0.5),
+                                -127.0), 127.0) * p[2] / 127.0
+                   ) AS res,
+                   v
+            FROM e CROSS JOIN sc
+        ),
+        d AS (
+            SELECT vec_id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(v, x -> x * x)), (a, b) -> a + b)
+                       AS v2,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(res, x -> x * x)), (a, b) -> a + b)
+                       AS err2,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(list_zip(res, v),
+                                      p -> p[1] * p[2])), (a, b) -> a + b)
+                       AS dot_rv
+            FROM r
+        )
+        SELECT vec_id,
+               round(v2 * 1000000.0, 0) / 1000000.0 AS norm2,
+               round(err2 * 1000000000.0, 0) / 1000000000.0 AS err2,
+               round(dot_rv * dot_rv / v2 * 1000000000.0, 0)
+                   / 1000000000.0 AS err_parallel,
+               round((err2 - dot_rv * dot_rv / v2) * 1000000000.0, 0)
+                   / 1000000000.0 AS err_orthogonal,
+               err2 <= v2 AS quantization_contracts
+        FROM d
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    # per-dim max-abs scales folded to ONE array row, broadcast
+    dims = (
+        emb.select(F.posexplode("v").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.max(F.abs(F.col("x"))).alias("mx"))
+    )
+    sc = dims.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, mx))), p -> p.mx)"
+        ).alias("s")
+    )
+    r = emb.crossJoin(F.broadcast(sc)).select(
+        "vec_id",
+        "v",
+        F.zip_with(
+            "v",
+            "s",
+            lambda x, s: x
+            - F.least(
+                F.greatest(F.floor(x * 127.0 / s + 0.5), F.lit(-127.0)),
+                F.lit(127.0),
+            )
+            * s
+            / 127.0,
+        ).alias("res"),
+    )
+    fold = lambda col: F.aggregate(  # noqa: E731 — ordered exact fold
+        col, F.lit(0.0), lambda a, b: a + b
+    )
+    d = r.select(
+        "vec_id",
+        fold(F.expr("transform(v, x -> x * x)")).alias("v2"),
+        fold(F.expr("transform(res, x -> x * x)")).alias("err2"),
+        fold(F.zip_with("res", "v", lambda a, b: a * b)).alias("dot_rv"),
+    )
+    v2, err2, dot = F.col("v2"), F.col("err2"), F.col("dot_rv")
+    return d.select(
+        "vec_id",
+        (F.round(v2 * 1000000.0, 0) / 1000000.0).alias("norm2"),
+        (F.round(err2 * 1000000000.0, 0) / 1000000000.0).alias("err2"),
+        (F.round(dot * dot / v2 * 1000000000.0, 0) / 1000000000.0).alias(
+            "err_parallel"
+        ),
+        (
+            F.round((err2 - dot * dot / v2) * 1000000000.0, 0) / 1000000000.0
+        ).alias("err_orthogonal"),
+        (err2 <= v2).alias("quantization_contracts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F34: cross-source n-gram overlap matrix
+
+_OVL_N = 5  # word n-gram grain
+
+
+@register(
+    "corpus_source_overlap_matrix",
+    family="text",
+    doc="Cross-source n-gram overlap matrix (F34): for every source "
+    "pair, how many distinct word-5-grams they SHARE, with "
+    "containment ratios both ways and Jaccard — the corpus-level "
+    "leakage audit run before treating sources as independent "
+    "mixture components (D9/D16 answer it doc-by-doc; this is the "
+    "source-grain contamination matrix, the view dataset cards "
+    "report). Plan: distinct (shingle, source) table (shingle-keyed "
+    "reduce), shingle-keyed self-join whose per-key groups are "
+    "bounded by source count (<= 20^2 pairs per shingle whatever "
+    "the corpus size), pair-keyed count, per-source totals "
+    "broadcast back. Integer-scale ratio rendering (SURVEY §6).",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, string_split(text, ' ') AS toks FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT source,
+                   concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3],
+                             toks[i + 4], toks[i + 5]) AS g
+            FROM t CROSS JOIN unnest(range(len(toks) - {_OVL_N - 1})) u(i)
+            WHERE len(toks) >= {_OVL_N}
+        ),
+        tot AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.source_a, p.source_b, p.n_shared,
+               ta.n AS n_a, tb.n AS n_b,
+               round(p.n_shared * 1000000.0 / ta.n, 0) / 1000000.0
+                   AS containment_a,
+               round(p.n_shared * 1000000.0 / tb.n, 0) / 1000000.0
+                   AS containment_b,
+               round(p.n_shared * 1000000.0
+                     / (ta.n + tb.n - p.n_shared), 0) / 1000000.0
+                   AS jaccard
+        FROM pairs p
+        JOIN tot ta ON ta.source = p.source_a
+        JOIN tot tb ON tb.source = p.source_b
+    """,
+)
+def corpus_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.sources.tables import spread
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    sh = (
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= _OVL_N)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(toks) - {_OVL_N}), i ->"
+                        " concat_ws(' ', toks[i], toks[i + 1], toks[i + 2],"
+                        " toks[i + 3], toks[i + 4]))"
+                    )
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    p = pairs.join(F.broadcast(ta), "source_a").join(F.broadcast(tb), "source_b")
+    shared = F.col("n_shared")
+    return p.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        (F.round(shared * 1000000.0 / F.col("n_a"), 0) / 1000000.0).alias(
+            "containment_a"
+        ),
+        (F.round(shared * 1000000.0 / F.col("n_b"), 0) / 1000000.0).alias(
+            "containment_b"
+        ),
+        (
+            F.round(
+                shared * 1000000.0 / (F.col("n_a") + F.col("n_b") - shared), 0
+            )
+            / 1000000.0
+        ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D22: minhash estimator accuracy audit (estimate vs exact Jaccard)
+
+
+def _minhash_audit_oracle() -> str:
+    """D12's md5 MinHash+LSH SQL extended with the EXACT 5-gram
+    Jaccard per candidate pair — the estimator-calibration view."""
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _A,
+        _B,
+        _MERSENNE,
+    )
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    mins = ",\n               ".join(
+        f"min((h * {_A[i]} + {_B[i]}) % {_MERSENNE}) AS mh{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    band_conds = "\n               OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh{bi * rows + ri} = b.mh{bi * rows + ri}" for ri in range(rows)
+        )
+        + ")"
+        for bi in range(MINHASH_BANDS)
+    )
+    eqsum = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_PERMS)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 5
+        ),
+        s0 AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM t),
+        g AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(toks[i + 1 : i + 5], ' ') AS g
+            FROM s0
+        ),
+        sh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(g), 1, 15))::BIGINT % {_MERSENNE} AS h
+            FROM g
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ({eqsum}) / 32.0 AS est_jaccard
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE {band_conds}
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN g ga ON ga.doc_id = c.doc_a
+            JOIN g gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b, c.est_jaccard,
+               CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+               sa.n + sb.n - coalesce(i.n_inter, 0) AS n_union,
+               round(coalesce(i.n_inter, 0) * 1000000.0
+                     / (sa.n + sb.n - coalesce(i.n_inter, 0)), 0)
+                   / 1000000.0 AS exact_jaccard,
+               round(abs(c.est_jaccard - coalesce(i.n_inter, 0) * 1.0
+                         / (sa.n + sb.n - coalesce(i.n_inter, 0)))
+                     * 1000000.0, 0) / 1000000.0 AS abs_err
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+    """
+
+
+@register(
+    "dedup_minhash_estimate_audit",
+    family="dedup",
+    doc="MinHash estimator calibration audit (D22): every LSH "
+    "candidate pair (threshold 0 — the full collision set, not just "
+    "accepted near-dups) scored with BOTH the 32-perm signature "
+    "estimate and the exact distinct-5-gram Jaccard, plus the "
+    "absolute error — the measurement that justifies (or vetoes) a "
+    "chosen (k, bands) geometry before a 100 TB dedup run trusts "
+    "it. Reuses D12's md5 signature chain verbatim; the exact side "
+    "is a shingle-keyed intersection join whose per-key groups are "
+    "candidate-bounded. est_jaccard is k/32 (exactly representable); "
+    "ratios render integer-scale (SURVEY §6).",
+    oracle=_minhash_audit_oracle(),
+)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        _MERSENNE,
+        minhash_lsh_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 5
+    )
+    md5_base = lambda s: (  # noqa: E731 — D12's portable base hash
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _MERSENNE
+    )
+    cand = minhash_lsh_pairs(docs, threshold=0.0, base_hash=md5_base).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+    g = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 5), i ->"
+                        " concat_ws(' ', toks[i], toks[i + 1], toks[i + 2],"
+                        " toks[i + 3], toks[i + 4]))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    t = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .withColumn(
+            "n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter")
+        )
+    )
+    exact = F.col("n_inter") * 1.0 / F.col("n_union")
+    return t.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "n_inter",
+        "n_union",
+        (
+            F.round(F.col("n_inter") * 1000000.0 / F.col("n_union"), 0)
+            / 1000000.0
+        ).alias("exact_jaccard"),
+        (
+            F.round(F.abs(F.col("est_jaccard") - exact) * 1000000.0, 0)
+            / 1000000.0
+        ).alias("abs_err"),
     )

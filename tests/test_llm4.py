@@ -572,3 +572,36 @@ def test_holt_property_matches_reference_on_random_series(spark):
         r = got[f"s{ex}"]
         assert r["n_days"] == len(s)
         assert (r["level"], r["trend"], r["forecast_1"]) == (lvl, tr, fc), ex
+
+
+def test_sparse_cosine_inrow_and_join_paths_agree(spark, monkeypatch):
+    """The r7 hybrid candidate generator: posting lists <= _INROW_DF
+    pair in-row, longer ones keep the distributed self-join. Forcing
+    the boundary to 0 (all join) and to huge (all in-row) must give
+    the identical pair set as the default hybrid."""
+    import timescaledb_event_streamer_spark.plans.queries_llm4 as q4
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d f"),
+            (3, "a b c g h"),
+            (4, "x y z w v"),
+            (5, "x y z w u"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in q4.sparse_cosine_pairs(docs, threshold=0.0).collect()
+        )
+
+    default = run()
+    monkeypatch.setattr(q4, "_INROW_DF", 0)  # everything via the join
+    all_join = run()
+    monkeypatch.setattr(q4, "_INROW_DF", 1 << 20)  # everything in-row
+    all_inrow = run()
+    assert default == all_join == all_inrow
+    assert len(default) > 0

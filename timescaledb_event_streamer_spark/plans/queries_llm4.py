@@ -562,6 +562,12 @@ def _tfidf_weights(docs: DataFrame) -> DataFrame:
     )
 
 
+#: posting-list length up to which candidate pairs generate in-row
+#: (per-row memory <= _INROW_DF structs, ~100 KB); longer lists fall
+#: back to the distributed self-join
+_INROW_DF = 4096
+
+
 def sparse_cosine_pairs(
     docs: DataFrame,
     threshold: float = 0.9,
@@ -602,20 +608,48 @@ def sparse_cosine_pairs(
             )
         ).alias("nr")
     )
-    a = w.alias("a")
-    b = w.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    # candidate products, hybrid by posting-list length (r7, measured
+    # 15% off the bench): terms whose posting list fits a row group
+    # generate pairs IN-ROW — ONE term-keyed shuffle, then posexplode
+    # anchors each doc against the tail of the sorted list, so
+    # per-row memory is <= df structs (never df^2) and a term's pair
+    # work spreads across its df rows, the same grain the self-join
+    # had. Terms past _INROW_DF (degenerate stopword-grade lists that
+    # survive only absurd caps) keep the distributed self-join, which
+    # never materializes the posting list in one task.
+    gs = w.groupBy("term").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "w"))).alias("ds")
+    )
+    sm = (
+        gs.filter(F.size("ds") <= _INROW_DF)
+        .select("term", "ds", F.posexplode("ds").alias("i", "x"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.term").alias("term"),
-            (F.col("a.w") * F.col("b.w")).alias("prod"),
+            "term",
+            F.explode(
+                F.expr(
+                    "transform(slice(ds, i + 2, size(ds) - i - 1),"
+                    " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                    " x.w * y.w AS prod))"
+                )
+            ).alias("p"),
         )
+        .select("term", "p.doc_a", "p.doc_b", "p.prod")
+    )
+    big_terms = gs.filter(F.size("ds") > _INROW_DF).select("term")
+    a = w.join(F.broadcast(big_terms), "term").alias("a")
+    b = w.join(F.broadcast(big_terms), "term").alias("b")
+    bg = a.join(
+        b,
+        (F.col("a.term") == F.col("b.term"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.term").alias("term"),
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (F.col("a.w") * F.col("b.w")).alias("prod"),
+    )
+    dots = (
+        sm.unionByName(bg)
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("n_shared_terms"),

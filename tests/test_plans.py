@@ -139,6 +139,7 @@ _BNLJ_OK = {
     "cdc_known_chunks_reload",  # single-row broadcast pause-LSN
     "ts_cagg_refresh_policy",  # single-row broadcast policy scalars
     "embedding_quantization_error",  # single-row broadcast scale array
+    "corpus_vocab_coverage",  # single-row broadcast corpus totals
 }
 
 

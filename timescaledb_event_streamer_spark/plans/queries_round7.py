@@ -831,3 +831,290 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A32: snapshot keyset-pagination batch plan
+
+#: the reference's snapshot fetch size (config.example.toml:9,
+#: postgresql.snapshot.batchsize default 1000, configuration.go:109)
+_SNAP_BATCH = 1000
+
+
+@register(
+    "cdc_snapshot_batch_plan",
+    family="cdc",
+    doc="Snapshot keyset-pagination plan (A32): the reference's "
+    "snapshotter reads each chunk in batchsize-row slices "
+    "(postgresql.snapshot.batchsize, configuration.go:109; the "
+    "snapshot scanner pages with a cursor in PK order) — this "
+    "materializes the batch table a parallel snapshot run executes: "
+    "per (hypertable, chunk, batch): row count, the start/end PK "
+    "keyset bounds the cursor uses, and the last-batch flag that "
+    "terminates the chunk's loop. Plan: one scan, a chunk-"
+    "partitioned row_number (the snapshotter's natural partition — "
+    "no global window), batch-keyed reduce; output is batch-grain "
+    "metadata (rows/batchsize rows).",
+    oracle=f"""
+        WITH r AS (
+            SELECT event_type AS hypertable,
+                   ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % {7 * 86400})
+                       AS chunk_s,
+                   event_id,
+                   row_number() OVER (
+                       PARTITION BY event_type,
+                           ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % {7 * 86400})
+                       ORDER BY event_id
+                   ) AS rn
+            FROM events
+        ),
+        b AS (
+            SELECT hypertable, chunk_s,
+                   (rn - 1) // {_SNAP_BATCH} AS batch_idx,
+                   count(*) AS n_rows,
+                   min(event_id) AS start_key,
+                   max(event_id) AS end_key
+            FROM r GROUP BY 1, 2, 3
+        )
+        SELECT hypertable, chunk_s, batch_idx,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               start_key, end_key,
+               n_rows < {_SNAP_BATCH} AS is_last_batch
+        FROM b
+    """,
+)
+def cdc_snapshot_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.catalog.chunks import (
+        chunk_start_epoch,
+    )
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("hypertable", "chunk_s").orderBy("event_id")
+    r = events.select(
+        F.col("event_type").alias("hypertable"),
+        chunk_start_epoch(F.col("ts")).alias("chunk_s"),
+        "event_id",
+    ).withColumn("rn", F.row_number().over(w))
+    b = (
+        r.withColumn("batch_idx", F.expr(f"(rn - 1) div {_SNAP_BATCH}"))
+        .groupBy("hypertable", "chunk_s", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("start_key"),
+            F.max("event_id").alias("end_key"),
+        )
+    )
+    return b.select(
+        "hypertable",
+        "chunk_s",
+        "batch_idx",
+        "n_rows",
+        "start_key",
+        "end_key",
+        (F.col("n_rows") < _SNAP_BATCH).alias("is_last_batch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E20: per-dim standardization audit
+
+#: E18's quantization step (1e-6 units keep float32 inputs exact)
+_QZ = 1_000_000
+
+
+@register(
+    "embedding_standardize_audit",
+    family="ann",
+    doc="Per-dimension standardization audit (E20): the z-score "
+    "(whitening-diagonal) pass every embedding pipeline applies "
+    "before ANN indexing or PCA, audited per dim — pre-mean and "
+    "pre-variance from EXACT integer-quantized sums (the E18 "
+    "discipline), then the extreme standardized values and the "
+    "|z| > 3 outlier count per dim from a second scan against the "
+    "broadcast (mean, sd) arrays. Dims whose max |z| explodes are "
+    "the ones a clipping/winsorizing step must handle before "
+    "quantization (E7/E19). Two scans, dim-keyed 64-row reduces, "
+    "one single-row broadcast — no vector-grain shuffle.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  v -> CAST(round(v * {_QZ}) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        d AS (
+            SELECT dim, q[dim + 1] AS qv
+            FROM e CROSS JOIN (
+                SELECT unnest(range({_EMB_DIM_R7})) AS dim
+            ) ds
+        ),
+        s AS (
+            SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(qv) AS BIGINT) AS s1,
+                   CAST(sum(qv * qv) AS BIGINT) AS s2
+            FROM d GROUP BY 1
+        ),
+        m AS (
+            SELECT dim, n, s1, s2,
+                   CAST(s1 AS DOUBLE) / n AS mean,
+                   sqrt(CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n)
+                          * (CAST(s1 AS DOUBLE) / n)) AS sd
+            FROM s
+        ),
+        z AS (
+            SELECT d.dim,
+                   (d.qv - m.mean) / m.sd AS z
+            FROM d JOIN m USING (dim)
+        ),
+        zz AS (
+            SELECT dim,
+                   min(z) AS min_z, max(z) AS max_z,
+                   CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers
+            FROM z GROUP BY 1
+        )
+        SELECT m.dim, m.n,
+               round(m.mean / 10.0, 0) / 100000.0 AS mean_dim,
+               round(m.sd / 10.0, 0) / 100000.0 AS sd_dim,
+               round(zz.min_z * 1000000.0, 0) / 1000000.0 AS min_z,
+               round(zz.max_z * 1000000.0, 0) / 1000000.0 AS max_z,
+               zz.n_outliers
+        FROM m JOIN zz USING (dim)
+    """,
+)
+def embedding_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> cast(round(cast(v as double) * {_QZ})"
+            " as long))"
+        ).alias("q"),
+    )
+    d = emb.select(F.posexplode("q").alias("dim", "qv"))
+    s = d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("s1"),
+        F.sum(F.col("qv") * F.col("qv")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        F.col("s2").cast("double") / F.col("n") - mean * mean
+    )
+    m = s.select("dim", "n", mean.alias("mean"), sd.alias("sd"))
+    z = d.join(F.broadcast(m), "dim").select(
+        "dim", ((F.col("qv") - F.col("mean")) / F.col("sd")).alias("z")
+    )
+    zz = z.groupBy("dim").agg(
+        F.min("z").alias("min_z_raw"),
+        F.max("z").alias("max_z_raw"),
+        F.sum(F.when(F.abs(F.col("z")) > 3.0, 1).otherwise(0)).alias(
+            "n_outliers"
+        ),
+    )
+    return m.join(zz, "dim").select(
+        "dim",
+        "n",
+        (F.round(F.col("mean") / 10.0, 0) / 100000.0).alias("mean_dim"),
+        (F.round(F.col("sd") / 10.0, 0) / 100000.0).alias("sd_dim"),
+        (F.round(F.col("min_z_raw") * 1000000.0, 0) / 1000000.0).alias(
+            "min_z"
+        ),
+        (F.round(F.col("max_z_raw") * 1000000.0, 0) / 1000000.0).alias(
+            "max_z"
+        ),
+        "n_outliers",
+    )
+
+
+# ---------------------------------------------------------------------------
+# F35: vocabulary coverage curve
+
+#: curve sample points (top-k vocabulary sizes)
+_COV_KS = (1, 2, 5, 10, 20, 50)
+
+
+@register(
+    "corpus_vocab_coverage",
+    family="text",
+    doc="Vocabulary coverage curve (F35): the fraction of corpus "
+    "token mass covered by the top-k word types at fixed k — the "
+    "concentration measure that budgets tokenizer vocabulary size "
+    "and predicts BPE merge-frontier width (see the SCALING.md BPE "
+    "regimes). Scale-safe construction: NO full-vocabulary "
+    "cumulative window — the top-max(k) types come out of a "
+    "distributed sort + limit (metadata-sized), the running mass is "
+    "a window over that tiny table, and each curve point reads one "
+    "rank row; ties rank deterministically by (count desc, word).",
+    oracle=f"""
+        WITH wc AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        cnt AS (
+            SELECT w, count(*) AS c FROM wc WHERE w != '' GROUP BY 1
+        ),
+        tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt),
+        top AS (
+            SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rank
+            FROM cnt
+            ORDER BY c DESC, w
+            LIMIT {max(_COV_KS)}
+        ),
+        cum AS (
+            SELECT rank, sum(c) OVER (
+                ORDER BY rank ROWS UNBOUNDED PRECEDING
+            ) AS mass
+            FROM top
+        ),
+        ks AS (SELECT unnest(ARRAY{list(_COV_KS)}) AS k)
+        SELECT ks.k,
+               CAST(t.vocab AS BIGINT) AS vocab_size,
+               CAST(t.total AS BIGINT) AS total_tokens,
+               CAST(coalesce(c.mass,  t.total) AS BIGINT) AS top_k_mass,
+               round(coalesce(c.mass, t.total) * 1000000.0 / t.total, 0)
+                   / 1000000.0 AS coverage
+        FROM ks
+        CROSS JOIN tot t
+        LEFT JOIN cum c ON c.rank = least(ks.k, t.vocab)
+    """,
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    top = cnt.orderBy(F.col("c").desc(), "w").limit(max(_COV_KS))
+    wr = Window.orderBy(F.col("c").desc(), "w")
+    cum = top.select(
+        F.row_number().over(wr).alias("rank"),
+        F.sum("c")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("mass"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _COV_KS], "k int")
+    t = ks.crossJoin(F.broadcast(tot)).withColumn(
+        "rank_at", F.least(F.col("k"), F.col("vocab")).cast("int")
+    )
+    out = t.join(
+        F.broadcast(cum), t["rank_at"] == cum["rank"], "left"
+    )
+    mass = F.coalesce(F.col("mass"), F.col("total"))
+    return out.select(
+        "k",
+        F.col("vocab").alias("vocab_size"),
+        F.col("total").alias("total_tokens"),
+        mass.alias("top_k_mass"),
+        (F.round(mass * 1000000.0 / F.col("total"), 0) / 1000000.0).alias(
+            "coverage"
+        ),
+    )

@@ -334,3 +334,112 @@ def test_engine_config_defaults_match_reference():
     assert cfg.ts_events.read and cfg.ts_events.truncate
     assert not cfg.ts_events.compression  # replicationresolver.go:124-135
     assert cfg.topic_prefix == "timescaledb"
+
+
+# ------------------------------------------------------- YAML subset
+
+
+YAML_EXAMPLE = """\
+# the reference's example config rendered as YAML (unmarshall.go
+# accepts the same tree in either syntax)
+postgresql:
+  connection: 'postgres://repl_user@localhost:5432/postgres'
+  password: '...'
+  snapshot:
+    batchsize: 1000
+    initial: always
+  tables:
+    includes: ['public.*']   # inline list
+    excludes:
+      - 'pgcatalog.*'        # block list
+statestorage:
+  type: file
+  file:
+    path: /tmp/statestorage.dat
+sink:
+  type: stdout
+  tombstone: false
+timescaledb:
+  hypertables:
+    includes: ['public.test']
+    excludes: ['pgcatalog.*']
+  events:
+    read: true
+    message: false
+topic:
+  prefix: timescaledb
+  namingstrategy:
+    type: debezium
+"""
+
+
+def test_yaml_config_parses_same_tree_as_toml(tmp_path):
+    """The YAML surface works WITHOUT PyYAML: the subset parser
+    produces the same EngineConfig the equivalent TOML does."""
+    ypath = tmp_path / "config.yaml"
+    ypath.write_text(YAML_EXAMPLE)
+    ycfg = load_config(str(ypath))
+    tpath = _write(
+        tmp_path,
+        textwrap.dedent(
+            """\
+            postgresql.connection = 'postgres://repl_user@localhost:5432/postgres'
+            postgresql.password = '...'
+            postgresql.snapshot.batchsize = 1000
+            postgresql.snapshot.initial = 'always'
+            postgresql.tables.includes = ['public.*']
+            postgresql.tables.excludes = ['pgcatalog.*']
+            statestorage.type = 'file'
+            statestorage.file.path = '/tmp/statestorage.dat'
+            sink.type = 'stdout'
+            sink.tombstone = false
+            timescaledb.hypertables.includes = ['public.test']
+            timescaledb.hypertables.excludes = ['pgcatalog.*']
+            timescaledb.events.read = true
+            timescaledb.events.message = false
+            topic.prefix = 'timescaledb'
+            topic.namingstrategy.type = 'debezium'
+            """
+        ),
+    )
+    tcfg = load_config(tpath)
+    assert ycfg == tcfg
+    assert ycfg.snapshot_batchsize == 1000
+    assert ycfg.pg_tables.includes == ("public.*",)
+    assert ycfg.state_storage_path == "/tmp/statestorage.dat"
+
+
+def test_yaml_subset_scalars_and_edges():
+    from timescaledb_event_streamer_spark.config_yaml import parse_yaml_subset
+
+    got = parse_yaml_subset(
+        "a: 1\n"
+        "b: 1.5\n"
+        "c: true\n"
+        "d: 'qu # oted'\n"
+        "e: \"esc\\\"aped\"\n"
+        "f: [1, 'two', false]\n"
+        "g: ~\n"
+        "h: plain string\n"
+    )
+    assert got == {
+        "a": 1, "b": 1.5, "c": True, "d": "qu # oted", "e": 'esc"aped',
+        "f": [1, "two", False], "g": None, "h": "plain string",
+    }
+
+
+def test_yaml_subset_rejects_exotic_constructs():
+    import pytest as _pytest
+
+    from timescaledb_event_streamer_spark.config_yaml import parse_yaml_subset
+
+    for bad, msg in [
+        ("a: &anchor 1", "anchor"),
+        ("a: |\n  block", "anchor/alias/block"),
+        ("a: {x: 1}", "flow mapping"),
+        ("items:\n  - k: v", "lists of mappings"),
+        ("a: 1\n---\nb: 2", "multi-document"),
+        ("\ta: 1", "tab indentation"),
+    ]:
+        with _pytest.raises(ValueError, match=msg.split("/")[0]):
+            parse_yaml_subset(bad)

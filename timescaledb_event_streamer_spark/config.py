@@ -63,17 +63,21 @@ def load_raw(path: str) -> dict:
     """Parse a TOML or YAML config file into one nested dict.
 
     TOML dotted keys (`postgresql.publication.name = ...`, the
-    reference example style) nest natively under tomllib; YAML is
-    import-gated (PyYAML is not part of the pinned environment —
-    the reference supports both, `unmarshall.go`)."""
+    reference example style) nest natively under tomllib; YAML (the
+    reference supports both, `unmarshall.go`) parses via PyYAML when
+    installed, else the dependency-free subset parser in
+    config_yaml.py (nested mappings, scalars, scalar lists — the
+    whole config surface; exotic constructs raise ValueError)."""
     if path.endswith((".yml", ".yaml")):
         try:
             import yaml  # type: ignore[import-not-found]
-        except ImportError as exc:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "YAML config requires PyYAML, which is not installed in "
-                "this environment; use the TOML form"
-            ) from exc
+        except ImportError:
+            from timescaledb_event_streamer_spark.config_yaml import (
+                parse_yaml_subset,
+            )
+
+            with open(path, "r") as fh:
+                return parse_yaml_subset(fh.read())
         with open(path, "rb") as fh:
             return yaml.safe_load(fh) or {}
     with open(path, "rb") as fh:

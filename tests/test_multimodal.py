@@ -907,3 +907,77 @@ def test_resize_images_real_decoder_on_golden_jpeg(spark):
     want = want_px[ys][:, xs]
     assert got.shape == want.shape
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# pure-Python GIF decoder (r7): the LZW branch of the real-decode
+# seam. Goldens authored independently (tools/make_golden_gif.py: its
+# own greedy LZW encoder + struct-packed blocks).
+
+GOLDEN_GIF = Path(__file__).resolve().parent / "golden" / "gif"
+
+GIF_CASES = [
+    "pattern_4c",       # 2-bit palette, deterministic pattern
+    "noise_256c",       # 8-bit palette, code-width growth
+    "interlaced",       # 4-pass interlace row order
+    "with_extensions",  # GIF89a graphic-control + comment skipped
+    "long_stream",      # 4096-code dictionary overflow + mid-stream clear
+]
+
+
+@pytest.mark.parametrize("name", GIF_CASES)
+def test_gif_decode_matches_independent_expected(name):
+    from timescaledb_event_streamer_spark.operators.gif_codec import gif_decode
+
+    got = gif_decode((GOLDEN_GIF / f"{name}.gif").read_bytes())
+    want = np.load(GOLDEN_GIF / f"{name}_expected.npy")
+    assert np.array_equal(got, want), name
+
+
+def test_gif_malformed_raises():
+    from timescaledb_event_streamer_spark.operators.gif_codec import gif_decode
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        gif_decode(b"\x89PNG\r\n\x1a\n")
+    ok = (GOLDEN_GIF / "pattern_4c.gif").read_bytes()
+    with pytest.raises(ValueError):
+        gif_decode(ok[:-10])  # truncated mid-stream
+    with pytest.raises(ValueError, match="no image frame"):
+        # header + 12-byte global color table, then straight to trailer
+        gif_decode(ok[:25] + b"\x3b")
+
+
+def test_golden_gif_files_reproducible(tmp_path, monkeypatch):
+    import tools.make_golden_gif as gen
+
+    monkeypatch.setattr(gen, "OUT", tmp_path)
+    gen.main()
+    for f in sorted(GOLDEN_GIF.iterdir()):
+        assert (tmp_path / f.name).read_bytes() == f.read_bytes(), f.name
+
+
+def test_extract_features_real_decoder_on_golden_gif(spark):
+    """The seam routes GIF payloads to the real LZW decoder: the
+    8-float contract computed from decoded palette pixels."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    payload = (GOLDEN_GIF / "noise_256c.gif").read_bytes()
+    want_px = np.load(GOLDEN_GIF / "noise_256c_expected.npy").astype(
+        np.float64
+    )
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), 16, 11, 0)],
+        "media_id long, kind string, payload binary, width int, height int, "
+        "duration_ms int",
+    )
+    r = extract_features(media, decoder="real").collect()[0]
+    f = r["features"]
+    assert f[:3] == [16.0, 11.0, 3.0]
+    want = [
+        want_px.mean(), want_px.std(), want_px.min(), want_px.max(),
+        np.abs(np.diff(want_px, axis=1)).mean(),
+    ]
+    for got_v, want_v in zip(f[3:], want):
+        assert abs(got_v - want_v) < 1e-3  # float32 feature column

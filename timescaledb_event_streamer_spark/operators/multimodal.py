@@ -2,14 +2,15 @@
 opaque binary columns with typed metadata, processed by Arrow-batched
 mapInPandas.
 
-Decode support is per-codec: PNG decodes FOR REAL via the pure-Python
-codec in operators/png_codec.py (stdlib zlib + numpy — decode, nearest
-resize, re-encode, r6) and baseline JPEG via operators/jpeg_codec.py
-(Huffman + dequant + IDCT + YCbCr, r7), so `decoder="real"` runs
-actual pixels for both, routed by magic bytes. Video/audio entropy
-coders (and progressive JPEG) genuinely need a codec library
-(ffmpeg/torchaudio, absent in this container), so those payloads
-under `decoder="real"` raise at the exact seam where codecs plug in.
+Decode support is per-codec: `decoder="real"` runs ACTUAL PIXELS for
+all three image containers, routed by magic bytes — PNG via
+operators/png_codec.py (zlib + scanline filters, r6), baseline JPEG
+via operators/jpeg_codec.py (Huffman + dequant + IDCT + YCbCr, r7),
+GIF via operators/gif_codec.py (variable-width LZW + interlace, r7).
+Video/audio entropy coders (and progressive JPEG) genuinely need a
+codec library (ffmpeg/torchaudio, absent in this container), so those
+payloads under `decoder="real"` raise at the exact seam where codecs
+plug in.
 `decoder="stub"` remains the deterministic fake that exercises
 schema, binary Arrow transport, batch shapes and partition-parallel
 extraction for every modality.
@@ -102,9 +103,13 @@ def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
 
 def _real_decode_image(payload: bytes) -> np.ndarray:
     """Route a binary payload to its real pure-Python codec by magic
-    bytes: PNG (png_codec, r6) or baseline JPEG (jpeg_codec, r7).
-    Anything else raises at the exact seam the remaining codecs
-    (video/audio entropy coders) plug into."""
+    bytes: PNG (png_codec, r6), baseline JPEG (jpeg_codec, r7) or
+    GIF (gif_codec, r7). Anything else raises at the exact seam the
+    remaining codecs (video/audio entropy coders) plug into."""
+    from timescaledb_event_streamer_spark.operators.gif_codec import (
+        GIF_MAGICS,
+        gif_decode,
+    )
     from timescaledb_event_streamer_spark.operators.jpeg_codec import (
         JPEG_SOI,
         jpeg_decode,
@@ -119,8 +124,10 @@ def _real_decode_image(payload: bytes) -> np.ndarray:
         return png_decode(raw)
     if raw.startswith(JPEG_SOI):
         return jpeg_decode(raw)
+    if raw.startswith(GIF_MAGICS):
+        return gif_decode(raw)
     raise NotImplementedError(
-        "real decode beyond PNG/baseline-JPEG requires a codec "
+        "real decode beyond PNG/baseline-JPEG/GIF requires a codec "
         "library (ffmpeg/torchaudio); plug it in here"
     )
 

@@ -1118,3 +1118,96 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# B79: candlestick partial-merge rollup (toolkit rollup(candlestick_agg))
+
+_WEEK_S = 7 * 86400
+
+
+@register(
+    "ts_candlestick_rollup",
+    family="timeseries",
+    doc="Weekly candlesticks rolled up from DAILY candle partials "
+    "(B79, timescaledb-toolkit rollup(candlestick_agg)): each daily "
+    "partial carries (open, open_key) / (close, close_key) so the "
+    "merge picks the week's true first/last trade via min_by/max_by "
+    "on the LSN key, high/low/volume/turnover merge associatively, "
+    "and VWAP renders once from the merged exact integers (the "
+    "B47/B43 merge==direct contract applied to candles: the ORACLE "
+    "aggregates raw events straight to weeks, so the driver hash "
+    "certifies that merging daily partials equals the direct weekly "
+    "aggregate). Two keyed reduces — day grain then week grain — "
+    "with map-side partials; no window, no raw re-scan in the "
+    "rollup.",
+    oracle=f"""
+        SELECT event_type AS series,
+               CAST({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % {_WEEK_S} AS BIGINT)
+                   AS week_s,
+               arg_min(value, event_id) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, event_id) AS close,
+               CAST(count(*) AS BIGINT) AS n_trades,
+               CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS volume,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        * CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                   AS turnover_cents,
+               round(CAST(sum(CAST(round(value * 100) AS BIGINT)
+                              * CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
+                     * 10000.0
+                     / sum(CAST(props->>'$.k' AS BIGINT)), 0) / 1000000.0
+                   AS vwap
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def ts_candlestick_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    es = F.expr("unix_micros(ts) div 1000000")
+    vol = F.get_json_object("props", "$.k").cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = (
+        events.withColumn("_es", es)
+        .groupBy(
+            F.col("event_type").alias("series"),
+            (F.col("_es") - F.pmod(F.col("_es"), F.lit(86400))).alias("day_s"),
+        )
+        .agg(
+            F.min("event_id").alias("open_key"),
+            F.min_by("value", "event_id").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max("event_id").alias("close_key"),
+            F.max_by("value", "event_id").alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(vol).alias("volume"),
+            F.sum(cents * vol).alias("turnover_cents"),
+        )
+    )
+    weekly = (
+        daily.groupBy(
+            "series",
+            (F.col("day_s") - F.pmod(F.col("day_s"), F.lit(_WEEK_S))).alias(
+                "week_s"
+            ),
+        )
+        .agg(
+            F.min_by("open", "open_key").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "close_key").alias("close"),
+            F.sum("n_trades").alias("n_trades"),
+            F.sum("volume").alias("volume"),
+            F.sum("turnover_cents").alias("turnover_cents"),
+        )
+    )
+    return weekly.withColumn(
+        "vwap",
+        F.round(
+            F.col("turnover_cents").cast("double") * 10000.0 / F.col("volume"),
+            0,
+        )
+        / 1000000.0,
+    )

@@ -981,3 +981,101 @@ def test_extract_features_real_decoder_on_golden_gif(spark):
     ]
     for got_v, want_v in zip(f[3:], want):
         assert abs(got_v - want_v) < 1e-3  # float32 feature column
+
+
+# ---------------------------------------------------------------------------
+# codec property tests: randomized roundtrips through the INDEPENDENT
+# generator-side encoders (tools/make_golden_*.py) — the goldens
+# pinned specific scenarios; these sweep shapes/palettes/filters.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 17),
+    w=st.integers(1, 19),
+    nbits=st.sampled_from([2, 4, 8]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, nbits, interlace, seed):
+    import tools.make_golden_gif as gen
+    from timescaledb_event_streamer_spark.operators.gif_codec import (
+        gif_decode,
+    )
+
+    rng = np.random.RandomState(seed)
+    ncolors = 1 << nbits
+    pal = rng.randint(0, 256, size=(ncolors, 3)).astype(np.uint8)
+    idx = rng.randint(0, ncolors, size=(h, w)).astype(np.int64)
+    got = gif_decode(gen.make_gif(pal, idx, interlace=interlace))
+    assert np.array_equal(got, pal[idx])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+    restart=st.sampled_from([0, 1, 3]),
+)
+def test_jpeg_gray_roundtrip_property(h, w, seed, restart):
+    """Random grayscale frames through the generator's independent
+    encoder: the decoder must reconstruct the generator's own
+    inverse-path expectation within 1 (float round-off)."""
+    import tools.make_golden_jpeg as gen
+    from timescaledb_event_streamer_spark.operators.jpeg_codec import (
+        jpeg_decode,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w)).astype(float)
+    coeffs = gen.quantize_plane(img, gen.Q_LUMA)
+    stream = gen.encode(
+        "prop", [coeffs], [(0, gen.Q_LUMA)], [(1, 1)], h, w, restart
+    )
+    want = gen.expected_from_coeffs(
+        [coeffs], [gen.Q_LUMA], [(1, 1)], h, w, False
+    )
+    got = jpeg_decode(stream)
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    h=st.integers(2, 14),
+    w=st.integers(2, 14),
+    seed=st.integers(0, 2**31 - 1),
+    samp=st.sampled_from([[(1, 1), (1, 1), (1, 1)], [(2, 2), (1, 1), (1, 1)],
+                          [(2, 1), (1, 1), (1, 1)]]),
+)
+def test_jpeg_color_roundtrip_property(h, w, seed, samp):
+    """Random color frames across 4:4:4 / 4:2:0 / 4:2:2 sampling."""
+    import tools.make_golden_jpeg as gen
+    from timescaledb_event_streamer_spark.operators.jpeg_codec import (
+        jpeg_decode,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3)).astype(float)
+    y, cb, cr = gen.rgb_to_ycbcr(img)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mh = -(-h // (8 * vmax)) * 8 * vmax
+    mw = -(-w // (8 * hmax)) * 8 * hmax
+    planes = []
+    for plane, (hs, vs) in zip((y, cb, cr), samp):
+        p = np.pad(plane, ((0, mh - h), (0, mw - w)), mode="edge")
+        planes.append(gen.subsample(p, vmax // vs, hmax // hs))
+    qs = [gen.Q_LUMA, gen.Q_CHROMA, gen.Q_CHROMA]
+    coeffs = [gen.quantize_plane(p, q) for p, q in zip(planes, qs)]
+    stream = gen.encode(
+        "prop", coeffs, [(0, gen.Q_LUMA), (1, gen.Q_CHROMA)], samp, h, w
+    )
+    want = gen.expected_from_coeffs(coeffs, qs, samp, h, w, True)
+    got = jpeg_decode(stream)
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

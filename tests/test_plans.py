@@ -140,6 +140,7 @@ _BNLJ_OK = {
     "ts_cagg_refresh_policy",  # single-row broadcast policy scalars
     "embedding_quantization_error",  # single-row broadcast scale array
     "corpus_vocab_coverage",  # single-row broadcast corpus totals
+    "corpus_quality_strata",  # single-row broadcast N + cuts array
 }
 
 

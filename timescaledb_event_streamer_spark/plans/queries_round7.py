@@ -1211,3 +1211,230 @@ def ts_candlestick_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 1000000.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# A33: transaction-window buffering policy (transactiontracker.go)
+
+#: postgresql.transaction.window.{maxsize,timeout} stand-ins sized so
+#: all three outcomes (fully buffered / overflowed / timed out) are
+#: live at certification SF
+_TXNW_MAXSIZE = 4
+_TXNW_TIMEOUT_S = 3000
+
+
+@register(
+    "cdc_txn_window_policy",
+    family="cdc",
+    doc="Transaction-window buffering policy (A33, "
+    "postgresql.transaction.window.{enabled,timeout,maxsize} — "
+    "configuration.go:129-133, transactiontracker.go:458-481): the "
+    "tracker buffers a transaction's entries to reorder "
+    "compression/decompression markers, draining early when the "
+    "queue hits maxsize (overflowed) or a push lands past the "
+    "deadline (timedOut); the tripping entry itself is still "
+    "buffered, everything after streams through directly. Model: "
+    "each (event_type, hour) is one transaction; per txn the plan "
+    "emits size, span, both trip flags evaluated exactly as the "
+    "tracker does (at each push: elapsed > timeout OR queue == "
+    "maxsize, first trip wins), the buffered prefix length and the "
+    "streamed-through remainder. Plan: one scan, txn-partitioned "
+    "row_number (the tracker's per-transaction order), one keyed "
+    "reduce — txn-grain output.",
+    oracle=f"""
+        WITH r AS (
+            SELECT event_type,
+                   ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 3600) AS txn_s,
+                   {_SQL_EPOCH_S} AS es,
+                   row_number() OVER (
+                       PARTITION BY event_type,
+                           ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 3600)
+                       ORDER BY {_SQL_EPOCH_S}, event_id
+                   ) AS rn,
+                   min({_SQL_EPOCH_S}) OVER (
+                       PARTITION BY event_type,
+                           ({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 3600)
+                   ) AS t0
+            FROM events
+        ),
+        t AS (
+            SELECT event_type, txn_s,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   max(es) - min(es) AS span_s,
+                   min(CASE WHEN es - t0 > {_TXNW_TIMEOUT_S}
+                             OR rn = {_TXNW_MAXSIZE}
+                            THEN rn END) AS trip_rn,
+                   min(CASE WHEN es - t0 > {_TXNW_TIMEOUT_S} THEN rn END)
+                       AS trip_timeout_rn,
+                   min(CASE WHEN rn = {_TXNW_MAXSIZE} THEN rn END)
+                       AS trip_overflow_rn
+            FROM r GROUP BY 1, 2
+        )
+        SELECT event_type, txn_s, n_events, span_s,
+               trip_rn IS NULL AS buffered_fully,
+               coalesce(trip_overflow_rn, 9223372036854775807)
+                   <= coalesce(trip_rn, 0) AS overflowed,
+               coalesce(trip_timeout_rn, 9223372036854775807)
+                   <= coalesce(trip_rn, 0) AS timed_out,
+               coalesce(trip_rn, n_events) AS n_buffered,
+               n_events - coalesce(trip_rn, n_events) AS n_streamed_through
+        FROM t
+    """,
+)
+def cdc_txn_window_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    es = F.expr("unix_micros(ts) div 1000000")
+    base = events.select(
+        "event_type",
+        es.alias("es"),
+        (es - es % 3600).alias("txn_s"),
+        "event_id",
+    )
+    wp = Window.partitionBy("event_type", "txn_s")
+    w = wp.orderBy("es", "event_id")
+    r = base.select(
+        "event_type",
+        "txn_s",
+        "es",
+        F.row_number().over(w).alias("rn"),
+        F.min("es").over(wp).alias("t0"),
+    )
+    trip_timeout = F.when(
+        F.col("es") - F.col("t0") > _TXNW_TIMEOUT_S, F.col("rn")
+    )
+    trip_overflow = F.when(F.col("rn") == _TXNW_MAXSIZE, F.col("rn"))
+    t = r.groupBy("event_type", "txn_s").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("es") - F.min("es")).alias("span_s"),
+        F.min(F.coalesce(trip_timeout, trip_overflow)).alias("_tmp"),
+        F.min(trip_timeout).alias("trip_timeout_rn"),
+        F.min(trip_overflow).alias("trip_overflow_rn"),
+    )
+    trip = F.least(
+        F.coalesce(F.col("trip_timeout_rn"), F.lit(None).cast("long")),
+        F.coalesce(F.col("trip_overflow_rn"), F.lit(None).cast("long")),
+    )
+    # least() skips nulls, so trip = min of whichever trips exist
+    big = F.lit(9223372036854775807)
+    return t.select(
+        "event_type",
+        "txn_s",
+        "n_events",
+        "span_s",
+        trip.isNull().alias("buffered_fully"),
+        (F.coalesce(F.col("trip_overflow_rn"), big) <= F.coalesce(trip, F.lit(0)))
+        .alias("overflowed"),
+        (F.coalesce(F.col("trip_timeout_rn"), big) <= F.coalesce(trip, F.lit(0)))
+        .alias("timed_out"),
+        F.coalesce(trip, F.col("n_events")).alias("n_buffered"),
+        (F.col("n_events") - F.coalesce(trip, F.col("n_events"))).alias(
+            "n_streamed_through"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F36: quality stratification with exact count-based thresholds
+
+#: quantile cut points (per-mille) for the strata
+_STRATA_PM = (250, 500, 750, 900)
+
+
+@register(
+    "corpus_quality_strata",
+    family="text",
+    doc="Quality stratification (F36): split the corpus into strata "
+    "at fixed quality-score quantiles — the curriculum/mix-planning "
+    "step that samples high-quality docs at higher rates (composes "
+    "with F16/F18/F33). The score is F2's integer signal family "
+    "reduced to one int (token count capped + stopword hits); "
+    "thresholds are EXACT percentile_disc computed from the score "
+    "histogram (smallest score with cumulative count >= "
+    "ceil(p*N/1000) — pure integer arithmetic, no engine quantile "
+    "function, no cross-engine interpolation ambiguity). The "
+    "histogram is score-grain (bounded by the score domain, "
+    "metadata-sized), its cumulative window runs over that tiny "
+    "table only, and docs bucket via a broadcast threshold join. "
+    "Output: per stratum the doc count, token mass and score "
+    "bounds.",
+    oracle=f"""
+        WITH sc AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS score
+            FROM documents
+        ),
+        hist AS (SELECT score, count(*) AS c FROM sc GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM sc),
+        cum AS (
+            SELECT score,
+                   sum(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+                       AS cum_c
+            FROM hist
+        ),
+        thr AS (
+            SELECT pm,
+                   min(score) FILTER (
+                       WHERE cum_c * 1000 >= pm * (SELECT n_docs FROM n)
+                   ) AS cut
+            FROM cum CROSS JOIN (
+                SELECT unnest(ARRAY{list(_STRATA_PM)}) AS pm
+            ) pms
+            GROUP BY pm
+        ),
+        strata AS (
+            SELECT sc.doc_id, sc.score,
+                   (SELECT count(*) FROM thr WHERE sc.score > thr.cut)
+                       AS stratum
+            FROM sc
+        )
+        SELECT stratum,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(score) AS BIGINT) AS token_mass,
+               min(score) AS min_score,
+               max(score) AS max_score
+        FROM strata GROUP BY 1
+    """,
+)
+def corpus_quality_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    sc = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("score")
+    )
+    hist = sc.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    n = sc.agg(F.count(F.lit(1)).alias("n_docs"))
+    # cumulative over the SCORE HISTOGRAM (score-domain-bounded,
+    # metadata-sized — same deliberate note as the chunk catalog)
+    wc = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("score", F.sum("c").over(wc).alias("cum_c"))
+    pms = docs.sparkSession.createDataFrame(
+        [(pm,) for pm in _STRATA_PM], "pm int"
+    )
+    thr = (
+        cum.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(pms))
+        .filter(F.col("cum_c") * 1000 >= F.col("pm") * F.col("n_docs"))
+        .groupBy("pm")
+        .agg(F.min("score").alias("cut"))
+    )
+    cuts = thr.agg(
+        F.collect_list(F.col("cut")).alias("cuts")
+    )
+    strata = sc.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "score",
+        F.expr(
+            "size(filter(cuts, c -> score > c))"
+        ).cast("long").alias("stratum"),
+    )
+    return strata.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score").alias("token_mass"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )

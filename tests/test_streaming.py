@@ -1247,3 +1247,61 @@ def test_streaming_cms_registers_match_batch(spark, sf_small):
     from timescaledb_event_streamer_spark.plans.queries_round7 import _CMS_D
 
     assert sum(got.values()) == n_events * _CMS_D
+
+
+def test_streaming_candlestick_partials_match_batch(spark, sf_small):
+    """I27: B79's daily candle partials are all associative
+    (min_by/max_by on LSN keys, max/min/sum), so the identical
+    grouping maintains live daily candles as a complete-mode
+    streaming aggregation — partial-for-partial equal to batch,
+    which is what lets the weekly rollup read a continuously-
+    maintained table instead of rescanning trades."""
+    events = load(spark, sf_small, "events")
+    own_log = tempfile.mkdtemp(prefix="candlelog-")
+    events.withColumn("b", F.pmod(F.col("event_id"), F.lit(8))).repartition(
+        8, "b"
+    ).drop("b").write.mode("overwrite").parquet(own_log)
+    stream = spark.readStream.schema(events.schema).parquet(own_log)
+
+    def daily(df):
+        es = F.expr("unix_micros(ts) div 1000000")
+        vol = F.get_json_object("props", "$.k").cast("long")
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        return (
+            df.withColumn("_es", es)
+            .groupBy(
+                F.col("event_type").alias("series"),
+                (F.col("_es") - F.pmod(F.col("_es"), F.lit(86400))).alias(
+                    "day_s"
+                ),
+            )
+            .agg(
+                F.min("event_id").alias("open_key"),
+                F.min_by("value", "event_id").alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max("event_id").alias("close_key"),
+                F.max_by("value", "event_id").alias("close"),
+                F.count(F.lit(1)).alias("n_trades"),
+                F.sum(vol).alias("volume"),
+                F.sum(cents * vol).alias("turnover_cents"),
+            )
+        )
+
+    q = (
+        daily(stream)
+        .writeStream.format("memory")
+        .queryName("candle_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["day_s"]): r.asDict()
+        for r in spark.sql("SELECT * FROM candle_stream").collect()
+    }
+    want = {
+        (r["series"], r["day_s"]): r.asDict() for r in daily(events).collect()
+    }
+    assert got == want and len(want) > 0

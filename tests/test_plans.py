@@ -141,6 +141,7 @@ _BNLJ_OK = {
     "embedding_quantization_error",  # single-row broadcast scale array
     "corpus_vocab_coverage",  # single-row broadcast corpus totals
     "corpus_quality_strata",  # single-row broadcast N + cuts array
+    "ann_nprobe_sweep",  # single-row broadcast query vector / totals
 }
 
 

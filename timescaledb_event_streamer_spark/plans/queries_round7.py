@@ -1438,3 +1438,195 @@ def corpus_quality_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").alias("min_score"),
         F.max("score").alias("max_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E21: IVF nprobe tuning sweep (recall/cost curve)
+
+_SWEEP_NPROBES = (1, 2, 4, 8)
+_SWEEP_K = 10
+_SWEEP_STRIDE = 25
+_SWEEP_QUERY = 1
+
+
+def _sweep_oracle() -> str:
+    """The E11 seeded-IVF SQL replayed once per nprobe, reduced to a
+    (nprobe, candidates, recall) summary row each."""
+    base = """
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS seed_id, v AS sv FROM e
+            WHERE vec_id % {stride} = 0 AND vec_id < {stride} * 100
+        ),
+        asg0 AS (
+            SELECT e.vec_id, e.v, s.seed_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, s.sv), 6)
+                                DESC, s.seed_id
+                   ) AS rn
+            FROM e CROSS JOIN seeds s
+        ),
+        asg AS (SELECT vec_id, v, seed_id FROM asg0 WHERE rn = 1),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {query}),
+        n AS (SELECT count(*) AS n_vecs FROM e WHERE vec_id <> {query}),
+        exact AS (
+            SELECT vec_id
+            FROM e CROSS JOIN q
+            WHERE vec_id <> {query}
+            ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id
+            LIMIT {k}
+        )
+    """.format(stride=_SWEEP_STRIDE, query=_SWEEP_QUERY, k=_SWEEP_K)
+    branches = []
+    for np_ in _SWEEP_NPROBES:
+        branches.append(
+            """
+        SELECT {np} AS nprobe,
+               (SELECT count(*) FROM asg a
+                WHERE a.vec_id <> {query} AND a.seed_id IN (
+                    SELECT seed_id FROM seeds CROSS JOIN q
+                    ORDER BY round(list_cosine_similarity(sv, qv), 6) DESC,
+                             seed_id
+                    LIMIT {np})) AS n_candidates,
+               (SELECT round(count(*) * 1000000.0 // 1 / 1000000.0, 6)
+                FROM (
+                    SELECT a.vec_id
+                    FROM asg a CROSS JOIN q
+                    WHERE a.vec_id <> {query} AND a.seed_id IN (
+                        SELECT seed_id FROM seeds CROSS JOIN q
+                        ORDER BY round(list_cosine_similarity(sv, qv), 6)
+                                 DESC, seed_id
+                        LIMIT {np})
+                    ORDER BY round(list_cosine_similarity(a.v, q.qv), 6)
+                             DESC, a.vec_id
+                    LIMIT {k}
+                ) ap JOIN exact USING (vec_id)) / {k}.0 AS recall_at_k
+            """.format(np=np_, query=_SWEEP_QUERY, k=_SWEEP_K)
+        )
+    body = " UNION ALL ".join(branches)
+    return f"""
+        WITH {base}
+        SELECT s.nprobe, CAST(s.n_candidates AS BIGINT) AS n_candidates,
+               round(s.n_candidates * 1000000.0 / n.n_vecs, 0) / 1000000.0
+                   AS scan_fraction,
+               s.recall_at_k
+        FROM ({body}) s CROSS JOIN n
+    """
+
+
+@register(
+    "ann_nprobe_sweep",
+    family="ann",
+    doc="IVF nprobe tuning sweep (E21): the recall-vs-cost curve an "
+    "IVF deployment plots before fixing its probe budget — for "
+    "nprobe in (1, 2, 4, 8), the candidate count, the scanned "
+    "corpus fraction and recall@10 against the brute-force exact "
+    "top-10, all on E11's deterministic seeded index so every point "
+    "is oracle-checkable. The assignment (the expensive index "
+    "build) is computed ONCE and persisted; each sweep point only "
+    "re-probes (probe lists are metadata) and re-ranks its "
+    "candidate slice, which is how a real tuning run amortizes the "
+    "build. recall steps are exact 1/k decimals; scan_fraction "
+    "renders integer-scale.",
+    oracle=_sweep_oracle(),
+)
+def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from timescaledb_event_streamer_spark.operators.ann import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = emb.repartition(n_shuffle).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = e.filter(
+        (F.col("vec_id") % _SWEEP_STRIDE == 0)
+        & (F.col("vec_id") < _SWEEP_STRIDE * 100)
+    ).select(F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"))
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "v",
+        "seed_id",
+        F.round(cosine(F.col("v"), F.col("sv")), 6).alias("c"),
+    )
+    asg = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("seed_id")).alias("ns"))
+            ).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", (-F.col("m.ns")).alias("seed_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    qv = e.filter(F.col("vec_id") == _SWEEP_QUERY).select(
+        F.col("v").alias("qv")
+    )
+    n_vecs = e.filter(F.col("vec_id") != _SWEEP_QUERY).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    probe_rank = (
+        seeds.crossJoin(F.broadcast(qv))
+        .select(
+            "seed_id",
+            F.round(cosine(F.col("sv"), F.col("qv")), 6).alias("qc"),
+        )
+    )
+    exact = (
+        e.filter(F.col("vec_id") != _SWEEP_QUERY)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("c")
+        )
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(_SWEEP_K)
+        .select("vec_id")
+    )
+    rows = []
+    for np_ in _SWEEP_NPROBES:
+        probes = (
+            probe_rank.orderBy(F.col("qc").desc(), "seed_id")
+            .limit(np_)
+            .select("seed_id")
+        )
+        cand = (
+            asg.join(F.broadcast(probes), "seed_id")
+            .filter(F.col("vec_id") != _SWEEP_QUERY)
+        )
+        topk = (
+            cand.crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                F.round(cosine(F.col("v"), F.col("qv")), 6).alias("c"),
+            )
+            .orderBy(F.col("c").desc(), "vec_id")
+            .limit(_SWEEP_K)
+            .select("vec_id")
+        )
+        summary = cand.agg(
+            F.count(F.lit(1)).alias("n_candidates")
+        ).crossJoin(
+            topk.join(exact, "vec_id").agg(
+                (F.count(F.lit(1)) / float(_SWEEP_K)).alias("recall_at_k")
+            )
+        ).select(
+            F.lit(np_).alias("nprobe"), "n_candidates", "recall_at_k"
+        )
+        rows.append(summary)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.crossJoin(F.broadcast(n_vecs)).select(
+        "nprobe",
+        "n_candidates",
+        (
+            F.round(F.col("n_candidates") * 1000000.0 / F.col("n_vecs"), 0)
+            / 1000000.0
+        ).alias("scan_fraction"),
+        "recall_at_k",
+    )

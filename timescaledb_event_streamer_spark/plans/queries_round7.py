@@ -1630,3 +1630,134 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scan_fraction"),
         "recall_at_k",
     )
+
+
+# ---------------------------------------------------------------------------
+# B80: Heikin-Ashi candles (recursive smoothing over day order)
+
+
+@register(
+    "ts_heikin_ashi",
+    family="timeseries",
+    doc="Heikin-Ashi candles (B80): the RECURSIVE OHLC smoothing "
+    "(ha_open(d) = (ha_open(d-1) + ha_close(d-1)) / 2 — each day "
+    "depends on the previous day's OUTPUT, not its inputs, so no "
+    "window function expresses it) charting stacks derive from "
+    "candlestick_agg. Spark shape for an iterative-per-key "
+    "operator: one parallel day-grain reduce, then each series "
+    "folds its OWN day array sequentially in-row (array length is "
+    "time-bounded — days per series — never corpus-bounded, so the "
+    "fold is metadata work at any row count) and explodes back. "
+    "The oracle is a genuine RECURSIVE CTE walking rn = rn + 1, so "
+    "the hash certifies the recursion itself; both engines run the "
+    "identical left-assoc double expressions in identical day "
+    "order, scale-0 rendering.",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS series,
+                   CAST({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 86400 AS BIGINT)
+                       AS day_s,
+                   arg_min(value, event_id) AS o, max(value) AS h,
+                   min(value) AS l, arg_max(value, event_id) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY series ORDER BY day_s
+            ) AS rn
+            FROM daily
+        ),
+        ha AS (
+            SELECT series, day_s, rn, h, l,
+                   (o + h + l + c) / 4.0 AS ha_close,
+                   (o + c) / 2.0 AS ha_open
+            FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT r.series, r.day_s, r.rn, r.h, r.l,
+                   (r.o + r.h + r.l + r.c) / 4.0,
+                   (ha.ha_open + ha.ha_close) / 2.0
+            FROM ranked r
+            JOIN ha ON r.series = ha.series AND r.rn = ha.rn + 1
+        )
+        SELECT series, day_s,
+               round(ha_open * 1000000.0, 0) / 1000000.0 AS ha_open,
+               round(ha_close * 1000000.0, 0) / 1000000.0 AS ha_close,
+               round(greatest(h, ha_open, ha_close) * 1000000.0, 0)
+                   / 1000000.0 AS ha_high,
+               round(least(l, ha_open, ha_close) * 1000000.0, 0)
+                   / 1000000.0 AS ha_low,
+               ha_close > ha_open AS bullish
+        FROM ha
+    """,
+)
+def ts_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    es = F.expr("unix_micros(ts) div 1000000")
+    daily = (
+        events.withColumn("_es", es)
+        .groupBy(
+            F.col("event_type").alias("series"),
+            (F.col("_es") - F.pmod(F.col("_es"), F.lit(86400))).alias(
+                "day_s"
+            ),
+        )
+        .agg(
+            F.min_by("value", "event_id").alias("o"),
+            F.max("value").alias("h"),
+            F.min("value").alias("l"),
+            F.max_by("value", "event_id").alias("c"),
+        )
+    )
+    packed = daily.groupBy("series").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day_s", "o", "h", "l", "c"))
+        ).alias("ds")
+    )
+    init = F.struct(
+        F.array()
+        .cast(
+            "array<struct<day_s:bigint,ha_open:double,ha_close:double,"
+            "h:double,l:double>>"
+        )
+        .alias("arr"),
+        F.lit(None).cast("double").alias("po"),
+        F.lit(None).cast("double").alias("pc"),
+    )
+
+    def step(acc, x):
+        hc = (x["o"] + x["h"] + x["l"] + x["c"]) / 4.0
+        ho = F.when(
+            acc["po"].isNull(), (x["o"] + x["c"]) / 2.0
+        ).otherwise((acc["po"] + acc["pc"]) / 2.0)
+        entry = F.struct(
+            x["day_s"].alias("day_s"),
+            ho.alias("ha_open"),
+            hc.alias("ha_close"),
+            x["h"].alias("h"),
+            x["l"].alias("l"),
+        )
+        return F.struct(
+            F.concat(acc["arr"], F.array(entry)).alias("arr"),
+            ho.alias("po"),
+            hc.alias("pc"),
+        )
+
+    folded = packed.select(
+        "series",
+        F.aggregate(F.col("ds"), init, step, lambda a: a["arr"]).alias(
+            "arr"
+        ),
+    )
+    x = folded.select("series", F.explode("arr").alias("x")).select(
+        "series", "x.*"
+    )
+    sc = lambda col: F.round(col * 1000000.0, 0) / 1000000.0  # noqa: E731
+    return x.select(
+        "series",
+        "day_s",
+        sc(F.col("ha_open")).alias("ha_open"),
+        sc(F.col("ha_close")).alias("ha_close"),
+        sc(F.greatest("h", "ha_open", "ha_close")).alias("ha_high"),
+        sc(F.least("l", "ha_open", "ha_close")).alias("ha_low"),
+        (F.col("ha_close") > F.col("ha_open")).alias("bullish"),
+    )

@@ -1305,3 +1305,85 @@ def test_streaming_candlestick_partials_match_batch(spark, sf_small):
         (r["series"], r["day_s"]): r.asDict() for r in daily(events).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_heikin_ashi_matches_batch(spark, sf_small, tmp_path):
+    """I28: Heikin-Ashi is sequential per key (day d needs day d-1's
+    OUTPUT), so it streams as keyed applyInPandasWithState, not as an
+    aggregation. Day partials are fed in TWO time-ordered micro-
+    batches (maxFilesPerTrigger=1) so the recursion state must
+    genuinely cross a batch boundary; the result must equal the
+    batch ts_heikin_ashi query row-for-row."""
+    from timescaledb_event_streamer_spark.plans.registry import all_queries
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_heikin_ashi,
+    )
+
+    events = load(spark, sf_small, "events")
+    daily = (
+        events.withColumn("_es", F.expr("unix_micros(ts) div 1000000"))
+        .groupBy(
+            F.col("event_type").alias("series"),
+            (F.col("_es") - F.pmod(F.col("_es"), F.lit(86400))).alias("day_s"),
+        )
+        .agg(
+            F.min_by("value", "event_id").alias("o"),
+            F.max("value").alias("h"),
+            F.min("value").alias("l"),
+            F.max_by("value", "event_id").alias("c"),
+        )
+    )
+    split_day = daily.agg(
+        F.expr("percentile_approx(day_s, 0.5)").alias("m")
+    ).first()["m"]
+    log_dir = tmp_path / "ha_log"
+    log_dir.mkdir()
+    # file order = modification order = batch order under
+    # maxFilesPerTrigger=1; early days land first
+    daily.filter(F.col("day_s") <= split_day).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b0"))
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mtimes so file order is deterministic
+    daily.filter(F.col("day_s") > split_day).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b1"))
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_heikin_ashi(stream)
+        .writeStream.format("memory")
+        .queryName("ha_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["day_s"]): (
+            r["ha_open"], r["ha_close"], r["ha_high"], r["ha_low"],
+            r["bullish"],
+        )
+        for r in spark.sql("SELECT * FROM ha_stream").collect()
+    }
+    want = {
+        (r["series"], r["day_s"]): (
+            r["ha_open"], r["ha_close"], r["ha_high"], r["ha_low"],
+            r["bullish"],
+        )
+        for r in all_queries()["ts_heikin_ashi"](spark, sf_small).collect()
+    }
+    assert len(got) == len(want) > 0
+    for k, g in got.items():
+        w = want[k]
+        assert g[4] == w[4], k
+        # the query output is scale-0-rounded; the raw streamed floats
+        # may sit a half-ulp across a rounding tie (Python banker's vs
+        # Spark HALF_UP), so compare at the rounding grain
+        for gv, wv in zip(g[:4], w[:4]):
+            assert abs(gv - wv) <= 1e-6, (k, g, w)

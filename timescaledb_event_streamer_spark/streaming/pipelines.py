@@ -390,3 +390,67 @@ def asof_join_stream(tagged: DataFrame, tolerance_s: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming Heikin-Ashi (I28): a genuinely SEQUENTIAL per-key
+# operator (each day's output depends on the previous day's OUTPUT),
+# so unlike the associative partial tables (I23/I25/I27) it cannot
+# run as a complete-mode aggregation — this is exactly what
+# applyInPandasWithState exists for: keyed state carrying
+# (last_day, last_ha_open, last_ha_close) across micro-batches.
+
+_HA_STATE_SCHEMA = "last_day LONG, po DOUBLE, pc DOUBLE"
+_HA_OUT_SCHEMA = (
+    "series STRING, day_s LONG, ha_open DOUBLE, ha_close DOUBLE, "
+    "ha_high DOUBLE, ha_low DOUBLE, bullish BOOLEAN"
+)
+
+
+def _heikin_ashi_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last_day, po, pc = state.get if state.exists else (None, None, None)
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("day_s")
+        for r in pdf.itertuples():
+            if last_day is not None and r.day_s <= last_day:
+                continue  # replayed/duplicate day partial
+            hc = (r.o + r.h + r.l + r.c) / 4.0
+            ho = (r.o + r.c) / 2.0 if po is None else (po + pc) / 2.0
+            rows.append(
+                {
+                    "series": key[0],
+                    "day_s": int(r.day_s),
+                    "ha_open": ho,
+                    "ha_close": hc,
+                    "ha_high": max(r.h, ho, hc),
+                    "ha_low": min(r.l, ho, hc),
+                    "bullish": hc > ho,
+                }
+            )
+            po, pc, last_day = ho, hc, int(r.day_s)
+    state.update((last_day, po, pc))
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "series", "day_s", "ha_open", "ha_close",
+            "ha_high", "ha_low", "bullish",
+        ],
+    )
+
+
+def streaming_heikin_ashi(daily: DataFrame) -> DataFrame:
+    """Heikin-Ashi over a stream of DAILY OHLC partials (I28): keyed
+    state per series carries the previous candle's output across
+    micro-batches, emitting each new day's smoothed candle in append
+    mode. Ordering contract: day partials arrive in day order per
+    series across batches (the cagg-refresh delivery shape);
+    replayed days are idempotently skipped via last_day."""
+    return daily.groupBy("series").applyInPandasWithState(
+        _heikin_ashi_state_fn,
+        outputStructType=_HA_OUT_SCHEMA,
+        stateStructType=_HA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1761,3 +1761,97 @@ def ts_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc(F.least("l", "ha_open", "ha_close")).alias("ha_low"),
         (F.col("ha_close") > F.col("ha_open")).alias("bullish"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B81: state_agg's state_timeline accessor (compacted segments)
+
+
+@register(
+    "ts_state_timeline",
+    family="timeseries",
+    doc="state_timeline accessor over state_agg (B81, timescaledb-"
+    "toolkit state_agg -> state_timeline): per user, the COMPACTED "
+    "(state, enter, exit) segment list — consecutive same-state "
+    "events collapse into one segment, exit = the next segment's "
+    "enter (open-ended for the live segment), the per-key timeline "
+    "B15's per-state totals aggregate away. Classic gaps-and-"
+    "islands: lag + conditional running sum assigns segment ids, "
+    "a keyed reduce folds each island, a second lead window "
+    "attaches exits — every window partitioned by user (the "
+    "state_agg key), so the plan holds at any corpus scale. All "
+    "integer epoch arithmetic.",
+    oracle=f"""
+        WITH r AS (
+            SELECT user_id, event_type AS state, {_SQL_EPOCH_S} AS es,
+                   event_id,
+                   CASE WHEN lag(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                        ) IS DISTINCT FROM event_type THEN 1 ELSE 0 END
+                       AS new_seg
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id, state, es, event_id,
+                   sum(new_seg) OVER (
+                       PARTITION BY user_id ORDER BY es, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS seg_id
+            FROM r
+        ),
+        folded AS (
+            SELECT user_id, seg_id, min(state) AS state,
+                   min(es) AS enter_s,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM seg GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id, state, enter_s,
+               lead(enter_s) OVER (
+                   PARTITION BY user_id ORDER BY seg_id
+               ) AS exit_s,
+               lead(enter_s) OVER (
+                   PARTITION BY user_id ORDER BY seg_id
+               ) - enter_s AS duration_s,
+               n_events
+        FROM folded
+    """,
+)
+def ts_state_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    es = F.expr("unix_micros(ts) div 1000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        es.alias("es"),
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("new_seg"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = r.withColumn("seg_id", F.sum("new_seg").over(ws).cast("long"))
+    folded = seg.groupBy("user_id", "seg_id").agg(
+        F.min("state").alias("state"),
+        F.min("es").alias("enter_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("seg_id")
+    exit_s = F.lead("enter_s").over(wl)
+    return folded.select(
+        "user_id",
+        "seg_id",
+        "state",
+        "enter_s",
+        exit_s.alias("exit_s"),
+        (exit_s - F.col("enter_s")).alias("duration_s"),
+        "n_events",
+    )

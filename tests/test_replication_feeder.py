@@ -284,3 +284,28 @@ def test_feeder_streaming_source_consumes_landing(spark, tmp_path):
     rows = spark.sql("select op, xid from feeder_env").collect()
     assert {r["op"] for r in rows} == {"c", "u", "d"}
     assert all(r["xid"] == 777 for r in rows)
+
+
+def test_feeder_restart_resumes_from_acked_lsn(golden_server, tmp_path):
+    """The restart contract end-to-end: a later session passes the
+    previous session's ack position (processed + 1) as the
+    START_REPLICATION start point — the server sees the exact LSN
+    text the restart_lsn rule produced, which is how a deployment
+    avoids replaying acknowledged WAL after a feeder restart."""
+    landing = tmp_path / "landing2"
+    with _connect(golden_server) as sock:
+        feeder = ReplicationFeeder(
+            sock,
+            landing_dir=str(landing),
+            slot_name="timescaledb_metrics",
+            publication="pub",
+            wallclock_us=lambda: 1_709_294_400_000_000,
+        )
+        # simulate resuming after the previous session acked 1046:
+        # restart point = processed + 1 = 1047 = hex 0/417
+        hs = feeder.handshake(restart_lsn_text="0/417")
+        feeder.pump()
+    assert hs["start_lsn_text"] == "0/417"
+    assert "START_REPLICATION SLOT timescaledb_metrics LOGICAL 0/417" in (
+        golden_server.start_command or ""
+    )

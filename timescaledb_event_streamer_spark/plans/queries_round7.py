@@ -1308,7 +1308,6 @@ def cdc_txn_window_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = r.groupBy("event_type", "txn_s").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.max("es") - F.min("es")).alias("span_s"),
-        F.min(F.coalesce(trip_timeout, trip_overflow)).alias("_tmp"),
         F.min(trip_timeout).alias("trip_timeout_rn"),
         F.min(trip_overflow).alias("trip_overflow_rn"),
     )

@@ -142,6 +142,7 @@ _BNLJ_OK = {
     "corpus_vocab_coverage",  # single-row broadcast corpus totals
     "corpus_quality_strata",  # single-row broadcast N + cuts array
     "ann_nprobe_sweep",  # single-row broadcast query vector / totals
+    "corpus_mixture_entropy",  # single-row broadcast totals / fold rows
 }
 
 

@@ -1854,3 +1854,108 @@ def ts_state_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (exit_s - F.col("enter_s")).alias("duration_s"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# F37: corpus mixture diversity summary
+
+
+@register(
+    "corpus_mixture_entropy",
+    family="text",
+    doc="Corpus mixture diversity (F37): the Shannon entropy of the "
+    "source mixture (token-mass weighted), its exponential (the "
+    "'effective number of sources' dataset cards report), and the "
+    "same pair for the language mix — the one-row health summary a "
+    "mix planner (F18) tracks across corpus versions: a diversity "
+    "collapse shows up here before any per-source table makes it "
+    "obvious. Exactness: shares are exact integer token counts over "
+    "an exact total; entropy is a SORTED sequential fold over the "
+    "(share, key)-ordered group list so the float sum is "
+    "bit-identical cross-engine (the B60 harmonic-fold discipline); "
+    "scale-0 rendering. Two keyed reduces to metadata-sized group "
+    "tables, single-row output.",
+    oracle="""
+        WITH tok AS (
+            SELECT source, lang,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        bysrc AS (
+            SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+            FROM tok GROUP BY 1
+        ),
+        bylang AS (
+            SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
+            FROM tok GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM tok),
+        hs AS (
+            SELECT list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list(-(t * 1.0 / total) * log2(t * 1.0 / total)
+                                ORDER BY t, source)),
+                       (a, b) -> a + b) AS h,
+                   count(*) AS n
+            FROM bysrc CROSS JOIN tot
+        ),
+        hl AS (
+            SELECT list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list(-(t * 1.0 / total) * log2(t * 1.0 / total)
+                                ORDER BY t, lang)),
+                       (a, b) -> a + b) AS h,
+                   count(*) AS n
+            FROM bylang CROSS JOIN tot
+        )
+        SELECT tot.total AS total_tokens,
+               CAST(hs.n AS BIGINT) AS n_sources,
+               round(hs.h * 1000000.0, 0) / 1000000.0 AS source_entropy_bits,
+               round(pow(2.0, hs.h) * 1000000.0, 0) / 1000000.0
+                   AS effective_sources,
+               CAST(hl.n AS BIGINT) AS n_langs,
+               round(hl.h * 1000000.0, 0) / 1000000.0 AS lang_entropy_bits,
+               round(pow(2.0, hl.h) * 1000000.0, 0) / 1000000.0
+                   AS effective_langs
+        FROM hs CROSS JOIN hl CROSS JOIN tot
+    """,
+)
+def corpus_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "lang", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    tot = tok.agg(F.sum("n").alias("total"))
+
+    def diversity(keycol: str, alias: str) -> DataFrame:
+        grp = tok.groupBy(keycol).agg(F.sum("n").alias("t"))
+        folded = grp.crossJoin(F.broadcast(tot)).groupBy("total").agg(
+            F.count(F.lit(1)).alias(f"n_{alias}"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("t", keycol))),
+                F.lit(0.0),
+                lambda a, s: a
+                - (s["t"] * 1.0 / F.col("total"))
+                * F.log2(s["t"] * 1.0 / F.col("total")),
+            ).alias(f"h_{alias}"),
+        )
+        return folded.drop("total")
+
+    hs = diversity("source", "sources")
+    hl = diversity("lang", "langs")
+    sc = lambda c: F.round(c * 1000000.0, 0) / 1000000.0  # noqa: E731
+    return (
+        tot.crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            F.col("total").alias("total_tokens"),
+            "n_sources",
+            sc(F.col("h_sources")).alias("source_entropy_bits"),
+            sc(F.pow(F.lit(2.0), F.col("h_sources"))).alias(
+                "effective_sources"
+            ),
+            "n_langs",
+            sc(F.col("h_langs")).alias("lang_entropy_bits"),
+            sc(F.pow(F.lit(2.0), F.col("h_langs"))).alias("effective_langs"),
+        )
+    )

@@ -1959,3 +1959,107 @@ def corpus_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             sc(F.pow(F.lit(2.0), F.col("h_langs"))).alias("effective_langs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B82: Average True Range (Wilder's volatility, SMA form)
+
+_ATR_WINDOW = 14  # days
+
+
+@register(
+    "ts_average_true_range",
+    family="timeseries",
+    doc="Average True Range (B82, the B72/B73 dashboard-volatility "
+    "family): per series and day, true range = max(high - low, "
+    "|high - prev_close|, |low - prev_close|) on EXACT integer "
+    "cents (daily OHLC from one day-grain reduce), ATR = the 14-day "
+    "simple moving average — an integer window sum, associative on "
+    "both engines, divided once per row (Cutler-style SMA form, the "
+    "same engine-exactness reasoning as ts_rsi; Wilder's recursive "
+    "EMA form is B80's fold shape if needed). Day-grain windows per "
+    "series, scale-0 rendering.",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type AS series,
+                   CAST({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 86400 AS BIGINT)
+                       AS day_s,
+                   max(CAST(round(value * 100) AS BIGINT)) AS hc,
+                   min(CAST(round(value * 100) AS BIGINT)) AS lc,
+                   arg_max(CAST(round(value * 100) AS BIGINT), event_id)
+                       AS cc
+            FROM events GROUP BY 1, 2
+        ),
+        tr AS (
+            SELECT series, day_s,
+                   greatest(
+                       hc - lc,
+                       abs(hc - lag(cc) OVER w),
+                       abs(lc - lag(cc) OVER w)
+                   ) AS tr_c,
+                   row_number() OVER w AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        )
+        SELECT series, day_s,
+               CAST(tr_c AS BIGINT) AS true_range_cents,
+               CASE WHEN rn >= {_ATR_WINDOW} THEN
+                   round(CAST(sum(tr_c) OVER (
+                             PARTITION BY series ORDER BY day_s
+                             ROWS BETWEEN {_ATR_WINDOW - 1} PRECEDING
+                                  AND CURRENT ROW
+                         ) AS DOUBLE) * 10000.0 / {_ATR_WINDOW}, 0)
+                       / 1000000.0
+               END AS atr
+        FROM tr
+        WHERE tr_c IS NOT NULL
+    """,
+)
+def ts_average_true_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    es = F.expr("unix_micros(ts) div 1000000")
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    daily = (
+        events.withColumn("_es", es)
+        .groupBy(
+            F.col("event_type").alias("series"),
+            (F.col("_es") - F.pmod(F.col("_es"), F.lit(86400))).alias(
+                "day_s"
+            ),
+        )
+        .agg(
+            F.max(c).alias("hc"),
+            F.min(c).alias("lc"),
+            F.max_by(c, F.col("event_id")).alias("cc"),
+        )
+    )
+    w = Window.partitionBy("series").orderBy("day_s")
+    prev_c = F.lag("cc").over(w)
+    tr = daily.select(
+        "series",
+        "day_s",
+        F.greatest(
+            F.col("hc") - F.col("lc"),
+            F.abs(F.col("hc") - prev_c),
+            F.abs(F.col("lc") - prev_c),
+        ).alias("tr_c"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("tr_c").isNotNull())
+    wa = w.rowsBetween(-(_ATR_WINDOW - 1), Window.currentRow)
+    return tr.select(
+        "series",
+        "day_s",
+        F.col("tr_c").alias("true_range_cents"),
+        F.when(
+            F.col("rn") >= _ATR_WINDOW,
+            F.round(
+                F.sum("tr_c").over(wa).cast("double")
+                * 10000.0
+                / _ATR_WINDOW,
+                0,
+            )
+            / 1000000.0,
+        ).alias("atr"),
+    )

@@ -443,3 +443,34 @@ def test_yaml_subset_rejects_exotic_constructs():
     ]:
         with _pytest.raises(ValueError, match=msg.split("/")[0]):
             parse_yaml_subset(bad)
+
+
+def test_yaml_hash_inside_scalar_is_not_a_comment():
+    """YAML only starts a comment at '#' preceded by whitespace (or
+    line start) — an unquoted `p#ss` must survive intact, or the same
+    file parses differently here vs PyYAML (r7 advice)."""
+    from timescaledb_event_streamer_spark.config_yaml import parse_yaml_subset
+
+    got = parse_yaml_subset(
+        "password: p#ss\n"
+        "note: value # a real comment\n"
+        "# full-line comment\n"
+        "url: http://h/x#frag\n"
+    )
+    assert got == {"password": "p#ss", "note": "value", "url": "http://h/x#frag"}
+
+
+def test_yaml_double_quote_escapes_preserve_non_ascii():
+    """Double-quoted scalars must decode escapes without mojibaking
+    non-ASCII text (the unicode_escape latin-1 round-trip bug, r7
+    advice), and unknown escapes fail loudly per the module posture."""
+    import pytest
+
+    from timescaledb_event_streamer_spark.config_yaml import parse_yaml_subset
+
+    got = parse_yaml_subset('msg: "héllo\\nwörld\\t\\u00e9\\x41"\n')
+    assert got == {"msg": "héllo\nwörld\t\xe9A"}
+    with pytest.raises(ValueError, match="unsupported escape"):
+        parse_yaml_subset('bad: "a\\qb"\n')
+    with pytest.raises(ValueError, match="truncated"):
+        parse_yaml_subset('bad: "a\\u12"\n')

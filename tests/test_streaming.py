@@ -1387,3 +1387,42 @@ def test_streaming_heikin_ashi_matches_batch(spark, sf_small, tmp_path):
         # Spark HALF_UP), so compare at the rounding grain
         for gv, wv in zip(g[:4], w[:4]):
             assert abs(gv - wv) <= 1e-6, (k, g, w)
+
+
+def test_heikin_ashi_state_fn_sorts_across_chunks():
+    """Regression (r7 advice): when one key's micro-batch spans
+    multiple Arrow chunks, an EARLIER day arriving in a LATER chunk
+    must not be dropped by the replay guard — the fold has to
+    concatenate all chunks and sort once before recursing."""
+    import pandas as pd
+
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        _heikin_ashi_state_fn,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    def day(d, o, h, l, c):  # noqa: E741
+        return {"series": "s", "day_s": d, "o": o, "h": h, "l": l, "c": c}
+
+    # chunk 1 carries days {2}, chunk 2 carries day {1}: per-chunk
+    # sorting would emit day 2 first and then drop day 1 entirely
+    chunks = iter(
+        [
+            pd.DataFrame([day(2, 2.0, 3.0, 1.0, 2.5)]),
+            pd.DataFrame([day(1, 1.0, 2.0, 0.5, 1.5)]),
+        ]
+    )
+    state = FakeState()
+    (out,) = list(_heikin_ashi_state_fn(("s",), chunks, state))
+    assert list(out["day_s"]) == [1, 2]
+    # day 1 seeds the recursion: ha_open = (o+c)/2 of day 1
+    assert out.iloc[0]["ha_open"] == (1.0 + 1.5) / 2
+    # day 2 chains off day 1's OUTPUT, not its raw candle
+    ho1, hc1 = out.iloc[0]["ha_open"], out.iloc[0]["ha_close"]
+    assert out.iloc[1]["ha_open"] == (ho1 + hc1) / 2
+    assert state.value[0] == 2

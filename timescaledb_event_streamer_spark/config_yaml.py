@@ -25,23 +25,83 @@ _BOOLS = {"true": True, "false": False, "yes": True, "no": False,
 
 
 def _strip_comment(line: str) -> str:
-    """Drop a trailing comment, respecting quoted strings."""
+    """Drop a trailing comment, respecting quoted strings.
+
+    YAML only starts a comment at a '#' that sits at line start or is
+    preceded by whitespace — an unquoted value like ``p#ss`` is a
+    plain scalar, not ``p`` plus a comment. (PyYAML wins when
+    installed, so truncating here would make the same file parse
+    differently across environments.)
+    """
     out = []
     quote = None
+    prev = None
     for ch in line:
         if quote:
             out.append(ch)
             if ch == quote:
                 quote = None
+            prev = ch
             continue
         if ch in "'\"":
             quote = ch
             out.append(ch)
+            prev = ch
             continue
-        if ch == "#":
+        if ch == "#" and (prev is None or prev in " \t"):
             break
         out.append(ch)
+        prev = ch
     return "".join(out).rstrip()
+
+
+_DQ_ESCAPES = {
+    "\\": "\\", '"': '"', "'": "'", "n": "\n", "t": "\t", "r": "\r",
+    "0": "\0", "a": "\a", "b": "\b", "f": "\f", "v": "\v", "e": "\x1b",
+    " ": " ", "N": "\x85", "_": "\xa0", "L": "\u2028", "P": "\u2029",
+}
+
+
+def _unescape_double(body: str) -> str:
+    """Decode YAML double-quote escapes explicitly. The previous
+    ``encode().decode('unicode_escape')`` round-trips through latin-1
+    and mojibakes any non-ASCII content ("héllo" -> 'hÃ©llo'),
+    diverging from PyYAML for the same file; here non-ASCII text
+    passes through untouched and only escape sequences decode."""
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch != "\\":
+            out.append(ch)
+            i += 1
+            continue
+        if i + 1 >= len(body):
+            raise ValueError(f"dangling backslash in double-quoted scalar: {body!r}")
+        esc = body[i + 1]
+        if esc in _DQ_ESCAPES:
+            out.append(_DQ_ESCAPES[esc])
+            i += 2
+        elif esc in "xuU":
+            width = {"x": 2, "u": 4, "U": 8}[esc]
+            hexdig = body[i + 2 : i + 2 + width]
+            if len(hexdig) != width:
+                raise ValueError(
+                    f"truncated \\{esc} escape in double-quoted scalar: {body!r}"
+                )
+            try:
+                out.append(chr(int(hexdig, 16)))
+            except ValueError:
+                raise ValueError(
+                    f"invalid \\{esc} escape in double-quoted scalar: {body!r}"
+                ) from None
+            i += 2 + width
+        else:
+            raise ValueError(
+                f"unsupported escape \\{esc} in double-quoted scalar "
+                "(outside the YAML subset)"
+            )
+    return "".join(out)
 
 
 def _scalar(tok: str) -> Any:
@@ -54,7 +114,7 @@ def _scalar(tok: str) -> Any:
         body = tok[1:-1]
         if tok[0] == "'":
             return body.replace("''", "'")
-        return body.encode().decode("unicode_escape")
+        return _unescape_double(body)
     if tok.startswith("[") :
         if not tok.endswith("]"):
             raise ValueError(f"unterminated inline list: {tok!r}")

@@ -598,8 +598,10 @@ def sparse_cosine_pairs(
     # tokenize/tf/df/N pipeline (with its 1-row broadcasts) executes
     # three times (audited at 31 exchanges / 16 nested-loop joins).
     # Size is (doc, term) rows AFTER the df cap / sampling — the
-    # bounded artifact an inverted index is supposed to be.
-    w = w.drop("df").localCheckpoint(eager=True)
+    # bounded artifact an inverted index is supposed to be. df rides
+    # along: it IS the posting-list length, so the small/big routing
+    # below happens BEFORE any collect_list.
+    w = w.localCheckpoint(eager=True)
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(
             F.expr(
@@ -615,14 +617,19 @@ def sparse_cosine_pairs(
     # per-row memory is <= df structs (never df^2) and a term's pair
     # work spreads across its df rows, the same grain the self-join
     # had. Terms past _INROW_DF (degenerate stopword-grade lists that
-    # survive only absurd caps) keep the distributed self-join, which
-    # never materializes the posting list in one task.
-    gs = w.groupBy("term").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "w"))).alias("ds")
+    # survive only absurd caps) keep the distributed self-join. The
+    # routing decision uses the df COLUMN (df == posting-list length
+    # by construction: tf is doc x term grain), so it happens as a
+    # codegen filter BEFORE any collect_list — a stopword-grade term
+    # must never materialize its full posting list in one aggregation
+    # task just to be told it is too big (r7 advice).
+    gs = (
+        w.filter(F.col("df") <= _INROW_DF)
+        .groupBy("term")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "w"))).alias("ds"))
     )
     sm = (
-        gs.filter(F.size("ds") <= _INROW_DF)
-        .select("term", "ds", F.posexplode("ds").alias("i", "x"))
+        gs.select("term", "ds", F.posexplode("ds").alias("i", "x"))
         .select(
             "term",
             F.explode(
@@ -635,9 +642,9 @@ def sparse_cosine_pairs(
         )
         .select("term", "p.doc_a", "p.doc_b", "p.prod")
     )
-    big_terms = gs.filter(F.size("ds") > _INROW_DF).select("term")
-    a = w.join(F.broadcast(big_terms), "term").alias("a")
-    b = w.join(F.broadcast(big_terms), "term").alias("b")
+    big = w.filter(F.col("df") > _INROW_DF).select("doc_id", "term", "w")
+    a = big.alias("a")
+    b = big.alias("b")
     bg = a.join(
         b,
         (F.col("a.term") == F.col("b.term"))

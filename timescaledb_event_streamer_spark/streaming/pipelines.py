@@ -411,9 +411,17 @@ def _heikin_ashi_state_fn(
 ) -> Iterator[pd.DataFrame]:
     last_day, po, pc = state.get if state.exists else (None, None, None)
     rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("day_s")
-        for r in pdf.itertuples():
+    # concatenate ALL Arrow chunks before sorting: when one key's
+    # micro-batch spans multiple chunks, per-chunk sorting does not
+    # give cross-chunk day order, and an earlier day arriving in a
+    # later chunk would be silently dropped by the replay guard
+    # below — missing candles and a wrong recursion state (r7
+    # advice). One concat per (key, batch); chunk count is bounded
+    # by the micro-batch size, not the stream length.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allpdf = pd.concat(chunks, ignore_index=True).sort_values("day_s")
+        for r in allpdf.itertuples():
             if last_day is not None and r.day_s <= last_day:
                 continue  # replayed/duplicate day partial
             hc = (r.o + r.h + r.l + r.c) / 4.0

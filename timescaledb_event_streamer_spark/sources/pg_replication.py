@@ -468,6 +468,114 @@ class ReplicationFeeder:
         body = sql.encode() + b"\x00"
         self._send(b"Q" + struct.pack(">I", len(body) + 4) + body)
 
+    # -- authentication --------------------------------------------------------
+
+    def authenticate(
+        self,
+        user: str,
+        database: str,
+        password: str | None = None,
+        nonce: str | None = None,
+        **startup_params: str,
+    ) -> dict:
+        """Startup packet + SCRAM-SHA-256 (r7 verdict item 3). The
+        reference authenticates inside pgconn.Connect with
+        `replication=database` (replicationconnection.go:36); this is
+        the same first hop, pure stdlib: send StartupMessage, run the
+        RFC 5802/7677 SCRAM exchange if the server demands SASL
+        (trust/AuthenticationOk passes straight through), then drain
+        ParameterStatus/BackendKeyData until ReadyForQuery. Returns
+        {'auth': 'scram-sha-256'|'trust', 'parameters': {...},
+        'backend_pid': int|None}. Mutual: the server's v= signature
+        is VERIFIED, so a password-less impostor fails loudly.
+        Unsupported auth demands (cleartext, md5) raise ProtocolError
+        naming the method rather than silently sending secrets."""
+        from timescaledb_event_streamer_spark.sources import pg_auth
+
+        self._send(
+            pg_auth.startup_packet(user, database, **startup_params)
+        )
+        mode = None
+        while True:
+            m = self._read_message()
+            if m is None:
+                raise ProtocolError("EOF during authentication")
+            mtype, body = m
+            if mtype != "R":
+                raise ProtocolError(
+                    f"expected authentication request, got {mtype!r}"
+                )
+            authtype, payload = pg_auth.parse_auth_request(body)
+            if authtype == pg_auth.AUTH_OK:
+                mode = mode or "trust"
+                break
+            if authtype == pg_auth.AUTH_SASL:
+                mechs = pg_auth.parse_sasl_mechanisms(payload)
+                if pg_auth.MECH not in mechs:
+                    raise ProtocolError(
+                        f"server offers {mechs}, need {pg_auth.MECH}"
+                    )
+                if password is None:
+                    raise pg_auth.AuthError(
+                        "server demands SCRAM but no password was given"
+                    )
+                scram = pg_auth.ScramClient(password, nonce=nonce)
+                self._send(
+                    pg_auth.sasl_initial_response(scram.client_first())
+                )
+                m = self._read_message()
+                if m is None:
+                    raise ProtocolError(
+                        "server closed the connection during SCRAM "
+                        "(often: invalid credentials)"
+                    )
+                authtype, payload = pg_auth.parse_auth_request(m[1])
+                if authtype != pg_auth.AUTH_SASL_CONTINUE:
+                    raise ProtocolError(
+                        f"expected SASLContinue, got authtype {authtype}"
+                    )
+                client_final = scram.handle_server_first(payload.decode())
+                self._send(pg_auth.sasl_response(client_final))
+                m = self._read_message()
+                if m is None:
+                    raise ProtocolError(
+                        "server closed the connection after the client "
+                        "proof (often: invalid credentials)"
+                    )
+                authtype, payload = pg_auth.parse_auth_request(m[1])
+                if authtype != pg_auth.AUTH_SASL_FINAL:
+                    raise ProtocolError(
+                        f"expected SASLFinal, got authtype {authtype}"
+                    )
+                scram.verify_server_final(payload.decode())
+                mode = "scram-sha-256"
+                continue  # AuthenticationOk follows
+            raise ProtocolError(
+                f"unsupported authentication method {authtype} "
+                "(only trust and SCRAM-SHA-256 are implemented)"
+            )
+        parameters: dict[str, str] = {}
+        backend_pid = None
+        while True:
+            m = self._read_message()
+            if m is None:
+                raise ProtocolError("EOF before ReadyForQuery")
+            mtype, body = m
+            if mtype == "S":
+                key, _, val = body.rstrip(b"\x00").partition(b"\x00")
+                parameters[key.decode()] = val.decode()
+            elif mtype == "K":
+                import struct as _struct
+
+                backend_pid = _struct.unpack(">I", body[:4])[0]
+            elif mtype == "Z":
+                break
+        return {
+            "auth": mode,
+            "parameters": parameters,
+            "backend_pid": backend_pid,
+        }
+
     # -- handshake ------------------------------------------------------------
 
     @staticmethod

@@ -146,3 +146,145 @@ def test_bpe_queries_return_rows(spark, sf_small, name):
     if name == "text_bpe_apply":
         # multi-char merged tokens must appear in the top tokens
         assert any(len(r["token"].replace("</w>", "")) > 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# image near-duplicate dedup (G8)
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & (2**64 - 1)).count("1")
+
+
+def test_image_hash_invariances():
+    """dHash/aHash over the exact-area grid: invariant to uniform
+    brightness shift; IDENTICAL across block-upscale and box-mean
+    downsample of the same content (the resolution-independence the
+    exact fractional-area grid buys — integer-floored grids alias)."""
+    import numpy as np
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        ahash64,
+        dhash64,
+    )
+
+    content12 = (np.add.outer(np.arange(12) * 7, np.arange(12) * 5) % 97).astype(
+        np.uint8
+    )
+    base = np.kron((content12 * 2 + 30).astype(np.uint8), np.ones((2, 2), np.uint8))
+    d0, a0 = dhash64(base), ahash64(base)
+    # brightness shift
+    shifted = np.clip(base.astype(int) + 25, 0, 255).astype(np.uint8)
+    assert dhash64(shifted) == d0
+    assert ahash64(shifted) == a0
+    # block upscale 3x carries identical cell means (exact-area grid)
+    up = np.kron(base, np.ones((3, 3), dtype=np.uint8))
+    assert dhash64(up) == d0 and ahash64(up) == a0
+    # 2x box-mean downsample of BLOCK-ALIGNED content is exact too —
+    # this is the planted-variant path the G8 query relies on
+    down = base.astype(np.float64).reshape(12, 2, 12, 2).mean(axis=(1, 3))
+    assert dhash64(down) == d0 and ahash64(down) == a0
+    # a downsample that cuts through varying content is only NEAR:
+    # the operational claim is hamming <= threshold, not identity
+    hi_freq = (np.add.outer(np.arange(24) * 7, np.arange(24) * 5) % 97 * 2 + 30).astype(
+        np.uint8
+    )
+    down_hf = hi_freq.astype(np.float64).reshape(12, 2, 12, 2).mean(axis=(1, 3))
+    assert _hamming(dhash64(hi_freq), dhash64(down_hf)) <= 6
+
+
+def test_image_hash_cross_format_reencode_matches():
+    """The same pixels re-encoded across containers (JPEG->PNG,
+    GIF->PNG — the G2 re-encode path) hash identically through the
+    REAL decoders."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        _real_decode_image,
+        dhash64,
+    )
+    from timescaledb_event_streamer_spark.operators.png_codec import png_encode
+
+    golden = Path(__file__).resolve().parent / "golden"
+    for sub, name in [("jpeg", "color_420"), ("jpeg", "gray_20x13"), ("gif", "interlaced")]:
+        payload = (golden / sub / f"{name}.{ 'jpg' if sub == 'jpeg' else 'gif'}").read_bytes()
+        expected = np.load(golden / sub / f"{name}_expected.npy")
+        png = png_encode(expected.astype(np.uint8))
+        assert _hamming(
+            dhash64(_real_decode_image(payload)), dhash64(_real_decode_image(png))
+        ) == 0, name
+
+
+def test_hamming_band_pairs_lossless_vs_bruteforce(spark):
+    """Pigeonhole: 8-band bucketing over 64 bits finds EVERY pair at
+    hamming <= 7 — compare against the brute-force pair set on a
+    crafted signature table, including pairs above the threshold that
+    must be absent."""
+    import itertools
+
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    sigs = [
+        ("base", 0x0123456789ABCDEF),
+        ("ham1", 0x0123456789ABCDEE),  # 1 bit
+        ("ham6", 0x0123456789AB5BEF ^ 0),  # several bits off base
+        ("far", -0x0123456789ABCDF0),
+    ]
+    # give every entry a numeric id, compute expected pairs in python
+    rows = [(i, v) for i, (_, v) in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "media_id LONG, sig LONG")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_band_pairs(
+            df, "sig", id_col="media_id", n_bands=8, max_hamming=7
+        ).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        h = _hamming(a, b)
+        if h <= 7:
+            want[(min(i, j), max(i, j))] = h
+    assert got == want
+    # and the guard refuses a lossy configuration
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="loses pairs"):
+        hamming_band_pairs(df, "sig", n_bands=4, max_hamming=7)
+
+
+def test_dedup_image_near_catches_every_planted_variant(spark, sf_small):
+    """The registered G8 query must catch 100% of its planted
+    resize+brightness re-encodes (the G2 path) — one planted pair per
+    sampled doc with doc_id % 5 == 0 — and report them at dhash
+    hamming <= 6 with the planted flag set."""
+    from timescaledb_event_streamer_spark.plans.queries_round8 import (
+        _IMG_SAMPLE_TARGET,
+        _IMG_VARIANT_OFFSET,
+    )
+    from timescaledb_event_streamer_spark.plans.registry import all_queries
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    rows = all_queries()["dedup_image_near"](spark, sf_small).collect()
+    assert rows, "no pairs at all"
+    planted = {
+        (r["media_a"], r["media_b"]) for r in rows if r["planted"]
+    }
+    # replicate the sample predicate to get the expected variant set
+    docs = load(spark, sf_small, "documents")
+    n = docs.count()
+    m = max(n // _IMG_SAMPLE_TARGET, 1)
+    expected = {
+        (r["doc_id"], r["doc_id"] + _IMG_VARIANT_OFFSET)
+        for r in docs.select("doc_id", "text")
+        .where(F.pmod(F.xxhash64("text"), F.lit(m)) == 0)
+        .where(F.col("doc_id") % 5 == 0)
+        .collect()
+    }
+    assert expected, "test corpus produced no planted variants"
+    assert planted == expected
+    for r in rows:
+        assert r["dhash_hamming"] <= 6

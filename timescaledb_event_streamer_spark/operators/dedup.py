@@ -458,3 +458,68 @@ def simhash_pairs(
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def hamming_band_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    n_bands: int = 8,
+    n_bits: int = 64,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Generic banded hamming-LSH candidate join over an n_bits signed
+    signature (r8 — generalizes the 4-band SimHash join to any band
+    count): by pigeonhole, a pair at hamming distance <= n_bands - 1
+    shares at least one exact band, so bucketing is LOSSLESS for
+    max_hamming <= n_bands - 1 (asserted). Candidates join band+bucket
+    (never all-pairs), then the exact bit_count verify filters to the
+    threshold. Returns (id_a, id_b, hamming)."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"bucketing loses pairs: max_hamming {max_hamming} needs "
+            f"at least {max_hamming + 1} bands, got {n_bands}"
+        )
+    if n_bits % n_bands:
+        raise ValueError(f"{n_bits} bits not divisible into {n_bands} bands")
+    band_bits = n_bits // n_bands
+    band_mask = (1 << band_bits) - 1
+    sig = F.col(sig_col)
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        sig.alias("_sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(sig, band_bits * bi)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("bucket"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

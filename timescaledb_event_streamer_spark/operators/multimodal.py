@@ -809,3 +809,117 @@ def wav_silence_segments(
         F.when(ok, F.col("st.longest")).alias("longest_silence"),
         F.when(ok, F.col("st.nsil")).alias("n_silent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashes (r8): the multimodal x dedup bridge — dHash /
+# aHash over REAL decoded pixels (the G1 seam), banded into the same
+# 64-bit hamming-LSH machinery the SimHash dedup family uses.
+
+
+def _axis_weights(n_px: int, n_cells: int) -> np.ndarray:
+    """(n_cells, n_px) fractional-overlap weights of each grid cell
+    over each pixel: cell i covers [i*n_px/n_cells, (i+1)*n_px/n_cells)
+    in pixel units, and a pixel contributes its exact overlap length.
+    Rows sum to n_px/n_cells."""
+    edges = np.arange(n_cells + 1) * (n_px / n_cells)
+    px_lo = np.arange(n_px)
+    lo = np.maximum(edges[:-1, None], px_lo[None, :])
+    hi = np.minimum(edges[1:, None], (px_lo + 1)[None, :])
+    return np.maximum(hi - lo, 0.0)
+
+
+def _gray_grid(img: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Decoded image -> (rows, cols) float64 grayscale grid by EXACT
+    fractional-area mean over the cell footprint (two small weight
+    matmuls, no integer-floored boundaries). Exactness is what makes
+    the hash RESOLUTION-INDEPENDENT: an image and its block-upscale
+    (or any block-ALIGNED box-downsample) carry identical cell means,
+    so a resized re-encode hashes identically up to re-encode
+    rounding, and a non-aligned resample lands within a few bits —
+    the property the near-dup detector relies on. Integer-floor
+    boundaries (the usual shortcut) alias at sizes not divisible by
+    the grid and cost real hamming distance on resized duplicates."""
+    px = img.astype(np.float64)
+    if px.ndim == 3:
+        if px.shape[2] >= 3:
+            # ITU-R BT.601 luma; alpha (if any) ignored
+            px = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        else:
+            px = px[:, :, 0]
+    h, w = px.shape
+    wr = _axis_weights(h, rows)
+    wc = _axis_weights(w, cols)
+    area = (h / rows) * (w / cols)
+    # quantize: cell means of EQUAL content must compare equal after
+    # a uniform brightness shift or a resolution change — without the
+    # rounding, ~1e-13 matmul noise breaks strict > ties differently
+    # per resolution and costs hamming distance on exact duplicates
+    return np.round((wr @ px @ wc.T) / area, 6)
+
+
+def _pack_bits64(bits: np.ndarray) -> int:
+    """64 booleans (bit 0 first) -> SIGNED 64-bit int (Spark LongType;
+    the same bit-63 two's-complement wrap the SimHash packer uses)."""
+    val = 0
+    for j, b in enumerate(bits.ravel()[:64]):
+        if b:
+            val |= 1 << j
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def dhash64(img: np.ndarray) -> int:
+    """Difference hash: 8x9 grayscale grid, bit r*8+c set when the
+    cell right of (r, c) is brighter — 64 horizontal-gradient signs.
+    Invariant to uniform brightness/contrast shifts by construction."""
+    g = _gray_grid(img, 8, 9)
+    return _pack_bits64(g[:, 1:] > g[:, :-1])
+
+
+def ahash64(img: np.ndarray) -> int:
+    """Average hash: 8x8 grid, bit set when the cell beats the global
+    mean. Complements dHash (captures coarse mass distribution, not
+    gradients)."""
+    g = _gray_grid(img, 8, 8)
+    return _pack_bits64(g > g.mean())
+
+
+IMAGE_HASH_SCHEMA = "media_id LONG, dhash LONG, ahash LONG"
+
+
+def image_hashes(media: DataFrame, decoder: str = "real") -> DataFrame:
+    """(media_id, payload) -> perceptual hashes over DECODED pixels
+    via Arrow mapInPandas. decoder='real' routes PNG/baseline-JPEG/GIF
+    through the pure-Python codecs (the G1 seam — swap in a native
+    decoder at production scale, same seam); 'stub' hashes a
+    deterministic fake gradient image derived from the payload bytes,
+    keeping the plumbing testable without decodable payloads."""
+    if decoder not in ("stub", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = (
+                pdf["payload"].map(lambda b: _real_decode_image(bytes(b)))
+                if decoder == "real"
+                else pdf["payload"].map(_stub_image)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": imgs.map(dhash64).astype("int64"),
+                    "ahash": imgs.map(ahash64).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=IMAGE_HASH_SCHEMA
+    )
+
+
+def _stub_image(payload: bytes) -> np.ndarray:
+    """Deterministic fake decode for plumbing tests: a 16x16 gradient
+    image seeded by the payload digest."""
+    digest = hashlib.sha256(bytes(payload)).digest()
+    base = np.frombuffer((digest * 8)[:256], dtype=np.uint8)
+    return base.reshape(16, 16)

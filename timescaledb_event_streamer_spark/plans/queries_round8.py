@@ -244,3 +244,150 @@ def text_domain_mix_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bpe_token_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# image near-duplicate dedup (G8): the multimodal x dedup bridge
+
+
+#: variant media ids live C above their original's doc_id
+_IMG_VARIANT_OFFSET = 1_000_000_000
+#: bound the decode workload: ~this many docs render regardless of SF
+_IMG_SAMPLE_TARGET = 200
+
+
+@register(
+    "dedup_image_near",
+    family="multimodal",
+    doc="Image near-duplicate detection over REAL pixels (G8, r8): "
+    "documents render to deterministic PNG 'visual fingerprints' "
+    "(one bright dot per 3-gram shingle, so lexically-near docs "
+    "yield visually-near images); every 5th sampled doc ALSO emits "
+    "a resized + brightness-shifted RE-ENCODED variant (the G2 "
+    "path). The detector dHash/aHashes decoded pixels (area-mean "
+    "8x9/8x8 grids — resize/brightness invariant by construction), "
+    "then joins candidates through 8-band 64-bit hamming LSH "
+    "(lossless for hamming <= 7, pigeonhole) and verifies with "
+    "exact bit_count — never all-pairs, the D4/D13 machinery "
+    "generalized. Output: pairs at dhash hamming <= 6 with both "
+    "hamming distances and the planted flag. Rows-only by design "
+    "(no SQL engine decodes PNG); the planted goldens + a "
+    "brute-force-equality pytest adjudicate correctness (the D4 "
+    "pattern), and every planted re-encode MUST be caught — "
+    "pytest-pinned.",
+)
+def dedup_image_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        image_hashes,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    m = docs.agg(
+        F.greatest(
+            F.floor(F.count(F.lit(1)) / _IMG_SAMPLE_TARGET), F.lit(1)
+        )
+        .cast("long")
+        .alias("m")
+    )
+    # sample by TEXT hash so duplicate/near-dup groups stay together
+    sample = (
+        docs.crossJoin(F.broadcast(m))
+        .filter(F.pmod(F.xxhash64("text"), F.col("m")) == 0)
+        .select("doc_id", "text")
+    )
+
+    def render(batches):
+        from timescaledb_event_streamer_spark.operators.png_codec import (
+            png_encode,
+        )
+
+        def box3(a):
+            p = np.pad(a, 1, mode="edge")
+            return (
+                sum(
+                    p[r : r + a.shape[0], c : c + a.shape[1]]
+                    for r in range(3)
+                    for c in range(3)
+                )
+                / 9.0
+            )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in str(text).split(" ") if t]
+                # minhash-style SPARSE fingerprint: only the 10
+                # smallest-hashed shingles render (near-dup texts
+                # share their minimal shingles, saturation never
+                # washes the image out), each as a 3x3 dot, blurred
+                # and rounded ONCE at the 12-grid, then block-scaled
+                # to 48x48 — so a box-downsampled variant carries
+                # bit-identical cell content
+                digs = sorted(
+                    {
+                        _hl.md5(" ".join(toks[i : i + 3]).encode()).digest()
+                        for i in range(len(toks) - 2)
+                    }
+                )[:10]
+                img = np.full((12, 12), 32.0)
+                for d in digs:
+                    img[d[0] % 12 : d[0] % 12 + 3, d[1] % 12 : d[1] % 12 + 3] = 224.0
+                smooth = np.rint(box3(img))
+                big = np.clip(np.kron(smooth, np.ones((4, 4))), 0, 255).astype(
+                    np.uint8
+                )
+                ids.append(int(doc_id))
+                payloads.append(png_encode(big))
+                if doc_id % 5 == 0:
+                    # the planted near-dup: 2x box-mean downsample
+                    # (mass-preserving), brightness-shifted,
+                    # re-encoded (decode->resize->encode, the G2
+                    # path); every one of these MUST be caught —
+                    # pytest-pinned
+                    var = (
+                        big.astype(np.float64)
+                        .reshape(24, 2, 24, 2)
+                        .mean(axis=(1, 3))
+                        + 8.0
+                    )
+                    ids.append(int(doc_id) + _IMG_VARIANT_OFFSET)
+                    payloads.append(
+                        png_encode(np.clip(np.rint(var), 0, 255).astype(np.uint8))
+                    )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = sample.mapInPandas(render, schema="media_id LONG, payload BINARY")
+    hashes = image_hashes(media, decoder="real").localCheckpoint(eager=True)
+    pairs = hamming_band_pairs(
+        hashes, "dhash", id_col="media_id", n_bands=8, max_hamming=6
+    )
+    ah_a = hashes.select(
+        F.col("media_id").alias("id_a"), F.col("ahash").alias("ah_a")
+    )
+    ah_b = hashes.select(
+        F.col("media_id").alias("id_b"), F.col("ahash").alias("ah_b")
+    )
+    return (
+        pairs.join(ah_a, "id_a")
+        .join(ah_b, "id_b")
+        .select(
+            F.col("id_a").alias("media_a"),
+            F.col("id_b").alias("media_b"),
+            F.col("hamming").alias("dhash_hamming"),
+            F.bit_count(F.col("ah_a").bitwiseXOR(F.col("ah_b"))).alias(
+                "ahash_hamming"
+            ),
+            (F.col("id_b") - F.col("id_a") == _IMG_VARIANT_OFFSET).alias(
+                "planted"
+            ),
+        )
+        .orderBy("media_a", "media_b")
+    )

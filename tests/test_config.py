@@ -144,27 +144,157 @@ def test_snapshot_mode_decision(tmp_path):
 def test_condition_translation():
     assert (
         condition_to_sql('value.op == "u" && value.before.id == 2')
-        == 'value.op  =  "u"  AND  value.before.id  =  2'
+        == '((value.op = "u") AND (value.before.id = 2))'
     )
-    assert condition_to_sql("a != 1 || !b") == "a != 1  OR   NOT b"
+    assert condition_to_sql("a != 1 || !b") == "((a != 1) OR (NOT b))"
 
 
 def test_condition_translation_preserves_string_literals():
     """Operators inside quoted literals must survive untouched
-    (ADVICE r6): only the unquoted segments are translated."""
+    (ADVICE r6): string tokens pass through verbatim."""
     assert (
         condition_to_sql('value.after.name == "a&&b" && x == 1')
-        == 'value.after.name  =  "a&&b"  AND  x  =  1'
+        == '((value.after.name = "a&&b") AND (x = 1))'
     )
     assert (
         condition_to_sql("tag == 'u||v' || op == \"!=\"")
-        == "tag  =  'u||v'  OR  op  =  \"!=\""
+        == "((tag = 'u||v') OR (op = \"!=\"))"
     )
     # escaped quote inside a literal does not end the hold-out
     assert (
         condition_to_sql('name == "a\\"&&b" && y')
-        == 'name  =  "a\\"&&b"  AND  y'
+        == '((name = "a\\"&&b") AND y)'
     )
+
+
+def test_condition_translation_extended_surface():
+    """r8 (verdict item 7): ternary, membership, word boolean forms,
+    string operators and the plausible expr-lang builtins translate;
+    precedence matches expr-lang ('!' tight, 'not' loose)."""
+    assert (
+        condition_to_sql('op in ["c", "u"]') == '(op IN ("c", "u"))'
+    )
+    assert condition_to_sql("v not in [1, 2]") == "(v NOT IN (1, 2))"
+    assert (
+        condition_to_sql('x > 1 ? name == "a" : false')
+        == 'IF((x > 1), (name = "a"), FALSE)'
+    )
+    assert (
+        condition_to_sql('name startsWith "ab" && name matches "x.*"')
+        == '(startswith(name, "ab") AND (name RLIKE "x.*"))'
+    )
+    assert (
+        condition_to_sql('name endsWith "z" or name contains "q"')
+        == '(endswith(name, "z") OR contains(name, "q"))'
+    )
+    assert condition_to_sql("len(name) <= 4") == "(length(name) <= 4)"
+    assert condition_to_sql("abs(v - 2) < 1") == "(abs((v - 2)) < 1)"
+    assert (
+        condition_to_sql("int(v) == 2 and not b")
+        == "((CAST(v AS BIGINT) = 2) AND (NOT b))"
+    )
+    assert condition_to_sql("x == nil") == "(x = NULL)"
+    # 'not x in [..]' negates the membership, not the operand
+    assert condition_to_sql("not op in [\"d\"]") == '(NOT (op IN ("d")))'
+
+
+def test_condition_translation_rejects_untranslatable():
+    """The one thing the old regex pass could not do: an expr-lang
+    construct outside the subset must FAIL LOUDLY at translate time,
+    never reach F.expr with silently different semantics."""
+    from timescaledb_event_streamer_spark.config_expr import (
+        ExprTranslationError,
+    )
+
+    bad = [
+        "foo(v) == 2",            # unknown function
+        "v | 2",                  # pipe operator
+        "x ?? y",                 # nil-coalesce
+        "{a: 1}.a == 1",          # map literal
+        "v in 1..3",              # range
+        "x == ",                  # truncated
+        "[1, 2] == v",            # list outside 'in'
+        "x == 1 extra",           # trailing tokens
+        "",                       # empty
+    ]
+    for cond in bad:
+        with pytest.raises(ExprTranslationError):
+            condition_to_sql(cond)
+
+
+def test_condition_translation_equivalence_property(spark):
+    """Generated conditions: the translated SQL must agree with an
+    independent Python evaluation of the expr-lang semantics on every
+    row of a probe table (hypothesis, bounded)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows = [
+        (op, v, name)
+        for op in ("c", "u", "d")
+        for v in (0, 1, 2, 5)
+        for name in ("alpha", "ab", "zz", "aqz")
+    ]
+    df = spark.createDataFrame(rows, "op string, v long, name string")
+    pdf = df.toPandas()
+
+    atoms = st.sampled_from(
+        [
+            ('v > 1', lambda r: r.v > 1),
+            ('v != 2', lambda r: r.v != 2),
+            ('v % 3 == 1', lambda r: r.v % 3 == 1),
+            ('op == "u"', lambda r: r.op == "u"),
+            ('op in ["c", "d"]', lambda r: r.op in ("c", "d")),
+            ('v not in [0, 5]', lambda r: r.v not in (0, 5)),
+            ('name startsWith "a"', lambda r: r.name.startswith("a")),
+            ('name endsWith "z"', lambda r: r.name.endswith("z")),
+            ('name contains "q"', lambda r: "q" in r.name),
+            ('name matches "a.*z"', lambda r: __import__("re").search("a.*z", r.name) is not None),
+            ('len(name) <= 2', lambda r: len(r.name) <= 2),
+            ('abs(v - 2) < 2', lambda r: abs(r.v - 2) < 2),
+        ]
+    )
+
+    @st.composite
+    def conditions(draw, depth=0):
+        if depth >= 2 or draw(st.booleans()):
+            return draw(atoms)
+        kind = draw(st.sampled_from(["and", "or", "not", "ternary"]))
+        a_s, a_f = draw(conditions(depth=depth + 1))
+        if kind == "not":
+            return (f"!({a_s})", lambda r, f=a_f: not f(r))
+        b_s, b_f = draw(conditions(depth=depth + 1))
+        if kind == "and":
+            return (
+                f"({a_s}) && ({b_s})",
+                lambda r, f=a_f, g=b_f: f(r) and g(r),
+            )
+        if kind == "or":
+            return (
+                f"({a_s}) || ({b_s})",
+                lambda r, f=a_f, g=b_f: f(r) or g(r),
+            )
+        c_s, c_f = draw(conditions(depth=depth + 1))
+        return (
+            f"({a_s}) ? ({b_s}) : ({c_s})",
+            lambda r, f=a_f, g=b_f, h=c_f: g(r) if f(r) else h(r),
+        )
+
+    @settings(max_examples=25, deadline=None)
+    @given(conditions())
+    def check(case):
+        cond_str, py = case
+        sql = condition_to_sql(cond_str)
+        got = {
+            (r["op"], r["v"], r["name"])
+            for r in df.filter(F.expr(sql)).collect()
+        }
+        want = {
+            (r.op, r.v, r.name) for r in pdf.itertuples() if py(r)
+        }
+        assert got == want, (cond_str, sql)
+
+    check()
 
 
 # ------------------------------------------------------------- assembly

@@ -33,7 +33,6 @@ list) fall back to the default.
 from __future__ import annotations
 
 import os
-import re
 import tomllib
 from dataclasses import dataclass, field
 from typing import Any
@@ -306,40 +305,24 @@ def _validate(cfg: EngineConfig) -> None:
 # ------------------------------------------------------------- assembly
 
 
-_EXPR_TRANSLATIONS = (
-    (re.compile(r"&&"), " AND "),
-    (re.compile(r"\|\|"), " OR "),
-    (re.compile(r"=="), " = "),
-    (re.compile(r"!(?![=])"), " NOT "),
-)
-
-#: quoted string literals (either quote style, backslash escapes) —
-#: operator translation must never reach inside these
-_QUOTED = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'')
-
-
 def condition_to_sql(condition: str) -> str:
-    """Translate the expr-lang surface operators of a
-    `sink.filters.*.condition` to Spark SQL. The conditions address
-    the same shapes (`value.op == "u" && value.before.id == 2`,
-    config.example.toml:23); struct field access and comparison
-    syntax already agree between the two languages. String literals
-    are held out of the substitution, so `value.name == "a&&b"`
-    keeps its literal intact."""
-    parts = []
-    last = 0
-    for m in _QUOTED.finditer(condition):
-        seg = condition[last : m.start()]
-        for pat, rep in _EXPR_TRANSLATIONS:
-            seg = pat.sub(rep, seg)
-        parts.append(seg)
-        parts.append(m.group(0))
-        last = m.end()
-    tail = condition[last:]
-    for pat, rep in _EXPR_TRANSLATIONS:
-        tail = pat.sub(rep, tail)
-    parts.append(tail)
-    return "".join(parts)
+    """Translate a `sink.filters.*.condition` (expr-lang, the language
+    the reference compiles in eventfilter.go:21-22) to Spark SQL via
+    the recursive-descent translator in config_expr.py (r8): the
+    surface operators (`&& || ! == != < <= > >=`), ternaries,
+    `in [...]`, the string operators
+    (startsWith/endsWith/contains/matches) and the plausible builtins
+    (len/abs/lower/upper/trim/int/float/string) translate; ANYTHING
+    else raises ExprTranslationError naming the construct — a
+    condition can no longer parse-but-mean-something-different. String
+    literals pass through verbatim (`value.name == "a&&b"` keeps its
+    literal intact; both languages read backslash escapes the same
+    way)."""
+    from timescaledb_event_streamer_spark.config_expr import (
+        translate_condition,
+    )
+
+    return translate_condition(condition)
 
 
 class PipelineAssembly:
@@ -451,8 +434,19 @@ class PipelineAssembly:
         # eventfilter.go:104-117: a filter whose table selection does
         # not match contributes nothing; otherwise its condition must
         # hold (conjunctive across filters), with default_value
-        # applied when the condition does not resolve to a boolean
-        cond = F.expr(condition_to_sql(spec.condition))
+        # applied when the condition does not resolve to a boolean.
+        # Two loud-reject layers: condition_to_sql refuses expr-lang
+        # outside the translated subset at translate time, and the
+        # F.expr parse below surfaces anything Spark's parser still
+        # dislikes WITH the filter's name attached.
+        sql = condition_to_sql(spec.condition)
+        try:
+            cond = F.expr(sql)
+        except Exception as exc:  # pragma: no cover - parser-specific
+            raise ValueError(
+                f"sink filter condition {spec.condition!r} translated to "
+                f"unparseable SQL {sql!r}: {exc}"
+            ) from exc
         verdict = F.coalesce(cond, F.lit(spec.default_value))
         if spec.tables is not None:
             from timescaledb_event_streamer_spark.catalog.tablefilter import (

@@ -187,12 +187,23 @@ def ts_asap_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real candidate set; a 1-bucket series would make the d-sequence
     # descend and element_at throw under ANSI mode
     #
-    # deliberate single partition for the search stages: past this
+    # deliberately FEW partitions for the search stages: past this
     # point the data is one row PER SERIES (metadata-sized — the
     # chunk-catalog note), while the fold expressions below compile to
     # very large generated code; 32 near-empty tasks each paying that
-    # closure cost measured ~20% of the query at sf0.1
-    arrs = arrs.coalesce(1)
+    # closure cost measured ~20% of the query at sf0.1. But a flat
+    # coalesce(1) serializes the heavy per-series folds through one
+    # task when series cardinality is high — the realistic 100x axis
+    # for this operator (r7 verdict). Shape the target on the actual
+    # series count (one cheap HLL pre-pass on the pruned event_type
+    # column) capped at the session's parallelism: 5 series -> 1-2
+    # tasks and the closure cost stays out, 10k series -> every core
+    # folds.
+    n_series = int(
+        events.agg(F.approx_count_distinct("event_type")).first()[0]
+    )
+    target = max(1, min(n_series, spark.sparkContext.defaultParallelism))
+    arrs = arrs.coalesce(target)
     base = arrs.withColumn(
         "mu", F.expr("aggregate(xs, 0D, (a, v) -> a + v) / n")
     )

@@ -832,12 +832,77 @@ def test_jpeg_nonbaseline_and_garbage_raise():
         jpeg_decode,
     )
 
-    with pytest.raises(ValueError, match="progressive|frame type"):
+    # the r7 gate case was a SOF2 header with NO scans — progressive
+    # now decodes (r8), so this malformed stream fails on the missing
+    # scan, not on the frame type
+    with pytest.raises(ValueError, match="no SOS scan"):
         jpeg_decode((GOLDEN_JPEG / "progressive.jpg").read_bytes())
+    # arithmetic-coded SOF9 stays gated
+    sof9 = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    stream = (
+        b"\xff\xd8\xff\xc9" + len(sof9).to_bytes(2, "big") + sof9 + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="frame type"):
+        jpeg_decode(stream)
     with pytest.raises(ValueError, match="not a JPEG"):
         jpeg_decode(b"\x89PNG\r\n\x1a\nnope")
     with pytest.raises(ValueError):
         jpeg_decode(b"\xff\xd8\xff\xdb\x00\x03\x00")  # truncated DQT
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "prog_gray_8x8",
+        "prog_gray_20x13",
+        "prog_gray_sparse",
+        "prog_color_444",
+        "prog_color_420",
+    ],
+)
+def test_jpeg_progressive_decodes_pixel_exact(name):
+    """SOF2 progressive (r8): the golden streams — authored by the
+    generator's OWN G.1-side scan encoders (DC first/refine, AC
+    first/refine, EOB runs, two spectral bands stitched by a joined
+    refinement band) — decode pixel-EXACT against the expected
+    arrays computed directly from the coefficients (independent of
+    any scan encoding)."""
+    from timescaledb_event_streamer_spark.operators.jpeg_codec import (
+        jpeg_decode,
+    )
+
+    data = (GOLDEN_JPEG / f"{name}.jpg").read_bytes()
+    # structural: really progressive, really multi-scan
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert data.count(b"\xff\xda") >= 4
+    got = jpeg_decode(data)
+    want = np.load(GOLDEN_JPEG / f"{name}_expected.npy")
+    assert got.shape == want.shape
+    assert np.array_equal(got, want), (
+        f"{name}: max diff "
+        f"{np.abs(got.astype(int) - want.astype(int)).max()}"
+    )
+
+
+def test_jpeg_progressive_equals_baseline_of_same_coefficients(tmp_path):
+    """The strongest cross-check: the SAME quantized coefficients
+    encoded as baseline SOF0 (the long-verified path) and as SOF2
+    progressive must decode to IDENTICAL pixels — any encoder/decoder
+    shared misunderstanding of the scan procedures would have to be
+    exactly self-inverse across two different entropy layouts to
+    pass."""
+    import tools.make_golden_jpeg as gen
+    from timescaledb_event_streamer_spark.operators.jpeg_codec import (
+        jpeg_decode,
+    )
+
+    img = gen.gray_image(21, 19, seed=41)
+    coeffs = gen.quantize_plane(img, gen.Q_LUMA)
+    base = gen.encode("x", [coeffs], [(0, gen.Q_LUMA)], [(1, 1)], 21, 19)
+    prog = gen.encode_progressive(
+        [coeffs], [(0, gen.Q_LUMA)], [(1, 1)], 21, 19
+    )
+    assert np.array_equal(jpeg_decode(base), jpeg_decode(prog))
 
 
 def test_golden_jpeg_files_reproducible(tmp_path, monkeypatch):

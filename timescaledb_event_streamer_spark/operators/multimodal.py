@@ -4,11 +4,12 @@ mapInPandas.
 
 Decode support is per-codec: `decoder="real"` runs ACTUAL PIXELS for
 all three image containers, routed by magic bytes — PNG via
-operators/png_codec.py (zlib + scanline filters, r6), baseline JPEG
-via operators/jpeg_codec.py (Huffman + dequant + IDCT + YCbCr, r7),
-GIF via operators/gif_codec.py (variable-width LZW + interlace, r7).
-Video/audio entropy coders (and progressive JPEG) genuinely need a
-codec library (ffmpeg/torchaudio, absent in this container), so those
+operators/png_codec.py (zlib + scanline filters, r6), JPEG via
+operators/jpeg_codec.py (baseline SOF0 r7 + progressive SOF2 r8:
+Huffman, dequant, IDCT, spectral selection + successive
+approximation), GIF via operators/gif_codec.py (variable-width LZW +
+interlace, r7). Video/audio entropy coders genuinely need a codec
+library (ffmpeg/torchaudio, absent in this container), so those
 payloads under `decoder="real"` raise at the exact seam where codecs
 plug in.
 `decoder="stub"` remains the deterministic fake that exercises
@@ -127,8 +128,8 @@ def _real_decode_image(payload: bytes) -> np.ndarray:
     if raw.startswith(GIF_MAGICS):
         return gif_decode(raw)
     raise NotImplementedError(
-        "real decode beyond PNG/baseline-JPEG/GIF requires a codec "
-        "library (ffmpeg/torchaudio); plug it in here"
+        "real decode beyond PNG/JPEG/GIF (video/audio) requires a "
+        "codec library (ffmpeg/torchaudio); plug it in here"
     )
 
 

@@ -461,6 +461,300 @@ def main() -> None:
     make_color("color_444", 16, 16, seed=7, samp=[(1, 1), (1, 1), (1, 1)])
     make_color("color_420", 17, 18, seed=9, samp=[(2, 2), (1, 1), (1, 1)])
     make_progressive_stub()
+    make_progressive_gray("prog_gray_8x8", 8, 8, seed=3)
+    make_progressive_gray("prog_gray_20x13", 13, 20, seed=11)
+    make_progressive_gray("prog_gray_sparse", 24, 16, seed=29)
+    make_progressive_color(
+        "prog_color_444", 16, 16, seed=7, samp=[(1, 1), (1, 1), (1, 1)]
+    )
+    make_progressive_color(
+        "prog_color_420", 17, 18, seed=9, samp=[(2, 2), (1, 1), (1, 1)]
+    )
+
+
+
+
+# -- progressive encoding (r8): SOF2 scan-script emitter -----------------
+# T.81 G.1 side, independently authored (never the decoder's helpers):
+# DC first / DC refine (interleaved), AC first / AC refine with EOB
+# runs and buffered correction bits (the libjpeg-documented emission
+# order, re-derived from G.1.2.2-G.1.2.3).
+
+
+def sof2_segment(h: int, w: int, comps: list[tuple[int, int, int, int]]) -> bytes:
+    body = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        body += bytes([cid, (hs << 4) | vs, tq])
+    return seg(0xC2, body)
+
+
+def sos_prog_segment(
+    comps: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int
+) -> bytes:
+    body = bytes([len(comps)])
+    for cid, td, ta in comps:
+        body += bytes([cid, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return seg(0xDA, body)
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform: v / 2^al truncated toward ZERO (G.1.2.2) —
+    NOT an arithmetic shift for negatives."""
+    a = abs(int(v)) >> al
+    return -a if v < 0 else a
+
+
+def _dc_first_events(comp_coeffs, samp, mcu_rows, mcu_cols, al):
+    """Interleaved DC-first scan events: ('sym', size, bits, n)."""
+    events = []
+    preds = [0] * len(comp_coeffs)
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for ci, (hs, vs) in enumerate(samp):
+                for by in range(vs):
+                    for bx in range(hs):
+                        # DC point transform IS an arithmetic shift
+                        dc = int(comp_coeffs[ci][my * vs + by, mx * hs + bx, 0]) >> al
+                        s, bitsv = magnitude(dc - preds[ci])
+                        preds[ci] = dc
+                        events.append(("sym", s, bitsv, s))
+    return events
+
+
+def _dc_refine_events(comp_coeffs, samp, mcu_rows, mcu_cols, al):
+    events = []
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for ci, (hs, vs) in enumerate(samp):
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc = int(comp_coeffs[ci][my * vs + by, mx * hs + bx, 0])
+                        events.append(("bit", (dc >> al) & 1, None, 1))
+    return events
+
+
+def _ac_first_events(blocks, ss, se, al):
+    """Non-interleaved AC-first scan events over raster blocks."""
+    events = []
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            events.append(("sym", r << 4, eobrun - (1 << r), r))
+            eobrun = 0
+
+    for block in blocks:
+        band = [_trunc_shift(block[k], al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                events.append(("sym", 0xF0, 0, 0))  # ZRL
+                run -= 16
+            s, bitsv = magnitude(v)
+            events.append(("sym", (run << 4) | s, bitsv, s))
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+    flush_eob()
+    return events
+
+
+def _ac_refine_events(blocks, ss, se, al):
+    """Non-interleaved AC-refinement scan events (G.1.2.3): newly-
+    significant coefficients as magnitude-1 symbols + sign bit;
+    correction bits for already-nonzero coefficients buffered and
+    emitted after the symbol that carries the decoder past them."""
+    events = []
+    eobrun = 0
+    pending: list[int] = []  # BE: correction bits owed to the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            events.append(("sym", r << 4, eobrun - (1 << r), r))
+            events.extend(("bit", b, None, 1) for b in pending)
+            pending = []
+            eobrun = 0
+
+    for block in blocks:
+        absval = [abs(int(block[k])) >> al for k in range(ss, se + 1)]
+        eobpos = -1  # last NEWLY significant index (absval == 1)
+        for i, a in enumerate(absval):
+            if a == 1:
+                eobpos = i
+        r = 0
+        local: list[int] = []  # BR: corrections since the last symbol
+        for i, a in enumerate(absval):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eobpos:
+                flush_eob()
+                events.append(("sym", 0xF0, 0, 0))
+                events.extend(("bit", b, None, 1) for b in local)
+                local = []
+                r -= 16
+            if a > 1:
+                # history coefficient: this pass's bit, run not reset
+                local.append(a & 1)
+                continue
+            flush_eob()
+            events.append(("sym", (r << 4) | 1, 0, 0))
+            events.append(("bit", 1 if block[ss + i] >= 0 else 0, None, 1))
+            events.extend(("bit", b, None, 1) for b in local)
+            local = []
+            r = 0
+        if r > 0 or local:
+            eobrun += 1
+            pending.extend(local)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return events
+
+
+def _comp_blocks_raster(coeffs, samp_i, samp, h, w):
+    """Raster block list for a NON-interleaved scan of one component
+    (the component's own ceil(samples/8) grid, T.81 A.2.2)."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    hs, vs = samp_i
+    comp_w = -(-w * hs // hmax)
+    comp_h = -(-h * vs // vmax)
+    bw = -(-comp_w // 8)
+    bh = -(-comp_h // 8)
+    return [coeffs[by, bx] for by in range(bh) for bx in range(bw)]
+
+
+def _emit_scan(out: bytearray, events, sos: bytes, table_class: int) -> None:
+    """Census the scan's Huffman symbols, write DHT (table id 0 of the
+    scan's class) + SOS + entropy bytes."""
+    syms = {e[1] for e in events if e[0] == "sym"}
+    codes = None
+    if syms:
+        bits, vals = huff_spec(syms)
+        codes = huff_codes(bits, vals)
+        out += dht_segment([(table_class, 0, bits, vals)])
+    out += sos
+    bw = BitWriter()
+    for kind, a, b, n in events:
+        if kind == "sym":
+            code, length = codes[a]
+            bw.put(code, length)
+            if n:
+                bw.put(b, n)
+        else:  # raw bit
+            bw.put(a, 1)
+    bw.pad()
+    out += bw.out
+
+
+def encode_progressive(
+    comp_coeffs: list[np.ndarray],
+    comp_q: list[tuple[int, np.ndarray]],
+    samp: list[tuple[int, int]],
+    h: int,
+    w: int,
+) -> bytes:
+    """Full SOF2 interchange stream: DC first (Al=1) -> per-component
+    AC first in TWO spectral bands (1-5, 6-63) at Al=1 -> DC refine ->
+    per-component AC refine over the joined band (1-63) to Al=0 —
+    exercises all four scan procedures, EOB runs, ZRL-in-refinement
+    and band stitching."""
+    ncomp = len(comp_coeffs)
+    color = ncomp == 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_cols = -(-w // (8 * hmax))
+    mcu_rows = -(-h // (8 * vmax))
+
+    out = bytearray(b"\xff\xd8")
+    out += APP0 + seg(0xFE, b"golden progressive jpeg")
+    out += dqt_segment(comp_q if color else comp_q[:1])
+    comps_sof = [
+        (i + 1, samp[i][0], samp[i][1], comp_q[min(i, len(comp_q) - 1)][0])
+        for i in range(ncomp)
+    ]
+    out += sof2_segment(h, w, comps_sof)
+
+    all_ids = [(i + 1, 0, 0) for i in range(ncomp)]
+    # scan 1: DC first, Al=1, interleaved
+    _emit_scan(
+        out,
+        _dc_first_events(comp_coeffs, samp, mcu_rows, mcu_cols, 1),
+        sos_prog_segment(all_ids, 0, 0, 0, 1),
+        0,
+    )
+    # scans 2..: AC first per component, two spectral bands at Al=1
+    for ci in range(ncomp):
+        blocks = _comp_blocks_raster(comp_coeffs[ci], samp[ci], samp, h, w)
+        for ss, se in ((1, 5), (6, 63)):
+            _emit_scan(
+                out,
+                _ac_first_events(blocks, ss, se, 1),
+                sos_prog_segment([(ci + 1, 0, 0)], ss, se, 0, 1),
+                1,
+            )
+    # DC refine to Al=0 (raw bits, interleaved, no DHT needed)
+    _emit_scan(
+        out,
+        _dc_refine_events(comp_coeffs, samp, mcu_rows, mcu_cols, 0),
+        sos_prog_segment(all_ids, 0, 0, 1, 0),
+        0,
+    )
+    # AC refine per component over the JOINED band to Al=0
+    for ci in range(ncomp):
+        blocks = _comp_blocks_raster(comp_coeffs[ci], samp[ci], samp, h, w)
+        _emit_scan(
+            out,
+            _ac_refine_events(blocks, 1, 63, 0),
+            sos_prog_segment([(ci + 1, 0, 0)], 1, 63, 1, 0),
+            1,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def make_progressive_gray(name: str, h: int, w: int, seed: int) -> None:
+    img = gray_image(h, w, seed)
+    coeffs = quantize_plane(img, Q_LUMA)
+    stream = encode_progressive([coeffs], [(0, Q_LUMA)], [(1, 1)], h, w)
+    expected = expected_from_coeffs([coeffs], [Q_LUMA], [(1, 1)], h, w, False)
+    write_case(name, stream, expected)
+
+
+def make_progressive_color(name: str, h: int, w: int, seed: int, samp: list) -> None:
+    img = color_image(h, w, seed)
+    y, cb, cr = rgb_to_ycbcr(img)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    planes = []
+    mh, mw = -(-h // (8 * vmax)) * 8 * vmax, -(-w // (8 * hmax)) * 8 * hmax
+    for plane, (hs, vs) in zip((y, cb, cr), samp):
+        p = np.pad(plane, ((0, mh - h), (0, mw - w)), mode="edge")
+        planes.append(subsample(p, vmax // vs, hmax // hs))
+    qs = [Q_LUMA, Q_CHROMA, Q_CHROMA]
+    coeffs = [quantize_plane(p, q) for p, q in zip(planes, qs)]
+    stream = encode_progressive(
+        coeffs, [(0, Q_LUMA), (1, Q_CHROMA)], samp, h, w
+    )
+    expected = expected_from_coeffs(coeffs, qs, samp, h, w, True)
+    write_case(name, stream, expected)
 
 
 if __name__ == "__main__":

@@ -63,6 +63,11 @@ HEADLINE = [
     # plan users actually run at scale (dedup_sparse_cosine measures
     # the calibration sample); track it alongside
     "dedup_sparse_cosine_capped",
+    # round-8: the BPE apply path (word-type-grain replace() chains)
+    # and the image near-dup detector (real decode + hamming LSH) —
+    # the two new plans with nontrivial per-row work
+    "text_bpe_apply",
+    "dedup_image_near",
 ]
 
 #: the frozen round-1 set — `value` keeps measuring exactly these so

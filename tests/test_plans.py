@@ -103,6 +103,7 @@ _BNLJ_OK = {
     "ts_retention_policy",  # single-row broadcast cutoff cross join
     "ts_funnel",  # single-row broadcast base-count cross join
     "text_domain_mix",  # single-row broadcast corpus-total cross join
+    "text_domain_mix_bpe",  # single-row broadcast bpe-token total
     "ann_batch_topk",  # 4-row broadcast query set, non-equi self-exclusion
     "cdc_snapshot_stream_merge",  # single-row broadcast watermark
     "cdc_offset_tracking",  # single-row broadcast head-LSN

@@ -1,0 +1,485 @@
+"""Round-8 continuation: the technical-indicator dashboard family
+(B83–B87) — MACD, VWAP, stochastic oscillator, CUSUM change
+detection, and on-balance volume over the `events` hypertable.
+
+These extend the B72/B73/B74/B82 family (Bollinger/RSI/drawdown/ATR):
+every indicator reduces raw events to a day-grain per-series frame
+first (bounded by calendar x series cardinality, NOT event volume),
+then runs bounded windows over that frame. All arithmetic that feeds
+a comparison or a hash-checked value is exact-integer (cents,
+`props.$.k` volume units) or a deterministic fixed-order fold, the
+ts_rsi / ts_ewma engine-exactness reasoning.
+
+Reference anchor: the hypertable/cagg analytics surface the streamer
+feeds (SURVEY §1; `spi/schema/eventschema.go` is the events shape) —
+these are the continuous-aggregate-style dashboard queries a
+TimescaleDB user runs downstream of the CDC feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.sources.tables import load
+
+_SQL_EPOCH_S = "(epoch_us(ts) // 1000000)"
+_SQL_DAY_S = f"CAST({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 86400 AS BIGINT)"
+
+#: daily close/high/low/volume on exact integer cents + integer
+#: volume units — the shared day-grain reduce every indicator
+#: in this module starts from. Volume is the J1-typed `props.$.k`
+#: extraction (the ts_candlestick precedent, queries_round6.py:633).
+_SQL_DAILY = f"""
+        daily AS (
+            SELECT event_type AS series,
+                   {_SQL_DAY_S} AS day_s,
+                   max(CAST(round(value * 100) AS BIGINT)) AS hc,
+                   min(CAST(round(value * 100) AS BIGINT)) AS lc,
+                   arg_max(CAST(round(value * 100) AS BIGINT), event_id)
+                       AS cc,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT)) AS BIGINT) AS vol
+            FROM events GROUP BY 1, 2
+        )
+"""
+
+
+def _daily_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side of _SQL_DAILY: one day-grain partial-agg reduce
+    (map-side combine; output rows = series x calendar days, bounded
+    regardless of event volume)."""
+    events = load(spark, sf_dir, "events")
+    es = F.expr("unix_micros(ts) div 1000000")
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    vol = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.withColumn("_es", es)
+        .groupBy(
+            F.col("event_type").alias("series"),
+            (F.col("_es") - F.pmod(F.col("_es"), F.lit(86400))).alias("day_s"),
+        )
+        .agg(
+            F.max(c).alias("hc"),
+            F.min(c).alias("lc"),
+            F.max_by(c, F.col("event_id")).alias("cc"),
+            F.sum(vol).alias("vol"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B83 ts_macd
+
+
+#: ewm spans: MACD fast/slow/signal — alpha = 2/(span+1)
+_MACD_FAST, _MACD_SLOW, _MACD_SIG = 12, 26, 9
+#: bounded-window length for the weight-normalized EWMA form
+#: (covers > 5 slow-span time constants; pandas ewm adjust=True
+#: over this window); the B38 ts_ewma precedent.
+_MACD_WIN = 40
+
+
+@register(
+    "ts_macd",
+    family="timeseries",
+    doc="MACD(12,26,9) per series on the daily close (B83, the "
+    "B72/B73 dashboard family): fast/slow lines are weight-"
+    "normalized bounded-window EWMAs (pandas ewm adjust=True over "
+    "a 40-day window — the B38 SQL-expressible form of the EMA "
+    "recursion), the signal line is the 9-span EWMA of the UNROUNDED "
+    "macd values, histogram = macd - signal. Every fold runs over an "
+    "ordered bounded collect_list in frame order on both engines "
+    "(deterministic, bit-identical), rounded once at the output. "
+    "Day-grain per-series windows; state bounded by calendar, not "
+    "event volume.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        arrs AS (
+            SELECT series, day_s,
+                   list(cc) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_MACD_WIN - 1} PRECEDING
+                            AND CURRENT ROW
+                   ) AS arr
+            FROM daily
+        ),
+        lines AS (
+            SELECT series, day_s,
+                   list_sum(list_transform(arr,
+                       (v, i) -> v * pow(1.0 - 2.0/{_MACD_FAST + 1}.0,
+                                         len(arr) - i))) /
+                   list_sum(list_transform(arr,
+                       (v, i) -> pow(1.0 - 2.0/{_MACD_FAST + 1}.0,
+                                     len(arr) - i))) AS fast,
+                   list_sum(list_transform(arr,
+                       (v, i) -> v * pow(1.0 - 2.0/{_MACD_SLOW + 1}.0,
+                                         len(arr) - i))) /
+                   list_sum(list_transform(arr,
+                       (v, i) -> pow(1.0 - 2.0/{_MACD_SLOW + 1}.0,
+                                     len(arr) - i))) AS slow
+            FROM arrs
+        ),
+        macd AS (
+            SELECT series, day_s, fast - slow AS m FROM lines
+        ),
+        sig AS (
+            SELECT series, day_s, m,
+                   list(m) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_MACD_WIN - 1} PRECEDING
+                            AND CURRENT ROW
+                   ) AS marr
+            FROM macd
+        )
+        SELECT series, day_s,
+               round(m / 100.0, 6) AS macd,
+               round(list_sum(list_transform(marr,
+                         (v, i) -> v * pow(1.0 - 2.0/{_MACD_SIG + 1}.0,
+                                           len(marr) - i))) /
+                     list_sum(list_transform(marr,
+                         (v, i) -> pow(1.0 - 2.0/{_MACD_SIG + 1}.0,
+                                       len(marr) - i))) / 100.0,
+                     6) AS signal,
+               round((m - list_sum(list_transform(marr,
+                         (v, i) -> v * pow(1.0 - 2.0/{_MACD_SIG + 1}.0,
+                                           len(marr) - i))) /
+                     list_sum(list_transform(marr,
+                         (v, i) -> pow(1.0 - 2.0/{_MACD_SIG + 1}.0,
+                                       len(marr) - i)))) / 100.0,
+                     6) AS histogram
+        FROM sig
+    """,
+)
+def ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day_s")
+        .rowsBetween(-(_MACD_WIN - 1), Window.currentRow)
+    )
+
+    def ewma_arr(arr: str, span: int) -> F.Column:
+        # Spark transform index j is 0-based (newest = size-1);
+        # DuckDB's i is 1-based (newest = len) — both weight the
+        # newest element (1-alpha)^0... times (1-alpha)^1 extra on
+        # BOTH num and den, which cancels. Same fold order, same
+        # doubles.
+        d = 1.0 - 2.0 / (span + 1.0)
+        num = F.expr(
+            f"aggregate(transform({arr}, (v, j) ->"
+            f" v * power({d!r}D, size({arr}) - j)), 0D, (a, v) -> a + v)"
+        )
+        den = F.expr(
+            f"aggregate(transform({arr}, (v, j) ->"
+            f" power({d!r}D, size({arr}) - j)), 0D, (a, v) -> a + v)"
+        )
+        return num / den
+
+    arrs = daily.withColumn(
+        "arr", F.collect_list(F.col("cc").cast("double")).over(w)
+    )
+    macd = arrs.select(
+        "series",
+        "day_s",
+        (ewma_arr("arr", _MACD_FAST) - ewma_arr("arr", _MACD_SLOW)).alias("m"),
+    )
+    sig = macd.withColumn("marr", F.collect_list("m").over(w))
+    s = ewma_arr("marr", _MACD_SIG)
+    return sig.select(
+        "series",
+        "day_s",
+        F.round(F.col("m") / 100.0, 6).alias("macd"),
+        F.round(s / 100.0, 6).alias("signal"),
+        F.round((F.col("m") - s) / 100.0, 6).alias("histogram"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B84 ts_vwap
+
+
+@register(
+    "ts_vwap",
+    family="timeseries",
+    doc="Volume-weighted average price per series (B84): daily VWAP "
+    "= sum(price_cents x volume) / sum(volume) and the running "
+    "CUMULATIVE VWAP (anchored at series start) — both ratios of "
+    "exact BIGINT sums (price on integer cents, volume from the "
+    "J1-typed props.$.k extraction), divided and rounded ONCE per "
+    "output row, so certification is value-exact at any SF. The "
+    "event-grain weighted sums fold map-side (partial agg); the "
+    "running form is a day-grain prefix sum per series.",
+    oracle=f"""
+        WITH pv AS (
+            SELECT event_type AS series,
+                   {_SQL_DAY_S} AS day_s,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)
+                       * CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS BIGINT) AS pv_c,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT series, day_s,
+               round(pv_c * 1.0 / v / 100.0, 6) AS vwap_day,
+               round(
+                   sum(pv_c) OVER (PARTITION BY series ORDER BY day_s)
+                   * 1.0 /
+                   sum(v) OVER (PARTITION BY series ORDER BY day_s)
+                   / 100.0, 6) AS vwap_running
+        FROM pv
+    """,
+)
+def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    es = F.expr("unix_micros(ts) div 1000000")
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    vol = F.get_json_object("props", "$.k").cast("long")
+    pv = (
+        events.withColumn("_es", es)
+        .groupBy(
+            F.col("event_type").alias("series"),
+            (F.col("_es") - F.pmod(F.col("_es"), F.lit(86400))).alias("day_s"),
+        )
+        .agg(F.sum(c * vol).alias("pv_c"), F.sum(vol).alias("v"))
+    )
+    w = Window.partitionBy("series").orderBy("day_s")
+    return pv.select(
+        "series",
+        "day_s",
+        F.round(F.col("pv_c") / F.col("v") / 100.0, 6).alias("vwap_day"),
+        F.round(
+            F.sum("pv_c").over(w) / F.sum("v").over(w) / 100.0, 6
+        ).alias("vwap_running"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B85 ts_stochastic
+
+
+_STOCH_WIN = 14  # %K lookback (days)
+_STOCH_SMOOTH = 3  # %D smoothing (days)
+
+
+@register(
+    "ts_stochastic",
+    family="timeseries",
+    doc="Stochastic oscillator %K/%D per series (B85): %K = "
+    "(close - 14-day low) / (14-day high - 14-day low) on exact "
+    "integer cents — a ratio of integers rounded once — and %D = "
+    "the 3-day SMA of the ROUNDED %K (a fixed-order 3-element "
+    "window sum of identical doubles on both engines). Rows with a "
+    "degenerate range (high == low) report NULL %K. Day-grain "
+    "per-series windows, calendar-bounded state.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        k AS (
+            SELECT series, day_s,
+                   row_number() OVER w AS rn,
+                   CASE WHEN max(hc) OVER wk > min(lc) OVER wk THEN
+                       round((cc - min(lc) OVER wk) * 100.0 /
+                             (max(hc) OVER wk - min(lc) OVER wk), 6)
+                   END AS pct_k
+            FROM daily
+            WINDOW w  AS (PARTITION BY series ORDER BY day_s),
+                   wk AS (PARTITION BY series ORDER BY day_s
+                          ROWS BETWEEN {_STOCH_WIN - 1} PRECEDING
+                               AND CURRENT ROW)
+        )
+        SELECT series, day_s, pct_k,
+               CASE WHEN rn >= {_STOCH_SMOOTH} THEN
+                   round(avg(pct_k) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_STOCH_SMOOTH - 1} PRECEDING
+                            AND CURRENT ROW), 6)
+               END AS pct_d
+        FROM k
+    """,
+)
+def ts_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("day_s")
+    wk = w.rowsBetween(-(_STOCH_WIN - 1), Window.currentRow)
+    hh, ll = F.max("hc").over(wk), F.min("lc").over(wk)
+    k = daily.select(
+        "series",
+        "day_s",
+        F.row_number().over(w).alias("rn"),
+        F.when(
+            hh > ll, F.round((F.col("cc") - ll) * 100.0 / (hh - ll), 6)
+        ).alias("pct_k"),
+    )
+    wd = w.rowsBetween(-(_STOCH_SMOOTH - 1), Window.currentRow)
+    return k.select(
+        "series",
+        "day_s",
+        "pct_k",
+        F.when(
+            F.col("rn") >= _STOCH_SMOOTH, F.round(F.avg("pct_k").over(wd), 6)
+        ).alias("pct_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B86 ts_cusum
+
+
+#: alarm threshold in mean-absolute-deviation units
+_CUSUM_H_MAD = 4
+
+
+@register(
+    "ts_cusum",
+    family="timeseries",
+    doc="Open-ended CUSUM change detection per series (B86, the "
+    "B39 level-shift family done EXACTLY): the textbook recursion "
+    "S+_t = max(0, S+_{t-1} + x_t - mu) is not a window function, "
+    "but multiplying through by n turns it into pure prefix "
+    "algebra on integers — P_t = cumsum(n*x_c - S) (x_c = daily "
+    "close cents, S = series sum, so n*x - S is the n-scaled "
+    "deviation from the series mean) gives S+_t = (P_t - running "
+    "min P)/n and S-_t = (running max P - P_t)/n, both EXACT "
+    "BIGINT window expressions — no recursion, no fold, two window "
+    "passes. Alarms fire above " + str(_CUSUM_H_MAD) + "x the mean "
+    "absolute deviation, compared in cross-multiplied integer form "
+    "(never a float boundary). The 100 TB shape: one day-grain "
+    "reduce, then windows over calendar-bounded frames.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        stats AS (
+            SELECT series,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cc) AS BIGINT) AS s
+            FROM daily GROUP BY series
+        ),
+        dev AS (
+            SELECT d.series, d.day_s, st.n,
+                   st.n * d.cc - st.s AS ndev
+            FROM daily d JOIN stats st USING (series)
+        ),
+        mad AS (
+            SELECT series, CAST(sum(abs(ndev)) AS BIGINT) AS sum_abs_ndev
+            FROM dev GROUP BY series
+        ),
+        pre AS (
+            SELECT series, day_s, n,
+                   sum(ndev) OVER w AS p
+            FROM dev
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        ),
+        cus AS (
+            -- the running extremum must include the EMPTY prefix
+            -- (P_0 = 0): S+_t = P_t - min(0, P_1..P_t) is the
+            -- textbook recursion's closed form
+            SELECT series, day_s, n,
+                   p - least(CAST(0 AS BIGINT), min(p) OVER w) AS up_n,
+                   greatest(CAST(0 AS BIGINT), max(p) OVER w) - p AS dn_n
+            FROM pre
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        )
+        SELECT c.series, c.day_s,
+               round(c.up_n * 1.0 / c.n / 100.0, 6) AS cusum_pos,
+               round(c.dn_n * 1.0 / c.n / 100.0, 6) AS cusum_neg,
+               c.up_n * c.n > {_CUSUM_H_MAD} * m.sum_abs_ndev
+                   AS alarm_pos,
+               c.dn_n * c.n > {_CUSUM_H_MAD} * m.sum_abs_ndev
+                   AS alarm_neg
+        FROM cus c JOIN mad m USING (series)
+    """,
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "cc")
+    stats = daily.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cc").alias("s")
+    )
+    dev = daily.join(F.broadcast(stats), "series").select(
+        "series",
+        "day_s",
+        "n",
+        (F.col("n") * F.col("cc") - F.col("s")).alias("ndev"),
+    )
+    mad = dev.groupBy("series").agg(
+        F.sum(F.abs(F.col("ndev"))).alias("sum_abs_ndev")
+    )
+    w = Window.partitionBy("series").orderBy("day_s")
+    pre = dev.withColumn("p", F.sum("ndev").over(w))
+    # the running extremum includes the EMPTY prefix (P_0 = 0), so
+    # S+_t = P_t - min(0, P_1..P_t) matches the textbook recursion
+    cus = pre.select(
+        "series",
+        "day_s",
+        "n",
+        (F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w)))
+        .alias("up_n"),
+        (F.greatest(F.lit(0).cast("long"), F.max("p").over(w)) - F.col("p"))
+        .alias("dn_n"),
+    )
+    return cus.join(F.broadcast(mad), "series").select(
+        "series",
+        "day_s",
+        F.round(F.col("up_n") / F.col("n") / 100.0, 6).alias("cusum_pos"),
+        F.round(F.col("dn_n") / F.col("n") / 100.0, 6).alias("cusum_neg"),
+        (F.col("up_n") * F.col("n") > _CUSUM_H_MAD * F.col("sum_abs_ndev"))
+        .alias("alarm_pos"),
+        (F.col("dn_n") * F.col("n") > _CUSUM_H_MAD * F.col("sum_abs_ndev"))
+        .alias("alarm_neg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B87 ts_obv
+
+
+@register(
+    "ts_obv",
+    family="timeseries",
+    doc="On-balance volume per series (B87): OBV = running sum of "
+    "sign(close_t - close_{t-1}) x daily volume (props.$.k units) — "
+    "all-BIGINT (sign on integer cents, integer volume, integer "
+    "prefix sum), value-exact at any SF. Also reports the daily "
+    "accumulation/distribution direction. One day-grain reduce + "
+    "one lag + one prefix sum per series.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        dirs AS (
+            SELECT series, day_s, vol,
+                   CASE WHEN lag(cc) OVER w IS NULL THEN 0
+                        WHEN cc > lag(cc) OVER w THEN 1
+                        WHEN cc < lag(cc) OVER w THEN -1
+                        ELSE 0 END AS direction
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        )
+        SELECT series, day_s,
+               CAST(direction AS INTEGER) AS direction,
+               CAST(vol AS BIGINT) AS volume,
+               CAST(sum(direction * vol) OVER (
+                   PARTITION BY series ORDER BY day_s) AS BIGINT) AS obv
+        FROM dirs
+    """,
+)
+def ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("day_s")
+    prev = F.lag("cc").over(w)
+    dirs = daily.select(
+        "series",
+        "day_s",
+        "vol",
+        F.when(prev.isNull(), 0)
+        .when(F.col("cc") > prev, 1)
+        .when(F.col("cc") < prev, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("direction"),
+    )
+    return dirs.select(
+        "series",
+        "day_s",
+        "direction",
+        F.col("vol").alias("volume"),
+        F.sum(F.col("direction") * F.col("vol")).over(w).alias("obv"),
+    )

@@ -191,3 +191,72 @@ def test_vwap_running_anchored_at_series_start(spark, sf_small):
     np.testing.assert_allclose(
         first["vwap_running"].to_numpy(), first["vwap_day"].to_numpy()
     )
+
+
+def test_sq8_topk_matches_numpy_quantization(spark, sf_small):
+    """Independent numpy re-quantization reproduces the approx scores,
+    and the flagged recall is high (int8 error is small at dim 64)."""
+    out = all_queries()["ann_sq8_topk"](spark, sf_small).toPandas()
+    emb = pd.read_parquet(f"{sf_small}/embeddings.parquet")
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    q = V[ids == 0][0]
+    qsc = np.abs(q).max() / 127.0
+    qq = np.clip(np.floor(q / qsc + 0.5), -127, 127)
+    sc = np.abs(V).max(axis=1) / 127.0
+    Z = np.clip(np.floor(V / sc[:, None] + 0.5), -127, 127)
+    approx = (Z @ qq) * qsc * sc
+    exact = V @ q
+    by_id = dict(zip(ids, approx))
+    for _, row in out.iterrows():
+        assert abs(by_id[row["vec_id"]] - row["sq8_dot"]) < 1e-4
+    # approx ranking must recover most of the exact top-20
+    exact_top = set(ids[np.argsort(-exact)][:20])
+    got_flags = out["in_exact_topk"].sum()
+    assert got_flags == len(set(out["vec_id"]) & exact_top)
+    assert got_flags >= 15, f"sq8 recall@20 too low: {got_flags}/20"
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark, sf_small):
+    out = all_queries()["text_zipf_fit"](spark, sf_small).toPandas()
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    for source, grp in docs.groupby("source"):
+        words = pd.Series(
+            [w for t in grp["text"] for w in str(t).split(" ") if w]
+        )
+        cnt = words.value_counts()
+        top = (
+            cnt.reset_index()
+            .sort_values(["count", words.name or "index"])
+            .sort_values("count", ascending=False, kind="stable")
+            .head(100)
+        )
+        x = np.log(np.arange(1, len(top) + 1))
+        y = np.log(top["count"].to_numpy())
+        slope = np.polyfit(x, y, 1)[0]
+        r = np.corrcoef(x, y)[0, 1]
+        got = out[out["source"] == source].iloc[0]
+        assert got["n_terms"] == len(top)
+        np.testing.assert_allclose(got["zipf_slope"], slope, atol=1e-5)
+        np.testing.assert_allclose(got["zipf_r2"], r * r, atol=1e-5)
+        assert -3.0 < got["zipf_slope"] < -0.1
+
+
+def test_hapax_stats_match_pandas(spark, sf_small):
+    out = all_queries()["text_hapax_stats"](spark, sf_small).toPandas()
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    for source, grp in docs.groupby("source"):
+        words = pd.Series(
+            [w for t in grp["text"] for w in str(t).split(" ") if w]
+        )
+        cnt = words.value_counts()
+        got = out[out["source"] == source].iloc[0]
+        assert got["n_tokens"] == len(words)
+        assert got["vocab"] == len(cnt)
+        assert got["hapax"] == int((cnt == 1).sum())
+        assert got["dis"] == int((cnt == 2).sum())
+        np.testing.assert_allclose(
+            got["herdan_c"],
+            np.log(len(cnt)) / np.log(len(words)),
+            atol=1e-6,
+        )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timescaledb_event_streamer_spark.plans.registry import register
-from timescaledb_event_streamer_spark.sources.tables import load
+from timescaledb_event_streamer_spark.sources.tables import load, spread
 
 _SQL_EPOCH_S = "(epoch_us(ts) // 1000000)"
 _SQL_DAY_S = f"CAST({_SQL_EPOCH_S} - {_SQL_EPOCH_S} % 86400 AS BIGINT)"
@@ -482,4 +482,304 @@ def ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "direction",
         F.col("vol").alias("volume"),
         F.sum(F.col("direction") * F.col("vol")).over(w).alias("obv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E22 ann_sq8_topk
+
+
+@register(
+    "ann_sq8_topk",
+    family="ann",
+    doc="Symmetric int8-quantized inner-product search (E22): corpus "
+    "AND query quantize with E7's per-vector scheme (scale = "
+    "max|v|/127, floor(x/scale + 0.5), clamp), candidates rank by "
+    "(int8_dot x query_scale) x vec_scale — the int8 dot is an "
+    "EXACT BIGINT fold (|q.v| <= 127*127*64 ~ 1e6, exact in "
+    "doubles), the two scale multiplies are pinned-order — so the "
+    "approximate ranking itself is value-exact, not just audited. "
+    "Each hit also carries the exact float inner product and an "
+    "in_exact_topk flag (membership in the exact MIPS top-20), so "
+    "the certified output IS the recall@20 measurement of the 4x-"
+    "compressed serving path. One scan + two 20-row ordered takes; "
+    "at 100 TB the quantized corpus is the stored table (4x "
+    "smaller scan) and the flag join is a 20-row broadcast.",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        qz AS (
+            SELECT qv,
+                   list_aggregate(list_transform(qv, x -> abs(x)), 'max')
+                       / 127.0 AS qsc
+            FROM q
+        ),
+        qq AS (
+            SELECT qv, qsc,
+                   list_transform(qv, x -> CAST(greatest(least(
+                       floor(x / qsc + 0.5), 127), -127) AS BIGINT)) AS qvec
+            FROM qz
+        ),
+        z AS (
+            SELECT vec_id, label, v,
+                   list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                       / 127.0 AS sc
+            FROM e
+        ),
+        scored AS (
+            SELECT vec_id, label,
+                   (list_dot_product(
+                        CAST(list_transform(v, x -> CAST(greatest(least(
+                            floor(x / sc + 0.5), 127), -127) AS BIGINT))
+                            AS DOUBLE[]),
+                        CAST((SELECT qvec FROM qq) AS DOUBLE[]))
+                    * (SELECT qsc FROM qq)) * sc AS approx,
+                   list_dot_product(v, (SELECT qv FROM q)) AS exact
+            FROM z
+        ),
+        exact_top AS (
+            SELECT vec_id FROM scored
+            ORDER BY round(exact, 6) DESC, vec_id LIMIT 20
+        )
+        SELECT vec_id, label,
+               round(approx, 6) AS sq8_dot,
+               round(exact, 6) AS exact_dot,
+               vec_id IN (SELECT vec_id FROM exact_top) AS in_exact_topk
+        FROM scored
+        ORDER BY round(approx, 6) DESC, vec_id
+        LIMIT 20
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from timescaledb_event_streamer_spark.operators.ann import dot
+
+    # quantize the query DRIVER-side with the identical IEEE ops the
+    # oracle runs in SQL (single-op float arithmetic on identical
+    # inputs is bit-stable across engines)
+    qvec = [
+        float(x)
+        for x in load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    qsc = max(abs(x) for x in qvec) / 127.0
+    qq = [max(min(math.floor(x / qsc + 0.5), 127), -127) for x in qvec]
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sc = (
+        F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
+    ).alias("sc")
+    z = emb.select("vec_id", "label", "v", sc)
+    zv = F.transform(
+        "v",
+        lambda x: F.greatest(
+            F.least(F.floor(x / F.col("sc") + F.lit(0.5)), F.lit(127)),
+            F.lit(-127),
+        ).cast("long"),
+    )
+    qq_arr = F.array(*[F.lit(float(b)) for b in qq])
+    q_arr = F.array(*[F.lit(x) for x in qvec])
+    scored = z.select(
+        "vec_id",
+        "label",
+        (
+            (dot(zv.cast("array<double>"), qq_arr) * F.lit(qsc)) * F.col("sc")
+        ).alias("approx"),
+        dot(F.col("v"), q_arr).alias("exact"),
+    ).localCheckpoint(eager=True)  # one scan feeds both ordered takes
+    exact_top = (
+        scored.orderBy(F.round("exact", 6).desc(), "vec_id")
+        .limit(20)
+        .select("vec_id", F.lit(True).alias("flag"))
+    )
+    return (
+        scored.orderBy(F.round("approx", 6).desc(), "vec_id")
+        .limit(20)
+        .join(F.broadcast(exact_top), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.round("approx", 6).alias("sq8_dot"),
+            F.round("exact", 6).alias("exact_dot"),
+            F.coalesce("flag", F.lit(False)).alias("in_exact_topk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F40 text_zipf_fit
+
+
+_ZIPF_TOP = 100
+
+
+@register(
+    "text_zipf_fit",
+    family="text",
+    doc="Zipf rank-frequency fit per source (F40): OLS slope and r2 "
+    "of ln(freq) on ln(rank) over the top-100 terms (freq desc, "
+    "term asc tiebreak — deterministic ranks both engines). A "
+    "natural corpus fits slope ~ -1; machine-generated or template "
+    "text departs sharply, making this a source-level quality gate "
+    "to pair with the doc-level F2/F11 filters. One (source, term) "
+    "count shuffle bounded by vocabulary, a 100-row-per-source "
+    "window take, then a 6-sum reduce; per-term ln() doubles are "
+    "identical both engines, sum reorder noise ~1e-13 vs the 1e-6 "
+    "rounding grid (the F13 entropy precedent).",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        cnt AS (
+            SELECT source, w, count(*) AS c
+            FROM tok WHERE length(w) > 0 GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT source, c,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY c DESC, w
+                   ) AS r
+            FROM cnt
+        ),
+        pts AS (
+            SELECT source, ln(r) AS x, ln(c) AS y
+            FROM ranked WHERE r <= {_ZIPF_TOP}
+        ),
+        sums AS (
+            SELECT source, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM pts GROUP BY source
+        )
+        SELECT source,
+               CAST(n AS BIGINT) AS n_terms,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   AS zipf_slope,
+               round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+                     ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                   AS zipf_r2
+        FROM sums
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("c"), "w")
+    )
+    pts = (
+        cnt.withColumn("r", r)
+        .filter(F.col("r") <= _ZIPF_TOP)
+        .select(
+            "source",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    sums = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov, varx, vary = (
+        n * sxy - sx * sy,
+        n * sxx - sx * sx,
+        n * syy - sy * sy,
+    )
+    return sums.select(
+        "source",
+        n.cast("long").alias("n_terms"),
+        F.round(cov / varx, 6).alias("zipf_slope"),
+        F.round(cov * cov / (varx * vary), 6).alias("zipf_r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F41 text_hapax_stats
+
+
+@register(
+    "text_hapax_stats",
+    family="text",
+    doc="Vocabulary-richness diagnostics per source (F41): token "
+    "count N, vocabulary V, hapax (freq 1) and dis (freq 2) "
+    "legomena counts, hapax/V, type-token ratio V/N, and Herdan's "
+    "C = ln V / ln N — the lexical-diversity gate that flags "
+    "template-generated sources (hapax collapse) before they skew "
+    "a training mix. All counts exact BIGINTs from one vocabulary-"
+    "bounded reduce; the three ratios divide once and round.",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        cnt AS (
+            SELECT source, w, count(*) AS c
+            FROM tok WHERE length(w) > 0 GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS hapax,
+                   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dis
+            FROM cnt GROUP BY source
+        )
+        SELECT source, n_tokens, vocab, hapax, dis,
+               round(hapax * 1.0 / vocab, 6) AS hapax_ratio,
+               round(vocab * 1.0 / n_tokens, 6) AS type_token_ratio,
+               round(ln(vocab) / ln(n_tokens), 6) AS herdan_c
+        FROM per
+    """,
+)
+def text_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = cnt.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).alias("hapax"),
+        F.sum((F.col("c") == 2).cast("long")).alias("dis"),
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        "dis",
+        F.round(F.col("hapax") / F.col("vocab"), 6).alias("hapax_ratio"),
+        F.round(F.col("vocab") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.log(F.col("vocab")) / F.log(F.col("n_tokens")), 6).alias(
+            "herdan_c"
+        ),
     )

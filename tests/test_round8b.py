@@ -260,3 +260,32 @@ def test_hapax_stats_match_pandas(spark, sf_small):
             np.log(len(cnt)) / np.log(len(words)),
             atol=1e-6,
         )
+
+
+def test_sax_matches_float_reference(spark, sf_small):
+    """Independent float z-normalized PAA + quartile quantization in
+    numpy yields the same symbols (no test point sits near enough a
+    breakpoint for float error to matter), and paa values match."""
+    out = (
+        all_queries()["ts_sax"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "frame_idx"])
+    )
+    daily = _daily_close(spark, sf_small)
+    b = 0.6745
+    for series, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day_s")
+        x = grp["cc"].to_numpy(dtype=float)
+        mu, sigma = x.mean(), x.std()  # population std
+        got = out[out["series"] == series]
+        for _, row in got.iterrows():
+            lo = int(row["frame_idx"]) * 8
+            frame = x[lo : lo + 8]
+            assert row["flen"] == len(frame)
+            paa = frame.mean()
+            np.testing.assert_allclose(
+                row["paa"], round(paa / 100.0, 6), atol=1e-6
+            )
+            z = (paa - mu) / sigma
+            want = "a" if z < -b else "b" if z < 0 else "c" if z <= b else "d"
+            assert row["symbol"] == want, (series, row["frame_idx"], z)

@@ -3,12 +3,13 @@ opaque binary columns with typed metadata, processed by Arrow-batched
 mapInPandas.
 
 Decode support is per-codec: `decoder="real"` runs ACTUAL PIXELS for
-all three image containers, routed by magic bytes — PNG via
+all four image containers, routed by magic bytes — PNG via
 operators/png_codec.py (zlib + scanline filters, r6), JPEG via
 operators/jpeg_codec.py (baseline SOF0 r7 + progressive SOF2 r8:
 Huffman, dequant, IDCT, spectral selection + successive
 approximation), GIF via operators/gif_codec.py (variable-width LZW +
-interlace, r7). Video/audio entropy coders genuinely need a codec
+interlace, r7), BMP via operators/bmp_codec.py (uncompressed BI_RGB
+8/24/32-bit, both orientations, r8). Video/audio entropy coders genuinely need a codec
 library (ffmpeg/torchaudio, absent in this container), so those
 payloads under `decoder="real"` raise at the exact seam where codecs
 plug in.
@@ -104,9 +105,10 @@ def extract_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
 
 def _real_decode_image(payload: bytes) -> np.ndarray:
     """Route a binary payload to its real pure-Python codec by magic
-    bytes: PNG (png_codec, r6), baseline JPEG (jpeg_codec, r7) or
-    GIF (gif_codec, r7). Anything else raises at the exact seam the
-    remaining codecs (video/audio entropy coders) plug into."""
+    bytes: PNG (png_codec, r6), JPEG (jpeg_codec, r7/r8), GIF
+    (gif_codec, r7) or BMP (bmp_codec, r8). Anything else raises at
+    the exact seam the remaining codecs (video/audio entropy coders)
+    plug into."""
     from timescaledb_event_streamer_spark.operators.gif_codec import (
         GIF_MAGICS,
         gif_decode,
@@ -120,6 +122,11 @@ def _real_decode_image(payload: bytes) -> np.ndarray:
         png_decode,
     )
 
+    from timescaledb_event_streamer_spark.operators.bmp_codec import (
+        BMP_MAGIC,
+        bmp_decode,
+    )
+
     raw = bytes(payload)
     if raw.startswith(PNG_SIGNATURE):
         return png_decode(raw)
@@ -127,6 +134,8 @@ def _real_decode_image(payload: bytes) -> np.ndarray:
         return jpeg_decode(raw)
     if raw.startswith(GIF_MAGICS):
         return gif_decode(raw)
+    if raw.startswith(BMP_MAGIC):
+        return bmp_decode(raw)
     raise NotImplementedError(
         "real decode beyond PNG/JPEG/GIF (video/audio) requires a "
         "codec library (ffmpeg/torchaudio); plug it in here"
@@ -264,6 +273,7 @@ MAGIC_SIGNATURES = (
     ("89504E47", "png"),
     ("FFD8FF", "jpeg"),
     ("47494638", "gif"),
+    ("424D", "bmp"),
     ("52494646", "riff"),  # WAV/AVI/WebP share the RIFF container
     ("66747970", "mp4", 8),  # 'ftyp' at byte offset 4
     ("494433", "mp3"),

@@ -783,3 +783,135 @@ def text_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "herdan_c"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# B88 ts_sax
+
+
+_SAX_FRAME = 8  # PAA frame length (days)
+#: 4-ary SAX breakpoints are {-b, 0, +b} with b = 0.6745 (the
+#: standard-normal quartiles); b^2 = 45495025 / 10^8 EXACTLY, which
+#: is what lets the breakpoint comparison run in integers.
+_SAX_B2_NUM = 45495025
+_SAX_B2_DEN = 100_000_000
+
+
+@register(
+    "ts_sax",
+    family="timeseries",
+    doc="SAX symbolization per series (B88; Lin/Keogh/Lonardi's "
+    "Symbolic Aggregate approXimation): z-normalized PAA over "
+    "8-day frames of the daily close, quantized to a 4-symbol "
+    "alphabet at the standard-normal quartile breakpoints "
+    "{-0.6745, 0, 0.6745}. The float trap — engines computing "
+    "mean/stddev with different summation orders flip symbols at "
+    "the breakpoints — is eliminated by comparing in CROSS-"
+    "MULTIPLIED INTEGER form: with integer cents, sign(z) = "
+    "sign(A) for A = frame_sum x n - series_sum x frame_len, and "
+    "|z| vs b compares A^2 x 10^8 against 45495025 x flen^2 x "
+    "(n x sumsq - sum^2) — exact DECIMAL(38)/HUGEINT arithmetic, "
+    "never a float boundary (b^2 = 0.6745^2 is exactly "
+    "45495025/10^8). Constant series guard to the low-middle "
+    "symbol on both engines. Day-grain reduce + per-series frame "
+    "reduce; the rendered paa/z are display-only doubles.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        seq AS (
+            SELECT series, day_s, cc,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM daily
+        ),
+        stats AS (
+            SELECT series,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cc) AS BIGINT) AS s,
+                   CAST(sum(cc * cc) AS BIGINT) AS q
+            FROM seq GROUP BY series
+        ),
+        frames AS (
+            SELECT series,
+                   (rn - 1) // {_SAX_FRAME} AS frame_idx,
+                   CAST(min(day_s) AS BIGINT) AS frame_start_day,
+                   CAST(count(*) AS BIGINT) AS flen,
+                   CAST(sum(cc) AS BIGINT) AS fs
+            FROM seq GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT f.series, f.frame_idx, f.frame_start_day, f.flen, f.fs,
+                   st.n, st.s,
+                   CAST(f.fs AS HUGEINT) * st.n
+                       - CAST(st.s AS HUGEINT) * f.flen AS a,
+                   CAST(st.n AS HUGEINT) * st.q
+                       - CAST(st.s AS HUGEINT) * st.s AS varn
+            FROM frames f JOIN stats st USING (series)
+        )
+        SELECT series, frame_idx, frame_start_day, flen,
+               round(fs * 1.0 / flen / 100.0, 6) AS paa,
+               CASE
+                   WHEN varn = 0 THEN 'b'
+                   WHEN a < 0 AND a * a * {_SAX_B2_DEN} >
+                       {_SAX_B2_NUM} * CAST(flen AS HUGEINT) * flen * varn
+                       THEN 'a'
+                   WHEN a < 0 THEN 'b'
+                   WHEN a * a * {_SAX_B2_DEN} <=
+                       {_SAX_B2_NUM} * CAST(flen AS HUGEINT) * flen * varn
+                       THEN 'c'
+                   ELSE 'd'
+               END AS symbol
+        FROM j
+    """,
+)
+def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "cc")
+    w = Window.partitionBy("series").orderBy("day_s")
+    seq = daily.withColumn("rn", F.row_number().over(w))
+    stats = seq.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cc").alias("s"),
+        F.sum(F.col("cc") * F.col("cc")).alias("q"),
+    )
+    frames = seq.groupBy(
+        "series", ((F.col("rn") - 1) / _SAX_FRAME).cast("long").alias("frame_idx")
+    ).agg(
+        F.min("day_s").alias("frame_start_day"),
+        F.count(F.lit(1)).alias("flen"),
+        F.sum("cc").alias("fs"),
+    )
+    dec = "decimal(38,0)"
+    j = frames.join(F.broadcast(stats), "series").select(
+        "series",
+        "frame_idx",
+        "frame_start_day",
+        "flen",
+        "fs",
+        (
+            F.col("fs").cast(dec) * F.col("n")
+            - F.col("s").cast(dec) * F.col("flen")
+        ).alias("a"),
+        (
+            F.col("n").cast(dec) * F.col("q")
+            - F.col("s").cast(dec) * F.col("s")
+        ).alias("varn"),
+    )
+    lhs = F.col("a") * F.col("a") * F.lit(_SAX_B2_DEN)
+    rhs = (
+        F.lit(_SAX_B2_NUM)
+        * F.col("flen").cast(dec)
+        * F.col("flen")
+        * F.col("varn")
+    )
+    return j.select(
+        "series",
+        "frame_idx",
+        "frame_start_day",
+        "flen",
+        F.round(F.col("fs") / F.col("flen") / 100.0, 6).alias("paa"),
+        F.when(F.col("varn") == 0, F.lit("b"))
+        .when((F.col("a") < 0) & (lhs > rhs), F.lit("a"))
+        .when(F.col("a") < 0, F.lit("b"))
+        .when(lhs <= rhs, F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("symbol"),
+    )

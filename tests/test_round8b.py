@@ -289,3 +289,133 @@ def test_sax_matches_float_reference(spark, sf_small):
             z = (paa - mu) / sigma
             want = "a" if z < -b else "b" if z < 0 else "c" if z <= b else "d"
             assert row["symbol"] == want, (series, row["frame_idx"], z)
+
+
+def test_streaming_cusum_matches_batch(spark, sf_small, tmp_path):
+    """I29: streaming CUSUM with the batch query's series means as
+    reference targets reproduces ts_cusum across a genuine micro-
+    batch boundary (two time-ordered file triggers)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.sources.tables import load
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_cusum,
+    )
+
+    events = load(spark, sf_small, "events")
+    es = F.expr("unix_micros(ts) div 1000000")
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    daily = (
+        events.withColumn("_es", es)
+        .groupBy(
+            F.col("event_type").alias("series"),
+            (F.col("_es") - F.pmod(F.col("_es"), F.lit(86400))).alias(
+                "day_s"
+            ),
+        )
+        .agg(F.max_by(c, F.col("event_id")).alias("cc"))
+    )
+    targets = {
+        r["series"]: r["mu"]
+        for r in daily.groupBy("series")
+        .agg((F.sum("cc") / F.count(F.lit(1))).alias("mu"))
+        .collect()
+    }
+    split_day = daily.agg(
+        F.expr("percentile_approx(day_s, 0.5)").alias("m")
+    ).first()["m"]
+    log_dir = tmp_path / "cusum_log"
+    log_dir.mkdir()
+    daily.filter(F.col("day_s") <= split_day).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b0"))
+    _t.sleep(1.1)
+    daily.filter(F.col("day_s") > split_day).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b1"))
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_cusum(stream, targets)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["day_s"]): (r["cusum_pos"], r["cusum_neg"])
+        for r in spark.sql("SELECT * FROM cusum_stream").collect()
+    }
+    want = {
+        (r["series"], r["day_s"]): (r["cusum_pos"], r["cusum_neg"])
+        for r in all_queries()["ts_cusum"](spark, sf_small).collect()
+    }
+    assert len(got) == len(want) > 0
+    for k, (gp, gn) in got.items():
+        wp, wn = want[k]
+        np.testing.assert_allclose(gp, wp, atol=1e-5)
+        np.testing.assert_allclose(gn, wn, atol=1e-5)
+
+
+def test_kaufman_er_matches_pandas(spark, sf_small):
+    out = (
+        all_queries()["ts_kaufman_er"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    for series, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day_s")
+        cc = grp["cc"].astype(float)
+        signal = (cc - cc.shift(10)).abs()
+        noise = cc.diff().abs().rolling(10, min_periods=1).sum()
+        er = (signal / noise).where(noise > 0)
+        got = out[out["series"] == series]
+        want = er.iloc[10:].round(6)
+        np.testing.assert_allclose(
+            got["efficiency_ratio"].to_numpy(), want.to_numpy(), atol=1e-6
+        )
+        assert ((got["efficiency_ratio"].dropna() >= 0).all())
+        assert ((got["efficiency_ratio"].dropna() <= 1).all())
+
+
+def test_aroon_latest_tie_and_values(spark, sf_small):
+    """Independent python loop with the explicit latest-occurrence
+    tie-break reproduces days_since_high/low and the aroon values."""
+    out = (
+        all_queries()["ts_aroon"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    n = 25
+    for series, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day_s").reset_index(drop=True)
+        got = out[out["series"] == series].reset_index(drop=True)
+        k = 0
+        for t in range(n - 1, len(grp)):
+            win_h = grp["hc"].iloc[t - n + 1 : t + 1].to_numpy()
+            win_l = grp["lc"].iloc[t - n + 1 : t + 1].to_numpy()
+            # latest occurrence of the max/min
+            hi_pos = n - 1 - int(np.argmax(win_h[::-1]))
+            lo_pos = n - 1 - int(np.argmin(win_l[::-1]))
+            dsh, dsl = n - 1 - hi_pos, n - 1 - lo_pos
+            row = got.iloc[k]
+            assert row["days_since_high"] == dsh, (series, t)
+            assert row["days_since_low"] == dsl, (series, t)
+            np.testing.assert_allclose(
+                row["aroon_up"], round((n - dsh) * 100.0 / n, 6)
+            )
+            np.testing.assert_allclose(
+                row["aroon_down"], round((n - dsl) * 100.0 / n, 6)
+            )
+            k += 1
+        assert k == len(got)

@@ -915,3 +915,160 @@ def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("d"))
         .alias("symbol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B89 ts_kaufman_er
+
+
+_KER_N = 10
+
+
+@register(
+    "ts_kaufman_er",
+    family="timeseries",
+    doc="Kaufman efficiency ratio per series (B89): ER = |close_t - "
+    "close_{t-10}| / sum of the 10 daily |changes| — the signal-to-"
+    "noise measure behind KAMA, and the regime filter that decides "
+    "when trend indicators (B83/B85) are trustworthy. Numerator and "
+    "denominator are exact BIGINTs on integer cents (lag + windowed "
+    "sum of abs diffs), divided and rounded once; a flat window "
+    "(denominator 0) reports NULL. Day-grain per-series windows.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        d AS (
+            SELECT series, day_s, cc,
+                   cc - lag(cc) OVER w AS chg,
+                   lag(cc, {_KER_N}) OVER w AS base,
+                   row_number() OVER w AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        ),
+        n AS (
+            SELECT series, day_s, rn, base, cc,
+                   sum(abs(chg)) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_KER_N - 1} PRECEDING
+                            AND CURRENT ROW) AS noise
+            FROM d
+        )
+        SELECT series, day_s,
+               CAST(abs(cc - base) AS BIGINT) AS signal_cents,
+               CAST(noise AS BIGINT) AS noise_cents,
+               CASE WHEN noise > 0
+                    THEN round(abs(cc - base) * 1.0 / noise, 6) END
+                   AS efficiency_ratio
+        FROM n
+        WHERE rn > {_KER_N}
+    """,
+)
+def ts_kaufman_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "cc")
+    w = Window.partitionBy("series").orderBy("day_s")
+    d = daily.select(
+        "series",
+        "day_s",
+        "cc",
+        (F.col("cc") - F.lag("cc").over(w)).alias("chg"),
+        F.lag("cc", _KER_N).over(w).alias("base"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wn = w.rowsBetween(-(_KER_N - 1), Window.currentRow)
+    n = d.withColumn("noise", F.sum(F.abs(F.col("chg"))).over(wn))
+    sig = F.abs(F.col("cc") - F.col("base"))
+    return n.filter(F.col("rn") > _KER_N).select(
+        "series",
+        "day_s",
+        sig.alias("signal_cents"),
+        F.col("noise").alias("noise_cents"),
+        F.when(F.col("noise") > 0, F.round(sig / F.col("noise"), 6)).alias(
+            "efficiency_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B90 ts_aroon
+
+
+_AROON_N = 25
+#: rn packs into the low decimal digits of the cent price; series
+#: length stays far below this at the calendar day grain
+_AROON_PACK = 1_000_000
+
+
+@register(
+    "ts_aroon",
+    family="timeseries",
+    doc="Aroon oscillator per series (B90): days since the 25-day "
+    "high/low turned into aroon_up/down = 100 x (N - days_since) / "
+    "N. The windowed argmax-with-latest-tie is the subtle part: "
+    "both engines compute max(hc x 10^6 + rn) (and min(lc x 10^6 + "
+    "(10^6 - rn)) for the low side) — packed integer compares with "
+    "a DETERMINISTIC latest-occurrence tie-break, no arg_max tie "
+    "ambiguity, no float. Outputs are exact rationals rounded "
+    "once; rows emit from day N on. Day-grain per-series windows.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        seq AS (
+            SELECT series, day_s, hc, lc,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM daily
+        ),
+        packed AS (
+            SELECT series, day_s, rn,
+                   max(hc * {_AROON_PACK} + rn) OVER w AS hi_pack,
+                   min(lc * {_AROON_PACK} + ({_AROON_PACK} - rn)) OVER w
+                       AS lo_pack
+            FROM seq
+            WINDOW w AS (PARTITION BY series ORDER BY day_s
+                         ROWS BETWEEN {_AROON_N - 1} PRECEDING
+                              AND CURRENT ROW)
+        )
+        SELECT series, day_s,
+               CAST(rn - hi_pack % {_AROON_PACK} AS BIGINT)
+                   AS days_since_high,
+               CAST(rn - ({_AROON_PACK} - lo_pack % {_AROON_PACK})
+                   AS BIGINT) AS days_since_low,
+               round((({_AROON_N} - (rn - hi_pack % {_AROON_PACK}))
+                   * 100.0) / {_AROON_N}, 6) AS aroon_up,
+               round((({_AROON_N} - (rn - ({_AROON_PACK}
+                   - lo_pack % {_AROON_PACK}))) * 100.0) / {_AROON_N}, 6)
+                   AS aroon_down
+        FROM packed
+        WHERE rn >= {_AROON_N}
+    """,
+)
+def ts_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "hc", "lc")
+    w = Window.partitionBy("series").orderBy("day_s")
+    seq = daily.withColumn("rn", F.row_number().over(w))
+    ww = w.rowsBetween(-(_AROON_N - 1), Window.currentRow)
+    packed = seq.select(
+        "series",
+        "day_s",
+        "rn",
+        F.max(F.col("hc") * _AROON_PACK + F.col("rn")).over(ww).alias(
+            "hi_pack"
+        ),
+        F.min(
+            F.col("lc") * _AROON_PACK + (F.lit(_AROON_PACK) - F.col("rn"))
+        )
+        .over(ww)
+        .alias("lo_pack"),
+    )
+    hi_rn = F.col("hi_pack") % _AROON_PACK
+    lo_rn = F.lit(_AROON_PACK) - F.col("lo_pack") % _AROON_PACK
+    return packed.filter(F.col("rn") >= _AROON_N).select(
+        "series",
+        "day_s",
+        (F.col("rn") - hi_rn).alias("days_since_high"),
+        (F.col("rn") - lo_rn).alias("days_since_low"),
+        F.round(
+            (F.lit(_AROON_N) - (F.col("rn") - hi_rn)) * 100.0 / _AROON_N, 6
+        ).alias("aroon_up"),
+        F.round(
+            (F.lit(_AROON_N) - (F.col("rn") - lo_rn)) * 100.0 / _AROON_N, 6
+        ).alias("aroon_down"),
+    )

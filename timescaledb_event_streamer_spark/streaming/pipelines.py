@@ -462,3 +462,74 @@ def streaming_heikin_ashi(daily: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming CUSUM (I29): the batch form (ts_cusum, B86) collapses
+# the recursion to prefix algebra because it can see the whole
+# series; a DEPLOYED change detector knows only a fixed reference
+# level per series and must carry the recursion state across
+# micro-batches. State is three numbers — the prefix sum P and its
+# zero-anchored running extrema — so S+ = P - minP and S- = maxP - P
+# reproduce the textbook recursion incrementally, exactly the same
+# closed form the batch query certifies.
+
+_CUSUM_STATE_SCHEMA = "last_day LONG, p DOUBLE, minp DOUBLE, maxp DOUBLE"
+_CUSUM_OUT_SCHEMA = (
+    "series STRING, day_s LONG, cusum_pos DOUBLE, cusum_neg DOUBLE"
+)
+
+
+def _make_cusum_state_fn(targets: dict):
+    """targets: series -> reference level mu in cents (the
+    'in-control' mean a deployment calibrates offline — the batch
+    query's series mean plays this role in the parity test)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_day, p, minp, maxp = (
+            state.get if state.exists else (None, 0.0, 0.0, 0.0)
+        )
+        mu = float(targets[key[0]])
+        rows = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "day_s"
+            )
+            for r in allpdf.itertuples():
+                if last_day is not None and r.day_s <= last_day:
+                    continue  # replayed/duplicate day partial
+                p += float(r.cc) - mu
+                minp = min(minp, p)  # zero-anchored: starts at 0.0
+                maxp = max(maxp, p)
+                rows.append(
+                    {
+                        "series": key[0],
+                        "day_s": int(r.day_s),
+                        "cusum_pos": (p - minp) / 100.0,
+                        "cusum_neg": (maxp - p) / 100.0,
+                    }
+                )
+                last_day = int(r.day_s)
+        state.update((last_day, p, minp, maxp))
+        yield pd.DataFrame(
+            rows, columns=["series", "day_s", "cusum_pos", "cusum_neg"]
+        )
+
+    return fn
+
+
+def streaming_cusum(daily: DataFrame, targets: dict) -> DataFrame:
+    """Open-ended CUSUM over a stream of daily close partials (I29):
+    keyed applyInPandasWithState carrying (P, min P, max P) so the
+    change statistic accumulates across micro-batches; append mode,
+    idempotent replay skip via last_day. `daily` needs columns
+    (series, day_s, cc) with cc the day's close in cents."""
+    return daily.groupBy("series").applyInPandasWithState(
+        _make_cusum_state_fn(targets),
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

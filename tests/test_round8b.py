@@ -419,3 +419,46 @@ def test_aroon_latest_tie_and_values(spark, sf_small):
             )
             k += 1
         assert k == len(got)
+
+
+def test_acf_matches_numpy(spark, sf_small):
+    out = (
+        all_queries()["ts_acf"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "lag"])
+    )
+    daily = _daily_close(spark, sf_small)
+    for series, grp in daily.groupby("event_type"):
+        x = grp.sort_values("day_s")["cc"].to_numpy(dtype=float)
+        d = x - x.mean()
+        den = (d * d).sum()
+        got = out[out["series"] == series]
+        assert got["lag"].tolist() == list(range(1, 8))
+        for k in range(1, 8):
+            want = (d[:-k] * d[k:]).sum() / den
+            np.testing.assert_allclose(
+                got[got["lag"] == k]["acf"].iloc[0], want, atol=1e-6
+            )
+
+
+def test_bigram_lm_score_matches_python(spark, sf_small):
+    from collections import Counter
+
+    out = all_queries()["text_bigram_lm_score"](spark, sf_small).toPandas()
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    bf, ctx, per_doc = Counter(), Counter(), {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = [t for t in str(text).split(" ") if t]
+        bigs = list(zip(toks, toks[1:]))
+        if bigs:
+            per_doc[doc_id] = bigs
+            bf.update(bigs)
+            ctx.update(p for p, _ in bigs)
+    assert len(out) == len(per_doc)
+    for doc_id, bigs in list(per_doc.items())[:200]:
+        h = -sum(np.log2(bf[b] / ctx[b[0]]) for b in bigs) / len(bigs)
+        row = out[out["doc_id"] == doc_id].iloc[0]
+        assert row["n_bigrams"] == len(bigs)
+        np.testing.assert_allclose(
+            row["bigram_entropy_bits"], h, atol=1e-5
+        )

@@ -1072,3 +1072,192 @@ def ts_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_AROON_N) - (F.col("rn") - lo_rn)) * 100.0 / _AROON_N, 6
         ).alias("aroon_down"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B91 ts_acf
+
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "ts_acf",
+    family="timeseries",
+    doc="Autocorrelation function per series, lags 1-7 (B91): acf_k "
+    "= sum((x_t - mu)(x_{t+k} - mu)) / sum((x_t - mu)^2) computed "
+    "EXACTLY by multiplying through by n — with ndev = n x cents - "
+    "series_sum, every product is DECIMAL(38)/HUGEINT integer "
+    "arithmetic (the B86/B88 float-free pattern; n^2 cancels in "
+    "the ratio), divided and rounded once per lag. One day-grain "
+    "reduce, 7 lead columns in one window pass, one per-series "
+    "fold, then a 7-row explode — the weekly-seasonality detector "
+    "(a lag-7 spike) at calendar-bounded state.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        stats AS (
+            SELECT series,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cc) AS BIGINT) AS s
+            FROM daily GROUP BY series
+        ),
+        dev AS (
+            SELECT d.series, d.day_s,
+                   CAST(st.n * d.cc - st.s AS HUGEINT) AS ndev
+            FROM daily d JOIN stats st USING (series)
+        ),
+        led AS (
+            SELECT series, ndev,
+                   {", ".join(f"lead(ndev, {k}) OVER (PARTITION BY series ORDER BY day_s) AS ndev{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+            FROM dev
+        ),
+        agg AS (
+            SELECT series,
+                   sum(ndev * ndev) AS den,
+                   {", ".join(f"sum(ndev * ndev{k}) AS num{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+            FROM led GROUP BY series
+        )
+        SELECT series, CAST(k AS BIGINT) AS lag,
+               round(CASE k
+                   {" ".join(f"WHEN {k} THEN num{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+               END * 1.0 / den, 6) AS acf
+        FROM agg, (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS k)
+        WHERE den > 0
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "cc")
+    stats = daily.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cc").alias("s")
+    )
+    dec = "decimal(38,0)"
+    dev = daily.join(F.broadcast(stats), "series").select(
+        "series",
+        "day_s",
+        (F.col("n") * F.col("cc") - F.col("s")).cast(dec).alias("ndev"),
+    )
+    w = Window.partitionBy("series").orderBy("day_s")
+    led = dev.select(
+        "series",
+        "ndev",
+        *[
+            F.lead("ndev", k).over(w).alias(f"ndev{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    agg = led.groupBy("series").agg(
+        F.sum(F.col("ndev") * F.col("ndev")).alias("den"),
+        *[
+            F.sum(F.col("ndev") * F.col(f"ndev{k}")).alias(f"num{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("lag"),
+                # exact integer sums convert to double BEFORE the
+                # division (both < 2^53 at the day grain; DuckDB's
+                # `num * 1.0 / den` takes the same double path) —
+                # decimal/decimal division would return a decimal
+                # dtype the driver's hash distinguishes from float64
+                F.round(
+                    F.col(f"num{k}").cast("double")
+                    / F.col("den").cast("double"),
+                    6,
+                ).alias("acf"),
+            )
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ]
+    )
+    return (
+        agg.filter(F.col("den") > 0)
+        .select("series", F.explode(pairs).alias("p"))
+        .select("series", F.col("p.lag").alias("lag"), F.col("p.acf").alias("acf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F42 text_bigram_lm_score
+
+
+@register(
+    "text_bigram_lm_score",
+    family="text",
+    doc="Per-document cross-entropy under the corpus's own BIGRAM "
+    "model (F42) — the conditional upgrade of F19's unigram proxy: "
+    "P(w|prev) = corpus_count(prev, w) / corpus_count(prev as "
+    "context), within-document adjacency only, so every document "
+    "bigram exists in the model by construction and the statistic "
+    "is exact (no smoothing constant to tune). Documents whose "
+    "repeated phrases dominate the corpus score LOW bits/bigram — "
+    "the template detector that unigram surprise misses. Plan: one "
+    "corpus scan -> (doc, prev, w) counts; corpus bigram and "
+    "context tables reduce from the same counts (map-side "
+    "partials); joins keyed on the bigram/context (AQE handles "
+    "stopword skew). Single-token documents drop (no bigrams).",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, t, row_number() OVER (
+                PARTITION BY doc_id ORDER BY pos) AS rn
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos
+                FROM documents
+            ) WHERE length(t) > 0
+        ),
+        big AS (
+            SELECT a.doc_id, a.t AS prev, b.t AS w
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+        ),
+        dcnt AS (
+            SELECT doc_id, prev, w, count(*) AS c
+            FROM big GROUP BY 1, 2, 3
+        ),
+        bf AS (
+            SELECT prev, w, CAST(sum(c) AS BIGINT) AS bf
+            FROM dcnt GROUP BY prev, w
+        ),
+        ctx AS (
+            SELECT prev, CAST(sum(bf) AS BIGINT) AS ctxf FROM bf
+            GROUP BY prev
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               round(-sum(c * log2(bf * 1.0 / ctxf)) / sum(c), 6)
+                   AS bigram_entropy_bits
+        FROM dcnt JOIN bf USING (prev, w) JOIN ctx USING (prev)
+        GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: F.length(t) > 0).alias(
+            "ts"
+        ),
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+    dcnt = big.groupBy("doc_id", "prev", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bf = dcnt.groupBy("prev", "w").agg(F.sum("c").alias("bf"))
+    ctx = bf.groupBy("prev").agg(F.sum("bf").alias("ctxf"))
+    joined = dcnt.join(bf, ["prev", "w"]).join(ctx, "prev")
+    bits = F.col("c") * F.log2(F.col("bf") / F.col("ctxf"))
+    return joined.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(-F.sum(bits) / F.sum("c"), 6).alias("bigram_entropy_bits"),
+    )

@@ -462,3 +462,36 @@ def test_bigram_lm_score_matches_python(spark, sf_small):
         np.testing.assert_allclose(
             row["bigram_entropy_bits"], h, atol=1e-5
         )
+
+
+def test_matrix_profile_matches_bruteforce(spark, sf_small):
+    """Literal O(n^2) numpy brute force (exclusion zone, first-min
+    tie on packed order) reproduces profile values and neighbors."""
+    out = (
+        all_queries()["ts_matrix_profile"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "start_day"])
+    )
+    daily = _daily_close(spark, sf_small)
+    m, excl = 7, 4
+    for series, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day_s").reset_index(drop=True)
+        x = grp["cc"].to_numpy(dtype=np.int64)
+        n_win = len(x) - m + 1
+        got = out[out["series"] == series].reset_index(drop=True)
+        assert len(got) == max(n_win, 0)
+        for t in range(n_win):
+            best = None
+            for u in range(n_win):
+                if abs(t - u) < excl:
+                    continue
+                d2 = int(((x[t : t + m] - x[u : u + m]) ** 2).sum())
+                key = (d2, u + 1)  # 1-based rn, packed tie order
+                if best is None or key < best:
+                    best = key
+            row = got.iloc[t]
+            assert row["start_day"] == grp["day_s"].iloc[t]
+            assert row["nn_dist2_cents"] == best[0], (series, t)
+            assert row["nn_start"] == best[1], (series, t)
+        # motif/discord sanity: profile has spread (not all equal)
+        assert got["nn_dist2_cents"].nunique() > 1

@@ -1261,3 +1261,124 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_bigrams"),
         F.round(-F.sum(bits) / F.sum("c"), 6).alias("bigram_entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B92 ts_matrix_profile
+
+
+_MP_M = 7  # subsequence length (days)
+_MP_EXCL = 4  # trivial-match exclusion zone (m/2, rounded up)
+#: nearest-neighbor tie-break packs the neighbor start into the low
+#: digits of the squared distance (dist2 <= 7 x (max cents)^2 ~ 1e11
+#: at the observed value range; start indices stay far below 10^6)
+_MP_PACK = 1_000_000
+
+
+@register(
+    "ts_matrix_profile",
+    family="timeseries",
+    doc="Matrix profile per series (B92; Yeh/Keogh, ICDM'16): for "
+    "every 7-day window of the daily close, the squared Euclidean "
+    "distance to its nearest non-trivial neighbor window (exclusion "
+    "zone m/2) plus that neighbor's start — low profile values mark "
+    "MOTIFS (repeated regimes), the maximum marks the top DISCORD "
+    "(anomaly). Distances are exact BIGINT sums of squared cent "
+    "differences; the argmin ties break deterministically by "
+    "packing the neighbor start into the distance (the B90 packed-"
+    "integer compare). The day-grain frame makes the per-series "
+    "window count CALENDAR-bounded, so the within-series join is "
+    "O(days^2) per key regardless of event volume — the join keys "
+    "on series and never crosses series.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        seq AS (
+            SELECT series, day_s, cc,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn,
+                   count(*) OVER (PARTITION BY series) AS n
+            FROM daily
+        ),
+        win AS (
+            SELECT series, rn AS t, min(day_s) AS start_day,
+                   list(cc ORDER BY day_s) AS arr
+            FROM (
+                SELECT a.series, a.rn, b.day_s, b.cc
+                FROM seq a JOIN seq b
+                  ON a.series = b.series
+                 AND b.rn BETWEEN a.rn AND a.rn + {_MP_M - 1}
+                WHERE a.rn + {_MP_M - 1} <= a.n
+            ) GROUP BY series, rn
+        ),
+        pairs AS (
+            SELECT a.series, a.t, a.start_day,
+                   min(
+                       list_sum(list_transform(range(1, {_MP_M + 1}),
+                           i -> (a.arr[i] - b.arr[i])
+                                * (a.arr[i] - b.arr[i])))
+                       * {_MP_PACK} + b.t
+                   ) AS packed
+            FROM win a JOIN win b
+              ON a.series = b.series
+             AND abs(a.t - b.t) >= {_MP_EXCL}
+            GROUP BY a.series, a.t, a.start_day
+        )
+        SELECT series, start_day,
+               CAST(packed // {_MP_PACK} AS BIGINT) AS nn_dist2_cents,
+               CAST(packed % {_MP_PACK} AS BIGINT) AS nn_start,
+               round(sqrt(packed // {_MP_PACK}) / 100.0, 6) AS nn_dist
+        FROM pairs
+    """,
+)
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "cc")
+    w = Window.partitionBy("series").orderBy("day_s")
+    seq = daily.select(
+        "series",
+        "day_s",
+        "cc",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("series")).alias("n"),
+    )
+    wf = w.rowsBetween(0, _MP_M - 1)
+    win = (
+        seq.select(
+            "series",
+            F.col("rn").alias("t"),
+            F.col("day_s").alias("start_day"),
+            F.collect_list("cc").over(wf).alias("arr"),
+            "n",
+        )
+        .filter(F.col("t") + (_MP_M - 1) <= F.col("n"))
+        .drop("n")
+    )
+    a = win.alias("a")
+    b = win.select(
+        F.col("series").alias("series_b"),
+        F.col("t").alias("tb"),
+        F.col("arr").alias("arr_b"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with("arr", "arr_b", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("series") == F.col("series_b"))
+            & (F.abs(F.col("t") - F.col("tb")) >= _MP_EXCL),
+        )
+        .groupBy("series", "t", "start_day")
+        .agg(F.min(dist2 * _MP_PACK + F.col("tb")).alias("packed"))
+    )
+    d2 = F.floor(F.col("packed") / _MP_PACK).cast("long")
+    return pairs.select(
+        "series",
+        "start_day",
+        d2.alias("nn_dist2_cents"),
+        F.pmod(F.col("packed"), F.lit(_MP_PACK)).cast("long").alias(
+            "nn_start"
+        ),
+        F.round(F.sqrt(d2) / 100.0, 6).alias("nn_dist"),
+    )

@@ -68,6 +68,9 @@ HEADLINE = [
     # the two new plans with nontrivial per-row work
     "text_bpe_apply",
     "dedup_image_near",
+    # round-8 continuation: the bigram LM scorer is the heaviest new
+    # registered plan (two bigram-keyed joins over the corpus)
+    "text_bigram_lm_score",
 ]
 
 #: the frozen round-1 set — `value` keeps measuring exactly these so

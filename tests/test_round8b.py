@@ -495,3 +495,65 @@ def test_matrix_profile_matches_bruteforce(spark, sf_small):
             assert row["nn_start"] == best[1], (series, t)
         # motif/discord sanity: profile has spread (not all equal)
         assert got["nn_dist2_cents"].nunique() > 1
+
+
+def test_exif_probe_both_endiannesses_and_rejects(spark):
+    """Hand-built EXIF payloads (II and MM, with/without APP0, plus a
+    JPEG without EXIF and a non-JPEG) parse to the exact planted
+    fields / typed NULLs."""
+    import struct
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_exif_headers,
+    )
+
+    def tiff(le, orientation, num, den):
+        e = "<" if le else ">"
+        out = (b"II" if le else b"MM") + struct.pack(e + "HI", 42, 8)
+        out += struct.pack(e + "H", 3)
+        out += struct.pack(e + "HHI", 0x0112, 3, 1) + struct.pack(
+            e + "H", orientation
+        ) + b"\x00\x00"
+        out += struct.pack(e + "HHI", 0x011A, 5, 1) + struct.pack(e + "I", 50)
+        out += struct.pack(e + "HHI", 0x8769, 4, 1) + struct.pack(e + "I", 0)
+        out += struct.pack(e + "I", 0)
+        out += struct.pack(e + "II", num, den)
+        return out
+
+    def jpeg(le, orientation, num, den, app0=False):
+        body = b"Exif\x00\x00" + tiff(le, orientation, num, den)
+        app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+        pre = (
+            b"\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 9 if app0 else b""
+        )
+        return b"\xff\xd8" + pre + app1 + b"\xff\xd9"
+
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3, 4],
+                "payload": [
+                    jpeg(True, 6, 300, 2, app0=False),
+                    jpeg(False, 8, 72, 1, app0=True),
+                    b"\xff\xd8\xff\xd9",  # JPEG, no EXIF
+                    b"BMnot-a-jpeg",
+                ],
+            }
+        )
+    )
+    rows = {r["media_id"]: r for r in parse_exif_headers(media).collect()}
+    r1 = rows[1]
+    assert (r1["byte_order"], r1["orientation"]) == ("II", 6)
+    assert (r1["xres_num"], r1["xres_den"]) == (300, 2)
+    assert r1["xresolution"] == 150.0
+    r2 = rows[2]
+    assert (r2["byte_order"], r2["orientation"]) == ("MM", 8)
+    assert (r2["xres_num"], r2["xres_den"]) == (72, 1)
+    assert r2["n_ifd_entries"] == 3
+    r3 = rows[3]
+    assert r3["is_jpeg"] and not r3["has_exif"]
+    assert r3["orientation"] is None and r3["xresolution"] is None
+    r4 = rows[4]
+    assert not r4["is_jpeg"] and not r4["has_exif"]

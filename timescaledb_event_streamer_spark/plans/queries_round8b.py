@@ -1382,3 +1382,47 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sqrt(d2) / 100.0, 6).alias("nn_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G10 media_exif_probe
+
+
+@register(
+    "media_exif_probe",
+    family="multimodal",
+    doc="Decoder-free EXIF probe (G10): one level deeper than the "
+    "G5 SOF walk — the APP1 payload is a little TIFF file, so the "
+    "probe honors the per-payload byte-order mark (II/MM flips per "
+    "row), walks IFD0's entry table, reads orientation inline and "
+    "FOLLOWS the XResolution offset to its out-of-line RATIONAL — "
+    "the two fields that decide rotate/resize for a 100 TB media "
+    "lake, extracted in pure whole-stage codegen with zero Python "
+    "per row and zero decode. Synthesis varies byte order, an "
+    "optional preceding APP0, and all field values per row; the "
+    "oracle re-derives every output from the GENERATING columns, "
+    "so a parser bug cannot cancel out (the G5 adjudication).",
+    oracle="""
+        SELECT event_id AS media_id,
+               TRUE AS is_jpeg,
+               TRUE AS has_exif,
+               CASE WHEN user_id % 2 = 0 THEN 'II' ELSE 'MM' END
+                   AS byte_order,
+               3 AS n_ifd_entries,
+               event_id % 8 + 1 AS orientation,
+               user_id % 600 + 72 AS xres_num,
+               event_id % 2 + 1 AS xres_den,
+               round((user_id % 600 + 72) * 1.0 / (event_id % 2 + 1), 6)
+                   AS xresolution
+        FROM events
+    """,
+)
+def media_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_exif_headers,
+        synthesize_exif_headers,
+    )
+
+    return parse_exif_headers(
+        synthesize_exif_headers(load(spark, sf_dir, "events"))
+    )

@@ -557,3 +557,31 @@ def test_exif_probe_both_endiannesses_and_rejects(spark):
     assert r3["orientation"] is None and r3["xresolution"] is None
     r4 = rows[4]
     assert not r4["is_jpeg"] and not r4["has_exif"]
+
+
+def test_ivf_sq8_stages_consistent(spark, sf_small):
+    """The three-stage result is internally consistent: shortlist
+    membership comes from the sq8 ranking, final rank from the exact
+    rerank, and the top hit beats brute force only through candidates
+    the probe admitted (recall sanity vs full brute force)."""
+    out = all_queries()["ann_ivf_sq8"](spark, sf_small).toPandas()
+    assert len(out) == 10
+    assert out["rnk"].tolist() == list(range(1, 11))
+    # rerank order is by exact dot desc, tie vec_id
+    ed = out.sort_values("rnk")["exact_dot"].to_numpy()
+    assert (np.diff(ed) <= 1e-12).all()
+    # sq8 scores approximate the exact dot well at dim 64
+    rel = np.abs(out["sq8_dot"] - out["exact_dot"]) / np.abs(
+        out["exact_dot"]
+    ).clip(lower=1e-9)
+    assert rel.max() < 0.2
+    # recall vs exact brute force over the whole corpus
+    emb = pd.read_parquet(f"{sf_small}/embeddings.parquet")
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    q = V[ids == 1][0]
+    exact = V @ q
+    mask = ids != 1
+    order = np.argsort(-exact[mask])
+    top10 = set(ids[mask][order][:10])
+    assert len(set(out["vec_id"]) & top10) >= 5

@@ -861,3 +861,120 @@ def ivfpq_seeded_topk(
             F.row_number().over(w).cast("long").alias("rnk"),
         )
     )
+
+
+def ivf_sq8_topk(
+    embeddings: DataFrame,
+    *,
+    stride: int = 25,
+    nprobe: int = 8,
+    shortlist: int = 30,
+    k: int = 10,
+    query_id: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse probe + symmetric int8 candidate scan + exact
+    rerank — the three-stage serving configuration real vector
+    stores deploy (FAISS IVF,SQ8): the coarse stage prunes the
+    corpus to ~nprobe/|seeds|, the SQ8 stage scans those candidates
+    at 4x-compressed width, and only the `shortlist` survivors pay
+    a full-precision rerank. Seeds are the deterministic vec_id %
+    stride corpus points (the ivf_seeded_topk oracle-portability
+    pattern) and the int8 dot is an exact BIGINT fold, so EVERY
+    stage — assignment, probe list, approximate ranking, rerank —
+    is value-checkable in SQL; ranking keys round before comparing.
+    """
+    n_shuffle = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = embeddings.repartition(n_shuffle).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = e.filter(
+        (F.col(id_col) % stride == 0) & (F.col(id_col) < 100 * stride)
+    ).select(F.col(id_col).alias("seed_id"), F.col("v").alias("sv"))
+
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col),
+        "v",
+        "seed_id",
+        F.round(cosine(F.col("v"), F.col("sv")), 6).alias("c"),
+    )
+    asg = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("seed_id")).alias("ns"))
+            ).alias("m"),
+            F.first("v").alias("v"),
+        )
+        .select(F.col(id_col), "v", (-F.col("m.ns")).alias("seed_id"))
+    )
+
+    # query quantizes DRIVER-side with the same single-op IEEE math
+    # the oracle runs in SQL (the ann_sq8_topk equivalence argument)
+    import math
+
+    qvec = [
+        float(x)
+        for x in embeddings.filter(F.col(id_col) == query_id)
+        .select(vec_col)
+        .collect()[0][0]
+    ]
+    qsc = max(abs(x) for x in qvec) / 127.0
+    qq = [max(min(math.floor(x / qsc + 0.5), 127), -127) for x in qvec]
+    q_arr = F.array(*[F.lit(x) for x in qvec])
+    qq_arr = F.array(*[F.lit(float(b)) for b in qq])
+
+    qv = e.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    probes = (
+        seeds.crossJoin(F.broadcast(qv))
+        .select(
+            "seed_id",
+            F.round(cosine(F.col("sv"), F.col("qv")), 6).alias("qc"),
+        )
+        .orderBy(F.col("qc").desc(), "seed_id")
+        .limit(nprobe)
+        .select("seed_id")
+    )
+
+    sc = (F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0))
+    zv = F.transform(
+        "v",
+        lambda x: F.greatest(
+            F.least(F.floor(x / F.col("sc") + F.lit(0.5)), F.lit(127)),
+            F.lit(-127),
+        ).cast("long"),
+    )
+    cand = (
+        asg.join(F.broadcast(probes), "seed_id")
+        .filter(F.col(id_col) != query_id)
+        .withColumn("sc", sc)
+    )
+    sq = cand.select(
+        F.col(id_col),
+        "v",
+        (
+            (dot(zv.cast("array<double>"), qq_arr) * F.lit(qsc)) * F.col("sc")
+        ).alias("approx"),
+    )
+    short = sq.orderBy(
+        F.round("approx", 6).desc(), F.col(id_col)
+    ).limit(shortlist)
+    rer = short.select(
+        F.col(id_col),
+        F.round("approx", 6).alias("sq8_dot"),
+        F.round(dot(F.col("v"), q_arr), 6).alias("exact_dot"),
+    )
+    w = Window.orderBy(F.col("exact_dot").desc(), F.col(id_col))
+    return (
+        rer.select(
+            F.col(id_col),
+            "sq8_dot",
+            "exact_dot",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .orderBy("rnk")
+        .limit(k)
+    )

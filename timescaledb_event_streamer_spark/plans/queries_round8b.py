@@ -1426,3 +1426,99 @@ def media_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_exif_headers(
         synthesize_exif_headers(load(spark, sf_dir, "events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# E23 ann_ivf_sq8
+
+
+@register(
+    "ann_ivf_sq8",
+    family="ann",
+    doc="IVF + SQ8 + exact rerank (E23) — the three-stage serving "
+    "configuration real vector stores deploy (FAISS 'IVF,SQ8'): "
+    "coarse probe prunes to ~nprobe/|seeds| of the corpus, the int8 "
+    "symmetric scan ranks those candidates at 4x-compressed width "
+    "(exact BIGINT dot fold x pinned scales — the E22 exactness), "
+    "and only the 30-row shortlist pays full-precision rerank. "
+    "Seeds are the E11 deterministic corpus points, so EVERY stage "
+    "— assignment, probe list, approximate ranking, rerank — is "
+    "replayed by the oracle and value-certified; at 100 TB the "
+    "assignment is a one-off build and the probe is a partition-"
+    "pruned scan of the 4x-smaller quantized table.",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS seed_id, v AS sv FROM e
+            WHERE vec_id % 25 = 0 AND vec_id < 2500
+        ),
+        asg0 AS (
+            SELECT e.vec_id, e.v, s.seed_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, s.sv), 6)
+                                DESC, s.seed_id
+                   ) AS rn
+            FROM e CROSS JOIN seeds s
+        ),
+        asg AS (SELECT vec_id, v, seed_id FROM asg0 WHERE rn = 1),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+        probes AS (
+            SELECT seed_id
+            FROM seeds CROSS JOIN q
+            ORDER BY round(list_cosine_similarity(sv, qv), 6) DESC, seed_id
+            LIMIT 8
+        ),
+        qz AS (
+            SELECT qv,
+                   list_aggregate(list_transform(qv, x -> abs(x)), 'max')
+                       / 127.0 AS qsc
+            FROM q
+        ),
+        qq AS (
+            SELECT qsc,
+                   list_transform(qv, x -> CAST(greatest(least(
+                       floor(x / qsc + 0.5), 127), -127) AS BIGINT)) AS qvec
+            FROM qz
+        ),
+        cand AS (
+            SELECT a.vec_id, a.v,
+                   list_aggregate(list_transform(a.v, x -> abs(x)), 'max')
+                       / 127.0 AS sc
+            FROM asg a JOIN probes USING (seed_id)
+            WHERE a.vec_id <> 1
+        ),
+        sq AS (
+            SELECT vec_id, v,
+                   (list_dot_product(
+                        CAST(list_transform(v, x -> CAST(greatest(least(
+                            floor(x / sc + 0.5), 127), -127) AS BIGINT))
+                            AS DOUBLE[]),
+                        CAST((SELECT qvec FROM qq) AS DOUBLE[]))
+                    * (SELECT qsc FROM qq)) * sc AS approx
+            FROM cand
+        ),
+        short AS (
+            SELECT vec_id, v, approx FROM sq
+            ORDER BY round(approx, 6) DESC, vec_id LIMIT 30
+        ),
+        rer AS (
+            SELECT vec_id,
+                   round(approx, 6) AS sq8_dot,
+                   round(list_dot_product(v, (SELECT qv FROM q)), 6)
+                       AS exact_dot
+            FROM short
+        )
+        SELECT vec_id, sq8_dot, exact_dot,
+               CAST(row_number() OVER (ORDER BY exact_dot DESC, vec_id)
+                   AS BIGINT) AS rnk
+        FROM rer
+        ORDER BY rnk LIMIT 10
+    """,
+)
+def ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.ann import ivf_sq8_topk
+
+    return ivf_sq8_topk(load(spark, sf_dir, "embeddings"))

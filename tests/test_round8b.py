@@ -585,3 +585,36 @@ def test_ivf_sq8_stages_consistent(spark, sf_small):
     order = np.argsort(-exact[mask])
     top10 = set(ids[mask][order][:10])
     assert len(set(out["vec_id"]) & top10) >= 5
+
+
+def test_rake_matches_pure_python(spark, sf_small):
+    """Literal RAKE (Rose et al.) in pure Python — regex phrase split,
+    deg/freq word scores, phrase-sum — reproduces top-3 per doc."""
+    import re
+
+    out = all_queries()["text_rake_keywords"](spark, sf_small).toPandas()
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    delim = re.compile(r"\b(?:the|a|of|and|in|to|is)\b")
+    for doc_id, text in list(zip(docs["doc_id"], docs["text"]))[:100]:
+        phrases = [
+            re.sub(" +", " ", p).strip()
+            for p in delim.split(str(text))
+        ]
+        phrases = [p for p in phrases if p]
+        freq, deg = {}, {}
+        for p in phrases:
+            words = p.split(" ")
+            for w in words:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(words)
+        scores = {}
+        for p in set(phrases):
+            scores[p] = round(
+                sum(deg[w] / freq[w] for w in p.split(" ")), 6
+            )
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = out[out["doc_id"] == doc_id].sort_values("rnk")
+        assert len(got) == len(want)
+        for (wp, wscore), (_, row) in zip(want, got.iterrows()):
+            assert row["phrase"] == wp, doc_id
+            np.testing.assert_allclose(row["score"], wscore, atol=1e-5)

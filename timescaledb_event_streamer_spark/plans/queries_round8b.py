@@ -1522,3 +1522,105 @@ def ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timescaledb_event_streamer_spark.operators.ann import ivf_sq8_topk
 
     return ivf_sq8_topk(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# F43 text_rake_keywords
+
+
+#: the corpus stopword inventory (queries_llm._STOP_SQL) as a RAKE
+#: phrase delimiter — non-capturing so split() behaves identically
+#: on Java regex and RE2
+_RAKE_DELIM = r"\b(?:the|a|of|and|in|to|is)\b"
+_RAKE_TOP = 3
+
+
+@register(
+    "text_rake_keywords",
+    family="text",
+    doc="RAKE keyword extraction per document (F43; Rose et al. "
+    "2010): candidate phrases are maximal stopword-free runs "
+    "(REGEX-delimited split — in-row, codegen, no gaps-and-islands "
+    "shuffle), word scores are deg/freq over the document's own "
+    "phrase set (exact integer counts), phrase score sums its "
+    "words' scores, top-3 phrases per doc with a rounded-score + "
+    "phrase tie-break. The keyword/topic signal for corpus "
+    "curation that pairs with the F24 tf-idf view. Shuffles key "
+    "on (doc, word) and (doc, phrase) only.",
+    oracle=f"""
+        WITH phr0 AS (
+            SELECT doc_id,
+                   trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text,
+                           '{_RAKE_DELIM}')) AS p
+                FROM documents
+            )
+        ),
+        phr AS (
+            SELECT doc_id, phrase FROM phr0 WHERE length(phrase) > 0
+        ),
+        pw AS (
+            SELECT doc_id, phrase,
+                   unnest(string_split(phrase, ' ')) AS w,
+                   len(string_split(phrase, ' ')) AS plen
+            FROM phr
+        ),
+        ws AS (
+            SELECT doc_id, w,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(plen) AS BIGINT) AS deg
+            FROM pw GROUP BY doc_id, w
+        ),
+        ps AS (
+            SELECT p.doc_id, p.phrase,
+                   round(sum(s.deg * 1.0 / s.freq), 6) AS score
+            FROM pw p JOIN ws s USING (doc_id, w)
+            GROUP BY p.doc_id, p.phrase
+        ),
+        ranked AS (
+            SELECT doc_id, phrase, score,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, phrase
+                   ) AS rnk
+            FROM ps
+        )
+        SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, phrase, score
+        FROM ranked WHERE rnk <= {_RAKE_TOP}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    phr = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", _RAKE_DELIM)).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace("p", " +", " ")).alias("phrase"),
+        )
+        .filter(F.length("phrase") > 0)
+    )
+    pw = phr.select(
+        "doc_id",
+        "phrase",
+        F.size(F.split("phrase", " ")).cast("long").alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    ws = pw.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    ps = (
+        pw.join(ws, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase")
+        .agg(F.round(F.sum(F.col("deg") / F.col("freq")), 6).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "phrase")
+    return (
+        ps.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _RAKE_TOP)
+        .select("doc_id", "rnk", "phrase", "score")
+    )

@@ -369,6 +369,53 @@ class ProtocolError(RuntimeError):
     """Backend sent an ErrorResponse or a malformed frame."""
 
 
+#: the magic request code (1234 << 16 | 5679) of the pre-startup
+#: SSLRequest packet — PostgreSQL protocol §55.2.10
+SSL_REQUEST_CODE = 80877103
+
+
+def negotiate_tls(sock, sslmode: str = "require", context=None,
+                  server_hostname: str | None = None):
+    """The pre-startup SSLRequest dance (reference: pgconn performs
+    this inside Connect when sslmode asks for it): send the 8-byte
+    SSLRequest, read the single-byte answer, and TLS-wrap the socket
+    on 'S'. Returns the (possibly wrapped) socket ready for
+    ``ReplicationFeeder.authenticate``.
+
+    sslmode follows libpq semantics for the three modes a feeder
+    deployment uses:
+
+    - ``"require"``: the server MUST answer 'S'; without a caller
+      context the wrap encrypts but does not verify the peer
+      (exactly libpq's sslmode=require) — pass an ``ssl.SSLContext``
+      with a CA loaded for verify-ca/verify-full behavior;
+    - ``"prefer"``: 'S' wraps, 'N' continues in cleartext;
+    - ``"disable"``: no bytes sent, socket returned untouched.
+    """
+    import ssl as _ssl
+    import struct as _struct
+
+    if sslmode == "disable":
+        return sock
+    if sslmode not in ("require", "prefer"):
+        raise ValueError(f"unsupported sslmode {sslmode!r}")
+    sock.sendall(_struct.pack(">II", 8, SSL_REQUEST_CODE))
+    answer = sock.recv(1)
+    if answer == b"S":
+        if context is None:
+            context = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+            context.check_hostname = False
+            context.verify_mode = _ssl.CERT_NONE
+        return context.wrap_socket(
+            sock, server_hostname=server_hostname or "postgres"
+        )
+    if answer == b"N":
+        if sslmode == "require":
+            raise ProtocolError("server refused TLS but sslmode=require")
+        return sock
+    raise ProtocolError(f"unexpected SSLRequest answer {answer!r}")
+
+
 class ReplicationFeeder:
     """The live-session transport pump (VERDICT r6 item 3).
 

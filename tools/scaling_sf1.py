@@ -44,6 +44,10 @@ REPS = [
     ("ann_nprobe_sweep", "recall-vs-scan-fraction sweep"),
     ("text_substring_dedup", "dup-window coverage fold"),
     ("cdc_replication_handshake", "protocol-v3 reply codec"),
+    ("text_bigram_lm_score", "bigram-keyed LM joins"),
+    ("text_rake_keywords", "regex-phrase RAKE scoring"),
+    ("text_hapax_stats", "vocab-grain richness reduce"),
+    ("text_zipf_fit", "ranked log-log OLS reduce"),
 ]
 
 SECTION = "## sf1 checkpoint (second decade, r8)"

@@ -618,3 +618,42 @@ def test_rake_matches_pure_python(spark, sf_small):
         for (wp, wscore), (_, row) in zip(want, got.iterrows()):
             assert row["phrase"] == wp, doc_id
             np.testing.assert_allclose(row["score"], wscore, atol=1e-5)
+
+
+def test_haar_energy_matches_pywt_free_reference(spark, sf_small):
+    """Independent normalized-Haar DWT in numpy: the query's
+    unnormalized integer energies relate by exact powers of two, and
+    parseval_ok is True everywhere."""
+    out = (
+        all_queries()["ts_haar_energy"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "frame_idx"])
+    )
+    assert out["parseval_ok"].all()
+    daily = _daily_close(spark, sf_small)
+    for series, grp in daily.groupby("event_type"):
+        x = grp.sort_values("day_s")["cc"].to_numpy(dtype=float)
+        got = out[out["series"] == series].reset_index(drop=True)
+        assert len(got) == len(x) // 8
+        for f in range(len(x) // 8):
+            fr = x[f * 8 : (f + 1) * 8]
+            # orthonormal Haar detail coefficients
+            d1 = (fr[0::2] - fr[1::2]) / np.sqrt(2)
+            s1 = (fr[0::2] + fr[1::2]) / np.sqrt(2)
+            d2 = (s1[0::2] - s1[1::2]) / np.sqrt(2)
+            s2 = (s1[0::2] + s1[1::2]) / np.sqrt(2)
+            d3 = (s2[0] - s2[1]) / np.sqrt(2)
+            s3 = (s2[0] + s2[1]) / np.sqrt(2)
+            row = got.iloc[f]
+            # unnormalized integer energies = 2^level x orthonormal
+            np.testing.assert_allclose(row["e1_cents2"], 2 * (d1**2).sum())
+            np.testing.assert_allclose(row["e2_cents2"], 4 * (d2**2).sum())
+            np.testing.assert_allclose(row["e3_cents2"], 8 * d3**2)
+            np.testing.assert_allclose(
+                row["approx_mean"], round(fr.mean() / 100.0, 6), atol=1e-6
+            )
+            # Parseval in the orthonormal basis too
+            np.testing.assert_allclose(
+                (d1**2).sum() + (d2**2).sum() + d3**2 + s3**2,
+                (fr**2).sum(),
+            )

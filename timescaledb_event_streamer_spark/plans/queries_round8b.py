@@ -1624,3 +1624,102 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _RAKE_TOP)
         .select("doc_id", "rnk", "phrase", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# B93 ts_haar_energy
+
+
+@register(
+    "ts_haar_energy",
+    family="timeseries",
+    doc="3-level Haar wavelet energy decomposition per 8-day frame "
+    "(B93): the multi-resolution regime signature — e1 (day-to-day "
+    "detail), e2 (2-day swings), e3 (half-frame trend) and the "
+    "approximation sum s3 — computed entirely in exact BIGINT cent "
+    "arithmetic by pivoting the frame's 8 positions into columns "
+    "with ONE day-grain reduce (positions are unique per frame, so "
+    "max(CASE) extracts losslessly; no per-level shuffle chain). "
+    "Every row also certifies Parseval for the unnormalized Haar "
+    "basis — 4 x e1 + 2 x e2 + e3 + s3^2 == 8 x sum(x^2) — as an "
+    "INTEGER equality both engines must agree on, so the transform "
+    "itself is value-checked, not just its rendering. Partial "
+    "trailing frames are dropped.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        seq AS (
+            SELECT series, day_s, cc,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) - 1 AS idx
+            FROM daily
+        ),
+        piv AS (
+            SELECT series, idx // 8 AS frame_idx,
+                   CAST(min(day_s) AS BIGINT) AS frame_start_day,
+                   count(*) AS flen,
+                   CAST(sum(cc * cc) AS BIGINT) AS sumsq,
+                   {", ".join(f"CAST(max(CASE WHEN idx % 8 = {i} THEN cc END) AS BIGINT) AS x{i}" for i in range(8))}
+            FROM seq GROUP BY 1, 2
+        ),
+        lev AS (
+            SELECT series, frame_idx, frame_start_day, sumsq,
+                   (x0-x1)*(x0-x1) + (x2-x3)*(x2-x3)
+                       + (x4-x5)*(x4-x5) + (x6-x7)*(x6-x7) AS e1,
+                   ((x0+x1)-(x2+x3))*((x0+x1)-(x2+x3))
+                       + ((x4+x5)-(x6+x7))*((x4+x5)-(x6+x7)) AS e2,
+                   ((x0+x1+x2+x3)-(x4+x5+x6+x7))
+                       * ((x0+x1+x2+x3)-(x4+x5+x6+x7)) AS e3,
+                   x0+x1+x2+x3+x4+x5+x6+x7 AS s3
+            FROM piv WHERE flen = 8
+        )
+        SELECT series, CAST(frame_idx AS BIGINT) AS frame_idx,
+               frame_start_day,
+               round(s3 / 8.0 / 100.0, 6) AS approx_mean,
+               CAST(e1 AS BIGINT) AS e1_cents2,
+               CAST(e2 AS BIGINT) AS e2_cents2,
+               CAST(e3 AS BIGINT) AS e3_cents2,
+               4 * e1 + 2 * e2 + e3 + s3 * s3 = 8 * sumsq
+                   AS parseval_ok
+        FROM lev
+    """,
+)
+def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "cc")
+    w = Window.partitionBy("series").orderBy("day_s")
+    seq = daily.withColumn("idx", F.row_number().over(w) - 1)
+    piv = (
+        seq.groupBy(
+            "series", (F.col("idx") / 8).cast("long").alias("frame_idx")
+        )
+        .agg(
+            F.min("day_s").alias("frame_start_day"),
+            F.count(F.lit(1)).alias("flen"),
+            F.sum(F.col("cc") * F.col("cc")).alias("sumsq"),
+            *[
+                F.max(
+                    F.when(F.pmod(F.col("idx"), F.lit(8)) == i, F.col("cc"))
+                ).alias(f"x{i}")
+                for i in range(8)
+            ],
+        )
+        .filter(F.col("flen") == 8)
+    )
+    x = [F.col(f"x{i}") for i in range(8)]
+    e1 = sum((x[2 * j] - x[2 * j + 1]) * (x[2 * j] - x[2 * j + 1]) for j in range(4))
+    s1 = [x[2 * j] + x[2 * j + 1] for j in range(4)]
+    e2 = sum((s1[2 * j] - s1[2 * j + 1]) * (s1[2 * j] - s1[2 * j + 1]) for j in range(2))
+    s2 = [s1[2 * j] + s1[2 * j + 1] for j in range(2)]
+    e3 = (s2[0] - s2[1]) * (s2[0] - s2[1])
+    s3 = s2[0] + s2[1]
+    return piv.select(
+        "series",
+        "frame_idx",
+        "frame_start_day",
+        F.round(s3 / 8.0 / 100.0, 6).alias("approx_mean"),
+        e1.alias("e1_cents2"),
+        e2.alias("e2_cents2"),
+        e3.alias("e3_cents2"),
+        (4 * e1 + 2 * e2 + e3 + s3 * s3 == 8 * F.col("sumsq")).alias(
+            "parseval_ok"
+        ),
+    )

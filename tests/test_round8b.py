@@ -657,3 +657,52 @@ def test_haar_energy_matches_pywt_free_reference(spark, sf_small):
                 (d1**2).sum() + (d2**2).sum() + d3**2 + s3**2,
                 (fr**2).sum(),
             )
+
+
+def test_theil_sen_matches_numpy_median(spark, sf_small):
+    out = all_queries()["ts_theil_sen"](spark, sf_small).toPandas()
+    daily = _daily_close(spark, sf_small)
+    for series, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day_s")
+        days = grp["day_s"].to_numpy(dtype=float) / 86400.0
+        x = grp["cc"].to_numpy(dtype=float)
+        n = len(x)
+        slopes = [
+            (x[j] - x[i]) / (days[j] - days[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        ]
+        row = out[out["series"] == series].iloc[0]
+        assert row["n_pairs"] == len(slopes)
+        np.testing.assert_allclose(
+            row["theil_sen_slope"],
+            round(float(np.median(slopes)) / 100.0, 6),
+            atol=1e-6,
+        )
+
+
+def test_mann_kendall_matches_literal_formula(spark, sf_small):
+    out = all_queries()["ts_mann_kendall"](spark, sf_small).toPandas()
+    daily = _daily_close(spark, sf_small)
+    for series, grp in daily.groupby("event_type"):
+        x = grp.sort_values("day_s")["cc"].to_numpy()
+        n = len(x)
+        s = sum(
+            np.sign(x[j] - x[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        _, counts = np.unique(x, return_counts=True)
+        tie = sum(int(t * (t - 1) * (2 * t + 5)) for t in counts if t > 1)
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = (
+            (s - 1) / np.sqrt(var)
+            if s > 0
+            else (s + 1) / np.sqrt(var)
+            if s < 0
+            else 0.0
+        )
+        row = out[out["series"] == series].iloc[0]
+        assert row["s_stat"] == s
+        assert row["var18"] == n * (n - 1) * (2 * n + 5) - tie
+        np.testing.assert_allclose(row["z_score"], z, atol=1e-6)

@@ -1723,3 +1723,203 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "parseval_ok"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# B94 ts_theil_sen / B95 ts_mann_kendall
+
+
+@register(
+    "ts_theil_sen",
+    family="timeseries",
+    doc="Theil-Sen robust trend per series (B94): the median of all "
+    "pairwise slopes (close_j - close_i)/(day_j - day_i) — the "
+    "outlier-resistant alternative to the B67 OLS slope. The "
+    "day-grain frame keeps the pair set CALENDAR-bounded "
+    "(O(days^2) per series key regardless of event volume). Each "
+    "slope is ONE division of exact integers (identical IEEE "
+    "result both engines) and the median picks by (slope, i, j) "
+    "row_number — a fully deterministic selection; even pair "
+    "counts average the two middle slopes in pinned order. Slope "
+    "units: cents per day, rendered /100.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        seq AS (
+            SELECT series, day_s, cc,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM daily
+        ),
+        slopes AS (
+            SELECT a.series,
+                   (b.cc - a.cc) * 1.0 / ((b.day_s - a.day_s) / 86400.0)
+                       AS slope,
+                   a.rn AS i, b.rn AS j
+            FROM seq a JOIN seq b
+              ON a.series = b.series AND b.rn > a.rn
+        ),
+        ranked AS (
+            SELECT series, slope,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY slope, i, j) AS r,
+                   count(*) OVER (PARTITION BY series) AS n
+            FROM slopes
+        )
+        SELECT series,
+               CAST(max(n) AS BIGINT) AS n_pairs,
+               round(avg(slope) / 100.0, 6) AS theil_sen_slope
+        FROM ranked
+        WHERE r * 2 IN (n, n + 1, n + 2)
+        GROUP BY series
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "cc")
+    w = Window.partitionBy("series").orderBy("day_s")
+    seq = daily.withColumn("rn", F.row_number().over(w))
+    a = seq.select(
+        "series",
+        F.col("day_s").alias("da"),
+        F.col("cc").alias("ca"),
+        F.col("rn").alias("i"),
+    )
+    b = seq.select(
+        F.col("series").alias("series_b"),
+        F.col("day_s").alias("db"),
+        F.col("cc").alias("cb"),
+        F.col("rn").alias("j"),
+    )
+    slopes = a.join(
+        b, (F.col("series") == F.col("series_b")) & (F.col("j") > F.col("i"))
+    ).select(
+        "series",
+        (
+            (F.col("cb") - F.col("ca"))
+            / ((F.col("db") - F.col("da")) / 86400.0)
+        ).alias("slope"),
+        "i",
+        "j",
+    )
+    ws = Window.partitionBy("series").orderBy("slope", "i", "j")
+    ranked = slopes.select(
+        "series",
+        "slope",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("series")).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("r") * 2).isin(F.col("n"), F.col("n") + 1, F.col("n") + 2)
+    )
+    return mid.groupBy("series").agg(
+        F.max("n").alias("n_pairs"),
+        F.round(F.avg("slope") / 100.0, 6).alias("theil_sen_slope"),
+    )
+
+
+@register(
+    "ts_mann_kendall",
+    family="timeseries",
+    doc="Mann-Kendall trend test per series (B95, the Theil-Sen "
+    "companion): S = sum over i<j of sign(close_j - close_i) and "
+    "the tie-corrected variance Var(S) = (n(n-1)(2n+5) - sum "
+    "t(t-1)(2t+5)) / 18 — S, both variance terms and the tie "
+    "groups are EXACT BIGINTs (sign on integer cents; tie counts "
+    "from a value-grain reduce), so the monotone-trend verdict "
+    "can never flip on float noise; only the final z renders as a "
+    "pinned-order double (continuity-corrected, sqrt of an exact "
+    "rational). Calendar-bounded pair join, value-grain tie "
+    "reduce.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        s AS (
+            SELECT a.series,
+                   CAST(sum(CASE WHEN b.cc > a.cc THEN 1
+                                 WHEN b.cc < a.cc THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM daily a JOIN daily b
+              ON a.series = b.series AND b.day_s > a.day_s
+            GROUP BY a.series
+        ),
+        n AS (
+            SELECT series, CAST(count(*) AS BIGINT) AS n
+            FROM daily GROUP BY series
+        ),
+        ties AS (
+            SELECT series,
+                   CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                       AS BIGINT) AS tie_term
+            FROM (
+                SELECT series, cc, count(*) AS t
+                FROM daily GROUP BY series, cc
+                HAVING count(*) > 1
+            ) GROUP BY series
+        )
+        SELECT s.series, s.s_stat, n.n,
+               CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+                   - coalesce(t.tie_term, 0) AS BIGINT) AS var18,
+               round(CASE
+                   WHEN s.s_stat > 0 THEN (s.s_stat - 1) /
+                       sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                             - coalesce(t.tie_term, 0)) / 18.0)
+                   WHEN s.s_stat < 0 THEN (s.s_stat + 1) /
+                       sqrt((n.n * (n.n - 1) * (2 * n.n + 5)
+                             - coalesce(t.tie_term, 0)) / 18.0)
+                   ELSE 0.0 END, 6) AS z_score
+        FROM s JOIN n USING (series)
+        LEFT JOIN ties t USING (series)
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "cc")
+    a = daily.select(
+        "series", F.col("day_s").alias("da"), F.col("cc").alias("ca")
+    )
+    b = daily.select(
+        F.col("series").alias("series_b"),
+        F.col("day_s").alias("db"),
+        F.col("cc").alias("cb"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("series") == F.col("series_b"))
+            & (F.col("db") > F.col("da")),
+        )
+        .groupBy("series")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    n = daily.groupBy("series").agg(F.count(F.lit(1)).alias("n"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("series", "cc")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(t > 1)
+        .groupBy("series")
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("tie_term"))
+    )
+    j = (
+        s.join(F.broadcast(n), "series")
+        .join(F.broadcast(ties), "series", "left")
+        .withColumn("tie_term", F.coalesce("tie_term", F.lit(0)))
+    )
+    nn = F.col("n")
+    var18 = nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")
+    sd = F.sqrt(var18 / 18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "series",
+        "s_stat",
+        "n",
+        var18.cast("long").alias("var18"),
+        F.round(z, 6).alias("z_score"),
+    )

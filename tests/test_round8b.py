@@ -706,3 +706,34 @@ def test_mann_kendall_matches_literal_formula(spark, sf_small):
         assert row["s_stat"] == s
         assert row["var18"] == n * (n - 1) * (2 * n + 5) - tie
         np.testing.assert_allclose(row["z_score"], z, atol=1e-6)
+
+
+def test_readability_matches_pure_python(spark, sf_small):
+    import re
+
+    out = all_queries()["text_readability"](spark, sf_small).toPandas()
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    checked = 0
+    for doc_id, text in list(zip(docs["doc_id"], docs["text"]))[:100]:
+        text = str(text)
+        ns = max(len(re.findall(r"[.!?]+", text)), 1)
+        nw = len(re.findall(r"[^ ]+", text))
+        if nw == 0:
+            continue
+        nsy = max(len(re.findall(r"[aeiouy]+", text.lower())), 1)
+        row = out[out["doc_id"] == doc_id].iloc[0]
+        assert (row["n_sentences"], row["n_words"], row["n_syllables"]) == (
+            ns, nw, nsy,
+        )
+        np.testing.assert_allclose(
+            row["flesch_ease"],
+            round(206.835 - 1.015 * nw / ns - 84.6 * nsy / nw, 6),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            row["fk_grade"],
+            round(0.39 * nw / ns + 11.8 * nsy / nw - 15.59, 6),
+            atol=1e-6,
+        )
+        checked += 1
+    assert checked > 50

@@ -1923,3 +1923,75 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         var18.cast("long").alias("var18"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F44 text_readability
+
+
+@register(
+    "text_readability",
+    family="text",
+    doc="Readability scores per document (F44): Flesch reading ease "
+    "and Flesch-Kincaid grade from three regex-countable exact "
+    "integers — sentences (maximal [.!?]+ runs), words (whitespace "
+    "tokens) and syllables (vowel-group runs [aeiouy]+, the "
+    "standard dictionary-free approximation) — the classic "
+    "quality/complexity gate for corpus curation (too-low grade = "
+    "fragment soup, too-high = OCR noise). One codegen projection, "
+    "no shuffle beyond the scan; counts are integers on both "
+    "engines (same RE2/Java-compatible patterns), ratios divide "
+    "and round once. Documents without a sentence terminator count "
+    "as one sentence.",
+    oracle="""
+        WITH c AS (
+            SELECT doc_id,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sentences,
+                   len(regexp_extract_all(text, '[^ ]+')) AS n_words,
+                   greatest(len(regexp_extract_all(lower(text),
+                       '[aeiouy]+')), 1) AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                     - 84.6 * (n_syllables * 1.0 / n_words), 6)
+                   AS flesch_ease,
+               round(0.39 * (n_words * 1.0 / n_sentences)
+                     + 11.8 * (n_syllables * 1.0 / n_words) - 15.59, 6)
+                   AS fk_grade
+        FROM c
+        WHERE n_words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    n_sent = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("long")
+    n_words = F.size(F.expr(r"regexp_extract_all(text, '[^ ]+', 0)")).cast(
+        "long"
+    )
+    n_syll = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    c = docs.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.col("n_words")
+    return c.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 6).alias("fk_grade"),
+    )

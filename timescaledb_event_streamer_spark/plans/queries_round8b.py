@@ -391,7 +391,15 @@ _CUSUM_H_MAD = 4
     """,
 )
 def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "cc")
+    # the day-grain frame feeds multiple branches below — the eager
+    # checkpoint pins ONE events scan (at 100 TB each extra branch
+    # would otherwise re-read the fact table; frame size is calendar
+    # x series, metadata-sized)
+    daily = (
+        _daily_ohlcv(spark, sf_dir)
+        .select("series", "day_s", "cc")
+        .localCheckpoint(eager=True)
+    )
     stats = daily.groupBy("series").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cc").alias("s")
     )
@@ -864,7 +872,15 @@ _SAX_B2_DEN = 100_000_000
     """,
 )
 def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "cc")
+    # the day-grain frame feeds multiple branches below — the eager
+    # checkpoint pins ONE events scan (at 100 TB each extra branch
+    # would otherwise re-read the fact table; frame size is calendar
+    # x series, metadata-sized)
+    daily = (
+        _daily_ohlcv(spark, sf_dir)
+        .select("series", "day_s", "cc")
+        .localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("series").orderBy("day_s")
     seq = daily.withColumn("rn", F.row_number().over(w))
     stats = seq.groupBy("series").agg(
@@ -1126,7 +1142,15 @@ _ACF_MAX_LAG = 7
     """,
 )
 def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "cc")
+    # the day-grain frame feeds multiple branches below — the eager
+    # checkpoint pins ONE events scan (at 100 TB each extra branch
+    # would otherwise re-read the fact table; frame size is calendar
+    # x series, metadata-sized)
+    daily = (
+        _daily_ohlcv(spark, sf_dir)
+        .select("series", "day_s", "cc")
+        .localCheckpoint(eager=True)
+    )
     stats = daily.groupBy("series").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cc").alias("s")
     )
@@ -1351,6 +1375,9 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("t") + (_MP_M - 1) <= F.col("n"))
         .drop("n")
+        # both sides of the self-join read this frame — checkpoint
+        # pins one events scan (calendar-bounded rows)
+        .localCheckpoint(eager=True)
     )
     a = win.alias("a")
     b = win.select(
@@ -1774,9 +1801,15 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the day-grain frame feeds multiple branches below — the eager
+    # checkpoint pins ONE events scan (at 100 TB each extra branch
+    # would otherwise re-read the fact table; frame size is calendar
+    # x series, metadata-sized)
     daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "cc")
     w = Window.partitionBy("series").orderBy("day_s")
-    seq = daily.withColumn("rn", F.row_number().over(w))
+    seq = daily.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     a = seq.select(
         "series",
         F.col("day_s").alias("da"),
@@ -1870,7 +1903,15 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_ohlcv(spark, sf_dir).select("series", "day_s", "cc")
+    # the day-grain frame feeds multiple branches below — the eager
+    # checkpoint pins ONE events scan (at 100 TB each extra branch
+    # would otherwise re-read the fact table; frame size is calendar
+    # x series, metadata-sized)
+    daily = (
+        _daily_ohlcv(spark, sf_dir)
+        .select("series", "day_s", "cc")
+        .localCheckpoint(eager=True)
+    )
     a = daily.select(
         "series", F.col("day_s").alias("da"), F.col("cc").alias("ca")
     )

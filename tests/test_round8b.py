@@ -737,3 +737,28 @@ def test_readability_matches_pure_python(spark, sf_small):
         )
         checked += 1
     assert checked > 50
+
+
+def test_hurst_rs_matches_literal_rescaled_range(spark, sf_small):
+    out = all_queries()["ts_hurst_rs"](spark, sf_small).toPandas()
+    daily = _daily_close(spark, sf_small)
+    for series, grp in daily.groupby("event_type"):
+        x = grp.sort_values("day_s")["cc"].to_numpy(dtype=float)
+        rs_by_k = {}
+        for k in (8, 16):
+            vals = []
+            for b in range(len(x) // k):
+                blk = x[b * k : (b + 1) * k]
+                z = np.cumsum(blk - blk.mean())
+                s = blk.std()  # population
+                if s > 0:
+                    # include the zero anchor implicitly: z ends at 0
+                    vals.append((z.max() - z.min()) / s)
+            rs_by_k[k] = float(np.mean(vals))
+        row = out[out["series"] == series].iloc[0]
+        np.testing.assert_allclose(row["rs8"], rs_by_k[8], atol=1e-5)
+        np.testing.assert_allclose(row["rs16"], rs_by_k[16], atol=1e-5)
+        np.testing.assert_allclose(
+            row["hurst"], np.log2(rs_by_k[16] / rs_by_k[8]), atol=1e-5
+        )
+        assert 0.0 < row["hurst"] < 1.5

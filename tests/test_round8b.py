@@ -762,3 +762,47 @@ def test_hurst_rs_matches_literal_rescaled_range(spark, sf_small):
             row["hurst"], np.log2(rs_by_k[16] / rs_by_k[8]), atol=1e-5
         )
         assert 0.0 < row["hurst"] < 1.5
+
+
+def test_dedup_rate_report_consistent_with_components(spark, sf_small):
+    """Cross-checks against the independently certified components:
+    exact removals match a pandas text-hash group count; near flags
+    match the dedup_minhash_md5 pair membership."""
+    out = all_queries()["dedup_rate_report"](spark, sf_small).toPandas()
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    canon = docs.groupby("text")["doc_id"].transform("min")
+    docs = docs.assign(is_dup=docs["doc_id"] != canon)
+    want = docs.groupby("source").agg(
+        n_docs=("doc_id", "size"), exact=("is_dup", "sum")
+    )
+    got = out.set_index("source")
+    for src, row in want.iterrows():
+        assert got.loc[src, "n_docs"] == row["n_docs"]
+        assert got.loc[src, "exact_dup_docs"] == row["exact"]
+    pairs = all_queries()["dedup_minhash_md5"](spark, sf_small).toPandas()
+    near_ids = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    near_surviving = docs[
+        docs["doc_id"].isin(near_ids) & ~docs["is_dup"]
+    ]
+    want_near = near_surviving.groupby("source").size()
+    for src in got.index:
+        assert got.loc[src, "near_dup_docs"] == want_near.get(src, 0)
+
+
+def test_curriculum_phases_partition_and_order(spark, sf_small):
+    out = (
+        all_queries()["corpus_curriculum_order"](spark, sf_small)
+        .toPandas()
+        .sort_values("phase")
+    )
+    assert out["phase"].tolist() == [1, 2, 3, 4]
+    # phases tile the corpus and grades are non-decreasing across them
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    n_scored = (docs["text"].astype(str).str.strip() != "").sum()
+    assert out["n_docs"].sum() == n_scored
+    assert abs(out["token_share"].sum() - 1.0) < 1e-4
+    for i in range(3):
+        assert out["grade_max"].iloc[i] <= out["grade_min"].iloc[i + 1] + 1e-9
+    # ntile remainder goes to leading phases
+    sizes = out["n_docs"].tolist()
+    assert max(sizes) - min(sizes) <= 1 and sizes == sorted(sizes, reverse=True)

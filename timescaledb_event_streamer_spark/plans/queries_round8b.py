@@ -2169,3 +2169,217 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rs16", 6).alias("rs16"),
         F.round(F.log2(F.col("rs16") / F.col("rs8")), 6).alias("hurst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D23 dedup_rate_report
+
+
+@register(
+    "dedup_rate_report",
+    family="dedup",
+    doc="Per-source deduplication ops report (D23) — the dashboard "
+    "every production dedup run emits: document counts, exact-"
+    "duplicate removals (non-canonical members of identical-text "
+    "groups, canonical = min doc_id), near-duplicate flags "
+    "(distinct docs in the D12 md5-MinHash LSH pair set at "
+    "jaccard >= 0.5 that survive exact dedup), and both rates. "
+    "Reuses the value-exact D12 signature chain verbatim, so the "
+    "whole report — including which docs the LSH banding pairs — "
+    "is oracle-certified; exact groups key on md5(text), one "
+    "corpus scan each side.",
+    oracle=None,  # set below: wraps the D12 oracle as a CTE
+)
+def dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        _MERSENNE,
+        minhash_lsh_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    md5_base = lambda s: (  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _MERSENNE
+    )
+    pairs = minhash_lsh_pairs(
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 5),
+        threshold=0.5,
+        base_hash=md5_base,
+    )
+    near = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("near_flag", F.lit(True))
+    )
+    w = Window.partitionBy(F.md5("text"))
+    exd = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_exact_dup"),
+    )
+    per = (
+        exd.join(near, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_exact_dup").cast("long")).alias(
+                "exact_dup_docs"
+            ),
+            F.sum(
+                (
+                    (~F.col("is_exact_dup"))
+                    & F.col("near_flag").isNotNull()
+                ).cast("long")
+            ).alias("near_dup_docs"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "exact_dup_docs",
+        "near_dup_docs",
+        F.round(F.col("exact_dup_docs") / F.col("n_docs"), 6).alias(
+            "exact_dup_rate"
+        ),
+        F.round(F.col("near_dup_docs") / F.col("n_docs"), 6).alias(
+            "near_dup_rate"
+        ),
+    )
+
+
+def _dedup_rate_oracle() -> str:
+    from timescaledb_event_streamer_spark.plans.queries_llm import (
+        _minhash_md5_oracle,
+    )
+
+    return f"""
+        WITH pairs AS ({_minhash_md5_oracle()}),
+        near AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM pairs
+                UNION ALL SELECT doc_b FROM pairs
+            )
+        ),
+        exd AS (
+            SELECT doc_id, source,
+                   doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+                       AS is_exact_dup
+            FROM documents
+        ),
+        per AS (
+            SELECT e.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN e.is_exact_dup THEN 1 ELSE 0 END)
+                       AS BIGINT) AS exact_dup_docs,
+                   CAST(sum(CASE WHEN NOT e.is_exact_dup
+                                  AND n.doc_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS near_dup_docs
+            FROM exd e LEFT JOIN near n USING (doc_id)
+            GROUP BY e.source
+        )
+        SELECT source, n_docs, exact_dup_docs, near_dup_docs,
+               round(exact_dup_docs * 1.0 / n_docs, 6) AS exact_dup_rate,
+               round(near_dup_docs * 1.0 / n_docs, 6) AS near_dup_rate
+        FROM per
+    """
+
+
+# late-bind the oracle (it needs the D12 helper imported above)
+from timescaledb_event_streamer_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_REG["dedup_rate_report"] = _dc.replace(
+    _REG["dedup_rate_report"], oracle=_dedup_rate_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# F45 corpus_curriculum_order
+
+
+_CURRICULUM_PHASES = 4
+
+
+@register(
+    "corpus_curriculum_order",
+    family="text",
+    doc="Curriculum phase plan (F45): documents ordered by the F44 "
+    "Flesch-Kincaid difficulty proxy (doc_id tie-break — a total "
+    "deterministic order) and cut into 4 ntile phases, reported as "
+    "the phase table a curriculum-training run consumes: document "
+    "and whitespace-token counts, grade boundaries, token share. "
+    "ntile over an explicit total order is engine-identical "
+    "(remainder rows go to leading phases on both). One codegen "
+    "feature scan + one global sort of doc-grain metadata.",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS ns,
+                   len(regexp_extract_all(text, '[^ ]+')) AS nw,
+                   greatest(len(regexp_extract_all(lower(text),
+                       '[aeiouy]+')), 1) AS nsy
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, nw,
+                   round(0.39 * (nw * 1.0 / ns)
+                         + 11.8 * (nsy * 1.0 / nw) - 15.59, 6) AS grade
+            FROM c WHERE nw > 0
+        ),
+        ph AS (
+            SELECT doc_id, nw, grade,
+                   ntile({_CURRICULUM_PHASES}) OVER (
+                       ORDER BY grade, doc_id) AS phase
+            FROM g
+        ),
+        tot AS (SELECT CAST(sum(nw) AS BIGINT) AS t FROM ph)
+        SELECT CAST(phase AS BIGINT) AS phase,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nw) AS BIGINT) AS n_tokens,
+               round(min(grade), 6) AS grade_min,
+               round(max(grade), 6) AS grade_max,
+               round(sum(nw) * 1.0 / (SELECT t FROM tot), 6)
+                   AS token_share
+        FROM ph
+        GROUP BY phase
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    ns = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    nw = F.size(F.expr(r"regexp_extract_all(text, '[^ ]+', 0)")).cast("long")
+    nsy = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    )
+    g = docs.select(
+        "doc_id",
+        nw.alias("nw"),
+        F.round(
+            0.39 * (nw / ns) + 11.8 * (nsy / nw) - 15.59, 6
+        ).alias("grade"),
+    ).filter(F.col("nw") > 0)
+    ph = g.withColumn(
+        "phase",
+        F.ntile(_CURRICULUM_PHASES)
+        .over(Window.orderBy("grade", "doc_id"))
+        .cast("long"),
+    )
+    tot = ph.agg(F.sum("nw").alias("t"))
+    per = ph.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").alias("n_tokens"),
+        F.round(F.min("grade"), 6).alias("grade_min"),
+        F.round(F.max("grade"), 6).alias("grade_max"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "phase",
+        "n_docs",
+        "n_tokens",
+        "grade_min",
+        "grade_max",
+        F.round(F.col("n_tokens") / F.col("t"), 6).alias("token_share"),
+    )

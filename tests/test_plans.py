@@ -104,6 +104,7 @@ _BNLJ_OK = {
     "ts_funnel",  # single-row broadcast base-count cross join
     "text_domain_mix",  # single-row broadcast corpus-total cross join
     "text_domain_mix_bpe",  # single-row broadcast bpe-token total
+    "corpus_curriculum_order",  # single-row broadcast token total
     "ann_batch_topk",  # 4-row broadcast query set, non-equi self-exclusion
     "cdc_snapshot_stream_merge",  # single-row broadcast watermark
     "cdc_offset_tracking",  # single-row broadcast head-LSN
@@ -114,6 +115,7 @@ _BNLJ_OK = {
     "cdc_pgoutput_messages",  # single-row broadcast max-LSN cross join
     "ann_ivf_seeded",  # broadcast seed table assign + 1-row query vector
     "ann_ivfpq_seeded",  # same bounded <=100-row broadcast seed assign
+    "ann_ivf_sq8",  # same seed-assign shape + 1-row query broadcast
     "text_perplexity_proxy",  # single-row broadcast corpus-token total
     "pipeline_training_corpus",  # same total via the perplexity branch
     "cdc_replication_channel_stats",  # single-row broadcast restart-LSN

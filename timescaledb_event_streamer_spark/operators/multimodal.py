@@ -269,11 +269,17 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 # payload; the container-sniffing pass every media ingest runs before
 # routing payloads to a decoder). All JVM-side: hex prefix compare on
 # the binary column, no Python per row and no codec libraries.
+#: BMP's magic is only 2 ASCII bytes ("BM") — text payloads collide
+#: with it (observed: 1-in-100k synthesized payloads at sf0.1), so
+#: the sniff corroborates with the DIB header-size field at byte 14
+#: (BITMAPINFOHEADER 40 / V4 108 / V5 124, little-endian), the same
+#: plausibility check production sniffers use for short magics.
+_BMP_DIB_SIZES_HEX = ("28000000", "6C000000", "7C000000")
+
 MAGIC_SIGNATURES = (
     ("89504E47", "png"),
     ("FFD8FF", "jpeg"),
     ("47494638", "gif"),
-    ("424D", "bmp"),
     ("52494646", "riff"),  # WAV/AVI/WebP share the RIFF container
     ("66747970", "mp4", 8),  # 'ftyp' at byte offset 4
     ("494433", "mp3"),
@@ -288,8 +294,12 @@ def sniff_format(payload_col) -> "F.Column":
     Mirrors the typed-metadata contract: routing/filtering by format
     happens BEFORE any decode, so a 100 TB media scan that only wants
     PNGs prunes everything else at projection cost."""
-    head = F.hex(payload_col).substr(F.lit(1), F.lit(24))
-    expr = F.lit("unknown")
+    head = F.hex(payload_col).substr(F.lit(1), F.lit(36))
+    expr = F.when(
+        (head.substr(F.lit(1), F.lit(4)) == "424D")
+        & head.substr(F.lit(29), F.lit(8)).isin(*_BMP_DIB_SIZES_HEX),
+        F.lit("bmp"),
+    ).otherwise(F.lit("unknown"))
     for sig in reversed(MAGIC_SIGNATURES):
         pattern, name = sig[0], sig[1]
         offset = sig[2] if len(sig) > 2 else 0
@@ -473,7 +483,16 @@ def parse_media_headers(media: DataFrame, payload_col: str = "payload") -> DataF
         bit_depth.alias("bit_depth"),
         duration_ms.alias("duration_ms"),
         F.when(is_png | is_gif, F.round(width * height / 1e6, 6)).alias("megapixels"),
-        F.when(is_png | is_gif, F.round(width / height, 6)).alias("aspect_ratio"),
+        # floor(x + 0.5) instead of round(): 999/1920 = 0.5203125 sits
+        # EXACTLY on the 6-decimal rounding boundary, where Spark's
+        # BigDecimal HALF_UP and DuckDB's raw-double rounding disagree
+        # by one ulp (observed at sf0.1); w x 10^6 / h + 0.5 is exact
+        # at every boundary case, so floor is engine-identical (the
+        # E7 quantizer reasoning)
+        F.when(
+            is_png | is_gif,
+            F.floor(width * 1000000.0 / height + 0.5) / 1000000.0,
+        ).alias("aspect_ratio"),
         F.octet_length(F.col(payload_col)).cast("long").alias("header_bytes"),
     )
 

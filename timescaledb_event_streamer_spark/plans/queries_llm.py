@@ -1336,8 +1336,10 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE fmt WHEN 0 THEN round(png_w * png_h / 1000000.0, 6)
                         WHEN 2 THEN round(gif_w * gif_h / 1000000.0, 6)
                END AS megapixels,
-               CASE fmt WHEN 0 THEN round(png_w / png_h, 6)
-                        WHEN 2 THEN round(gif_w / gif_h, 6)
+               CASE fmt WHEN 0 THEN
+                       floor(png_w * 1000000.0 / png_h + 0.5) / 1000000.0
+                        WHEN 2 THEN
+                       floor(gif_w * 1000000.0 / gif_h + 0.5) / 1000000.0
                END AS aspect_ratio,
                CASE fmt WHEN 0 THEN 33 WHEN 1 THEN 44 ELSE 13 END
                    AS header_bytes

@@ -1,0 +1,102 @@
+"""Adversarial robustness for the pure-Python image codecs: hostile
+bytes must raise a clean ValueError/NotImplementedError (never hang,
+never segfault-style crash, never return garbage silently) — the
+contract the mapInPandas decode seam relies on when a 100 TB media
+lake contains corrupt payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from timescaledb_event_streamer_spark.operators.bmp_codec import (
+    bmp_decode,
+    bmp_encode,
+)
+from timescaledb_event_streamer_spark.operators.gif_codec import gif_decode
+from timescaledb_event_streamer_spark.operators.jpeg_codec import jpeg_decode
+from timescaledb_event_streamer_spark.operators.multimodal import (
+    _real_decode_image,
+)
+from timescaledb_event_streamer_spark.operators.png_codec import (
+    png_decode,
+    png_encode,
+)
+
+_DECODERS = [png_decode, jpeg_decode, gif_decode, bmp_decode]
+_MAGICS = [
+    b"\x89PNG\r\n\x1a\n",
+    b"\xff\xd8\xff\xe0",
+    b"GIF89a",
+    b"BM",
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=256))
+def test_random_bytes_never_crash_the_router(payload):
+    """Arbitrary bytes: clean ValueError / NotImplementedError only."""
+    with pytest.raises((ValueError, NotImplementedError)):
+        _real_decode_image(payload)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=3),
+    st.binary(min_size=0, max_size=256),
+)
+def test_magic_plus_garbage_raises_cleanly(idx, tail):
+    """A correct magic followed by garbage must fail loudly, not
+    produce pixels."""
+    decoder, magic = _DECODERS[idx], _MAGICS[idx]
+    try:
+        out = decoder(magic + tail)
+    except (ValueError, NotImplementedError) + struct_error_types():
+        return
+    # the astronomically unlikely case hypothesis finds a VALID file:
+    # the output must at least be a well-formed pixel array
+    assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+
+
+def struct_error_types():
+    import struct
+    import zlib
+
+    return (struct.error, zlib.error, IndexError, EOFError, KeyError)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_truncation_of_valid_files_raises(data):
+    """Every proper prefix of a valid encode must raise, never return
+    wrong pixels silently."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    full = data.draw(st.sampled_from([png_encode(img), bmp_encode(img)]))
+    cut = data.draw(st.integers(min_value=2, max_value=len(full) - 1))
+    try:
+        out = _real_decode_image(bytes(full[:cut]))
+    except (ValueError, NotImplementedError) + struct_error_types():
+        return  # clean rejection (a cut magic routes to the
+        #         unknown-container NotImplementedError — equally clean)
+    # prefixes that still decode (e.g. PNG missing only its IEND)
+    # must NOT silently produce different pixels
+    if out.shape[2] == 1:
+        out = out[:, :, 0][:, :, None].repeat(3, axis=2)
+    np.testing.assert_array_equal(out[:, :, :3], img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_bmp_roundtrip_property(h, w, seed):
+    """Property form of the roundtrip: any size, any content."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(png_decode(png_encode(img)), img)
+    np.testing.assert_array_equal(bmp_decode(bmp_encode(img)), img)

@@ -79,6 +79,8 @@ def bmp_decode(data: bytes) -> np.ndarray:
     """
     if not data.startswith(BMP_MAGIC):
         raise ValueError("not a BMP payload")
+    if len(data) < _FILE_HEADER.size + _INFO_HEADER.size:
+        raise ValueError("truncated BMP header")
     magic, _fsize, _r1, _r2, offset = _FILE_HEADER.unpack_from(data, 0)
     (
         hdr_size, w, h_signed, planes, bits, compression,

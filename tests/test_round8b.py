@@ -806,3 +806,78 @@ def test_curriculum_phases_partition_and_order(spark, sf_small):
     # ntile remainder goes to leading phases
     sizes = out["n_docs"].tolist()
     assert max(sizes) - min(sizes) <= 1 and sizes == sorted(sizes, reverse=True)
+
+
+def test_streaming_heavy_hitters_matches_reference_spacesaving(
+    spark, sf_small, tmp_path
+):
+    """I30: the streamed SpaceSaving state across two micro-batches
+    equals a pure-Python SpaceSaving fed the same rows in the same
+    order, and the classic guarantees hold vs true counts."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.sources.tables import load
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        _spacesaving_update,
+        streaming_heavy_hitters,
+    )
+
+    events = load(spark, sf_small, "events")
+    tagged = events.select(
+        F.col("event_type").alias("series"),
+        F.col("user_id").cast("string").alias("item"),
+        F.col("event_id").alias("seq"),
+    )
+    split = tagged.agg(F.expr("percentile_approx(seq, 0.5)").alias("m")).first()["m"]
+    log_dir = tmp_path / "hh_log"
+    log_dir.mkdir()
+    tagged.filter(F.col("seq") <= split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b0"))
+    _t.sleep(1.1)
+    tagged.filter(F.col("seq") > split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b1"))
+    stream = (
+        spark.readStream.schema(tagged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_heavy_hitters(stream, m=16, emit_top=5)
+        .writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM hh_stream").toPandas()
+    final = out[out["update_seq"] == 2]
+    assert out["update_seq"].max() == 2  # state genuinely crossed batches
+    ref = tagged.orderBy("seq").toPandas()
+    for series, grp in ref.groupby("series"):
+        counters = {}
+        for item in grp.sort_values("seq")["item"]:
+            _spacesaving_update(counters, str(item), 16)
+        want_top = sorted(
+            counters.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )[:5]
+        got = final[final["series"] == series].sort_values("rank")
+        assert len(got) == len(want_top)
+        for (item, (cnt, err)), (_, row) in zip(want_top, got.iterrows()):
+            assert (row["item"], row["est_count"], row["max_err"]) == (
+                item, cnt, err,
+            ), series
+        # classic SpaceSaving guarantees vs TRUE counts
+        true = grp["item"].value_counts()
+        n = len(grp)
+        for item, c in true.items():
+            if c > n / 16:
+                assert item in counters, (series, item)
+        for item, (cnt, err) in counters.items():
+            t = int(true.get(item, 0))
+            assert t <= cnt <= t + err, (series, item)

@@ -533,3 +533,100 @@ def streaming_cusum(daily: DataFrame, targets: dict) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming heavy hitters (I30): SpaceSaving (Metwally et al. 2005)
+# per key — the bounded-memory top-k the batch ts_freq_agg family
+# approximates offline, maintained INCREMENTALLY across micro-batches.
+# State is m counters (item, count, overestimation error); the
+# classic guarantees hold per key at any prefix of the stream:
+# every item with true frequency > N/m is tracked, and
+# true <= est <= true + err for tracked items.
+
+_SS_STATE_SCHEMA = "state_json STRING"
+_SS_OUT_SCHEMA = (
+    "series STRING, update_seq LONG, rank LONG, item STRING, "
+    "est_count LONG, max_err LONG, n_seen LONG"
+)
+
+
+def _spacesaving_update(counters: dict, item: str, m: int) -> None:
+    """One SpaceSaving step: counters maps item -> [count, err]."""
+    if item in counters:
+        counters[item][0] += 1
+    elif len(counters) < m:
+        counters[item] = [1, 0]
+    else:
+        victim = min(counters, key=lambda k: (counters[k][0], k))
+        vcount = counters[victim][0]
+        del counters[victim]
+        counters[item] = [vcount + 1, vcount]
+
+
+def _make_spacesaving_state_fn(m: int, emit_top: int):
+    import json
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+            counters = {k: v for k, v in st["c"]}
+            n_seen, seq = st["n"], st["s"]
+        else:
+            counters, n_seen, seq = {}, 0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks, ignore_index=True)
+            # event order within the batch is the arrival order the
+            # source delivered (the WAL contract I28/I29 rely on)
+            if "seq" in allpdf.columns:
+                allpdf = allpdf.sort_values("seq")
+            for item in allpdf["item"]:
+                _spacesaving_update(counters, str(item), m)
+                n_seen += 1
+            seq += 1
+        state.update(
+            (json.dumps({"c": sorted(counters.items()), "n": n_seen, "s": seq}),)
+        )
+        top = sorted(
+            counters.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )[:emit_top]
+        yield pd.DataFrame(
+            [
+                {
+                    "series": key[0],
+                    "update_seq": seq,
+                    "rank": r + 1,
+                    "item": item,
+                    "est_count": cnt,
+                    "max_err": err,
+                    "n_seen": n_seen,
+                }
+                for r, (item, (cnt, err)) in enumerate(top)
+            ],
+            columns=[
+                "series", "update_seq", "rank", "item",
+                "est_count", "max_err", "n_seen",
+            ],
+        )
+
+    return fn
+
+
+def streaming_heavy_hitters(
+    tagged: DataFrame, m: int = 16, emit_top: int = 5
+) -> DataFrame:
+    """SpaceSaving top-k over a stream (I30): keyed
+    applyInPandasWithState carrying the m-counter summary; each
+    micro-batch emits the current per-key top `emit_top` snapshot
+    tagged with the update sequence. `tagged` needs columns
+    (series, item[, seq]); at 100 TB each key's state is O(m)
+    regardless of stream length — the whole point of the sketch."""
+    return tagged.groupBy("series").applyInPandasWithState(
+        _make_spacesaving_state_fn(m, emit_top),
+        outputStructType=_SS_OUT_SCHEMA,
+        stateStructType=_SS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -309,3 +309,106 @@ def test_feeder_restart_resumes_from_acked_lsn(golden_server, tmp_path):
     assert "START_REPLICATION SLOT timescaledb_metrics LOGICAL 0/417" in (
         golden_server.start_command or ""
     )
+
+
+# -- H16: the supervised reconnect loop --------------------------------------
+
+
+class _FlakySession(_GoldenSession):
+    """First connection: replies to the handshake, streams the golden
+    CopyData but CUTS the socket mid-frame after the first XLogData.
+    Second connection: the full golden session. The per-server
+    attempt counter lives on the server object."""
+
+    def handle(self):
+        with self.server.lock:
+            self.server.attempts += 1
+            attempt = self.server.attempts
+        q1 = self._read_query()
+        assert q1 == "IDENTIFY_SYSTEM"
+        self.request.sendall((GOLDEN / "identify_system.bin").read_bytes())
+        q2 = self._read_query()
+        assert q2.startswith("CREATE_REPLICATION_SLOT")
+        self.request.sendall((GOLDEN / "create_slot.bin").read_bytes())
+        q3 = self._read_query()
+        assert q3.startswith("START_REPLICATION SLOT")
+        with self.server.lock:
+            self.server.start_commands.append(q3)
+        self.request.sendall((GOLDEN / "copy_both.bin").read_bytes())
+        stream = (GOLDEN / "copydata_stream_keepalive.bin").read_bytes()
+        if attempt == 1:
+            # walk to the end of the FIFTH backend message (the 'U'
+            # XLogData at walStart 1006) and cut 3 bytes INSIDE the
+            # sixth — a mid-frame EOF after real progress
+            pos = 0
+            for _ in range(5):
+                (length,) = struct.unpack(">I", stream[pos + 1 : pos + 5])
+                pos += 1 + length
+            self.request.sendall(stream[: pos + 3])
+            self.request.close()
+            return
+        self.request.sendall(stream)
+        self.request.shutdown(socket.SHUT_WR)
+        while self.request.recv(4096):
+            pass
+
+
+@pytest.fixture()
+def flaky_server():
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _FlakySession)
+    srv.daemon_threads = True
+    srv.attempts, srv.start_commands = 0, []
+    srv.lock = threading.Lock()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_run_resilient_reconnects_and_resumes(flaky_server, tmp_path):
+    """H16: the supervisor survives a mid-frame cut — backs off,
+    redials, and the SECOND session's START_REPLICATION begins at
+    processed + 1 from the first session's landed frame, so
+    acknowledged WAL is never re-requested."""
+    host, port = flaky_server.server_address
+    slept = []
+
+    def connect():
+        return socket.create_connection((host, port), timeout=10)
+
+    summary = pr.run_resilient(
+        connect,
+        landing_dir=str(tmp_path / "landing"),
+        slot_name="timescaledb_metrics",
+        publication="pub",
+        sleep=slept.append,
+        wallclock_us=lambda: 1_709_294_400_000_000,
+    )
+    assert flaky_server.attempts == 2
+    assert summary["sessions"] == 2
+    assert summary["frames_landed"] >= 6  # 4 pre-cut frames + the retry's re-delivery
+    assert slept and slept[0] == 0.5  # first backoff step
+    # the first session landed the 'U' frame (walStart 1006, payload
+    # 40 -> processed 1046); the retry must start at 1047 = 0/417
+    second = flaky_server.start_commands[1]
+    assert "LOGICAL 0/417" in second, second
+
+
+def test_run_resilient_gives_up_after_budget(tmp_path):
+    """Connection refused every time: the supervisor applies capped
+    exponential backoff and finally re-raises."""
+    slept = []
+
+    def connect():
+        raise OSError("dial failed")
+
+    with pytest.raises(OSError, match="dial failed"):
+        pr.run_resilient(
+            connect,
+            max_reconnects=3,
+            backoff_base_s=1.0,
+            backoff_cap_s=2.0,
+            sleep=slept.append,
+        )
+    assert slept == [1.0, 2.0, 2.0]  # exponential, capped

@@ -786,3 +786,89 @@ class ReplicationFeeder:
                 landed += 1
         self.flush_landing()
         return landed
+
+
+def lsn_text(lsn: int) -> str:
+    """Integer LSN -> PostgreSQL XXX/XXX text form."""
+    return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
+
+
+def run_resilient(
+    connect,
+    *,
+    max_reconnects: int = 5,
+    backoff_base_s: float = 0.5,
+    backoff_cap_s: float = 30.0,
+    sleep=None,
+    **feeder_kwargs,
+) -> dict:
+    """Supervised feeder loop (H16) — the deployment form of the
+    reference's reconnect-and-retry (replicationconnection.go:126
+    reconnects and re-issues START_REPLICATION when the stream
+    drops; locateRestartLSN resumes from the slot position). This
+    supervisor generalizes that single retry to capped exponential
+    backoff and carries the ACK position across sessions, so every
+    new session starts at processed + 1 — acknowledged WAL is never
+    replayed, unacknowledged WAL is re-delivered (at-least-once,
+    the landing layer's LSN idempotence absorbs re-sends).
+
+    `connect` dials and returns a fresh authenticated byte transport
+    (socket post negotiate_tls/authenticate, or any conn the feeder
+    accepts). A clean EOF at a frame boundary ends the run; mid-frame
+    EOFs / ProtocolErrors / OSErrors trigger reconnection. Returns a
+    summary dict. `sleep` is injectable for tests.
+    """
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    acked = 0
+    frames_total = 0
+    sessions = 0
+    failures = 0
+    backoffs: list[float] = []
+    while True:
+        try:
+            conn = connect()
+        except OSError:
+            failures += 1
+            if failures > max_reconnects:
+                raise
+            delay = min(backoff_base_s * 2 ** (failures - 1), backoff_cap_s)
+            backoffs.append(delay)
+            sleep(delay)
+            continue
+        feeder = ReplicationFeeder(conn, **feeder_kwargs)
+        try:
+            feeder.processed_lsn = acked
+            feeder.handshake(
+                restart_lsn_text=lsn_text(acked + 1) if acked else None
+            )
+            sessions += 1
+            n = feeder.pump()
+            frames_total += n
+            return {
+                "sessions": sessions,
+                "reconnects": failures,
+                "frames_landed": frames_total,
+                "processed_lsn": feeder.processed_lsn,
+                "backoffs": backoffs,
+            }
+        except (ProtocolError, OSError):
+            if feeder.frames_landed:
+                failures = 0  # progress resets the failure budget
+            frames_total += feeder.frames_landed
+            acked = max(acked, feeder.processed_lsn)
+            feeder.flush_landing()
+            failures += 1
+            if failures > max_reconnects:
+                raise
+            delay = min(backoff_base_s * 2 ** (failures - 1), backoff_cap_s)
+            backoffs.append(delay)
+            sleep(delay)
+        finally:
+            close = getattr(conn, "close", None)
+            if close:
+                try:
+                    close()
+                except OSError:
+                    pass

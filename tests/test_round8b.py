@@ -881,3 +881,77 @@ def test_streaming_heavy_hitters_matches_reference_spacesaving(
         for item, (cnt, err) in counters.items():
             t = int(true.get(item, 0))
             assert t <= cnt <= t + err, (series, item)
+
+
+def test_streaming_p2_quantile_tracks_true_median(spark, sf_small, tmp_path):
+    """I31: the P-square state carries across two micro-batches, the
+    streamed fold equals a pure-Python P-square on the same ordered
+    values, and the estimate lands near the true median."""
+    import json
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.sources.tables import load
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        _p2_init,
+        _p2_update,
+        streaming_p2_quantile,
+    )
+
+    events = load(spark, sf_small, "events")
+    tagged = events.select(
+        F.col("event_type").alias("series"),
+        F.col("value").alias("x"),
+        F.col("event_id").alias("seq"),
+    )
+    split = tagged.agg(F.expr("percentile_approx(seq, 0.5)").alias("m")).first()["m"]
+    log_dir = tmp_path / "p2_log"
+    log_dir.mkdir()
+    tagged.filter(F.col("seq") <= split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b0"))
+    _t.sleep(1.1)
+    tagged.filter(F.col("seq") > split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b1"))
+    stream = (
+        spark.readStream.schema(tagged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_p2_quantile(stream, p=0.5)
+        .writeStream.format("memory")
+        .queryName("p2_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM p2_stream").toPandas()
+    final = out[out["update_seq"] == 2].set_index("series")
+    assert out["update_seq"].max() == 2
+    ref = tagged.orderBy("seq").toPandas()
+    for series, grp in ref.groupby("series"):
+        xs = grp.sort_values("seq")["x"].astype(float).tolist()
+        st = None
+        for x in xs:
+            if st is None:
+                boot = [x]
+                st = {"boot": boot}
+            elif "q" not in st:
+                st["boot"].append(x)
+                if len(st["boot"]) == 5:
+                    st = _p2_init(st["boot"])
+            else:
+                _p2_update(st, x, 0.5)
+        want = st["q"][2]
+        got = final.loc[series]
+        assert got["n_seen"] == len(xs)
+        np.testing.assert_allclose(got["q_estimate"], want, rtol=1e-12)
+        # accuracy vs the true median (P-square is approximate)
+        true_med = float(np.median(xs))
+        spread = float(np.percentile(xs, 75) - np.percentile(xs, 25))
+        assert abs(got["q_estimate"] - true_med) < 0.35 * spread, series

@@ -630,3 +630,127 @@ def streaming_heavy_hitters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming quantile estimation (I31): the P-square algorithm
+# (Jain & Chlamtac 1985) per key — a CONSTANT-state (5 markers)
+# running quantile, the streaming counterpart of the batch
+# percentile family (B10/B59): no buffer of observations, no
+# histogram, just 5 heights + positions updated per event with
+# piecewise-parabolic interpolation.
+
+_P2_STATE_SCHEMA = "state_json STRING"
+_P2_OUT_SCHEMA = (
+    "series STRING, update_seq LONG, n_seen LONG, q_estimate DOUBLE"
+)
+
+
+def _p2_init(xs):
+    xs = sorted(xs[:5])
+    return {"q": xs, "n": [1, 2, 3, 4, 5], "count": 5}
+
+
+def _p2_update(st: dict, x: float, p: float) -> None:
+    """One P-square step for quantile p (textbook update: locate
+    cell, bump marker positions, nudge interior markers toward
+    their desired positions with the parabolic formula, linear
+    fallback when the parabola would leave the bracket)."""
+    q, n = st["q"], st["n"]
+    st["count"] += 1
+    if x < q[0]:
+        q[0] = x
+        k = 0
+    elif x >= q[4]:
+        q[4] = x
+        k = 3
+    else:
+        k = next(i for i in range(4) if q[i] <= x < q[i + 1])
+    for i in range(k + 1, 5):
+        n[i] += 1
+    desired = [
+        1,
+        1 + 2 * p * (st["count"] - 1) / 2.0,
+        1 + p * (st["count"] - 1),
+        1 + (1 + p) * (st["count"] - 1) / 2.0,
+        float(st["count"]),
+    ]
+    for i in (1, 2, 3):
+        d = desired[i] - n[i]
+        if (d >= 1 and n[i + 1] - n[i] > 1) or (d <= -1 and n[i - 1] - n[i] < -1):
+            d = 1 if d >= 1 else -1
+            # piecewise-parabolic prediction
+            qp = q[i] + d / (n[i + 1] - n[i - 1]) * (
+                (n[i] - n[i - 1] + d) * (q[i + 1] - q[i]) / (n[i + 1] - n[i])
+                + (n[i + 1] - n[i] - d) * (q[i] - q[i - 1]) / (n[i] - n[i - 1])
+            )
+            if not (q[i - 1] < qp < q[i + 1]):
+                # linear fallback
+                qp = q[i] + d * (q[i + d] - q[i]) / (n[i + d] - n[i])
+            q[i] = qp
+            n[i] += d
+
+
+def _make_p2_state_fn(p: float):
+    import json
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"boot": [], "q": None, "n": None, "count": 0, "s": 0}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks, ignore_index=True)
+            if "seq" in allpdf.columns:
+                allpdf = allpdf.sort_values("seq")
+            for x in allpdf["x"]:
+                x = float(x)
+                if st["q"] is None:
+                    st["boot"].append(x)
+                    if len(st["boot"]) == 5:
+                        init = _p2_init(st["boot"])
+                        st.update(q=init["q"], n=init["n"], count=5, boot=[])
+                else:
+                    _p2_update(st, x, p)
+            st["s"] += 1
+        state.update((json.dumps(st),))
+        if st["q"] is not None:
+            est = st["q"][2]
+            n_seen = st["count"]
+        elif st["boot"]:
+            xs = sorted(st["boot"])
+            est = xs[min(int(p * len(xs)), len(xs) - 1)]
+            n_seen = len(xs)
+        else:
+            yield pd.DataFrame(
+                [], columns=["series", "update_seq", "n_seen", "q_estimate"]
+            )
+            return
+        yield pd.DataFrame(
+            [
+                {
+                    "series": key[0],
+                    "update_seq": st["s"],
+                    "n_seen": n_seen,
+                    "q_estimate": est,
+                }
+            ]
+        )
+
+    return fn
+
+
+def streaming_p2_quantile(tagged: DataFrame, p: float = 0.5) -> DataFrame:
+    """P-square running quantile per key (I31): 5 markers of keyed
+    state — O(1) per key regardless of stream length — emitting the
+    current estimate each micro-batch. `tagged` needs columns
+    (series, x[, seq])."""
+    return tagged.groupBy("series").applyInPandasWithState(
+        _make_p2_state_fn(p),
+        outputStructType=_P2_OUT_SCHEMA,
+        stateStructType=_P2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -134,3 +134,106 @@ def test_image_hashes_route_bmp_and_match_png(spark):
     rows = {r["media_id"]: r for r in image_hashes(media).collect()}
     assert rows[1]["dhash"] == rows[2]["dhash"]
     assert rows[1]["ahash"] == rows[2]["ahash"]
+
+
+# -- TIFF (G11): the fifth container -----------------------------------------
+
+
+def test_tiff_roundtrip_both_endians_and_strips():
+    from timescaledb_event_streamer_spark.operators.tiff_codec import (
+        tiff_decode,
+        tiff_encode,
+    )
+
+    for le in (True, False):
+        for ch in (1, 3):
+            shape = (9, 7) if ch == 1 else (9, 7, 3)
+            img = _rng(ch + (2 if le else 5)).integers(
+                0, 256, size=shape, dtype=np.uint8
+            )
+            for rps in (None, 2, 4):
+                out = tiff_decode(
+                    tiff_encode(img, little_endian=le, rows_per_strip=rps)
+                )
+                want = img if ch == 3 else img[:, :, None]
+                np.testing.assert_array_equal(out, want)
+
+
+def test_tiff_cross_container_pixels_match_png_and_bmp():
+    from timescaledb_event_streamer_spark.operators.tiff_codec import (
+        tiff_decode,
+        tiff_encode,
+    )
+
+    img = _rng(42).integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        tiff_decode(tiff_encode(img)), png_decode(png_encode(img))
+    )
+    np.testing.assert_array_equal(
+        tiff_decode(tiff_encode(img)), bmp_decode(bmp_encode(img))
+    )
+
+
+def test_tiff_rejects_hostile_inputs():
+    from timescaledb_event_streamer_spark.operators.tiff_codec import (
+        tiff_decode,
+        tiff_encode,
+    )
+
+    img = _rng(1).integers(0, 256, size=(4, 4), dtype=np.uint8)
+    data = bytearray(tiff_encode(img))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        tiff_decode(b"XX" + bytes(data[2:]))
+    with pytest.raises(ValueError, match="truncated"):
+        tiff_decode(bytes(data[:-3]))
+    # flip compression to LZW (5)
+    bad = bytearray(data)
+    # find the compression entry (tag 259) and patch its value
+    import struct as _s
+
+    (ifd_off,) = _s.unpack_from("<I", bad, 4)
+    (count,) = _s.unpack_from("<H", bad, ifd_off)
+    for i in range(count):
+        off = ifd_off + 2 + 12 * i
+        tag, = _s.unpack_from("<H", bad, off)
+        if tag == 259:
+            _s.pack_into("<H", bad, off + 8, 5)
+    with pytest.raises(ValueError, match="compressed"):
+        tiff_decode(bytes(bad))
+
+
+def test_image_hashes_route_tiff_and_match_png(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        image_hashes,
+        sniff_format,
+    )
+    from timescaledb_event_streamer_spark.operators.tiff_codec import (
+        tiff_encode,
+    )
+
+    img = _rng(9).integers(0, 256, size=(24, 24), dtype=np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "payload": [
+                    png_encode(img),
+                    tiff_encode(img, little_endian=True),
+                    tiff_encode(img, little_endian=False),
+                ],
+            }
+        )
+    )
+    sniffed = dict(
+        media.select(
+            "media_id", sniff_format(F.col("payload")).alias("fmt")
+        ).collect()
+    )
+    assert sniffed == {1: "png", 2: "tiff", 3: "tiff"}
+    rows = {r["media_id"]: r for r in image_hashes(media).collect()}
+    assert rows[1]["dhash"] == rows[2]["dhash"] == rows[3]["dhash"]
+    assert rows[1]["ahash"] == rows[2]["ahash"] == rows[3]["ahash"]

@@ -24,13 +24,17 @@ from timescaledb_event_streamer_spark.operators.png_codec import (
     png_decode,
     png_encode,
 )
+from timescaledb_event_streamer_spark.operators.tiff_codec import (
+    tiff_decode,
+)
 
-_DECODERS = [png_decode, jpeg_decode, gif_decode, bmp_decode]
+_DECODERS = [png_decode, jpeg_decode, gif_decode, bmp_decode, tiff_decode]
 _MAGICS = [
     b"\x89PNG\r\n\x1a\n",
     b"\xff\xd8\xff\xe0",
     b"GIF89a",
     b"BM",
+    b"II*\x00",
 ]
 
 
@@ -44,7 +48,7 @@ def test_random_bytes_never_crash_the_router(payload):
 
 @settings(max_examples=100, deadline=None)
 @given(
-    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=4),
     st.binary(min_size=0, max_size=256),
 )
 def test_magic_plus_garbage_raises_cleanly(idx, tail):

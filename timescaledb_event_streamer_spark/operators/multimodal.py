@@ -9,7 +9,9 @@ operators/jpeg_codec.py (baseline SOF0 r7 + progressive SOF2 r8:
 Huffman, dequant, IDCT, spectral selection + successive
 approximation), GIF via operators/gif_codec.py (variable-width LZW +
 interlace, r7), BMP via operators/bmp_codec.py (uncompressed BI_RGB
-8/24/32-bit, both orientations, r8). Video/audio entropy coders genuinely need a codec
+8/24/32-bit, both orientations, r8), TIFF via operators/tiff_codec.py
+(baseline uncompressed strips, both byte orders, r8). Video/audio
+entropy coders genuinely need a codec
 library (ffmpeg/torchaudio, absent in this container), so those
 payloads under `decoder="real"` raise at the exact seam where codecs
 plug in.
@@ -126,6 +128,10 @@ def _real_decode_image(payload: bytes) -> np.ndarray:
         BMP_MAGIC,
         bmp_decode,
     )
+    from timescaledb_event_streamer_spark.operators.tiff_codec import (
+        TIFF_MAGICS,
+        tiff_decode,
+    )
 
     raw = bytes(payload)
     if raw.startswith(PNG_SIGNATURE):
@@ -136,8 +142,10 @@ def _real_decode_image(payload: bytes) -> np.ndarray:
         return gif_decode(raw)
     if raw.startswith(BMP_MAGIC):
         return bmp_decode(raw)
+    if raw.startswith(TIFF_MAGICS):
+        return tiff_decode(raw)
     raise NotImplementedError(
-        "real decode beyond PNG/JPEG/GIF/BMP (video/audio) requires a "
+        "real decode beyond PNG/JPEG/GIF/BMP/TIFF (video/audio) requires a "
         "codec library (ffmpeg/torchaudio); plug it in here"
     )
 
@@ -280,6 +288,8 @@ MAGIC_SIGNATURES = (
     ("89504E47", "png"),
     ("FFD8FF", "jpeg"),
     ("47494638", "gif"),
+    ("49492A00", "tiff"),
+    ("4D4D002A", "tiff"),
     ("52494646", "riff"),  # WAV/AVI/WebP share the RIFF container
     ("66747970", "mp4", 8),  # 'ftyp' at byte offset 4
     ("494433", "mp3"),

@@ -955,3 +955,37 @@ def test_streaming_p2_quantile_tracks_true_median(spark, sf_small, tmp_path):
         true_med = float(np.median(xs))
         spread = float(np.percentile(xs, 75) - np.percentile(xs, 25))
         assert abs(got["q_estimate"] - true_med) < 0.35 * spread, series
+
+
+def test_exif_probe_hostile_payloads_yield_typed_nulls(spark):
+    """200 random payloads (some with JPEG/EXIF-ish prefixes) through
+    the codegen TIFF-IFD walk: never an execution error, and the
+    field-gating invariants hold on every row."""
+    import os
+
+    import pandas as pd
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_exif_headers,
+    )
+
+    rng = np.random.default_rng(123)
+    payloads = []
+    for i in range(200):
+        body = bytes(rng.integers(0, 256, size=int(rng.integers(0, 80)), dtype=np.uint8))
+        prefix = [b"", b"\xff\xd8", b"\xff\xd8\xff\xe1\x00\x08Exif\x00\x00", os.urandom(4)][i % 4]
+        payloads.append(prefix + body)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": range(200), "payload": payloads})
+    )
+    out = parse_exif_headers(media).toPandas()
+    assert len(out) == 200
+    for _, r in out.iterrows():
+        if not r["is_jpeg"]:
+            assert not r["has_exif"]
+        if not r["has_exif"]:
+            for c in ("byte_order", "n_ifd_entries", "orientation",
+                      "xres_num", "xres_den", "xresolution"):
+                assert r[c] is None or (isinstance(r[c], float) and np.isnan(r[c])), (
+                    r["media_id"], c, r[c],
+                )

@@ -1076,7 +1076,12 @@ def parse_exif_headers(media: DataFrame, payload_col: str = "payload") -> DataFr
 
     def rd(byte_off, nbytes: int, le=None):
         le = F.col("_le") if le is None else le
-        pos = F.col("_t") + byte_off * 2
+        # clamp hostile offsets: an APP1 segment caps at 64 KiB, so
+        # any larger TIFF offset is garbage — without the clamp a
+        # crafted 32-bit offset overflows substr's int position
+        # (ANSI CAST_OVERFLOW) instead of reading as NULL
+        off = F.least(byte_off.cast("long"), F.lit(131_072))
+        pos = (F.col("_t") + off * 2).cast("int")
         be = h.substr(pos, F.lit(2 * nbytes))
         pairs = [h.substr(pos + 2 * i, F.lit(2)) for i in range(nbytes)]
         return F.conv(
@@ -1099,7 +1104,7 @@ def parse_exif_headers(media: DataFrame, payload_col: str = "payload") -> DataFr
         ).alias("_has_exif"),
         (h.substr(F.col("_t"), F.lit(4)) == "4949").alias("_le"),
     )
-    media = media.select("*", rd(F.lit(4), 4).alias("_ifd0"))
+    media = media.select("*", rd(F.lit(4).cast("long"), 4).alias("_ifd0"))
     media = media.select("*", rd(F.col("_ifd0"), 2).alias("_cnt"))
     # one small projection per IFD entry: tag + both value reads
     entry_cols = []

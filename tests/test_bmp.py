@@ -237,3 +237,46 @@ def test_image_hashes_route_tiff_and_match_png(spark):
     rows = {r["media_id"]: r for r in image_hashes(media).collect()}
     assert rows[1]["dhash"] == rows[2]["dhash"] == rows[3]["dhash"]
     assert rows[1]["ahash"] == rows[2]["ahash"] == rows[3]["ahash"]
+
+
+def test_real_resize_path_is_container_invariant(spark):
+    """resize_images(decoder='real') decodes BMP and TIFF payloads
+    through the same seam as PNG and re-encodes losslessly: the
+    resized pixels are identical across source containers (GIF is
+    decode-only in-repo, covered by its golden-stream tests)."""
+    import pandas as pd
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        resize_images,
+    )
+    from timescaledb_event_streamer_spark.operators.tiff_codec import (
+        tiff_encode,
+    )
+
+    img = _rng(21).integers(0, 256, size=(64, 48), dtype=np.uint8)
+    payloads = {
+        1: png_encode(img),
+        2: bmp_encode(img),
+        3: tiff_encode(img),
+    }
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": list(payloads),
+                "kind": ["image"] * 3,
+                "payload": list(payloads.values()),
+                "width": [48] * 3,
+                "height": [64] * 3,
+            }
+        )
+    )
+    rows = {
+        r["media_id"]: r
+        for r in resize_images(media, max_side=32, decoder="real").collect()
+    }
+    assert len(rows) == 3
+    ref = png_decode(bytes(rows[1]["payload"]))
+    assert (rows[1]["target_w"], rows[1]["target_h"]) == (24, 32)
+    for mid in (2, 3):
+        out = png_decode(bytes(rows[mid]["payload"]))
+        np.testing.assert_array_equal(out[:, :, 0], ref[:, :, 0]), mid

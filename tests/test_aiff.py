@@ -80,3 +80,22 @@ def test_pcm_stats_match_wav_path(spark):
     assert row["n_samples"] == len(x)
     assert row["peak_abs"] == int(np.abs(x).max())
     assert row["sum_samples"] == int(x.sum())
+
+
+def test_sniff_routes_aiff(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        sniff_format,
+    )
+
+    payload = aiff_encode(np.zeros(4, dtype=np.int16), 8000)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [payload]})
+    )
+    assert (
+        media.select(sniff_format(F.col("payload")).alias("f")).first()["f"]
+        == "aiff"
+    )

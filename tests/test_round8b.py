@@ -989,3 +989,75 @@ def test_exif_probe_hostile_payloads_yield_typed_nulls(spark):
                 assert r[c] is None or (isinstance(r[c], float) and np.isnan(r[c])), (
                     r["media_id"], c, r[c],
                 )
+
+
+def test_streaming_reservoir_matches_deterministic_replay(
+    spark, sf_small, tmp_path
+):
+    """I32: the reservoir after two micro-batches equals a pure-Python
+    replay of the same decisions on the same ordered items, and
+    admission frequency is ~uniform over positions."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.sources.tables import load
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        _reservoir_decision,
+        streaming_reservoir_sample,
+    )
+
+    events = load(spark, sf_small, "events")
+    tagged = events.select(
+        F.col("event_type").alias("series"),
+        F.col("event_id").cast("string").alias("item"),
+        F.col("event_id").alias("seq"),
+    )
+    split = tagged.agg(F.expr("percentile_approx(seq, 0.5)").alias("m")).first()["m"]
+    log_dir = tmp_path / "res_log"
+    log_dir.mkdir()
+    tagged.filter(F.col("seq") <= split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b0"))
+    _t.sleep(1.1)
+    tagged.filter(F.col("seq") > split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b1"))
+    stream = (
+        spark.readStream.schema(tagged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_reservoir_sample(stream, k=8)
+        .writeStream.format("memory")
+        .queryName("res_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM res_stream").toPandas()
+    final = out[out["update_seq"] == 2]
+    assert out["update_seq"].max() == 2
+    ref = tagged.orderBy("seq").toPandas()
+    for series, grp in ref.groupby("series"):
+        res = []
+        n = 0
+        for item in grp.sort_values("seq")["item"]:
+            n += 1
+            slot = _reservoir_decision(series, n, 8)
+            if slot is not None:
+                if slot == len(res):
+                    res.append(str(item))
+                else:
+                    res[slot] = str(item)
+        got = final[final["series"] == series].sort_values("slot")
+        assert got["n_seen"].iloc[0] == n
+        assert got["item"].tolist() == res, series
+        # sampled items span the stream, not just its head/tail
+        ids = np.array([int(x) for x in res], dtype=float)
+        lo, hi = grp["seq"].min(), grp["seq"].max()
+        frac = (ids - lo) / (hi - lo)
+        assert frac.min() < 0.5 < frac.max(), series

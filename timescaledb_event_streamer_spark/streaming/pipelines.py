@@ -754,3 +754,91 @@ def streaming_p2_quantile(tagged: DataFrame, p: float = 0.5) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming reservoir sample (I32): Algorithm R per key with the
+# repo's DETERMINISTIC-decision discipline (corpus_stratified_sample
+# / corpus_epoch_shuffle use salted md5 instead of RNG state for the
+# same reason): the j-th item's admission and its replacement slot
+# derive from md5(key, j), so a replayed stream reproduces the exact
+# same reservoir — testable bit-for-bit, resumable from state alone.
+
+_RES_STATE_SCHEMA = "state_json STRING"
+_RES_OUT_SCHEMA = (
+    "series STRING, update_seq LONG, n_seen LONG, slot LONG, item STRING"
+)
+
+
+def _reservoir_decision(key: str, j: int, k: int) -> int | None:
+    """Deterministic Algorithm R step for the j-th item (1-based):
+    returns the slot to replace, or None to skip. For j <= k the
+    slot is j-1; after that the item is admitted with probability
+    k/j via md5(key|j) mod j < k — the same distribution as the
+    classic uniform draw, with no RNG state to checkpoint."""
+    import hashlib
+
+    if j <= k:
+        return j - 1
+    r = (
+        int.from_bytes(
+            hashlib.md5(f"{key}|{j}".encode()).digest()[:8], "big"
+        )
+        % j
+    )
+    return r if r < k else None
+
+
+def _make_reservoir_state_fn(k: int):
+    import json
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"res": [], "n": 0, "s": 0}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks, ignore_index=True)
+            if "seq" in allpdf.columns:
+                allpdf = allpdf.sort_values("seq")
+            for item in allpdf["item"]:
+                st["n"] += 1
+                slot = _reservoir_decision(key[0], st["n"], k)
+                if slot is not None:
+                    if slot == len(st["res"]):
+                        st["res"].append(str(item))
+                    else:
+                        st["res"][slot] = str(item)
+            st["s"] += 1
+        state.update((json.dumps(st),))
+        yield pd.DataFrame(
+            [
+                {
+                    "series": key[0],
+                    "update_seq": st["s"],
+                    "n_seen": st["n"],
+                    "slot": i,
+                    "item": item,
+                }
+                for i, item in enumerate(st["res"])
+            ],
+            columns=["series", "update_seq", "n_seen", "slot", "item"],
+        )
+
+    return fn
+
+
+def streaming_reservoir_sample(tagged: DataFrame, k: int = 8) -> DataFrame:
+    """Uniform k-reservoir per key over a stream (I32): O(k) state
+    regardless of stream length, deterministic salted-hash admission
+    decisions (replay-stable, no RNG in the checkpoint), per-batch
+    snapshot emission. `tagged` needs columns (series, item[, seq])."""
+    return tagged.groupBy("series").applyInPandasWithState(
+        _make_reservoir_state_fn(k),
+        outputStructType=_RES_OUT_SCHEMA,
+        stateStructType=_RES_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1061,3 +1061,96 @@ def test_streaming_reservoir_matches_deterministic_replay(
         lo, hi = grp["seq"].min(), grp["seq"].max()
         frac = (ids - lo) / (hi - lo)
         assert frac.min() < 0.5 < frac.max(), series
+
+
+def test_streaming_ewma_alerts_match_replay_and_fire_on_plant(
+    spark, sf_small, tmp_path
+):
+    """I33: cross-batch equality with a pure-Python West recurrence,
+    plus a planted 10-sigma spike in batch 2 that MUST alert."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.sources.tables import load
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_ewma_alerts,
+    )
+
+    events = load(spark, sf_small, "events")
+    es = F.expr("unix_micros(ts) div 1000000")
+    daily = (
+        events.withColumn("_es", es)
+        .groupBy(
+            F.col("event_type").alias("series"),
+            (F.col("_es") - F.pmod(F.col("_es"), F.lit(86400))).alias(
+                "day_s"
+            ),
+        )
+        .agg(F.avg("value").alias("x"))
+    )
+    split = daily.agg(F.expr("percentile_approx(day_s, 0.5)").alias("m")).first()["m"]
+    log_dir = tmp_path / "ew_log"
+    log_dir.mkdir()
+    daily.filter(F.col("day_s") <= split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b0"))
+    _t.sleep(1.1)
+    late = daily.filter(F.col("day_s") > split)
+    max_day = daily.agg(F.max("day_s")).first()[0]
+    spike = late.limit(0).unionByName(
+        daily.limit(1).select(
+            "series", F.lit(max_day + 86400).alias("day_s"),
+            (F.col("x") * 50 + 10000).alias("x"),
+        )
+    )
+    late.unionByName(spike).coalesce(1).write.mode("overwrite").parquet(
+        str(log_dir / "b1")
+    )
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_ewma_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("ew_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM ew_stream").toPandas()
+    ref = daily.unionByName(spike).toPandas()
+    alerts = 0
+    for series, grp in ref.groupby("series"):
+        grp = grp.sort_values("day_s")
+        mean = var = None
+        n = 0
+        got = out[out["series"] == series].sort_values("day_s").reset_index(drop=True)
+        assert len(got) == len(grp)
+        for i, (_, r) in enumerate(grp.iterrows()):
+            x = float(r["x"])
+            if mean is None:
+                mean, var, z, alert = x, 0.0, 0.0, False
+            else:
+                sd = var ** 0.5
+                z = (x - mean) / sd if sd > 0 else 0.0
+                alert = n >= 5 and abs(z) > 3.0
+                delta = x - mean
+                incr = 0.2 * delta
+                mean += incr
+                var = 0.8 * (var + delta * incr)
+            n += 1
+            row = got.iloc[i]
+            np.testing.assert_allclose(row["ewma"], mean, rtol=1e-12)
+            np.testing.assert_allclose(row["ewvar"], var, rtol=1e-9, atol=1e-12)
+            assert row["alert"] == alert, (series, i)
+            alerts += int(alert)
+        # the planted spike is the LAST day of the spiked series
+        if grp["day_s"].max() > ref["day_s"].max() - 86400 / 2:
+            pass
+    assert out["alert"].sum() >= 1  # the plant fired
+    assert out[out["alert"]]["day_s"].max() == ref["day_s"].max()

@@ -842,3 +842,91 @@ def streaming_reservoir_sample(tagged: DataFrame, k: int = 8) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming EWMA anomaly alerts (I33): exponentially-weighted
+# mean/variance per key (West's recurrence) with 3-sigma alerting —
+# the monitoring loop a deployment runs over its own stream metrics
+# (per-batch lag, event volume, value drift). Two floats of state;
+# the recursion is the adjust=False EWMA the batch B38/B33 family
+# models in its bounded-window form.
+
+_EW_STATE_SCHEMA = "last_day LONG, mean DOUBLE, var DOUBLE, n LONG"
+_EW_OUT_SCHEMA = (
+    "series STRING, day_s LONG, x DOUBLE, ewma DOUBLE, ewvar DOUBLE, "
+    "zscore DOUBLE, alert BOOLEAN"
+)
+
+
+def _make_ewma_alert_state_fn(alpha: float, z_threshold: float, warmup: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_day, mean, var, n = (
+            state.get if state.exists else (None, None, 0.0, 0)
+        )
+        rows = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "day_s"
+            )
+            for r in allpdf.itertuples():
+                if last_day is not None and r.day_s <= last_day:
+                    continue  # idempotent replay skip
+                x = float(r.x)
+                if mean is None:
+                    mean, var = x, 0.0
+                    z, alert = 0.0, False
+                else:
+                    # z against the PRE-update statistics: the point
+                    # is judged by the history, then absorbed
+                    sd = var ** 0.5
+                    z = (x - mean) / sd if sd > 0 else 0.0
+                    alert = n >= warmup and abs(z) > z_threshold
+                    delta = x - mean
+                    incr = alpha * delta
+                    mean = mean + incr
+                    var = (1.0 - alpha) * (var + delta * incr)
+                n += 1
+                rows.append(
+                    {
+                        "series": key[0],
+                        "day_s": int(r.day_s),
+                        "x": x,
+                        "ewma": mean,
+                        "ewvar": var,
+                        "zscore": z,
+                        "alert": bool(alert),
+                    }
+                )
+                last_day = int(r.day_s)
+        state.update((last_day, mean, var, n))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "series", "day_s", "x", "ewma", "ewvar", "zscore", "alert",
+            ],
+        )
+
+    return fn
+
+
+def streaming_ewma_alerts(
+    daily: DataFrame,
+    alpha: float = 0.2,
+    z_threshold: float = 3.0,
+    warmup: int = 5,
+) -> DataFrame:
+    """EWMA mean/variance anomaly detector per key (I33): each point
+    is z-scored against the PRE-update exponential statistics, then
+    absorbed (West's recurrence — two floats of state); alerts fire
+    past `warmup` observations at |z| > threshold. `daily` needs
+    columns (series, day_s, x)."""
+    return daily.groupBy("series").applyInPandasWithState(
+        _make_ewma_alert_state_fn(alpha, z_threshold, warmup),
+        outputStructType=_EW_OUT_SCHEMA,
+        stateStructType=_EW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -99,3 +99,44 @@ def test_sniff_routes_aiff(spark):
         media.select(sniff_format(F.col("payload")).alias("f")).first()["f"]
         == "aiff"
     )
+
+
+def test_au_roundtrip_and_unknown_length_sentinel():
+    from timescaledb_event_streamer_spark.operators.aiff_codec import (
+        au_decode,
+        au_encode,
+    )
+
+    rng = np.random.default_rng(17)
+    samples = rng.integers(-32768, 32768, size=(100, 2), dtype=np.int16)
+    arr, rate = au_decode(au_encode(samples, 22050))
+    assert rate == 22050
+    np.testing.assert_array_equal(arr, samples)
+    # 0xFFFFFFFF size sentinel = read to EOF
+    data = bytearray(au_encode(samples, 22050))
+    struct.pack_into(">I", data, 8, 0xFFFFFFFF)
+    arr2, _ = au_decode(bytes(data))
+    np.testing.assert_array_equal(arr2, samples)
+    with pytest.raises(ValueError, match="encoding"):
+        bad = bytearray(data)
+        struct.pack_into(">I", bad, 12, 1)  # mu-law
+        au_decode(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        au_decode(au_encode(samples, 22050)[:-3])
+
+
+def test_au_aiff_wav_sample_identity():
+    """The same samples through all three uncompressed audio
+    containers decode identically."""
+    from timescaledb_event_streamer_spark.operators.aiff_codec import (
+        au_decode,
+        au_encode,
+    )
+
+    rng = np.random.default_rng(19)
+    samples = rng.integers(-32768, 32768, size=150, dtype=np.int16)
+    a1, r1 = aiff_decode(aiff_encode(samples, 16000))
+    a2, r2 = au_decode(au_encode(samples, 16000))
+    assert r1 == r2 == 16000
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(a1[:, 0], samples)

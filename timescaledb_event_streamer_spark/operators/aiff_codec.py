@@ -104,3 +104,46 @@ def aiff_decode(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("truncated AIFF sample data")
     arr = np.frombuffer(pcm, dtype=">i2").astype(np.int16).reshape(n, ch)
     return arr, int(rate)
+
+
+# ---------------------------------------------------------------------------
+# AU / SND (G13): the third uncompressed audio container — the
+# simplest real-world PCM wrapper (Sun/NeXT .au, public format:
+# 24-byte big-endian header, encoding 3 = 16-bit linear PCM).
+
+AU_MAGIC = b".snd"
+_AU_PCM16 = 3
+
+
+def au_encode(samples: np.ndarray, rate: int) -> bytes:
+    """(n,) or (n, channels) int16 -> .au bytes (16-bit BE PCM)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    pcm = samples.astype(">i2").tobytes()
+    header = struct.pack(
+        ">4sIIIII", AU_MAGIC, 24, len(pcm), _AU_PCM16, rate, ch
+    )
+    return header + pcm
+
+
+def au_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """.au bytes -> ((n, channels) int16, sample rate)."""
+    if not data.startswith(AU_MAGIC):
+        raise ValueError("not an AU payload")
+    if len(data) < 24:
+        raise ValueError("truncated AU header")
+    magic, offset, size, encoding, rate, ch = struct.unpack_from(
+        ">4sIIIII", data, 0
+    )
+    if encoding != _AU_PCM16:
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    if ch not in (1, 2) or rate <= 0 or offset < 24:
+        raise ValueError(f"bad AU header ({ch} ch, rate {rate}, off {offset})")
+    if size == 0xFFFFFFFF:  # 'unknown length' sentinel: read to EOF
+        size = len(data) - offset
+    if len(data) < offset + size or size % (ch * 2):
+        raise ValueError("truncated AU sample data")
+    pcm = data[offset : offset + size]
+    arr = np.frombuffer(pcm, dtype=">i2").astype(np.int16).reshape(-1, ch)
+    return arr, int(rate)

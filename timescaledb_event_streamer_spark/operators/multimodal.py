@@ -291,7 +291,9 @@ MAGIC_SIGNATURES = (
     ("49492A00", "tiff"),
     ("4D4D002A", "tiff"),
     ("52494646", "riff"),  # WAV/AVI/WebP share the RIFF container
-    ("41494646", "aiff", 16),  # 'AIFF' at byte 8 (hex offset 16) in a FORM group
+    ("41494646", "aiff", 16),
+    ("2E736E64", "au"),  # Sun/NeXT '.snd'
+  # 'AIFF' at byte 8 (hex offset 16) in a FORM group
     ("66747970", "mp4", 8),  # 'ftyp' at byte offset 4
     ("494433", "mp3"),
     ("1A45DFA3", "webm"),

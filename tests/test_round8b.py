@@ -1154,3 +1154,72 @@ def test_streaming_ewma_alerts_match_replay_and_fire_on_plant(
             pass
     assert out["alert"].sum() >= 1  # the plant fired
     assert out[out["alert"]]["day_s"].max() == ref["day_s"].max()
+
+
+def test_streaming_hll_equals_batch_hll_md5(spark, sf_small, tmp_path):
+    """I34: after two micro-batches the streaming HLL estimate must
+    EQUAL the driver-certified batch ts_hll_md5 (register max-merge
+    is order-blind), closing the streaming==batch==oracle triangle."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.sources.tables import load
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_hll_distinct,
+    )
+
+    events = load(spark, sf_small, "events")
+    tagged = events.select(
+        F.col("event_type").alias("series"),
+        F.col("user_id").cast("string").alias("item"),
+        F.col("event_id").alias("seq"),
+    )
+    split = tagged.agg(F.expr("percentile_approx(seq, 0.5)").alias("m")).first()["m"]
+    log_dir = tmp_path / "hll_log"
+    log_dir.mkdir()
+    tagged.filter(F.col("seq") <= split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b0"))
+    _t.sleep(1.1)
+    tagged.filter(F.col("seq") > split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b1"))
+    stream = (
+        spark.readStream.schema(tagged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_hll_distinct(stream.drop("seq"))
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM hll_stream").toPandas()
+    final = out[out["update_seq"] == 2].set_index("series")
+    assert out["update_seq"].max() == 2
+    batch = (
+        all_queries()["ts_hll_md5"](spark, sf_small)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert set(final.index) == set(batch.index)
+    for series in batch.index:
+        assert final.loc[series, "n_regs"] == batch.loc[series, "n_regs"], series
+        np.testing.assert_allclose(
+            final.loc[series, "n_approx"],
+            batch.loc[series, "n_approx"],
+            rtol=0,
+            atol=1e-9,
+        )
+        assert final.loc[series, "n_items"] == int(
+            (
+                pd.read_parquet(f"{sf_small}/events.parquet")["event_type"]
+                == series
+            ).sum()
+        )

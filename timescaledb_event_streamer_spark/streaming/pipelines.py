@@ -930,3 +930,102 @@ def streaming_ewma_alerts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming distinct count (I34): the md5-HLL of B60/B63 carried
+# as keyed state — registers merge by max, so the streaming fold is
+# ORDER-INDEPENDENT and the final estimate must equal the batch
+# ts_hll_md5 (and therefore its DuckDB oracle) bit-for-bit on the
+# same data; the pytest pins exactly that three-way identity.
+
+_HLL_STATE_SCHEMA = "state_json STRING"
+_HLL_OUT_SCHEMA = (
+    "series STRING, update_seq LONG, n_items LONG, n_regs LONG, "
+    "n_approx DOUBLE"
+)
+_HLL_STREAM_M = 512
+
+
+def _hll_register(item: str) -> tuple[int, int]:
+    """(idx, rho) with the EXACT bit recipe of the batch ts_hll_md5:
+    idx = first 12 md5 bits mod m, rho from the next 60 bits."""
+    import hashlib
+
+    hx = hashlib.md5(item.encode()).hexdigest()
+    idx = int(hx[0:3], 16) % _HLL_STREAM_M
+    w = int(hx[3:18], 16)
+    rho = 61 if w == 0 else 61 - w.bit_length()
+    return idx, rho
+
+
+def _hll_estimate_py(regs: dict) -> float:
+    """The batch query's estimate expression replayed in Python with
+    the same operation order (idx-sorted sequential fold, exact
+    2^-rho terms, linear-counting correction below 2.5m)."""
+    import math
+
+    m = _HLL_STREAM_M
+    s = 0.0
+    for idx in sorted(regs):
+        s = s + 2.0 ** (-regs[idx])
+    n_regs = len(regs)
+    z = m - n_regs
+    raw = (0.7213 / (1.0 + 1.079 / m)) * m * m / (s + z * 1.0)
+    if raw <= 2.5 * m and z > 0:
+        return m * math.log(m * 1.0 / z)
+    return raw
+
+
+def _make_hll_state_fn():
+    import json
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+            regs = {int(k): v for k, v in st["r"].items()}
+            n_items, seq = st["n"], st["s"]
+        else:
+            regs, n_items, seq = {}, 0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks, ignore_index=True)
+            for item in allpdf["item"]:
+                idx, rho = _hll_register(str(item))
+                if rho > regs.get(idx, 0):
+                    regs[idx] = rho
+                n_items += 1
+            seq += 1
+        state.update(
+            (json.dumps({"r": {str(k): v for k, v in regs.items()},
+                         "n": n_items, "s": seq}),)
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "series": key[0],
+                    "update_seq": seq,
+                    "n_items": n_items,
+                    "n_regs": len(regs),
+                    "n_approx": round(_hll_estimate_py(regs), 4),
+                }
+            ]
+        )
+
+    return fn
+
+
+def streaming_hll_distinct(tagged: DataFrame) -> DataFrame:
+    """Streaming distinct count per key (I34): 512 max-merged HLL
+    registers in keyed state — O(m) per key regardless of stream
+    length or cardinality, and because max-merge is order-blind the
+    running estimate equals the batch md5-HLL on the same data
+    exactly. `tagged` needs columns (series, item)."""
+    return tagged.groupBy("series").applyInPandasWithState(
+        _make_hll_state_fn(),
+        outputStructType=_HLL_OUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

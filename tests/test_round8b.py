@@ -1223,3 +1223,62 @@ def test_streaming_hll_equals_batch_hll_md5(spark, sf_small, tmp_path):
                 == series
             ).sum()
         )
+
+
+def test_streaming_cms_equals_batch_sketch(spark, sf_small, tmp_path):
+    """I35: after two micro-batches the streamed CMS point estimates
+    equal the driver-certified batch ts_count_min_sketch for every
+    tracked item (register increments are associative)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.sources.tables import load
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_count_min,
+    )
+
+    events = load(spark, sf_small, "events")
+    tagged = events.select(
+        F.col("event_type").alias("series"),
+        F.col("user_id").cast("string").alias("item"),
+        F.col("event_id").alias("seq"),
+    )
+    split = tagged.agg(F.expr("percentile_approx(seq, 0.5)").alias("m")).first()["m"]
+    log_dir = tmp_path / "cms_log"
+    log_dir.mkdir()
+    tagged.filter(F.col("seq") <= split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b0"))
+    _t.sleep(1.1)
+    tagged.filter(F.col("seq") > split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b1"))
+    stream = (
+        spark.readStream.schema(tagged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_count_min(stream.drop("seq"), tracked=range(20))
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM cms_stream").toPandas()
+    final = out[out["update_seq"] == 2]
+    assert out["update_seq"].max() == 2
+    batch = all_queries()["ts_count_min_sketch"](spark, sf_small).toPandas()
+    got = {
+        (r["series"], int(r["item"])): r["n_cms"]
+        for _, r in final.iterrows()
+    }
+    assert len(batch) > 0
+    for _, r in batch.iterrows():
+        key = (r["event_type"], int(r["user_id"]))
+        assert got[key] == r["n_cms"], key
+        assert got[key] >= r["n_exact"]  # one-sided guarantee survives

@@ -1029,3 +1029,85 @@ def streaming_hll_distinct(tagged: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming count-min sketch (I35): B78's d=4 x w=64 md5 sketch as
+# keyed state — register increments are associative, so after any
+# prefix the streamed sketch equals the batch register table on the
+# same rows; the pytest pins the streaming==batch==oracle triangle
+# the way I34 does for HLL.
+
+_CMS_STATE_SCHEMA = "state_json STRING"
+_CMS_OUT_SCHEMA = (
+    "series STRING, update_seq LONG, item STRING, n_cms LONG"
+)
+_CMS_STREAM_D, _CMS_STREAM_W = 4, 64
+
+
+def _cms_indexes(item: str) -> list[int]:
+    """The d register columns of `item` — byte-identical to the
+    batch recipe (md5('j:' + item) first 8 hex chars mod w)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{j}:{item}".encode()).hexdigest()[:8], 16)
+        % _CMS_STREAM_W
+        for j in range(_CMS_STREAM_D)
+    ]
+
+
+def _make_cms_state_fn(tracked):
+    import json
+
+    tracked = [str(t) for t in tracked]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {
+                "t": [[0] * _CMS_STREAM_W for _ in range(_CMS_STREAM_D)],
+                "s": 0,
+            }
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks, ignore_index=True)
+            for item in allpdf["item"]:
+                for j, idx in enumerate(_cms_indexes(str(item))):
+                    st["t"][j][idx] += 1
+            st["s"] += 1
+        state.update((json.dumps(st),))
+        yield pd.DataFrame(
+            [
+                {
+                    "series": key[0],
+                    "update_seq": st["s"],
+                    "item": t,
+                    "n_cms": min(
+                        st["t"][j][idx]
+                        for j, idx in enumerate(_cms_indexes(t))
+                    ),
+                }
+                for t in tracked
+            ],
+            columns=["series", "update_seq", "item", "n_cms"],
+        )
+
+    return fn
+
+
+def streaming_count_min(tagged: DataFrame, tracked) -> DataFrame:
+    """Streaming CMS frequency estimates per key (I35): 4 x 64
+    registers of keyed state (O(256) per key at any stream length /
+    cardinality), per-batch point estimates (min over the item's d
+    registers) for the tracked item list. `tagged` needs columns
+    (series, item)."""
+    return tagged.groupBy("series").applyInPandasWithState(
+        _make_cms_state_fn(tracked),
+        outputStructType=_CMS_OUT_SCHEMA,
+        stateStructType=_CMS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

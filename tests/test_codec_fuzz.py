@@ -104,3 +104,48 @@ def test_png_bmp_roundtrip_property(h, w, seed):
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     np.testing.assert_array_equal(png_decode(png_encode(img)), img)
     np.testing.assert_array_equal(bmp_decode(bmp_encode(img)), img)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=1),
+    st.binary(min_size=0, max_size=200),
+)
+def test_audio_codecs_reject_hostile_bytes(idx, tail):
+    """AIFF and AU: magic + garbage must raise cleanly or decode a
+    well-formed sample array — never hang or crash."""
+    from timescaledb_event_streamer_spark.operators.aiff_codec import (
+        aiff_decode,
+        au_decode,
+    )
+
+    decoder, magic = [(aiff_decode, b"FORM"), (au_decode, b".snd")][idx]
+    try:
+        arr, rate = decoder(magic + tail)
+    except (ValueError,) + struct_error_types():
+        return
+    assert arr.dtype == np.int16 and rate > 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_audio_truncation_raises_or_roundtrips(data):
+    from timescaledb_event_streamer_spark.operators.aiff_codec import (
+        aiff_decode,
+        aiff_encode,
+        au_decode,
+        au_encode,
+    )
+
+    rng = np.random.default_rng(23)
+    samples = rng.integers(-32768, 32768, size=40, dtype=np.int16)
+    which = data.draw(st.integers(min_value=0, max_value=1))
+    enc, dec = [(aiff_encode, aiff_decode), (au_encode, au_decode)][which]
+    full = enc(samples, 8000)
+    cut = data.draw(st.integers(min_value=4, max_value=len(full) - 1))
+    try:
+        arr, rate = dec(bytes(full[:cut]))
+    except (ValueError,) + struct_error_types():
+        return
+    # a prefix that still decodes must carry a PREFIX of the samples
+    np.testing.assert_array_equal(arr[:, 0], samples[: len(arr)])

@@ -149,3 +149,47 @@ def test_audio_truncation_raises_or_roundtrips(data):
         return
     # a prefix that still decodes must carry a PREFIX of the samples
     np.testing.assert_array_equal(arr[:, 0], samples[: len(arr)])
+
+
+def test_tiff_hostile_ifd_count_rejected_without_allocation():
+    """A crafted 32-bit IFD value count (0xFFFFFFFF) must raise a
+    clean ValueError BEFORE any format string proportional to the
+    count is built — the r9 fix for the memory-exhaustion hang."""
+    import struct as _struct
+    import time as _time
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    from timescaledb_event_streamer_spark.operators.tiff_codec import (
+        tiff_encode,
+    )
+
+    data = bytearray(tiff_encode(img, rows_per_strip=2))  # 2 strips
+    # entry 6 (index 5) is StripOffsets: tag at ifd_off+2+12*5 = 70,
+    # its count field 4 bytes in
+    assert _struct.unpack_from("<H", data, 70)[0] == 273
+    _struct.pack_into("<I", data, 74, 0xFFFFFFFF)
+    t0 = _time.time()
+    with pytest.raises(ValueError, match="truncated TIFF value array"):
+        tiff_decode(bytes(data))
+    assert _time.time() - t0 < 1.0  # no multi-GB fmt-string build
+
+
+def test_tiff_missing_required_strip_tags_raise_valueerror():
+    """A TIFF without StripOffsets/StripByteCounts must keep the
+    ValueError-only contract of the decode seam (was KeyError)."""
+    import struct as _struct
+
+    e = "<"
+    entries = b"".join(
+        _struct.pack(e + "HHII", tag, 4, 1, val)
+        for tag, val in ((256, 3), (257, 4))  # width/height only
+    )
+    payload = (
+        _struct.pack(e + "2sHI", b"II", 42, 8)
+        + _struct.pack(e + "H", 2)
+        + entries
+        + _struct.pack(e + "I", 0)
+    )
+    with pytest.raises(ValueError, match="missing required tag"):
+        tiff_decode(payload)

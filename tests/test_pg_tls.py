@@ -62,10 +62,19 @@ class _TlsScramServer(_ScramServer):
             self.request.close()
 
 
+class _QuietTCPServer(socketserver.TCPServer):
+    """Clients that deliberately abort the TLS handshake (the
+    verify-rejects-self-signed test) kill the handler with an SSL
+    error — expected, keep it off the pytest stream."""
+
+    def handle_error(self, request, client_address):
+        pass
+
+
 @pytest.fixture()
 def tls_scram_server(certpair):
     key, cert = certpair
-    srv = socketserver.TCPServer(("127.0.0.1", 0), _TlsScramServer)
+    srv = _QuietTCPServer(("127.0.0.1", 0), _TlsScramServer)
     srv.key, srv.cert = key, cert
     t = threading.Thread(target=srv.handle_request, daemon=True)
     t.start()
@@ -76,7 +85,9 @@ def tls_scram_server(certpair):
 def test_feeder_scram_over_tls_end_to_end(tls_scram_server, tmp_path):
     host, port = tls_scram_server.server_address
     with socket.create_connection((host, port), timeout=10) as raw:
-        conn = negotiate_tls(raw, "require", server_hostname="localhost")
+        conn = negotiate_tls(
+            raw, "require", server_hostname="localhost", verify=False
+        )
         assert isinstance(conn, ssl.SSLSocket)
         feeder = ReplicationFeeder(conn, landing_dir=str(tmp_path))
         session = feeder.authenticate(
@@ -106,6 +117,18 @@ def test_verifying_context_accepts_own_ca(tls_scram_server, certpair):
             "repl_user", "postgres", password=_ScramServer.PASSWORD
         )
         assert session["auth"] == "scram-sha-256"
+
+
+def test_default_verify_rejects_self_signed(tls_scram_server):
+    """The secure-by-default contract: with no caller context and no
+    explicit verify=False, negotiate_tls authenticates the server
+    (system CA bundle + hostname), so a self-signed cert FAILS the
+    handshake instead of silently encrypting to an unauthenticated
+    peer."""
+    host, port = tls_scram_server.server_address
+    with socket.create_connection((host, port), timeout=10) as raw:
+        with pytest.raises(ssl.SSLCertVerificationError):
+            negotiate_tls(raw, "require", server_hostname="localhost")
 
 
 class _RefusingServer(socketserver.BaseRequestHandler):

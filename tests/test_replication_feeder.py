@@ -353,9 +353,18 @@ class _FlakySession(_GoldenSession):
             pass
 
 
+class _QuietThreadingTCPServer(socketserver.ThreadingTCPServer):
+    """The deliberate mid-frame cut makes the handler thread die on
+    ConnectionReset/BrokenPipe — expected, so don't let the stdlib
+    print its unhandled-exception block onto the pytest stream."""
+
+    def handle_error(self, request, client_address):
+        pass
+
+
 @pytest.fixture()
 def flaky_server():
-    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _FlakySession)
+    srv = _QuietThreadingTCPServer(("127.0.0.1", 0), _FlakySession)
     srv.daemon_threads = True
     srv.attempts, srv.start_commands = 0, []
     srv.lock = threading.Lock()

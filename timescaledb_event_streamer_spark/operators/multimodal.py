@@ -291,9 +291,11 @@ MAGIC_SIGNATURES = (
     ("49492A00", "tiff"),
     ("4D4D002A", "tiff"),
     ("52494646", "riff"),  # WAV/AVI/WebP share the RIFF container
-    ("41494646", "aiff", 16),
+    # 'AIFF' at byte 8 (hex offset 16), corroborated by the 'FORM'
+    # group magic at byte 0 — same short-magic plausibility rule as
+    # the BMP DIB-size check above.
+    ("41494646", "aiff", 16, ("464F524D", 0)),
     ("2E736E64", "au"),  # Sun/NeXT '.snd'
-  # 'AIFF' at byte 8 (hex offset 16) in a FORM group
     ("66747970", "mp4", 8),  # 'ftyp' at byte offset 4
     ("494433", "mp3"),
     ("1A45DFA3", "webm"),
@@ -316,10 +318,13 @@ def sniff_format(payload_col) -> "F.Column":
     for sig in reversed(MAGIC_SIGNATURES):
         pattern, name = sig[0], sig[1]
         offset = sig[2] if len(sig) > 2 else 0
-        expr = F.when(
-            head.substr(F.lit(offset + 1), F.lit(len(pattern))) == pattern,
-            F.lit(name),
-        ).otherwise(expr)
+        cond = head.substr(F.lit(offset + 1), F.lit(len(pattern))) == pattern
+        if len(sig) > 3:  # corroborating magic at a second offset
+            corr_hex, corr_off = sig[3]
+            cond = cond & (
+                head.substr(F.lit(corr_off + 1), F.lit(len(corr_hex))) == corr_hex
+            )
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
     return expr
 
 

@@ -133,13 +133,18 @@ def tiff_decode(data: bytes) -> np.ndarray:
         return tags[tag][2]
 
     def arr(tag: int, etype_size: int):
+        if tag not in tags:
+            raise ValueError(f"TIFF missing required tag {tag}")
         etype, cnt, raw = tags[tag]
         if cnt == 1:
             return [raw]
-        fmt = e + ("H" if etype == _TYPE_SHORT else "I") * cnt
-        need = raw + struct.calcsize(fmt)
-        if len(data) < need:
+        # bound cnt against the payload BEFORE building the struct
+        # format string: an untrusted 32-bit count of 0xFFFFFFFF
+        # would otherwise allocate a multi-GB format string.
+        size = 2 if etype == _TYPE_SHORT else 4
+        if cnt > len(data) or raw + cnt * size > len(data):
             raise ValueError(f"truncated TIFF value array for tag {tag}")
+        fmt = e + ("H" if etype == _TYPE_SHORT else "I") * cnt
         return list(struct.unpack_from(fmt, data, raw))
 
     w, h = val(_T_WIDTH), val(_T_HEIGHT)

@@ -23,6 +23,9 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.ui.enabled": "false",
+    # keep stage-progress control characters off stderr so the bench
+    # artifact's tail starts at the JSON line
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

@@ -375,7 +375,7 @@ SSL_REQUEST_CODE = 80877103
 
 
 def negotiate_tls(sock, sslmode: str = "require", context=None,
-                  server_hostname: str | None = None):
+                  server_hostname: str | None = None, verify: bool = True):
     """The pre-startup SSLRequest dance (reference: pgconn performs
     this inside Connect when sslmode asks for it): send the 8-byte
     SSLRequest, read the single-byte answer, and TLS-wrap the socket
@@ -385,10 +385,12 @@ def negotiate_tls(sock, sslmode: str = "require", context=None,
     sslmode follows libpq semantics for the three modes a feeder
     deployment uses:
 
-    - ``"require"``: the server MUST answer 'S'; without a caller
-      context the wrap encrypts but does not verify the peer
-      (exactly libpq's sslmode=require) — pass an ``ssl.SSLContext``
-      with a CA loaded for verify-ca/verify-full behavior;
+    - ``"require"``: the server MUST answer 'S'. Peer verification
+      is ON by default (system CA bundle + hostname check — libpq's
+      verify-full); pass an ``ssl.SSLContext`` with your own CA for
+      verify-ca against a private CA, or ``verify=False`` to get
+      libpq's literal sslmode=require (encrypt, do NOT authenticate
+      the server — MITM-able, so it must be asked for explicitly);
     - ``"prefer"``: 'S' wraps, 'N' continues in cleartext;
     - ``"disable"``: no bytes sent, socket returned untouched.
     """
@@ -403,9 +405,12 @@ def negotiate_tls(sock, sslmode: str = "require", context=None,
     answer = sock.recv(1)
     if answer == b"S":
         if context is None:
-            context = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
-            context.check_hostname = False
-            context.verify_mode = _ssl.CERT_NONE
+            if verify:
+                context = _ssl.create_default_context()
+            else:
+                context = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+                context.check_hostname = False
+                context.verify_mode = _ssl.CERT_NONE
         return context.wrap_socket(
             sock, server_hostname=server_hostname or "postgres"
         )

@@ -669,7 +669,7 @@ def _p2_update(st: dict, x: float, p: float) -> None:
         n[i] += 1
     desired = [
         1,
-        1 + 2 * p * (st["count"] - 1) / 2.0,
+        1 + p * (st["count"] - 1) / 2.0,
         1 + p * (st["count"] - 1),
         1 + (1 + p) * (st["count"] - 1) / 2.0,
         float(st["count"]),

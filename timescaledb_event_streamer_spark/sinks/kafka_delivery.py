@@ -1,0 +1,256 @@
+"""Kafka sink delivery loop (H17) — the transport behind the
+reference's `internal/eventing/sink/kafka/kafka.go`, re-expressed the
+H15 way: delivery happens INSIDE foreachPartition on the executors,
+each partition opens its own broker connection and produces its rows,
+a failed/refused produce raises and fails the Spark task, and task
+retry + checkpoint replay give the reference's at-least-once contract
+(sarama SyncProducer with Producer.Return.Successes=true).
+
+Reference semantics carried over exactly:
+
+- acks=1 (`RequiredAcks = sarama.WaitForLocal`, kafka.go:50)
+- up to 10 retries on retriable broker error codes
+  (`Producer.Retry.Max = 10`, kafka.go:51)
+- message = (key, envelope, event timestamp) per topic
+  (kafka.go Emit: ByteEncoder(keyData/envelopeData) + Timestamp)
+- non-retriable error or retry exhaustion propagates (SendMessage's
+  returned err fails the sink)
+
+The wire bytes come from kafka_wire.py (magic-2 RecordBatch +
+ProduceRequest v3); rows arrive in the (key, value, topic) shape
+`writers.kafka_shaped` produces. Partitioning: murmur-free modulo of
+the key's CRC32C over n_partitions — deterministic and documented
+(a deployment fronted by real Kafka uses the broker's partitioner via
+the Spark Kafka connector; this loop is the connector-free path the
+reference embeds)."""
+
+from __future__ import annotations
+
+import socket
+import struct
+import time
+
+from pyspark.sql import DataFrame
+
+from timescaledb_event_streamer_spark.sinks.kafka_wire import (
+    RETRIABLE_ERRORS,
+    crc32c,
+    decode_produce_response,
+    encode_produce_request,
+    encode_record_batch,
+)
+
+#: reference kafka.go:46 — sarama config ClientID
+CLIENT_ID = "event-stream-prototype"
+MAX_RETRIES = 10
+
+
+class KafkaDeliveryError(RuntimeError):
+    """Non-retriable broker error or retry exhaustion — fails the
+    Spark task (at-least-once retry, like sarama's returned err)."""
+
+
+def _recv_frame(sock: socket.socket) -> bytes:
+    head = b""
+    while len(head) < 4:
+        chunk = sock.recv(4 - len(head))
+        if not chunk:
+            raise ConnectionError("broker closed mid-frame")
+        head += chunk
+    (size,) = struct.unpack(">i", head)
+    body = b""
+    while len(body) < size:
+        chunk = sock.recv(size - len(body))
+        if not chunk:
+            raise ConnectionError("broker closed mid-frame")
+        body += chunk
+    return head + body
+
+
+class KafkaProducer:
+    """One connection to one broker; synchronous produce with the
+    reference's ack + retry semantics. Lives executor-side inside
+    foreachPartition — import-light, stdlib-only."""
+
+    def __init__(
+        self,
+        broker: tuple[str, int],
+        *,
+        acks: int = 1,
+        timeout_s: float = 10.0,
+        n_partitions: int = 1,
+        max_retries: int = MAX_RETRIES,
+        retry_backoff_s: float = 0.05,
+    ) -> None:
+        self.broker = broker
+        self.acks = acks
+        self.timeout_s = timeout_s
+        self.n_partitions = n_partitions
+        self.max_retries = max_retries
+        self.retry_backoff_s = retry_backoff_s
+        self._sock: socket.socket | None = None
+        self._correlation = 0
+
+    # -- connection management ---------------------------------------
+    def _connect(self) -> socket.socket:
+        if self._sock is None:
+            self._sock = socket.create_connection(
+                self.broker, timeout=self.timeout_s
+            )
+        return self._sock
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+
+    def __enter__(self) -> "KafkaProducer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- partitioning -------------------------------------------------
+    def partition_for(self, key: bytes | None) -> int:
+        if key is None or self.n_partitions == 1:
+            return 0
+        return crc32c(key) % self.n_partitions
+
+    # -- produce ------------------------------------------------------
+    def send_batch(
+        self, topic: str, messages: list[tuple[bytes | None, bytes | None, int]]
+    ) -> dict[int, int]:
+        """Produce [(key, value, timestamp_ms)] to `topic`, grouped by
+        partition; waits for the ack (acks=1) and retries retriable
+        error codes with backoff. Returns {partition: base_offset}."""
+        if not messages:
+            return {}
+        by_partition: dict[int, list] = {}
+        for key, value, ts in messages:
+            by_partition.setdefault(self.partition_for(key), []).append(
+                (key, value, ts)
+            )
+        offsets: dict[int, int] = {}
+        for partition, msgs in by_partition.items():
+            offsets[partition] = self._produce_one(topic, partition, msgs)
+        return offsets
+
+    def _produce_one(self, topic: str, partition: int, msgs: list) -> int:
+        batch = encode_record_batch(msgs)
+        last_error: int | str = "no attempt"
+        for attempt in range(self.max_retries + 1):
+            self._correlation += 1
+            frame = encode_produce_request(
+                self._correlation,
+                CLIENT_ID,
+                {topic: {partition: batch}},
+                acks=self.acks,
+                timeout_ms=int(self.timeout_s * 1000),
+            )
+            try:
+                sock = self._connect()
+                sock.sendall(frame)
+                if self.acks == 0:  # fire-and-forget: no response frame
+                    return -1
+                resp = decode_produce_response(_recv_frame(sock))
+            except (ConnectionError, OSError) as e:
+                # broken broker connection is retriable: reconnect
+                self.close()
+                last_error = f"transport: {e}"
+                time.sleep(self.retry_backoff_s * (attempt + 1))
+                continue
+            if resp["correlation_id"] != self._correlation:
+                raise KafkaDeliveryError(
+                    f"correlation mismatch {resp['correlation_id']}"
+                    f" != {self._correlation}"
+                )
+            error_code, base_offset = resp["results"][topic][partition]
+            if error_code == 0:
+                return base_offset
+            if error_code not in RETRIABLE_ERRORS:
+                raise KafkaDeliveryError(
+                    f"kafka: broker error {error_code} on"
+                    f" {topic}/{partition}"
+                )
+            last_error = error_code
+            time.sleep(self.retry_backoff_s * (attempt + 1))
+        raise KafkaDeliveryError(
+            f"kafka: retries exhausted on {topic}/{partition}"
+            f" (last error {last_error})"
+        )
+
+
+def produce_rows(
+    rows,
+    broker: tuple[str, int],
+    *,
+    n_partitions: int = 1,
+    acks: int = 1,
+    batch_size: int = 500,
+) -> int:
+    """Executor-side partition body: rows in the kafka_shaped
+    (key, value, topic[, ts_ms]) contract -> produce frames, batched
+    per topic. Returns the delivered count. Any delivery error raises
+    and fails the task."""
+    delivered = 0
+    with KafkaProducer(
+        broker, acks=acks, n_partitions=n_partitions
+    ) as producer:
+        pending: dict[str, list] = {}
+        for row in rows:
+            d = row.asDict() if hasattr(row, "asDict") else dict(row)
+            key = bytes(d["key"]) if d.get("key") is not None else None
+            value = bytes(d["value"]) if d.get("value") is not None else None
+            ts = int(d.get("ts_ms") or 0)
+            pending.setdefault(d["topic"], []).append((key, value, ts))
+            if len(pending[d["topic"]]) >= batch_size:
+                producer.send_batch(d["topic"], pending.pop(d["topic"]))
+                delivered += batch_size
+        for topic, msgs in pending.items():
+            producer.send_batch(topic, msgs)
+            delivered += len(msgs)
+    return delivered
+
+
+def kafka_sink_batch(
+    df: DataFrame,
+    broker: tuple[str, int],
+    *,
+    n_partitions: int = 1,
+    acks: int = 1,
+) -> None:
+    """Deliver one (micro-)batch: executor-parallel foreachPartition,
+    one broker connection per partition (the H15 shape)."""
+    df.foreachPartition(
+        lambda rows: produce_rows(
+            rows, broker, n_partitions=n_partitions, acks=acks
+        )
+    )
+
+
+def kafka_sink_stream(
+    df: DataFrame,
+    broker: tuple[str, int],
+    *,
+    n_partitions: int = 1,
+    checkpoint_dir: str | None = None,
+    query_name: str = "kafka_sink",
+):
+    """writeStream wiring: foreachBatch -> executor-parallel produce.
+    With a checkpoint dir a crashed batch replays on restart —
+    at-least-once, deduped downstream on (topic, key, lsn) identity
+    exactly as the reference documents for its sinks."""
+    writer = (
+        df.writeStream.queryName(query_name)
+        .foreachBatch(
+            lambda b, _id: kafka_sink_batch(
+                b, broker, n_partitions=n_partitions
+            )
+        )
+        .outputMode("append")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -1,0 +1,83 @@
+"""Semantic pins for the round-9 additions.
+
+ts_kama is checked against the textbook KAMA recursion run literally
+in pure Python (independent of the query's fold algebra), and its
+regime-adaptivity property (trending ER -> fast tracking, choppy ER
+-> heavy smoothing) is asserted on constructed series.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tests.test_round8b import _daily_close
+from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+_N = 10
+_FAST = 2.0 / 3.0
+_SLOW = 2.0 / 31.0
+
+
+def _pure_python_kama(cc: np.ndarray) -> tuple[list, list]:
+    """The public Kaufman formulation, run step by step."""
+    ers, kamas = [], []
+    kama = None
+    for t in range(_N, len(cc)):
+        signal = abs(cc[t] - cc[t - _N])
+        noise = sum(
+            abs(cc[i] - cc[i - 1]) for i in range(max(t - _N + 1, 1), t + 1)
+        )
+        er = signal / noise if noise > 0 else 0.0
+        if kama is None:
+            kama = float(cc[t])
+        else:
+            sc = (er * (_FAST - _SLOW) + _SLOW) ** 2
+            kama = kama + sc * (cc[t] - kama)
+        ers.append(er)
+        kamas.append(kama)
+    return ers, kamas
+
+
+def test_kama_matches_textbook_recursion(spark, sf_small):
+    out = (
+        all_queries()["ts_kama"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    for series, grp in daily.groupby("event_type"):
+        cc = grp.sort_values("day_s")["cc"].to_numpy(dtype=float)
+        want_er, want_kama = _pure_python_kama(cc)
+        got = out[out["series"] == series]
+        assert len(got) == max(len(cc) - _N, 0)
+        np.testing.assert_allclose(
+            got["efficiency_ratio"].to_numpy(), np.round(want_er, 6),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            got["kama_cents"].to_numpy(), want_kama, rtol=1e-9, atol=1e-6
+        )
+        # KAMA stays inside the running price envelope
+        assert (got["kama_cents"] >= cc.min() - 1e-6).all()
+        assert (got["kama_cents"] <= cc.max() + 1e-6).all()
+
+
+def test_kama_adapts_to_regime(spark, sf_small):
+    """The defining KAMA property: on a pure trend (ER=1) it tracks
+    at the fast alpha; on pure chop (ER~0) it barely moves."""
+    trend = np.arange(100, dtype=float) * 100  # monotone: ER = 1
+    _, kama_t = _pure_python_kama(trend)
+    # fast smoothing constant: sc = fast^2 = (2/3)^2; after a while the
+    # lag behind a linear trend converges to step * (1-sc)/sc
+    step = 100.0
+    sc_fast = _FAST**2
+    expected_lag = step * (1 - sc_fast) / sc_fast
+    assert abs((trend[-1] - kama_t[-1]) - expected_lag) < 1.0
+
+    chop = np.array([1000.0, 1100.0] * 50)  # alternating: signal ~ 0
+    ers_c, kama_c = _pure_python_kama(chop)
+    assert max(ers_c) <= 0.12  # chop: ER pinned near zero
+    # smoothing is near the slow alpha: the average barely drifts from
+    # its seed relative to the oscillation amplitude
+    assert abs(kama_c[-1] - kama_c[0]) < 25.0

@@ -145,6 +145,8 @@ _BNLJ_OK = {
     "corpus_vocab_coverage",  # single-row broadcast corpus totals
     "corpus_quality_strata",  # single-row broadcast N + cuts array
     "ann_nprobe_sweep",  # single-row broadcast query vector / totals
+    "ann_ivfpq_nprobe_sweep",  # same: <=100-row broadcast seed assign
+    #   + 1-row query/total broadcasts per sweep branch
     "corpus_mixture_entropy",  # single-row broadcast totals / fold rows
 }
 

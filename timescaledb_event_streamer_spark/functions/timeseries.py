@@ -88,6 +88,92 @@ def gapfill_buckets_auto(
     return grid.join(df, on=[*keys, bucket_col], how="left")
 
 
+def gapfill_locf_folded(
+    df: DataFrame,
+    key: str,
+    bucket_col: str,
+    value_col: str,
+    width_s: int,
+    out_col: str,
+) -> DataFrame:
+    """``gapfill_buckets_auto`` + ``locf`` fused into ONE per-key
+    in-row fold (r9, the ts_gapfill_locf drift fix): instead of
+    materializing the dense grid, left-joining the data back and
+    LOCF-ing with a sort+window over the whole grid, each key packs
+    its sparse (bucket -> value) map in a single shuffle, the dense
+    bucket sequence is generated IN-ROW from the broadcast 1-row
+    global bounds, and the carry-forward is a sequential array fold
+    (pure codegen). Identical output values — gaps before the first
+    observation stay NULL — with one exchange, no global sort and no
+    join-back; at scale the work per key is bounded by the calendar
+    span, exactly like the grid form, minus two operators.
+
+    The carry-forward is expressed as SEGMENTS, not per-day steps:
+    observation i holds from its own bucket until observation i+1
+    (the last one until the global hi), and the leading gap before
+    the first observation emits NULLs — linear in total days, no
+    growing accumulator.
+
+    ``df`` must be bucket-grain (one row per key x bucket); callers
+    should ``persist()`` it since bounds + fold both scan it.
+    """
+    bounds = df.agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    per_key = df.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(F.struct(bucket_col, value_col))
+        ).alias("_obs")
+    )
+    obs, lo, hi = F.col("_obs"), F.col("_lo"), F.col("_hi")
+    n = F.size(obs)
+    width = F.lit(width_s)
+    first_b = F.element_at(obs, 1)[bucket_col]
+    # leading NULL run [lo, first) — guard: sequence() demands
+    # start <= stop for a positive step
+    lead = F.when(
+        first_b > lo,
+        F.transform(
+            F.sequence(lo, first_b - width, width),
+            lambda d: F.struct(
+                d.alias(bucket_col),
+                F.lit(None).cast("double").alias("_v"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(f"array<struct<{bucket_col}:bigint,_v:double>>")
+    )
+    # observation i covers [obs[i].bucket, next_bucket) where
+    # next_bucket = obs[i+1].bucket, or hi + width for the last one
+    segs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.transform(
+                F.sequence(
+                    F.element_at(obs, i)[bucket_col],
+                    F.when(
+                        i < n, F.element_at(obs, i + 1)[bucket_col]
+                    ).otherwise(hi + width)
+                    - width,
+                    width,
+                ),
+                lambda d: F.struct(
+                    d.alias(bucket_col),
+                    F.element_at(obs, i)[value_col].alias("_v"),
+                ),
+            ),
+        )
+    )
+    filled = per_key.crossJoin(F.broadcast(bounds)).select(
+        key, F.concat(lead, segs).alias("_arr")
+    )
+    return filled.select(key, F.explode("_arr").alias("_x")).select(
+        key,
+        F.col(f"_x.{bucket_col}").alias(bucket_col),
+        F.col("_x._v").alias(out_col),
+    )
+
+
 def locf(df: DataFrame, keys: list[str], bucket_col: str, value_cols: list[str]) -> DataFrame:
     """Last-observation-carried-forward over the bucket grid
     (TimescaleDB ``locf()`` inside gapfill)."""

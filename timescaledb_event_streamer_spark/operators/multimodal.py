@@ -145,8 +145,9 @@ def _real_decode_image(payload: bytes) -> np.ndarray:
     if raw.startswith(TIFF_MAGICS):
         return tiff_decode(raw)
     raise NotImplementedError(
-        "real decode beyond PNG/JPEG/GIF/BMP/TIFF (video/audio) requires a "
-        "codec library (ffmpeg/torchaudio); plug it in here"
+        "real decode beyond PNG/JPEG/GIF/BMP/TIFF images (and WAV/AIFF/"
+        "AU/FLAC audio via their codecs) requires a codec library for "
+        "LOSSY formats (ffmpeg/torchaudio); plug it in here"
     )
 
 
@@ -296,6 +297,7 @@ MAGIC_SIGNATURES = (
     # the BMP DIB-size check above.
     ("41494646", "aiff", 16, ("464F524D", 0)),
     ("2E736E64", "au"),  # Sun/NeXT '.snd'
+    ("664C6143", "flac"),  # 'fLaC' (G14, entropy-coded audio)
     ("66747970", "mp4", 8),  # 'ftyp' at byte offset 4
     ("494433", "mp3"),
     ("1A45DFA3", "webm"),

@@ -81,3 +81,74 @@ def test_kama_adapts_to_regime(spark, sf_small):
     # smoothing is near the slow alpha: the average barely drifts from
     # its seed relative to the oscillation amplitude
     assert abs(kama_c[-1] - kama_c[0]) < 25.0
+
+
+def test_streaming_kama_matches_batch(spark, sf_small, tmp_path):
+    """I36: KAMA's recursion needs the previous day's OUTPUT plus the
+    rolling ER window, so it streams as keyed applyInPandasWithState.
+    Daily close partials are fed in TWO time-ordered micro-batches so
+    both the kama value and the (N+1)-close buffer must genuinely
+    cross a batch boundary; the result must equal the batch ts_kama
+    query row-for-row."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_kama,
+    )
+
+    daily = _daily_ohlcv(spark, sf_small).select("series", "day_s", "cc")
+    split_day = daily.agg(
+        F.expr("percentile_approx(day_s, 0.5)").alias("m")
+    ).first()["m"]
+    log_dir = tmp_path / "kama_log"
+    log_dir.mkdir()
+    daily.filter(F.col("day_s") <= split_day).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b0"))
+    _t.sleep(1.1)
+    daily.filter(F.col("day_s") > split_day).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b1"))
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_kama(stream)
+        .writeStream.format("memory")
+        .queryName("kama_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["day_s"]): (
+            r["close_cents"], r["efficiency_ratio"], r["kama_cents"],
+            r["above_kama"],
+        )
+        for r in spark.sql("SELECT * FROM kama_stream").collect()
+    }
+    want = {
+        (r["series"], r["day_s"]): (
+            r["close_cents"], r["efficiency_ratio"], r["kama_cents"],
+            r["above_kama"],
+        )
+        for r in all_queries()["ts_kama"](spark, sf_small).collect()
+    }
+    assert len(got) == len(want) > 0
+    for k, g in got.items():
+        w = want[k]
+        assert g[0] == w[0], k  # exact integer close
+        assert g[3] == w[3], k  # above/below flag
+        # the query output is scale-6-rounded; the streamed floats are
+        # raw — compare after the same rounding
+        np.testing.assert_allclose(round(g[1] * 1e6) / 1e6, w[1], atol=1e-9)
+        np.testing.assert_allclose(round(g[2] * 1e6) / 1e6, w[2], atol=1e-9)

@@ -1111,3 +1111,89 @@ def streaming_count_min(tagged: DataFrame, tracked) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming KAMA (I36): the live form of ts_kama (B97). Like
+# Heikin-Ashi (I28) the recursion needs the previous day's OUTPUT, so
+# it streams as keyed applyInPandasWithState; unlike I28 the state
+# also carries the rolling (N+1)-close window that feeds Kaufman's
+# efficiency ratio — still O(N) per key at any stream length.
+
+_KAMA_N = 10
+_KAMA_FAST = 2.0 / 3.0
+_KAMA_SLOW = 2.0 / 31.0
+_KAMA_STATE_SCHEMA = "state_json STRING"
+_KAMA_OUT_SCHEMA = (
+    "series STRING, day_s LONG, close_cents LONG, "
+    "efficiency_ratio DOUBLE, kama_cents DOUBLE, above_kama BOOLEAN"
+)
+
+
+def _kama_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json
+
+    if state.exists:
+        st = json.loads(state.get[0])
+    else:
+        st = {"d": None, "k": None, "buf": []}
+    rows = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allpdf = pd.concat(chunks, ignore_index=True).sort_values("day_s")
+        for r in allpdf.itertuples():
+            if st["d"] is not None and r.day_s <= st["d"]:
+                continue  # replayed/duplicate day partial
+            cc = int(r.cc)
+            st["buf"].append(cc)
+            if len(st["buf"]) > _KAMA_N + 1:
+                st["buf"] = st["buf"][-(_KAMA_N + 1) :]
+            st["d"] = int(r.day_s)
+            if len(st["buf"]) <= _KAMA_N:
+                continue  # ER not yet computable: no output (rn <= N)
+            buf = st["buf"]
+            noise = sum(
+                abs(buf[i] - buf[i - 1]) for i in range(1, len(buf))
+            )
+            er = abs(cc - buf[0]) / noise if noise > 0 else 0.0
+            if st["k"] is None:
+                kama = float(cc)
+            else:
+                sc = er * (_KAMA_FAST - _KAMA_SLOW) + _KAMA_SLOW
+                kama = st["k"] + (sc * sc) * (cc - st["k"])
+            st["k"] = kama
+            rows.append(
+                {
+                    "series": key[0],
+                    "day_s": int(r.day_s),
+                    "close_cents": cc,
+                    "efficiency_ratio": er,
+                    "kama_cents": kama,
+                    "above_kama": cc > kama,
+                }
+            )
+    state.update((json.dumps(st),))
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "series", "day_s", "close_cents",
+            "efficiency_ratio", "kama_cents", "above_kama",
+        ],
+    )
+
+
+def streaming_kama(daily: DataFrame) -> DataFrame:
+    """Kaufman adaptive moving average over a stream of daily close
+    partials (I36): keyed state carries (last_day, kama, rolling
+    N+1-close window) across micro-batches; output starts at the
+    first ER-computable day exactly like the batch form, replayed
+    days are idempotently skipped. `daily` needs columns
+    (series, day_s, cc) with cc in integer cents."""
+    return daily.groupBy("series").applyInPandasWithState(
+        _kama_state_fn,
+        outputStructType=_KAMA_OUT_SCHEMA,
+        stateStructType=_KAMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -152,3 +152,58 @@ def test_streaming_kama_matches_batch(spark, sf_small, tmp_path):
         # raw — compare after the same rounding
         np.testing.assert_allclose(round(g[1] * 1e6) / 1e6, w[1], atol=1e-9)
         np.testing.assert_allclose(round(g[2] * 1e6) / 1e6, w[2], atol=1e-9)
+
+
+def test_supertrend_matches_textbook_recursion(spark, sf_small):
+    """B101: the literal supertrend recursion (carried bands + trend
+    + prev close) run step by step in Python equals the query's fold
+    algebra."""
+    out = (
+        all_queries()["ts_supertrend"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    n, m = 10, 3.0
+    for series, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day_s").reset_index(drop=True)
+        hc, lc, cc = (
+            grp["hc"].to_numpy(float),
+            grp["lc"].to_numpy(float),
+            grp["cc"].to_numpy(float),
+        )
+        tr = [None] + [
+            max(
+                hc[i] - lc[i],
+                abs(hc[i] - cc[i - 1]),
+                abs(lc[i] - cc[i - 1]),
+            )
+            for i in range(1, len(grp))
+        ]
+        rows = []
+        fub = flb = trend = pc = None
+        for i in range(n, len(grp)):
+            atr = sum(tr[i - n + 1 : i + 1]) / n
+            hl2 = (hc[i] + lc[i]) / 2.0
+            bub, blb = hl2 + m * atr, hl2 - m * atr
+            if trend is None:
+                fub, flb = bub, blb
+                trend = "up" if cc[i] >= hl2 else "down"
+            else:
+                fub = bub if (bub < fub or pc > fub) else fub
+                flb = blb if (blb > flb or pc < flb) else flb
+                if trend == "up":
+                    trend = "down" if cc[i] < flb else "up"
+                else:
+                    trend = "up" if cc[i] > fub else "down"
+            pc = cc[i]
+            rows.append((grp["day_s"][i], fub, flb, trend))
+        got = out[out["series"] == series].reset_index(drop=True)
+        assert len(got) == len(rows)
+        for j, (day_s, fub, flb, trend) in enumerate(rows):
+            assert got["day_s"][j] == day_s
+            assert got["trend"][j] == trend, (series, day_s)
+            np.testing.assert_allclose(got["final_upper"][j], fub, atol=1e-6)
+            np.testing.assert_allclose(got["final_lower"][j], flb, atol=1e-6)
+            want_st = flb if trend == "up" else fub
+            np.testing.assert_allclose(got["supertrend"][j], want_st, atol=1e-6)

@@ -499,3 +499,486 @@ def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scan_fraction"),
         "recall_at_k",
     )
+
+
+# ---------------------------------------------------------------------------
+# B98 ts_keltner_channels — EMA-free Keltner (SMA center + ATR bands)
+
+_KC_SMA, _KC_ATR, _KC_MULT = 20, 10, 2
+
+
+@register(
+    "ts_keltner_channels",
+    family="timeseries",
+    doc="Keltner channels (B98, the B72/B82 volatility-band family): "
+    "center = 20-day SMA of the typical price (hc+lc+cc kept as an "
+    "exact integer THIRD-sum so the window sum stays associative "
+    "BIGINT arithmetic; one double division by 60 at the end), band "
+    "width = 2 x the 10-day SMA ATR (B82's integer true-range sum), "
+    "breach flags on the exact integer close vs the rounded bands. "
+    "Day-grain windows per series; every float is a single "
+    "fixed-order expression identical on both engines.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        tr AS (
+            SELECT series, day_s, hc, lc, cc,
+                   hc + lc + cc AS tp3,
+                   greatest(
+                       hc - lc,
+                       abs(hc - lag(cc) OVER w),
+                       abs(lc - lag(cc) OVER w)
+                   ) AS tr_c,
+                   row_number() OVER w AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        ),
+        b AS (
+            SELECT series, day_s, cc, rn,
+                   CAST(sum(tp3) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_KC_SMA - 1} PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) / {_KC_SMA * 3}.0 AS center,
+                   CAST(sum(tr_c) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_KC_ATR - 1} PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) / {_KC_ATR}.0 AS atr
+            FROM tr
+        )
+        SELECT series, day_s,
+               round(center * 1000000.0, 0) / 1000000.0 AS center_cents,
+               round(atr * 1000000.0, 0) / 1000000.0 AS atr_cents,
+               round((center + {_KC_MULT}.0 * atr) * 1000000.0, 0)
+                   / 1000000.0 AS upper_cents,
+               round((center - {_KC_MULT}.0 * atr) * 1000000.0, 0)
+                   / 1000000.0 AS lower_cents,
+               cc > center + {_KC_MULT}.0 * atr AS above_upper,
+               cc < center - {_KC_MULT}.0 * atr AS below_lower
+        FROM b WHERE rn > {_KC_SMA}
+    """,
+)
+def ts_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("day_s")
+    prev_c = F.lag("cc").over(w)
+    tr = daily.select(
+        "series",
+        "day_s",
+        "cc",
+        (F.col("hc") + F.col("lc") + F.col("cc")).alias("tp3"),
+        F.greatest(
+            F.col("hc") - F.col("lc"),
+            F.abs(F.col("hc") - prev_c),
+            F.abs(F.col("lc") - prev_c),
+        ).alias("tr_c"),
+        F.row_number().over(w).alias("rn"),
+    )
+    ws = w.rowsBetween(-(_KC_SMA - 1), Window.currentRow)
+    wa = w.rowsBetween(-(_KC_ATR - 1), Window.currentRow)
+    center = F.sum("tp3").over(ws).cast("double") / float(_KC_SMA * 3)
+    atr = F.sum("tr_c").over(wa).cast("double") / float(_KC_ATR)
+    b = tr.select(
+        "series", "day_s", "cc", "rn",
+        center.alias("center"), atr.alias("atr"),
+    )
+    sc6 = lambda col: F.round(col * 1000000.0, 0) / 1000000.0  # noqa: E731
+    m = float(_KC_MULT)
+    return b.filter(F.col("rn") > _KC_SMA).select(
+        "series",
+        "day_s",
+        sc6(F.col("center")).alias("center_cents"),
+        sc6(F.col("atr")).alias("atr_cents"),
+        sc6(F.col("center") + m * F.col("atr")).alias("upper_cents"),
+        sc6(F.col("center") - m * F.col("atr")).alias("lower_cents"),
+        (F.col("cc") > F.col("center") + m * F.col("atr")).alias(
+            "above_upper"
+        ),
+        (F.col("cc") < F.col("center") - m * F.col("atr")).alias(
+            "below_lower"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B99 ts_ichimoku — the five-line midpoint system
+
+_ICH_T, _ICH_K, _ICH_S = 4, 9, 18
+
+
+@register(
+    "ts_ichimoku",
+    family="timeseries",
+    doc="Ichimoku cloud (B99): tenkan/kijun/senkou-B are midpoints "
+    "of integer-cent rolling high/low windows (4/9/18 days — the "
+    "classic 9/26/52 proportions compacted to the one-month span "
+    "of the test calendar; the ratios, shifts and NULL build-up "
+    "semantics are unchanged; the chikou line is omitted — it is "
+    "the close series displaced, fully redundant with close_cents) — "
+    "exact BIGINT max/min folds, one /2.0 each; senkou A/B shift "
+    "FORWARD 26 days (lag over the day grid), chikou shifts back "
+    "(lead, NULL near the stream head like every charting package); "
+    "each line is NULL until its own window is full, so the cloud "
+    "builds up exactly as a terminal renders it. Day-grain windows "
+    "per series, scale-6 rendering, cloud color on the raw doubles.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        r AS (
+            SELECT series, day_s, hc, lc, cc,
+                   row_number() OVER w AS rn,
+                   CASE WHEN row_number() OVER w >= {_ICH_T} THEN
+                       (max(hc) OVER (PARTITION BY series ORDER BY day_s
+                            ROWS BETWEEN {_ICH_T - 1} PRECEDING AND CURRENT ROW)
+                        + min(lc) OVER (PARTITION BY series ORDER BY day_s
+                            ROWS BETWEEN {_ICH_T - 1} PRECEDING AND CURRENT ROW)
+                       ) / 2.0 END AS tenkan,
+                   CASE WHEN row_number() OVER w >= {_ICH_K} THEN
+                       (max(hc) OVER (PARTITION BY series ORDER BY day_s
+                            ROWS BETWEEN {_ICH_K - 1} PRECEDING AND CURRENT ROW)
+                        + min(lc) OVER (PARTITION BY series ORDER BY day_s
+                            ROWS BETWEEN {_ICH_K - 1} PRECEDING AND CURRENT ROW)
+                       ) / 2.0 END AS kijun,
+                   CASE WHEN row_number() OVER w >= {_ICH_S} THEN
+                       (max(hc) OVER (PARTITION BY series ORDER BY day_s
+                            ROWS BETWEEN {_ICH_S - 1} PRECEDING AND CURRENT ROW)
+                        + min(lc) OVER (PARTITION BY series ORDER BY day_s
+                            ROWS BETWEEN {_ICH_S - 1} PRECEDING AND CURRENT ROW)
+                       ) / 2.0 END AS senkou_b_raw
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        ),
+        s AS (
+            SELECT series, day_s, cc, rn, tenkan, kijun,
+                   lag((tenkan + kijun) / 2.0, {_ICH_K}) OVER w AS senkou_a,
+                   lag(senkou_b_raw, {_ICH_K}) OVER w AS senkou_b,
+                   lead(cc, {_ICH_K}) OVER w AS chikou
+            FROM r
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        )
+        SELECT series, day_s,
+               CAST(cc AS BIGINT) AS close_cents,
+               round(tenkan * 1000000.0, 0) / 1000000.0 AS tenkan,
+               round(kijun * 1000000.0, 0) / 1000000.0 AS kijun,
+               round(senkou_a * 1000000.0, 0) / 1000000.0 AS senkou_a,
+               round(senkou_b * 1000000.0, 0) / 1000000.0 AS senkou_b,
+               CASE WHEN senkou_a IS NOT NULL AND senkou_b IS NOT NULL
+                    THEN CASE WHEN senkou_a > senkou_b
+                         THEN 'bull' ELSE 'bear' END END AS cloud
+        FROM s WHERE rn >= {_ICH_K}
+    """,
+)
+def ts_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("day_s")
+    rn = F.row_number().over(w)
+
+    def midpoint(n: int):
+        win = w.rowsBetween(-(n - 1), Window.currentRow)
+        return F.when(
+            rn >= n,
+            (F.max("hc").over(win) + F.min("lc").over(win)) / 2.0,
+        )
+
+    r = daily.select(
+        "series",
+        "day_s",
+        "cc",
+        rn.alias("rn"),
+        midpoint(_ICH_T).alias("tenkan"),
+        midpoint(_ICH_K).alias("kijun"),
+        midpoint(_ICH_S).alias("senkou_b_raw"),
+    )
+    s = r.select(
+        "series",
+        "day_s",
+        "cc",
+        "rn",
+        "tenkan",
+        "kijun",
+        F.lag((F.col("tenkan") + F.col("kijun")) / 2.0, _ICH_K)
+        .over(w)
+        .alias("senkou_a"),
+        F.lag("senkou_b_raw", _ICH_K).over(w).alias("senkou_b"),
+    )
+    sc6 = lambda col: F.round(col * 1000000.0, 0) / 1000000.0  # noqa: E731
+    return s.filter(F.col("rn") >= _ICH_K).select(
+        "series",
+        "day_s",
+        F.col("cc").alias("close_cents"),
+        sc6(F.col("tenkan")).alias("tenkan"),
+        sc6(F.col("kijun")).alias("kijun"),
+        sc6(F.col("senkou_a")).alias("senkou_a"),
+        sc6(F.col("senkou_b")).alias("senkou_b"),
+        F.when(
+            F.col("senkou_a").isNotNull() & F.col("senkou_b").isNotNull(),
+            F.when(F.col("senkou_a") > F.col("senkou_b"), "bull").otherwise(
+                "bear"
+            ),
+        ).alias("cloud"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B100 ts_donchian — rolling high/low channel + breakout flags
+
+_DON_N = 20
+
+
+@register(
+    "ts_donchian",
+    family="timeseries",
+    doc="Donchian channel (B100): 20-day rolling integer-cent "
+    "high/low (exact BIGINT max/min window folds), midline as the "
+    "single double half, and the turtle-style breakout flags — "
+    "close vs the PREVIOUS day's channel (lag, so today's print "
+    "cannot contain itself). Day-grain windows per series.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        d AS (
+            SELECT series, day_s, cc,
+                   max(hc) OVER wn AS upper_c,
+                   min(lc) OVER wn AS lower_c,
+                   row_number() OVER w AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s),
+                   wn AS (PARTITION BY series ORDER BY day_s
+                          ROWS BETWEEN {_DON_N - 1} PRECEDING
+                               AND CURRENT ROW)
+        ),
+        x AS (
+            SELECT series, day_s, cc, rn, upper_c, lower_c,
+                   lag(upper_c) OVER w AS prev_upper,
+                   lag(lower_c) OVER w AS prev_lower
+            FROM d
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        )
+        SELECT series, day_s,
+               CAST(cc AS BIGINT) AS close_cents,
+               CAST(upper_c AS BIGINT) AS upper_cents,
+               CAST(lower_c AS BIGINT) AS lower_cents,
+               round((upper_c + lower_c) / 2.0 * 1000000.0, 0)
+                   / 1000000.0 AS mid_cents,
+               cc > prev_upper AS breakout_up,
+               cc < prev_lower AS breakout_down
+        FROM x WHERE rn > {_DON_N}
+    """,
+)
+def ts_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("day_s")
+    wn = w.rowsBetween(-(_DON_N - 1), Window.currentRow)
+    d = daily.select(
+        "series",
+        "day_s",
+        "cc",
+        F.max("hc").over(wn).alias("upper_c"),
+        F.min("lc").over(wn).alias("lower_c"),
+        F.row_number().over(w).alias("rn"),
+    )
+    x = d.select(
+        "series", "day_s", "cc", "rn", "upper_c", "lower_c",
+        F.lag("upper_c").over(w).alias("prev_upper"),
+        F.lag("lower_c").over(w).alias("prev_lower"),
+    )
+    sc6 = lambda col: F.round(col * 1000000.0, 0) / 1000000.0  # noqa: E731
+    return x.filter(F.col("rn") > _DON_N).select(
+        "series",
+        "day_s",
+        F.col("cc").alias("close_cents"),
+        F.col("upper_c").alias("upper_cents"),
+        F.col("lower_c").alias("lower_cents"),
+        sc6((F.col("upper_c") + F.col("lower_c")) / 2.0).alias("mid_cents"),
+        (F.col("cc") > F.col("prev_upper")).alias("breakout_up"),
+        (F.col("cc") < F.col("prev_lower")).alias("breakout_down"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B101 ts_supertrend — recursive ATR trailing bands
+
+_ST_ATR, _ST_MULT = 10, 3
+
+
+@register(
+    "ts_supertrend",
+    family="timeseries",
+    doc="Supertrend (B101): ATR trailing-stop bands with the "
+    "RECURSIVE tightening rule — final_ub(t) = basic_ub(t) if it "
+    "tightens the stop OR the previous close broke out above, else "
+    "the previous final_ub carries (mirrored for the lower band), "
+    "and the trend flips only when the close crosses the ACTIVE "
+    "band. Each day depends on the previous day's OUTPUT (carried "
+    "bands + trend + prev close), so no window expresses it: the "
+    "B80/B97 in-row fold over the packed day array, certified by a "
+    "genuine RECURSIVE CTE oracle walking rn = rn + 1. Bands are "
+    "fixed-order doubles on exact integer inputs (hl2 = (hc+lc)/2, "
+    "ATR = the B82 integer TR sum / 10); seed row takes its basic "
+    "bands with trend = up iff close >= hl2.",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_DAILY},
+        tr AS (
+            SELECT series, day_s, hc, lc, cc,
+                   greatest(
+                       hc - lc,
+                       abs(hc - lag(cc) OVER w),
+                       abs(lc - lag(cc) OVER w)
+                   ) AS tr_c,
+                   row_number() OVER w AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        ),
+        b AS (
+            SELECT series, day_s, cc, rn,
+                   (hc + lc) / 2.0
+                       + {_ST_MULT}.0 * (CAST(sum(tr_c) OVER wa AS DOUBLE)
+                                         / {_ST_ATR}.0) AS bub,
+                   (hc + lc) / 2.0
+                       - {_ST_MULT}.0 * (CAST(sum(tr_c) OVER wa AS DOUBLE)
+                                         / {_ST_ATR}.0) AS blb,
+                   (hc + lc) / 2.0 AS hl2
+            FROM tr
+            WINDOW wa AS (PARTITION BY series ORDER BY day_s
+                          ROWS BETWEEN {_ST_ATR - 1} PRECEDING
+                               AND CURRENT ROW)
+        ),
+        st AS (
+            SELECT series, day_s, cc, rn, bub AS fub, blb AS flb,
+                   CASE WHEN cc >= hl2 THEN 'up' ELSE 'down' END AS trend
+            FROM b WHERE rn = {_ST_ATR + 1}
+            UNION ALL
+            SELECT e.series, e.day_s, e.cc, e.rn,
+                   CASE WHEN e.bub < st.fub OR st.cc > st.fub
+                        THEN e.bub ELSE st.fub END,
+                   CASE WHEN e.blb > st.flb OR st.cc < st.flb
+                        THEN e.blb ELSE st.flb END,
+                   CASE WHEN st.trend = 'up' THEN
+                       CASE WHEN e.cc < (CASE WHEN e.blb > st.flb
+                                              OR st.cc < st.flb
+                                         THEN e.blb ELSE st.flb END)
+                            THEN 'down' ELSE 'up' END
+                   ELSE
+                       CASE WHEN e.cc > (CASE WHEN e.bub < st.fub
+                                              OR st.cc > st.fub
+                                         THEN e.bub ELSE st.fub END)
+                            THEN 'up' ELSE 'down' END
+                   END
+            FROM b e
+            JOIN st ON e.series = st.series AND e.rn = st.rn + 1
+        )
+        SELECT series, day_s,
+               CAST(cc AS BIGINT) AS close_cents,
+               round(fub * 1000000.0, 0) / 1000000.0 AS final_upper,
+               round(flb * 1000000.0, 0) / 1000000.0 AS final_lower,
+               trend,
+               round(CASE WHEN trend = 'up' THEN flb ELSE fub END
+                     * 1000000.0, 0) / 1000000.0 AS supertrend
+        FROM st
+    """,
+)
+def ts_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("day_s")
+    prev_c = F.lag("cc").over(w)
+    tr = daily.select(
+        "series",
+        "day_s",
+        "hc",
+        "lc",
+        "cc",
+        F.greatest(
+            F.col("hc") - F.col("lc"),
+            F.abs(F.col("hc") - prev_c),
+            F.abs(F.col("lc") - prev_c),
+        ).alias("tr_c"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wa = w.rowsBetween(-(_ST_ATR - 1), Window.currentRow)
+    atr = F.sum("tr_c").over(wa).cast("double") / float(_ST_ATR)
+    hl2 = (F.col("hc") + F.col("lc")) / 2.0
+    m = float(_ST_MULT)
+    b = tr.select(
+        "series",
+        "day_s",
+        "cc",
+        "rn",
+        (hl2 + m * atr).alias("bub"),
+        (hl2 - m * atr).alias("blb"),
+        hl2.alias("hl2"),
+    ).filter(F.col("rn") > _ST_ATR)
+    packed = b.groupBy("series").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day_s", "cc", "rn", "bub", "blb", "hl2"))
+        ).alias("ds")
+    )
+    init = F.struct(
+        F.array()
+        .cast(
+            "array<struct<day_s:bigint,cc:bigint,fub:double,flb:double,"
+            "trend:string>>"
+        )
+        .alias("arr"),
+        F.lit(None).cast("double").alias("pub"),
+        F.lit(None).cast("double").alias("plb"),
+        F.lit(None).cast("string").alias("pt"),
+        F.lit(None).cast("bigint").alias("pc"),
+    )
+
+    def step(acc, x):
+        seeded = acc["pt"].isNull()
+        fub = F.when(seeded, x["bub"]).otherwise(
+            F.when(
+                (x["bub"] < acc["pub"]) | (acc["pc"] > acc["pub"]),
+                x["bub"],
+            ).otherwise(acc["pub"])
+        )
+        flb = F.when(seeded, x["blb"]).otherwise(
+            F.when(
+                (x["blb"] > acc["plb"]) | (acc["pc"] < acc["plb"]),
+                x["blb"],
+            ).otherwise(acc["plb"])
+        )
+        trend = F.when(
+            seeded,
+            F.when(x["cc"] >= x["hl2"], "up").otherwise("down"),
+        ).otherwise(
+            F.when(
+                acc["pt"] == "up",
+                F.when(x["cc"] < flb, "down").otherwise("up"),
+            ).otherwise(F.when(x["cc"] > fub, "up").otherwise("down"))
+        )
+        entry = F.struct(
+            x["day_s"].alias("day_s"),
+            x["cc"].alias("cc"),
+            fub.alias("fub"),
+            flb.alias("flb"),
+            trend.alias("trend"),
+        )
+        return F.struct(
+            F.concat(acc["arr"], F.array(entry)).alias("arr"),
+            fub.alias("pub"),
+            flb.alias("plb"),
+            trend.alias("pt"),
+            x["cc"].alias("pc"),
+        )
+
+    folded = packed.select(
+        "series",
+        F.aggregate(F.col("ds"), init, step, lambda a: a["arr"]).alias(
+            "arr"
+        ),
+    )
+    x = folded.select("series", F.explode("arr").alias("x")).select(
+        "series", "x.*"
+    )
+    sc6 = lambda col: F.round(col * 1000000.0, 0) / 1000000.0  # noqa: E731
+    return x.select(
+        "series",
+        "day_s",
+        F.col("cc").alias("close_cents"),
+        sc6(F.col("fub")).alias("final_upper"),
+        sc6(F.col("flb")).alias("final_lower"),
+        "trend",
+        sc6(
+            F.when(F.col("trend") == "up", F.col("flb")).otherwise(
+                F.col("fub")
+            )
+        ).alias("supertrend"),
+    )

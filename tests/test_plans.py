@@ -147,6 +147,13 @@ _BNLJ_OK = {
     "ann_nprobe_sweep",  # single-row broadcast query vector / totals
     "ann_ivfpq_nprobe_sweep",  # same: <=100-row broadcast seed assign
     #   + 1-row query/total broadcasts per sweep branch
+    "ann_graph_beam_search",  # exact-pairwise graph build on the 20%
+    #   node shard (the E5 posture: LSH candidate generator at scale)
+    #   + 1-row entry/query broadcasts per hop
+    "text_trigram_backoff_score",  # single-row broadcast corpus-token
+    #   total (the OOV floor denominator)
+    "corpus_vocab_growth",  # 10-row broadcast checkpoint table x the
+    #   type-grain firsts (conditional aggregate, bounded expansion)
     "corpus_mixture_entropy",  # single-row broadcast totals / fold rows
 }
 

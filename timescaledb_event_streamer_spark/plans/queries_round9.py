@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timescaledb_event_streamer_spark.plans.registry import register
-from timescaledb_event_streamer_spark.sources.tables import load
+from timescaledb_event_streamer_spark.sources.tables import load, spread
 from timescaledb_event_streamer_spark.plans.queries_round8b import (
     _KER_N,
     _SQL_DAILY,
@@ -981,4 +981,525 @@ def ts_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("fub")
             )
         ).alias("supertrend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F46 text_trigram_backoff_score — held-out stupid-backoff LM eval
+
+_SB_ALPHA = 0.4  # Brants et al. 2007 "stupid backoff" constant
+
+
+@register(
+    "text_trigram_backoff_score",
+    family="text",
+    doc="Held-out trigram LM scoring with stupid backoff (F46, the "
+    "F42 conditional model pushed one order higher and made an "
+    "honest EVAL): the model trains on EVEN doc_ids only and scores "
+    "the ODD docs, so unseen n-grams actually occur and the backoff "
+    "chain engages — S(w|a,b) = c3/c2 when the trigram is known, "
+    "else 0.4 * (c2'/c1') on the bigram, else 0.4^2 * c1/N, else "
+    "0.4^2 / (N+1) for OOV (every branch a ratio of exact BIGINTs, "
+    "one log2 per scored trigram). Reports bits/trigram plus the "
+    "fraction resolved at each order — the table that tells a "
+    "curation pipeline whether its corpus slice actually "
+    "generalizes. Plan: one corpus scan -> doc-grain trigram "
+    "counts; the three model tables reduce from the even half "
+    "(map-side partials); scoring is three LEFT joins keyed on the "
+    "n-gram (AQE handles stopword skew).",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, t, row_number() OVER (
+                PARTITION BY doc_id ORDER BY pos) AS rn
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos
+                FROM documents
+            ) WHERE length(t) > 0
+        ),
+        tri AS (
+            SELECT a.doc_id, a.t AS w1, b.t AS w2, c.t AS w3
+            FROM tok a
+            JOIN tok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+            JOIN tok c ON a.doc_id = c.doc_id AND c.rn = a.rn + 2
+        ),
+        m3 AS (
+            SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+            FROM tri WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3
+        ),
+        m2 AS (
+            SELECT a.t AS w1, b.t AS w2, CAST(count(*) AS BIGINT) AS c2
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+            WHERE a.doc_id % 2 = 0 GROUP BY 1, 2
+        ),
+        m1 AS (
+            SELECT t AS w1, CAST(count(*) AS BIGINT) AS c1
+            FROM tok WHERE doc_id % 2 = 0 GROUP BY 1
+        ),
+        n AS (
+            SELECT CAST(count(*) AS BIGINT) AS total FROM tok
+            WHERE doc_id % 2 = 0
+        ),
+        dtri AS (
+            SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS c
+            FROM tri WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3, 4
+        ),
+        scored AS (
+            SELECT d.doc_id, d.c,
+                   CASE
+                     WHEN t3.c3 IS NOT NULL THEN 0
+                     WHEN b2.c2x IS NOT NULL THEN 1
+                     WHEN u1.c1 IS NOT NULL THEN 2
+                     ELSE 3
+                   END AS ord_used,
+                   CASE
+                     WHEN t3.c3 IS NOT NULL
+                       THEN t3.c3 * 1.0 / ctx2.c2
+                     WHEN b2.c2x IS NOT NULL
+                       THEN {_SB_ALPHA} * (b2.c2x * 1.0 / ctx1.c1)
+                     WHEN u1.c1 IS NOT NULL
+                       THEN {_SB_ALPHA} * {_SB_ALPHA}
+                            * (u1.c1 * 1.0 / n.total)
+                     ELSE {_SB_ALPHA} * {_SB_ALPHA} / (n.total + 1)
+                   END AS s
+            FROM dtri d
+            LEFT JOIN m3 t3 ON d.w1 = t3.w1 AND d.w2 = t3.w2
+                            AND d.w3 = t3.w3
+            LEFT JOIN m2 ctx2 ON d.w1 = ctx2.w1 AND d.w2 = ctx2.w2
+            LEFT JOIN (SELECT w1, w2, c2 AS c2x FROM m2) b2
+                   ON d.w2 = b2.w1 AND d.w3 = b2.w2
+            LEFT JOIN m1 ctx1 ON d.w2 = ctx1.w1
+            LEFT JOIN m1 u1 ON d.w3 = u1.w1
+            CROSS JOIN n
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_trigrams,
+               round(-sum(c * log2(s)) / sum(c), 6) AS backoff_bits,
+               round(sum(CASE WHEN ord_used = 0 THEN c ELSE 0 END)
+                     * 1.0 / sum(c), 6) AS frac_trigram,
+               round(sum(CASE WHEN ord_used = 1 THEN c ELSE 0 END)
+                     * 1.0 / sum(c), 6) AS frac_bigram,
+               round(sum(CASE WHEN ord_used >= 2 THEN c ELSE 0 END)
+                     * 1.0 / sum(c), 6) AS frac_unigram_or_oov
+        FROM scored GROUP BY doc_id
+    """,
+)
+def text_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: F.length(t) > 0).alias(
+            "ts"
+        ),
+    )
+    nminus = lambda k: F.greatest(F.size("ts") - k, F.lit(0))  # noqa: E731
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.zip_with(
+                    F.slice(F.col("ts"), 1, nminus(2)),
+                    F.slice(F.col("ts"), 2, nminus(2)),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+                F.slice(F.col("ts"), 3, nminus(2)),
+                lambda p, c: F.struct(
+                    p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2", "g.w3")
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, nminus(1)),
+                F.slice(F.col("ts"), 2, nminus(1)),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    uni = toks.select("doc_id", F.explode("ts").alias("w1"))
+    even = F.col("doc_id") % 2 == 0
+    m3 = tri.filter(even).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    m2 = big.filter(even).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    m1 = uni.filter(even).groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.filter(even).agg(F.count(F.lit(1)).alias("total"))
+    dtri = tri.filter(~even).groupBy("doc_id", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    b2 = m2.select(
+        F.col("w1").alias("b_w1"),
+        F.col("w2").alias("b_w2"),
+        F.col("c2").alias("c2x"),
+    )
+    ctx1 = m1.select(F.col("w1").alias("x_w1"), F.col("c1").alias("x_c1"))
+    u1 = m1.select(F.col("w1").alias("u_w1"), F.col("c1").alias("u_c1"))
+    scored = (
+        dtri.join(m3, ["w1", "w2", "w3"], "left")
+        .join(
+            m2.select("w1", "w2", F.col("c2").alias("ctx_c2")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            b2,
+            (F.col("w2") == F.col("b_w1")) & (F.col("w3") == F.col("b_w2")),
+            "left",
+        )
+        .join(ctx1, F.col("w2") == F.col("x_w1"), "left")
+        .join(u1, F.col("w3") == F.col("u_w1"), "left")
+        .crossJoin(F.broadcast(total))
+    )
+    a = _SB_ALPHA
+    ord_used = (
+        F.when(F.col("c3").isNotNull(), 0)
+        .when(F.col("c2x").isNotNull(), 1)
+        .when(F.col("u_c1").isNotNull(), 2)
+        .otherwise(3)
+    )
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") * 1.0 / F.col("ctx_c2"))
+        .when(
+            F.col("c2x").isNotNull(),
+            F.lit(a) * (F.col("c2x") * 1.0 / F.col("x_c1")),
+        )
+        .when(
+            F.col("u_c1").isNotNull(),
+            F.lit(a) * F.lit(a) * (F.col("u_c1") * 1.0 / F.col("total")),
+        )
+        .otherwise(F.lit(a) * F.lit(a) / (F.col("total") + 1))
+    )
+    sc = scored.select(
+        "doc_id", "c", ord_used.alias("ord_used"), s.alias("s")
+    )
+    frac = lambda cond: F.round(  # noqa: E731
+        F.sum(F.when(cond, F.col("c")).otherwise(F.lit(0)))
+        * 1.0
+        / F.sum("c"),
+        6,
+    )
+    return sc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_trigrams"),
+        F.round(
+            -F.sum(F.col("c") * F.log2("s")) / F.sum("c"), 6
+        ).alias("backoff_bits"),
+        frac(F.col("ord_used") == 0).alias("frac_trigram"),
+        frac(F.col("ord_used") == 1).alias("frac_bigram"),
+        frac(F.col("ord_used") >= 2).alias("frac_unigram_or_oov"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F47 corpus_vocab_growth — Heaps-law vocabulary growth curve
+
+_VG_CHECKPOINTS = 10
+
+
+@register(
+    "corpus_vocab_growth",
+    family="text",
+    doc="Vocabulary growth curve (F47): types-seen vs tokens-seen at "
+    "ten decile checkpoints of the corpus read in deterministic "
+    "(doc_id, pos) order — the Heaps-law measurement behind the BPE "
+    "scaling claim (F31's word-TYPE-grain state is sublinear "
+    "exactly because this curve is). Scale shape: a token's global "
+    "index = (window-sum of doc lengths at DOC grain, a tiny "
+    "frame) + in-doc pos — NO corpus-wide row_number; "
+    "first-occurrence per type is one token-keyed min; the ten "
+    "checkpoint counts are conditional aggregates over the "
+    "first-occurrence table in a single pass. All exact integers "
+    "except the final type/token ratio.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, t, pos
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos
+                FROM documents
+            ) WHERE length(t) > 0
+        ),
+        dlen AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY doc_id
+        ),
+        base AS (
+            SELECT doc_id,
+                   CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT)
+                       AS before_doc
+            FROM dlen
+        ),
+        firsts AS (
+            SELECT tok.t,
+                   min(base.before_doc + tok.pos) AS first_idx
+            FROM tok JOIN base USING (doc_id)
+            GROUP BY tok.t
+        ),
+        n AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM dlen),
+        cp AS (
+            SELECT k, CAST(n.total * k // {_VG_CHECKPOINTS} AS BIGINT)
+                       AS boundary
+            FROM range(1, {_VG_CHECKPOINTS} + 1) r(k), n
+        )
+        SELECT CAST(cp.k AS INT) AS checkpoint,
+               cp.boundary AS tokens_seen,
+               CAST(count(*) FILTER (
+                   WHERE firsts.first_idx <= cp.boundary
+               ) AS BIGINT) AS types_seen,
+               round(count(*) FILTER (
+                   WHERE firsts.first_idx <= cp.boundary
+               ) * 1.0 / cp.boundary, 6) AS type_token_ratio
+        FROM cp, firsts
+        GROUP BY cp.k, cp.boundary
+    """,
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+        ).alias("pos0", "t"),
+    ).select("doc_id", "t", (F.col("pos0") + 1).alias("pos"))
+    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wdoc = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # doc-grain running sum: the window runs over #docs rows, never
+    # over tokens
+    base = dlen.select(
+        "doc_id", (F.sum("n").over(wdoc) - F.col("n")).alias("before_doc")
+    )
+    firsts = (
+        tok.join(base, "doc_id")
+        .groupBy("t")
+        .agg(F.min(F.col("before_doc") + F.col("pos")).alias("first_idx"))
+    )
+    total = dlen.agg(F.sum("n").alias("total"))
+    cp = total.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_VG_CHECKPOINTS)),
+                lambda k: F.struct(
+                    k.cast("int").alias("checkpoint"),
+                    F.floor(
+                        F.col("total") * k.cast("bigint")
+                        / F.lit(_VG_CHECKPOINTS)
+                    )
+                    .cast("bigint")
+                    .alias("boundary"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.checkpoint", "c.boundary")
+    seen = F.sum(
+        F.when(F.col("first_idx") <= F.col("boundary"), 1).otherwise(0)
+    )
+    return (
+        firsts.crossJoin(F.broadcast(cp))
+        .groupBy("checkpoint", "boundary")
+        .agg(
+            seen.cast("bigint").alias("types_seen"),
+            F.round(seen * 1.0 / F.col("boundary"), 6).alias(
+                "type_token_ratio"
+            ),
+        )
+        .select(
+            "checkpoint",
+            F.col("boundary").alias("tokens_seen"),
+            "types_seen",
+            "type_token_ratio",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E25 ann_graph_beam_search — kNN-graph best-first routing (the
+# HNSW-layer-0 idea on E5's graph shape)
+
+_BEAM_B = 8
+_BEAM_HOPS = 3
+_BEAM_K = 10
+_BEAM_DEG = 5
+_BEAM_NODE_MOD = 5  # graph nodes: vec_id % 5 == 0 (a 20% shard)
+_BEAM_QUERY = 1
+
+
+def _beam_oracle() -> str:
+    """The 3-hop beam search unrolled round by round: candidates =
+    neighbors of the frontier not yet visited, frontier = top-B new
+    candidates, visited accumulates; identical round algebra to the
+    Spark loop."""
+    head = """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        nodes AS (SELECT * FROM e WHERE vec_id % {mod} = 0),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {query}),
+        g AS (
+            SELECT src, dst FROM (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY round(list_cosine_similarity(a.v, b.v),
+                                          6) DESC, b.vec_id
+                       ) AS rnk
+                FROM nodes a JOIN nodes b ON a.vec_id <> b.vec_id
+            ) WHERE rnk <= {deg}
+        ),
+        scoredall AS (
+            SELECT n.vec_id,
+                   round(list_cosine_similarity(n.v, q.qv), 6) AS c
+            FROM nodes n, q
+        ),
+        entry AS (
+            SELECT vec_id, c FROM scoredall
+            WHERE vec_id % 25 = 0 AND vec_id < 2500
+            ORDER BY c DESC, vec_id LIMIT 1
+        ),
+        v0 AS (SELECT vec_id, c, 0 AS hop FROM entry),
+        f0 AS (SELECT vec_id FROM entry)
+    """.format(mod=_BEAM_NODE_MOD, query=_BEAM_QUERY, deg=_BEAM_DEG)
+    rounds = []
+    for r in range(1, _BEAM_HOPS + 1):
+        rounds.append(
+            """
+        c{r} AS (
+            SELECT DISTINCT g.dst AS vec_id FROM g
+            JOIN f{p} ON g.src = f{p}.vec_id
+            WHERE g.dst NOT IN (SELECT vec_id FROM v{p})
+        ),
+        s{r} AS (
+            SELECT c{r}.vec_id, sa.c, {r} AS hop
+            FROM c{r} JOIN scoredall sa USING (vec_id)
+        ),
+        f{r} AS (
+            SELECT vec_id FROM s{r} ORDER BY c DESC, vec_id LIMIT {b}
+        ),
+        v{r} AS (
+            SELECT * FROM v{p} UNION ALL SELECT * FROM s{r}
+        )
+            """.format(r=r, p=r - 1, b=_BEAM_B)
+        )
+    tail = """
+        ,
+        exact AS (
+            SELECT vec_id FROM scoredall
+            ORDER BY c DESC, vec_id LIMIT {k}
+        )
+        SELECT v.vec_id, v.c AS cos_sim, CAST(v.hop AS INT) AS found_at_hop,
+               CAST(row_number() OVER (ORDER BY v.c DESC, v.vec_id)
+                    AS BIGINT) AS rnk,
+               v.vec_id IN (SELECT vec_id FROM exact) AS in_exact_topk
+        FROM v{last} v
+        ORDER BY rnk LIMIT {k}
+    """.format(last=_BEAM_HOPS, k=_BEAM_K)
+    return head + "," + ",".join(rounds) + tail
+
+
+@register(
+    "ann_graph_beam_search",
+    family="ann",
+    doc="Graph-routed ANN (E25): best-first beam search over E5's "
+    "k=5 cosine kNN graph, built on a deterministic 20% node shard "
+    "— the HNSW-layer-0 routing idea with everything pinned: entry "
+    "= best E11 seed, 3 hops, beam 8, candidates = unvisited "
+    "neighbors of the frontier, rounded-cosine + vec_id ordering "
+    "everywhere. Output = the search's top-10 with the hop each hit "
+    "was discovered at and an in_exact_topk flag vs the shard's "
+    "brute-force truth — the curve that shows graph routing finding "
+    "near-neighbors while scoring only frontier neighborhoods. The "
+    "graph build is the one-off index cost (exact pairwise at "
+    "oracle SF; the 100 TB swap is the banded-LSH candidate "
+    "generator, the E5 posture); each search hop scores <= "
+    "beam x degree vectors.",
+    oracle=_beam_oracle(),
+)
+def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from timescaledb_event_streamer_spark.operators.ann import cosine
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nodes = emb.filter(F.col("vec_id") % _BEAM_NODE_MOD == 0)
+    qv = F.array(
+        *[
+            F.lit(float(x))
+            for x in emb.filter(F.col("vec_id") == _BEAM_QUERY).collect()[
+                0
+            ]["v"]
+        ]
+    )
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    a = nodes.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = nodes.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    g = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BEAM_DEG)
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    scoredall = nodes.select(
+        "vec_id", F.round(cosine(F.col("v"), qv), 6).alias("c")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    entry = (
+        scoredall.filter(
+            (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500)
+        )
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(1)
+    )
+    visited = entry.select("vec_id", "c", F.lit(0).alias("hop"))
+    frontier = entry.select("vec_id")
+    for r in range(1, _BEAM_HOPS + 1):
+        cand = (
+            g.join(
+                frontier.select(F.col("vec_id").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("vec_id"))
+            .distinct()
+            .join(visited.select("vec_id"), "vec_id", "left_anti")
+        )
+        s = cand.join(scoredall, "vec_id").select(
+            "vec_id", "c", F.lit(r).alias("hop")
+        )
+        frontier = (
+            s.orderBy(F.col("c").desc(), "vec_id")
+            .limit(_BEAM_B)
+            .select("vec_id")
+        )
+        visited = visited.unionByName(s)
+    exact = (
+        scoredall.orderBy(F.col("c").desc(), "vec_id")
+        .limit(_BEAM_K)
+        .select("vec_id", F.lit(True).alias("_in"))
+    )
+    wr = Window.orderBy(F.col("c").desc(), "vec_id")
+    return (
+        visited.join(F.broadcast(exact), "vec_id", "left")
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _BEAM_K)
+        .select(
+            "vec_id",
+            F.col("c").alias("cos_sim"),
+            F.col("hop").cast("int").alias("found_at_hop"),
+            "rnk",
+            F.coalesce(F.col("_in"), F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy("rnk")
     )

@@ -207,3 +207,41 @@ def test_supertrend_matches_textbook_recursion(spark, sf_small):
             np.testing.assert_allclose(got["final_lower"][j], flb, atol=1e-6)
             want_st = flb if trend == "up" else fub
             np.testing.assert_allclose(got["supertrend"][j], want_st, atol=1e-6)
+
+
+def test_winnowing_guarantee_planted_shared_run(spark, tmp_path):
+    """D24: the paper's guarantee — any shared token run of length
+    >= k + w - 1 (= 6) produces at least one shared fingerprint, so
+    the planted pair MUST surface; unrelated docs with disjoint
+    vocabulary must NOT pair."""
+    import pandas as pd
+
+    from timescaledb_event_streamer_spark.plans.queries_round9 import (
+        dedup_winnowing,
+    )
+
+    rng = np.random.default_rng(5)
+    shared = " ".join(f"run{i}" for i in range(8))  # 8 >= k+w-1
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma " + shared + " delta epsilon zeta",
+                "one two three four five " + shared + " six seven",
+                " ".join(f"x{i}" for i in range(30)),
+                " ".join(f"y{i}" for i in range(30)),
+            ],
+            "source": ["s"] * 4,
+            "lang": ["en"] * 4,
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    docs.to_parquet(str(d / "documents.parquet"))
+    # the query loads only documents.parquet from the sf dir
+    out = dedup_winnowing(spark, str(d)).toPandas()
+    pairs = {tuple(sorted((r.doc_a, r.doc_b))) for r in out.itertuples()}
+    assert (1, 2) in pairs
+    assert not any({3, 4} & set(p) for p in pairs)
+    row = out[(out["doc_a"] == 1) & (out["doc_b"] == 2)].iloc[0]
+    assert row["n_shared"] >= 2 and 0 < row["overlap_score"] <= 1

@@ -1503,3 +1503,163 @@ def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# D24 dedup_winnowing — MOSS-style winnowing fingerprints
+
+_WIN_K = 3  # token k-gram size
+_WIN_W = 4  # winnowing window (hashes per window)
+_WIN_PACK = 1 << 20  # position packs into the low 20 bits
+_WIN_MIN_SHARED = 2
+
+
+@register(
+    "dedup_winnowing",
+    family="dedup",
+    doc="Winnowing fingerprint dedup (D24, Schleimer et al. 2003 — "
+    "the MOSS algorithm): token 3-gram md5 hashes per document, "
+    "each 4-hash window selects its minimum with the RIGHTMOST tie "
+    "rule (the paper's robust-winnowing guarantee: any shared run "
+    "of >= k+w-1 tokens yields a shared fingerprint), pairs share "
+    ">= 2 selected fingerprints. The rightmost-min rule is ONE "
+    "integer min: packed = hash40 * 2^20 + (2^20-1-pos), so the "
+    "window min IS the arg-min with the right tie-break — no "
+    "second pass. Fingerprint density ~ 2/(w+1) of k-grams; the "
+    "pair join keys on the selected hash (bucket-bounded like every "
+    "dedup join here; a df cap on pathological phrase hashes is "
+    "the documented scale swap). Value-exact md5 base so the whole "
+    "operator hash-certifies.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, t, pos
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos
+                FROM documents
+            ) WHERE length(t) > 0
+        ),
+        kg AS (
+            SELECT a.doc_id,
+                   a.pos,
+                   ('0x' || substr(
+                       md5(a.t || ' ' || b.t || ' ' || c.t), 1, 10
+                   ))::BIGINT AS h
+            FROM tok a
+            JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        ),
+        ranked AS (
+            SELECT doc_id, pos,
+                   h * {_WIN_PACK} + ({_WIN_PACK} - 1 - pos) AS packed,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS rn,
+                   count(*) OVER (PARTITION BY doc_id) AS nk
+            FROM kg
+        ),
+        sel AS (
+            SELECT DISTINCT doc_id,
+                   min(packed) OVER (
+                       PARTITION BY doc_id ORDER BY rn
+                       ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING
+                   ) // {_WIN_PACK} AS fp
+            FROM ranked
+            QUALIFY rn <= nk - {_WIN_W - 1}
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+            FROM sel GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM sel a JOIN sel b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= {_WIN_MIN_SHARED}
+        )
+        SELECT p.doc_a, p.doc_b, p.n_shared,
+               round(p.n_shared * 1.0 / least(sa.nfp, sb.nfp), 6)
+                   AS overlap_score
+        FROM pairs p
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: F.length(t) > 0).alias(
+            "ts"
+        ),
+    )
+    nm2 = F.greatest(F.size("ts") - 2, F.lit(0))
+    kg = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.zip_with(
+                    F.slice(F.col("ts"), 1, nm2),
+                    F.slice(F.col("ts"), 2, nm2),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+                F.slice(F.col("ts"), 3, nm2),
+                lambda ab, c: F.concat_ws(" ", ab, c),
+            )
+        ).alias("pos0", "g"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("g"), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ranked = kg.select(
+        "doc_id",
+        "pos",
+        (
+            F.col("h") * _WIN_PACK + (F.lit(_WIN_PACK - 1) - F.col("pos"))
+        ).alias("packed"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("nk"),
+    )
+    wmin = w.rowsBetween(Window.currentRow, _WIN_W - 1)
+    sel = (
+        ranked.withColumn("selp", F.min("packed").over(wmin))
+        .filter(F.col("rn") <= F.col("nk") - (_WIN_W - 1))
+        .select(
+            # integer div: a double division would lose precision at
+            # the packed values' 2^60 magnitude
+            "doc_id",
+            F.expr(f"selp div {_WIN_PACK}").alias("fp"),
+        )
+        .distinct()
+    )
+    sizes = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = sel.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long"),
+            F.round(
+                F.col("n_shared") * 1.0 / F.least("na", "nb"), 6
+            ).alias("overlap_score"),
+        )
+    )

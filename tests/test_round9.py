@@ -245,3 +245,70 @@ def test_winnowing_guarantee_planted_shared_run(spark, tmp_path):
     assert not any({3, 4} & set(p) for p in pairs)
     row = out[(out["doc_a"] == 1) & (out["doc_b"] == 2)].iloc[0]
     assert row["n_shared"] >= 2 and 0 < row["overlap_score"] <= 1
+
+
+def test_streaming_supertrend_matches_batch(spark, sf_small, tmp_path):
+    """I37: the two-sided recursive carry (bands + trend + prev
+    close + rolling TR window) crosses a micro-batch boundary and
+    equals the batch ts_supertrend row-for-row."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_supertrend,
+    )
+
+    daily = _daily_ohlcv(spark, sf_small).select(
+        "series", "day_s", "hc", "lc", "cc"
+    )
+    split_day = daily.agg(
+        F.expr("percentile_approx(day_s, 0.5)").alias("m")
+    ).first()["m"]
+    log_dir = tmp_path / "st_log"
+    log_dir.mkdir()
+    daily.filter(F.col("day_s") <= split_day).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b0"))
+    _t.sleep(1.1)
+    daily.filter(F.col("day_s") > split_day).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b1"))
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_supertrend(stream)
+        .writeStream.format("memory")
+        .queryName("st_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["day_s"]): (
+            r["close_cents"], r["final_upper"], r["final_lower"],
+            r["trend"], r["supertrend"],
+        )
+        for r in spark.sql("SELECT * FROM st_stream").collect()
+    }
+    want = {
+        (r["series"], r["day_s"]): (
+            r["close_cents"], r["final_upper"], r["final_lower"],
+            r["trend"], r["supertrend"],
+        )
+        for r in all_queries()["ts_supertrend"](spark, sf_small).collect()
+    }
+    assert len(got) == len(want) > 0
+    for k, g in got.items():
+        w = want[k]
+        assert g[0] == w[0] and g[3] == w[3], k
+        for gi, wi in ((g[1], w[1]), (g[2], w[2]), (g[4], w[4])):
+            np.testing.assert_allclose(round(gi * 1e6) / 1e6, wi, atol=1e-9)

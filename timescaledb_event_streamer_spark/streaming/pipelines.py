@@ -1197,3 +1197,99 @@ def streaming_kama(daily: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming Supertrend (I37): the live form of ts_supertrend
+# (B101). State per series = (last_day, final bands, trend, prev
+# close) plus the rolling TR window feeding the ATR — the I36 shape
+# with a two-sided recursive carry.
+
+_ST_N = 10
+_ST_MULT = 3.0
+_ST_STATE_SCHEMA = "state_json STRING"
+_ST_OUT_SCHEMA = (
+    "series STRING, day_s LONG, close_cents LONG, final_upper DOUBLE, "
+    "final_lower DOUBLE, trend STRING, supertrend DOUBLE"
+)
+
+
+def _supertrend_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json
+
+    if state.exists:
+        st = json.loads(state.get[0])
+    else:
+        st = {"d": None, "fub": None, "flb": None, "t": None,
+              "pc": None, "trs": [], "seen": 0}
+    rows = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allpdf = pd.concat(chunks, ignore_index=True).sort_values("day_s")
+        for r in allpdf.itertuples():
+            if st["d"] is not None and r.day_s <= st["d"]:
+                continue  # replayed/duplicate day partial
+            hc, lc, cc = int(r.hc), int(r.lc), int(r.cc)
+            if st["seen"] > 0:
+                tr = max(hc - lc, abs(hc - st["last_cc"]),
+                         abs(lc - st["last_cc"]))
+                st["trs"].append(tr)
+                if len(st["trs"]) > _ST_N:
+                    st["trs"] = st["trs"][-_ST_N:]
+            st["seen"] += 1
+            st["last_cc"] = cc
+            st["d"] = int(r.day_s)
+            if st["seen"] <= _ST_N:
+                continue  # rn <= N: ATR window not yet full
+            atr = sum(st["trs"]) / _ST_N
+            hl2 = (hc + lc) / 2.0
+            bub, blb = hl2 + _ST_MULT * atr, hl2 - _ST_MULT * atr
+            if st["t"] is None:
+                fub, flb = bub, blb
+                trend = "up" if cc >= hl2 else "down"
+            else:
+                fub = bub if (bub < st["fub"] or st["pc"] > st["fub"]) \
+                    else st["fub"]
+                flb = blb if (blb > st["flb"] or st["pc"] < st["flb"]) \
+                    else st["flb"]
+                if st["t"] == "up":
+                    trend = "down" if cc < flb else "up"
+                else:
+                    trend = "up" if cc > fub else "down"
+            st["fub"], st["flb"], st["t"], st["pc"] = fub, flb, trend, cc
+            rows.append(
+                {
+                    "series": key[0],
+                    "day_s": int(r.day_s),
+                    "close_cents": cc,
+                    "final_upper": fub,
+                    "final_lower": flb,
+                    "trend": trend,
+                    "supertrend": flb if trend == "up" else fub,
+                }
+            )
+    state.update((json.dumps(st),))
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "series", "day_s", "close_cents", "final_upper",
+            "final_lower", "trend", "supertrend",
+        ],
+    )
+
+
+def streaming_supertrend(daily: DataFrame) -> DataFrame:
+    """Supertrend over a stream of daily OHLC partials (I37): keyed
+    state carries (bands, trend, prev close, rolling TR window)
+    across micro-batches; output starts once the ATR window fills,
+    exactly like the batch form; replayed days idempotently skipped.
+    `daily` needs columns (series, day_s, hc, lc, cc) in integer
+    cents."""
+    return daily.groupBy("series").applyInPandasWithState(
+        _supertrend_state_fn,
+        outputStructType=_ST_OUT_SCHEMA,
+        stateStructType=_ST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

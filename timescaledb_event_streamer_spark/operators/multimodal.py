@@ -1174,3 +1174,103 @@ def parse_exif_headers(media: DataFrame, payload_col: str = "payload") -> DataFr
             F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("xresolution"),
     )
+
+
+def synthesize_flac_pcm(events: DataFrame) -> DataFrame:
+    """Deterministic FLAC payloads carrying the SAME full-range
+    pseudo-noise waveform as synthesize_wav_pcm (n = event_id%32+8
+    samples of ((eid*6151 + i*32917) % 65536) - [65536 if >= 32768]),
+    ENCODED through the real entropy coder (operators/flac_codec —
+    rice residuals, CRC chain, MD5). Arrow-batched mapInPandas: the
+    encode is genuinely per-row Python, the sanctioned multimodal
+    seam. Only (media_id, payload) survive."""
+    import pandas as _pd
+
+    from timescaledb_event_streamer_spark.operators.flac_codec import (
+        flac_encode,
+    )
+
+    n_shuffle = int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    src = events.repartition(n_shuffle).select(
+        F.col("event_id").alias("media_id"),
+        (F.col("event_id") % 32 + 8).alias("n"),
+        F.element_at(
+            F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+            (F.pmod(F.col("user_id"), 3) + 1).cast("int"),
+        ).alias("rate"),
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for eid, n, rate in zip(pdf["media_id"], pdf["n"], pdf["rate"]):
+                i = np.arange(int(n), dtype=np.int64)
+                v = (int(eid) * 6151 + i * 32917) % 65536
+                v = np.where(v >= 32768, v - 65536, v).astype(np.int16)
+                payloads.append(flac_encode(v, int(rate)))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return src.mapInPandas(encode, "media_id LONG, payload BINARY")
+
+
+def flac_pcm_stats(media: DataFrame) -> DataFrame:
+    """PCM signal statistics from FLAC bytes (G15): the G6 feature
+    contract (peak / DC sum / energy / zero-crossings — all exact
+    integers) computed from REAL entropy-decoded samples via the
+    Arrow-batched decode seam. Losslessness means the numbers equal
+    the WAV path's on identical samples — pinned in pytest AND by
+    the oracle re-deriving every statistic from the generator rule,
+    so an encode/decode bug pair cannot cancel unless it is an exact
+    roundtrip identity (which the codec's fuzz battery guards)."""
+    import pandas as _pd
+
+    from timescaledb_event_streamer_spark.operators.flac_codec import (
+        FLAC_MAGIC,
+        flac_decode,
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw.startswith(FLAC_MAGIC):
+                    rows.append(
+                        {
+                            "media_id": mid, "is_flac": False,
+                            "n_samples": None, "sample_rate": None,
+                            "duration_ms": None, "peak_abs": None,
+                            "sum_samples": None, "energy": None,
+                            "zero_crossings": None,
+                        }
+                    )
+                    continue
+                arr, rate = flac_decode(raw)
+                x = arr[:, 0].astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "is_flac": True,
+                        "n_samples": len(x),
+                        "sample_rate": rate,
+                        "duration_ms": len(x) * 1000 // rate,
+                        "peak_abs": int(np.abs(x).max()),
+                        "sum_samples": int(x.sum()),
+                        "energy": int((x * x).sum()),
+                        "zero_crossings": int(
+                            ((x[:-1] * x[1:]) < 0).sum()
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        stats,
+        "media_id LONG, is_flac BOOLEAN, n_samples LONG, "
+        "sample_rate LONG, duration_ms LONG, peak_abs LONG, "
+        "sum_samples LONG, energy LONG, zero_crossings LONG",
+    )

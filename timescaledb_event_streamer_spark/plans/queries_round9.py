@@ -1663,3 +1663,204 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F48 corpus_quality_feature_matrix — the classifier input assembly
+
+_QF_STOPWORDS = ("a", "the", "of", "and", "to", "in")
+
+
+@register(
+    "corpus_quality_feature_matrix",
+    family="text",
+    doc="Per-document quality FEATURE MATRIX (F48): the single-pass "
+    "assembly a fastText-style quality classifier trains on — "
+    "token/type counts, TTR, top-token share, stopword ratio "
+    "(fixed 6-word list), hapax share, mean token length, bigram "
+    "repetition (1 - distinct/total bigrams) and token entropy, "
+    "all from ONE corpus scan feeding a (doc, token)-grain count "
+    "and a bigram-grain count (map-side partials, doc-keyed "
+    "reduces). The individual signals exist as separate certified "
+    "queries (F2/F9/F10/F13/F41); this is the wide matrix a "
+    "pipeline actually materializes — one scan, not eight.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, t, pos
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos
+                FROM documents
+            ) WHERE length(t) > 0
+        ),
+        tc AS (
+            SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY doc_id, t
+        ),
+        tcn AS (
+            SELECT doc_id, t, c,
+                   sum(c) OVER (PARTITION BY doc_id) AS n
+            FROM tc
+        ),
+        doc1 AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(max(c) AS BIGINT) AS top_c,
+                   CAST(sum(CASE WHEN t IN {_QF_STOPWORDS!r} THEN c
+                            ELSE 0 END) AS BIGINT) AS stop_c,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hapax_c,
+                   CAST(sum(c * length(t)) AS BIGINT) AS char_c,
+                   round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)), 6)
+                       AS token_entropy_bits
+            FROM tcn GROUP BY doc_id
+        ),
+        big AS (
+            SELECT a.doc_id, a.t AS w1, b.t AS w2
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        doc2 AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(count(DISTINCT (w1, w2)) AS BIGINT) AS n_dbigrams
+            FROM big GROUP BY doc_id
+        )
+        SELECT d1.doc_id, d1.n_tokens, d1.n_types,
+               round(d1.n_types * 1.0 / d1.n_tokens, 6) AS ttr,
+               round(d1.top_c * 1.0 / d1.n_tokens, 6) AS top_token_share,
+               round(d1.stop_c * 1.0 / d1.n_tokens, 6) AS stopword_ratio,
+               round(d1.hapax_c * 1.0 / d1.n_types, 6) AS hapax_share,
+               round(d1.char_c * 1.0 / d1.n_tokens, 6) AS mean_token_len,
+               round(1.0 - d2.n_dbigrams * 1.0 / d2.n_bigrams, 6)
+                   AS bigram_repetition,
+               d1.token_entropy_bits
+        FROM doc1 d1 JOIN doc2 d2 USING (doc_id)
+    """,
+)
+def corpus_quality_feature_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: F.length(t) > 0).alias(
+            "ts"
+        ),
+    )
+    tok = toks.select("doc_id", F.explode("ts").alias("t"))
+    tc = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    wdoc = Window.partitionBy("doc_id")
+    p = F.col("c") * 1.0 / F.sum("c").over(wdoc)
+    ent = tc.withColumn("plogp", p * F.log2(p))
+    doc1 = ent.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.max("c").alias("top_c"),
+        F.sum(
+            F.when(F.col("t").isin(*_QF_STOPWORDS), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("stop_c"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax_c"),
+        F.sum(F.col("c") * F.length("t")).alias("char_c"),
+        F.round(-F.sum("plogp"), 6).alias("token_entropy_bits"),
+    )
+    nm1 = F.greatest(F.size("ts") - 1, F.lit(0))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, nm1),
+                F.slice(F.col("ts"), 2, nm1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    doc2 = big.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count_distinct("w1", "w2").alias("n_dbigrams"),
+    )
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return doc1.join(doc2, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        r6(F.col("n_types") * 1.0 / F.col("n_tokens")).alias("ttr"),
+        r6(F.col("top_c") * 1.0 / F.col("n_tokens")).alias(
+            "top_token_share"
+        ),
+        r6(F.col("stop_c") * 1.0 / F.col("n_tokens")).alias(
+            "stopword_ratio"
+        ),
+        r6(F.col("hapax_c") * 1.0 / F.col("n_types")).alias("hapax_share"),
+        r6(F.col("char_c") * 1.0 / F.col("n_tokens")).alias(
+            "mean_token_len"
+        ),
+        r6(1.0 - F.col("n_dbigrams") * 1.0 / F.col("n_bigrams")).alias(
+            "bigram_repetition"
+        ),
+        "token_entropy_bits",
+    )
+
+
+# ---------------------------------------------------------------------------
+# G15 media_flac_pcm_stats — entropy-decoded feature extraction
+
+
+@register(
+    "media_flac_pcm_stats",
+    family="multimodal",
+    doc="PCM signal statistics from FLAC bytes (G15) — the first "
+    "registered query whose features come from an ENTROPY-CODED "
+    "payload: the G6 pseudo-noise waveform is encoded through the "
+    "real FLAC coder (rice residuals, CRC-8/16 chain, MD5) and "
+    "decoded back behind the Arrow-batched seam; peak / DC sum / "
+    "energy / zero-crossings are exact integers over the decoded "
+    "samples. The oracle re-derives every statistic from the "
+    "generator rule — losslessness IS the claim being certified, "
+    "because any decode deviation breaks the hash. Synthesis and "
+    "decode are per-row Python (the sanctioned multimodal seam); "
+    "everything around them is columnar.",
+    oracle="""
+        WITH src AS (
+            SELECT event_id,
+                   event_id % 32 + 8 AS n,
+                   CASE user_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END AS rate,
+                   list_transform(
+                       range(event_id % 32 + 8),
+                       i -> CASE
+                           WHEN (event_id * 6151 + i * 32917) % 65536 >= 32768
+                           THEN (event_id * 6151 + i * 32917) % 65536 - 65536
+                           ELSE (event_id * 6151 + i * 32917) % 65536
+                       END) AS s
+            FROM events
+        )
+        SELECT event_id AS media_id,
+               true AS is_flac,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(rate AS BIGINT) AS sample_rate,
+               CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+               CAST(list_max(list_transform(s, v -> abs(v))) AS BIGINT)
+                   AS peak_abs,
+               CAST(list_sum(s) AS BIGINT) AS sum_samples,
+               CAST(list_sum(list_transform(s, v -> v * v)) AS BIGINT)
+                   AS energy,
+               CAST(list_sum(list_transform(
+                   range(1, n), i -> CASE WHEN s[i] * s[i + 1] < 0
+                                          THEN 1 ELSE 0 END)) AS BIGINT)
+                   AS zero_crossings
+        FROM src
+    """,
+)
+def media_flac_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        flac_pcm_stats,
+        synthesize_flac_pcm,
+    )
+
+    events = load(spark, sf_dir, "events")
+    return flac_pcm_stats(synthesize_flac_pcm(events))

@@ -1864,3 +1864,91 @@ def media_flac_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load(spark, sf_dir, "events")
     return flac_pcm_stats(synthesize_flac_pcm(events))
+
+
+# ---------------------------------------------------------------------------
+# B102 ts_volume_profile — price-bucket volume histogram + value area
+
+_VP_BUCKET = 500  # cents per price bucket
+
+
+@register(
+    "ts_volume_profile",
+    family="timeseries",
+    doc="Volume profile (B102): per-series histogram of traded "
+    "volume by 500-cent price bucket, the point of control (max-"
+    "volume bucket, lowest-price tie), and the volume-ranked 70% "
+    "value area (buckets admitted in (volume desc, price asc) order "
+    "while the PRIOR cumulative volume is below 70% of the total — "
+    "the crossing bucket included, the deterministic ranked variant "
+    "of the center-expansion rule). Everything is exact BIGINT "
+    "arithmetic: volumes are the J1-typed props.$.k units, the 70% "
+    "test is 10*cum_before < 7*total, shares round once. One "
+    "(series, bucket) shuffle with map-side partials; the "
+    "value-area windows run over bucket-grain rows (hundreds per "
+    "series), never events.",
+    oracle=f"""
+        WITH pb AS (
+            SELECT event_type AS series,
+                   CAST(round(value * 100) AS BIGINT)
+                       - CAST(round(value * 100) AS BIGINT) % {_VP_BUCKET}
+                       AS bucket_c,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+            FROM events
+        ),
+        hist AS (
+            SELECT series, bucket_c, CAST(sum(v) AS BIGINT) AS vol
+            FROM pb GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT series, bucket_c, vol,
+                   CAST(row_number() OVER wv AS BIGINT) AS vol_rank,
+                   sum(vol) OVER (
+                       PARTITION BY series ORDER BY vol DESC, bucket_c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - vol AS cum_before,
+                   sum(vol) OVER (PARTITION BY series) AS total
+            FROM hist
+            WINDOW wv AS (PARTITION BY series ORDER BY vol DESC, bucket_c)
+        )
+        SELECT series, bucket_c, vol,
+               round(vol * 1.0 / total, 6) AS vol_share,
+               vol_rank,
+               vol_rank = 1 AS is_poc,
+               10 * cum_before < 7 * total AS in_value_area
+        FROM ranked
+    """,
+)
+def ts_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    pb = events.select(
+        F.col("event_type").alias("series"),
+        (cents - F.pmod(cents, F.lit(_VP_BUCKET))).alias("bucket_c"),
+        F.get_json_object("props", "$.k").cast("long").alias("v"),
+    )
+    hist = pb.groupBy("series", "bucket_c").agg(F.sum("v").alias("vol"))
+    wv = Window.partitionBy("series").orderBy(
+        F.col("vol").desc(), "bucket_c"
+    )
+    wcum = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy("series")
+    ranked = hist.select(
+        "series",
+        "bucket_c",
+        "vol",
+        F.row_number().over(wv).cast("long").alias("vol_rank"),
+        (F.sum("vol").over(wcum) - F.col("vol")).alias("cum_before"),
+        F.sum("vol").over(wtot).alias("total"),
+    )
+    return ranked.select(
+        "series",
+        "bucket_c",
+        "vol",
+        F.round(F.col("vol") * 1.0 / F.col("total"), 6).alias("vol_share"),
+        "vol_rank",
+        (F.col("vol_rank") == 1).alias("is_poc"),
+        (10 * F.col("cum_before") < 7 * F.col("total")).alias(
+            "in_value_area"
+        ),
+    )

@@ -1952,3 +1952,218 @@ def ts_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_value_area"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# D25 dedup_incremental_minhash — new batch vs historical index
+
+
+def _inc_minhash_oracle() -> str:
+    """The D12 md5-portable MinHash machinery in the INCREMENTAL
+    posture: signatures once over the corpus, band collisions only
+    between the new batch (doc_id % 3 == 0) and the index, per-new-
+    doc best match + admission verdict."""
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _A,
+        _B,
+        _MERSENNE,
+    )
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    mins = ",\n               ".join(
+        f"min((h * {_A[i]} + {_B[i]}) % {_MERSENNE}) AS mh{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    band_conds = "\n               OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh{bi * rows + ri} = b.mh{bi * rows + ri}"
+            for ri in range(rows)
+        )
+        + ")"
+        for bi in range(MINHASH_BANDS)
+    )
+    eqsum = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_PERMS)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 5
+        ),
+        s0 AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM t),
+        sh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(array_to_string(
+                       toks[i + 1 : i + 5], ' ')), 1, 15))::BIGINT
+                       % {_MERSENNE} AS h
+            FROM s0
+        ),
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        cand AS (
+            SELECT a.doc_id AS new_id, b.doc_id AS index_id,
+                   ({eqsum}) / 32.0 AS est_jaccard
+            FROM sig a JOIN sig b
+              ON a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+            WHERE {band_conds}
+        ),
+        best AS (
+            SELECT new_id, index_id, est_jaccard
+            FROM cand
+            QUALIFY row_number() OVER (
+                PARTITION BY new_id
+                ORDER BY est_jaccard DESC, index_id
+            ) = 1
+        ),
+        counts AS (
+            SELECT new_id, CAST(count(*) AS BIGINT) AS n_candidates
+            FROM cand GROUP BY new_id
+        )
+        SELECT t.doc_id,
+               coalesce(c.n_candidates, 0) AS n_candidates,
+               coalesce(b.index_id, -1) AS best_match_id,
+               coalesce(b.est_jaccard, 0.0) AS best_est_jaccard,
+               coalesce(b.est_jaccard, 0.0) < 0.5 AS admitted
+        FROM t
+        LEFT JOIN counts c ON t.doc_id = c.new_id
+        LEFT JOIN best b ON t.doc_id = b.new_id
+        WHERE t.doc_id % 3 = 0
+    """
+
+
+@register(
+    "dedup_incremental_minhash",
+    family="dedup",
+    doc="Incremental MinHash dedup (D25) — the PRODUCTION daily-"
+    "ingest posture the all-pairs queries (D3/D12) don't cover: a "
+    "new batch (doc_id % 3 == 0) bands against the HISTORICAL index "
+    "only — no new-vs-new, no index-vs-index — so the join cost is "
+    "|batch| x collision rate, not corpus^2, and the index "
+    "signatures are the reusable artifact a nightly job appends to. "
+    "Per new document: candidate count, best index match (highest "
+    "est_jaccard, lowest-id tie), and the admission verdict at the "
+    "0.5 threshold (no-candidate docs admit with sentinel -1 / "
+    "0.0). md5-portable base hash, so the WHOLE incremental flow "
+    "hash-certifies (the D12 discipline).",
+    oracle=_inc_minhash_oracle(),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _MERSENNE,
+        minhash_signatures,
+    )
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 5
+    )
+    md5_base = lambda s: (  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % _MERSENNE
+    )
+    sig = minhash_signatures(docs, base_hash=md5_base).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows + ri].cast(
+                                        "string"
+                                    )
+                                    for ri in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    new_side = banded.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "bucket",
+    )
+    idx_side = banded.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("index_id"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "bucket",
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        new_side.join(idx_side, ["band", "bucket"])
+        .select("new_id", "index_id", "sig_a", "sig_b")
+        .dropDuplicates(["new_id", "index_id"])
+        .select(
+            "new_id",
+            "index_id",
+            (agree / float(MINHASH_PERMS)).alias("est_jaccard"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wbest = Window.partitionBy("new_id").orderBy(
+        F.col("est_jaccard").desc(), "index_id"
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "index_id", "est_jaccard")
+    )
+    counts = cand.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return (
+        new_docs.join(
+            counts, F.col("doc_id") == F.col("new_id"), "left"
+        )
+        .drop("new_id")
+        .join(best, F.col("doc_id") == F.col("new_id"), "left")
+        .drop("new_id")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce("index_id", F.lit(-1)).cast("long").alias(
+                "best_match_id"
+            ),
+            F.coalesce("est_jaccard", F.lit(0.0)).alias(
+                "best_est_jaccard"
+            ),
+            (F.coalesce("est_jaccard", F.lit(0.0)) < 0.5).alias(
+                "admitted"
+            ),
+        )
+    )

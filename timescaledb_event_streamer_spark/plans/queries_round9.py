@@ -2167,3 +2167,176 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E26 ann_hybrid_rrf — BM25 + vector fusion (reciprocal rank fusion)
+
+_RRF_K = 60
+_RRF_DEPTH = 50
+_RRF_TOP = 10
+_RRF_QUERY = 1
+
+
+def _hybrid_rrf_oracle() -> str:
+    from timescaledb_event_streamer_spark.plans.queries_llm4 import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    tf_cols = ", ".join(
+        "len(list_filter(string_split(text, ' '), "
+        f"x -> x = '{t}')) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    score = " + ".join(
+        f"(CASE WHEN d.tf_{t} > 0 THEN "
+        f"ln(1.0 + (s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5))"
+        f" * (d.tf_{t} * ({_BM25_K1} + 1.0))"
+        f" / (d.tf_{t} + {_BM25_K1} * (1.0 - {_BM25_B}"
+        f" + {_BM25_B} * d.dl / s.avgdl)) ELSE 0.0 END)"
+        for t in _BM25_TERMS
+    )
+    return f"""
+        WITH tfdoc AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_cols}
+            FROM documents WHERE doc_id <> {_RRF_QUERY}
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                   {df_cols}
+            FROM tfdoc
+        ),
+        lex AS (
+            SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY round({score}, 6) DESC, d.doc_id
+                   ) AS BIGINT) AS lex_rank
+            FROM tfdoc d, stats s
+            QUALIFY lex_rank <= {_RRF_DEPTH}
+        ),
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {_RRF_QUERY}),
+        vec AS (
+            SELECT vec_id AS doc_id, CAST(row_number() OVER (
+                       ORDER BY round(list_cosine_similarity(v, qv), 6)
+                                DESC, vec_id
+                   ) AS BIGINT) AS vec_rank
+            FROM e, q WHERE vec_id <> {_RRF_QUERY}
+            QUALIFY vec_rank <= {_RRF_DEPTH}
+        ),
+        fused AS (
+            SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+                   coalesce(lex.lex_rank, -1) AS lex_rank,
+                   coalesce(vec.vec_rank, -1) AS vec_rank,
+                   round(
+                       (CASE WHEN lex.lex_rank IS NOT NULL
+                             THEN 1.0 / ({_RRF_K} + lex.lex_rank)
+                             ELSE 0.0 END)
+                       + (CASE WHEN vec.vec_rank IS NOT NULL
+                               THEN 1.0 / ({_RRF_K} + vec.vec_rank)
+                               ELSE 0.0 END), 6) AS rrf_score,
+                   lex.doc_id IS NOT NULL AND vec.doc_id IS NOT NULL
+                       AS in_both
+            FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+        )
+        SELECT doc_id, lex_rank, vec_rank, rrf_score, in_both,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                    AS BIGINT) AS fused_rank
+        FROM fused
+        QUALIFY fused_rank <= {_RRF_TOP}
+    """
+
+
+@register(
+    "ann_hybrid_rrf",
+    family="ann",
+    doc="Hybrid lexical+vector retrieval (E26): F25's BM25 ranking "
+    "and E1's cosine ranking fused with reciprocal rank fusion "
+    "(RRF, k=60) — the standard hybrid-search serving pattern. Each "
+    "leg produces its deterministic top-50 (rounded score + id tie "
+    "everywhere); fusion is a FULL OUTER join of two 50-row "
+    "metadata frames with -1 sentinels for single-leg hits, "
+    "rrf = 1/(60+lex_rank) + 1/(60+vec_rank) as a fixed two-term "
+    "sum. The corpus pays one BM25 projection scan and one cosine "
+    "scan; everything after the two ordered takes is metadata-"
+    "sized. Top-10 fused with both ranks and an in_both flag.",
+    oracle=_hybrid_rrf_oracle(),
+)
+def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.ann import cosine
+    from timescaledb_event_streamer_spark.plans.queries_llm4 import (
+        bm25_search,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") != _RRF_QUERY
+    )
+    lex = (
+        bm25_search(docs, top_n=_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .cast("long")
+            .alias("lex_rank"),
+        )
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = F.array(
+        *[
+            F.lit(float(x))
+            for x in emb.filter(F.col("vec_id") == _RRF_QUERY).collect()[
+                0
+            ]["v"]
+        ]
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != _RRF_QUERY)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("v"), qv), 6).alias("c"),
+        )
+        .orderBy(F.col("c").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "doc_id"))
+            .cast("long")
+            .alias("vec_rank"),
+        )
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(-1)).alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(-1)).alias("vec_rank"),
+        F.round(
+            F.when(
+                F.col("lex_rank").isNotNull(),
+                1.0 / (F.lit(_RRF_K) + F.col("lex_rank")),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("vec_rank").isNotNull(),
+                1.0 / (F.lit(_RRF_K) + F.col("vec_rank")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        (
+            F.col("lex_rank").isNotNull() & F.col("vec_rank").isNotNull()
+        ).alias("in_both"),
+    )
+    wf = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= _RRF_TOP)
+    )

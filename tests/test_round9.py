@@ -312,3 +312,64 @@ def test_streaming_supertrend_matches_batch(spark, sf_small, tmp_path):
         assert g[0] == w[0] and g[3] == w[3], k
         for gi, wi in ((g[1], w[1]), (g[2], w[2]), (g[4], w[4])):
             np.testing.assert_allclose(round(gi * 1e6) / 1e6, wi, atol=1e-9)
+
+
+def test_adx_matches_textbook_wilder_recursion(spark, sf_small):
+    """B104: the literal Wilder chain (DM/TR -> smoothing -> DI ->
+    DX -> smoothed ADX) run step by step in Python equals the fold."""
+    out = (
+        all_queries()["ts_adx"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    n = 7
+    for series, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day_s").reset_index(drop=True)
+        hc, lc, cc = (
+            grp["hc"].to_numpy(float),
+            grp["lc"].to_numpy(float),
+            grp["cc"].to_numpy(float),
+        )
+        rows = []
+        sp = sm = st = None
+        dxs, adx = 0.0, None
+        for i in range(1, len(grp)):
+            rn = i + 1
+            up, dn = hc[i] - hc[i - 1], lc[i - 1] - lc[i]
+            dmp = up if (up > dn and up > 0) else 0.0
+            dmm = dn if (dn > up and dn > 0) else 0.0
+            tr = max(hc[i] - lc[i], abs(hc[i] - cc[i - 1]),
+                     abs(lc[i] - cc[i - 1]))
+            if sp is None:
+                sp, sm, st = dmp, dmm, tr
+            elif rn <= n + 1:
+                sp, sm, st = sp + dmp, sm + dmm, st + tr
+            else:
+                sp = sp - sp / n + dmp
+                sm = sm - sm / n + dmm
+                st = st - st / n + tr
+            dip = 100.0 * sp / st if st > 0 else 0.0
+            dim = 100.0 * sm / st if st > 0 else 0.0
+            dx_raw = (
+                100.0 * abs(dip - dim) / (dip + dim)
+                if dip + dim > 0
+                else 0.0
+            )
+            if n + 1 <= rn <= 2 * n:
+                dxs += dx_raw
+            if rn == 2 * n:
+                adx = dxs / n
+            elif rn > 2 * n:
+                adx = (adx * (n - 1) + dx_raw) / n
+            if rn >= 2 * n:
+                rows.append((grp["day_s"][i], dip, dim, dx_raw, adx))
+        got = out[out["series"] == series].reset_index(drop=True)
+        assert len(got) == len(rows)
+        for j, (day_s, dip, dim, dx, adx_v) in enumerate(rows):
+            assert got["day_s"][j] == day_s
+            np.testing.assert_allclose(got["plus_di"][j], dip, atol=1e-6)
+            np.testing.assert_allclose(got["minus_di"][j], dim, atol=1e-6)
+            np.testing.assert_allclose(got["dx"][j], dx, atol=1e-6)
+            np.testing.assert_allclose(got["adx"][j], adx_v, atol=1e-6)
+            assert 0 <= got["adx"][j] <= 100

@@ -2340,3 +2340,288 @@ def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("fused_rank") <= _RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# B103 ts_pivot_points — floor-trader pivots from the prior session
+
+
+@register(
+    "ts_pivot_points",
+    family="timeseries",
+    doc="Classic floor-trader pivot levels (B103): P = (H+L+C)/3 of "
+    "the PREVIOUS day (lag over the day grid — today's print never "
+    "contains itself), R1 = 2P - prevL, S1 = 2P - prevH, R2 = P + "
+    "(prevH - prevL), S2 = P - (prevH - prevL), plus where today's "
+    "close actually landed (below S1 / S1..P / P..R1 / above R1 — "
+    "the session-bias label). Inputs are exact integer cents; P is "
+    "the single /3.0, every level a fixed-order expression on it; "
+    "the zone label compares the integer close against the rounded "
+    "levels identically on both engines.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        d AS (
+            SELECT series, day_s, cc,
+                   lag(hc) OVER w AS ph,
+                   lag(lc) OVER w AS pl,
+                   lag(cc) OVER w AS pc
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        ),
+        p AS (
+            SELECT series, day_s, cc, ph, pl,
+                   (ph + pl + pc) / 3.0 AS piv
+            FROM d WHERE ph IS NOT NULL
+        )
+        SELECT series, day_s,
+               CAST(cc AS BIGINT) AS close_cents,
+               round(piv * 1000000.0, 0) / 1000000.0 AS pivot,
+               round((2.0 * piv - pl) * 1000000.0, 0) / 1000000.0 AS r1,
+               round((2.0 * piv - ph) * 1000000.0, 0) / 1000000.0 AS s1,
+               round((piv + (ph - pl)) * 1000000.0, 0) / 1000000.0 AS r2,
+               round((piv - (ph - pl)) * 1000000.0, 0) / 1000000.0 AS s2,
+               CASE WHEN cc < 2.0 * piv - ph THEN 'below_s1'
+                    WHEN cc < piv THEN 's1_to_pivot'
+                    WHEN cc < 2.0 * piv - pl THEN 'pivot_to_r1'
+                    ELSE 'above_r1' END AS zone
+        FROM p
+    """,
+)
+def ts_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("day_s")
+    d = daily.select(
+        "series",
+        "day_s",
+        "cc",
+        F.lag("hc").over(w).alias("ph"),
+        F.lag("lc").over(w).alias("pl"),
+        F.lag("cc").over(w).alias("pc"),
+    ).filter(F.col("ph").isNotNull())
+    piv = (F.col("ph") + F.col("pl") + F.col("pc")) / 3.0
+    p = d.select("series", "day_s", "cc", "ph", "pl", piv.alias("piv"))
+    sc6 = lambda col: F.round(col * 1000000.0, 0) / 1000000.0  # noqa: E731
+    r1 = 2.0 * F.col("piv") - F.col("pl")
+    s1 = 2.0 * F.col("piv") - F.col("ph")
+    return p.select(
+        "series",
+        "day_s",
+        F.col("cc").alias("close_cents"),
+        sc6(F.col("piv")).alias("pivot"),
+        sc6(r1).alias("r1"),
+        sc6(s1).alias("s1"),
+        sc6(F.col("piv") + (F.col("ph") - F.col("pl"))).alias("r2"),
+        sc6(F.col("piv") - (F.col("ph") - F.col("pl"))).alias("s2"),
+        F.when(F.col("cc") < s1, "below_s1")
+        .when(F.col("cc") < F.col("piv"), "s1_to_pivot")
+        .when(F.col("cc") < r1, "pivot_to_r1")
+        .otherwise("above_r1")
+        .alias("zone"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B104 ts_adx — average directional index (Wilder smoothing, n=7)
+
+_ADX_N = 7
+
+
+def _adx_oracle() -> str:
+    n = _ADX_N
+    # dx expression on the NEW smoothed values (repeated where SQL
+    # cannot name it); guards: st > 0 for the DIs, di sum > 0 for dx
+    dip = "CASE WHEN stn > 0 THEN 100.0 * spn / stn ELSE 0.0 END"
+    dim = "CASE WHEN stn > 0 THEN 100.0 * smn / stn ELSE 0.0 END"
+    dx = (
+        f"CASE WHEN ({dip}) + ({dim}) > 0 THEN "
+        f"100.0 * abs(({dip}) - ({dim})) / (({dip}) + ({dim})) "
+        f"ELSE 0.0 END"
+    )
+    return f"""
+        WITH RECURSIVE {_SQL_DAILY},
+        d AS (
+            SELECT series, day_s,
+                   row_number() OVER w AS rn,
+                   CASE WHEN hc - lag(hc) OVER w > lag(lc) OVER w - lc
+                         AND hc - lag(hc) OVER w > 0
+                        THEN hc - lag(hc) OVER w ELSE 0 END AS dmp,
+                   CASE WHEN lag(lc) OVER w - lc > hc - lag(hc) OVER w
+                         AND lag(lc) OVER w - lc > 0
+                        THEN lag(lc) OVER w - lc ELSE 0 END AS dmm,
+                   greatest(hc - lc, abs(hc - lag(cc) OVER w),
+                            abs(lc - lag(cc) OVER w)) AS tr
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        ),
+        st AS (
+            SELECT series, day_s, rn,
+                   CAST(dmp AS DOUBLE) AS sp, CAST(dmm AS DOUBLE) AS sm,
+                   CAST(tr AS DOUBLE) AS stt,
+                   CAST(0.0 AS DOUBLE) AS dxs,
+                   CAST(NULL AS DOUBLE) AS adx,
+                   CAST(0.0 AS DOUBLE) AS dx
+            FROM d WHERE rn = 2
+            UNION ALL
+            SELECT e.series, e.day_s, e.rn, u.spn, u.smn, u.stn,
+                   CASE WHEN e.rn >= {n + 1} AND e.rn <= {2 * n}
+                        THEN s.dxs + ({dx}) ELSE s.dxs END,
+                   CASE WHEN e.rn = {2 * n}
+                        THEN (s.dxs + ({dx})) / {n}.0
+                        WHEN e.rn > {2 * n}
+                        THEN (s.adx * {n - 1}.0 + ({dx})) / {n}.0
+                        ELSE NULL END,
+                   CASE WHEN e.rn >= {n + 1} THEN ({dx}) ELSE 0.0 END
+            FROM d e
+            JOIN st s ON e.series = s.series AND e.rn = s.rn + 1,
+            LATERAL (SELECT
+                CASE WHEN e.rn <= {n + 1} THEN s.sp + e.dmp
+                     ELSE s.sp - s.sp / {n}.0 + e.dmp END AS spn,
+                CASE WHEN e.rn <= {n + 1} THEN s.sm + e.dmm
+                     ELSE s.sm - s.sm / {n}.0 + e.dmm END AS smn,
+                CASE WHEN e.rn <= {n + 1} THEN s.stt + e.tr
+                     ELSE s.stt - s.stt / {n}.0 + e.tr END AS stn
+            ) u
+        )
+        SELECT series, day_s,
+               round((CASE WHEN stt > 0 THEN 100.0 * sp / stt
+                           ELSE 0.0 END) * 1000000.0, 0) / 1000000.0
+                   AS plus_di,
+               round((CASE WHEN stt > 0 THEN 100.0 * sm / stt
+                           ELSE 0.0 END) * 1000000.0, 0) / 1000000.0
+                   AS minus_di,
+               round(dx * 1000000.0, 0) / 1000000.0 AS dx,
+               round(adx * 1000000.0, 0) / 1000000.0 AS adx
+        FROM st WHERE rn >= {2 * n}
+    """
+
+
+@register(
+    "ts_adx",
+    family="timeseries",
+    doc="Average directional index (B104): Wilder's +DM/-DM/TR on "
+    "exact integer cents, Wilder smoothing (s - s/n + x, seeded by "
+    "the first n-sum) for all three, directional indexes, DX, and "
+    "the second-stage Wilder smoothing of DX into ADX — TWO chained "
+    "recursions (each value depends on the previous OUTPUT), run as "
+    "one in-row fold per series (the B80/B97/B101 shape) and "
+    "certified by a genuine RECURSIVE CTE carrying (smoothed +DM, "
+    "-DM, TR, DX seed-sum, ADX). n=7 fits the one-month calendar "
+    "(the classic 14 halved; the algebra is unchanged). Every "
+    "branch guard and division is written identically on both "
+    "engines.",
+    oracle=_adx_oracle(),
+)
+def ts_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _ADX_N
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("day_s")
+    ph, pl, pc = F.lag("hc").over(w), F.lag("lc").over(w), F.lag("cc").over(w)
+    up, dn = F.col("hc") - ph, pl - F.col("lc")
+    d = daily.select(
+        "series",
+        "day_s",
+        F.row_number().over(w).alias("rn"),
+        F.when((up > dn) & (up > 0), up).otherwise(F.lit(0)).alias("dmp"),
+        F.when((dn > up) & (dn > 0), dn).otherwise(F.lit(0)).alias("dmm"),
+        F.greatest(
+            F.col("hc") - F.col("lc"),
+            F.abs(F.col("hc") - pc),
+            F.abs(F.col("lc") - pc),
+        ).alias("tr"),
+    ).filter(F.col("rn") >= 2)
+    packed = d.groupBy("series").agg(
+        F.array_sort(
+            F.collect_list(F.struct("rn", "day_s", "dmp", "dmm", "tr"))
+        ).alias("ds")
+    )
+    init = F.struct(
+        F.array()
+        .cast(
+            "array<struct<day_s:bigint,rn:int,sp:double,sm:double,"
+            "stt:double,dx:double,adx:double>>"
+        )
+        .alias("arr"),
+        F.lit(None).cast("double").alias("sp"),
+        F.lit(None).cast("double").alias("sm"),
+        F.lit(None).cast("double").alias("stt"),
+        F.lit(0.0).alias("dxs"),
+        F.lit(None).cast("double").alias("adx"),
+    )
+
+    def step(acc, x):
+        first = acc["sp"].isNull()
+        spn = F.when(first, x["dmp"].cast("double")).otherwise(
+            F.when(x["rn"] <= n + 1, acc["sp"] + x["dmp"]).otherwise(
+                acc["sp"] - acc["sp"] / float(n) + x["dmp"]
+            )
+        )
+        smn = F.when(first, x["dmm"].cast("double")).otherwise(
+            F.when(x["rn"] <= n + 1, acc["sm"] + x["dmm"]).otherwise(
+                acc["sm"] - acc["sm"] / float(n) + x["dmm"]
+            )
+        )
+        stn = F.when(first, x["tr"].cast("double")).otherwise(
+            F.when(x["rn"] <= n + 1, acc["stt"] + x["tr"]).otherwise(
+                acc["stt"] - acc["stt"] / float(n) + x["tr"]
+            )
+        )
+        dip = F.when(stn > 0, 100.0 * spn / stn).otherwise(F.lit(0.0))
+        dim = F.when(stn > 0, 100.0 * smn / stn).otherwise(F.lit(0.0))
+        dx_raw = F.when(
+            (dip + dim) > 0, 100.0 * F.abs(dip - dim) / (dip + dim)
+        ).otherwise(F.lit(0.0))
+        dx = F.when(x["rn"] >= n + 1, dx_raw).otherwise(F.lit(0.0))
+        dxs = F.when(
+            (x["rn"] >= n + 1) & (x["rn"] <= 2 * n),
+            acc["dxs"] + dx_raw,
+        ).otherwise(acc["dxs"])
+        adx = (
+            F.when(x["rn"] == 2 * n, (acc["dxs"] + dx_raw) / float(n))
+            .when(
+                x["rn"] > 2 * n,
+                (acc["adx"] * float(n - 1) + dx_raw) / float(n),
+            )
+            .otherwise(F.lit(None).cast("double"))
+        )
+        entry = F.struct(
+            x["day_s"].alias("day_s"),
+            x["rn"].alias("rn"),
+            spn.alias("sp"),
+            smn.alias("sm"),
+            stn.alias("stt"),
+            dx.alias("dx"),
+            adx.alias("adx"),
+        )
+        return F.struct(
+            F.concat(acc["arr"], F.array(entry)).alias("arr"),
+            spn.alias("sp"),
+            smn.alias("sm"),
+            stn.alias("stt"),
+            dxs.alias("dxs"),
+            adx.alias("adx"),
+        )
+
+    folded = packed.select(
+        "series",
+        F.aggregate(F.col("ds"), init, step, lambda a: a["arr"]).alias(
+            "arr"
+        ),
+    )
+    x = folded.select("series", F.explode("arr").alias("x")).select(
+        "series", "x.*"
+    )
+    sc6 = lambda col: F.round(col * 1000000.0, 0) / 1000000.0  # noqa: E731
+    dip_o = F.when(
+        F.col("stt") > 0, 100.0 * F.col("sp") / F.col("stt")
+    ).otherwise(F.lit(0.0))
+    dim_o = F.when(
+        F.col("stt") > 0, 100.0 * F.col("sm") / F.col("stt")
+    ).otherwise(F.lit(0.0))
+    return x.filter(F.col("rn") >= 2 * n).select(
+        "series",
+        "day_s",
+        sc6(dip_o).alias("plus_di"),
+        sc6(dim_o).alias("minus_di"),
+        sc6(F.col("dx")).alias("dx"),
+        sc6(F.col("adx")).alias("adx"),
+    )

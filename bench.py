@@ -71,6 +71,14 @@ HEADLINE = [
     # round-8 continuation: the bigram LM scorer is the heaviest new
     # registered plan (two bigram-keyed joins over the corpus)
     "text_bigram_lm_score",
+    # round-9: the amortized-build PQ tuning sweep, the held-out
+    # trigram backoff eval (three n-gram joins), the winnowing
+    # fingerprint join, and the FLAC encode+decode Python seam — the
+    # four new plans with nontrivial per-row or multi-stage work
+    "ann_ivfpq_nprobe_sweep",
+    "text_trigram_backoff_score",
+    "dedup_winnowing",
+    "media_flac_pcm_stats",
 ]
 
 #: the frozen round-1 set — `value` keeps measuring exactly these so

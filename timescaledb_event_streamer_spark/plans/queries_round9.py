@@ -1,12 +1,25 @@
-"""Round-9 additions: Kaufman adaptive moving average (B97) and the
-IVF-PQ nprobe tuning sweep (E24).
+"""Round-9 additions.
 
-KAMA is the B80/ts_heikin_ashi shape — a genuinely recursive
-per-series fold no window function expresses (each day's output
-depends on the previous day's OUTPUT) — certified by a genuine
-RECURSIVE CTE oracle walking rn = rn + 1. The nprobe sweep is E21's
-recall-vs-scan curve re-run on the E14 seeded PQ index: the tuning
-table a deployment needs before picking the 32x-compressed path.
+Timeseries indicators (the B72-B96 dashboard family continued):
+KAMA (B97, recursive variable-alpha EWMA), Keltner channels (B98),
+Ichimoku cloud (B99), Donchian channel (B100), Supertrend (B101,
+two-sided recursive band carry), volume profile (B102), pivot
+points (B103), ADX (B104, two CHAINED Wilder recursions). Every
+recursive operator runs as the B80 in-row per-series fold and is
+certified by a genuine RECURSIVE CTE oracle.
+
+Similarity search: the IVF-PQ nprobe tuning sweep (E24, amortized
+build), kNN-graph beam search (E25, the HNSW-layer-0 routing idea),
+hybrid BM25+vector RRF fusion (E26).
+
+Dedup: winnowing fingerprints (D24, the MOSS algorithm) and
+incremental batch-vs-index MinHash (D25, the daily-ingest posture).
+
+Text/corpus: held-out trigram stupid-backoff eval (F46), Heaps-law
+vocabulary growth (F47), the one-scan quality feature matrix (F48).
+
+Multimodal: FLAC PCM stats (G15) — the first registered query
+certified through an entropy coder.
 
 Reference anchor: the hypertable/cagg analytics surface the streamer
 feeds (SURVEY §1; `spi/schema/eventschema.go` is the events shape).

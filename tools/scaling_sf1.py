@@ -48,6 +48,14 @@ REPS = [
     ("text_rake_keywords", "regex-phrase RAKE scoring"),
     ("text_hapax_stats", "vocab-grain richness reduce"),
     ("text_zipf_fit", "ranked log-log OLS reduce"),
+    # r9 additions: the heaviest new plans
+    ("ann_ivfpq_nprobe_sweep", "amortized-build PQ tuning sweep"),
+    ("ann_graph_beam_search", "kNN-graph build + beam routing"),
+    ("text_trigram_backoff_score", "held-out 3-gram backoff joins"),
+    ("dedup_winnowing", "winnowing fingerprint join"),
+    ("corpus_quality_feature_matrix", "one-scan feature assembly"),
+    ("media_flac_pcm_stats", "FLAC encode+decode Python seam"),
+    ("corpus_vocab_growth", "Heaps-curve first-occurrence reduce"),
 ]
 
 SECTION = "## sf1 checkpoint (second decade, r8)"
@@ -121,7 +129,7 @@ def main() -> None:
     md = (REPO / "SCALING.md").read_text()
     if SECTION in md:
         md = re.sub(
-            re.escape(SECTION) + r".*?(?=\n## |\Z)", block, md, flags=re.S
+            re.escape(SECTION) + r".*?(?=\n###? |\Z)", block, md, flags=re.S
         )
     else:
         md = md.rstrip() + "\n\n" + block

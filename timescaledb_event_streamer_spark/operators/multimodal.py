@@ -1274,3 +1274,99 @@ def flac_pcm_stats(media: DataFrame) -> DataFrame:
         "sample_rate LONG, duration_ms LONG, peak_abs LONG, "
         "sum_samples LONG, energy LONG, zero_crossings LONG",
     )
+
+
+def synthesize_bmp_images(events: DataFrame) -> DataFrame:
+    """Deterministic 9x8 grayscale BMP payloads: pixel(r, c) =
+    (event_id*31 + r*17 + c*7) % 256, encoded through the REAL BMP
+    coder (operators/bmp_codec — paletted 8-bit, bottom-up padded
+    rows). Arrow-batched mapInPandas; only (media_id, payload)
+    survive — the G15 synth pattern applied to images."""
+    import pandas as _pd
+
+    from timescaledb_event_streamer_spark.operators.bmp_codec import (
+        bmp_encode,
+    )
+
+    n_shuffle = int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    src = events.repartition(n_shuffle).select(
+        F.col("event_id").alias("media_id")
+    )
+
+    def encode(batches):
+        r = np.arange(8)[:, None]
+        c = np.arange(9)[None, :]
+        for pdf in batches:
+            payloads = [
+                bmp_encode(
+                    ((int(mid) * 31 + r * 17 + c * 7) % 256).astype(
+                        np.uint8
+                    )
+                )
+                for mid in pdf["media_id"]
+            ]
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return src.mapInPandas(encode, "media_id LONG, payload BINARY")
+
+
+def bmp_dhash(media: DataFrame) -> DataFrame:
+    """Difference-hash fingerprints from BMP bytes (G16): decode
+    through the real codec, then the standard dHash (adjacent-column
+    gradient signs over a 9-wide/8-tall grayscale grid -> 64 bits,
+    rendered as 16 hex chars) and aHash (pixel >= integer mean).
+    Exact integer comparisons throughout, so the fingerprints — and
+    therefore the full decode path — value-certify against an
+    oracle that re-derives them from the synthesis rule."""
+    import pandas as _pd
+
+    from timescaledb_event_streamer_spark.operators.bmp_codec import (
+        BMP_MAGIC,
+        bmp_decode,
+    )
+
+    def hash_batch(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw.startswith(BMP_MAGIC):
+                    rows.append(
+                        {
+                            "media_id": mid, "is_bmp": False,
+                            "width": None, "height": None,
+                            "dhash_bits": None, "ahash_bits": None,
+                        }
+                    )
+                    continue
+                img = bmp_decode(raw)
+                g = img[:, :, 0].astype(np.int64)
+                h, w = g.shape
+                dbits = (g[:, :-1] > g[:, 1:]).ravel()
+                mean = int(g.sum()) // (h * w)  # integer floor-mean
+                abits = (g >= mean).ravel()
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "is_bmp": True,
+                        "width": w,
+                        "height": h,
+                        "dhash_bits": "".join(
+                            "1" if b else "0" for b in dbits
+                        ),
+                        "ahash_bits": "".join(
+                            "1" if b else "0" for b in abits
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        hash_batch,
+        "media_id LONG, is_bmp BOOLEAN, width INT, height INT, "
+        "dhash_bits STRING, ahash_bits STRING",
+    )

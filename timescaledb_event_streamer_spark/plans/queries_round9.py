@@ -2638,3 +2638,59 @@ def ts_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc6(F.col("dx")).alias("dx"),
         sc6(F.col("adx")).alias("adx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G16 media_bmp_dhash — perceptual hashes certified THROUGH the codec
+
+
+@register(
+    "media_bmp_dhash",
+    family="multimodal",
+    doc="Perceptual image fingerprints certified THROUGH the real "
+    "BMP codec (G16, the G15 pattern applied to images — and the "
+    "value-exact sibling the rows-only G8 bridge was missing): a "
+    "deterministic 9x8 grayscale rule (pixel = (eid*31 + r*17 + "
+    "c*7) % 256) is ENCODED with the real coder (paletted 8-bit, "
+    "bottom-up padded rows), decoded back behind the Arrow seam, "
+    "and hashed — dHash = adjacent-column gradient signs (64 bits), "
+    "aHash = pixel >= integer floor-mean (72 bits), both as "
+    "portable bit strings. The oracle re-derives both hashes from "
+    "the RULE, so any deviation anywhere in encode -> decode -> "
+    "hash breaks the certification.",
+    oracle="""
+        WITH src AS (
+            SELECT event_id,
+                   flatten(list_transform(range(8), r ->
+                       list_transform(range(9), c ->
+                           (event_id * 31 + r * 17 + c * 7) % 256)))
+                       AS px
+            FROM events
+        )
+        SELECT event_id AS media_id,
+               true AS is_bmp,
+               CAST(9 AS INT) AS width,
+               CAST(8 AS INT) AS height,
+               array_to_string(
+                   flatten(list_transform(range(8), r ->
+                       list_transform(range(8), c ->
+                           CASE WHEN px[r * 9 + c + 1]
+                                     > px[r * 9 + c + 2]
+                                THEN '1' ELSE '0' END))), '')
+                   AS dhash_bits,
+               array_to_string(
+                   list_transform(range(72), i ->
+                       CASE WHEN px[i + 1] >= list_sum(px) // 72
+                            THEN '1' ELSE '0' END), '')
+                   AS ahash_bits
+        FROM src
+    """,
+)
+def media_bmp_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        bmp_dhash,
+        synthesize_bmp_images,
+    )
+
+    events = load(spark, sf_dir, "events")
+    return bmp_dhash(synthesize_bmp_images(events))

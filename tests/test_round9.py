@@ -373,3 +373,42 @@ def test_adx_matches_textbook_wilder_recursion(spark, sf_small):
             np.testing.assert_allclose(got["dx"][j], dx, atol=1e-6)
             np.testing.assert_allclose(got["adx"][j], adx_v, atol=1e-6)
             assert 0 <= got["adx"][j] <= 100
+
+
+def test_winnowing_density_matches_paper(spark, tmp_path):
+    """D24: Schleimer et al.'s expected fingerprint density on random
+    input is 2/(w+1) of the k-gram positions — with w=4 that is 0.4;
+    a long random-vocabulary document should land near it (selected
+    fingerprints are DISTINCT hashes, which undercounts slightly, so
+    assert a generous band around the theoretical value)."""
+    import pandas as pd
+
+    from timescaledb_event_streamer_spark.plans.queries_round9 import (
+        _WIN_K,
+        _WIN_PACK,
+        _WIN_W,
+    )
+
+    rng = np.random.default_rng(77)
+    toks = [f"w{rng.integers(0, 10**9)}" for _ in range(4000)]
+    # run the selection rule directly in Python over md5 hashes (the
+    # same packed rightmost-min rule the query uses)
+    import hashlib as _h
+
+    kg = [
+        int(
+            _h.md5(" ".join(toks[i : i + _WIN_K]).encode()).hexdigest()[:10],
+            16,
+        )
+        for i in range(len(toks) - _WIN_K + 1)
+    ]
+    packed = [
+        h * _WIN_PACK + (_WIN_PACK - 1 - (i + 1)) for i, h in enumerate(kg)
+    ]
+    sel = {
+        min(packed[i : i + _WIN_W]) // _WIN_PACK
+        for i in range(len(packed) - _WIN_W + 1)
+    }
+    density = len(sel) / len(kg)
+    expect = 2.0 / (_WIN_W + 1)
+    assert abs(density - expect) < 0.05, density

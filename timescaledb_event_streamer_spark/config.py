@@ -485,6 +485,151 @@ class PipelineAssembly:
             return encoders.http_shaped(env, url)
         raise ValueError(f"unknown sink type {sink!r}")  # pragma: no cover
 
+    # -- sink delivery -----------------------------------------------------
+
+    @staticmethod
+    def _host_port(addr: str, default_port: int) -> tuple[str, int]:
+        addr = addr.split("://", 1)[-1]
+        host, _, port = addr.partition(":")
+        return host, int(port) if port else default_port
+
+    def deliver_batch(self, shaped: DataFrame) -> None:
+        """Dispatch one (micro-)batch of `shape()` output to the REAL
+        delivery loop for the configured sink (r9) — connection
+        settings read with the reference's exact property names
+        (spi/config/constants.go). stdout prints via the console
+        path; every broker sink runs its executor-side loop."""
+        raw = self.config.raw
+        sink = self.config.sink_type
+        if sink == "stdout":
+            shaped.write.format("console").save()
+            return
+        if sink == "kafka":
+            from timescaledb_event_streamer_spark.sinks.kafka_delivery import (
+                kafka_sink_batch,
+            )
+
+            brokers = get_or_default(raw, "sink.kafka.brokers", [])
+            if isinstance(brokers, str):
+                brokers = [brokers]
+            if not brokers:
+                raise ValueError("sink.kafka.brokers is required")
+            # the loop speaks to one broker (the partition leader in a
+            # single-broker deployment); multi-broker metadata routing
+            # belongs to a full client
+            kafka_sink_batch(shaped, self._host_port(brokers[0], 9092))
+            return
+        if sink == "nats":
+            from timescaledb_event_streamer_spark.sinks.nats_delivery import (
+                nats_sink_batch,
+            )
+
+            addr = get_or_default(
+                raw, "sink.nats.address", "nats://localhost:4222"
+            )
+            nats_sink_batch(
+                shaped.withColumnRenamed("data", "envelope"),
+                self._host_port(addr, 4222),
+                authorization=get_or_default(
+                    raw, "sink.nats.authorization", "userinfo"
+                ),
+                username=get_or_default(
+                    raw, "sink.nats.userinfo.username", ""
+                ),
+                password=get_or_default(
+                    raw, "sink.nats.userinfo.password", ""
+                ),
+                jwt=get_or_default(raw, "sink.nats.jwt.jwt", ""),
+                seed=get_or_default(raw, "sink.nats.jwt.seed", ""),
+            )
+            return
+        if sink == "redis":
+            from timescaledb_event_streamer_spark.sinks.redis_delivery import (
+                redis_sink_batch,
+            )
+
+            addr = get_or_default(
+                raw, "sink.redis.address", "localhost:6379"
+            )
+            redis_sink_batch(
+                shaped,
+                self._host_port(addr, 6379),
+                password=get_or_default(raw, "sink.redis.password", ""),
+                db=int(get_or_default(raw, "sink.redis.database", 0)),
+                max_retries=int(
+                    get_or_default(raw, "sink.redis.retries.maxattempts", 0)
+                ),
+            )
+            return
+        if sink == "kinesis":
+            from timescaledb_event_streamer_spark.sinks.aws_delivery import (
+                kinesis_sink_batch,
+            )
+
+            kinesis_sink_batch(
+                shaped,
+                get_or_default(raw, "sink.kinesis.aws.endpoint", ""),
+                get_or_default(raw, "sink.kinesis.stream.name", "events"),
+                region=get_or_default(
+                    raw, "sink.kinesis.aws.region", "us-east-1"
+                ),
+                access_key=get_or_default(
+                    raw, "sink.kinesis.aws.accesskeyid", ""
+                ),
+                secret_key=get_or_default(
+                    raw, "sink.kinesis.aws.secretaccesskey", ""
+                ),
+            )
+            return
+        if sink == "sqs":
+            from timescaledb_event_streamer_spark.sinks.aws_delivery import (
+                sqs_sink_batch,
+            )
+
+            sqs_sink_batch(
+                shaped,
+                get_or_default(raw, "sink.sqs.queue.url", ""),
+                region=get_or_default(raw, "sink.sqs.aws.region", "us-east-1"),
+                access_key=get_or_default(
+                    raw, "sink.sqs.aws.accesskeyid", ""
+                ),
+                secret_key=get_or_default(
+                    raw, "sink.sqs.aws.secretaccesskey", ""
+                ),
+            )
+            return
+        if sink == "http":
+            from timescaledb_event_streamer_spark.sinks.http_delivery import (
+                http_sink_batch,
+                http_sink_headers,
+            )
+
+            http_sink_batch(
+                # http_shaped carries (url, body); the delivery loop
+                # posts the envelope column to the CONFIGURED url
+                shaped.select(F.col("body").alias("envelope")),
+                get_or_default(raw, "sink.http.url", ""),
+                http_sink_headers(
+                    get_or_default(
+                        raw, "sink.http.authentication.type", "none"
+                    ),
+                    username=get_or_default(
+                        raw, "sink.http.authentication.basic.username", ""
+                    ),
+                    password=get_or_default(
+                        raw, "sink.http.authentication.basic.password", ""
+                    ),
+                    header_name=get_or_default(
+                        raw, "sink.http.authentication.header.name", ""
+                    ),
+                    header_value=get_or_default(
+                        raw, "sink.http.authentication.header.value", ""
+                    ),
+                ),
+            )
+            return
+        raise ValueError(f"unknown sink type {sink!r}")  # pragma: no cover
+
 
 def from_config(path: str) -> PipelineAssembly:
     """Parse a reference-format config file and return the wired

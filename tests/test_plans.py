@@ -152,6 +152,8 @@ _BNLJ_OK = {
     #   + 1-row entry/query broadcasts per hop
     "text_trigram_backoff_score",  # single-row broadcast corpus-token
     #   total (the OOV floor denominator)
+    "ann_hybrid_rrf",  # the BM25 leg's single-row broadcast
+    #   N/avgdl/df stats cross join (same bound as text_bm25_search)
     "corpus_vocab_growth",  # 10-row broadcast checkpoint table x the
     #   type-grain firsts (conditional aggregate, bounded expansion)
     "corpus_mixture_entropy",  # single-row broadcast totals / fold rows

@@ -412,3 +412,36 @@ def test_winnowing_density_matches_paper(spark, tmp_path):
     density = len(sel) / len(kg)
     expect = 2.0 / (_WIN_W + 1)
     assert abs(density - expect) < 0.05, density
+
+
+def test_power_iteration_matches_numpy_eig(spark, sf_small):
+    """E27: the power-iteration direction and Rayleigh quotient agree
+    with numpy's dense eigendecomposition of the same covariance
+    (up to sign and the iteration's convergence tolerance)."""
+    import pandas as pd
+
+    out = (
+        all_queries()["embedding_top_eigvec_power"](spark, sf_small)
+        .toPandas()
+        .sort_values("dim")
+    )
+    emb = pd.read_parquet(f"{sf_small}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    Xq = np.rint(X * 1e6)
+    C = np.cov(Xq, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    lam = evals[-1]
+    got_v = out["eigvec"].to_numpy()
+    # sign-align, then compare: 8 iterations converge well when the
+    # spectral gap is decent
+    if np.dot(got_v, top) < 0:
+        top = -top
+    cos = np.dot(got_v, top) / (
+        np.linalg.norm(got_v) * np.linalg.norm(top)
+    )
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(
+        out["top_eigenvalue"].iloc[0], lam / 1e12, rtol=0.01
+    )
+    assert 0 < out["explained_ratio"].iloc[0] <= 1

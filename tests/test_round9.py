@@ -445,3 +445,68 @@ def test_power_iteration_matches_numpy_eig(spark, sf_small):
         out["top_eigenvalue"].iloc[0], lam / 1e12, rtol=0.01
     )
     assert 0 < out["explained_ratio"].iloc[0] <= 1
+
+
+def test_streaming_adx_matches_batch(spark, sf_small, tmp_path):
+    """I38: both chained Wilder recursions cross a micro-batch
+    boundary and equal the batch ts_adx row-for-row."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_adx,
+    )
+
+    daily = _daily_ohlcv(spark, sf_small).select(
+        "series", "day_s", "hc", "lc", "cc"
+    )
+    split_day = daily.agg(
+        F.expr("percentile_approx(day_s, 0.5)").alias("m")
+    ).first()["m"]
+    log_dir = tmp_path / "adx_log"
+    log_dir.mkdir()
+    daily.filter(F.col("day_s") <= split_day).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b0"))
+    _t.sleep(1.1)
+    daily.filter(F.col("day_s") > split_day).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b1"))
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_adx(stream)
+        .writeStream.format("memory")
+        .queryName("adx_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["day_s"]): (
+            r["plus_di"], r["minus_di"], r["dx"], r["adx"]
+        )
+        for r in spark.sql("SELECT * FROM adx_stream").collect()
+    }
+    want = {
+        (r["series"], r["day_s"]): (
+            r["plus_di"], r["minus_di"], r["dx"], r["adx"]
+        )
+        for r in all_queries()["ts_adx"](spark, sf_small).collect()
+    }
+    assert len(got) == len(want) > 0
+    for k, g in got.items():
+        w = want[k]
+        for gi, wi in zip(g, w):
+            np.testing.assert_allclose(
+                round(gi * 1e6) / 1e6, wi, atol=1e-9
+            )

@@ -140,3 +140,48 @@ def test_report_emitted_per_sink_tags():
     assert snap["counters"][("emitted_count", tags)] == 150
     assert snap["summaries"][("emitted_runtime_seconds", tags)] == (2, 1.1)
     assert snap["summaries"][("emitted_retry", tags)] == (2, 2.0)
+
+
+def test_metrics_scrape_live_next_to_a_streaming_query(spark, tmp_path):
+    """H22 composition: a checkpointed availableNow stream feeds the
+    channel counters through the foreachBatch hook while the scrape
+    endpoint serves them over HTTP — the reference's stats service
+    posture (engine fed by the pipeline, Prometheus scraped from
+    outside)."""
+    import urllib.request
+
+    from timescaledb_event_streamer_spark.stats import StatsService
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("c", 1), ("u", 1), ("c", 2), ("d", 2), ("m", None), ("c", 3)],
+        "op STRING, xid INT",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+    e = MetricsEngine()
+    svc = StatsService(e, port=0).start()
+    try:
+        stream = (
+            spark.readStream.schema("op STRING, xid INT")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(metrics_reporting_sink(e))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        url = f"http://127.0.0.1:{svc.port}/metrics"
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            body = resp.read().decode()
+        assert "timescaledb_event_streamer_channel_calls_total 6" in body
+        assert "timescaledb_event_streamer_channel_calls_insert 3" in body
+        assert (
+            "timescaledb_event_streamer_channel_statistics_transactions 3"
+            in body
+        )
+    finally:
+        svc.stop()

@@ -1293,3 +1293,103 @@ def streaming_supertrend(daily: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming ADX (I38): the live form of ts_adx (B104) — the most
+# state-heavy fold in the indicator family: TWO chained Wilder
+# recursions (smoothed +DM/-DM/TR, then smoothed DX) per series key.
+
+_ADX_N = 7
+_ADX_STATE_SCHEMA = "state_json STRING"
+_ADX_OUT_SCHEMA = (
+    "series STRING, day_s LONG, plus_di DOUBLE, minus_di DOUBLE, "
+    "dx DOUBLE, adx DOUBLE"
+)
+
+
+def _adx_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json
+
+    n = _ADX_N
+    if state.exists:
+        st = json.loads(state.get[0])
+    else:
+        st = {"d": None, "rn": 0, "ph": None, "pl": None, "pc": None,
+              "sp": None, "sm": None, "stt": None, "dxs": 0.0,
+              "adx": None}
+    rows = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allpdf = pd.concat(chunks, ignore_index=True).sort_values("day_s")
+        for r in allpdf.itertuples():
+            if st["d"] is not None and r.day_s <= st["d"]:
+                continue  # replayed/duplicate day partial
+            hc, lc, cc = int(r.hc), int(r.lc), int(r.cc)
+            st["d"] = int(r.day_s)
+            st["rn"] += 1
+            rn = st["rn"]
+            if rn == 1:
+                st["ph"], st["pl"], st["pc"] = hc, lc, cc
+                continue
+            up, dn = hc - st["ph"], st["pl"] - lc
+            dmp = up if (up > dn and up > 0) else 0
+            dmm = dn if (dn > up and dn > 0) else 0
+            tr = max(hc - lc, abs(hc - st["pc"]), abs(lc - st["pc"]))
+            st["ph"], st["pl"], st["pc"] = hc, lc, cc
+            if st["sp"] is None:
+                st["sp"], st["sm"], st["stt"] = float(dmp), float(dmm), float(tr)
+            elif rn <= n + 1:
+                st["sp"] += dmp
+                st["sm"] += dmm
+                st["stt"] += tr
+            else:
+                st["sp"] = st["sp"] - st["sp"] / n + dmp
+                st["sm"] = st["sm"] - st["sm"] / n + dmm
+                st["stt"] = st["stt"] - st["stt"] / n + tr
+            dip = 100.0 * st["sp"] / st["stt"] if st["stt"] > 0 else 0.0
+            dim = 100.0 * st["sm"] / st["stt"] if st["stt"] > 0 else 0.0
+            dx_raw = (
+                100.0 * abs(dip - dim) / (dip + dim)
+                if dip + dim > 0
+                else 0.0
+            )
+            if n + 1 <= rn <= 2 * n:
+                st["dxs"] += dx_raw
+            if rn == 2 * n:
+                st["adx"] = st["dxs"] / n
+            elif rn > 2 * n:
+                st["adx"] = (st["adx"] * (n - 1) + dx_raw) / n
+            if rn >= 2 * n:
+                rows.append(
+                    {
+                        "series": key[0],
+                        "day_s": int(r.day_s),
+                        "plus_di": dip,
+                        "minus_di": dim,
+                        "dx": dx_raw,
+                        "adx": st["adx"],
+                    }
+                )
+    state.update((json.dumps(st),))
+    yield pd.DataFrame(
+        rows,
+        columns=["series", "day_s", "plus_di", "minus_di", "dx", "adx"],
+    )
+
+
+def streaming_adx(daily: DataFrame) -> DataFrame:
+    """ADX over a stream of daily OHLC partials (I38): keyed state
+    carries both Wilder recursions (smoothed +DM/-DM/TR and the
+    smoothed DX) plus the previous day's H/L/C — O(1) state per key
+    at any stream length; output starts at the second smoothing's
+    seed exactly like the batch form. `daily` needs columns
+    (series, day_s, hc, lc, cc) in integer cents."""
+    return daily.groupBy("series").applyInPandasWithState(
+        _adx_state_fn,
+        outputStructType=_ADX_OUT_SCHEMA,
+        stateStructType=_ADX_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

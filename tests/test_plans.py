@@ -147,9 +147,9 @@ _BNLJ_OK = {
     "ann_nprobe_sweep",  # single-row broadcast query vector / totals
     "ann_ivfpq_nprobe_sweep",  # same: <=100-row broadcast seed assign
     #   + 1-row query/total broadcasts per sweep branch
-    "ann_graph_beam_search",  # exact-pairwise graph build on the 20%
-    #   node shard (the E5 posture: LSH candidate generator at scale)
-    #   + 1-row entry/query broadcasts per hop
+    "ann_graph_beam_search",  # graph build is banded-LSH candidate
+    #   equi-join + exact rerank (candidate-bounded, r10); the BNLJ
+    #   here is only the 1-row entry/query broadcasts per hop
     "text_trigram_backoff_score",  # single-row broadcast corpus-token
     #   total (the OOV floor denominator)
     "ann_hybrid_rrf",  # the BM25 leg's single-row broadcast

@@ -128,7 +128,7 @@ def test_latest_state_stream_matches_batch(spark, sf_small, log_dir):
 def test_kafka_shaped_encoding(spark, sf_small):
     env = streaming_envelope(load(spark, sf_small, "events"))
     enc = kafka_shaped(env)
-    assert set(enc.columns) == {"key", "value", "topic"}
+    assert set(enc.columns) == {"key", "value", "topic", "ts_ms"}
     row = enc.first()
     import json
 

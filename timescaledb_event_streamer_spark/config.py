@@ -473,7 +473,7 @@ class PipelineAssembly:
         if sink == "kafka":
             return writers.kafka_shaped(env, key_cols=["key_user_id"])
         if sink == "nats":
-            return encoders.nats_shaped(env)
+            return encoders.nats_shaped(env, key_cols=["key_user_id"])
         if sink == "redis":
             return encoders.redis_shaped(env, key_cols=["key_user_id"])
         if sink == "kinesis":
@@ -514,9 +514,16 @@ class PipelineAssembly:
                 brokers = [brokers]
             if not brokers:
                 raise ValueError("sink.kafka.brokers is required")
-            # the loop speaks to one broker (the partition leader in a
-            # single-broker deployment); multi-broker metadata routing
-            # belongs to a full client
+            if len(brokers) > 1:
+                # the loop speaks to one broker (the partition leader
+                # in a single-broker deployment); multi-broker
+                # metadata routing belongs to a full client — refuse
+                # loudly instead of silently using broker[0]
+                raise ValueError(
+                    "sink.kafka.brokers: this delivery loop supports a "
+                    "single broker (partition-0 leader); got "
+                    f"{len(brokers)} brokers"
+                )
             kafka_sink_batch(shaped, self._host_port(brokers[0], 9092))
             return
         if sink == "nats":

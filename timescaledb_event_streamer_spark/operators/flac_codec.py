@@ -554,7 +554,9 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
         header_len = r.byte_pos - pos
         if crc8(data[pos : pos + header_len]) != r.read(8):
             raise ValueError("FLAC frame header CRC mismatch")
-        bits = _SAMPLE_SIZES.get(ss_code, 16) if ss_code else bps
+        if ss_code == 3:
+            raise ValueError("reserved FLAC sample size code")
+        bits = _SAMPLE_SIZES[ss_code] if ss_code else bps
         if chan_mode < 8:
             n_sub = chan_mode + 1
             if n_sub != ch:

@@ -1343,28 +1343,78 @@ _BEAM_K = 10
 _BEAM_DEG = 5
 _BEAM_NODE_MOD = 5  # graph nodes: vec_id % 5 == 0 (a 20% shard)
 _BEAM_QUERY = 1
+# banded-LSH candidate generation for the kNN-graph build (the E5
+# posture): 8 bands x 4 sign bits, all 32 hyperplanes drawn from one
+# LCG stream. At 100 TB band_bits grows with log n to keep per-bucket
+# candidate groups bounded; the band join is the only pair-generating
+# shuffle and it carries slim (vid, band, bucket) rows.
+_BEAM_BANDS = 8
+_BEAM_BAND_BITS = 4
+_BEAM_PLANE_SEED = 424243
+
+
+def _beam_planes() -> list[list[float]]:
+    from timescaledb_event_streamer_spark.operators.ann import _planes
+
+    return _planes(_BEAM_PLANE_SEED, _BEAM_BANDS * _BEAM_BAND_BITS, 64)
 
 
 def _beam_oracle() -> str:
     """The 3-hop beam search unrolled round by round: candidates =
     neighbors of the frontier not yet visited, frontier = top-B new
     candidates, visited accumulates; identical round algebra to the
-    Spark loop."""
+    Spark loop. The kNN-graph build is banded-LSH: the oracle
+    re-derives every band's sign bucket with list_dot_product
+    against the same 32 constant hyperplanes (the E2/D6 pattern),
+    collides on any band, and exact-reranks only the candidates —
+    an independent recomputation of the Spark build, not an echo."""
+    from timescaledb_event_streamer_spark.plans.queries_llm import (
+        _sql_plane_list,
+    )
+
+    planes = _beam_planes()
+    plane_rows = ", ".join(
+        "({band}, {bit}, CAST({p} AS DOUBLE[]))".format(
+            band=i // _BEAM_BAND_BITS,
+            bit=i % _BEAM_BAND_BITS,
+            p=_sql_plane_list(coords),
+        )
+        for i, coords in enumerate(planes)
+    )
     head = """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
         nodes AS (SELECT * FROM e WHERE vec_id % {mod} = 0),
         q AS (SELECT v AS qv FROM e WHERE vec_id = {query}),
+        planes AS (
+            SELECT * FROM (VALUES {plane_rows}) t(band, bit, p)
+        ),
+        sig AS (
+            SELECT n.vec_id, pl.band,
+                   CAST(sum(CASE WHEN list_dot_product(n.v, pl.p) > 0
+                            THEN 1 << pl.bit ELSE 0 END) AS BIGINT)
+                       AS bucket
+            FROM nodes n CROSS JOIN planes pl
+            GROUP BY n.vec_id, pl.band
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+            FROM sig a JOIN sig b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id <> b.vec_id
+        ),
         g AS (
             SELECT src, dst FROM (
-                SELECT a.vec_id AS src, b.vec_id AS dst,
+                SELECT c.src, c.dst,
                        row_number() OVER (
-                           PARTITION BY a.vec_id
-                           ORDER BY round(list_cosine_similarity(a.v, b.v),
-                                          6) DESC, b.vec_id
+                           PARTITION BY c.src
+                           ORDER BY round(list_cosine_similarity(na.v, nb.v),
+                                          6) DESC, c.dst
                        ) AS rnk
-                FROM nodes a JOIN nodes b ON a.vec_id <> b.vec_id
+                FROM cand c
+                JOIN nodes na ON c.src = na.vec_id
+                JOIN nodes nb ON c.dst = nb.vec_id
             ) WHERE rnk <= {deg}
         ),
         scoredall AS (
@@ -1379,7 +1429,12 @@ def _beam_oracle() -> str:
         ),
         v0 AS (SELECT vec_id, c, 0 AS hop FROM entry),
         f0 AS (SELECT vec_id FROM entry)
-    """.format(mod=_BEAM_NODE_MOD, query=_BEAM_QUERY, deg=_BEAM_DEG)
+    """.format(
+        mod=_BEAM_NODE_MOD,
+        query=_BEAM_QUERY,
+        deg=_BEAM_DEG,
+        plane_rows=plane_rows,
+    )
     rounds = []
     for r in range(1, _BEAM_HOPS + 1):
         rounds.append(
@@ -1429,10 +1484,15 @@ def _beam_oracle() -> str:
     "was discovered at and an in_exact_topk flag vs the shard's "
     "brute-force truth — the curve that shows graph routing finding "
     "near-neighbors while scoring only frontier neighborhoods. The "
-    "graph build is the one-off index cost (exact pairwise at "
-    "oracle SF; the 100 TB swap is the banded-LSH candidate "
-    "generator, the E5 posture); each search hop scores <= "
-    "beam x degree vectors.",
+    "graph build is the one-off index cost and is CANDIDATE-BOUNDED "
+    "at every scale: banded-LSH sign sketches (8 bands x 4 bits, "
+    "one LCG plane stream) generate candidate pairs via a slim "
+    "(vid, band, bucket) equi-join, and only candidates are exact- "
+    "reranked to top-deg per node — never all pairs. The oracle "
+    "re-derives the buckets from the same plane literals, so the "
+    "banding itself is hash-certified. band_bits grows with log n "
+    "at 100 TB to keep per-bucket groups bounded; each search hop "
+    "scores <= beam x degree vectors.",
     oracle=_beam_oracle(),
 )
 def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1452,11 +1512,45 @@ def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]["v"]
         ]
     )
+    from timescaledb_event_streamer_spark.operators.ann import dot
+
+    planes = _beam_planes()
+    band_structs = []
+    for bi in range(_BEAM_BANDS):
+        bucket = F.lit(0).cast("long")
+        for j in range(_BEAM_BAND_BITS):
+            coords = planes[bi * _BEAM_BAND_BITS + j]
+            plane = F.array(*[F.lit(c) for c in coords])
+            bit = (dot(F.col("v"), plane) > 0).cast("long")
+            bucket = bucket.bitwiseOR(F.shiftleft(bit, j))
+        band_structs.append(
+            F.struct(F.lit(bi).alias("band"), bucket.alias("bucket"))
+        )
+    # slim (vid, band, bucket) rows: the band self-join never
+    # shuffles 64-dim arrays, and vectors re-attach only to the
+    # deduped candidate pairs for the exact rerank
+    banded = nodes.select(
+        F.col("vec_id").alias("vid"),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select("vid", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ba = banded.alias("ba")
+    bb = banded.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.vid") != F.col("bb.vid")),
+        )
+        .select(F.col("ba.vid").alias("src"), F.col("bb.vid").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    na = nodes.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    nb = nodes.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
     w = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
-    a = nodes.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
-    b = nodes.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
     g = (
-        a.join(b, F.col("src") != F.col("dst"))
+        cand.join(na, "src")
+        .join(nb, "dst")
         .select(
             "src",
             "dst",
@@ -2704,6 +2798,18 @@ _PI_DIM = 64
 _PI_ITERS = 16
 
 
+def _round6(x: float) -> float:
+    """Half-away-from-zero rounding to 6 decimals — matches DuckDB's
+    round() and Spark's F.round (HALF_UP), unlike Python's banker's
+    round() which would break bit-exact hash certification on an
+    exact .5 * 1e-6 tie."""
+    import math
+
+    if x >= 0:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+    return -math.floor(-x * 1e6 + 0.5) / 1e6
+
+
 def _power_oracle() -> str:
     """Exact-integer covariance sums (the E18 discipline) -> the
     64x64 matrix as a list-of-lists -> eight UNROLLED multiply +
@@ -2915,12 +3021,12 @@ def embedding_top_eigvec_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     trace_acc = C[0][0]
     for i in range(1, dim):
         trace_acc = trace_acc + C[i][i]
-    lam_real = round(lam_acc / float(_PI_Q * _PI_Q) * 1e6) / 1e6
-    explained = round(lam_acc / trace_acc * 1e6) / 1e6
+    lam_real = _round6(lam_acc / float(_PI_Q * _PI_Q))
+    explained = _round6(lam_acc / trace_acc)
     rows = [
         (
             i,
-            round(v[i] * 1e6) / 1e6,
+            _round6(v[i]),
             lam_real,
             explained,
             int(n_vecs),

@@ -62,10 +62,21 @@ def sqs_shaped(env: DataFrame) -> DataFrame:
     )
 
 
-def nats_shaped(env: DataFrame) -> DataFrame:
-    """(subject, data) — subject-per-topic publish."""
+def nats_shaped(env: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """(subject, key, data) — subject-per-topic publish. The key is
+    the JSON message key the reference always sets as the NATS `key`
+    header (nats.go Emit), same derivation as kafka_shaped/
+    redis_shaped."""
+    key_cols = key_cols or ["key_user_id"]
+    key_cols = [c for c in key_cols if c in env.columns]
+    key = (
+        F.to_json(F.struct(*[F.col(c) for c in key_cols]))
+        if key_cols
+        else F.lit("")
+    )
     return env.select(
         F.col("topic").alias("subject"),
+        key.alias("key"),
         _envelope_json(env).cast("binary").alias("data"),
     )
 

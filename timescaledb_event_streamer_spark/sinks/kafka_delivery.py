@@ -203,7 +203,9 @@ def produce_rows(
             d = row.asDict() if hasattr(row, "asDict") else dict(row)
             key = bytes(d["key"]) if d.get("key") is not None else None
             value = bytes(d["value"]) if d.get("value") is not None else None
-            ts = int(d.get("ts_ms") or 0)
+            # event time when the frame carries one; emit time
+            # otherwise (sarama's producer default) — never epoch 0
+            ts = int(d.get("ts_ms") or (time.time() * 1000))
             pending.setdefault(d["topic"], []).append((key, value, ts))
             if len(pending[d["topic"]]) >= batch_size:
                 producer.send_batch(d["topic"], pending.pop(d["topic"]))

@@ -18,15 +18,23 @@ from pyspark.sql.streaming import StreamingQuery
 
 
 def kafka_shaped(env: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
-    """Encode an envelope DataFrame to the (key, value, topic) binary
-    contract of the Kafka sink (sink/kafka/kafka.go: key = message
-    key, value = JSON envelope). Works for batch and streaming."""
+    """Encode an envelope DataFrame to the (key, value, topic, ts_ms)
+    binary contract of the Kafka sink (sink/kafka/kafka.go: key =
+    message key, value = JSON envelope, record timestamp = the
+    envelope's event time — sarama sets ProducerMessage.Timestamp).
+    Works for batch and streaming."""
     key_cols = key_cols or ["key_user_id"]
     payload_cols = [c for c in env.columns if c != "topic"]
+    ts = (
+        F.col("ts_ms").cast("long")
+        if "ts_ms" in env.columns
+        else F.lit(None).cast("long")
+    )
     return env.select(
         F.to_json(F.struct(*[F.col(c) for c in key_cols])).cast("binary").alias("key"),
         F.to_json(F.struct(*[F.col(c) for c in payload_cols])).cast("binary").alias("value"),
         F.col("topic"),
+        ts.alias("ts_ms"),
     )
 
 

@@ -79,7 +79,7 @@ class MetricsEngine:
         if not tags:
             return ""
         inner = ",".join(
-            f'{k}="{str(v).replace(chr(92), chr(92)*2).replace(chr(34), chr(92) + chr(34))}"'
+            f'{k}="{str(v).replace(chr(92), chr(92)*2).replace(chr(34), chr(92) + chr(34)).replace(chr(10), chr(92) + "n")}"'
             for k, v in tags
         )
         return "{" + inner + "}"

@@ -89,17 +89,24 @@ class _NatsHandler(socketserver.StreamRequestHandler):
     server.logs[subject]. `fail_first` answers the first N publishes
     with a JetStream error ack."""
 
-    def handle(self):
-        srv = self.server
-        self.nonce = uuid.uuid4().hex
-        info = {
+    def _info(self) -> dict:
+        return {
             "server_id": "local-test",
             "version": "2.10.0",
             "headers": True,
             "max_payload": 1 << 20,
             "nonce": self.nonce,
         }
-        self.wfile.write(b"INFO " + json.dumps(info).encode() + b"\r\n")
+
+    def handle(self):
+        self.nonce = uuid.uuid4().hex
+        self.wfile.write(
+            b"INFO " + json.dumps(self._info()).encode() + b"\r\n"
+        )
+        self._serve_loop()
+
+    def _serve_loop(self):
+        srv = self.server
         self.inboxes: dict[str, str] = {}  # sid -> subject
         while True:
             line = self.rfile.readline()

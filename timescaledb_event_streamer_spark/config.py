@@ -488,6 +488,24 @@ class PipelineAssembly:
     # -- sink delivery -----------------------------------------------------
 
     @staticmethod
+    def _tls_opts(raw: dict, prefix: str) -> dict:
+        """Shared sink-TLS property block (constants.go:72-74 /
+        98-99 shape: <sink>.tls.{enabled,skipverify} + cert paths)."""
+        if not get_or_default(raw, f"{prefix}.enabled", False):
+            return {}
+        return {
+            "tls": True,
+            "tls_opts": {
+                "skip_verify": get_or_default(
+                    raw, f"{prefix}.skipverify", False
+                ),
+                "cafile": get_or_default(raw, f"{prefix}.cafile", None),
+                "certfile": get_or_default(raw, f"{prefix}.certfile", None),
+                "keyfile": get_or_default(raw, f"{prefix}.keyfile", None),
+            },
+        }
+
+    @staticmethod
     def _host_port(addr: str, default_port: int) -> tuple[str, int]:
         addr = addr.split("://", 1)[-1]
         host, _, port = addr.partition(":")
@@ -524,7 +542,23 @@ class PipelineAssembly:
                     "single broker (partition-0 leader); got "
                     f"{len(brokers)} brokers"
                 )
-            kafka_sink_batch(shaped, self._host_port(brokers[0], 9092))
+            opts: dict = {}
+            if get_or_default(raw, "sink.kafka.sasl.enabled", False):
+                # kafka.go:54-66 / constants.go:68-71; sarama's
+                # SASLTypePlaintext default
+                opts["sasl_mechanism"] = get_or_default(
+                    raw, "sink.kafka.sasl.mechanism", "PLAIN"
+                )
+                opts["sasl_username"] = get_or_default(
+                    raw, "sink.kafka.sasl.user", ""
+                )
+                opts["sasl_password"] = get_or_default(
+                    raw, "sink.kafka.sasl.password", ""
+                )
+            opts.update(self._tls_opts(raw, "sink.kafka.tls"))
+            kafka_sink_batch(
+                shaped, self._host_port(brokers[0], 9092), **opts
+            )
             return
         if sink == "nats":
             from timescaledb_event_streamer_spark.sinks.nats_delivery import (
@@ -548,6 +582,7 @@ class PipelineAssembly:
                 ),
                 jwt=get_or_default(raw, "sink.nats.jwt.jwt", ""),
                 seed=get_or_default(raw, "sink.nats.jwt.seed", ""),
+                **self._tls_opts(raw, "sink.nats.tls"),
             )
             return
         if sink == "redis":
@@ -566,6 +601,7 @@ class PipelineAssembly:
                 max_retries=int(
                     get_or_default(raw, "sink.redis.retries.maxattempts", 0)
                 ),
+                **self._tls_opts(raw, "sink.redis.tls"),
             )
             return
         if sink == "kinesis":

@@ -81,6 +81,11 @@ class KafkaProducer:
         n_partitions: int = 1,
         max_retries: int = MAX_RETRIES,
         retry_backoff_s: float = 0.05,
+        tls: bool = False,
+        tls_opts: dict | None = None,
+        sasl_mechanism: str | None = None,
+        sasl_username: str = "",
+        sasl_password: str = "",
     ) -> None:
         self.broker = broker
         self.acks = acks
@@ -88,16 +93,121 @@ class KafkaProducer:
         self.n_partitions = n_partitions
         self.max_retries = max_retries
         self.retry_backoff_s = retry_backoff_s
+        self.tls = tls
+        self.tls_opts = tls_opts or {}
+        if sasl_mechanism and sasl_mechanism not in (
+            "PLAIN",
+            "SCRAM-SHA-256",
+        ):
+            raise ValueError(
+                f"unsupported SASL mechanism {sasl_mechanism!r}"
+            )
+        self.sasl_mechanism = sasl_mechanism
+        self.sasl_username = sasl_username
+        self.sasl_password = sasl_password
         self._sock: socket.socket | None = None
         self._correlation = 0
 
     # -- connection management ---------------------------------------
     def _connect(self) -> socket.socket:
         if self._sock is None:
-            self._sock = socket.create_connection(
+            sock = socket.create_connection(
                 self.broker, timeout=self.timeout_s
             )
+            if self.tls:
+                # broker TLS is from byte 0 (kafka.go:67-78), unlike
+                # the PG source's STARTTLS
+                from timescaledb_event_streamer_spark.sinks.tls import (
+                    wrap_sink_tls,
+                )
+
+                sock = wrap_sink_tls(sock, self.broker[0], **self.tls_opts)
+            if self.sasl_mechanism:
+                try:
+                    self._sasl_authenticate(sock)
+                except Exception:
+                    sock.close()
+                    raise
+            self._sock = sock
         return self._sock
+
+    # -- SASL ----------------------------------------------------------
+    def _sasl_roundtrip(self, sock: socket.socket, frame: bytes) -> bytes:
+        sock.sendall(frame)
+        return _recv_frame(sock)
+
+    def _sasl_authenticate(self, sock: socket.socket) -> None:
+        """SaslHandshake v1 announcing the mechanism, then the
+        mechanism bytes over SaslAuthenticate v0 — PLAIN is one
+        roundtrip, SCRAM-SHA-256 two (RFC 5802 client-first/
+        client-final, reusing the PG source's SCRAM core).
+        Authentication failures are NON-retriable and raise."""
+        from timescaledb_event_streamer_spark.sinks.kafka_wire import (
+            ERROR_SASL_AUTHENTICATION_FAILED,
+            decode_sasl_authenticate_response,
+            decode_sasl_handshake_response,
+            encode_sasl_authenticate_request,
+            encode_sasl_handshake_request,
+            plain_auth_bytes,
+        )
+
+        self._correlation += 1
+        hs = decode_sasl_handshake_response(
+            self._sasl_roundtrip(
+                sock,
+                encode_sasl_handshake_request(
+                    self._correlation, CLIENT_ID, self.sasl_mechanism
+                ),
+            )
+        )
+        if hs["error_code"] != 0:
+            raise KafkaDeliveryError(
+                f"kafka: broker rejected SASL mechanism "
+                f"{self.sasl_mechanism!r} (error {hs['error_code']}, "
+                f"enabled: {hs['mechanisms']})"
+            )
+
+        def authenticate(auth_bytes: bytes) -> dict:
+            self._correlation += 1
+            resp = decode_sasl_authenticate_response(
+                self._sasl_roundtrip(
+                    sock,
+                    encode_sasl_authenticate_request(
+                        self._correlation, CLIENT_ID, auth_bytes
+                    ),
+                )
+            )
+            if resp["error_code"] != 0:
+                detail = resp.get("error_message") or ""
+                kind = (
+                    "authentication failed"
+                    if resp["error_code"]
+                    == ERROR_SASL_AUTHENTICATION_FAILED
+                    else f"error {resp['error_code']}"
+                )
+                raise KafkaDeliveryError(f"kafka: SASL {kind}: {detail}")
+            return resp
+
+        if self.sasl_mechanism == "PLAIN":
+            authenticate(
+                plain_auth_bytes(self.sasl_username, self.sasl_password)
+            )
+            return
+        # SCRAM-SHA-256: the RFC 5802 exchange from the PG source,
+        # framed in SaslAuthenticate bytes instead of pg wire messages
+        from timescaledb_event_streamer_spark.sources.pg_auth import (
+            ScramClient,
+        )
+
+        scram = ScramClient(self.sasl_password, username=self.sasl_username)
+        server_first = authenticate(scram.client_first().encode())[
+            "auth_bytes"
+        ].decode()
+        client_final = scram.handle_server_first(server_first)
+        server_final = authenticate(client_final.encode())[
+            "auth_bytes"
+        ].decode()
+        scram.verify_server_final(server_final)
 
     def close(self) -> None:
         if self._sock is not None:
@@ -141,6 +251,14 @@ class KafkaProducer:
         batch = encode_record_batch(msgs)
         last_error: int | str = "no attempt"
         for attempt in range(self.max_retries + 1):
+            try:
+                # connect FIRST: TLS + SASL consume correlation ids
+                sock = self._connect()
+            except (ConnectionError, OSError) as e:
+                self.close()
+                last_error = f"transport: {e}"
+                time.sleep(self.retry_backoff_s * (attempt + 1))
+                continue
             self._correlation += 1
             frame = encode_produce_request(
                 self._correlation,
@@ -150,7 +268,6 @@ class KafkaProducer:
                 timeout_ms=int(self.timeout_s * 1000),
             )
             try:
-                sock = self._connect()
                 sock.sendall(frame)
                 if self.acks == 0:  # fire-and-forget: no response frame
                     return -1
@@ -189,6 +306,7 @@ def produce_rows(
     n_partitions: int = 1,
     acks: int = 1,
     batch_size: int = 500,
+    **producer_opts,
 ) -> int:
     """Executor-side partition body: rows in the kafka_shaped
     (key, value, topic[, ts_ms]) contract -> produce frames, batched
@@ -196,7 +314,7 @@ def produce_rows(
     and fails the task."""
     delivered = 0
     with KafkaProducer(
-        broker, acks=acks, n_partitions=n_partitions
+        broker, acks=acks, n_partitions=n_partitions, **producer_opts
     ) as producer:
         pending: dict[str, list] = {}
         for row in rows:
@@ -222,12 +340,15 @@ def kafka_sink_batch(
     *,
     n_partitions: int = 1,
     acks: int = 1,
+    **producer_opts,
 ) -> None:
     """Deliver one (micro-)batch: executor-parallel foreachPartition,
-    one broker connection per partition (the H15 shape)."""
+    one broker connection per partition (the H15 shape). Extra
+    kwargs (tls/tls_opts/sasl_*) reach every executor's producer."""
     df.foreachPartition(
         lambda rows: produce_rows(
-            rows, broker, n_partitions=n_partitions, acks=acks
+            rows, broker, n_partitions=n_partitions, acks=acks,
+            **producer_opts,
         )
     )
 

@@ -369,3 +369,158 @@ def decode_produce_response(frame: bytes) -> dict:
         "results": results,
         "throttle_ms": throttle_ms,
     }
+
+
+# -- SASL (handshake + authenticate) ----------------------------------
+#
+# The reference enables SASL on its sarama producer via
+# sink.kafka.sasl.{enabled,user,password,mechanism}
+# (kafka.go:54-66, constants.go:68-71). sarama performs:
+# SaslHandshakeRequest v1 (api_key 17) announcing the mechanism, then
+# one or more SaslAuthenticateRequest v0 (api_key 36) roundtrips
+# carrying the opaque mechanism bytes — PLAIN is a single roundtrip,
+# SCRAM-SHA-256 (RFC 5802/7677) is client-first/server-first/
+# client-final/server-final over two. Both frames are plain
+# (non-flexible) versions so they share this module's string/bytes
+# primitives.
+
+API_SASL_HANDSHAKE = 17
+SASL_HANDSHAKE_VERSION = 1
+API_SASL_AUTHENTICATE = 36
+SASL_AUTHENTICATE_VERSION = 0
+
+ERROR_UNSUPPORTED_SASL_MECHANISM = 33
+ERROR_ILLEGAL_SASL_STATE = 34
+ERROR_SASL_AUTHENTICATION_FAILED = 58
+
+
+def plain_auth_bytes(username: str, password: str, authzid: str = "") -> bytes:
+    """RFC 4616 PLAIN initial response: authzid NUL authcid NUL passwd."""
+    return b"\x00".join(
+        (authzid.encode(), username.encode(), password.encode())
+    )
+
+
+def encode_sasl_handshake_request(
+    correlation_id: int, client_id: str, mechanism: str
+) -> bytes:
+    body = bytearray()
+    body += struct.pack(
+        ">hhi", API_SASL_HANDSHAKE, SASL_HANDSHAKE_VERSION, correlation_id
+    )
+    body += _string(client_id)
+    body += _string(mechanism)
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+def decode_sasl_handshake_request(frame: bytes) -> dict:
+    (size,) = struct.unpack_from(">i", frame, 0)
+    if len(frame) < 4 + size:
+        raise ValueError("torn sasl handshake request")
+    body = frame[4 : 4 + size]
+    api_key, api_version, correlation_id = struct.unpack_from(">hhi", body, 0)
+    if api_key != API_SASL_HANDSHAKE:
+        raise ValueError(f"not a sasl handshake request (api_key={api_key})")
+    pos = 8
+    client_id, pos = _read_string(body, pos)
+    mechanism, pos = _read_string(body, pos)
+    return {
+        "api_version": api_version,
+        "correlation_id": correlation_id,
+        "client_id": client_id,
+        "mechanism": mechanism,
+    }
+
+
+def encode_sasl_handshake_response(
+    correlation_id: int, error_code: int, mechanisms: list[str]
+) -> bytes:
+    body = bytearray()
+    body += struct.pack(">ih", correlation_id, error_code)
+    body += struct.pack(">i", len(mechanisms))
+    for m in mechanisms:
+        body += _string(m)
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+def decode_sasl_handshake_response(frame: bytes) -> dict:
+    (size,) = struct.unpack_from(">i", frame, 0)
+    if len(frame) < 4 + size:
+        raise ValueError("torn sasl handshake response")
+    body = frame[4 : 4 + size]
+    correlation_id, error_code = struct.unpack_from(">ih", body, 0)
+    pos = 6
+    (n,) = struct.unpack_from(">i", body, pos)
+    pos += 4
+    mechanisms = []
+    for _ in range(n):
+        m, pos = _read_string(body, pos)
+        mechanisms.append(m)
+    return {
+        "correlation_id": correlation_id,
+        "error_code": error_code,
+        "mechanisms": mechanisms,
+    }
+
+
+def encode_sasl_authenticate_request(
+    correlation_id: int, client_id: str, auth_bytes: bytes
+) -> bytes:
+    body = bytearray()
+    body += struct.pack(
+        ">hhi", API_SASL_AUTHENTICATE, SASL_AUTHENTICATE_VERSION, correlation_id
+    )
+    body += _string(client_id)
+    body += _bytes(auth_bytes)
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+def decode_sasl_authenticate_request(frame: bytes) -> dict:
+    (size,) = struct.unpack_from(">i", frame, 0)
+    if len(frame) < 4 + size:
+        raise ValueError("torn sasl authenticate request")
+    body = frame[4 : 4 + size]
+    api_key, api_version, correlation_id = struct.unpack_from(">hhi", body, 0)
+    if api_key != API_SASL_AUTHENTICATE:
+        raise ValueError(
+            f"not a sasl authenticate request (api_key={api_key})"
+        )
+    pos = 8
+    client_id, pos = _read_string(body, pos)
+    auth_bytes, pos = _read_bytes(body, pos)
+    return {
+        "api_version": api_version,
+        "correlation_id": correlation_id,
+        "client_id": client_id,
+        "auth_bytes": auth_bytes,
+    }
+
+
+def encode_sasl_authenticate_response(
+    correlation_id: int,
+    error_code: int,
+    auth_bytes: bytes = b"",
+    error_message: str | None = None,
+) -> bytes:
+    body = bytearray()
+    body += struct.pack(">ih", correlation_id, error_code)
+    body += _string(error_message)
+    body += _bytes(auth_bytes)
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+def decode_sasl_authenticate_response(frame: bytes) -> dict:
+    (size,) = struct.unpack_from(">i", frame, 0)
+    if len(frame) < 4 + size:
+        raise ValueError("torn sasl authenticate response")
+    body = frame[4 : 4 + size]
+    correlation_id, error_code = struct.unpack_from(">ih", body, 0)
+    pos = 6
+    error_message, pos = _read_string(body, pos)
+    auth_bytes, pos = _read_bytes(body, pos)
+    return {
+        "correlation_id": correlation_id,
+        "error_code": error_code,
+        "error_message": error_message,
+        "auth_bytes": auth_bytes,
+    }

@@ -61,7 +61,11 @@ class NatsJetStreamPublisher:
         timeout_s: float = 5.0,
         max_reconnects: int = 3,
         reconnect_wait_s: float = 0.1,
+        tls: bool = False,
+        tls_opts: dict | None = None,
     ) -> None:
+        self.tls = tls
+        self.tls_opts = tls_opts or {}
         self.server = server
         self.auth = dict(
             authorization=authorization,
@@ -87,6 +91,16 @@ class NatsJetStreamPublisher:
         op, info, _, _ = reader.next_op()
         if op != "INFO":
             raise NatsDeliveryError(f"nats: expected INFO, got {op}")
+        if self.tls or info.get("tls_required"):
+            # the NATS handshake starts cleartext; the client
+            # upgrades AFTER INFO and BEFORE CONNECT (the nats.go
+            # `secure` path; INFO advertises tls_required)
+            from timescaledb_event_streamer_spark.sinks.tls import (
+                wrap_sink_tls,
+            )
+
+            sock = wrap_sink_tls(sock, self.server[0], **self.tls_opts)
+            reader = NatsReader(sock)
         nonce = (info.get("nonce") or "").encode()
         opts = connect_options(nonce=nonce, **self.auth)
         sock.sendall(encode_connect(opts))

@@ -110,6 +110,8 @@ class RedisStreamsPublisher:
         timeout_s: float = 5.0,
         max_retries: int = 0,
         retry_backoff_s: float = 0.000512,
+        tls: bool = False,
+        tls_opts: dict | None = None,
     ) -> None:
         self.server = server
         self.password = password
@@ -117,6 +119,8 @@ class RedisStreamsPublisher:
         self.timeout_s = timeout_s
         self.max_retries = max_retries
         self.retry_backoff_s = retry_backoff_s
+        self.tls = tls
+        self.tls_opts = tls_opts or {}
         self._sock: socket.socket | None = None
         self._reader: RespReader | None = None
 
@@ -124,6 +128,14 @@ class RedisStreamsPublisher:
         if self._sock is not None:
             return
         sock = socket.create_connection(self.server, timeout=self.timeout_s)
+        if self.tls:
+            # redis.go:86-95: TLSConfig on the go-redis client — TLS
+            # from byte 0, before AUTH/SELECT
+            from timescaledb_event_streamer_spark.sinks.tls import (
+                wrap_sink_tls,
+            )
+
+            sock = wrap_sink_tls(sock, self.server[0], **self.tls_opts)
         reader = RespReader(sock)
         if self.password:
             sock.sendall(encode_command("AUTH", self.password))

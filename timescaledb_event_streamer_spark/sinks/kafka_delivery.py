@@ -360,6 +360,7 @@ def kafka_sink_stream(
     n_partitions: int = 1,
     checkpoint_dir: str | None = None,
     query_name: str = "kafka_sink",
+    **producer_opts,
 ):
     """writeStream wiring: foreachBatch -> executor-parallel produce.
     With a checkpoint dir a crashed batch replays on restart —
@@ -369,7 +370,7 @@ def kafka_sink_stream(
         df.writeStream.queryName(query_name)
         .foreachBatch(
             lambda b, _id: kafka_sink_batch(
-                b, broker, n_partitions=n_partitions
+                b, broker, n_partitions=n_partitions, **producer_opts
             )
         )
         .outputMode("append")

@@ -127,6 +127,25 @@ def test_audio_codecs_reject_hostile_bytes(idx, tail):
     assert arr.dtype == np.int16 and rate > 0
 
 
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=260))
+def test_adpcm_rejects_hostile_bytes(tail):
+    """IMA-ADPCM (G17): RIFF/WAVE magic + garbage must raise a clean
+    ValueError or decode a structurally valid sample list — never
+    hang, never accept garbage silently (complements the dedicated
+    battery in tests/test_adpcm.py)."""
+    from timescaledb_event_streamer_spark.operators.adpcm_codec import (
+        adpcm_decode,
+    )
+
+    payload = b"RIFF" + tail[:4] + b"WAVE" + tail[4:]
+    try:
+        out, rate = adpcm_decode(payload)
+    except (ValueError,) + struct_error_types():
+        return
+    assert rate > 0 and all(-32768 <= v <= 32767 for v in out)
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.data())
 def test_audio_truncation_raises_or_roundtrips(data):

@@ -291,6 +291,10 @@ MAGIC_SIGNATURES = (
     ("47494638", "gif"),
     ("49492A00", "tiff"),
     ("4D4D002A", "tiff"),
+    # WAVE with fmt tag 0x0011 (LE '1100') at byte 20 = IMA-ADPCM
+    # (G17, lossy 4-bit) — must precede the generic RIFF entry so the
+    # subtype wins; corroborated by 'WAVE' at byte 8
+    ("1100", "wav_adpcm", 40, ("57415645", 16)),
     ("52494646", "riff"),  # WAV/AVI/WebP share the RIFF container
     # 'AIFF' at byte 8 (hex offset 16), corroborated by the 'FORM'
     # group magic at byte 0 — same short-magic plausibility rule as
@@ -311,7 +315,7 @@ def sniff_format(payload_col) -> "F.Column":
     Mirrors the typed-metadata contract: routing/filtering by format
     happens BEFORE any decode, so a 100 TB media scan that only wants
     PNGs prunes everything else at projection cost."""
-    head = F.hex(payload_col).substr(F.lit(1), F.lit(36))
+    head = F.hex(payload_col).substr(F.lit(1), F.lit(44))
     expr = F.when(
         (head.substr(F.lit(1), F.lit(4)) == "424D")
         & head.substr(F.lit(29), F.lit(8)).isin(*_BMP_DIB_SIZES_HEX),
@@ -1273,6 +1277,109 @@ def flac_pcm_stats(media: DataFrame) -> DataFrame:
         "media_id LONG, is_flac BOOLEAN, n_samples LONG, "
         "sample_rate LONG, duration_ms LONG, peak_abs LONG, "
         "sum_samples LONG, energy LONG, zero_crossings LONG",
+    )
+
+
+def synthesize_adpcm_pcm(events: DataFrame) -> DataFrame:
+    """Deterministic IMA-ADPCM payloads (G17) carrying the SAME
+    pseudo-noise waveform as synthesize_wav_pcm / synthesize_flac_pcm
+    (n = event_id%32+8 samples of ((eid*6151 + i*32917) % 65536)
+    sign-folded), encoded through the real LOSSY coder
+    (operators/adpcm_codec — 4-bit quantized residuals, per-block
+    predictor state, fact-chunk sample count). Arrow-batched
+    mapInPandas, the sanctioned multimodal seam; only
+    (media_id, payload) survive."""
+    import pandas as _pd
+
+    from timescaledb_event_streamer_spark.operators.adpcm_codec import (
+        adpcm_encode,
+    )
+
+    n_shuffle = int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    src = events.repartition(n_shuffle).select(
+        F.col("event_id").alias("media_id"),
+        (F.col("event_id") % 32 + 8).alias("n"),
+        F.element_at(
+            F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+            (F.pmod(F.col("user_id"), 3) + 1).cast("int"),
+        ).alias("rate"),
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for eid, n, rate in zip(pdf["media_id"], pdf["n"], pdf["rate"]):
+                i = np.arange(int(n), dtype=np.int64)
+                v = (int(eid) * 6151 + i * 32917) % 65536
+                v = np.where(v >= 32768, v - 65536, v).astype(np.int16)
+                payloads.append(adpcm_encode(v, int(rate)))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return src.mapInPandas(encode, "media_id LONG, payload BINARY")
+
+
+def adpcm_pcm_stats(media: DataFrame) -> DataFrame:
+    """PCM signal statistics + reconstruction error from IMA-ADPCM
+    bytes (G17): the G6 feature contract computed from LOSSY-decoded
+    samples, plus the exact integer squared reconstruction error
+    against the original generator waveform (recomputed from
+    media_id) — the column that MEASURES what the 4-bit quantizer
+    lost, the honest difference from the lossless G15 sibling. All
+    integers, deterministic, rows-only certified (a DuckDB oracle
+    cannot run the sequential step-table state machine); the decode
+    itself is pinned exact in tests/test_adpcm.py."""
+    import pandas as _pd
+
+    from timescaledb_event_streamer_spark.operators.adpcm_codec import (
+        adpcm_decode,
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    out, rate = adpcm_decode(raw)
+                except ValueError:
+                    rows.append(
+                        {
+                            "media_id": mid, "is_adpcm": False,
+                            "n_samples": None, "sample_rate": None,
+                            "peak_abs": None, "sum_samples": None,
+                            "energy": None, "zero_crossings": None,
+                            "sq_error": None,
+                        }
+                    )
+                    continue
+                x = np.asarray(out, dtype=np.int64)
+                i = np.arange(len(x), dtype=np.int64)
+                ref = (int(mid) * 6151 + i * 32917) % 65536
+                ref = np.where(ref >= 32768, ref - 65536, ref)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "is_adpcm": True,
+                        "n_samples": len(x),
+                        "sample_rate": rate,
+                        "peak_abs": int(np.abs(x).max()),
+                        "sum_samples": int(x.sum()),
+                        "energy": int((x * x).sum()),
+                        "zero_crossings": int(((x[:-1] * x[1:]) < 0).sum()),
+                        "sq_error": int(((x - ref) ** 2).sum()),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        stats,
+        "media_id LONG, is_adpcm BOOLEAN, n_samples LONG, "
+        "sample_rate LONG, peak_abs LONG, sum_samples LONG, "
+        "energy LONG, zero_crossings LONG, sq_error LONG",
     )
 
 

@@ -157,6 +157,7 @@ _BNLJ_OK = {
     "corpus_vocab_growth",  # 10-row broadcast checkpoint table x the
     #   type-grain firsts (conditional aggregate, bounded expansion)
     "corpus_mixture_entropy",  # single-row broadcast totals / fold rows
+    "text_burstiness",  # single-row broadcast corpus-N cross join
 }
 
 

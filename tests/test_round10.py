@@ -1,0 +1,280 @@
+"""Semantic pins for the round-10 additions: each indicator is
+checked against its textbook formulation run literally in pure
+Python/pandas (independent of the query's window algebra), and the
+dedup/text additions against hand-computable invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tests.test_round8b import _daily_close
+from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+
+def _per_series(daily: pd.DataFrame):
+    for series, grp in daily.groupby("event_type"):
+        yield series, grp.sort_values("day_s").reset_index(drop=True)
+
+
+def test_williams_r_matches_textbook(spark, sf_small):
+    out = (
+        all_queries()["ts_williams_r"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    n = 14
+    for series, g in _per_series(daily):
+        hh = g["hc"].rolling(n).max()
+        ll = g["lc"].rolling(n).min()
+        want = (-100.0 * (hh - g["cc"]) / (hh - ll)).iloc[n - 1 :]
+        got = out[out["series"] == series]["williams_r"].to_numpy()
+        np.testing.assert_allclose(
+            got, np.round(want.to_numpy(), 6), atol=1e-6
+        )
+        assert ((got <= 0) & (got >= -100)).all()
+
+
+def test_vortex_matches_textbook(spark, sf_small):
+    out = (
+        all_queries()["ts_vortex"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    n = 14
+    for series, g in _per_series(daily):
+        vmp = (g["hc"] - g["lc"].shift(1)).abs()
+        vmm = (g["lc"] - g["hc"].shift(1)).abs()
+        tr = pd.concat(
+            [
+                g["hc"] - g["lc"],
+                (g["hc"] - g["cc"].shift(1)).abs(),
+                (g["lc"] - g["cc"].shift(1)).abs(),
+            ],
+            axis=1,
+        ).max(axis=1)
+        # rows 1.. (first bar has no prev), window n
+        svp = vmp.iloc[1:].rolling(n).sum()
+        svm = vmm.iloc[1:].rolling(n).sum()
+        str_ = tr.iloc[1:].rolling(n).sum()
+        want_vip = (svp / str_).dropna()
+        got = out[out["series"] == series]
+        np.testing.assert_allclose(
+            got["vi_plus"].to_numpy(),
+            np.round(want_vip.to_numpy(), 6),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            got["vi_minus"].to_numpy(),
+            np.round((svm / str_).dropna().to_numpy(), 6),
+            atol=1e-6,
+        )
+
+
+def test_mfi_matches_textbook(spark, sf_small):
+    out = (
+        all_queries()["ts_money_flow_index"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    n = 14
+    for series, g in _per_series(daily):
+        tp3 = g["hc"] + g["lc"] + g["cc"]
+        up = (tp3 > tp3.shift(1)).astype(int)
+        dn = (tp3 < tp3.shift(1)).astype(int)
+        pos = (tp3 * g["vol"] * up).iloc[1:].rolling(n).sum()
+        neg = (tp3 * g["vol"] * dn).iloc[1:].rolling(n).sum()
+        want = (100.0 * pos / (pos + neg)).dropna()
+        got = out[out["series"] == series]["mfi"].to_numpy()
+        np.testing.assert_allclose(
+            got, np.round(want.to_numpy(), 6), atol=1e-6
+        )
+        assert ((got >= 0) & (got <= 100)).all()
+
+
+def test_cmf_matches_textbook(spark, sf_small):
+    out = (
+        all_queries()["ts_chaikin_money_flow"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    n = 20
+    for series, g in _per_series(daily):
+        rng = g["hc"] - g["lc"]
+        mfv_u = np.where(
+            rng > 0,
+            np.rint(
+                g["vol"] * (2 * g["cc"] - g["hc"] - g["lc"]) * 1e6 / rng
+            ),
+            0,
+        )
+        smfv = pd.Series(mfv_u).rolling(n).sum()
+        svol = g["vol"].rolling(n).sum()
+        want = (smfv / svol / 1e6).dropna()
+        got = out[out["series"] == series]["cmf"].to_numpy()
+        np.testing.assert_allclose(
+            got, np.round(want.to_numpy(), 6), atol=1e-6
+        )
+        assert ((got >= -1.0 - 1e-9) & (got <= 1.0 + 1e-9)).all()
+
+
+def test_ulcer_matches_textbook(spark, sf_small):
+    out = (
+        all_queries()["ts_ulcer_index"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    n = 14
+    for series, g in _per_series(daily):
+        maxc = g["cc"].rolling(n, min_periods=1).max()
+        dd_u = np.rint(1e6 * 100.0 * (g["cc"] - maxc) / maxc)
+        ssq = pd.Series(dd_u * dd_u).rolling(n).sum()
+        want = (np.sqrt(ssq / n) / 1e6).dropna()
+        got = out[out["series"] == series]["ulcer_index"].to_numpy()
+        np.testing.assert_allclose(
+            got, np.round(want.to_numpy(), 6), atol=1e-6
+        )
+        assert (got >= 0).all()
+
+
+def _ewma_ref(arr: np.ndarray, span: int) -> float:
+    d = 1.0 - 2.0 / (span + 1.0)
+    w = d ** np.arange(len(arr) - 1, -1, -1)
+    return float((arr * w).sum() / w.sum())
+
+
+def test_elder_ray_matches_bounded_ewma(spark, sf_small):
+    out = (
+        all_queries()["ts_elder_ray"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    win, span = 40, 13
+    for series, g in _per_series(daily):
+        cc = g["cc"].to_numpy(dtype=float)
+        emas = [
+            _ewma_ref(cc[max(0, t - win + 1) : t + 1], span)
+            for t in range(span - 1, len(cc))
+        ]
+        got = out[out["series"] == series]
+        np.testing.assert_allclose(
+            got["ema13"].to_numpy(),
+            np.round(np.asarray(emas) / 100.0, 6),
+            atol=1e-6,
+        )
+        # bull >= bear always (high >= low)
+        assert (
+            got["bull_power"].to_numpy() >= got["bear_power"].to_numpy()
+        ).all()
+
+
+def test_force_index_matches_bounded_ewma(spark, sf_small):
+    out = (
+        all_queries()["ts_force_index"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    win, span = 40, 13
+    for series, g in _per_series(daily):
+        raw = ((g["cc"] - g["cc"].shift(1)) * g["vol"]).iloc[1:].to_numpy(
+            dtype=float
+        )
+        # first emitted row is rn == span+1, i.e. the (span-1)-th raw
+        # diff (rn counts the pre-diff seed row the query filters)
+        want = [
+            _ewma_ref(raw[max(0, t - win + 1) : t + 1], span) / 100.0
+            for t in range(span - 1, len(raw))
+        ]
+        got = out[out["series"] == series]["force_index"].to_numpy()
+        np.testing.assert_allclose(got, np.round(want, 6), atol=1e-6)
+
+
+def test_survivorship_invariants(spark, sf_small):
+    """The ledger's books must balance: survivor carries the max
+    n_chars of its cluster, cluster ids are the min member id,
+    removed + 1 == size, and the survivor is a cluster member."""
+    out = all_queries()["dedup_survivorship"](spark, sf_small).toPandas()
+    cc = (
+        all_queries()["dedup_clusters"](spark, sf_small)
+        .toPandas()
+        .groupby("cluster_id")
+    )
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet").set_index(
+        "doc_id"
+    )
+    assert len(out) == cc.ngroups
+    for row in out.itertuples():
+        members = cc.get_group(row.cluster_id)["doc_id"].tolist()
+        assert row.survivor_doc_id in members
+        assert row.cluster_size == len(members)
+        assert row.n_removed == len(members) - 1
+        chars = docs.loc[members, "n_chars"]
+        assert row.chars_kept == chars.max()
+        assert row.chars_kept + row.chars_removed == chars.sum()
+        assert row.cluster_id == min(members)
+
+
+def test_burstiness_flags_topical_tokens(spark, sf_small):
+    """VMR must exceed 1 for tokens concentrated in few docs and sit
+    near the Poisson line for evenly-spread ones; exact identity
+    checked against a pandas recompute."""
+    out = all_queries()["text_burstiness"](spark, sf_small).toPandas()
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    n_docs = len(docs)
+    toks = (
+        docs.assign(t=docs["text"].str.split(" "))
+        .explode("t")
+        .query("t != ''")
+        .groupby(["doc_id", "t"])
+        .size()
+        .rename("c")
+        .reset_index()
+    )
+    ref = toks.groupby("t").agg(
+        rdf=("c", "size"), tot=("c", "sum"), sumsq=("c", lambda s: (s * s).sum())
+    )
+    ref = ref[ref["rdf"] >= 10]
+    merged = out.set_index("token").join(ref, how="inner")
+    assert len(merged) == len(out) == len(ref)
+    want = (n_docs * merged["sumsq"] - merged["tot"] ** 2) / (
+        n_docs * merged["tot"]
+    )
+    np.testing.assert_allclose(
+        merged["vmr"].to_numpy(), np.round(want.to_numpy(), 6), atol=1e-6
+    )
+    assert (merged["vmr"] > 0).all()
+
+
+def test_yule_k_orders_repetition(spark, sf_small):
+    """K grows with repetition: per-doc K recomputed in pandas must
+    match, and a doc of one repeated token must out-K a same-length
+    all-distinct doc (checked on the formula directly)."""
+    out = (
+        all_queries()["text_yule_k"](spark, sf_small)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    for row in docs.head(40).itertuples():
+        toks = [t for t in row.text.split(" ") if t]
+        n = len(toks)
+        if n <= 1:
+            assert pd.isna(out.loc[row.doc_id, "yule_k"])
+            continue
+        counts = pd.Series(toks).value_counts()
+        k = 10000.0 * (float((counts**2).sum()) - n) / (float(n) * n)
+        assert abs(out.loc[row.doc_id, "yule_k"] - round(k, 6)) < 1e-6
+
+    def yule(tokens):
+        c = pd.Series(tokens).value_counts()
+        n = len(tokens)
+        return 10000.0 * (float((c**2).sum()) - n) / (float(n) * n)
+
+    assert yule(["a"] * 50) > yule([f"w{i}" for i in range(50)])

@@ -11,6 +11,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timescaledb_event_streamer_spark.plans.registry import register
+from timescaledb_event_streamer_spark.plans.queries_llm import _SQL_JACCARD_CTES
+from timescaledb_event_streamer_spark.plans.queries_round8b import _SQL_DAILY
 from timescaledb_event_streamer_spark.sources.tables import load, spread
 
 # ---------------------------------------------------------------------------
@@ -43,3 +45,855 @@ def media_adpcm_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load(spark, sf_dir, "events")
     return adpcm_pcm_stats(synthesize_adpcm_pcm(events))
+
+# ---------------------------------------------------------------------------
+# B105 ts_williams_r — Williams %R oscillator
+
+_WR_N = 14
+
+
+@register(
+    "ts_williams_r",
+    family="timeseries",
+    doc="Williams %R (B105, the B72/B85 oscillator family): "
+    "%R = -100 * (HH - C) / (HH - LL) over a 14-day channel on the "
+    "exact integer-cents daily bars — the stochastic's mirror "
+    "image, overbought above -20, oversold below -80. Integer "
+    "window extrema, ONE double division at the end (the family's "
+    "exactness discipline); flat channels (HH == LL) yield NULL "
+    "instead of a division error. Day-grain per-series windows, "
+    "rows emitted only once the window is full.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        ch AS (
+            SELECT series, day_s, cc,
+                   max(hc) OVER w AS hh,
+                   min(lc) OVER w AS ll,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s
+                         ROWS BETWEEN {_WR_N - 1} PRECEDING
+                              AND CURRENT ROW)
+        )
+        SELECT series, day_s,
+               CAST(cc AS BIGINT) AS close_cents,
+               CAST(hh AS BIGINT) AS hh_cents,
+               CAST(ll AS BIGINT) AS ll_cents,
+               CASE WHEN hh > ll THEN
+                   round(-100.0 * (hh - cc) / (hh - ll), 6)
+               END AS williams_r,
+               CASE WHEN hh > ll AND -100.0*(hh-cc)/(hh-ll) > -20.0
+                    THEN 'overbought'
+                    WHEN hh > ll AND -100.0*(hh-cc)/(hh-ll) < -80.0
+                    THEN 'oversold'
+                    WHEN hh > ll THEN 'neutral'
+               END AS zone
+        FROM ch WHERE rn >= {_WR_N}
+    """,
+)
+def ts_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    w = wo.rowsBetween(-(_WR_N - 1), Window.currentRow)
+    ch = daily.select(
+        "series",
+        "day_s",
+        "cc",
+        F.max("hc").over(w).alias("hh"),
+        F.min("lc").over(w).alias("ll"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    wr = -100.0 * (F.col("hh") - F.col("cc")) / (F.col("hh") - F.col("ll"))
+    open_ch = F.col("hh") > F.col("ll")
+    return ch.filter(F.col("rn") >= _WR_N).select(
+        "series",
+        "day_s",
+        F.col("cc").alias("close_cents"),
+        F.col("hh").alias("hh_cents"),
+        F.col("ll").alias("ll_cents"),
+        F.when(open_ch, F.round(wr, 6)).alias("williams_r"),
+        F.when(open_ch & (wr > -20.0), "overbought")
+        .when(open_ch & (wr < -80.0), "oversold")
+        .when(open_ch, "neutral")
+        .alias("zone"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B106 ts_vortex — Vortex indicator VI+/VI-
+
+_VTX_N = 14
+
+
+@register(
+    "ts_vortex",
+    family="timeseries",
+    doc="Vortex indicator (B106, Botes & Siepman 2009 public "
+    "formulation): VM+ = |high - prev_low|, VM- = |low - prev_high| "
+    "capture upward/downward range transfer; VI+/- = 14-day VM sums "
+    "over the 14-day True Range sum. All three window sums run on "
+    "EXACT integers (cents), the two divisions happen once at the "
+    "end — no double accumulates through a window (segment-tree "
+    "summation order never touches the hash). Crossovers of VI+ "
+    "over VI- flag trend changes.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        vm AS (
+            SELECT series, day_s,
+                   abs(hc - lag(lc) OVER wo) AS vm_plus,
+                   abs(lc - lag(hc) OVER wo) AS vm_minus,
+                   greatest(
+                       hc - lc,
+                       abs(hc - lag(cc) OVER wo),
+                       abs(lc - lag(cc) OVER wo)
+                   ) AS tr_c,
+                   row_number() OVER wo AS rn
+            FROM daily
+            WINDOW wo AS (PARTITION BY series ORDER BY day_s)
+        ),
+        s AS (
+            SELECT series, day_s, rn,
+                   CAST(sum(vm_plus) OVER w AS BIGINT) AS svp,
+                   CAST(sum(vm_minus) OVER w AS BIGINT) AS svm,
+                   CAST(sum(tr_c) OVER w AS BIGINT) AS str
+            FROM vm WHERE rn > 1
+            WINDOW w AS (PARTITION BY series ORDER BY day_s
+                         ROWS BETWEEN {_VTX_N - 1} PRECEDING
+                              AND CURRENT ROW)
+        )
+        SELECT series, day_s, svp AS vm_plus_sum, svm AS vm_minus_sum,
+               str AS tr_sum,
+               CASE WHEN str > 0
+                    THEN round(CAST(svp AS DOUBLE) / str, 6) END
+                   AS vi_plus,
+               CASE WHEN str > 0
+                    THEN round(CAST(svm AS DOUBLE) / str, 6) END
+                   AS vi_minus,
+               CASE WHEN str > 0 THEN svp > svm END AS uptrend
+        FROM s WHERE rn > {_VTX_N}
+    """,
+)
+def ts_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    prev_h, prev_l, prev_c = (
+        F.lag("hc").over(wo),
+        F.lag("lc").over(wo),
+        F.lag("cc").over(wo),
+    )
+    vm = daily.select(
+        "series",
+        "day_s",
+        F.abs(F.col("hc") - prev_l).alias("vm_plus"),
+        F.abs(F.col("lc") - prev_h).alias("vm_minus"),
+        F.greatest(
+            F.col("hc") - F.col("lc"),
+            F.abs(F.col("hc") - prev_c),
+            F.abs(F.col("lc") - prev_c),
+        ).alias("tr_c"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    w = wo.rowsBetween(-(_VTX_N - 1), Window.currentRow)
+    s = vm.filter(F.col("rn") > 1).select(
+        "series",
+        "day_s",
+        "rn",
+        F.sum("vm_plus").over(w).alias("svp"),
+        F.sum("vm_minus").over(w).alias("svm"),
+        F.sum("tr_c").over(w).alias("str"),
+    )
+    pos = F.col("str") > 0
+    return s.filter(F.col("rn") > _VTX_N).select(
+        "series",
+        "day_s",
+        F.col("svp").alias("vm_plus_sum"),
+        F.col("svm").alias("vm_minus_sum"),
+        F.col("str").alias("tr_sum"),
+        F.when(pos, F.round(F.col("svp").cast("double") / F.col("str"), 6)).alias("vi_plus"),
+        F.when(pos, F.round(F.col("svm").cast("double") / F.col("str"), 6)).alias("vi_minus"),
+        F.when(pos, F.col("svp") > F.col("svm")).alias("uptrend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B107 ts_chaikin_money_flow — volume-weighted accumulation pressure
+
+_CMF_N = 20
+
+
+@register(
+    "ts_chaikin_money_flow",
+    family="timeseries",
+    doc="Chaikin Money Flow (B107): the money-flow multiplier "
+    "((C-L)-(H-C))/(H-L) weights each day's volume by where the "
+    "close sits in the range; CMF = 20-day sum of money-flow volume "
+    "over 20-day volume. Exactness discipline: the per-day MFV is "
+    "quantized to integer MICRO-units (round(vol*(2C-H-L)*1e6/"
+    "(H-L))) so both window sums run on exact integers and the "
+    "segment-tree summation order can never touch the hash; flat "
+    "days (H == L) contribute zero MFV by the public convention. "
+    "One double division at the end.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        mf AS (
+            SELECT series, day_s, vol,
+                   CASE WHEN hc > lc THEN
+                       CAST(round(vol * (2*cc - hc - lc) * 1000000.0
+                                  / (hc - lc)) AS BIGINT)
+                   ELSE 0 END AS mfv_u,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM daily
+        ),
+        s AS (
+            SELECT series, day_s, rn,
+                   CAST(sum(mfv_u) OVER w AS BIGINT) AS smfv,
+                   CAST(sum(vol) OVER w AS BIGINT) AS svol
+            FROM mf
+            WINDOW w AS (PARTITION BY series ORDER BY day_s
+                         ROWS BETWEEN {_CMF_N - 1} PRECEDING
+                              AND CURRENT ROW)
+        )
+        SELECT series, day_s, smfv AS mfv_micro_sum, svol AS vol_sum,
+               CASE WHEN svol > 0 THEN
+                   round(CAST(smfv AS DOUBLE) / svol / 1000000.0, 6)
+               END AS cmf,
+               CASE WHEN svol > 0 THEN smfv > 0 END AS accumulating
+        FROM s WHERE rn >= {_CMF_N}
+    """,
+)
+def ts_chaikin_money_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    mfv_u = F.when(
+        F.col("hc") > F.col("lc"),
+        F.round(
+            F.col("vol")
+            * (2 * F.col("cc") - F.col("hc") - F.col("lc"))
+            * 1000000.0
+            / (F.col("hc") - F.col("lc")),
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    mf = daily.select(
+        "series",
+        "day_s",
+        "vol",
+        mfv_u.alias("mfv_u"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    w = wo.rowsBetween(-(_CMF_N - 1), Window.currentRow)
+    s = mf.select(
+        "series",
+        "day_s",
+        "rn",
+        F.sum("mfv_u").over(w).alias("smfv"),
+        F.sum("vol").over(w).alias("svol"),
+    )
+    pos = F.col("svol") > 0
+    return s.filter(F.col("rn") >= _CMF_N).select(
+        "series",
+        "day_s",
+        F.col("smfv").alias("mfv_micro_sum"),
+        F.col("svol").alias("vol_sum"),
+        F.when(
+            pos,
+            F.round(F.col("smfv").cast("double") / F.col("svol") / 1000000.0, 6),
+        ).alias("cmf"),
+        F.when(pos, F.col("smfv") > 0).alias("accumulating"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B108 ts_money_flow_index — volume-weighted RSI
+
+_MFI_N = 14
+
+
+@register(
+    "ts_money_flow_index",
+    family="timeseries",
+    doc="Money Flow Index (B108): typical price (H+L+C)/3 direction "
+    "vs the previous day splits raw money flow (TP x volume) into "
+    "positive/negative streams; MFI = 100 * pos / (pos + neg) over "
+    "14 days — the volume-weighted RSI. The x3-scaled integer "
+    "typical price (hc+lc+cc, no division) drives both the "
+    "direction comparison and the flow product, so every window sum "
+    "is exact integer; one double division at the end. Unchanged "
+    "TP days contribute to neither stream (the public convention).",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        tp AS (
+            SELECT series, day_s, vol,
+                   hc + lc + cc AS tp3,
+                   lag(hc + lc + cc) OVER wo AS prev_tp3,
+                   row_number() OVER wo AS rn
+            FROM daily
+            WINDOW wo AS (PARTITION BY series ORDER BY day_s)
+        ),
+        fl AS (
+            SELECT series, day_s, rn,
+                   CASE WHEN tp3 > prev_tp3 THEN tp3 * vol ELSE 0 END
+                       AS pos_f,
+                   CASE WHEN tp3 < prev_tp3 THEN tp3 * vol ELSE 0 END
+                       AS neg_f
+            FROM tp WHERE rn > 1
+        ),
+        s AS (
+            SELECT series, day_s, rn,
+                   CAST(sum(pos_f) OVER w AS BIGINT) AS spos,
+                   CAST(sum(neg_f) OVER w AS BIGINT) AS sneg
+            FROM fl
+            WINDOW w AS (PARTITION BY series ORDER BY day_s
+                         ROWS BETWEEN {_MFI_N - 1} PRECEDING
+                              AND CURRENT ROW)
+        )
+        SELECT series, day_s, spos AS pos_flow, sneg AS neg_flow,
+               CASE WHEN spos + sneg > 0 THEN
+                   round(100.0 * spos / (spos + sneg), 6)
+               END AS mfi,
+               CASE WHEN spos + sneg > 0
+                    THEN 100.0*spos/(spos+sneg) > 80.0 END
+                   AS overbought,
+               CASE WHEN spos + sneg > 0
+                    THEN 100.0*spos/(spos+sneg) < 20.0 END
+                   AS oversold
+        FROM s WHERE rn > {_MFI_N}
+    """,
+)
+def ts_money_flow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    tp3 = (F.col("hc") + F.col("lc") + F.col("cc")).alias("tp3")
+    tp = daily.select(
+        "series",
+        "day_s",
+        "vol",
+        tp3,
+        F.lag(F.col("hc") + F.col("lc") + F.col("cc")).over(wo).alias("prev_tp3"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    fl = tp.filter(F.col("rn") > 1).select(
+        "series",
+        "day_s",
+        "rn",
+        F.when(F.col("tp3") > F.col("prev_tp3"), F.col("tp3") * F.col("vol"))
+        .otherwise(F.lit(0))
+        .alias("pos_f"),
+        F.when(F.col("tp3") < F.col("prev_tp3"), F.col("tp3") * F.col("vol"))
+        .otherwise(F.lit(0))
+        .alias("neg_f"),
+    )
+    w = wo.rowsBetween(-(_MFI_N - 1), Window.currentRow)
+    s = fl.select(
+        "series",
+        "day_s",
+        "rn",
+        F.sum("pos_f").over(w).alias("spos"),
+        F.sum("neg_f").over(w).alias("sneg"),
+    )
+    tot = F.col("spos") + F.col("sneg")
+    mfi = 100.0 * F.col("spos") / tot
+    return s.filter(F.col("rn") > _MFI_N).select(
+        "series",
+        "day_s",
+        F.col("spos").alias("pos_flow"),
+        F.col("sneg").alias("neg_flow"),
+        F.when(tot > 0, F.round(mfi, 6)).alias("mfi"),
+        F.when(tot > 0, mfi > 80.0).alias("overbought"),
+        F.when(tot > 0, mfi < 20.0).alias("oversold"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B109 ts_ulcer_index — downside-risk drawdown RMS
+
+_UI_N = 14
+
+
+@register(
+    "ts_ulcer_index",
+    family="timeseries",
+    doc="Ulcer Index (B109, Peter Martin's public formulation): "
+    "drawdown%% = 100 * (C - 14-day high close) / that high, Ulcer "
+    "= sqrt(mean of squared drawdown%% over the same window) — the "
+    "downside-risk complement of B74's max-drawdown. Exactness: "
+    "the per-day drawdown is quantized to integer micro-percent "
+    "(one rounded double->int per day), the window then sums exact "
+    "SQUARED integers (fits BIGINT: (1e8)^2 x 14 < 2^63), and the "
+    "final mean/sqrt/round chain runs once per row in identical "
+    "op order on both engines.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        dd AS (
+            SELECT series, day_s,
+                   CAST(round(1000000.0 * 100.0
+                              * (cc - max(cc) OVER w)
+                              / max(cc) OVER w) AS BIGINT) AS dd_u,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s
+                         ROWS BETWEEN {_UI_N - 1} PRECEDING
+                              AND CURRENT ROW)
+        ),
+        s AS (
+            SELECT series, day_s, rn, dd_u,
+                   CAST(sum(dd_u * dd_u) OVER w2 AS BIGINT) AS ssq
+            FROM dd
+            WINDOW w2 AS (PARTITION BY series ORDER BY day_s
+                          ROWS BETWEEN {_UI_N - 1} PRECEDING
+                               AND CURRENT ROW)
+        )
+        SELECT series, day_s,
+               round(dd_u / 1000000.0, 6) AS drawdown_pct,
+               round(sqrt(CAST(ssq AS DOUBLE) / {_UI_N})
+                     / 1000000.0, 6) AS ulcer_index
+        FROM s WHERE rn >= {_UI_N}
+    """,
+)
+def ts_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    w = wo.rowsBetween(-(_UI_N - 1), Window.currentRow)
+    maxc = F.max("cc").over(w)
+    dd = daily.select(
+        "series",
+        "day_s",
+        F.round(1000000.0 * 100.0 * (F.col("cc") - maxc) / maxc, 0)
+        .cast("long")
+        .alias("dd_u"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    s = dd.select(
+        "series",
+        "day_s",
+        "rn",
+        "dd_u",
+        F.sum(F.col("dd_u") * F.col("dd_u")).over(w).alias("ssq"),
+    )
+    return s.filter(F.col("rn") >= _UI_N).select(
+        "series",
+        "day_s",
+        F.round(F.col("dd_u") / 1000000.0, 6).alias("drawdown_pct"),
+        F.round(
+            F.sqrt(F.col("ssq").cast("double") / _UI_N) / 1000000.0, 6
+        ).alias("ulcer_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D26 dedup_survivorship — canonical-doc election + savings ledger
+
+
+@register(
+    "dedup_survivorship",
+    family="dedup",
+    doc="Survivorship resolution (D26): the step AFTER clustering "
+    "that a production dedup pipeline actually executes — for every "
+    "near-dup cluster (D7's connected components over the "
+    "jaccard>=0.3 pair graph), elect the canonical survivor "
+    "(longest text, ties to the lowest doc_id — the deterministic "
+    "keep-best rule) and emit the cluster-grain savings ledger: "
+    "survivor identity/source, docs removed, chars kept vs removed. "
+    "Pure composition of certified parts (shingle-bucketed pair "
+    "join + min-label CC + one doc-grain metadata join); the ledger "
+    "is what a 100 TB dedup run reports to its operator.",
+    oracle=f"""
+        WITH RECURSIVE
+        {_SQL_JACCARD_CTES},
+        dup AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.3),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM dup
+            UNION SELECT doc_b, doc_a FROM dup
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
+        ),
+        cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        members AS (
+            SELECT cc.cluster_id, d.doc_id, d.source, d.n_chars,
+                   row_number() OVER (
+                       PARTITION BY cc.cluster_id
+                       ORDER BY d.n_chars DESC, d.doc_id
+                   ) AS rk
+            FROM cc JOIN documents d ON cc.node = d.doc_id
+        )
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS cluster_size,
+               max(CASE WHEN rk = 1 THEN doc_id END) AS survivor_doc_id,
+               max(CASE WHEN rk = 1 THEN source END) AS survivor_source,
+               CAST(count(*) - 1 AS BIGINT) AS n_removed,
+               CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+                   AS chars_kept,
+               CAST(sum(CASE WHEN rk > 1 THEN n_chars ELSE 0 END)
+                   AS BIGINT) AS chars_removed
+        FROM members GROUP BY cluster_id
+    """,
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        dedup_clusters,
+    )
+    from timescaledb_event_streamer_spark.plans.queries_llm import (
+        shingle_pairs_jaccard,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    eligible = docs.filter(F.size(F.split(F.col("text"), " ")) >= 5)
+    pairs = shingle_pairs_jaccard(eligible).filter(F.col("jaccard") >= 0.3)
+    cc = dedup_clusters(pairs)
+    members = cc.join(
+        docs.select("doc_id", "source", "n_chars"), "doc_id"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+        ),
+    )
+    first = lambda c: F.max(F.when(F.col("rk") == 1, F.col(c)))  # noqa: E731
+    return members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        first("doc_id").alias("survivor_doc_id"),
+        first("source").alias("survivor_source"),
+        (F.count(F.lit(1)) - 1).alias("n_removed"),
+        first("n_chars").alias("chars_kept"),
+        F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0)).alias(
+            "chars_removed"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F49 text_burstiness — token dispersion audit
+
+
+_BURST_MIN_DF = 10
+
+
+@register(
+    "text_burstiness",
+    family="text",
+    doc="Token burstiness (F49, Church & Gale's dispersion measure): "
+    "variance-to-mean ratio of per-document counts over the WHOLE "
+    "corpus (zeros included) — VMR 1 is Poisson scatter, far above "
+    "1 marks topical/bursty tokens, the signal that separates "
+    "content words from function words for stopword induction and "
+    "quality heuristics. Exactness: vmr = (N*sumsq - tot^2) / "
+    "(N*tot) keeps numerator and denominator exact integers (one "
+    "doc-grain count reduce + one token-grain reduce + a single-row "
+    "corpus-N broadcast); one double division at the end. Tokens "
+    "with df >= 10 only, so the output is vocabulary-grain bounded.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ),
+        dc AS (
+            SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+            FROM tok WHERE length(t) > 0 GROUP BY 1, 2
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        tk AS (
+            SELECT t,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(c) AS BIGINT) AS tot,
+                   CAST(sum(c * c) AS BIGINT) AS sumsq
+            FROM dc GROUP BY t
+        )
+        SELECT t AS token, df, tot AS total_count,
+               round(CAST(n.n_docs * tk.sumsq - tk.tot * tk.tot AS DOUBLE)
+                     / (n.n_docs * tk.tot), 6) AS vmr,
+               (n.n_docs * tk.sumsq - tk.tot * tk.tot)
+                   > 2 * n.n_docs * tk.tot AS bursty
+        FROM tk, n WHERE df >= {_BURST_MIN_DF}
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    dc = (
+        spread(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") > 0)
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tk = dc.groupBy("t").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    num = F.col("n_docs") * F.col("sumsq") - F.col("tot") * F.col("tot")
+    return (
+        tk.filter(F.col("df") >= _BURST_MIN_DF)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("t").alias("token"),
+            "df",
+            F.col("tot").alias("total_count"),
+            F.round(
+                num.cast("double") / (F.col("n_docs") * F.col("tot")), 6
+            ).alias("vmr"),
+            (num > 2 * F.col("n_docs") * F.col("tot")).alias("bursty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F50 text_yule_k — lexical-diversity characteristic
+
+
+@register(
+    "text_yule_k",
+    family="text",
+    doc="Yule's K characteristic (F50, the classic length-robust "
+    "lexical-diversity statistic): K = 10^4 * (sum over types of "
+    "c^2 - N) / N^2 per document — low K means rich vocabulary, "
+    "high K means repetitive text; unlike raw TTR it barely drifts "
+    "with document length, which is why stylometry and corpus QA "
+    "use it. All integer sums per doc (one (doc, token) reduce + "
+    "one doc reduce), one double division at the end; single-token "
+    "docs (N = 1) yield NULL (K undefined at N^2 = sum c^2 = 1).",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ),
+        dc AS (
+            SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+            FROM tok WHERE length(t) > 0 GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c * c) AS BIGINT) AS sum_c2
+            FROM dc GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_types,
+               CASE WHEN n_tokens > 1 THEN
+                   round(10000.0 * (sum_c2 - n_tokens)
+                         / (CAST(n_tokens AS DOUBLE) * n_tokens), 6)
+               END AS yule_k
+        FROM d
+    """,
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dc = (
+        spread(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") > 0)
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d = dc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.when(
+            F.col("n_tokens") > 1,
+            F.round(
+                10000.0
+                * (F.col("sum_c2") - F.col("n_tokens"))
+                / (F.col("n_tokens").cast("double") * F.col("n_tokens")),
+                6,
+            ),
+        ).alias("yule_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B110 ts_elder_ray / B111 ts_force_index — EMA-anchored strength gauges
+
+_ER_SPAN = 13
+_ER_WIN = 40  # bounded EWMA window (B38/B83 precedent: > 3 time constants)
+
+
+def _ewma_sql(arr: str, span: int) -> str:
+    """The B83 weight-normalized bounded-window EWMA in DuckDB SQL."""
+    d = 1.0 - 2.0 / (span + 1.0)
+    return (
+        f"list_sum(list_transform({arr}, (v, i) -> v * pow({d!r}, "
+        f"len({arr}) - i))) / list_sum(list_transform({arr}, "
+        f"(v, i) -> pow({d!r}, len({arr}) - i)))"
+    )
+
+
+def _ewma_arr(arr: str, span: int) -> F.Column:
+    """The B83 EWMA fold (identical doubles both engines: Spark's
+    0-based transform index vs DuckDB's 1-based shifts BOTH num and
+    den by one extra power, which cancels)."""
+    d = 1.0 - 2.0 / (span + 1.0)
+    num = F.expr(
+        f"aggregate(transform({arr}, (v, j) ->"
+        f" v * power({d!r}D, size({arr}) - j)), 0D, (a, v) -> a + v)"
+    )
+    den = F.expr(
+        f"aggregate(transform({arr}, (v, j) ->"
+        f" power({d!r}D, size({arr}) - j)), 0D, (a, v) -> a + v)"
+    )
+    return num / den
+
+
+@register(
+    "ts_elder_ray",
+    family="timeseries",
+    doc="Elder-Ray bull/bear power (B110, Alexander Elder's public "
+    "formulation): bull = high - EMA13(close), bear = low - "
+    "EMA13(close) — how far the day's extremes push past the "
+    "consensus trend line. The EMA is the B83 weight-normalized "
+    "bounded-window form (identical fold both engines) over exact "
+    "integer cents; output in dollars rounded 6.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        arrs AS (
+            SELECT series, day_s, hc, lc,
+                   list(cc) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_ER_WIN - 1} PRECEDING
+                            AND CURRENT ROW
+                   ) AS arr,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM daily
+        )
+        SELECT series, day_s,
+               round({_ewma_sql("arr", _ER_SPAN)} / 100.0, 6) AS ema13,
+               round((hc - {_ewma_sql("arr", _ER_SPAN)}) / 100.0, 6)
+                   AS bull_power,
+               round((lc - {_ewma_sql("arr", _ER_SPAN)}) / 100.0, 6)
+                   AS bear_power,
+               hc - {_ewma_sql("arr", _ER_SPAN)} > 0
+                   AND lc - {_ewma_sql("arr", _ER_SPAN)} > 0 AS bulls_own
+        FROM arrs WHERE rn >= {_ER_SPAN}
+    """,
+)
+def ts_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    w = wo.rowsBetween(-(_ER_WIN - 1), Window.currentRow)
+    arrs = daily.select(
+        "series",
+        "day_s",
+        "hc",
+        "lc",
+        F.collect_list(F.col("cc").cast("double")).over(w).alias("arr"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    ema = _ewma_arr("arr", _ER_SPAN)
+    return arrs.filter(F.col("rn") >= _ER_SPAN).select(
+        "series",
+        "day_s",
+        F.round(ema / 100.0, 6).alias("ema13"),
+        F.round((F.col("hc") - ema) / 100.0, 6).alias("bull_power"),
+        F.round((F.col("lc") - ema) / 100.0, 6).alias("bear_power"),
+        ((F.col("hc") - ema > 0) & (F.col("lc") - ema > 0)).alias(
+            "bulls_own"
+        ),
+    )
+
+
+_FI_SPAN = 13
+
+
+@register(
+    "ts_force_index",
+    family="timeseries",
+    doc="Force Index (B111, Elder): raw force = (close - prev close) "
+    "x volume — EXACT integer per day (cents x volume) — smoothed "
+    "by the B83 bounded-window EMA13. The raw integer column rides "
+    "along so the smoothing is auditable; output in dollar units "
+    "rounded 6.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        fi AS (
+            SELECT series, day_s,
+                   (cc - lag(cc) OVER wo) * vol AS raw_fi,
+                   row_number() OVER wo AS rn
+            FROM daily
+            WINDOW wo AS (PARTITION BY series ORDER BY day_s)
+        ),
+        arrs AS (
+            SELECT series, day_s, raw_fi, rn,
+                   list(CAST(raw_fi AS DOUBLE)) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_ER_WIN - 1} PRECEDING
+                            AND CURRENT ROW
+                   ) AS arr
+            FROM fi WHERE rn > 1
+        )
+        SELECT series, day_s,
+               CAST(raw_fi AS BIGINT) AS raw_force_cents,
+               round({_ewma_sql("arr", _FI_SPAN)} / 100.0, 6)
+                   AS force_index,
+               {_ewma_sql("arr", _FI_SPAN)} > 0 AS buying_pressure
+        FROM arrs WHERE rn > {_FI_SPAN}
+    """,
+)
+def ts_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    fi = daily.select(
+        "series",
+        "day_s",
+        ((F.col("cc") - F.lag("cc").over(wo)) * F.col("vol")).alias(
+            "raw_fi"
+        ),
+        F.row_number().over(wo).alias("rn"),
+    )
+    w = wo.rowsBetween(-(_ER_WIN - 1), Window.currentRow)
+    arrs = fi.filter(F.col("rn") > 1).select(
+        "series",
+        "day_s",
+        "raw_fi",
+        "rn",
+        F.collect_list(F.col("raw_fi").cast("double")).over(w).alias("arr"),
+    )
+    ema = _ewma_arr("arr", _FI_SPAN)
+    return arrs.filter(F.col("rn") > _FI_SPAN).select(
+        "series",
+        "day_s",
+        F.col("raw_fi").alias("raw_force_cents"),
+        F.round(ema / 100.0, 6).alias("force_index"),
+        (ema > 0).alias("buying_pressure"),
+    )

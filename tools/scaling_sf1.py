@@ -56,6 +56,16 @@ REPS = [
     ("corpus_quality_feature_matrix", "one-scan feature assembly"),
     ("media_flac_pcm_stats", "FLAC encode+decode Python seam"),
     ("corpus_vocab_growth", "Heaps-curve first-occurrence reduce"),
+    # r10 additions: remaining r9 heavies (>0.5s at sf0.1) + the
+    # verdict-named trio + the new lossy-audio seam
+    ("ts_kama", "adaptive-alpha sequential fold"),
+    ("ts_keltner_channels", "ATR+EMA channel windows"),
+    ("ts_supertrend", "sequential band-flip fold"),
+    ("ts_adx", "Wilder smoothing chain"),
+    ("ts_volume_profile", "price-bucket histogram + value area"),
+    ("dedup_incremental_minhash", "new-batch-vs-index banded join"),
+    ("media_bmp_dhash", "BMP encode+decode+dhash Python seam"),
+    ("media_adpcm_pcm_stats", "ADPCM lossy encode+decode Python seam"),
 ]
 
 SECTION = "## sf1 checkpoint (second decade, r8)"

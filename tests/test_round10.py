@@ -278,3 +278,133 @@ def test_yule_k_orders_repetition(spark, sf_small):
         return 10000.0 * (float((c**2).sum()) - n) / (float(n) * n)
 
     assert yule(["a"] * 50) > yule([f"w{i}" for i in range(50)])
+
+
+def _pure_python_sar(g: pd.DataFrame):
+    """Wilder's SAR with the two-bar clamp, run step by step."""
+    hc = g["hc"].to_numpy()
+    lc = g["lc"].to_numpy()
+    cc = g["cc"].to_numpy()
+    out = []
+    if len(cc) < 2:
+        return out
+    trend = "up" if cc[1] >= cc[0] else "down"
+    sar = float(lc[0] if trend == "up" else hc[0])
+    ep = int(hc[1] if trend == "up" else lc[1])
+    stp = 1
+    out.append((trend, sar, ep, stp, False))
+    for t in range(2, len(cc)):
+        raw = sar + (stp * 0.02) * (ep - sar)
+        if trend == "up":
+            clamped = min(raw, lc[t - 1], lc[t - 2])
+            if lc[t] < clamped:
+                trend, sar, ep, stp, rev = "down", float(ep), int(lc[t]), 1, True
+            else:
+                sar = clamped
+                if hc[t] > ep:
+                    stp = min(stp + 1, 10)
+                ep = max(ep, int(hc[t]))
+                rev = False
+        else:
+            clamped = max(raw, hc[t - 1], hc[t - 2])
+            if hc[t] > clamped:
+                trend, sar, ep, stp, rev = "up", float(ep), int(hc[t]), 1, True
+            else:
+                sar = clamped
+                if lc[t] < ep:
+                    stp = min(stp + 1, 10)
+                ep = min(ep, int(lc[t]))
+                rev = False
+        out.append((trend, sar, ep, stp, rev))
+    return out
+
+
+def test_parabolic_sar_matches_textbook(spark, sf_small):
+    out = (
+        all_queries()["ts_parabolic_sar"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    for series, g in _per_series(daily):
+        want = _pure_python_sar(g)
+        got = out[out["series"] == series].reset_index(drop=True)
+        assert len(got) == len(want)
+        for i, (trend, sar, ep, stp, rev) in enumerate(want):
+            assert got.loc[i, "trend"] == trend, (series, i)
+            assert abs(got.loc[i, "sar_cents"] - sar) < 1e-5, (series, i)
+            assert got.loc[i, "ep_cents"] == ep
+            assert abs(got.loc[i, "af"] - stp * 0.02) < 1e-9
+            assert bool(got.loc[i, "reversed"]) == rev
+        # SAR sits outside the trend side's range: below lows in an
+        # uptrend (after the seed), above highs in a downtrend
+        assert (got["trend"].isin(["up", "down"])).all()
+
+
+def test_streaming_parabolic_sar_matches_batch(spark, sf_small, tmp_path):
+    """I39: the SAR recursion (including a mid-stream reversal and
+    the two-bar clamp state) crosses a micro-batch boundary and
+    equals the batch ts_parabolic_sar row-for-row."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_parabolic_sar,
+    )
+
+    daily = _daily_ohlcv(spark, sf_small).select(
+        "series", "day_s", "hc", "lc", "cc"
+    )
+    split_day = daily.agg(
+        F.expr("percentile_approx(day_s, 0.5)").alias("m")
+    ).first()["m"]
+    log_dir = tmp_path / "sar_log"
+    log_dir.mkdir()
+    daily.filter(F.col("day_s") <= split_day).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b0"))
+    _t.sleep(1.1)
+    daily.filter(F.col("day_s") > split_day).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(log_dir / "b1"))
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_parabolic_sar(stream)
+        .writeStream.format("memory")
+        .queryName("sar_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["day_s"]): (
+            r["close_cents"], r["sar_cents"], r["trend"],
+            r["ep_cents"], r["af"], r["reversed"],
+        )
+        for r in spark.sql("SELECT * FROM sar_stream").collect()
+    }
+    want = {
+        (r["series"], r["day_s"]): (
+            r["close_cents"], r["sar_cents"], r["trend"],
+            r["ep_cents"], r["af"], r["reversed"],
+        )
+        for r in all_queries()["ts_parabolic_sar"](spark, sf_small).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert any(g[5] for g in got.values())  # a reversal actually fired
+    for k, g in got.items():
+        w = want[k]
+        assert g[0] == w[0] and g[2] == w[2] and g[3] == w[3]
+        np.testing.assert_allclose(round(g[1] * 1e6) / 1e6, w[1], atol=1e-9)
+        np.testing.assert_allclose(g[4], w[4], atol=1e-9)
+        assert bool(g[5]) == bool(w[5])

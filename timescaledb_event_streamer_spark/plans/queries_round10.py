@@ -897,3 +897,519 @@ def ts_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ema / 100.0, 6).alias("force_index"),
         (ema > 0).alias("buying_pressure"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B112 ts_parabolic_sar — Wilder's trailing stop-and-reverse
+
+_SAR_AF = 0.02  # acceleration increment
+_SAR_MAX_STEP = 10  # af cap = 10 * 0.02 = 0.2
+
+
+@register(
+    "ts_parabolic_sar",
+    family="timeseries",
+    doc="Parabolic SAR (B112, Wilder 1978, the full public recursion "
+    "INCLUDING the two-bar clamp most simplified ports drop): "
+    "sar' = sar + af*(ep - sar), clamped so a rising SAR never "
+    "enters the prior two bars' range (least with lag(low,1), "
+    "lag(low,2); mirrored with the lagged highs in a downtrend); "
+    "reversal when the bar penetrates the clamped SAR (low < sar "
+    "rising, high > sar falling) resets SAR to the old EP, EP to "
+    "the penetrating extreme and af to 0.02; otherwise EP tracks "
+    "the trend extreme and af steps by 0.02 (cap 0.2) only on a "
+    "NEW extreme. af is carried as an INTEGER step count so the "
+    "float recursion is one multiply-add per day in identical op "
+    "order on both engines. Seed at the second bar: trend by close "
+    "direction, SAR = prior bar's opposite extreme. Certified by a "
+    "genuine recursive CTE carrying (trend, sar, ep, step); Spark "
+    "side is the B80/B101 in-row fold.",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_DAILY},
+        b AS (
+            SELECT series, day_s, hc, lc, cc,
+                   lag(cc) OVER wo AS pc,
+                   lag(lc, 1) OVER wo AS p1l,
+                   lag(lc, 2) OVER wo AS p2l,
+                   lag(hc, 1) OVER wo AS p1h,
+                   lag(hc, 2) OVER wo AS p2h,
+                   row_number() OVER wo AS rn
+            FROM daily
+            WINDOW wo AS (PARTITION BY series ORDER BY day_s)
+        ),
+        sar AS (
+            SELECT series, rn,
+                   CASE WHEN cc >= pc THEN 'up' ELSE 'down' END AS trend,
+                   CASE WHEN cc >= pc THEN CAST(p1l AS DOUBLE)
+                        ELSE CAST(p1h AS DOUBLE) END AS sar,
+                   CASE WHEN cc >= pc THEN hc ELSE lc END AS ep,
+                   1 AS stp,
+                   false AS reversed
+            FROM b WHERE rn = 2
+            UNION ALL
+            SELECT e.series, e.rn,
+                   CASE WHEN s.trend = 'up' THEN
+                       CASE WHEN e.lc < least(
+                                s.sar + (s.stp * {_SAR_AF}) * (s.ep - s.sar),
+                                e.p1l, e.p2l)
+                            THEN 'down' ELSE 'up' END
+                   ELSE
+                       CASE WHEN e.hc > greatest(
+                                s.sar + (s.stp * {_SAR_AF}) * (s.ep - s.sar),
+                                e.p1h, e.p2h)
+                            THEN 'up' ELSE 'down' END
+                   END,
+                   CASE WHEN s.trend = 'up' THEN
+                       CASE WHEN e.lc < least(
+                                s.sar + (s.stp * {_SAR_AF}) * (s.ep - s.sar),
+                                e.p1l, e.p2l)
+                            THEN CAST(s.ep AS DOUBLE)
+                            ELSE least(
+                                s.sar + (s.stp * {_SAR_AF}) * (s.ep - s.sar),
+                                e.p1l, e.p2l) END
+                   ELSE
+                       CASE WHEN e.hc > greatest(
+                                s.sar + (s.stp * {_SAR_AF}) * (s.ep - s.sar),
+                                e.p1h, e.p2h)
+                            THEN CAST(s.ep AS DOUBLE)
+                            ELSE greatest(
+                                s.sar + (s.stp * {_SAR_AF}) * (s.ep - s.sar),
+                                e.p1h, e.p2h) END
+                   END,
+                   CASE WHEN s.trend = 'up' THEN
+                       CASE WHEN e.lc < least(
+                                s.sar + (s.stp * {_SAR_AF}) * (s.ep - s.sar),
+                                e.p1l, e.p2l)
+                            THEN e.lc ELSE greatest(s.ep, e.hc) END
+                   ELSE
+                       CASE WHEN e.hc > greatest(
+                                s.sar + (s.stp * {_SAR_AF}) * (s.ep - s.sar),
+                                e.p1h, e.p2h)
+                            THEN e.hc ELSE least(s.ep, e.lc) END
+                   END,
+                   CASE WHEN s.trend = 'up' THEN
+                       CASE WHEN e.lc < least(
+                                s.sar + (s.stp * {_SAR_AF}) * (s.ep - s.sar),
+                                e.p1l, e.p2l)
+                            THEN 1
+                            WHEN e.hc > s.ep
+                            THEN least(s.stp + 1, {_SAR_MAX_STEP})
+                            ELSE s.stp END
+                   ELSE
+                       CASE WHEN e.hc > greatest(
+                                s.sar + (s.stp * {_SAR_AF}) * (s.ep - s.sar),
+                                e.p1h, e.p2h)
+                            THEN 1
+                            WHEN e.lc < s.ep
+                            THEN least(s.stp + 1, {_SAR_MAX_STEP})
+                            ELSE s.stp END
+                   END,
+                   CASE WHEN s.trend = 'up' THEN
+                       e.lc < least(
+                           s.sar + (s.stp * {_SAR_AF}) * (s.ep - s.sar),
+                           e.p1l, e.p2l)
+                   ELSE
+                       e.hc > greatest(
+                           s.sar + (s.stp * {_SAR_AF}) * (s.ep - s.sar),
+                           e.p1h, e.p2h)
+                   END
+            FROM b e JOIN sar s
+              ON e.series = s.series AND e.rn = s.rn + 1
+        )
+        SELECT b.series, b.day_s,
+               CAST(b.cc AS BIGINT) AS close_cents,
+               round(sar.sar * 1000000.0, 0) / 1000000.0 AS sar_cents,
+               sar.trend,
+               CAST(sar.ep AS BIGINT) AS ep_cents,
+               round(sar.stp * {_SAR_AF}, 6) AS af,
+               sar.reversed
+        FROM sar JOIN b ON sar.series = b.series AND sar.rn = b.rn
+    """,
+)
+def ts_parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    b = daily.select(
+        "series",
+        "day_s",
+        "hc",
+        "lc",
+        "cc",
+        F.lag("cc").over(wo).alias("pc"),
+        F.lag("lc", 1).over(wo).alias("p1l"),
+        F.lag("lc", 2).over(wo).alias("p2l"),
+        F.lag("hc", 1).over(wo).alias("p1h"),
+        F.lag("hc", 2).over(wo).alias("p2h"),
+        F.row_number().over(wo).alias("rn"),
+    ).filter(F.col("rn") >= 2)
+    packed = b.groupBy("series").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "day_s", "rn", "hc", "lc", "cc", "pc",
+                    "p1l", "p2l", "p1h", "p2h",
+                )
+            )
+        ).alias("ds")
+    )
+    init = F.struct(
+        F.array()
+        .cast(
+            "array<struct<day_s:bigint,cc:bigint,sar:double,trend:string,"
+            "ep:bigint,stp:int,reversed:boolean>>"
+        )
+        .alias("arr"),
+        F.lit(None).cast("string").alias("trend"),
+        F.lit(None).cast("double").alias("sar"),
+        F.lit(None).cast("bigint").alias("ep"),
+        F.lit(None).cast("int").alias("stp"),
+    )
+    af = F.lit(_SAR_AF)
+
+    def step(acc, x):
+        seeded = acc["trend"].isNull()
+        raw = acc["sar"] + (acc["stp"] * af) * (acc["ep"] - acc["sar"])
+        up_sar = F.least(raw, x["p1l"].cast("double"), x["p2l"].cast("double"))
+        dn_sar = F.greatest(raw, x["p1h"].cast("double"), x["p2h"].cast("double"))
+        up_rev = x["lc"] < up_sar
+        dn_rev = x["hc"] > dn_sar
+        trend = F.when(
+            seeded, F.when(x["cc"] >= x["pc"], "up").otherwise("down")
+        ).otherwise(
+            F.when(
+                acc["trend"] == "up",
+                F.when(up_rev, "down").otherwise("up"),
+            ).otherwise(F.when(dn_rev, "up").otherwise("down"))
+        )
+        sar = F.when(
+            seeded,
+            F.when(
+                x["cc"] >= x["pc"], x["p1l"].cast("double")
+            ).otherwise(x["p1h"].cast("double")),
+        ).otherwise(
+            F.when(
+                acc["trend"] == "up",
+                F.when(up_rev, acc["ep"].cast("double")).otherwise(up_sar),
+            ).otherwise(
+                F.when(dn_rev, acc["ep"].cast("double")).otherwise(dn_sar)
+            )
+        )
+        ep = F.when(
+            seeded, F.when(x["cc"] >= x["pc"], x["hc"]).otherwise(x["lc"])
+        ).otherwise(
+            F.when(
+                acc["trend"] == "up",
+                F.when(up_rev, x["lc"]).otherwise(
+                    F.greatest(acc["ep"], x["hc"])
+                ),
+            ).otherwise(
+                F.when(dn_rev, x["hc"]).otherwise(
+                    F.least(acc["ep"], x["lc"])
+                )
+            )
+        )
+        stp = F.when(seeded, F.lit(1)).otherwise(
+            F.when(
+                acc["trend"] == "up",
+                F.when(up_rev, F.lit(1))
+                .when(
+                    x["hc"] > acc["ep"],
+                    F.least(acc["stp"] + 1, F.lit(_SAR_MAX_STEP)),
+                )
+                .otherwise(acc["stp"]),
+            ).otherwise(
+                F.when(dn_rev, F.lit(1))
+                .when(
+                    x["lc"] < acc["ep"],
+                    F.least(acc["stp"] + 1, F.lit(_SAR_MAX_STEP)),
+                )
+                .otherwise(acc["stp"])
+            )
+        )
+        reversed_ = F.when(seeded, F.lit(False)).otherwise(
+            F.when(acc["trend"] == "up", up_rev).otherwise(dn_rev)
+        )
+        entry = F.struct(
+            x["day_s"].alias("day_s"),
+            x["cc"].alias("cc"),
+            sar.alias("sar"),
+            trend.alias("trend"),
+            ep.alias("ep"),
+            stp.cast("int").alias("stp"),
+            reversed_.alias("reversed"),
+        )
+        return F.struct(
+            F.concat(acc["arr"], F.array(entry)).alias("arr"),
+            trend.alias("trend"),
+            sar.alias("sar"),
+            ep.alias("ep"),
+            stp.cast("int").alias("stp"),
+        )
+
+    folded = packed.select(
+        "series",
+        F.aggregate(F.col("ds"), init, step, lambda a: a["arr"]).alias("arr"),
+    )
+    x = folded.select("series", F.explode("arr").alias("x")).select(
+        "series", "x.*"
+    )
+    return x.select(
+        "series",
+        "day_s",
+        F.col("cc").alias("close_cents"),
+        (F.round(F.col("sar") * 1000000.0, 0) / 1000000.0).alias("sar_cents"),
+        "trend",
+        F.col("ep").alias("ep_cents"),
+        F.round(F.col("stp") * af, 6).alias("af"),
+        "reversed",
+    )
+
+
+# ---------------------------------------------------------------------------
+# D27 dedup_bucket_skew_audit — banded-join shuffle-health metric
+
+
+def _bucket_skew_oracle() -> str:
+    """Per-band bucket-size distribution over the md5 MinHash
+    signatures (D12's portable base): the oracle re-derives the
+    32 permutations and groups each band's 4-row key independently,
+    then aggregates the size distribution per band."""
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _A,
+        _B,
+        _MERSENNE,
+    )
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    mins = ",\n               ".join(
+        f"min((h * {_A[i]} + {_B[i]}) % {_MERSENNE}) AS mh{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    per_band = "\n            UNION ALL\n".join(
+        f"""
+            SELECT {bi} AS band,
+                   CAST(count(*) AS BIGINT) AS bucket_size
+            FROM sig
+            GROUP BY {", ".join(f"mh{bi * rows + ri}" for ri in range(rows))}
+        """
+        for bi in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 5
+        ),
+        s0 AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM t),
+        sh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(array_to_string(
+                       toks[i + 1 : i + 5], ' ')), 1, 15))::BIGINT
+                       % {_MERSENNE} AS h
+            FROM s0
+        ),
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        buckets AS (
+            {per_band}
+        )
+        SELECT band,
+               CAST(sum(bucket_size) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(bucket_size) AS BIGINT) AS max_bucket,
+               CAST(sum(CASE WHEN bucket_size = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS singleton_buckets,
+               CAST(sum(bucket_size * (bucket_size - 1) / 2) AS BIGINT)
+                   AS candidate_pairs,
+               round(CAST(max(bucket_size) AS DOUBLE)
+                     * count(*) / sum(bucket_size), 6)
+                   AS skew_factor
+        FROM buckets GROUP BY band
+    """
+
+
+@register(
+    "dedup_bucket_skew_audit",
+    family="dedup",
+    doc="Banded-LSH bucket-skew audit (D27) — the shuffle-health "
+    "metric every banded dedup in this repo rides on: per band, the "
+    "bucket-size distribution of the md5 MinHash signatures (D12's "
+    "portable base) — bucket count, max bucket, singleton share, "
+    "and the CANDIDATE-PAIR MASS sum(n*(n-1)/2), which is exactly "
+    "the work the band self-join will shuffle. skew_factor = "
+    "max_bucket / mean_bucket: near 1 means uniform hash keys (the "
+    "scale claim made in operators/dedup.py), large means a hot "
+    "bucket that needs a df-cap or salt BEFORE the join is run at "
+    "100 TB. This is the audit you run on a new corpus before "
+    "scheduling the dedup fleet; 8 output rows regardless of corpus "
+    "size.",
+    oracle=_bucket_skew_oracle(),
+)
+def dedup_bucket_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _MERSENNE,
+        minhash_signatures,
+    )
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 5
+    )
+    md5_base = lambda s: (  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _MERSENNE
+    )
+    sigs = minhash_signatures(docs, base_hash=md5_base)
+    bands = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", bi * rows + ri + 1).cast(
+                                    "string"
+                                )
+                                for ri in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb")
+    ).select(F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    buckets = bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return buckets.groupBy("band").agg(
+        F.sum("bucket_size").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.sum(F.when(F.col("bucket_size") == 1, 1).otherwise(0)).alias(
+            "singleton_buckets"
+        ),
+        F.sum(
+            F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+        )
+        .cast("long")
+        .alias("candidate_pairs"),
+        F.round(
+            F.max("bucket_size").cast("double")
+            * F.count(F.lit(1))
+            / F.sum("bucket_size"),
+            6,
+        ).alias("skew_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F51 text_vocab_concentration — top-k coverage curve
+
+_VC_KS = (10, 50, 100, 500, 1000)
+
+
+@register(
+    "text_vocab_concentration",
+    family="text",
+    doc="Vocabulary concentration curve (F51): what fraction of all "
+    "corpus tokens the top-k types cover, at k = 10/50/100/500/1000 "
+    "— the complement of F40's Zipf fit (that estimates the "
+    "exponent; this reports the actionable mass: how large a "
+    "tokenizer vocab or stopword list must be to cover X%% of the "
+    "stream). One (token)-grain count reduce, a global rank over "
+    "VOCABULARY-grain rows (bounded by type count, not corpus "
+    "size), cumulative integer sums, 5 output rows. Rank ties "
+    "break on the token string so the cumulative sum is "
+    "deterministic.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        tc AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS c
+            FROM tok WHERE length(t) > 0 GROUP BY t
+        ),
+        ranked AS (
+            SELECT t, c,
+                   row_number() OVER (ORDER BY c DESC, t) AS rk,
+                   CAST(sum(c) OVER (ORDER BY c DESC, t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum,
+                   CAST(sum(c) OVER () AS BIGINT) AS total,
+                   CAST(count(*) OVER () AS BIGINT) AS n_types
+            FROM tc
+        ),
+        ks AS (SELECT unnest(ARRAY{list(_VC_KS)}) AS k)
+        SELECT k,
+               max(r.n_types) AS n_types,
+               CAST(max(CASE WHEN r.rk = least(k, r.n_types)
+                        THEN r.cum END) AS BIGINT) AS tokens_covered,
+               max(r.total) AS total_tokens,
+               round(CAST(max(CASE WHEN r.rk = least(k, r.n_types)
+                             THEN r.cum END) AS DOUBLE)
+                     / max(r.total), 6) AS coverage
+        FROM ks, ranked r GROUP BY k
+    """,
+)
+def text_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tc = (
+        spread(docs)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.orderBy(F.col("c").desc(), "t")
+    ranked = tc.select(
+        "t",
+        "c",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_types"),
+    )
+    # one conditional aggregate per checkpoint over the vocabulary-
+    # grain rows, then stack() the single row out to checkpoint
+    # grain — no join, one pass
+    hit = lambda k: F.max(  # noqa: E731
+        F.when(
+            F.col("rk")
+            == F.least(F.lit(k).cast("long"), F.col("n_types")),
+            F.col("cum"),
+        )
+    )
+    one = ranked.agg(
+        F.max("n_types").alias("n_types"),
+        F.max("total").alias("total_tokens"),
+        *[hit(k).alias(f"cov_{k}") for k in _VC_KS],
+    )
+    stack = ", ".join(f"{k}, cov_{k}" for k in _VC_KS)
+    return one.select(
+        F.expr(
+            f"stack({len(_VC_KS)}, {stack}) as (k, tokens_covered)"
+        ),
+        "n_types",
+        "total_tokens",
+    ).select(
+        "k",
+        "n_types",
+        "tokens_covered",
+        "total_tokens",
+        F.round(
+            F.col("tokens_covered").cast("double") / F.col("total_tokens"),
+            6,
+        ).alias("coverage"),
+    )

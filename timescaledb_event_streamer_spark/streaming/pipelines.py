@@ -1393,3 +1393,115 @@ def streaming_adx(daily: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming Parabolic SAR (I39): the live form of ts_parabolic_sar
+# (B112) — Wilder's stop-and-reverse with the two-bar clamp as O(1)
+# keyed state: (trend, sar, ep, af-step) plus the two previous bars'
+# extremes and the previous close, carried across micro-batches.
+
+_SAR_STATE_SCHEMA = "state_json STRING"
+_SAR_OUT_SCHEMA = (
+    "series STRING, day_s LONG, close_cents LONG, sar_cents DOUBLE, "
+    "trend STRING, ep_cents LONG, af DOUBLE, reversed BOOLEAN"
+)
+_SAR_AF = 0.02
+_SAR_MAX_STEP = 10
+
+
+def _sar_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json
+
+    if state.exists:
+        st = json.loads(state.get[0])
+    else:
+        st = {"rn": 0, "last": None, "pc": None, "p1l": None,
+              "p2l": None, "p1h": None, "p2h": None, "trend": None,
+              "sar": None, "ep": None, "stp": 1}
+    rows = []
+    for pdf in pdfs:
+        for r in pdf.sort_values("day_s").itertuples():
+            day_s, hc, lc, cc = (
+                int(r.day_s), int(r.hc), int(r.lc), int(r.cc)
+            )
+            if st["last"] is not None and day_s <= st["last"]:
+                continue  # replayed day: idempotent skip
+            st["last"] = day_s
+            st["rn"] += 1
+            if st["rn"] == 1:
+                pass  # no output before the seed bar
+            elif st["rn"] == 2:
+                st["trend"] = "up" if cc >= st["pc"] else "down"
+                st["sar"] = float(
+                    st["p1l"] if st["trend"] == "up" else st["p1h"]
+                )
+                st["ep"] = hc if st["trend"] == "up" else lc
+                st["stp"] = 1
+                rows.append(
+                    (key[0], day_s, cc, st["sar"], st["trend"],
+                     st["ep"], st["stp"] * _SAR_AF, False)
+                )
+            else:
+                raw = st["sar"] + (st["stp"] * _SAR_AF) * (
+                    st["ep"] - st["sar"]
+                )
+                if st["trend"] == "up":
+                    clamped = min(raw, st["p1l"], st["p2l"])
+                    if lc < clamped:
+                        st.update(
+                            trend="down", sar=float(st["ep"]), ep=lc,
+                            stp=1,
+                        )
+                        rev = True
+                    else:
+                        if hc > st["ep"]:
+                            st["stp"] = min(st["stp"] + 1, _SAR_MAX_STEP)
+                        st.update(sar=clamped, ep=max(st["ep"], hc))
+                        rev = False
+                else:
+                    clamped = max(raw, st["p1h"], st["p2h"])
+                    if hc > clamped:
+                        st.update(
+                            trend="up", sar=float(st["ep"]), ep=hc,
+                            stp=1,
+                        )
+                        rev = True
+                    else:
+                        if lc < st["ep"]:
+                            st["stp"] = min(st["stp"] + 1, _SAR_MAX_STEP)
+                        st.update(sar=clamped, ep=min(st["ep"], lc))
+                        rev = False
+                rows.append(
+                    (key[0], day_s, cc, st["sar"], st["trend"],
+                     st["ep"], st["stp"] * _SAR_AF, rev)
+                )
+            st["p2l"], st["p1l"] = st["p1l"], lc
+            st["p2h"], st["p1h"] = st["p1h"], hc
+            st["pc"] = cc
+    state.update((json.dumps(st),))
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "series", "day_s", "close_cents", "sar_cents", "trend",
+            "ep_cents", "af", "reversed",
+        ],
+    )
+
+
+def streaming_parabolic_sar(daily: DataFrame) -> DataFrame:
+    """Parabolic SAR over a stream of daily OHLC partials (I39): the
+    full Wilder recursion INCLUDING the two-bar clamp as keyed state
+    — (trend, sar, ep, af-step) plus the two prior bars' extremes,
+    O(1) per key at any stream length; replayed days idempotently
+    skipped. `daily` needs (series, day_s, hc, lc, cc) integer
+    cents. Equals the batch ts_parabolic_sar row-for-row (pinned in
+    tests/test_round10.py)."""
+    return daily.groupBy("series").applyInPandasWithState(
+        _sar_state_fn,
+        outputStructType=_SAR_OUT_SCHEMA,
+        stateStructType=_SAR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -408,3 +408,151 @@ def test_streaming_parabolic_sar_matches_batch(spark, sf_small, tmp_path):
         np.testing.assert_allclose(round(g[1] * 1e6) / 1e6, w[1], atol=1e-9)
         np.testing.assert_allclose(g[4], w[4], atol=1e-9)
         assert bool(g[5]) == bool(w[5])
+
+
+def test_cci_matches_textbook(spark, sf_small):
+    """CCI recomputed the classic way (TP, SMA, mean deviation in
+    floats) must equal the integer-algebra form."""
+    out = (
+        all_queries()["ts_cci"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    n = 20
+    for series, g in _per_series(daily):
+        tp = (g["hc"] + g["lc"] + g["cc"]) / 3.0
+        sma = tp.rolling(n).mean()
+        md = tp.rolling(n).apply(
+            lambda w: np.abs(w - w.mean()).mean(), raw=True
+        )
+        want = ((tp - sma) / (0.015 * md)).iloc[n - 1 :]
+        got = out[out["series"] == series]["cci"].to_numpy()
+        np.testing.assert_allclose(
+            got, np.round(want.to_numpy(), 6), atol=2e-6
+        )
+
+
+def test_dpo_matches_textbook(spark, sf_small):
+    out = (
+        all_queries()["ts_dpo"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    n, shift = 10, 6
+    for series, g in _per_series(daily):
+        sma = g["cc"].rolling(n).mean()
+        want = ((g["cc"] - sma.shift(shift)) / 100.0).dropna()
+        got = out[out["series"] == series]["dpo"].to_numpy()
+        np.testing.assert_allclose(
+            got, np.round(want.to_numpy(), 6), atol=1e-6
+        )
+
+
+def test_beam_graph_banded_build_recall(spark, sf_small):
+    """r10 rework evidence for ann_graph_beam_search: the banded-LSH
+    candidate generation must retain most of the EXACT top-deg kNN
+    graph's edges (strong edges collide with high probability), and
+    the candidate set must be a strict subset of all pairs (the
+    pruning that makes the build survive 100x)."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.operators.ann import dot
+    from timescaledb_event_streamer_spark.plans import queries_round9 as r9
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    emb = load(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nodes = emb.filter(F.col("vec_id") % r9._BEAM_NODE_MOD == 0)
+    n = nodes.count()
+
+    # exact top-deg edges (brute force on the tiny sf0.001 shard)
+    import numpy as np_
+
+    rows = nodes.collect()
+    ids = np_.array([r["vec_id"] for r in rows])
+    V = np_.array([r["v"] for r in rows])
+    Vn = V / np_.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    np_.fill_diagonal(sims, -2.0)
+    exact_edges = set()
+    for i in range(len(ids)):
+        order = np_.lexsort((ids, -np_.round(sims[i], 6)))
+        for j in order[: r9._BEAM_DEG]:
+            exact_edges.add((int(ids[i]), int(ids[j])))
+
+    # banded build straight from the registered query's plan pieces
+    planes = r9._beam_planes()
+    bands = []
+    for bi in range(r9._BEAM_BANDS):
+        bucket = F.lit(0).cast("long")
+        for j in range(r9._BEAM_BAND_BITS):
+            plane = F.array(
+                *[F.lit(c) for c in planes[bi * r9._BEAM_BAND_BITS + j]]
+            )
+            bucket = bucket.bitwiseOR(
+                F.shiftleft((dot(F.col("v"), plane) > 0).cast("long"), j)
+            )
+        bands.append(
+            F.struct(F.lit(bi).alias("band"), bucket.alias("bucket"))
+        )
+    banded = nodes.select(
+        F.col("vec_id").alias("vid"),
+        F.explode(F.array(*bands)).alias("bb"),
+    ).select("vid", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") != F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("src"), F.col("b.vid").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    cand_pairs = {(r["src"], r["dst"]) for r in cand.collect()}
+
+    # pruning: strictly fewer candidates than all ordered pairs
+    assert len(cand_pairs) < n * (n - 1)
+    # recall of the exact graph's edges inside the candidate set.
+    # This corpus's top-5 neighbors sit at moderate cosine (~0.4-0.6
+    # -> per-plane collision p ~= 1 - theta/pi ~= 0.6), so the
+    # 8-band/4-bit OR-construction retains 1-(1-p^4)^8 ~= 0.65 of
+    # exact edges — measured 0.644. That IS the banded graph the
+    # oracle certifies end-to-end; the property pinned here is that
+    # the banding keeps the majority of strong edges while pruning
+    # the pair space (graph routing needs connectivity, not the
+    # exact kNN edge set — the query's in_exact_topk column shows
+    # the beam still reaching true top-k neighbors).
+    kept = sum(1 for e in exact_edges if e in cand_pairs)
+    recall = kept / len(exact_edges)
+    assert recall >= 0.55, f"banded edge recall {recall:.3f}"
+
+
+def test_trix_matches_chained_ewma(spark, sf_small):
+    out = (
+        all_queries()["ts_trix"](spark, sf_small)
+        .toPandas()
+        .sort_values(["series", "day_s"])
+    )
+    daily = _daily_close(spark, sf_small)
+    win, span = 40, 15
+    for series, g in _per_series(daily):
+        x = g["cc"].to_numpy(dtype=float)
+        for _stage in range(3):
+            x = np.array(
+                [
+                    _ewma_ref(x[max(0, t - win + 1) : t + 1], span)
+                    for t in range(len(x))
+                ]
+            )
+        trix = 10000.0 * (x[1:] - x[:-1]) / x[:-1]
+        got = out[out["series"] == series]
+        np.testing.assert_allclose(
+            got["trix"].to_numpy(),
+            np.round(trix[span - 1 :], 6),
+            atol=1e-6,
+        )

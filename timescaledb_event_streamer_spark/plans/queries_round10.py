@@ -1413,3 +1413,301 @@ def text_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B113 ts_cci — Commodity Channel Index
+
+_CCI_N = 20
+
+
+@register(
+    "ts_cci",
+    family="timeseries",
+    doc="Commodity Channel Index (B113, Lambert's public "
+    "formulation): (TP - SMA20(TP)) / (0.015 x mean deviation). "
+    "The window-inside-a-window (each row's deviations are measured "
+    "against ITS OWN window's mean) is algebraized to stay exact "
+    "integer: with tp3 = H+L+C (x3 scale, no division) and S = the "
+    "window's tp3 sum, cci = 4000*(20*tp3 - S) / (3 * sum_i|20*"
+    "tp3_i - S|) — numerator and the deviation sum are exact "
+    "integers folded over the packed window array (list_transform/"
+    "aggregate on both engines), ONE double division at the end. "
+    "Zero-deviation (flat) windows yield NULL.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        tp AS (
+            SELECT series, day_s, hc + lc + cc AS tp3,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM daily
+        ),
+        arrs AS (
+            SELECT series, day_s, tp3, rn,
+                   list(tp3) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_CCI_N - 1} PRECEDING
+                            AND CURRENT ROW
+                   ) AS arr
+            FROM tp
+        ),
+        s AS (
+            SELECT series, day_s, tp3, rn,
+                   CAST(list_sum(arr) AS BIGINT) AS stp,
+                   CAST(list_sum(list_transform(arr,
+                       x -> abs({_CCI_N} * x - list_sum(arr))))
+                       AS BIGINT) AS dev
+            FROM arrs
+        )
+        SELECT series, day_s,
+               CAST(tp3 AS BIGINT) AS tp3_cents,
+               stp AS tp3_sum,
+               dev AS dev_sum,
+               CASE WHEN dev > 0 THEN
+                   round(4000.0 * ({_CCI_N} * tp3 - stp) / (3.0 * dev), 6)
+               END AS cci
+        FROM s WHERE rn >= {_CCI_N}
+    """,
+)
+def ts_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    w = wo.rowsBetween(-(_CCI_N - 1), Window.currentRow)
+    tp = daily.select(
+        "series",
+        "day_s",
+        (F.col("hc") + F.col("lc") + F.col("cc")).alias("tp3"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    arrs = tp.withColumn("arr", F.collect_list("tp3").over(w))
+    ssum = F.aggregate(
+        F.col("arr"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    s = arrs.select(
+        "series",
+        "day_s",
+        "tp3",
+        "rn",
+        ssum.alias("stp"),
+        F.aggregate(
+            F.col("arr"),
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.abs(F.lit(_CCI_N) * x - ssum),
+        ).alias("dev"),
+    )
+    return s.filter(F.col("rn") >= _CCI_N).select(
+        "series",
+        "day_s",
+        F.col("tp3").alias("tp3_cents"),
+        F.col("stp").alias("tp3_sum"),
+        F.col("dev").alias("dev_sum"),
+        F.when(
+            F.col("dev") > 0,
+            F.round(
+                4000.0 * (_CCI_N * F.col("tp3") - F.col("stp"))
+                / (3.0 * F.col("dev")),
+                6,
+            ),
+        ).alias("cci"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B114 ts_dpo — detrended price oscillator
+
+_DPO_N = 10  # the classic 20 halved to the one-month calendar (the
+#   B104 precedent); displacement keeps the textbook n/2+1 rule
+_DPO_SHIFT = _DPO_N // 2 + 1
+
+
+@register(
+    "ts_dpo",
+    family="timeseries",
+    doc="Detrended Price Oscillator (B114): close minus the 20-day "
+    "SMA displaced back n/2+1 = 11 bars — removes the trend longer "
+    "than the window so cycle length reads directly off the "
+    "zero-crossings. dpo is kept exact: 20*cc - lagged window sum "
+    "is an exact integer, divided once for the output (dollars, "
+    "round 6); the zero-cross flag compares the integers so it can "
+    "never disagree with the rounded value.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        s AS (
+            SELECT series, day_s, cc,
+                   lag(sma_sum, {_DPO_SHIFT}) OVER wo AS lag_sum,
+                   row_number() OVER wo AS rn
+            FROM (
+                SELECT series, day_s, cc,
+                       CAST(sum(cc) OVER (
+                           PARTITION BY series ORDER BY day_s
+                           ROWS BETWEEN {_DPO_N - 1} PRECEDING
+                                AND CURRENT ROW
+                       ) AS BIGINT) AS sma_sum
+                FROM daily
+            )
+            WINDOW wo AS (PARTITION BY series ORDER BY day_s)
+        ),
+        d AS (
+            SELECT series, day_s, cc, lag_sum,
+                   {_DPO_N} * cc - lag_sum AS dpo_i,
+                   lag({_DPO_N} * cc - lag_sum) OVER (
+                       PARTITION BY series ORDER BY day_s) AS prev_dpo_i
+            FROM s WHERE rn >= {_DPO_N + _DPO_SHIFT}
+        )
+        SELECT series, day_s,
+               CAST(cc AS BIGINT) AS close_cents,
+               round(dpo_i / ({_DPO_N} * 100.0), 6) AS dpo,
+               coalesce((dpo_i > 0) <> (prev_dpo_i > 0), false)
+                   AS zero_cross
+        FROM d
+    """,
+)
+def ts_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    w = wo.rowsBetween(-(_DPO_N - 1), Window.currentRow)
+    s = daily.select(
+        "series",
+        "day_s",
+        "cc",
+        F.lag(F.sum("cc").over(w), _DPO_SHIFT).over(wo).alias("lag_sum"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    dpo_i = _DPO_N * F.col("cc") - F.col("lag_sum")
+    d = s.filter(F.col("rn") >= _DPO_N + _DPO_SHIFT).select(
+        "series",
+        "day_s",
+        "cc",
+        dpo_i.alias("dpo_i"),
+        F.lag(dpo_i).over(wo).alias("prev_dpo_i"),
+    )
+    return d.select(
+        "series",
+        "day_s",
+        F.col("cc").alias("close_cents"),
+        F.round(F.col("dpo_i") / (_DPO_N * 100.0), 6).alias("dpo"),
+        F.coalesce(
+            (F.col("dpo_i") > 0) != (F.col("prev_dpo_i") > 0),
+            F.lit(False),
+        ).alias("zero_cross"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B115 ts_trix — triple-EMA rate of change
+
+_TRIX_SPAN = 15
+
+
+@register(
+    "ts_trix",
+    family="timeseries",
+    doc="TRIX (B115, Hutson's triple-smoothed momentum): EMA15 of "
+    "EMA15 of EMA15 of close, then the one-day percent change x 100 "
+    "(basis-point scale) — triple smoothing kills noise shorter "
+    "than the span, the 1-day ROC restores direction. Three CHAINED "
+    "B83 bounded-window weight-normalized EWMAs: each stage's value "
+    "is a deterministic per-row double, so the next stage's window "
+    "array collects identical values on both engines; signal flag = "
+    "trix > 0.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        a1 AS (
+            SELECT series, day_s,
+                   list(CAST(cc AS DOUBLE)) OVER w AS arr,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s
+                         ROWS BETWEEN {_ER_WIN - 1} PRECEDING
+                              AND CURRENT ROW)
+        ),
+        e1 AS (
+            SELECT series, day_s, rn,
+                   {_ewma_sql("arr", _TRIX_SPAN)} AS v FROM a1
+        ),
+        a2 AS (
+            SELECT series, day_s, rn,
+                   list(v) OVER w AS arr
+            FROM e1
+            WINDOW w AS (PARTITION BY series ORDER BY day_s
+                         ROWS BETWEEN {_ER_WIN - 1} PRECEDING
+                              AND CURRENT ROW)
+        ),
+        e2 AS (
+            SELECT series, day_s, rn,
+                   {_ewma_sql("arr", _TRIX_SPAN)} AS v FROM a2
+        ),
+        a3 AS (
+            SELECT series, day_s, rn,
+                   list(v) OVER w AS arr
+            FROM e2
+            WINDOW w AS (PARTITION BY series ORDER BY day_s
+                         ROWS BETWEEN {_ER_WIN - 1} PRECEDING
+                              AND CURRENT ROW)
+        ),
+        e3 AS (
+            SELECT series, day_s, rn,
+                   {_ewma_sql("arr", _TRIX_SPAN)} AS v FROM a3
+        ),
+        t AS (
+            SELECT series, day_s, rn, v,
+                   lag(v) OVER (PARTITION BY series ORDER BY day_s)
+                       AS pv
+            FROM e3
+        )
+        SELECT series, day_s,
+               round(v / 100.0, 6) AS ema3,
+               round(10000.0 * (v - pv) / pv, 6) AS trix,
+               10000.0 * (v - pv) / pv > 0.0 AS rising
+        FROM t WHERE rn > {_TRIX_SPAN}
+    """,
+)
+def ts_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    w = wo.rowsBetween(-(_ER_WIN - 1), Window.currentRow)
+    a1 = daily.select(
+        "series",
+        "day_s",
+        F.collect_list(F.col("cc").cast("double")).over(w).alias("arr"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    e1 = a1.select(
+        "series", "day_s", "rn", _ewma_arr("arr", _TRIX_SPAN).alias("v")
+    )
+    a2 = e1.select(
+        "series", "day_s", "rn", F.collect_list("v").over(w).alias("arr")
+    )
+    e2 = a2.select(
+        "series", "day_s", "rn", _ewma_arr("arr", _TRIX_SPAN).alias("v")
+    )
+    a3 = e2.select(
+        "series", "day_s", "rn", F.collect_list("v").over(w).alias("arr")
+    )
+    e3 = a3.select(
+        "series", "day_s", "rn", _ewma_arr("arr", _TRIX_SPAN).alias("v")
+    )
+    t = e3.select(
+        "series", "day_s", "rn", "v", F.lag("v").over(wo).alias("pv")
+    )
+    trix = 10000.0 * (F.col("v") - F.col("pv")) / F.col("pv")
+    return t.filter(F.col("rn") > _TRIX_SPAN).select(
+        "series",
+        "day_s",
+        F.round(F.col("v") / 100.0, 6).alias("ema3"),
+        F.round(trix, 6).alias("trix"),
+        (trix > 0.0).alias("rising"),
+    )

@@ -158,6 +158,8 @@ _BNLJ_OK = {
     #   type-grain firsts (conditional aggregate, bounded expansion)
     "corpus_mixture_entropy",  # single-row broadcast totals / fold rows
     "text_burstiness",  # single-row broadcast corpus-N cross join
+    "embedding_label_centroid_confusion",  # label-count-sized (10-row)
+    #   centroid broadcast cross join for the scoring pass
 }
 
 

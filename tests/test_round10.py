@@ -556,3 +556,34 @@ def test_trix_matches_chained_ewma(spark, sf_small):
             np.round(trix[span - 1 :], 6),
             atol=1e-6,
         )
+
+
+def test_shard_planner_balances_tokens(spark, sf_small):
+    """Serpentine assignment must balance better than the worst
+    shard being 2x the ideal, cover every doc exactly once, and
+    shares must sum to 1."""
+    out = all_queries()["corpus_shard_planner"](spark, sf_small).toPandas()
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    total = sum(len([t for t in s.split(" ") if t]) for s in docs["text"])
+    assert out["shard_tokens"].sum() == total
+    assert out["n_docs"].sum() == len(docs)
+    assert len(out) == 8
+    assert abs(out["token_share"].sum() - 1.0) < 1e-5
+    assert (out["skew_vs_ideal"] < 1.1).all()  # near-balanced
+    assert (out["skew_vs_ideal"] > 0.9).all()
+
+
+def test_label_centroid_confusion_diagonal(spark, sf_small):
+    """Sanity on the audit itself: every vector lands somewhere
+    (matrix mass == corpus size), row shares sum to 1 per true
+    label, and the synthetic labels are at least better than random
+    (diagonal mass > 1/n_labels)."""
+    out = all_queries()["embedding_label_centroid_confusion"](
+        spark, sf_small
+    ).toPandas()
+    emb = pd.read_parquet(f"{sf_small}/embeddings.parquet")
+    assert out["n"].sum() == len(emb)
+    shares = out.groupby("true_label")["row_share"].sum()
+    assert ((shares - 1.0).abs() < 1e-4).all()
+    diag = out[out["on_diagonal"]]["n"].sum() / out["n"].sum()
+    assert diag > 1.0 / emb["label"].nunique()

@@ -1711,3 +1711,247 @@ def ts_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(trix, 6).alias("trix"),
         (trix > 0.0).alias("rising"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E28 embedding_label_centroid_confusion — label-space quality audit
+
+_LCC_Q = 1_000_000
+
+
+@register(
+    "embedding_label_centroid_confusion",
+    family="ann",
+    doc="Label-centroid confusion matrix (E28) — the embedding-"
+    "quality audit run before trusting labels for supervised "
+    "fine-tuning or stratified sampling: per-label centroids from "
+    "EXACT integer per-dimension sums (the E18/E27 quantization "
+    "discipline: round(v*1e6) BIGINT sums, ONE division to the "
+    "double centroid — summation order can never touch the hash), "
+    "then every vector routes to its nearest centroid by cosine "
+    "(unrounded compare, label-asc ties) and the (true_label, "
+    "nearest_label) matrix with row shares comes out. Fully "
+    "distributed: dim-keyed partial sums (64 x labels rows), a "
+    "label-count-sized broadcast for the scoring join (10 centroid "
+    "rows), no driver collect. Diagonal mass = separability; "
+    "off-diagonal cells name the confusable label pairs.",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        d AS (
+            SELECT label, t.i AS pos,
+                   CAST(round(v[t.i] * {_LCC_Q}) AS BIGINT) AS qv
+            FROM q, range(1, 65) t(i)
+        ),
+        sums AS (
+            SELECT label, pos,
+                   CAST(sum(qv) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY label, pos
+        ),
+        cent AS (
+            SELECT label AS cand,
+                   list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
+            FROM sums GROUP BY label
+        ),
+        scored AS (
+            SELECT q.vec_id, q.label AS true_label, cent.cand,
+                   list_dot_product(q.v, cent.c)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(cent.c, cent.c))) AS cos
+            FROM q CROSS JOIN cent
+        ),
+        nearest AS (
+            SELECT vec_id, true_label, cand AS nearest_label
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cos DESC, cand) AS rk
+                FROM scored
+            ) WHERE rk = 1
+        ),
+        m AS (
+            SELECT true_label, nearest_label,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM nearest GROUP BY 1, 2
+        )
+        SELECT true_label, nearest_label, n,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY true_label), 6)
+                   AS row_share,
+               true_label = nearest_label AS on_diagonal
+        FROM m
+    """,
+)
+def embedding_label_centroid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.ann import dot
+
+    q = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    d = q.select(
+        "label", F.posexplode("v").alias("pos0", "el")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("el") * _LCC_Q, 0).cast("long").alias("qv"),
+    )
+    sums = d.groupBy("label", "pos").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = sums.groupBy(F.col("label").alias("cand")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos", (F.col("s").cast("double") / F.col("n")).alias("val")
+                    )
+                )
+            ),
+            lambda st: st["val"],
+        ).alias("c")
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "cand",
+        (
+            dot(F.col("v"), F.col("c"))
+            / (
+                F.sqrt(dot(F.col("v"), F.col("v")))
+                * F.sqrt(dot(F.col("c"), F.col("c")))
+            )
+        ).alias("cos"),
+    )
+    wn = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cand")
+    nearest = (
+        scored.withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") == 1)
+        .select("true_label", F.col("cand").alias("nearest_label"))
+    )
+    m = nearest.groupBy("true_label", "nearest_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("true_label")
+    return m.select(
+        "true_label",
+        "nearest_label",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias(
+            "row_share"
+        ),
+        (F.col("true_label") == F.col("nearest_label")).alias(
+            "on_diagonal"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F52 corpus_shard_planner — token-balanced output sharding
+
+_SHARDS = 8
+
+
+@register(
+    "corpus_shard_planner",
+    family="text",
+    doc="Token-balanced shard plan (F52) — the write-side step of a "
+    "training-data pipeline: assign every document to one of 8 "
+    "output shards so shard token totals stay balanced (balanced "
+    "shards = balanced downstream dataloader workers). Serpentine "
+    "assignment over the token-count ranking (rank desc, doc_id "
+    "ties; row k of each 8-row strip goes forward on even strips, "
+    "backward on odd — the deterministic LPT-flavored rule that "
+    "beats plain modulo on skewed sizes). Output is the 8-row "
+    "shard ledger: doc/token counts, token share, and skew vs the "
+    "ideal eighth — in production the assignment column feeds "
+    "repartitionByRange/partitionBy on the write. The ranking is a "
+    "VOCABULARY-OF-DOCS-grain global sort (doc-count rows, not "
+    "token rows); at 100 TB swap the global window for a "
+    "range-partitioned rank (sketch quantiles), same algebra.",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> length(t) > 0)) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (
+                       ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+            FROM d
+        ),
+        assigned AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN (rk // {_SHARDS}) % 2 = 0
+                        THEN rk % {_SHARDS}
+                        ELSE {_SHARDS - 1} - rk % {_SHARDS}
+                   END AS shard
+            FROM ranked
+        ),
+        s AS (
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+            FROM assigned GROUP BY shard
+        )
+        SELECT shard, n_docs, shard_tokens,
+               round(CAST(shard_tokens AS DOUBLE)
+                     / sum(shard_tokens) OVER (), 6) AS token_share,
+               round(CAST(shard_tokens AS DOUBLE) * {_SHARDS}
+                     / sum(shard_tokens) OVER (), 6) AS skew_vs_ideal
+        FROM s
+    """,
+)
+def corpus_shard_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = spread(docs).select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    ranked = d.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("n_tokens").desc(), "doc_id")
+            )
+            - 1
+        ).alias("rk"),
+    )
+    strip = (F.col("rk") / _SHARDS).cast("long")
+    fwd = F.col("rk") % _SHARDS
+    assigned = ranked.select(
+        "doc_id",
+        "n_tokens",
+        F.when(strip % 2 == 0, fwd)
+        .otherwise(F.lit(_SHARDS - 1) - fwd)
+        .alias("shard"),
+    )
+    s = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+    wt = Window.partitionBy()
+    tot = F.sum("shard_tokens").over(wt)
+    return s.select(
+        "shard",
+        "n_docs",
+        "shard_tokens",
+        F.round(F.col("shard_tokens").cast("double") / tot, 6).alias(
+            "token_share"
+        ),
+        F.round(
+            F.col("shard_tokens").cast("double") * _SHARDS / tot, 6
+        ).alias("skew_vs_ideal"),
+    )

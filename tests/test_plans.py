@@ -40,6 +40,30 @@ def test_no_python_row_udfs_anywhere(spark, sf_small, name):
     assert "BatchEvalPython" not in plan, f"{name} fell back to a row-at-a-time Python UDF"
 
 
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_unpartitioned_data_grain_windows(spark, sf_small, name):
+    """No single-partition global-order window over scan-grain rows
+    anywhere in the registry — the one shuffle shape that cannot
+    survive 100 TB. Bounded inputs (aggregate / limit / bounded
+    broadcast candidate join below the window) are allowed; the
+    distributed replacement is operators/ranking.global_row_number."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from plan_audit import unpartitioned_data_windows
+
+    jplan = all_queries()[name](spark, sf_small)._jdf.queryExecution().executedPlan()
+    bad = unpartitioned_data_windows(jplan)
+    assert not bad, f"{name}: unpartitioned data-grain window: {bad}"
+
+
 def test_whole_stage_codegen_in_scan_aggs(spark, sf_small):
     df = all_queries()["ts_time_bucket"](spark, sf_small)
     df.collect()  # finalize the adaptive plan

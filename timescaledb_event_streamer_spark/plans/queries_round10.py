@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from timescaledb_event_streamer_spark.operators.ranking import global_row_number
 from timescaledb_event_streamer_spark.plans.registry import register
 from timescaledb_event_streamer_spark.plans.queries_llm import _SQL_JACCARD_CTES
 from timescaledb_event_streamer_spark.plans.queries_round8b import _SQL_DAILY
@@ -1328,11 +1329,13 @@ _VC_KS = (10, 50, 100, 500, 1000)
     "— the complement of F40's Zipf fit (that estimates the "
     "exponent; this reports the actionable mass: how large a "
     "tokenizer vocab or stopword list must be to cover X%% of the "
-    "stream). One (token)-grain count reduce, a global rank over "
-    "VOCABULARY-grain rows (bounded by type count, not corpus "
-    "size), cumulative integer sums, 5 output rows. Rank ties "
-    "break on the token string so the cumulative sum is "
-    "deterministic.",
+    "stream). One (token)-grain count reduce; the top-max(k) types "
+    "come out of a distributed sort + limit (TakeOrdered, never an "
+    "unpartitioned window over the full vocabulary — the F35 "
+    "shape), the cumulative sum runs over that <=1000-row metadata "
+    "table, and total mass / type count come from a plain 1-row "
+    "aggregate. Rank ties break on the token string so the "
+    "cumulative sum is deterministic.",
     oracle=f"""
         WITH tok AS (
             SELECT unnest(string_split(text, ' ')) AS t FROM documents
@@ -1372,18 +1375,24 @@ def text_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    wr = Window.orderBy(F.col("c").desc(), "t")
-    ranked = tc.select(
-        "t",
-        "c",
-        F.row_number().over(wr).alias("rk"),
-        F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("c").over(Window.partitionBy()).alias("total"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_types"),
+    # totals from a plain aggregate (1 row); top-max(k) types from a
+    # distributed sort + limit — the vocabulary never funnels through
+    # a single-partition window (F35 shape)
+    tot = tc.agg(
+        F.sum("c").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
     )
-    # one conditional aggregate per checkpoint over the vocabulary-
-    # grain rows, then stack() the single row out to checkpoint
-    # grain — no join, one pass
+    top = tc.orderBy(F.col("c").desc(), "t").limit(max(_VC_KS))
+    wr = Window.orderBy(F.col("c").desc(), "t")
+    cum = top.select(
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c")
+        .over(wr.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    # one conditional aggregate per checkpoint over the <=1000
+    # metadata rows, then stack() the single row out to checkpoint
+    # grain — no per-k join against the vocabulary
     hit = lambda k: F.max(  # noqa: E731
         F.when(
             F.col("rk")
@@ -1391,9 +1400,9 @@ def text_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum"),
         )
     )
-    one = ranked.agg(
+    one = cum.crossJoin(F.broadcast(tot)).agg(
         F.max("n_types").alias("n_types"),
-        F.max("total").alias("total_tokens"),
+        F.max("total_tokens").alias("total_tokens"),
         *[hit(k).alias(f"cov_{k}") for k in _VC_KS],
     )
     stack = ", ".join(f"{k}, cov_{k}" for k in _VC_KS)
@@ -1870,10 +1879,13 @@ _SHARDS = 8
     "beats plain modulo on skewed sizes). Output is the 8-row "
     "shard ledger: doc/token counts, token share, and skew vs the "
     "ideal eighth — in production the assignment column feeds "
-    "repartitionByRange/partitionBy on the write. The ranking is a "
-    "VOCABULARY-OF-DOCS-grain global sort (doc-count rows, not "
-    "token rows); at 100 TB swap the global window for a "
-    "range-partitioned rank (sketch quantiles), same algebra.",
+    "repartitionByRange/partitionBy on the write. The ranking is "
+    "the TWO-PASS distributed rank (operators/ranking.py): "
+    "repartitionByRange on (n_tokens desc, doc_id) -> per-partition "
+    "row_number + broadcast partition-offset cumsum — never a "
+    "single-partition window over doc-grain rows; identical rank "
+    "algebra at any partition-bound placement because the order is "
+    "total.",
     oracle=f"""
         WITH d AS (
             SELECT doc_id,
@@ -1919,16 +1931,12 @@ def corpus_shard_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    ranked = d.select(
-        "doc_id",
-        "n_tokens",
-        (
-            F.row_number().over(
-                Window.orderBy(F.col("n_tokens").desc(), "doc_id")
-            )
-            - 1
-        ).alias("rk"),
-    )
+    ranked = global_row_number(
+        d,
+        [F.col("n_tokens").desc(), F.col("doc_id").asc()],
+        col_name="rk",
+        zero_based=True,
+    ).select("doc_id", "n_tokens", "rk")
     strip = (F.col("rk") / _SHARDS).cast("long")
     fwd = F.col("rk") % _SHARDS
     assigned = ranked.select(

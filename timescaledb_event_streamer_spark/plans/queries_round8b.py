@@ -2309,8 +2309,11 @@ _CURRICULUM_PHASES = 4
     "the phase table a curriculum-training run consumes: document "
     "and whitespace-token counts, grade boundaries, token share. "
     "ntile over an explicit total order is engine-identical "
-    "(remainder rows go to leading phases on both). One codegen "
-    "feature scan + one global sort of doc-grain metadata.",
+    "(remainder rows go to leading phases on both), and is computed "
+    "DISTRIBUTED: two-pass range-partitioned rank (operators/"
+    "ranking.py) + the closed-form ntile rule from the rank and a "
+    "1-row broadcast total (first N%%n phases take ceil(N/n) rows) "
+    "— never a single-partition window over doc-grain rows.",
     oracle=f"""
         WITH c AS (
             SELECT doc_id,
@@ -2362,13 +2365,40 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.39 * (nw / ns) + 11.8 * (nsy / nw) - 15.59, 6
         ).alias("grade"),
     ).filter(F.col("nw") > 0)
-    ph = g.withColumn(
+    # distributed ntile: global rank via the two-pass range-
+    # partitioned row_number, then the closed-form SQL ntile rule —
+    # with N rows and n phases, the first N%n phases take
+    # ceil(N/n) rows and the rest take floor(N/n)
+    from timescaledb_event_streamer_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    ranked = global_row_number(
+        g,
+        [F.col("grade").asc(), F.col("doc_id").asc()],
+        col_name="rk0",
+        zero_based=True,
+    )
+    tot = ranked.agg(
+        F.sum("nw").alias("t"), F.count(F.lit(1)).alias("n_rows")
+    )
+    n = F.lit(_CURRICULUM_PHASES).cast("long")
+    small = (F.col("n_rows") / n).cast("long")
+    rem = F.col("n_rows") % n
+    big = small + 1
+    cut = rem * big  # first `rem` phases hold `big` rows each
+    ph = ranked.crossJoin(F.broadcast(tot)).withColumn(
         "phase",
-        F.ntile(_CURRICULUM_PHASES)
-        .over(Window.orderBy("grade", "doc_id"))
+        F.when(F.col("rk0") < cut, (F.col("rk0") / big).cast("long") + 1)
+        .otherwise(
+            rem
+            + ((F.col("rk0") - cut) / F.greatest(small, F.lit(1))).cast(
+                "long"
+            )
+            + 1
+        )
         .cast("long"),
     )
-    tot = ph.agg(F.sum("nw").alias("t"))
     per = ph.groupBy("phase").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("nw").alias("n_tokens"),

@@ -1505,3 +1505,147 @@ def streaming_parabolic_sar(daily: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming incremental dedup admission (I40): the live form of
+# dedup_incremental_minhash (D25). The production ingest gate a
+# 100 TB pipeline actually runs: keyed state on (band, bucket)
+# carries the HISTORICAL index signatures for that LSH bucket; each
+# micro-batch of new documents probes only the buckets it collides
+# with, so per-batch cost is |batch| x collision rate — never
+# corpus^2, never a full index scan. The banding below is pinned to
+# D25's (md5-portable base hash, xxhash64 band buckets) by the
+# batch-parity pytest in tests/test_round11.py — edit both or
+# neither.
+
+_INC_DEDUP_STATE_SCHEMA = "state_json STRING"
+_INC_DEDUP_OUT_SCHEMA = (
+    "new_id LONG, index_id LONG, est_jaccard DOUBLE, band INT"
+)
+
+
+def _inc_dedup_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json
+
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        MINHASH_PERMS,
+    )
+
+    idx: list = json.loads(state.get[0]) if state.exists else []
+    out: list[dict] = []
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        allpdf = pd.concat(chunks, ignore_index=True)
+        # index rows first: a bucket's historical membership must be
+        # visible to new rows probing in the same micro-batch
+        allpdf = allpdf.sort_values(["is_new", "doc_id"])
+        known = {d for d, _ in idx}
+        for r in allpdf.itertuples():
+            sig = [int(x) for x in r.sig]
+            if not r.is_new:
+                if r.doc_id not in known:
+                    idx.append([int(r.doc_id), sig])
+                    known.add(r.doc_id)
+                continue
+            for iid, isig in idx:
+                agree = sum(1 for a, b in zip(sig, isig) if a == b)
+                out.append(
+                    {
+                        "new_id": int(r.doc_id),
+                        "index_id": int(iid),
+                        "est_jaccard": agree / float(MINHASH_PERMS),
+                        "band": int(key[0]),
+                    }
+                )
+    state.update((json.dumps(idx),))
+    yield pd.DataFrame(
+        out, columns=["new_id", "index_id", "est_jaccard", "band"]
+    )
+
+
+def streaming_incremental_dedup(sigs: DataFrame) -> DataFrame:
+    """LSH-bucket-keyed incremental dedup probe (I40): `sigs` is a
+    STREAM of (doc_id LONG, sig ARRAY<LONG>, is_new BOOLEAN) — index
+    rows seed/extend the bucket state (no output), new rows emit one
+    candidate row per (band,bucket) collision with est_jaccard from
+    full-signature agreement. Candidates are verdict-reduced by
+    incremental_dedup_verdicts (batch algebra shared with D25:
+    dedup across bands, best match, 0.5 admission threshold)."""
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+    )
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        "is_new",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows + ri].cast("string")
+                                    for ri in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "is_new", "bb.band", "bb.bucket")
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        _inc_dedup_state_fn,
+        outputStructType=_INC_DEDUP_OUT_SCHEMA,
+        stateStructType=_INC_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def incremental_dedup_verdicts(
+    candidates: DataFrame, new_docs: DataFrame
+) -> DataFrame:
+    """Admission verdicts from streamed candidate rows — the same
+    tail algebra as batch D25: cross-band dedup on (new_id,
+    index_id), candidate count, best match (highest est_jaccard,
+    lowest-id tie), admit when best < 0.5; no-candidate docs admit
+    with the -1 / 0.0 sentinels. `new_docs` must carry doc_id for
+    every new document in the window (sentinel rows come from it)."""
+    from pyspark.sql import Window
+
+    cand = candidates.dropDuplicates(["new_id", "index_id"])
+    wbest = Window.partitionBy("new_id").orderBy(
+        F.col("est_jaccard").desc(), "index_id"
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "index_id", "est_jaccard")
+    )
+    counts = cand.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(counts, F.col("doc_id") == counts["new_id"], "left")
+        .drop("new_id")
+        .join(best, F.col("doc_id") == best["new_id"], "left")
+        .drop("new_id")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("index_id", F.lit(-1)).cast("long").alias("best_match_id"),
+            F.coalesce("est_jaccard", F.lit(0.0)).alias("best_est_jaccard"),
+            (F.coalesce("est_jaccard", F.lit(0.0)) < 0.5).alias("admitted"),
+        )
+    )

@@ -154,6 +154,17 @@ def test_rejects_hostile_fact_count():
         adpcm_decode(bytes(p))
 
 
+def test_rejects_zero_fact_count():
+    """dwSampleLength=0 is structurally valid but would decode to an
+    empty sample list and crash downstream stats folds (np.max of a
+    size-0 array) mid-task — must be a clean ValueError rejection
+    routed to is_adpcm=False, like every other hostile payload."""
+    p = bytearray(_valid())
+    struct.pack_into("<I", p, 48, 0)
+    with pytest.raises(ValueError, match="zero samples"):
+        adpcm_decode(bytes(p))
+
+
 def test_rejects_corrupt_block_header():
     p = bytearray(_valid())
     data_off = p.index(b"data") + 8

@@ -319,3 +319,184 @@ def test_streaming_delivery_with_checkpoint(spark, broker, tmp_path):
     q2.awaitTermination(120)
     with broker.lock:
         assert sum(len(v) for v in broker.logs.values()) == 10
+
+
+# -- cluster-mode produce (metadata-driven leader routing) -------------
+
+from timescaledb_event_streamer_spark.sinks.kafka_delivery import (  # noqa: E402
+    KafkaClusterProducer,
+)
+from timescaledb_event_streamer_spark.sinks.kafka_wire import (  # noqa: E402
+    API_METADATA,
+    API_PRODUCE,
+    decode_metadata_request,
+    encode_metadata_response,
+)
+
+
+class _ClusterBrokerHandler(socketserver.BaseRequestHandler):
+    """A broker that also answers MetadataRequest v1 from the shared
+    cluster topology, and REFUSES produce for partitions it does not
+    lead (NOT_LEADER, error 6) — the behavior that makes routing
+    observable."""
+
+    def handle(self):
+        while True:
+            head = b""
+            while len(head) < 4:
+                chunk = self.request.recv(4 - len(head))
+                if not chunk:
+                    return
+                head += chunk
+            (size,) = struct.unpack(">i", head)
+            body = b""
+            while len(body) < size:
+                chunk = self.request.recv(size - len(body))
+                if not chunk:
+                    return
+                body += chunk
+            frame = head + body
+            (api_key,) = struct.unpack_from(">h", body, 0)
+            srv = self.server
+            topo = srv.cluster
+            if api_key == API_METADATA:
+                req = decode_metadata_request(frame)
+                with topo["lock"]:
+                    brokers = [
+                        (nid, "127.0.0.1", port)
+                        for nid, port in sorted(topo["nodes"].items())
+                    ]
+                    topics = {
+                        t: dict(parts)
+                        for t, parts in topo["leaders"].items()
+                        if req["topics"] is None or t in req["topics"]
+                    }
+                self.request.sendall(
+                    encode_metadata_response(
+                        req["correlation_id"], brokers, topics
+                    )
+                )
+                continue
+            assert api_key == API_PRODUCE, api_key
+            req = decode_produce_request(frame)
+            results = {}
+            with topo["lock"]:
+                for topic, parts in req["topics"].items():
+                    results[topic] = {}
+                    for partition, batch in parts.items():
+                        leader = topo["leaders"][topic][partition]
+                        if leader != srv.node_id:
+                            results[topic][partition] = (6, -1)  # NOT_LEADER
+                            continue
+                        decoded = decode_record_batch(batch)
+                        log = srv.logs.setdefault((topic, partition), [])
+                        base = len(log)
+                        log.extend(decoded["records"])
+                        results[topic][partition] = (0, base)
+            if req["acks"] != 0:
+                self.request.sendall(
+                    encode_produce_response(req["correlation_id"], results)
+                )
+
+
+@pytest.fixture()
+def cluster():
+    topo = {"nodes": {}, "leaders": {}, "lock": threading.Lock()}
+    servers = []
+    for node_id in (0, 1):
+        srv = _QuietBroker(("127.0.0.1", 0), _ClusterBrokerHandler)
+        srv.logs = {}
+        srv.node_id = node_id
+        srv.cluster = topo
+        topo["nodes"][node_id] = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append(srv)
+    yield topo, servers
+    for srv in servers:
+        srv.shutdown()
+        srv.server_close()
+
+
+def _bootstrap(topo):
+    return [("127.0.0.1", p) for p in sorted(topo["nodes"].values())]
+
+
+def test_cluster_produce_routes_by_partition_leader(cluster):
+    """Each partition's batch lands on ITS leader's socket: partition
+    0 on node 0, partition 1 on node 1 — no broker sees a foreign
+    partition (it would answer NOT_LEADER and fail the test)."""
+    topo, servers = cluster
+    topo["leaders"]["t"] = {0: 0, 1: 1}
+    msgs = [(f"k{i}".encode(), f"v{i}".encode(), 1000 + i) for i in range(40)]
+    with KafkaClusterProducer(_bootstrap(topo)) as p:
+        offsets = p.send_batch("t", msgs)
+    assert set(offsets) == {0, 1}  # both partitions were hit
+    # routing: every record landed exactly once, on the leader only
+    assert ("t", 1) not in servers[0].logs
+    assert ("t", 0) not in servers[1].logs
+    n0 = len(servers[0].logs[("t", 0)])
+    n1 = len(servers[1].logs[("t", 1)])
+    assert n0 + n1 == len(msgs) and n0 > 0 and n1 > 0
+    # partition choice is the documented CRC32C rule over the LIVE
+    # partition count from metadata
+    for k, v, ts in msgs:
+        want = crc32c(k) % 2
+        log = servers[want].logs[("t", want)]
+        assert any(rk == k for rk, _rv, _ts, _h in log)
+
+
+def test_cluster_leader_move_refreshes_metadata(cluster):
+    """After a leader move, the stale route draws NOT_LEADER; the
+    producer re-learns the topology and delivers on the new leader
+    instead of failing."""
+    topo, servers = cluster
+    topo["leaders"]["t"] = {0: 0}
+    with KafkaClusterProducer(
+        _bootstrap(topo), max_retries=0, retry_backoff_s=0.01
+    ) as p:
+        p.send_batch("t", [(b"a", b"1", 1)])
+        assert len(servers[0].logs[("t", 0)]) == 1
+        with topo["lock"]:
+            topo["leaders"]["t"][0] = 1  # leadership moves to node 1
+        p.send_batch("t", [(b"b", b"2", 2)])
+    assert len(servers[0].logs[("t", 0)]) == 1  # no duplicate on old leader
+    assert len(servers[1].logs[("t", 0)]) == 1  # delivered on new leader
+
+
+def test_cluster_bootstrap_failover(cluster):
+    """Metadata comes from the SECOND bootstrap broker when the first
+    is unreachable — the point of configuring a broker list."""
+    topo, servers = cluster
+    topo["leaders"]["t"] = {0: 1}
+    dead = ("127.0.0.1", 1)  # nothing listens on port 1
+    bootstrap = [dead] + _bootstrap(topo)
+    with KafkaClusterProducer(bootstrap, timeout_s=0.5) as p:
+        p.send_batch("t", [(b"k", b"v", 1)])
+    assert len(servers[1].logs[("t", 0)]) == 1
+
+
+def test_cluster_config_dispatch(spark, sf_small, cluster, tmp_path):
+    """A multi-broker sink.kafka.brokers config now selects cluster
+    routing (r10's loud refusal replaced) — end-to-end through the
+    config-driven dispatch."""
+    from tests.test_config import _assembly
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    topo, servers = cluster
+    ports = sorted(topo["nodes"].values())
+    asm = _assembly(tmp_path, sink="kafka")
+    asm.config.raw.setdefault("sink", {}).setdefault("kafka", {})[
+        "brokers"
+    ] = [f"127.0.0.1:{p}" for p in ports]
+    env = asm.build(load(spark, sf_small, "events")).limit(20)
+    shaped = asm.shape(env)
+    topics = [r["topic"] for r in shaped.select("topic").distinct().collect()]
+    with topo["lock"]:
+        for t in topics:
+            topo["leaders"][t] = {0: 0, 1: 1}
+    asm.deliver_batch(shaped)
+    total = sum(len(v) for srv in servers for v in srv.logs.values())
+    assert total == 20
+    # both partitions (hence both brokers) actually took records
+    assert any(srv.logs for srv in servers)
+    assert sum(1 for srv in servers if srv.logs) == 2

@@ -431,7 +431,11 @@ def test_kafka_tls_produce_with_private_ca(certpair):
 def test_kafka_tls_default_verify_rejects_self_signed(certpair):
     """Secure-by-default: no cafile, no skip_verify -> the self-signed
     server cert FAILS verification instead of silently encrypting to
-    an unauthenticated peer."""
+    an unauthenticated peer. A trust failure is deterministic, so it
+    must surface IMMEDIATELY — never burn max_retries backoffs before
+    reporting the real error (r10 advice)."""
+    import time as _t
+
     srv = _TlsBroker(("127.0.0.1", 0), _BrokerHandler)
     srv.ssl_ctx = _server_ctx(certpair)
     srv.logs, srv.requests = {}, []
@@ -441,13 +445,35 @@ def test_kafka_tls_default_verify_rejects_self_signed(certpair):
     try:
         _host, port = srv.server_address
         with KafkaProducer(
-            ("localhost", port), tls=True, max_retries=0
+            ("localhost", port), tls=True, max_retries=10,
+            retry_backoff_s=0.5,
         ) as p:
-            with pytest.raises(KafkaDeliveryError, match="transport"):
+            t0 = _t.monotonic()
+            with pytest.raises(ssl.SSLCertVerificationError):
                 p.send_batch("t", [(b"k", b"v", 1)])
+            # 10 retries at 0.5s escalating backoff would be >27s;
+            # the non-retriable path raises on the first attempt
+            assert _t.monotonic() - t0 < 2.0
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_scram_username_rfc5802_escaping():
+    """Kafka authenticates on the SCRAM-level username (unlike PG,
+    which takes it from the startup packet), so ',' and '=' in a real
+    username must be '=2C'/'=3D'-escaped in client-first-bare instead
+    of producing a message the server misparses (RFC 5802 §5.1)."""
+    from timescaledb_event_streamer_spark.sources.pg_auth import ScramClient
+
+    c = ScramClient("pw", nonce="NNN", username="acme,eu=prod")
+    assert c.client_first_bare == "n=acme=2Ceu=3Dprod,r=NNN"
+    # the escape must not double-fire on the '=' it introduces
+    c2 = ScramClient("pw", nonce="NNN", username="a=,b")
+    assert c2.client_first_bare == "n=a=3D=2Cb,r=NNN"
+    # plain usernames (and PG's empty default) pass through unchanged
+    assert ScramClient("pw", nonce="N", username="user").client_first_bare == "n=user,r=N"
+    assert ScramClient("pw", nonce="N").client_first_bare == "n=,r=N"
 
 
 def test_redis_tls_xadd(certpair):

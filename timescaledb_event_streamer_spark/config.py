@@ -532,16 +532,10 @@ class PipelineAssembly:
                 brokers = [brokers]
             if not brokers:
                 raise ValueError("sink.kafka.brokers is required")
-            if len(brokers) > 1:
-                # the loop speaks to one broker (the partition leader
-                # in a single-broker deployment); multi-broker
-                # metadata routing belongs to a full client — refuse
-                # loudly instead of silently using broker[0]
-                raise ValueError(
-                    "sink.kafka.brokers: this delivery loop supports a "
-                    "single broker (partition-0 leader); got "
-                    f"{len(brokers)} brokers"
-                )
+            # one broker -> direct loop (static n_partitions); a
+            # broker LIST -> metadata-driven cluster routing, the
+            # reference's sarama posture (r11; replaces the r10 loud
+            # refusal — see CONNECTOR.md migration notes)
             opts: dict = {}
             if get_or_default(raw, "sink.kafka.sasl.enabled", False):
                 # kafka.go:54-66 / constants.go:68-71; sarama's
@@ -556,8 +550,11 @@ class PipelineAssembly:
                     raw, "sink.kafka.sasl.password", ""
                 )
             opts.update(self._tls_opts(raw, "sink.kafka.tls"))
+            hostports = [self._host_port(b, 9092) for b in brokers]
             kafka_sink_batch(
-                shaped, self._host_port(brokers[0], 9092), **opts
+                shaped,
+                hostports if len(hostports) > 1 else hostports[0],
+                **opts,
             )
             return
         if sink == "nats":

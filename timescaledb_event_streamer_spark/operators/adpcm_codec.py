@@ -189,6 +189,11 @@ def adpcm_decode(payload: bytes) -> tuple[list[int], int]:
         )
     if fact_n is None:
         raise ValueError("compressed WAVE requires a fact chunk")
+    if fact_n == 0:
+        # encode requires >=1 sample; a zero-count fact chunk would
+        # decode to an empty sample list and crash every downstream
+        # stats fold (np.max of size-0) instead of a clean rejection
+        raise ValueError("fact chunk declares zero samples")
     # capacity check BEFORE decoding: a hostile fact count cannot
     # force output beyond what the nibble bytes actually carry
     n_full = len(data) // block_align

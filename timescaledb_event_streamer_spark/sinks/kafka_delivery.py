@@ -27,6 +27,7 @@ reference embeds)."""
 from __future__ import annotations
 
 import socket
+import ssl
 import struct
 import time
 
@@ -254,6 +255,13 @@ class KafkaProducer:
             try:
                 # connect FIRST: TLS + SASL consume correlation ids
                 sock = self._connect()
+            except ssl.SSLCertVerificationError:
+                # a certificate-trust failure is deterministic: 10
+                # backoff retries would only delay the real error on
+                # every executor task — non-retriable, like SASL
+                # auth failures
+                self.close()
+                raise
             except (ConnectionError, OSError) as e:
                 self.close()
                 last_error = f"transport: {e}"
@@ -311,11 +319,28 @@ def produce_rows(
     """Executor-side partition body: rows in the kafka_shaped
     (key, value, topic[, ts_ms]) contract -> produce frames, batched
     per topic. Returns the delivered count. Any delivery error raises
-    and fails the task."""
+    and fails the task.
+
+    `broker` is either ONE (host, port) — single-broker loop, static
+    n_partitions — or a LIST of (host, port) bootstrap brokers, which
+    selects metadata-driven cluster routing (KafkaClusterProducer;
+    partition count and leaders come from the cluster, n_partitions
+    is ignored)."""
+    is_cluster = (
+        isinstance(broker, (list, tuple))
+        and len(broker) > 0
+        and isinstance(broker[0], (list, tuple))
+    )
+    if is_cluster:
+        producer_cm = KafkaClusterProducer(
+            list(broker), acks=acks, **producer_opts
+        )
+    else:
+        producer_cm = KafkaProducer(
+            broker, acks=acks, n_partitions=n_partitions, **producer_opts
+        )
     delivered = 0
-    with KafkaProducer(
-        broker, acks=acks, n_partitions=n_partitions, **producer_opts
-    ) as producer:
+    with producer_cm as producer:
         pending: dict[str, list] = {}
         for row in rows:
             d = row.asDict() if hasattr(row, "asDict") else dict(row)
@@ -378,3 +403,158 @@ def kafka_sink_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+class KafkaClusterProducer:
+    """Metadata-driven cluster produce — the posture of the
+    reference's sarama client (`sarama.NewClient(brokers...)`,
+    kafka.go:44): bootstrap from ANY broker in the configured list,
+    learn per-partition leaders from a MetadataRequest, keep one
+    KafkaProducer connection per leader node, and route each
+    partition's batch to its leader. A produce failure (leader moved,
+    broker lost) refreshes metadata once and retries on the new
+    leader; per-broker transport/retriable-code retries stay inside
+    KafkaProducer, so the reference's Retry.Max=10 semantics apply at
+    both layers. Partitioning: CRC32C of the key over the LIVE
+    partition count from metadata (single-broker KafkaProducer takes
+    a static n_partitions instead)."""
+
+    def __init__(
+        self,
+        brokers: list[tuple[str, int]],
+        *,
+        acks: int = 1,
+        timeout_s: float = 10.0,
+        max_retries: int = MAX_RETRIES,
+        retry_backoff_s: float = 0.05,
+        **conn_opts,
+    ) -> None:
+        if not brokers:
+            raise ValueError("at least one bootstrap broker required")
+        self.brokers = [tuple(b) for b in brokers]
+        self.acks = acks
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.retry_backoff_s = retry_backoff_s
+        self.conn_opts = conn_opts
+        self._nodes: dict[int, tuple[str, int]] = {}
+        self._leaders: dict[str, dict[int, int]] = {}
+        self._producers: dict[int, KafkaProducer] = {}
+
+    def _new_producer(self, hostport: tuple[str, int]) -> KafkaProducer:
+        return KafkaProducer(
+            hostport,
+            acks=self.acks,
+            timeout_s=self.timeout_s,
+            max_retries=self.max_retries,
+            retry_backoff_s=self.retry_backoff_s,
+            **self.conn_opts,
+        )
+
+    # -- metadata ------------------------------------------------------
+    def refresh_metadata(self, topic: str) -> None:
+        from timescaledb_event_streamer_spark.sinks.kafka_wire import (
+            decode_metadata_response,
+            encode_metadata_request,
+        )
+
+        last: Exception | None = None
+        for hostport in self.brokers:
+            boot = self._new_producer(hostport)
+            try:
+                sock = boot._connect()
+                boot._correlation += 1
+                sock.sendall(
+                    encode_metadata_request(
+                        boot._correlation, CLIENT_ID, [topic]
+                    )
+                )
+                resp = decode_metadata_response(_recv_frame(sock))
+                meta = resp["topics"].get(topic)
+                if meta is None or meta["error_code"] != 0:
+                    raise KafkaDeliveryError(
+                        f"kafka: metadata error for {topic!r}: "
+                        f"{meta and meta['error_code']}"
+                    )
+                if not meta["partitions"]:
+                    raise KafkaDeliveryError(
+                        f"kafka: topic {topic!r} has no partitions"
+                    )
+                self._nodes = dict(resp["brokers"])
+                self._leaders[topic] = dict(meta["partitions"])
+                return
+            except ssl.SSLCertVerificationError:
+                raise  # deterministic trust failure: never try the next broker
+            except (ConnectionError, OSError, KafkaDeliveryError) as e:
+                last = e
+            finally:
+                boot.close()
+        raise KafkaDeliveryError(
+            f"kafka: metadata unavailable from every bootstrap broker"
+            f" (last: {last})"
+        )
+
+    def _producer_for(self, node_id: int) -> KafkaProducer:
+        if node_id not in self._producers:
+            if node_id not in self._nodes:
+                raise KafkaDeliveryError(
+                    f"kafka: leader node {node_id} missing from metadata"
+                )
+            self._producers[node_id] = self._new_producer(
+                self._nodes[node_id]
+            )
+        return self._producers[node_id]
+
+    # -- partitioning ---------------------------------------------------
+    def partition_for(self, topic: str, key: bytes | None) -> int:
+        parts = sorted(self._leaders[topic])
+        if key is None or len(parts) == 1:
+            return parts[0]
+        return parts[crc32c(key) % len(parts)]
+
+    # -- produce ---------------------------------------------------------
+    def send_batch(
+        self, topic: str, messages: list[tuple[bytes | None, bytes | None, int]]
+    ) -> dict[int, int]:
+        """Same contract as KafkaProducer.send_batch, but each
+        partition's frame goes to that partition's leader broker."""
+        if not messages:
+            return {}
+        if topic not in self._leaders:
+            self.refresh_metadata(topic)
+        by_partition: dict[int, list] = {}
+        for key, value, ts in messages:
+            by_partition.setdefault(
+                self.partition_for(topic, key), []
+            ).append((key, value, ts))
+        offsets: dict[int, int] = {}
+        for partition, msgs in by_partition.items():
+            offsets[partition] = self._produce_routed(topic, partition, msgs)
+        return offsets
+
+    def _produce_routed(self, topic: str, partition: int, msgs: list) -> int:
+        for attempt in (0, 1):
+            node = self._leaders[topic][partition]
+            producer = self._producer_for(node)
+            try:
+                return producer._produce_one(topic, partition, msgs)
+            except KafkaDeliveryError:
+                if attempt:
+                    raise
+                # leader may have moved: drop this connection,
+                # re-learn the topology, retry once on the new leader
+                producer.close()
+                self._producers.pop(node, None)
+                self.refresh_metadata(topic)
+        raise AssertionError("unreachable")
+
+    def close(self) -> None:
+        for p in self._producers.values():
+            p.close()
+        self._producers.clear()
+
+    def __enter__(self) -> "KafkaClusterProducer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

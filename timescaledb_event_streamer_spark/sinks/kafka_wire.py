@@ -524,3 +524,146 @@ def decode_sasl_authenticate_response(frame: bytes) -> dict:
         "error_message": error_message,
         "auth_bytes": auth_bytes,
     }
+
+
+# -- Metadata (cluster-mode leader discovery) --------------------------
+#
+# sarama routes each partition's produce to that partition's leader
+# broker, learned from a MetadataRequest against any bootstrap broker
+# (the reference's broker-list config, kafka.go:44 `sarama.NewClient(
+# brokers...)`). Version 1 is the last non-flexible metadata version
+# that still returns rack + controller — it shares this module's
+# plain string/array primitives, like the SASL frames above.
+
+API_METADATA = 3
+METADATA_VERSION = 1
+
+ERROR_NOT_LEADER = 6
+ERROR_UNKNOWN_TOPIC_OR_PARTITION = 3
+
+
+def encode_metadata_request(
+    correlation_id: int, client_id: str, topics: list[str] | None
+) -> bytes:
+    """topics=None asks for ALL topics (null array, v1 semantics)."""
+    body = bytearray()
+    body += struct.pack(">hhi", API_METADATA, METADATA_VERSION, correlation_id)
+    body += _string(client_id)
+    if topics is None:
+        body += struct.pack(">i", -1)
+    else:
+        body += struct.pack(">i", len(topics))
+        for t in topics:
+            body += _string(t)
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+def decode_metadata_request(frame: bytes) -> dict:
+    (size,) = struct.unpack_from(">i", frame, 0)
+    body = frame[4 : 4 + size]
+    api_key, api_version, correlation_id = struct.unpack_from(">hhi", body, 0)
+    if api_key != API_METADATA:
+        raise ValueError(f"not a metadata request (api_key={api_key})")
+    pos = 8
+    client_id, pos = _read_string(body, pos)
+    (n,) = struct.unpack_from(">i", body, pos)
+    pos += 4
+    topics: list[str] | None
+    if n < 0:
+        topics = None
+    else:
+        topics = []
+        for _ in range(n):
+            t, pos = _read_string(body, pos)
+            topics.append(t)
+    return {
+        "api_version": api_version,
+        "correlation_id": correlation_id,
+        "client_id": client_id,
+        "topics": topics,
+    }
+
+
+def encode_metadata_response(
+    correlation_id: int,
+    brokers: list[tuple[int, str, int]],
+    topics: dict[str, dict[int, int]],
+    *,
+    controller_id: int = 0,
+    topic_errors: dict[str, int] | None = None,
+) -> bytes:
+    """brokers = [(node_id, host, port)]; topics = {name: {partition:
+    leader_node_id}} -> one size-prefixed MetadataResponse v1 frame
+    (rack null, replicas/isr = [leader])."""
+    topic_errors = topic_errors or {}
+    body = bytearray()
+    body += struct.pack(">i", correlation_id)
+    body += struct.pack(">i", len(brokers))
+    for node_id, host, port in brokers:
+        body += struct.pack(">i", node_id)
+        body += _string(host)
+        body += struct.pack(">i", port)
+        body += _string(None)  # rack
+    body += struct.pack(">i", controller_id)
+    body += struct.pack(">i", len(topics))
+    for name, parts in topics.items():
+        body += struct.pack(">h", topic_errors.get(name, 0))
+        body += _string(name)
+        body += struct.pack(">?", False)  # is_internal
+        body += struct.pack(">i", len(parts))
+        for pid, leader in parts.items():
+            body += struct.pack(">hii", 0, pid, leader)
+            body += struct.pack(">ii", 1, leader)   # replicas=[leader]
+            body += struct.pack(">ii", 1, leader)   # isr=[leader]
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+def decode_metadata_response(frame: bytes) -> dict:
+    """-> {correlation_id, brokers: {node_id: (host, port)},
+    controller_id, topics: {name: {"error_code", "partitions":
+    {partition: leader_node_id}}}}."""
+    (size,) = struct.unpack_from(">i", frame, 0)
+    if len(frame) < 4 + size:
+        raise ValueError("torn metadata response")
+    body = frame[4 : 4 + size]
+    (correlation_id,) = struct.unpack_from(">i", body, 0)
+    pos = 4
+    (n_brokers,) = struct.unpack_from(">i", body, pos)
+    pos += 4
+    brokers: dict[int, tuple[str, int]] = {}
+    for _ in range(n_brokers):
+        (node_id,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        host, pos = _read_string(body, pos)
+        (port,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        _rack, pos = _read_string(body, pos)
+        brokers[node_id] = (host, port)
+    (controller_id,) = struct.unpack_from(">i", body, pos)
+    pos += 4
+    (n_topics,) = struct.unpack_from(">i", body, pos)
+    pos += 4
+    topics: dict[str, dict] = {}
+    for _ in range(n_topics):
+        (err,) = struct.unpack_from(">h", body, pos)
+        pos += 2
+        name, pos = _read_string(body, pos)
+        pos += 1  # is_internal
+        (n_parts,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        parts: dict[int, int] = {}
+        for _ in range(n_parts):
+            _perr, pid, leader = struct.unpack_from(">hii", body, pos)
+            pos += 10
+            (n_rep,) = struct.unpack_from(">i", body, pos)
+            pos += 4 + 4 * n_rep
+            (n_isr,) = struct.unpack_from(">i", body, pos)
+            pos += 4 + 4 * n_isr
+            parts[pid] = leader
+        topics[name] = {"error_code": err, "partitions": parts}
+    return {
+        "correlation_id": correlation_id,
+        "brokers": brokers,
+        "controller_id": controller_id,
+        "topics": topics,
+    }

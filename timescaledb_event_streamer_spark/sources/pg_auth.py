@@ -113,9 +113,14 @@ class ScramClient:
         # PostgreSQL ignores the SCRAM-level username (startup packet
         # wins), so the default is libpq's empty "n=". The RFC 7677
         # test vector sets username="user" to pin the exact exchange.
+        # Kafka DOES authenticate on this field, so the username is
+        # saslprep'd and RFC 5802 §5.1-escaped ('=' -> '=3D' first,
+        # then ',' -> '=2C') — a ',' or '=' in a real username must
+        # not produce a malformed/misparsed client-first-bare.
         self.password = password
         self.nonce = nonce or base64.b64encode(secrets.token_bytes(18)).decode()
-        self.client_first_bare = f"n={username},r={self.nonce}"
+        escaped = saslprep(username).replace("=", "=3D").replace(",", "=2C")
+        self.client_first_bare = f"n={escaped},r={self.nonce}"
         self._auth_message: str | None = None
         self._salted: bytes | None = None
 

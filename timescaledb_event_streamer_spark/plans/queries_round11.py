@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timescaledb_event_streamer_spark.plans.queries_round8b import _SQL_DAILY
 from timescaledb_event_streamer_spark.plans.registry import register
 from timescaledb_event_streamer_spark.sources.tables import load
 
@@ -70,3 +71,947 @@ def media_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return parse_mp4_headers(synthesize_mp4_headers(load(spark, sf_dir, "events")))
+
+# ---------------------------------------------------------------------------
+# B116 ts_awesome_oscillator — Bill Williams' AO
+
+# classic AO is 5/34; the certification SF spans 30 calendar days,
+# so the slow window is parameterized down to 21 (same algebra —
+# a production deployment sets 34 back via these constants)
+_AO_FAST, _AO_SLOW = 5, 21
+
+
+@register(
+    "ts_awesome_oscillator",
+    family="timeseries",
+    doc="Awesome Oscillator (B116, Bill Williams' public "
+    "formulation; the B72/B105 dashboard family): SMA5(midpoint) - "
+    "SMAslow(midpoint) on the daily bars (5/34 classic; slow=21 at "
+    "the 30-day certification SF, same algebra). Exact-integer "
+    "algebra: mp2 = H+L (2x scale, no halving), ao_num = "
+    "slow*sum_fast(mp2) - fast*sum_slow(mp2) is an exact integer, ONE "
+    "double division at the output; the bar color compares exact "
+    "integer numerators (green = rising), so the signal column "
+    "cannot disagree across engines by an ulp. Day-grain per-series "
+    "windows, rows emitted once the slow window is full.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        s AS (
+            SELECT series, day_s,
+                   CAST(sum(hc + lc) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_AO_FAST - 1} PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS s_fast,
+                   CAST(sum(hc + lc) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_AO_SLOW - 1} PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS s_slow,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM daily
+        ),
+        n AS (
+            SELECT series, day_s, rn,
+                   {_AO_SLOW} * s_fast - {_AO_FAST} * s_slow AS ao_num,
+                   lag({_AO_SLOW} * s_fast - {_AO_FAST} * s_slow) OVER (
+                       PARTITION BY series ORDER BY day_s) AS prev_num,
+                   lag(rn) OVER (
+                       PARTITION BY series ORDER BY day_s) AS prev_rn
+            FROM s
+        )
+        SELECT series, day_s,
+               round(ao_num / {_AO_FAST * _AO_SLOW * 2}.0, 6) AS ao,
+               CASE WHEN prev_rn >= {_AO_SLOW} AND ao_num > prev_num
+                    THEN 'green'
+                    WHEN prev_rn >= {_AO_SLOW} AND ao_num < prev_num
+                    THEN 'red'
+                    WHEN prev_rn >= {_AO_SLOW} THEN 'flat'
+               END AS color
+        FROM n WHERE rn >= {_AO_SLOW}
+    """,
+)
+def ts_awesome_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    mp2 = F.col("hc") + F.col("lc")
+    s = daily.select(
+        "series",
+        "day_s",
+        F.sum(mp2).over(wo.rowsBetween(-(_AO_FAST - 1), 0)).alias("s_fast"),
+        F.sum(mp2).over(wo.rowsBetween(-(_AO_SLOW - 1), 0)).alias("s_slow"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    ao_num = _AO_SLOW * F.col("s_fast") - _AO_FAST * F.col("s_slow")
+    n = s.select(
+        "series",
+        "day_s",
+        "rn",
+        ao_num.alias("ao_num"),
+        F.lag(ao_num).over(wo).alias("prev_num"),
+        F.lag("rn").over(wo).alias("prev_rn"),
+    )
+    seen = F.col("prev_rn") >= _AO_SLOW
+    return n.filter(F.col("rn") >= _AO_SLOW).select(
+        "series",
+        "day_s",
+        F.round(F.col("ao_num") / float(_AO_FAST * _AO_SLOW * 2), 6).alias("ao"),
+        F.when(seen & (F.col("ao_num") > F.col("prev_num")), "green")
+        .when(seen & (F.col("ao_num") < F.col("prev_num")), "red")
+        .when(seen, "flat")
+        .alias("color"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B117 ts_coppock_curve — WMA10 of ROC14 + ROC11 (daily adaptation)
+
+_CPK_R1, _CPK_R2, _CPK_W = 14, 11, 10
+
+
+@register(
+    "ts_coppock_curve",
+    family="timeseries",
+    doc="Coppock Curve (B117, E.S.C. Coppock's public momentum "
+    "gauge, daily adaptation of the monthly original): WMA10 of "
+    "(ROC14 + ROC11) on the daily close. ROCs are rationals of "
+    "exact integer cents; the WMA folds the 10-deep window with "
+    "linearly ascending weights via the two-arg list_transform on "
+    "both engines (the B83 MACD idiom — identical fold order, so "
+    "the doubles agree bit-for-bit), normalized by the constant 55; "
+    "rounded once at the output. Emitted once both ROC lags and the "
+    "full WMA window exist.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        r AS (
+            SELECT series, day_s,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn,
+                   100.0 * (cc - lag(cc, {_CPK_R1}) OVER w)
+                       / lag(cc, {_CPK_R1}) OVER w
+                   + 100.0 * (cc - lag(cc, {_CPK_R2}) OVER w)
+                       / lag(cc, {_CPK_R2}) OVER w AS roc2
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        ),
+        arrs AS (
+            SELECT series, day_s, rn,
+                   list(roc2) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_CPK_W - 1} PRECEDING
+                            AND CURRENT ROW) AS arr
+            FROM r WHERE rn > {_CPK_R1}
+        )
+        SELECT series, day_s,
+               round(list_sum(list_transform(arr, (v, i) -> v * i))
+                     / {_CPK_W * (_CPK_W + 1) // 2}.0, 6) AS coppock
+        FROM arrs WHERE len(arr) = {_CPK_W}
+    """,
+)
+def ts_coppock_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    roc = lambda n: (  # noqa: E731
+        100.0
+        * (F.col("cc") - F.lag("cc", n).over(wo))
+        / F.lag("cc", n).over(wo)
+    )
+    r = daily.select(
+        "series",
+        "day_s",
+        F.row_number().over(wo).alias("rn"),
+        (roc(_CPK_R1) + roc(_CPK_R2)).alias("roc2"),
+    ).filter(F.col("rn") > _CPK_R1)
+    arrs = r.select(
+        "series",
+        "day_s",
+        F.collect_list("roc2")
+        .over(wo.rowsBetween(-(_CPK_W - 1), 0))
+        .alias("arr"),
+    ).filter(F.size("arr") == _CPK_W)
+    # (v, i) -> v * i with DuckDB's 1-based index: Spark's transform
+    # index is 0-based, so weight = i + 1
+    wsum = F.aggregate(
+        F.zip_with(
+            F.col("arr"),
+            F.sequence(F.lit(1), F.lit(_CPK_W)).cast("array<double>"),
+            lambda v, i: v * i,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return arrs.select(
+        "series",
+        "day_s",
+        F.round(wsum / float(_CPK_W * (_CPK_W + 1) // 2), 6).alias("coppock"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B118 ts_chande_momentum — Chande Momentum Oscillator
+
+_CMO_N = 14
+
+
+@register(
+    "ts_chande_momentum",
+    family="timeseries",
+    doc="Chande Momentum Oscillator (B118, Tushar Chande's public "
+    "formulation): 100 * (sum_up - sum_down) / (sum_up + sum_down) "
+    "over 14 days of daily close changes — RSI's unsmoothed cousin, "
+    "bounded [-100, 100]. Exact integers end-to-end: the close "
+    "deltas, their positive/negative clamps and both window sums "
+    "are BIGINTs, ONE double division at the output; a flat window "
+    "(zero total movement) yields NULL instead of a division "
+    "error.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        d AS (
+            SELECT series, day_s,
+                   cc - lag(cc) OVER w AS delta,
+                   row_number() OVER w AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        ),
+        s AS (
+            SELECT series, day_s, rn,
+                   CAST(sum(greatest(delta, 0)) OVER v AS BIGINT) AS up,
+                   CAST(sum(greatest(-delta, 0)) OVER v AS BIGINT) AS down
+            FROM d WHERE rn >= 2
+            WINDOW v AS (PARTITION BY series ORDER BY day_s
+                         ROWS BETWEEN {_CMO_N - 1} PRECEDING
+                              AND CURRENT ROW)
+        )
+        SELECT series, day_s, up AS up_cents, down AS down_cents,
+               CASE WHEN up + down > 0 THEN
+                   round(100.0 * (up - down) / (up + down), 6)
+               END AS cmo
+        FROM s WHERE rn >= {_CMO_N + 1}
+    """,
+)
+def ts_chande_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    d = daily.select(
+        "series",
+        "day_s",
+        (F.col("cc") - F.lag("cc").over(wo)).alias("delta"),
+        F.row_number().over(wo).alias("rn"),
+    ).filter(F.col("rn") >= 2)
+    wv = wo.rowsBetween(-(_CMO_N - 1), 0)
+    s = d.select(
+        "series",
+        "day_s",
+        "rn",
+        F.sum(F.greatest(F.col("delta"), F.lit(0))).over(wv).alias("up"),
+        F.sum(F.greatest(-F.col("delta"), F.lit(0))).over(wv).alias("down"),
+    )
+    tot = F.col("up") + F.col("down")
+    return s.filter(F.col("rn") >= _CMO_N + 1).select(
+        "series",
+        "day_s",
+        F.col("up").alias("up_cents"),
+        F.col("down").alias("down_cents"),
+        F.when(tot > 0, F.round(100.0 * (F.col("up") - F.col("down")) / tot, 6)).alias("cmo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B119 ts_accumulation_distribution — Chaikin ADL
+
+@register(
+    "ts_accumulation_distribution",
+    family="timeseries",
+    doc="Accumulation/Distribution Line (B119, Marc Chaikin's "
+    "public cumulative form; B107's running cousin): per day the "
+    "money-flow multiplier ((C-L)-(H-C))/(H-L) times volume, "
+    "accumulated from the series start. The B107 exactness "
+    "discipline: per-day MFV quantized to integer micro-units, the "
+    "running total is an exact BIGINT window sum (summation order "
+    "can never touch the hash), ONE descale at the output; flat "
+    "days (H == L) contribute zero by the public convention. "
+    "Day-grain per-series cumulative window — state bounded by "
+    "calendar days, not event volume.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        mf AS (
+            SELECT series, day_s, vol,
+                   CASE WHEN hc > lc THEN
+                       CAST(round(vol * (2*cc - hc - lc) * 1000000.0
+                                  / (hc - lc)) AS BIGINT)
+                   ELSE 0 END AS mfv_u
+            FROM daily
+        ),
+        c AS (
+            SELECT series, day_s,
+                   CAST(sum(mfv_u) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS adl_u
+            FROM mf
+        ),
+        s AS (
+            SELECT series, day_s, adl_u,
+                   lag(adl_u) OVER (
+                       PARTITION BY series ORDER BY day_s) AS prev_u
+            FROM c
+        )
+        SELECT series, day_s,
+               round(adl_u / 1000000.0, 6) AS adl,
+               adl_u > coalesce(prev_u, 0) AS accumulating
+        FROM s
+    """,
+)
+def ts_accumulation_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    mfv_u = F.when(
+        F.col("hc") > F.col("lc"),
+        F.round(
+            F.col("vol")
+            * (2 * F.col("cc") - F.col("hc") - F.col("lc"))
+            * 1000000.0
+            / (F.col("hc") - F.col("lc")),
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    mf = daily.select("series", "day_s", mfv_u.alias("mfv_u"))
+    c = mf.select(
+        "series",
+        "day_s",
+        F.sum("mfv_u")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("adl_u"),
+    )
+    s = c.select(
+        "series",
+        "day_s",
+        "adl_u",
+        F.lag("adl_u").over(wo).alias("prev_u"),
+    )
+    return s.select(
+        "series",
+        "day_s",
+        F.round(F.col("adl_u") / 1000000.0, 6).alias("adl"),
+        (F.col("adl_u") > F.coalesce(F.col("prev_u"), F.lit(0))).alias(
+            "accumulating"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B120 ts_mass_index — Donald Dorsey's range-expansion gauge
+
+_MI_SPAN = 9       # EMA span for the range smoothing (classic 9)
+_MI_WIN = 25       # bounded window for the adjust=true EWMA weights
+_MI_SUM = 25       # ratio sum length (classic 25)
+
+
+@register(
+    "ts_mass_index",
+    family="timeseries",
+    doc="Mass Index (B120, Donald Dorsey's public range-expansion "
+    "gauge): sum over 25 days of EMA9(H-L) / EMA9(EMA9(H-L)) — "
+    "range expansion regardless of direction; the 'reversal bulge' "
+    "fires above 27. Both EMAs are weight-normalized bounded-window "
+    "EWMAs (the B83 MACD idiom: identical two-arg list_transform "
+    "fold on both engines over a 25-deep window, adjust=true), the "
+    "double-smoothed stage folds the FIRST stage's doubles, and the "
+    "ratio sum is a plain 25-window sum of those — rounded once at "
+    "the output. Emitted once the ratio window is full.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        arrs AS (
+            SELECT series, day_s,
+                   list(hc - lc) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_MI_WIN - 1} PRECEDING
+                            AND CURRENT ROW) AS arr
+            FROM daily
+        ),
+        e1 AS (
+            SELECT series, day_s,
+                   list_sum(list_transform(arr,
+                       (v, i) -> v * pow(1.0 - 2.0/{_MI_SPAN + 1}.0,
+                                         len(arr) - i))) /
+                   list_sum(list_transform(arr,
+                       (v, i) -> pow(1.0 - 2.0/{_MI_SPAN + 1}.0,
+                                     len(arr) - i))) AS ema1
+            FROM arrs
+        ),
+        e2 AS (
+            SELECT series, day_s, ema1,
+                   list(ema1) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_MI_WIN - 1} PRECEDING
+                            AND CURRENT ROW) AS earr
+            FROM e1
+        ),
+        ratio AS (
+            SELECT series, day_s,
+                   ema1 / (list_sum(list_transform(earr,
+                       (v, i) -> v * pow(1.0 - 2.0/{_MI_SPAN + 1}.0,
+                                         len(earr) - i))) /
+                   list_sum(list_transform(earr,
+                       (v, i) -> pow(1.0 - 2.0/{_MI_SPAN + 1}.0,
+                                     len(earr) - i)))) AS r,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM e2
+        )
+        SELECT series, day_s,
+               round(sum(r) OVER (
+                   PARTITION BY series ORDER BY day_s
+                   ROWS BETWEEN {_MI_SUM - 1} PRECEDING
+                        AND CURRENT ROW), 6) AS mass_index
+        FROM ratio QUALIFY rn >= {_MI_SUM}
+    """,
+)
+def ts_mass_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    wlist = wo.rowsBetween(-(_MI_WIN - 1), 0)
+    decay = 1.0 - 2.0 / (_MI_SPAN + 1)
+
+    def ewma(arr_col):
+        # (v, i) with DuckDB's 1-based i: weight decay^(len - i);
+        # Spark's 0-based index k maps to i = k + 1
+        n = F.size(arr_col)
+        num = F.aggregate(
+            F.zip_with(
+                arr_col.cast("array<double>"),
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.pow(F.lit(decay), (n - i).cast("double")),
+                ),
+                lambda v, w_: v * w_,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        den = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.pow(F.lit(decay), (n - i).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return num / den
+
+    arrs = daily.select(
+        "series",
+        "day_s",
+        F.collect_list(F.col("hc") - F.col("lc")).over(wlist).alias("arr"),
+    )
+    e1 = arrs.select("series", "day_s", ewma(F.col("arr")).alias("ema1"))
+    e2 = e1.select(
+        "series",
+        "day_s",
+        "ema1",
+        F.collect_list("ema1").over(wlist).alias("earr"),
+    )
+    ratio = e2.select(
+        "series",
+        "day_s",
+        (F.col("ema1") / ewma(F.col("earr"))).alias("r"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    return ratio.select(
+        "series",
+        "day_s",
+        F.round(
+            F.sum("r").over(wo.rowsBetween(-(_MI_SUM - 1), 0)), 6
+        ).alias("mass_index"),
+        "rn",
+    ).filter(F.col("rn") >= _MI_SUM).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# F53 text_lexical_richness — source-grain richness panel
+
+@register(
+    "text_lexical_richness",
+    family="text",
+    doc="Lexical-richness panel per SOURCE (F53; the corpus-grain "
+    "complement of F50's per-doc Yule's K — the panel stylometry "
+    "and corpus QA actually consult before mixing sources): "
+    "Simpson's D (repeat-draw probability, exact integer sums "
+    "sum c(c-1) / N(N-1)), Guiraud's R (V/sqrt(N)), Honore's H "
+    "(100 ln(N) V / (V - V1), hapax-sensitive; all-hapax sources "
+    "yield NULL), and Sichel's S (dis-legomena share V2/V). One "
+    "(source, token) count reduce + one source reduce — "
+    "vocabulary-grain, no doc-grain shuffle; each statistic does "
+    "ONE double division.",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ),
+        tc AS (
+            SELECT source, t, CAST(count(*) AS BIGINT) AS c
+            FROM tok WHERE length(t) > 0 GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v1,
+                   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v2,
+                   CAST(sum(c * (c - 1)) AS BIGINT) AS rep2
+            FROM tc GROUP BY source
+        )
+        SELECT source, n_tokens, n_types, v1 AS hapax, v2 AS dis,
+               round(CAST(rep2 AS DOUBLE)
+                     / (n_tokens * (n_tokens - 1)), 6) AS simpson_d,
+               round(n_types / sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                   AS guiraud_r,
+               CASE WHEN n_types > v1 THEN
+                   round(100.0 * ln(CAST(n_tokens AS DOUBLE)) * n_types
+                         / (n_types - v1), 6)
+               END AS honore_h,
+               round(CAST(v2 AS DOUBLE) / n_types, 6) AS sichel_s
+        FROM s
+    """,
+)
+def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("t")
+        )
+        .filter(F.length("t") > 0)
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = tc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("v1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("v2"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("rep2"),
+    )
+    n, v = F.col("n_tokens"), F.col("n_types")
+    return s.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.col("v1").alias("hapax"),
+        F.col("v2").alias("dis"),
+        F.round(F.col("rep2").cast("double") / (n * (n - 1)), 6).alias(
+            "simpson_d"
+        ),
+        F.round(v / F.sqrt(n.cast("double")), 6).alias("guiraud_r"),
+        F.when(
+            v > F.col("v1"),
+            F.round(
+                100.0 * F.log(n.cast("double")) * v / (v - F.col("v1")), 6
+            ),
+        ).alias("honore_h"),
+        F.round(F.col("v2").cast("double") / v, 6).alias("sichel_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F54 text_msttr — mean segmental type-token ratio
+
+_MSTTR_SEG = 25
+
+
+@register(
+    "text_msttr",
+    family="text",
+    doc="Mean Segmental Type-Token Ratio (F54, MSTTR-25 — the "
+    "classic fix for raw TTR's length bias: cut each document's "
+    "token stream into consecutive FULL 25-token segments, take "
+    "each segment's type count, average): per doc the full-segment "
+    "count, mean distinct-per-segment and MSTTR. Exact integers "
+    "until the very end — MSTTR = sum(distinct_i) / (25 * "
+    "n_segments) is ONE double division of integer sums, so "
+    "per-segment TTR doubles are never averaged. Position comes "
+    "from the FILTERED token sequence on both engines (posexplode "
+    "vs 1-based list_transform index); docs shorter than one "
+    "segment are excluded (MSTTR undefined).",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               x -> length(x) > 0) AS arr
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, u.p.t AS t,
+                   CAST((u.p.i - 1) // {_MSTTR_SEG} AS BIGINT) AS seg,
+                   len(arr) AS n_toks
+            FROM toks,
+                 unnest(list_transform(arr,
+                     (x, i) -> struct_pack(t := x, i := i))) AS u(p)
+        ),
+        segs AS (
+            SELECT doc_id, seg,
+                   CAST(count(DISTINCT t) AS BIGINT) AS n_distinct
+            FROM pos
+            WHERE seg < n_toks // {_MSTTR_SEG}
+            GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(n_distinct) AS BIGINT) AS distinct_sum,
+               round(CAST(sum(n_distinct) AS DOUBLE)
+                     / ({_MSTTR_SEG} * count(*)), 6) AS msttr
+        FROM segs GROUP BY doc_id
+    """,
+)
+def text_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias(
+            "arr"
+        ),
+    )
+    pos = toks.select(
+        "doc_id",
+        F.size("arr").alias("n_toks"),
+        F.posexplode("arr").alias("p", "t"),
+    ).select(
+        "doc_id",
+        "t",
+        (F.col("p") / _MSTTR_SEG).cast("long").alias("seg"),
+        "n_toks",
+    )
+    segs = (
+        pos.filter(
+            F.col("seg") < (F.col("n_toks") / _MSTTR_SEG).cast("long")
+        )
+        .groupBy("doc_id", "seg")
+        .agg(F.count_distinct("t").alias("n_distinct"))
+    )
+    return segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("n_distinct").alias("distinct_sum"),
+        F.round(
+            F.sum("n_distinct").cast("double")
+            / (_MSTTR_SEG * F.count(F.lit(1))),
+            6,
+        ).alias("msttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E29 embedding_duplicate_audit — exact-duplicate vector audit
+
+@register(
+    "embedding_duplicate_audit",
+    family="ann",
+    doc="Exact-duplicate embedding audit per label (E29) — the "
+    "vector-side sibling of D1: re-ingested or re-encoded items "
+    "produce bit-identical vectors that inflate ANN indexes and "
+    "poison contrastive batches, and the cheapest pre-index sweep "
+    "is a hash-groupBy on the QUANTIZED vector (floor(x*1e6 + 0.5) "
+    "per dim — the E7 engine-neutral quantizer, exact on every "
+    "float input; no pairwise anything). Per label: vector count, "
+    "distinct quantized keys, vectors carrying a duplicated key, "
+    "and the largest duplicate group — group-by on the array key "
+    "shuffles once on the key hash, the same plan at any corpus "
+    "size.",
+    oracle="""
+        WITH q AS (
+            SELECT label, vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+                       AS qv
+            FROM embeddings
+        ),
+        g AS (
+            SELECT label, qv, CAST(count(*) AS BIGINT) AS c
+            FROM q GROUP BY label, qv
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(sum(c) AS BIGINT) AS n_vecs,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS n_dup_vecs,
+               CAST(max(c) AS BIGINT) AS max_group,
+               round(CAST(count(*) AS DOUBLE) / sum(c), 6)
+                   AS distinct_ratio
+        FROM g GROUP BY label
+    """,
+)
+def embedding_duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1000000.0 + 0.5).cast("long"),
+    )
+    g = (
+        emb.select(F.col("label").cast("long").alias("label"), qv.alias("qv"))
+        .groupBy("label", "qv")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return g.groupBy("label").agg(
+        F.sum("c").alias("n_vecs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+            "n_dup_vecs"
+        ),
+        F.max("c").alias("max_group"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("c"), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A34 cdc_slot_retention_lag — replication-slot retention diagnostic
+
+@register(
+    "cdc_slot_retention_lag",
+    family="cdc",
+    doc="Replication-slot retention lag report (A34): the ops "
+    "diagnostic behind the reference's offset tracking "
+    "(spi/statestorage, A11) and keepalive/ack flow (J14, A29) — "
+    "PostgreSQL retains WAL from the slot's confirmed_flush (the "
+    "MINIMUM acked LSN across consumers), so ONE lagging table "
+    "pins WAL for everyone. Each table's consumer is modeled as "
+    "acked-through its ceil(0.9 n)-th event by LSN order "
+    "(deterministic keyset position, exact integers); per table: "
+    "head LSN, acked LSN, its own pending events, events the SLOT "
+    "retains because of the laggard, and the laggard flag. "
+    "Table-partitioned rank + a 1-row min-ack broadcast — no "
+    "global window, no skew.",
+    oracle="""
+        WITH r AS (
+            SELECT event_type, event_id,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        acked AS (
+            SELECT event_type,
+                   CAST(max(event_id) AS BIGINT) AS head_lsn,
+                   CAST(max(CASE WHEN rn = (9 * n + 9) // 10
+                            THEN event_id END) AS BIGINT) AS acked_lsn,
+                   CAST(sum(CASE WHEN rn > (9 * n + 9) // 10
+                            THEN 1 ELSE 0 END) AS BIGINT) AS pending
+            FROM r GROUP BY event_type
+        ),
+        slot AS (SELECT min(acked_lsn) AS confirmed_flush FROM acked),
+        ret AS (
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS retained
+            FROM events e, slot s
+            WHERE e.event_id > s.confirmed_flush
+            GROUP BY e.event_type
+        )
+        SELECT a.event_type AS source_table,
+               a.head_lsn, a.acked_lsn, a.pending,
+               CAST(s.confirmed_flush AS BIGINT) AS confirmed_flush,
+               coalesce(r.retained, 0) AS retained_by_slot,
+               a.acked_lsn = s.confirmed_flush AS is_laggard
+        FROM acked a
+        CROSS JOIN slot s
+        LEFT JOIN ret r ON r.event_type = a.event_type
+    """,
+)
+def cdc_slot_retention_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type").orderBy("event_id")
+    wn = Window.partitionBy("event_type")
+    r = events.select(
+        "event_type",
+        "event_id",
+        F.row_number().over(wt).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    target = ((9 * F.col("n") + 9) / 10).cast("long")
+    acked = r.groupBy("event_type").agg(
+        F.max("event_id").alias("head_lsn"),
+        F.max(F.when(F.col("rn") == target, F.col("event_id"))).alias(
+            "acked_lsn"
+        ),
+        F.sum(F.when(F.col("rn") > target, 1).otherwise(0)).alias(
+            "pending"
+        ),
+    )
+    slot = acked.agg(F.min("acked_lsn").alias("confirmed_flush"))
+    ret = (
+        events.crossJoin(F.broadcast(slot))
+        .filter(F.col("event_id") > F.col("confirmed_flush"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    return (
+        acked.crossJoin(F.broadcast(slot))
+        .join(F.broadcast(ret), "event_type", "left")
+        .select(
+            F.col("event_type").alias("source_table"),
+            "head_lsn",
+            "acked_lsn",
+            "pending",
+            "confirmed_flush",
+            F.coalesce("retained", F.lit(0)).alias("retained_by_slot"),
+            (F.col("acked_lsn") == F.col("confirmed_flush")).alias(
+                "is_laggard"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D28 dedup_url_canonical — URL canonicalization dedup
+
+@register(
+    "dedup_url_canonical",
+    family="dedup",
+    doc="URL canonicalization dedup (D28) — the step every "
+    "web-crawl ingest (CommonCrawl-style) runs BEFORE content "
+    "dedup: the same page arrives under case-mangled schemes/hosts, "
+    "explicit default ports, utm_* tracking params, shuffled query "
+    "order, fragments and trailing slashes. The parse side "
+    "normalizes the messy string with pure codegen string algebra "
+    "(lowercase scheme+host, strip :443, drop utm_*, sort remaining "
+    "params, strip fragment and trailing slash) and keys the "
+    "doc-grain dedup on the canonical form — a hash-groupBy, no "
+    "pairwise anything. Synthesis mangles a per-doc URL from "
+    "generating columns; the oracle re-derives the EXPECTED "
+    "canonical form directly from those columns (G5 adjudication: "
+    "a normalizer bug cannot cancel out), plus the per-doc mess "
+    "flags and cluster size.",
+    oracle="""
+        WITH g AS (
+            SELECT doc_id, source,
+                   'https://cdn' || (doc_id % 5) || '.example.com/docs/'
+                       || source || '/' || (doc_id % 10)
+                       || '?ref=' || (doc_id % 3) || '&v=' || (doc_id % 2)
+                       AS canon,
+                   doc_id % 3 = 1 AS had_utm,
+                   doc_id % 5 = 1 AS had_fragment,
+                   doc_id % 5 = 0 AS had_port
+            FROM documents
+        ),
+        c AS (
+            SELECT canon, CAST(count(*) AS BIGINT) AS cluster_size,
+                   CAST(min(doc_id) AS BIGINT) AS canonical_doc
+            FROM g GROUP BY canon
+        )
+        SELECT g.doc_id, g.canon AS canonical_url,
+               g.had_utm, g.had_fragment, g.had_port,
+               c.cluster_size,
+               g.doc_id = c.canonical_doc AS is_canonical
+        FROM g JOIN c ON g.canon = c.canon
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    # -- synthesis: the messy URL, from generating columns only ------
+    scheme = F.when(d % 2 == 0, "HTTPS").otherwise("https")
+    host = F.concat(
+        F.when(d % 3 == 0, "CDN").otherwise("cdn"),
+        (d % 5).cast("string"),
+        F.when(d % 3 == 0, ".Example.COM").otherwise(".example.com"),
+    )
+    port = F.when(d % 5 == 0, ":443").otherwise("")
+    path = F.concat(
+        F.lit("/docs/"), F.col("source"), F.lit("/"), (d % 10).cast("string"),
+        F.when(d % 4 == 0, "/").otherwise(""),
+    )
+    p_ref = F.concat(F.lit("ref="), (d % 3).cast("string"))
+    p_v = F.concat(F.lit("v="), (d % 2).cast("string"))
+    p_utm = F.when(d % 3 == 1, F.lit("utm_source=feed"))
+    params = F.when(
+        d % 2 == 1, F.concat_ws("&", p_v, p_ref, p_utm)
+    ).otherwise(F.concat_ws("&", p_ref, p_utm, p_v))
+    frag = F.when(
+        d % 5 == 1, F.concat(F.lit("#sec"), (d % 4).cast("string"))
+    ).otherwise("")
+    url = F.concat(
+        scheme, F.lit("://"), host, port, path, F.lit("?"), params, frag
+    )
+    messy = docs.select("doc_id", url.alias("url"))
+
+    # -- parse side: normalize from the STRING alone ------------------
+    u = F.col("url")
+    no_frag = F.substring_index(u, "#", 1)
+    scheme_p = F.lower(F.substring_index(no_frag, "://", 1))
+    rest = F.substring_index(no_frag, "://", -1)
+    before_q = F.substring_index(rest, "?", 1)
+    query = F.when(
+        F.instr(rest, "?") > 0, F.substring_index(rest, "?", -1)
+    ).otherwise("")
+    hostport = F.lower(F.substring_index(before_q, "/", 1))
+    host_p = F.regexp_replace(hostport, ":443$", "")
+    path_p = F.expr(
+        "substring(substring_index(substring_index(substring_index("
+        "url, '#', 1), '://', -1), '?', 1), "
+        "instr(substring_index(substring_index(substring_index("
+        "url, '#', 1), '://', -1), '?', 1), '/'))"
+    )
+    path_p = F.regexp_replace(path_p, "/$", "")
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda x: (F.length(x) > 0) & ~x.startswith("utm_"),
+    )
+    canon_q = F.array_join(F.array_sort(kept), "&")
+    canon = F.concat(
+        scheme_p, F.lit("://"), host_p, path_p,
+        F.when(F.length(canon_q) > 0, F.concat(F.lit("?"), canon_q))
+        .otherwise(""),
+    )
+    parsed = messy.select(
+        "doc_id",
+        canon.alias("canonical_url"),
+        F.array_contains(
+            F.transform(F.split(query, "&"), lambda x: x.startswith("utm_")),
+            True,
+        ).alias("had_utm"),
+        (F.instr(u, "#") > 0).alias("had_fragment"),
+        hostport.endswith(":443").alias("had_port"),
+    )
+    c = parsed.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    return parsed.join(c, "canonical_url").select(
+        "doc_id",
+        "canonical_url",
+        "had_utm",
+        "had_fragment",
+        "had_port",
+        "cluster_size",
+        (F.col("doc_id") == F.col("canonical_doc")).alias("is_canonical"),
+    )

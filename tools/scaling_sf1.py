@@ -66,6 +66,18 @@ REPS = [
     ("dedup_incremental_minhash", "new-batch-vs-index banded join"),
     ("media_bmp_dhash", "BMP encode+decode+dhash Python seam"),
     ("media_adpcm_pcm_stats", "ADPCM lossy encode+decode Python seam"),
+    # r11 additions: the r10 registrations with nontrivial shuffle
+    # shape, the three de-single-partitioned doc-grain ranks (after
+    # the rework — the before/after delta lives in the prose), the
+    # B105-B115 family's heaviest representative, and the new probes
+    ("dedup_bucket_skew_audit", "per-band bucket-mass pre-flight"),
+    ("dedup_survivorship", "cluster survivor election + ledger"),
+    ("embedding_label_centroid_confusion", "dim-keyed centroid confusion"),
+    ("corpus_shard_planner", "two-pass distributed rank + serpentine"),
+    ("text_vocab_concentration", "sort+limit top-k concentration"),
+    ("corpus_curriculum_order", "two-pass rank + closed-form ntile"),
+    ("ts_parabolic_sar", "sequential stop-and-reverse fold (B105-115 rep)"),
+    ("media_mp4_probe", "ISO-BMFF box-walk codegen probe"),
 ]
 
 SECTION = "## sf1 checkpoint (second decade, r8)"

@@ -79,6 +79,11 @@ HEADLINE = [
     "text_trigram_backoff_score",
     "dedup_winnowing",
     "media_flac_pcm_stats",
+    # round-11: the ISO-BMFF box-walk probe (the heaviest new plan —
+    # an interpreted higher-order fold over ~700 header bytes/row)
+    # and the triple-window double-EMA mass index
+    "media_mp4_probe",
+    "ts_mass_index",
 ]
 
 #: the frozen round-1 set — `value` keeps measuring exactly these so

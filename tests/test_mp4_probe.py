@@ -176,3 +176,15 @@ def test_synthesizer_layout_matches_probe_bound(spark):
     mx = out.agg({"n_boxes": "max"}).collect()[0][0]
     assert mx < MP4_MAX_BOXES
     assert out.filter("is_mp4 AND video_codec IS NULL").count() == 0
+
+
+def test_hostile_zero_size_trak_counted_zero_times(spark):
+    # the cursor freezes on an invalid size; the frozen 'trak'
+    # fourcc must be counted ZERO times, not once per remaining
+    # fold iteration
+    ftyp = _b(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    evil = ftyp + struct.pack(">I", 0) + b"trak" + b"\x00" * 64
+    r = _probe_one(spark, evil)
+    assert r.is_mp4 is True
+    assert r.n_tracks == 0
+    assert r.n_boxes == 1

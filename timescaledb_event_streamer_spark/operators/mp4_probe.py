@@ -184,17 +184,24 @@ def parse_mp4_headers(media: DataFrame, payload_col: str = "payload") -> DataFra
 
     def step(acc, _):
         pos = acc["pos"]
+        # `done` is a cheap length predicate; `stop` additionally
+        # parses the size field (conv). Field updates guard on
+        # `done` only (a matching fourcc at a dead cursor reads as
+        # empty substr -> no match); pos/nbox/ntrk carry the full
+        # `stop`. Note the fold is a higher-order function, which
+        # Spark evaluates INTERPRETED (no whole-stage codegen for
+        # aggregate() lambdas) — per-row cost is iterations x tree
+        # size, so keep both lean; ~7 us/row at MP4_MAX_BOXES=20.
         done = (pos + 15) > F.length(h)
         size_b = F.conv(h.substr(pos, F.lit(8)), 16, 10).cast("long")
         four = h.substr(pos + 8, F.lit(8))
-        invalid = size_b < 8
-        stop = done | invalid
+        stop = done | (size_b < 8)
         is_container = four.isin(*_CONTAINERS)
         v0 = h.substr(pos + 16, F.lit(2)) == "00"
 
-        is_mvhd = (four == F.lit(_MVHD)) & v0
-        is_tkhd = (four == F.lit(_TKHD)) & v0
-        is_stsd = four == F.lit(_STSD)
+        is_mvhd = ~done & (four == F.lit(_MVHD)) & v0
+        is_tkhd = ~done & (four == F.lit(_TKHD)) & v0
+        is_stsd = ~done & (four == F.lit(_STSD))
         tw = F.floor(
             F.conv(h.substr(pos + 168, F.lit(8)), 16, 10).cast("long") / 65536
         ).cast("long")
@@ -211,18 +218,22 @@ def parse_mp4_headers(media: DataFrame, payload_col: str = "payload") -> DataFra
             .otherwise(pos + size_b * 2)
             .cast("long")
             .alias("pos"),
-            F.when(~stop & is_mvhd, F.conv(h.substr(pos + 40, F.lit(8)), 16, 10).cast("long"))
+            F.when(is_mvhd, F.conv(h.substr(pos + 40, F.lit(8)), 16, 10).cast("long"))
             .otherwise(acc["ts"]).alias("ts"),
-            F.when(~stop & is_mvhd, F.conv(h.substr(pos + 48, F.lit(8)), 16, 10).cast("long"))
+            F.when(is_mvhd, F.conv(h.substr(pos + 48, F.lit(8)), 16, 10).cast("long"))
             .otherwise(acc["dur"]).alias("dur"),
+            # ntrk keeps the full `stop` guard: on an invalid-size
+            # stop the cursor freezes, and a frozen 'trak' fourcc
+            # must not re-count every remaining iteration (the other
+            # recorders are idempotent or once-only; a counter isn't)
             (acc["ntrk"] + F.when(~stop & (four == F.lit(_TRAK)), 1).otherwise(0))
             .cast("int").alias("ntrk"),
-            F.when(~stop & is_tkhd, tw).otherwise(acc["lw"]).alias("lw"),
-            F.when(~stop & is_tkhd, th).otherwise(acc["lh"]).alias("lh"),
-            F.when(~stop & video_hit, acc["lw"]).otherwise(acc["w"]).alias("w"),
-            F.when(~stop & video_hit, acc["lh"]).otherwise(acc["hh"]).alias("hh"),
-            F.when(~stop & video_hit, fc).otherwise(acc["vc"]).alias("vc"),
-            F.when(~stop & audio_hit, fc).otherwise(acc["ac"]).alias("ac"),
+            F.when(is_tkhd, tw).otherwise(acc["lw"]).alias("lw"),
+            F.when(is_tkhd, th).otherwise(acc["lh"]).alias("lh"),
+            F.when(video_hit, acc["lw"]).otherwise(acc["w"]).alias("w"),
+            F.when(video_hit, acc["lh"]).otherwise(acc["hh"]).alias("hh"),
+            F.when(video_hit, fc).otherwise(acc["vc"]).alias("vc"),
+            F.when(audio_hit, fc).otherwise(acc["ac"]).alias("ac"),
             (acc["nbox"] + F.when(stop, 0).otherwise(1)).cast("int").alias("nbox"),
         )
 

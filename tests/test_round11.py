@@ -181,3 +181,164 @@ def test_streaming_incremental_dedup_matches_batch_d25(spark, sf_small, tmp_path
     assert got == want
     # the stream found real cross-batch candidates, not all sentinels
     assert any(v[0] > 0 for v in got.values())
+
+
+# -- r11 registered queries: planted-value pins -----------------------
+
+import datetime as _dt
+import math
+
+from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+
+def _plant_events(spark, tmp_path, rows):
+    """rows: (event_id, day_offset, event_type, value, vol)"""
+    base = _dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (i, base + _dt.timedelta(days=d, hours=1 + (i % 3)), 1, et, v,
+             '{"k": %d}' % k)
+            for (i, d, et, v, k) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def _plant_docs(spark, tmp_path, rows):
+    """rows: (doc_id, text, source)"""
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for (i, t, s) in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_cmo_monotone_rise_is_plus_100(spark, tmp_path):
+    """A strictly rising close has zero down-moves: CMO == +100."""
+    rows = [(i, i, "m", 10.0 + i, 1) for i in range(20)]
+    sf = _plant_events(spark, tmp_path, rows)
+    out = all_queries()["ts_chande_momentum"](spark, sf).collect()
+    assert len(out) == 20 - 14
+    for r in out:
+        assert r["down_cents"] == 0
+        assert r["cmo"] == 100.0
+
+
+def test_awesome_oscillator_constant_price_is_zero_flat(spark, tmp_path):
+    rows = [(i, i, "m", 50.0, 1) for i in range(25)]
+    sf = _plant_events(spark, tmp_path, rows)
+    out = all_queries()["ts_awesome_oscillator"](spark, sf).collect()
+    assert len(out) == 25 - 21 + 1
+    assert all(r["ao"] == 0.0 for r in out)
+    # first emitted row predates a full-window predecessor: color null
+    colors = {r["day_s"]: r["color"] for r in out}
+    assert sorted(colors.values(), key=str).count("flat") == len(out) - 1
+
+
+def test_mass_index_constant_range_is_window_length(spark, tmp_path):
+    """Constant daily range -> EMA9(range) == EMA9(EMA9(range)) ->
+    every ratio is exactly 1 -> MI == 25."""
+    rows = []
+    for d in range(26):
+        rows.append((2 * d, d, "m", 10.0, 1))      # low of the day
+        rows.append((2 * d + 1, d, "m", 12.0, 1))  # high (close=12)
+    sf = _plant_events(spark, tmp_path, rows)
+    out = all_queries()["ts_mass_index"](spark, sf).collect()
+    assert len(out) == 2
+    for r in out:
+        assert abs(r["mass_index"] - 25.0) < 1e-9
+
+
+def test_adl_hand_computed(spark, tmp_path):
+    """3 days, hand math: mfm = (2C-H-L)/(H-L), mfv = mfm*vol."""
+    rows = [
+        (0, 0, "m", 10.0, 100), (1, 0, "m", 20.0, 100),  # H20 L10 C20
+        (2, 1, "m", 30.0, 50), (3, 1, "m", 10.0, 50),    # H30 L10 C10
+        (4, 2, "m", 15.0, 70),                           # H=L=C=15
+    ]
+    sf = _plant_events(spark, tmp_path, rows)
+    out = {r["day_s"]: r for r in all_queries()[
+        "ts_accumulation_distribution"](spark, sf).collect()}
+    days = sorted(out)
+    # day0: mfm=+1, vol=200 -> +200; day1: mfm=-1, vol=100 -> -100;
+    # day2 flat -> 0
+    assert out[days[0]]["adl"] == 200.0
+    assert out[days[1]]["adl"] == 100.0
+    assert out[days[2]]["adl"] == 100.0
+    assert out[days[0]]["accumulating"] is True   # vs the 0 baseline
+    assert out[days[1]]["accumulating"] is False
+    assert out[days[2]]["accumulating"] is False  # flat: not rising
+
+
+def test_msttr_hand_computed(spark, tmp_path):
+    """Segment 1: one type repeated 25x -> 1 distinct. Segment 2: 25
+    distinct. 7 leftover tokens ignored. MSTTR = 26/50."""
+    text = " ".join(["same"] * 25 + [f"w{i}" for i in range(25)] + ["x"] * 7)
+    sf = _plant_docs(spark, tmp_path, [(1, text, "s")])
+    r = all_queries()["text_msttr"](spark, sf).collect()[0]
+    assert r["n_segments"] == 2
+    assert r["distinct_sum"] == 26
+    assert r["msttr"] == round(26 / 50, 6)
+
+
+def test_lexical_richness_hand_computed(spark, tmp_path):
+    """tokens: a a b -> N=3 V=2 V1=1 V2=1 rep2=2."""
+    sf = _plant_docs(spark, tmp_path, [(1, "a a", "s"), (2, "b", "s")])
+    r = all_queries()["text_lexical_richness"](spark, sf).collect()[0]
+    assert (r["n_tokens"], r["n_types"], r["hapax"], r["dis"]) == (3, 2, 1, 1)
+    assert r["simpson_d"] == round(2 / 6, 6)
+    assert r["guiraud_r"] == round(2 / math.sqrt(3), 6)
+    assert r["honore_h"] == round(100 * math.log(3) * 2 / (2 - 1), 6)
+    assert r["sichel_s"] == 0.5
+
+
+def test_url_canonical_rules_pinned(spark, tmp_path):
+    """doc_id 16: uppercase scheme (16%2=0), utm param (16%3=1),
+    fragment (16%5=1), trailing slash (16%4=0) — ALL must normalize
+    away; params re-sorted; host stays lowercase (16%3=1)."""
+    sf = _plant_docs(spark, tmp_path, [(16, "t", "S"), (15, "t", "S")])
+    out = {r["doc_id"]: r for r in all_queries()[
+        "dedup_url_canonical"](spark, sf).collect()}
+    r16 = out[16]
+    assert r16["canonical_url"] == "https://cdn1.example.com/docs/S/6?ref=1&v=0"
+    assert r16["had_utm"] and r16["had_fragment"] and not r16["had_port"]
+    # doc 15: port :443 (15%5=0), odd -> swapped param order, no utm
+    r15 = out[15]
+    assert r15["canonical_url"] == "https://cdn0.example.com/docs/S/5?ref=0&v=1"
+    assert r15["had_port"] and not r15["had_utm"] and not r15["had_fragment"]
+    assert r16["cluster_size"] == 1 and r16["is_canonical"]
+
+
+def test_slot_retention_laggard_math(spark, tmp_path):
+    """tableA acked through rank ceil(0.9*10)=9 (lsn 9), tableB
+    through lsn 109; confirmed_flush = 9; B's WAL is retained by A."""
+    rows = [(i, i % 25, "A", 1.0, 1) for i in range(1, 11)]
+    rows += [(i, i % 25, "B", 1.0, 1) for i in range(101, 111)]
+    sf = _plant_events(spark, tmp_path, rows)
+    out = {r["source_table"]: r for r in all_queries()[
+        "cdc_slot_retention_lag"](spark, sf).collect()}
+    assert out["A"]["acked_lsn"] == 9 and out["A"]["pending"] == 1
+    assert out["B"]["acked_lsn"] == 109 and out["B"]["pending"] == 1
+    assert out["A"]["confirmed_flush"] == 9
+    assert out["A"]["is_laggard"] and not out["B"]["is_laggard"]
+    assert out["A"]["retained_by_slot"] == 1   # its own id 10
+    assert out["B"]["retained_by_slot"] == 10  # ALL of B pinned by A
+
+
+def test_embedding_duplicate_audit_planted(spark, tmp_path):
+    rows = [
+        (1, [1.0, 2.0], 0),
+        (2, [1.0, 2.0], 0),      # exact duplicate of vec 1
+        (3, [1.0, 2.000001], 0),  # differs at the 1e-6 quantum: distinct
+        (4, [9.0, 9.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["label"]: r for r in all_queries()[
+        "embedding_duplicate_audit"](spark, str(tmp_path)).collect()}
+    assert out[0]["n_vecs"] == 3 and out[0]["n_distinct"] == 2
+    assert out[0]["n_dup_vecs"] == 2 and out[0]["max_group"] == 2
+    assert out[1]["n_dup_vecs"] == 0

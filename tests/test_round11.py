@@ -342,3 +342,89 @@ def test_embedding_duplicate_audit_planted(spark, tmp_path):
     assert out[0]["n_vecs"] == 3 and out[0]["n_distinct"] == 2
     assert out[0]["n_dup_vecs"] == 2 and out[0]["max_group"] == 2
     assert out[1]["n_dup_vecs"] == 0
+
+
+def test_streaming_url_admission_matches_batch_d28(spark, sf_small, tmp_path):
+    """I41: the same messy URLs (derived exactly as D28 synthesizes
+    them) arrive in two doc_id-ordered micro-batches; the admitted
+    set must equal batch D28's is_canonical winners (first arrival
+    == min doc_id under ordered feeding), and every duplicate
+    variant must be dropped ACROSS the batch boundary."""
+    import time as _t
+
+    from timescaledb_event_streamer_spark.plans.registry import all_queries
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_url_admission,
+    )
+
+    batch = all_queries()["dedup_url_canonical"](spark, sf_small)
+    want = {
+        (r["doc_id"], r["canonical_url"])
+        for r in batch.filter("is_canonical").collect()
+    }
+    n_docs = batch.count()
+
+    # rebuild the messy URLs the same way D28's synthesis does, by
+    # round-tripping through the registered query's own input: plant
+    # the urls via the documents table per-doc derivation
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    docs = load(spark, sf_small, "documents")
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, "HTTPS").otherwise("https")
+    host = F.concat(
+        F.when(d % 3 == 0, "CDN").otherwise("cdn"),
+        (d % 5).cast("string"),
+        F.when(d % 3 == 0, ".Example.COM").otherwise(".example.com"),
+    )
+    port = F.when(d % 5 == 0, ":443").otherwise("")
+    path = F.concat(
+        F.lit("/docs/"), F.col("source"), F.lit("/"), (d % 10).cast("string"),
+        F.when(d % 4 == 0, "/").otherwise(""),
+    )
+    p_ref = F.concat(F.lit("ref="), (d % 3).cast("string"))
+    p_v = F.concat(F.lit("v="), (d % 2).cast("string"))
+    p_utm = F.when(d % 3 == 1, F.lit("utm_source=feed"))
+    params = F.when(d % 2 == 1, F.concat_ws("&", p_v, p_ref, p_utm)).otherwise(
+        F.concat_ws("&", p_ref, p_utm, p_v)
+    )
+    frag = F.when(
+        d % 5 == 1, F.concat(F.lit("#sec"), (d % 4).cast("string"))
+    ).otherwise("")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            scheme, F.lit("://"), host, port, path, F.lit("?"), params, frag
+        ).alias("url"),
+    )
+    mid = messy.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    log_dir = tmp_path / "url_log"
+    log_dir.mkdir()
+    messy.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+        str(log_dir / "b0")
+    )
+    _t.sleep(1.1)
+    messy.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
+        str(log_dir / "b1")
+    )
+    stream = (
+        spark.readStream.schema(messy.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_url_admission(stream)
+        .writeStream.format("memory")
+        .queryName("url_admission")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["canonical_url"])
+        for r in spark.sql("SELECT * FROM url_admission").collect()
+    }
+    assert got == want
+    assert 0 < len(got) < n_docs  # duplicates were genuinely dropped

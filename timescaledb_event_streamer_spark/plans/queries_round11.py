@@ -964,43 +964,15 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     messy = docs.select("doc_id", url.alias("url"))
 
-    # -- parse side: normalize from the STRING alone ------------------
-    u = F.col("url")
-    no_frag = F.substring_index(u, "#", 1)
-    scheme_p = F.lower(F.substring_index(no_frag, "://", 1))
-    rest = F.substring_index(no_frag, "://", -1)
-    before_q = F.substring_index(rest, "?", 1)
-    query = F.when(
-        F.instr(rest, "?") > 0, F.substring_index(rest, "?", -1)
-    ).otherwise("")
-    hostport = F.lower(F.substring_index(before_q, "/", 1))
-    host_p = F.regexp_replace(hostport, ":443$", "")
-    path_p = F.expr(
-        "substring(substring_index(substring_index(substring_index("
-        "url, '#', 1), '://', -1), '?', 1), "
-        "instr(substring_index(substring_index(substring_index("
-        "url, '#', 1), '://', -1), '?', 1), '/'))"
+    # -- parse side: normalize from the STRING alone (shared with
+    # the I41 streaming admission gate — operators/urls.py)
+    from timescaledb_event_streamer_spark.operators.urls import (
+        canonicalize_url,
     )
-    path_p = F.regexp_replace(path_p, "/$", "")
-    kept = F.filter(
-        F.split(query, "&"),
-        lambda x: (F.length(x) > 0) & ~x.startswith("utm_"),
-    )
-    canon_q = F.array_join(F.array_sort(kept), "&")
-    canon = F.concat(
-        scheme_p, F.lit("://"), host_p, path_p,
-        F.when(F.length(canon_q) > 0, F.concat(F.lit("?"), canon_q))
-        .otherwise(""),
-    )
+
+    cols = canonicalize_url(F.col("url"))
     parsed = messy.select(
-        "doc_id",
-        canon.alias("canonical_url"),
-        F.array_contains(
-            F.transform(F.split(query, "&"), lambda x: x.startswith("utm_")),
-            True,
-        ).alias("had_utm"),
-        (F.instr(u, "#") > 0).alias("had_fragment"),
-        hostport.endswith(":443").alias("had_port"),
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
     c = parsed.groupBy("canonical_url").agg(
         F.count(F.lit(1)).alias("cluster_size"),

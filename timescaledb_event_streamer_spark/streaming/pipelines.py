@@ -1649,3 +1649,30 @@ def incremental_dedup_verdicts(
             (F.coalesce("est_jaccard", F.lit(0.0)) < 0.5).alias("admitted"),
         )
     )
+
+
+# -- streaming URL-canonical admission (I41): the live form of
+# dedup_url_canonical (D28). The crawl-frontier gate: normalize each
+# arriving URL with the SHARED codegen canonicalizer
+# (operators/urls.py) and admit only the FIRST document per
+# canonical form — later micro-batches carrying case-mangled /
+# utm-tagged / fragment-bearing variants of an admitted URL are
+# dropped by keyed dropDuplicates state. First-arrival-wins is the
+# streaming analogue of D28's min-doc_id canonical election; state
+# is one row per DISTINCT canonical URL (the admitted set itself),
+# which is exactly the frontier a crawler must hold anyway.
+
+
+def streaming_url_admission(docs: DataFrame) -> DataFrame:
+    """`docs` is a STREAM of (doc_id LONG, url STRING); emits the
+    admitted rows (doc_id, canonical_url, had_utm, had_fragment,
+    had_port) — one per canonical form, first arrival wins."""
+    from timescaledb_event_streamer_spark.operators.urls import (
+        canonicalize_url,
+    )
+
+    cols = canonicalize_url(F.col("url"))
+    normalized = docs.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
+    )
+    return normalized.dropDuplicates(["canonical_url"])

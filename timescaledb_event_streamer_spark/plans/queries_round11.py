@@ -987,3 +987,289 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("canonical_doc")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B121 ts_rvi — Relative Vigor Index
+
+_RVI_N = 10
+
+
+@register(
+    "ts_rvi",
+    family="timeseries",
+    doc="Relative Vigor Index (B121, John Ehlers' public "
+    "formulation): conviction = where the close sits vs the open, "
+    "normalized by range. Both the numerator (close-open) and "
+    "denominator (high-low) take the symmetric (1,2,2,1)/6 FIR "
+    "smoothing, then a 10-day sum of each; RVI = num/den. "
+    "Exact-integer algebra throughout: daily open = arg_min(event) "
+    "close = arg_max(event) in cents, the FIR numerators stay "
+    "6x-scaled integers, both 10-day sums are BIGINTs and the 6s "
+    "cancel — ONE double division, then the signal line is the "
+    "same FIR over the RVI doubles written as one fixed-shape "
+    "expression on both engines. Flat 10-day stretches (den sum 0) "
+    "yield NULL.",
+    oracle=f"""
+        WITH daily_o AS (
+            SELECT event_type AS series,
+                   CAST(epoch(ts)::BIGINT - epoch(ts)::BIGINT % 86400
+                       AS BIGINT) AS day_s,
+                   arg_min(CAST(round(value * 100) AS BIGINT), event_id)
+                       AS oc,
+                   arg_max(CAST(round(value * 100) AS BIGINT), event_id)
+                       AS cc,
+                   max(CAST(round(value * 100) AS BIGINT)) AS hc,
+                   min(CAST(round(value * 100) AS BIGINT)) AS lc
+            FROM events GROUP BY 1, 2
+        ),
+        fir AS (
+            SELECT series, day_s,
+                   row_number() OVER w AS rn,
+                   (cc - oc) + 2*lag(cc - oc, 1) OVER w
+                       + 2*lag(cc - oc, 2) OVER w
+                       + lag(cc - oc, 3) OVER w AS num6,
+                   (hc - lc) + 2*lag(hc - lc, 1) OVER w
+                       + 2*lag(hc - lc, 2) OVER w
+                       + lag(hc - lc, 3) OVER w AS den6
+            FROM daily_o
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        ),
+        sums AS (
+            SELECT series, day_s, rn,
+                   CAST(sum(num6) OVER v AS BIGINT) AS snum,
+                   CAST(sum(den6) OVER v AS BIGINT) AS sden
+            FROM fir WHERE rn >= 4
+            WINDOW v AS (PARTITION BY series ORDER BY day_s
+                         ROWS BETWEEN {_RVI_N - 1} PRECEDING
+                              AND CURRENT ROW)
+        ),
+        rvi AS (
+            SELECT series, day_s, rn,
+                   CASE WHEN sden > 0 THEN
+                       CAST(snum AS DOUBLE) / sden END AS r
+            FROM sums WHERE rn >= {_RVI_N + 3}
+        )
+        SELECT series, day_s,
+               round(r, 6) AS rvi,
+               round((r + 2*lag(r, 1) OVER w + 2*lag(r, 2) OVER w
+                      + lag(r, 3) OVER w) / 6.0, 6) AS signal
+        FROM rvi
+        WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        QUALIFY rn >= {_RVI_N + 6}
+    """,
+)
+def ts_rvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    es = F.expr("unix_micros(ts) div 1000000")
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    daily = (
+        events.withColumn("_es", es)
+        .groupBy(
+            F.col("event_type").alias("series"),
+            (F.col("_es") - F.pmod(F.col("_es"), F.lit(86400))).alias(
+                "day_s"
+            ),
+        )
+        .agg(
+            F.min_by(c, F.col("event_id")).alias("oc"),
+            F.max_by(c, F.col("event_id")).alias("cc"),
+            F.max(c).alias("hc"),
+            F.min(c).alias("lc"),
+        )
+    )
+    wo = Window.partitionBy("series").orderBy("day_s")
+    co = F.col("cc") - F.col("oc")
+    hl = F.col("hc") - F.col("lc")
+    fir = daily.select(
+        "series",
+        "day_s",
+        F.row_number().over(wo).alias("rn"),
+        (
+            co + 2 * F.lag(co, 1).over(wo) + 2 * F.lag(co, 2).over(wo)
+            + F.lag(co, 3).over(wo)
+        ).alias("num6"),
+        (
+            hl + 2 * F.lag(hl, 1).over(wo) + 2 * F.lag(hl, 2).over(wo)
+            + F.lag(hl, 3).over(wo)
+        ).alias("den6"),
+    ).filter(F.col("rn") >= 4)
+    wv = wo.rowsBetween(-(_RVI_N - 1), 0)
+    sums = fir.select(
+        "series",
+        "day_s",
+        "rn",
+        F.sum("num6").over(wv).alias("snum"),
+        F.sum("den6").over(wv).alias("sden"),
+    ).filter(F.col("rn") >= _RVI_N + 3)
+    rvi = sums.select(
+        "series",
+        "day_s",
+        "rn",
+        F.when(
+            F.col("sden") > 0, F.col("snum").cast("double") / F.col("sden")
+        ).alias("r"),
+    )
+    sig = (
+        F.col("r")
+        + 2 * F.lag("r", 1).over(wo)
+        + 2 * F.lag("r", 2).over(wo)
+        + F.lag("r", 3).over(wo)
+    ) / 6.0
+    return (
+        rvi.select(
+            "series",
+            "day_s",
+            "rn",
+            F.round(F.col("r"), 6).alias("rvi"),
+            F.round(sig, 6).alias("signal"),
+        )
+        .filter(F.col("rn") >= _RVI_N + 6)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E30 ann_mutual_knn_audit — kNN-graph symmetry / hubness QA
+
+_MKNN_K = 5
+
+
+@register(
+    "ann_mutual_knn_audit",
+    family="ann",
+    doc="Mutual-kNN and hubness audit per label (E30) — the graph-"
+    "quality gate run BEFORE committing to a graph-routed ANN index "
+    "(E25's navigable graph degrades exactly where edges are "
+    "asymmetric and hub vectors concentrate in-degree; mutual-kNN "
+    "rate and the in-degree tail are the two standard diagnostics). "
+    "Composes D-on-E5: the SAME k=5 cosine kNN build, then edge "
+    "symmetry via a self left-semi join on the reversed edge and "
+    "in-degree via a dst-keyed reduce — label joined from the "
+    "embeddings table (broadcast at certification SF, label-keyed "
+    "equi-join at scale). Exact arithmetic: counts are BIGINTs, "
+    "mutual_rate and mean_in_degree are single divisions.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ),
+        knn AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (
+                           PARTITION BY src
+                           ORDER BY cos_sim DESC, dst) AS rank
+                FROM p) WHERE rank <= {_MKNN_K}
+        ),
+        mut AS (
+            SELECT k.src, k.dst,
+                   EXISTS (SELECT 1 FROM knn r
+                           WHERE r.src = k.dst AND r.dst = k.src)
+                       AS is_mutual
+            FROM knn k
+        ),
+        per_src AS (
+            SELECT e.label, m.src,
+                   CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(CASE WHEN is_mutual THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_mutual
+            FROM mut m JOIN e ON e.vec_id = m.src
+            GROUP BY 1, 2
+        ),
+        indeg AS (
+            SELECT e.label, m.dst,
+                   CAST(count(*) AS BIGINT) AS deg
+            FROM mut m JOIN e ON e.vec_id = m.dst
+            GROUP BY 1, 2
+        ),
+        lab AS (
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(n_edges) AS BIGINT) AS n_edges,
+                   CAST(sum(n_mutual) AS BIGINT) AS n_mutual
+            FROM per_src GROUP BY label
+        ),
+        ind AS (
+            SELECT label, CAST(max(deg) AS BIGINT) AS max_in_degree,
+                   CAST(sum(deg) AS BIGINT) AS in_mass,
+                   CAST(count(*) AS BIGINT) AS in_nodes
+            FROM indeg GROUP BY label
+        )
+        SELECT CAST(l.label AS BIGINT) AS label,
+               l.n_nodes, l.n_edges, l.n_mutual,
+               round(CAST(l.n_mutual AS DOUBLE) / l.n_edges, 6)
+                   AS mutual_rate,
+               i.max_in_degree,
+               round(CAST(i.in_mass AS DOUBLE) / i.in_nodes, 6)
+                   AS mean_in_degree
+        FROM lab l JOIN ind i ON l.label = i.label
+    """,
+)
+def ann_mutual_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.plans.queries_ext import (
+        ann_knn_graph,
+    )
+
+    edges = ann_knn_graph(spark, sf_dir).select("src", "dst")
+    labels = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mut = edges.join(rev, ["src", "dst"], "left_semi").select(
+        "src", "dst", F.lit(True).alias("is_mutual")
+    )
+    marked = edges.join(mut.select("src", "dst", "is_mutual"), ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("is_mutual", F.lit(False)).alias("is_mutual")
+    )
+    per_src = (
+        marked.join(
+            F.broadcast(labels), marked["src"] == labels["vec_id"]
+        )
+        .groupBy("label", "src")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.when(F.col("is_mutual"), 1).otherwise(0)).alias(
+                "n_mutual"
+            ),
+        )
+    )
+    lab = per_src.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("n_edges").alias("n_edges"),
+        F.sum("n_mutual").alias("n_mutual"),
+    )
+    indeg = (
+        marked.join(
+            F.broadcast(labels), marked["dst"] == labels["vec_id"]
+        )
+        .groupBy("label", "dst")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ind = indeg.groupBy("label").agg(
+        F.max("deg").alias("max_in_degree"),
+        F.sum("deg").alias("in_mass"),
+        F.count(F.lit(1)).alias("in_nodes"),
+    )
+    return lab.join(ind, "label").select(
+        "label",
+        "n_nodes",
+        "n_edges",
+        "n_mutual",
+        F.round(
+            F.col("n_mutual").cast("double") / F.col("n_edges"), 6
+        ).alias("mutual_rate"),
+        "max_in_degree",
+        F.round(
+            F.col("in_mass").cast("double") / F.col("in_nodes"), 6
+        ).alias("mean_in_degree"),
+    )

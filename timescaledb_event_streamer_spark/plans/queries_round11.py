@@ -1723,3 +1723,147 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B122 ts_fisher_transform — Ehlers Fisher Transform
+
+_FT_N = 10
+
+
+@register(
+    "ts_fisher_transform",
+    family="timeseries",
+    doc="Fisher Transform (B122, Ehlers' public formulation): "
+    "normalize the midprice position inside its 10-day channel to "
+    "(-1, 1), smooth RECURSIVELY (v = 0.66*(pos-0.5) + 0.67*v_prev, "
+    "clamped to +-0.999 — the clamp makes this nonlinear, so no "
+    "closed-form weighted fold exists), then fisher = 0.5*ln((1+v)/"
+    "(1-v)) + 0.5*fisher_prev. The B101 recursion idiom: Spark "
+    "folds the packed per-series day array (bounded by calendar "
+    "days); the oracle is a genuine RECURSIVE CTE stepping rn+1 "
+    "with the IDENTICAL expression shape, so the doubles track "
+    "bit-for-bit; pos is an exact rational of integer 2x-scaled "
+    "midprices; flat channels contribute pos = 0.5 (zero drive). "
+    "Rounded once at the output.",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_DAILY},
+        ch AS (
+            SELECT series, day_s,
+                   hc + lc AS mid2,
+                   max(hc + lc) OVER v AS hh2,
+                   min(hc + lc) OVER v AS ll2,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM daily
+            WINDOW v AS (PARTITION BY series ORDER BY day_s
+                         ROWS BETWEEN {_FT_N - 1} PRECEDING
+                              AND CURRENT ROW)
+        ),
+        p AS (
+            SELECT series, day_s, rn,
+                   CASE WHEN hh2 > ll2 THEN
+                       CAST(mid2 - ll2 AS DOUBLE) / (hh2 - ll2)
+                   ELSE 0.5 END AS pos
+            FROM ch WHERE rn >= {_FT_N}
+        ),
+        f AS (
+            SELECT series, day_s, rn,
+                   greatest(least(0.66 * (pos - 0.5) + 0.67 * 0.0,
+                                  0.999), -0.999) AS v,
+                   0.5 * ln((1.0 + greatest(least(
+                       0.66 * (pos - 0.5) + 0.67 * 0.0, 0.999), -0.999))
+                       / (1.0 - greatest(least(
+                       0.66 * (pos - 0.5) + 0.67 * 0.0, 0.999), -0.999)))
+                       + 0.5 * 0.0 AS fisher
+            FROM p WHERE rn = {_FT_N}
+            UNION ALL
+            SELECT e.series, e.day_s, e.rn,
+                   greatest(least(0.66 * (e.pos - 0.5) + 0.67 * f.v,
+                                  0.999), -0.999),
+                   0.5 * ln((1.0 + greatest(least(
+                       0.66 * (e.pos - 0.5) + 0.67 * f.v, 0.999), -0.999))
+                       / (1.0 - greatest(least(
+                       0.66 * (e.pos - 0.5) + 0.67 * f.v, 0.999), -0.999)))
+                       + 0.5 * f.fisher
+            FROM p e JOIN f ON e.series = f.series AND e.rn = f.rn + 1
+        )
+        SELECT series, day_s,
+               round(v, 6) AS value1,
+               round(fisher, 6) AS fisher,
+               fisher > 0 AS bullish
+        FROM f
+    """,
+)
+def ts_fisher_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("day_s")
+    wv = w.rowsBetween(-(_FT_N - 1), 0)
+    mid2 = F.col("hc") + F.col("lc")
+    ch = daily.select(
+        "series",
+        "day_s",
+        mid2.alias("mid2"),
+        F.max(mid2).over(wv).alias("hh2"),
+        F.min(mid2).over(wv).alias("ll2"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") >= _FT_N)
+    p = ch.select(
+        "series",
+        "day_s",
+        F.when(
+            F.col("hh2") > F.col("ll2"),
+            (F.col("mid2") - F.col("ll2")).cast("double")
+            / (F.col("hh2") - F.col("ll2")),
+        )
+        .otherwise(0.5)
+        .alias("pos"),
+    )
+    packed = p.groupBy("series").agg(
+        F.array_sort(F.collect_list(F.struct("day_s", "pos"))).alias("ds")
+    )
+    init = F.struct(
+        F.array()
+        .cast("array<struct<day_s:bigint,v:double,fisher:double>>")
+        .alias("arr"),
+        F.lit(0.0).alias("pv"),
+        F.lit(0.0).alias("pf"),
+    )
+
+    def step(acc, x):
+        v = F.greatest(
+            F.least(
+                0.66 * (x["pos"] - 0.5) + 0.67 * acc["pv"], F.lit(0.999)
+            ),
+            F.lit(-0.999),
+        )
+        fisher = 0.5 * F.log((1.0 + v) / (1.0 - v)) + 0.5 * acc["pf"]
+        entry = F.struct(
+            x["day_s"].alias("day_s"), v.alias("v"), fisher.alias("fisher")
+        )
+        return F.struct(
+            F.concat(acc["arr"], F.array(entry)).alias("arr"),
+            v.alias("pv"),
+            fisher.alias("pf"),
+        )
+
+    folded = packed.select(
+        "series",
+        F.aggregate(F.col("ds"), init, step, lambda a: a["arr"]).alias("arr"),
+    )
+    x = folded.select("series", F.explode("arr").alias("x")).select(
+        "series", "x.*"
+    )
+    return x.select(
+        "series",
+        "day_s",
+        F.round(F.col("v"), 6).alias("value1"),
+        F.round(F.col("fisher"), 6).alias("fisher"),
+        (F.col("fisher") > 0).alias("bullish"),
+    )

@@ -559,3 +559,65 @@ def test_streaming_slot_monitor_matches_batch_a34(spark, sf_small, tmp_path):
         assert got[t]["pending"] == w["pending"], t
     flush = min(r["acked_lsn"] for r in got.values())
     assert flush == next(iter(want.values()))["confirmed_flush"]
+
+
+def test_streaming_fisher_matches_batch_b122(spark, sf_small, tmp_path):
+    """I43: daily midprice partials in two time-ordered micro-batches
+    so the channel buffer AND both recursion carries cross a batch
+    boundary; result must equal batch ts_fisher_transform
+    row-for-row (same 6-decimal rounding)."""
+    import time as _t
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_fisher_transform,
+    )
+
+    daily = _daily_ohlcv(spark, sf_small).select(
+        "series", "day_s", (F.col("hc") + F.col("lc")).alias("mid2")
+    )
+    split_day = daily.agg(
+        F.expr("percentile_approx(day_s, 0.5)")
+    ).first()[0]
+    log_dir = tmp_path / "fisher_log"
+    log_dir.mkdir()
+    daily.filter(F.col("day_s") <= split_day).coalesce(1).write.parquet(
+        str(log_dir / "b0")
+    )
+    _t.sleep(1.1)
+    daily.filter(F.col("day_s") > split_day).coalesce(1).write.parquet(
+        str(log_dir / "b1")
+    )
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_fisher_transform(stream)
+        .writeStream.format("memory")
+        .queryName("fisher_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["day_s"]): (
+            round(r["value1"] * 1e6), round(r["fisher"] * 1e6), r["bullish"]
+        )
+        for r in spark.sql("SELECT * FROM fisher_stream").collect()
+    }
+    want = {
+        (r["series"], r["day_s"]): (
+            round(r["value1"] * 1e6), round(r["fisher"] * 1e6), r["bullish"]
+        )
+        for r in all_queries()["ts_fisher_transform"](
+            spark, sf_small
+        ).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -1748,3 +1748,80 @@ def streaming_slot_monitor(rows: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming Fisher Transform (I43): the live form of
+# ts_fisher_transform (B122). Like KAMA (I36) the recursion needs
+# the previous day's OUTPUT (v and fisher carries), plus the rolling
+# 10-day midprice channel — O(N) state per key at any stream length;
+# the +-0.999 clamp rides inside the step exactly as in the batch
+# fold, replayed days are idempotently skipped.
+
+_FT_STATE_SCHEMA = "state_json STRING"
+_FT_OUT_SCHEMA = (
+    "series STRING, day_s LONG, value1 DOUBLE, fisher DOUBLE, "
+    "bullish BOOLEAN"
+)
+_FT_CHANNEL = 10
+
+
+def _fisher_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json
+
+    st = (
+        json.loads(state.get[0])
+        if state.exists
+        else {"d": None, "buf": [], "pv": 0.0, "pf": 0.0}
+    )
+    rows = []
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        allpdf = pd.concat(chunks, ignore_index=True).sort_values("day_s")
+        for r in allpdf.itertuples():
+            if st["d"] is not None and r.day_s <= st["d"]:
+                continue  # replayed/duplicate day partial
+            st["d"] = int(r.day_s)
+            st["buf"].append(int(r.mid2))
+            if len(st["buf"]) > _FT_CHANNEL:
+                st["buf"] = st["buf"][-_FT_CHANNEL:]
+            if len(st["buf"]) < _FT_CHANNEL:
+                continue  # channel not yet full: no output (rn < N)
+            hh2, ll2 = max(st["buf"]), min(st["buf"])
+            pos = (
+                (st["buf"][-1] - ll2) / (hh2 - ll2) if hh2 > ll2 else 0.5
+            )
+            v = 0.66 * (pos - 0.5) + 0.67 * st["pv"]
+            v = max(min(v, 0.999), -0.999)
+            import math
+
+            fisher = 0.5 * math.log((1.0 + v) / (1.0 - v)) + 0.5 * st["pf"]
+            st["pv"], st["pf"] = v, fisher
+            rows.append(
+                {
+                    "series": key[0],
+                    "day_s": int(r.day_s),
+                    "value1": v,
+                    "fisher": fisher,
+                    "bullish": fisher > 0,
+                }
+            )
+    state.update((json.dumps(st),))
+    yield pd.DataFrame(
+        rows, columns=["series", "day_s", "value1", "fisher", "bullish"]
+    )
+
+
+def streaming_fisher_transform(daily: DataFrame) -> DataFrame:
+    """Fisher Transform over a stream of daily midprice partials
+    (I43): `daily` needs (series, day_s, mid2) with mid2 = H+L in
+    integer 2x cents; keyed state carries (last day, channel buffer,
+    v/fisher carries) across micro-batches."""
+    return daily.groupBy("series").applyInPandasWithState(
+        _fisher_state_fn,
+        outputStructType=_FT_OUT_SCHEMA,
+        stateStructType=_FT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

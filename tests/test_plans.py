@@ -122,6 +122,7 @@ def test_events_scan_only_needed_columns(spark, sf_small):
 _BNLJ_OK = {
     "dedup_embedding_cosine",
     "ann_knn_graph",
+    "ann_mutual_knn_audit",  # composes on ann_knn_graph's adjudicated build
     "q22_global_sales_opportunity",
     "q11_important_stock",
     "ts_retention_policy",  # single-row broadcast cutoff cross join
@@ -143,6 +144,9 @@ _BNLJ_OK = {
     "text_perplexity_proxy",  # single-row broadcast corpus-token total
     "pipeline_training_corpus",  # same total via the perplexity branch
     "cdc_replication_channel_stats",  # single-row broadcast restart-LSN
+    "cdc_slot_retention_lag",  # single-row broadcast confirmed_flush
+    "text_vocab_concentration",  # single-row broadcast totals (r11 rework)
+    "corpus_temperature_mix",  # 1-row total + 4-row alpha broadcast unfold
     "cdc_relation_versioning",  # 1-row broadcast max-LSN + broadcast
     #   interval join to the metadata-sized version table
     "ts_audience_overlap",  # 10-pair x 32-mask broadcast expansion +

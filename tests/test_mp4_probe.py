@@ -188,3 +188,48 @@ def test_hostile_zero_size_trak_counted_zero_times(spark):
     assert r.is_mp4 is True
     assert r.n_tracks == 0
     assert r.n_boxes == 1
+
+
+# -- hypothesis hostile battery ---------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _walk_reference(payload: bytes) -> dict:
+    """Independent pure-Python reimplementation of the walk contract
+    used ONLY to predict n_boxes/is_mp4 for arbitrary bytes."""
+    import struct as _s
+
+    is_mp4 = len(payload) >= 16 and payload[4:8] == b"ftyp"
+    pos, nbox = 0, 0
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    for _ in range(20):
+        if pos + 8 > len(payload):
+            break
+        (size,) = _s.unpack_from(">I", payload, pos)
+        four = payload[pos + 4 : pos + 8]
+        if size < 8:
+            break
+        nbox += 1
+        pos = pos + 8 if four in containers else pos + size
+    return {"is_mp4": is_mp4, "nbox": nbox}
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_mp4_probe_random_bytes_never_crash(fuzz_spark, payload):
+    """Arbitrary bytes must yield a row (never a task failure), with
+    is_mp4 and the box count matching an independent reference walk."""
+    r = _probe_one(fuzz_spark, payload)
+    want = _walk_reference(payload)
+    assert bool(r.is_mp4) == want["is_mp4"]
+    if want["is_mp4"]:
+        assert r.n_boxes == want["nbox"]
+
+
+@pytest.fixture(scope="module")
+def fuzz_spark():
+    from timescaledb_event_streamer_spark.session import get_spark
+
+    return get_spark("mp4-fuzz")

@@ -1867,3 +1867,140 @@ def ts_fisher_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("fisher"), 6).alias("fisher"),
         (F.col("fisher") > 0).alias("bullish"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D30 dedup_semdedup — embedding-cluster semantic dedup (SemDeDup)
+
+_SDD_TAU = 0.45  # house D5 threshold family; paper uses ~0.95+ on
+#                  real text embeddings — the synthetic corpus's
+#                  cosine mass tops out near 0.51 (see D5)
+_SDD_SEED_MOD = 64
+
+
+@register(
+    "dedup_semdedup",
+    family="dedup",
+    doc="SemDeDup (D30, Abbas et al. 2023, arXiv:2303.09540 — the "
+    "published semantic-dedup recipe FineWeb-class pipelines run "
+    "AFTER MinHash): cluster the embedding space (deterministic "
+    "seeded centroids, vec_id %% 64 == 0 — the E11 oracle-portable "
+    "discipline), then WITHIN each cluster mark cosine >= tau "
+    "pairs and keep, per the paper's rule, the member with the "
+    "LOWEST centroid similarity (keep the outlier, drop the "
+    "redundant core). Greedy pairwise form: v drops iff a tau-"
+    "partner u exists with (cent_sim(u), u) < (cent_sim(v), v) — "
+    "no connected components needed, engine-identical because "
+    "every cosine is rounded to 6dp BEFORE comparison. The scale "
+    "story is the paper's own: pairwise work is bounded within "
+    "clusters (k scales with corpus), never corpus^2; assignment "
+    "is a broadcast-seed scan.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS seed_id, v AS sv FROM e
+            WHERE vec_id % {_SDD_SEED_MOD} = 0
+        ),
+        asg0 AS (
+            SELECT e.vec_id, e.v, s.seed_id,
+                   round(list_cosine_similarity(e.v, s.sv), 6) AS cs,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, s.sv), 6)
+                                DESC, s.seed_id
+                   ) AS rn
+            FROM e CROSS JOIN seeds s
+        ),
+        asg AS (
+            SELECT vec_id, v, seed_id AS cluster_id, cs AS cent_sim
+            FROM asg0 WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT a.vec_id AS ida, b.vec_id AS idb,
+                   a.cent_sim AS ca, b.cent_sim AS cb
+            FROM asg a JOIN asg b
+              ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_SDD_TAU}
+        ),
+        stats AS (
+            SELECT ida AS vec_id,
+                   CAST(count(*) AS BIGINT) AS n_dup_partners,
+                   CAST(sum(CASE WHEN cb < ca
+                                 OR (cb = ca AND idb < ida)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_better
+            FROM pairs GROUP BY ida
+        )
+        SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+               a.cent_sim,
+               coalesce(s.n_dup_partners, 0) AS n_dup_partners,
+               coalesce(s.n_better, 0) = 0 AS kept
+        FROM asg a LEFT JOIN stats s ON s.vec_id = a.vec_id
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.operators.ann import cosine
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = emb.filter(F.col("vec_id") % _SDD_SEED_MOD == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    cs = F.round(cosine(F.col("v"), F.col("sv")), 6)
+    asg0 = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "v",
+        "seed_id",
+        cs.alias("cs"),
+        F.row_number()
+        .over(
+            Window.partitionBy("vec_id").orderBy(
+                cs.desc(), F.col("seed_id")
+            )
+        )
+        .alias("rn"),
+    )
+    asg = asg0.filter(F.col("rn") == 1).select(
+        "vec_id",
+        "v",
+        F.col("seed_id").alias("cluster_id"),
+        F.col("cs").alias("cent_sim"),
+    )
+    a = asg.select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va"),
+        F.col("cluster_id").alias("ca_id"), F.col("cent_sim").alias("ca"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("vb"),
+        F.col("cluster_id").alias("cb_id"), F.col("cent_sim").alias("cb"),
+    )
+    pairs = (
+        a.join(b, (F.col("ca_id") == F.col("cb_id")) & (F.col("ida") != F.col("idb")))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= _SDD_TAU)
+        .select("ida", "idb", "ca", "cb")
+    )
+    stats = pairs.groupBy("ida").agg(
+        F.count(F.lit(1)).alias("n_dup_partners"),
+        F.sum(
+            F.when(
+                (F.col("cb") < F.col("ca"))
+                | ((F.col("cb") == F.col("ca")) & (F.col("idb") < F.col("ida"))),
+                1,
+            ).otherwise(0)
+        ).alias("n_better"),
+    )
+    return (
+        asg.join(stats, asg["vec_id"] == stats["ida"], "left")
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "cent_sim",
+            F.coalesce("n_dup_partners", F.lit(0)).alias("n_dup_partners"),
+            (F.coalesce("n_better", F.lit(0)) == 0).alias("kept"),
+        )
+    )

@@ -78,6 +78,11 @@ REPS = [
     ("corpus_curriculum_order", "two-pass rank + closed-form ntile"),
     ("ts_parabolic_sar", "sequential stop-and-reverse fold (B105-115 rep)"),
     ("media_mp4_probe", "ISO-BMFF box-walk codegen probe"),
+    # r11 late additions: the heaviest new plans
+    ("media_container_router", "5-format sniff+route+probe union"),
+    ("dedup_modality_agreement", "minhash-vs-embedding cross audit"),
+    ("dedup_semdedup", "seeded-cluster semantic dedup"),
+    ("ann_mutual_knn_audit", "kNN symmetry/hubness audit"),
 ]
 
 SECTION = "## sf1 checkpoint (second decade, r8)"

@@ -149,6 +149,36 @@ def main() -> None:
             "the single-file scan serialization documented for the 1-split",
             "watchlist above (both sides single-split, so the ratio is",
             "honest).",
+            "",
+            "r11 rows. The three de-single-partitioned doc-grain ranks",
+            "(`corpus_shard_planner`, `text_vocab_concentration`,",
+            "`corpus_curriculum_order`) hold 1.2-1.7x across the decade.",
+            "The before/after ledger for the F52 rework (one-off A/B of the",
+            "old single-window form vs the two-pass rank, same box):",
+            "sf0.1 0.40s -> 0.91s, sf1 0.39s -> 0.88s — at these SFs both",
+            "forms are FIXED-COST dominated (per-partition scheduling +",
+            "shuffle setup; neither moves across the decade), so the",
+            "two-pass form pays ~0.5s of constant overhead for its two extra",
+            "exchanges. The win is not local latency, it is the plan shape:",
+            "the old form funnels EVERY document through one WindowExec task",
+            "(the warning the gate now forbids — tools/plan_audit.py), which",
+            "at 100 TB is billions of rows through one thread; the two-pass",
+            "form's per-task work stays 1/N at any corpus size. The same",
+            "trade as broadcast-vs-sort-merge: invisible at toy SF,",
+            "decisive at scale. `media_mp4_probe` is the slowest new row",
+            "(linear within noise): ~8 us/row of JVM-side hex walking — a",
+            "20-step bounded fold over ~700 header bytes per payload",
+            "(interpreted Catalyst HOF), embarrassingly parallel, never",
+            "touching sample data; the bound is MP4_MAX_BOXES x header",
+            "bytes regardless of media size, which is the entire point of",
+            "a probe-before-decode posture; `media_container_router` is",
+            "~its superset (five synth+probe pipelines unioned).",
+            "`ts_volume_profile`'s ratio tracks its per-day price histogram",
+            "growing with the 10x per-bucket event density (events keep",
+            "their 30-day span at sf1), not a plan defect — its exchanges",
+            "stay constant. `dedup_semdedup` / `dedup_modality_agreement` /",
+            "`ann_mutual_knn_audit` ride bounded within-cluster / banded /",
+            "k-bounded pair sets per their registration notes.",
         ]
     )
     block = "\n".join(lines) + "\n"

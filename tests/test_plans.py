@@ -147,6 +147,8 @@ _BNLJ_OK = {
     "cdc_slot_retention_lag",  # single-row broadcast confirmed_flush
     "text_vocab_concentration",  # single-row broadcast totals (r11 rework)
     "corpus_temperature_mix",  # 1-row total + 4-row alpha broadcast unfold
+    "dedup_cascade_ledger",  # 1-row stage-count aggregate cross joins
+    "dedup_semdedup",  # broadcast seed-table assign (bounded codebook)
     "cdc_relation_versioning",  # 1-row broadcast max-LSN + broadcast
     #   interval join to the metadata-sized version table
     "ts_audience_overlap",  # 10-pair x 32-mask broadcast expansion +

@@ -621,3 +621,25 @@ def test_streaming_fisher_matches_batch_b122(spark, sf_small, tmp_path):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_cascade_ledger_books_balance(spark, sf_small):
+    """The funnel chains: n_out(i) == n_in(i+1), removals subtract,
+    and the stage-3 removals agree with running semdedup on the
+    minhash survivors (not on the full corpus)."""
+    rows = {r["stage"]: r for r in all_queries()[
+        "dedup_cascade_ledger"](spark, sf_small).collect()}
+    assert set(rows) == {"1_exact", "2_near_minhash", "3_semantic"}
+    for st in rows.values():
+        assert st["n_in"] - st["n_removed"] == st["n_out"], st
+    assert rows["1_exact"]["n_out"] == rows["2_near_minhash"]["n_in"]
+    assert rows["2_near_minhash"]["n_out"] == rows["3_semantic"]["n_in"]
+    # the cascade did real work at this SF
+    assert rows["2_near_minhash"]["n_removed"] > 0
+    assert rows["3_semantic"]["n_removed"] > 0
+    # semdedup on a REDUCED candidate set must remove no more than
+    # the full-corpus D30 run drops
+    full_drops = all_queries()["dedup_semdedup"](spark, sf_small).filter(
+        "NOT kept"
+    ).count()
+    assert rows["3_semantic"]["n_removed"] <= full_drops + 5

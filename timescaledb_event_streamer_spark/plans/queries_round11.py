@@ -2004,3 +2004,460 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_better", F.lit(0)) == 0).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B123 ts_elder_impulse — Elder Impulse System
+
+_EI_EMA = 13
+_EI_WIN = 30  # bounded window for the adjust=true EWMA weights
+
+
+@register(
+    "ts_elder_impulse",
+    family="timeseries",
+    doc="Elder Impulse System (B123, Alexander Elder's public "
+    "composite): bar color = EMA(13) slope direction AND MACD-"
+    "histogram direction — green when both rise (momentum + trend "
+    "agree), red when both fall, blue otherwise. Composes the B83 "
+    "idiom twice: the EMA and both MACD lines are weight-normalized "
+    "bounded-window EWMAs over the SAME shared fold shape (two-arg "
+    "list_transform both engines, identical order), directions "
+    "compare each day's doubles against the previous day's — the "
+    "comparisons are engine-identical because both sides compute "
+    "the same chains; rounded once at the output.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        arrs AS (
+            SELECT series, day_s,
+                   list(cc) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_EI_WIN - 1} PRECEDING
+                            AND CURRENT ROW) AS arr,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM daily
+        ),
+        lines AS (
+            SELECT series, day_s, rn,
+                   list_sum(list_transform(arr,
+                       (v, i) -> v * pow(1.0 - 2.0/{_EI_EMA + 1}.0,
+                                         len(arr) - i))) /
+                   list_sum(list_transform(arr,
+                       (v, i) -> pow(1.0 - 2.0/{_EI_EMA + 1}.0,
+                                     len(arr) - i))) AS ema13,
+                   list_sum(list_transform(arr,
+                       (v, i) -> v * pow(1.0 - 2.0/13.0,
+                                         len(arr) - i))) /
+                   list_sum(list_transform(arr,
+                       (v, i) -> pow(1.0 - 2.0/13.0,
+                                     len(arr) - i)))
+                   - list_sum(list_transform(arr,
+                       (v, i) -> v * pow(1.0 - 2.0/27.0,
+                                         len(arr) - i))) /
+                     list_sum(list_transform(arr,
+                       (v, i) -> pow(1.0 - 2.0/27.0,
+                                     len(arr) - i))) AS macd
+            FROM arrs
+        ),
+        sig AS (
+            SELECT series, day_s, rn, ema13, macd,
+                   list(macd) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN {_EI_WIN - 1} PRECEDING
+                            AND CURRENT ROW) AS marr
+            FROM lines
+        ),
+        hist AS (
+            SELECT series, day_s, rn, ema13,
+                   macd - list_sum(list_transform(marr,
+                       (v, i) -> v * pow(1.0 - 2.0/10.0,
+                                         len(marr) - i))) /
+                   list_sum(list_transform(marr,
+                       (v, i) -> pow(1.0 - 2.0/10.0,
+                                     len(marr) - i))) AS h
+            FROM sig
+        ),
+        d AS (
+            SELECT series, day_s, rn, ema13, h,
+                   lag(ema13) OVER w AS pe,
+                   lag(h) OVER w AS ph
+            FROM hist
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        )
+        SELECT series, day_s,
+               round(ema13 / 100.0, 6) AS ema13,
+               round(h / 100.0, 6) AS histogram,
+               CASE WHEN ema13 > pe AND h > ph THEN 'green'
+                    WHEN ema13 < pe AND h < ph THEN 'red'
+                    ELSE 'blue' END AS impulse
+        FROM d WHERE rn >= 2
+    """,
+)
+def ts_elder_impulse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    wlist = wo.rowsBetween(-(_EI_WIN - 1), 0)
+
+    def ewma(arr_col, span):
+        decay = 1.0 - 2.0 / (span + 1)
+        n = F.size(arr_col)
+        w_arr = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.pow(F.lit(decay), (n - i).cast("double")),
+        )
+        num = F.aggregate(
+            F.zip_with(
+                arr_col.cast("array<double>"), w_arr, lambda v, w_: v * w_
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        den = F.aggregate(w_arr, F.lit(0.0), lambda acc, v: acc + v)
+        return num / den
+
+    arrs = daily.select(
+        "series",
+        "day_s",
+        F.collect_list("cc").over(wlist).alias("arr"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    lines = arrs.select(
+        "series",
+        "day_s",
+        "rn",
+        ewma(F.col("arr"), _EI_EMA).alias("ema13"),
+        (ewma(F.col("arr"), 12) - ewma(F.col("arr"), 26)).alias("macd"),
+    )
+    sig = lines.select(
+        "series",
+        "day_s",
+        "rn",
+        "ema13",
+        "macd",
+        F.collect_list("macd").over(wlist).alias("marr"),
+    )
+    hist = sig.select(
+        "series",
+        "day_s",
+        "rn",
+        "ema13",
+        (F.col("macd") - ewma(F.col("marr"), 9)).alias("h"),
+    )
+    d = hist.select(
+        "series",
+        "day_s",
+        "rn",
+        "ema13",
+        "h",
+        F.lag("ema13").over(wo).alias("pe"),
+        F.lag("h").over(wo).alias("ph"),
+    )
+    rising = (F.col("ema13") > F.col("pe")) & (F.col("h") > F.col("ph"))
+    falling = (F.col("ema13") < F.col("pe")) & (F.col("h") < F.col("ph"))
+    return d.filter(F.col("rn") >= 2).select(
+        "series",
+        "day_s",
+        F.round(F.col("ema13") / 100.0, 6).alias("ema13"),
+        F.round(F.col("h") / 100.0, 6).alias("histogram"),
+        F.when(rising, "green").when(falling, "red").otherwise("blue").alias(
+            "impulse"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D31 dedup_cascade_ledger — the staged dedup funnel
+
+def _cascade_oracle() -> str:
+    """Composes the D12 md5-MinHash CTE and the D30 SemDeDup CTEs
+    with survivor chaining: each stage's candidates are the previous
+    stage's survivors, exactly as a production cascade runs."""
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _A,
+        _B,
+        _MERSENNE,
+    )
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    mins = ",\n               ".join(
+        f"min((h * {_A[i]} + {_B[i]}) % {_MERSENNE}) AS mh{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    band_conds = "\n               OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh{bi * rows + ri} = b.mh{bi * rows + ri}"
+            for ri in range(rows)
+        )
+        + ")"
+        for bi in range(MINHASH_BANDS)
+    )
+    eqsum = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_PERMS)
+    )
+    return f"""
+        WITH exact_sur AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        ),
+        t AS (
+            SELECT d.doc_id, string_split(d.text, ' ') AS toks
+            FROM documents d JOIN exact_sur e ON e.doc_id = d.doc_id
+            WHERE len(string_split(d.text, ' ')) >= 5
+        ),
+        s0 AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks FROM t),
+        sh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(array_to_string(toks[i + 1 : i + 5], ' ')), 1, 15))::BIGINT
+                       % {_MERSENNE} AS h
+            FROM s0
+        ),
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        mh_removed AS (
+            SELECT DISTINCT b.doc_id
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE ({band_conds})
+              AND ({eqsum}) / {MINHASH_PERMS}.0 >= 0.5
+        ),
+        mh_sur AS (
+            SELECT e.doc_id FROM exact_sur e
+            LEFT JOIN mh_removed r ON r.doc_id = e.doc_id
+            WHERE r.doc_id IS NULL
+        ),
+        ev AS (
+            SELECT m.doc_id AS vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+            FROM mh_sur m JOIN embeddings e ON e.vec_id = m.doc_id
+        ),
+        seeds AS (
+            SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv
+            FROM embeddings WHERE vec_id % {_SDD_SEED_MOD} = 0
+        ),
+        asg0 AS (
+            SELECT ev.vec_id, ev.v, s.seed_id,
+                   round(list_cosine_similarity(ev.v, s.sv), 6) AS cs,
+                   row_number() OVER (
+                       PARTITION BY ev.vec_id
+                       ORDER BY round(list_cosine_similarity(ev.v, s.sv), 6)
+                                DESC, s.seed_id
+                   ) AS rn
+            FROM ev CROSS JOIN seeds s
+        ),
+        asg AS (
+            SELECT vec_id, v, seed_id AS cid, cs FROM asg0 WHERE rn = 1
+        ),
+        sem_removed AS (
+            SELECT DISTINCT a.vec_id AS doc_id
+            FROM asg a JOIN asg b
+              ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_SDD_TAU}
+              AND (b.cs < a.cs OR (b.cs = a.cs AND b.vec_id < a.vec_id))
+        ),
+        n AS (
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(*) FROM exact_sur) AS n_exact,
+                   (SELECT count(*) FROM mh_removed) AS n_mh_rm,
+                   (SELECT count(*) FROM sem_removed) AS n_sem_rm
+        )
+        SELECT '1_exact' AS stage,
+               CAST(n_docs AS BIGINT) AS n_in,
+               CAST(n_docs - n_exact AS BIGINT) AS n_removed,
+               CAST(n_exact AS BIGINT) AS n_out
+        FROM n
+        UNION ALL
+        SELECT '2_near_minhash', CAST(n_exact AS BIGINT),
+               CAST(n_mh_rm AS BIGINT),
+               CAST(n_exact - n_mh_rm AS BIGINT)
+        FROM n
+        UNION ALL
+        SELECT '3_semantic', CAST(n_exact - n_mh_rm AS BIGINT),
+               CAST(n_sem_rm AS BIGINT),
+               CAST(n_exact - n_mh_rm - n_sem_rm AS BIGINT)
+        FROM n
+    """
+
+
+@register(
+    "dedup_cascade_ledger",
+    family="dedup",
+    doc="Staged dedup funnel ledger (D31) — the D-family capstone, "
+    "the cascade a production corpus actually runs, in order: "
+    "exact text dedup (hash-groupBy, D1), MinHash near-dup on the "
+    "exact survivors (D12's md5-portable banded pipeline at the "
+    "0.5 threshold, greedy keep-min-id), then SemDeDup on the "
+    "near-dup survivors (D30's seeded clusters + keep-the-outlier "
+    "at tau). Each stage consumes ONLY the previous stage's "
+    "survivors — removal counts chain, so n_out(i) == n_in(i+1) by "
+    "construction (pinned in pytest). Output is the 3-row "
+    "stage-grain ledger (n_in / n_removed / n_out); every stage's "
+    "pair generation stays banded or cluster-bounded, and the "
+    "ledger rows are 1-row aggregate cross joins (bounded "
+    "broadcast).",
+    oracle=_cascade_oracle(),
+)
+def dedup_cascade_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.operators.ann import cosine
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _MERSENNE,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    exact_sur = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    md5_base = lambda s: (  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % _MERSENNE
+    )
+    mh_docs = (
+        docs.join(exact_sur.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.size(F.split(F.col("text"), " ")) >= 5)
+    )
+    sig = minhash_signatures(mh_docs, base_hash=md5_base).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("b"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows + ri].cast("string")
+                                    for ri in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.b", "bb.bucket")
+    a = banded.select(
+        F.col("doc_id").alias("ida"), F.col("sig").alias("sa"), "b", "bucket"
+    )
+    bside = banded.select(
+        F.col("doc_id").alias("idb"), F.col("sig").alias("sb"), "b", "bucket"
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sa"), F.col("sb"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    mh_removed = (
+        a.join(bside, ["b", "bucket"])
+        .filter(F.col("ida") < F.col("idb"))
+        .dropDuplicates(["ida", "idb"])
+        .filter(agree / float(MINHASH_PERMS) >= 0.5)
+        .select(F.col("idb").alias("doc_id"))
+        .distinct()
+    )
+    mh_sur = exact_sur.select("doc_id").join(mh_removed, "doc_id", "left_anti")
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ev = mh_sur.join(emb, mh_sur["doc_id"] == emb["vec_id"]).select(
+        "vec_id", "v"
+    )
+    seeds = emb.filter(F.col("vec_id") % _SDD_SEED_MOD == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    cs = F.round(cosine(F.col("v"), F.col("sv")), 6)
+    asg = (
+        ev.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "v",
+            "seed_id",
+            cs.alias("cs"),
+            F.row_number()
+            .over(
+                Window.partitionBy("vec_id").orderBy(
+                    cs.desc(), F.col("seed_id")
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("seed_id").alias("cid"), "cs")
+    )
+    pa = asg.select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va"),
+        F.col("cid").alias("ca_id"), F.col("cs").alias("ca"),
+    )
+    pb = asg.select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("vb"),
+        F.col("cid").alias("cb_id"), F.col("cs").alias("cb"),
+    )
+    sem_removed = (
+        pa.join(
+            pb,
+            (F.col("ca_id") == F.col("cb_id")) & (F.col("ida") != F.col("idb")),
+        )
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= _SDD_TAU)
+        .filter(
+            (F.col("cb") < F.col("ca"))
+            | ((F.col("cb") == F.col("ca")) & (F.col("idb") < F.col("ida")))
+        )
+        .select(F.col("ida").alias("doc_id"))
+        .distinct()
+    )
+
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_exact = exact_sur.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_mh = mh_removed.agg(F.count(F.lit(1)).alias("n_mh_rm"))
+    n_sem = sem_removed.agg(F.count(F.lit(1)).alias("n_sem_rm"))
+    n = (
+        n_docs.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_mh))
+        .crossJoin(F.broadcast(n_sem))
+    )
+    r1 = n.select(
+        F.lit("1_exact").alias("stage"),
+        F.col("n_docs").alias("n_in"),
+        (F.col("n_docs") - F.col("n_exact")).alias("n_removed"),
+        F.col("n_exact").alias("n_out"),
+    )
+    r2 = n.select(
+        F.lit("2_near_minhash").alias("stage"),
+        F.col("n_exact").alias("n_in"),
+        F.col("n_mh_rm").alias("n_removed"),
+        (F.col("n_exact") - F.col("n_mh_rm")).alias("n_out"),
+    )
+    r3 = n.select(
+        F.lit("3_semantic").alias("stage"),
+        (F.col("n_exact") - F.col("n_mh_rm")).alias("n_in"),
+        F.col("n_sem_rm").alias("n_removed"),
+        (F.col("n_exact") - F.col("n_mh_rm") - F.col("n_sem_rm")).alias(
+            "n_out"
+        ),
+    )
+    return r1.unionByName(r2).unionByName(r3)

@@ -643,3 +643,41 @@ def test_cascade_ledger_books_balance(spark, sf_small):
         "NOT kept"
     ).count()
     assert rows["3_semantic"]["n_removed"] <= full_drops + 5
+
+
+def test_mp3_probe_golden_and_hostile(spark):
+    """Golden struct-packed MP3 built independently of the
+    synthesizer, plus sync/table hostile cases."""
+    from timescaledb_event_streamer_spark.operators.mp3_probe import (
+        parse_mp3_headers,
+    )
+
+    def probe(payload: bytes):
+        df = spark.createDataFrame(
+            [(1, payload)], "media_id long, payload binary"
+        )
+        return parse_mp3_headers(df).collect()[0]
+
+    # golden: tag size 130 = syncsafe [0,0,1,2]; bitrate index 11 =
+    # 192kbps per the public V1L3 table, 44100, padding 1
+    tag = b"ID3\x03\x00\x00" + bytes([0, 0, 1, 2]) + b"\x00" * 130
+    frame = bytes([0xFF, 0xFB, (11 << 4) | (0 << 2) | 2, 0x00])
+    r = probe(tag + frame + b"\x00" * 8)
+    assert r.is_mp3 and r.tag_bytes == 130
+    assert (r.mpeg_version, r.layer) == (1, 3)
+    assert (r.bitrate_kbps, r.sample_rate) == (192, 44100)
+    assert r.frame_bytes == 144000 * 192 // 44100 + 1
+
+    # hostile: broken sync -> version/layer/bitrate null
+    bad = tag + bytes([0x12, 0x34, 0xA2, 0x00]) + b"\x00" * 8
+    rb = probe(bad)
+    assert rb.is_mp3 and rb.mpeg_version is None and rb.bitrate_kbps is None
+
+    # hostile: reserved bitrate index 15 -> rate fields null, sync ok
+    res = tag + bytes([0xFF, 0xFB, (15 << 4) | 2, 0x00]) + b"\x00" * 8
+    rr = probe(res)
+    assert rr.layer == 3 and rr.bitrate_kbps is None
+
+    # not mp3 at all
+    rn = probe(b"\x89PNG" + b"\x00" * 30)
+    assert rn.is_mp3 is False and rn.tag_bytes is None

@@ -1,0 +1,133 @@
+"""MP3 / ID3v2 decoder-free probe (G20).
+
+The audio sibling of the MP4 box walk (mp4_probe.py): route a media
+lake's MP3 column by tag size, MPEG version/layer, bitrate and
+sample rate WITHOUT any audio decode. Layouts are public
+(id3.org ID3v2.3 spec; the MPEG-1 audio frame header):
+
+- ID3v2 header: 'ID3' + version(2) + flags(1) + size(4) where size
+  is a SYNCSAFE 28-bit integer (high bit of every byte clear) so tag
+  bytes can never alias a frame sync.
+- MPEG frame header (4 bytes, after the tag): 11 sync bits, then
+  version (2b), layer (2b), protection (1b) / bitrate index (4b),
+  sample-rate index (2b), padding (1b), ... — bitrate/sample-rate
+  resolve through fixed public tables; frame length =
+  144 * bitrate / sample_rate + padding for Layer III.
+
+Everything is fixed-offset hex reads + literal-array lookups — no
+bounded fold even needed (the ID3 size field tells us exactly where
+the frame header sits), so unlike the MP4 walk this probe stays
+inside whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.operators.multimodal import _hbe
+
+__all__ = ["synthesize_mp3_headers", "parse_mp3_headers"]
+
+#: MPEG-1 Layer III bitrate table (kbps); header index 1-14
+BITRATES_V1L3 = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+#: MPEG-1 sample-rate table; header index 0-2 (3 reserved)
+SAMPLE_RATES_V1 = (44100, 48000, 32000)
+
+
+def _syncsafe_hex(n):
+    """28-bit value -> 4 syncsafe bytes (7 bits each, high bit 0)."""
+    b0 = (n / (1 << 21)).cast("long") % 128
+    b1 = (n / (1 << 14)).cast("long") % 128
+    b2 = (n / (1 << 7)).cast("long") % 128
+    b3 = n % 128
+    return F.concat(_hbe(b0, 1), _hbe(b1, 1), _hbe(b2, 1), _hbe(b3, 1))
+
+
+def synthesize_mp3_headers(events: DataFrame) -> DataFrame:
+    """Deterministic MP3 payloads: ID3v2.3 header + tag padding of a
+    per-row syncsafe size, then one valid MPEG-1 Layer III frame
+    header (bitrate/sample-rate/padding varying per row) and a few
+    placeholder audio bytes. Only (media_id, payload) survive."""
+    n_shuffle = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    events = events.repartition(n_shuffle)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    tag_sz = eid % 200 + 10
+    br_idx = (eid % 14 + 1).cast("int")
+    sr_idx = (uid % 3).cast("int")
+    pad = (eid % 2).cast("int")
+    id3 = F.concat(
+        F.lit("494433"),      # 'ID3'
+        F.lit("0300"),        # v2.3.0
+        F.lit("00"),          # flags
+        _syncsafe_hex(tag_sz),
+        F.repeat(F.lit("00"), tag_sz.cast("int")),
+    )
+    # frame header: FF FB = sync + MPEG1 + Layer III + no CRC; then
+    # bitrate(4) + samplerate(2) + padding(1) + private(1); then
+    # mode/extension byte
+    b2 = br_idx * 16 + sr_idx * 4 + pad * 2
+    frame = F.concat(F.lit("FFFB"), _hbe(b2, 1), F.lit("00"))
+    return events.select(
+        eid.alias("media_id"),
+        F.unhex(F.concat(id3, frame, F.lit("00" * 8))).alias("payload"),
+    )
+
+
+def parse_mp3_headers(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Fixed-offset probe: syncsafe tag size -> frame header at
+    10 + size -> table lookups. Invalid sync / reserved table
+    indices yield null fields (never a crash); only MPEG-1 Layer III
+    (the ubiquitous case) resolves bitrate — other version/layer
+    combinations report version/layer with null rate fields."""
+    media = media.select("media_id", F.hex(F.col(payload_col)).alias("_h"))
+    h = F.col("_h")
+    byte = lambda i: F.conv(h.substr(i, F.lit(2)), 16, 10).cast("long")  # noqa: E731
+    is_mp3 = (F.length(h) >= 20) & (h.substr(F.lit(1), F.lit(6)) == "494433")
+    tag_sz = (
+        byte(F.lit(13)) * (1 << 21)
+        + byte(F.lit(15)) * (1 << 14)
+        + byte(F.lit(17)) * (1 << 7)
+        + byte(F.lit(19))
+    )
+    fh = tag_sz * 2 + 21  # 1-indexed hex pos of the frame header
+    hdr0 = byte(fh)
+    hdr1 = byte(fh + 2)
+    hdr2 = byte(fh + 4)
+    sync_ok = (hdr0 == 255) & ((hdr1 / 32).cast("long") % 8 == 7)
+    version_bits = (hdr1 / 8).cast("long") % 4   # 3 = MPEG-1
+    layer_bits = (hdr1 / 2).cast("long") % 4     # 1 = Layer III
+    br_idx = (hdr2 / 16).cast("long")
+    sr_idx = (hdr2 / 4).cast("long") % 4
+    pad = (hdr2 / 2).cast("long") % 2
+    is_v1l3 = sync_ok & (version_bits == 3) & (layer_bits == 1)
+    valid_tables = is_v1l3 & br_idx.between(1, 14) & (sr_idx <= 2)
+    bitrate = F.element_at(
+        F.array(*[F.lit(b) for b in BITRATES_V1L3]), br_idx.cast("int")
+    ).cast("long")
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in SAMPLE_RATES_V1]), (sr_idx + 1).cast("int")
+    ).cast("long")
+    frame_bytes = (
+        (144000 * bitrate - F.pmod(144000 * bitrate, rate)) / rate
+    ).cast("long") + pad
+    g = lambda c: F.when(is_mp3, c)  # noqa: E731
+    gv = lambda c: F.when(is_mp3 & valid_tables, c)  # noqa: E731
+    return media.select(
+        "media_id",
+        is_mp3.alias("is_mp3"),
+        g(tag_sz).alias("tag_bytes"),
+        g(
+            F.when(sync_ok & (version_bits == 3), 1)
+            .when(sync_ok & (version_bits == 2), 2)
+            .when(sync_ok & (version_bits == 0), 25)  # MPEG-2.5 x10
+        ).cast("int").alias("mpeg_version"),
+        g(
+            F.when(sync_ok & (layer_bits == 1), 3)
+            .when(sync_ok & (layer_bits == 2), 2)
+            .when(sync_ok & (layer_bits == 3), 1)
+        ).cast("int").alias("layer"),
+        gv(bitrate).alias("bitrate_kbps"),
+        gv(rate).alias("sample_rate"),
+        gv(frame_bytes).alias("frame_bytes"),
+    )

@@ -2461,3 +2461,59 @@ def dedup_cascade_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return r1.unionByName(r2).unionByName(r3)
+
+
+# ---------------------------------------------------------------------------
+# G20 media_mp3_probe — ID3v2 + MPEG frame-header probe
+
+#: MPEG-1 Layer III bitrate table (kbps), index 1-14 (0/15 invalid)
+_MP3_BITRATES = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)  # sample-rate index 0/1/2
+
+
+@register(
+    "media_mp3_probe",
+    family="multimodal",
+    doc="Decoder-free MP3 probe (G20): ID3v2 tag size via the "
+    "SYNCSAFE 28-bit integer (4 bytes, high bit of each clear — the "
+    "public id3.org layout), hop the tag, validate the MPEG frame "
+    "sync (11 set bits) and read version/layer/bitrate/sample-rate "
+    "from the first audio frame header with the public MPEG-1 "
+    "Layer III tables — bitrate and frame length at projection "
+    "cost, entropy-coded audio data untouched (decode stays "
+    "ffmpeg-gated, the G18 posture). frame_bytes uses the standard "
+    "144*bitrate/samplerate+padding formula on exact integers. "
+    "Synthesis varies tag size / bitrate / rate / padding per row "
+    "and exposes only bytes; the oracle re-derives every field "
+    "from generating columns (G5 adjudication).",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_id, user_id,
+                   event_id % 200 + 10 AS tag_sz,
+                   event_id % 14 + 1 AS br_idx,
+                   user_id % 3 AS sr_idx,
+                   event_id % 2 AS pad
+            FROM events
+        )
+        SELECT event_id AS media_id,
+               TRUE AS is_mp3,
+               CAST(tag_sz AS BIGINT) AS tag_bytes,
+               1 AS mpeg_version,
+               3 AS layer,
+               CAST(CASE br_idx {' '.join(f'WHEN {i + 1} THEN {b}' for i, b in enumerate(_MP3_BITRATES))} END AS BIGINT) AS bitrate_kbps,
+               CAST(CASE sr_idx {' '.join(f'WHEN {i} THEN {r}' for i, r in enumerate(_MP3_RATES))} END AS BIGINT) AS sample_rate,
+               CAST(144000 * (CASE br_idx {' '.join(f'WHEN {i + 1} THEN {b}' for i, b in enumerate(_MP3_BITRATES))} END)
+                    // (CASE sr_idx {' '.join(f'WHEN {i} THEN {r}' for i, r in enumerate(_MP3_RATES))} END)
+                    + pad AS BIGINT) AS frame_bytes
+        FROM g
+    """,
+)
+def media_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.mp3_probe import (
+        parse_mp3_headers,
+        synthesize_mp3_headers,
+    )
+
+    return parse_mp3_headers(
+        synthesize_mp3_headers(load(spark, sf_dir, "events"))
+    )

@@ -1365,9 +1365,15 @@ def media_container_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(synthesize_jpeg_headers(ev.filter(rid == 3)))
         .unionByName(synthesize_mp4_headers(ev.filter(rid == 4)))
     )
+    from pyspark import StorageLevel
+
+    # three probe branches filter this frame; persist or each branch
+    # re-runs every synthesizer (3x the pipeline). In production the
+    # mixed bytes are a parquet column and each branch is a
+    # pushed-filter scan — the persist replaces exactly that reuse.
     sniffed = mixed.select(
         "media_id", "payload", sniff_format(F.col("payload")).alias("c")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     out_cols = ["media_id", "container", "width", "height", "duration_ms", "codec"]
 
     fixed = parse_media_headers(
@@ -1965,11 +1971,21 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rn"),
     )
-    asg = asg0.filter(F.col("rn") == 1).select(
-        "vec_id",
-        "v",
-        F.col("seed_id").alias("cluster_id"),
-        F.col("cs").alias("cent_sim"),
+    from pyspark import StorageLevel
+
+    # vector-grain (one row per vec) and referenced by BOTH pair
+    # sides + the final join: persist or the broadcast-seed scan +
+    # assignment window re-executes three times (measured 49x on the
+    # sf1 step before this pin)
+    asg = (
+        asg0.filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "v",
+            F.col("seed_id").alias("cluster_id"),
+            F.col("cs").alias("cent_sim"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = asg.select(
         F.col("vec_id").alias("ida"), F.col("v").alias("va"),
@@ -2408,6 +2424,7 @@ def dedup_cascade_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", F.col("seed_id").alias("cid"), "cs")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pa = asg.select(
         F.col("vec_id").alias("ida"), F.col("v").alias("va"),

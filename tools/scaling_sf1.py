@@ -82,7 +82,10 @@ REPS = [
     ("media_container_router", "5-format sniff+route+probe union"),
     ("dedup_modality_agreement", "minhash-vs-embedding cross audit"),
     ("dedup_semdedup", "seeded-cluster semantic dedup"),
-    ("ann_mutual_knn_audit", "kNN symmetry/hubness audit"),
+    # ann_mutual_knn_audit is NOT here: it composes on E5's exact
+    # pairwise build (quadratic at toy SF by construction; the scale
+    # path is the banded-LSH candidate swap, the same adjudication
+    # that keeps E5 itself out of this list)
 ]
 
 SECTION = "## sf1 checkpoint (second decade, r8)"
@@ -176,9 +179,21 @@ def main() -> None:
             "`ts_volume_profile`'s ratio tracks its per-day price histogram",
             "growing with the 10x per-bucket event density (events keep",
             "their 30-day span at sf1), not a plan defect — its exchanges",
-            "stay constant. `dedup_semdedup` / `dedup_modality_agreement` /",
-            "`ann_mutual_knn_audit` ride bounded within-cluster / banded /",
-            "k-bounded pair sets per their registration notes.",
+            "stay constant. `dedup_modality_agreement` rides the banded",
+            "candidate set (2.7x). `dedup_semdedup` is the one above-linear",
+            "r11 row: its within-cluster pair mass grows with DUPLICATE",
+            "density (sf1 plants ~10 near-copies per original and they all",
+            "assign to the same centroid — finding them is the operator's",
+            "job), so pairs grow ~5x on top of the 10x scan; the fix that",
+            "matters is structural and landed with the row — the",
+            "vector-grain assignment frame is persisted, or the",
+            "broadcast-seed scan re-executes under BOTH self-join sides",
+            "(measured 49x before the pin, 15.4x after; the paper's own",
+            "remedy for pair mass, seeds proportional to N, is this",
+            "operator's seed rule already). ann_mutual_knn_audit is NOT",
+            "tabled: it composes on E5's exact pairwise build, quadratic at",
+            "toy SF by construction — the scale path is the banded-LSH",
+            "candidate swap (the standing E5 adjudication).",
         ]
     )
     block = "\n".join(lines) + "\n"

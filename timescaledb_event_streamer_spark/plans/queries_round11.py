@@ -2534,3 +2534,104 @@ def media_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_mp3_headers(
         synthesize_mp3_headers(load(spark, sf_dir, "events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# B124 ts_choppiness — Choppiness Index
+
+_CHOP_N = 14
+
+
+@register(
+    "ts_choppiness",
+    family="timeseries",
+    doc="Choppiness Index (B124, E.W. Dreiss' public formulation): "
+    "100 * log10(sum_TR(n) / (maxHigh - minLow)) / log10(n) over a "
+    "14-day window — near 100 the market churns inside a static "
+    "range (sum of true ranges dwarfs the net range), near 0 it "
+    "trends. Exact integers feed ONE log-ratio: the TR sum (B82's "
+    "integer true range) and the window's high/low extremes are "
+    "BIGINTs, so both engines evaluate log10 on identical "
+    "arguments; flat windows (zero net range) yield NULL. Day-grain "
+    "per-series windows, rows once the window is full.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        tr AS (
+            SELECT series, day_s, hc, lc,
+                   greatest(
+                       hc - lc,
+                       abs(hc - lag(cc) OVER w),
+                       abs(lc - lag(cc) OVER w)
+                   ) AS tr_c,
+                   row_number() OVER w AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        ),
+        s AS (
+            SELECT series, day_s, rn,
+                   CAST(sum(tr_c) OVER v AS BIGINT) AS str_c,
+                   CAST(max(hc) OVER v AS BIGINT) AS hh,
+                   CAST(min(lc) OVER v AS BIGINT) AS ll
+            FROM tr WHERE rn >= 2
+            WINDOW v AS (PARTITION BY series ORDER BY day_s
+                         ROWS BETWEEN {_CHOP_N - 1} PRECEDING
+                              AND CURRENT ROW)
+        )
+        SELECT series, day_s, str_c AS tr_sum_cents,
+               hh - ll AS range_cents,
+               CASE WHEN hh > ll THEN
+                   round(100.0 * log10(CAST(str_c AS DOUBLE) / (hh - ll))
+                         / log10({_CHOP_N}.0), 6)
+               END AS choppiness
+        FROM s WHERE rn >= {_CHOP_N + 1}
+    """,
+)
+def ts_choppiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    prev_c = F.lag("cc").over(wo)
+    tr = daily.select(
+        "series",
+        "day_s",
+        "hc",
+        "lc",
+        F.greatest(
+            F.col("hc") - F.col("lc"),
+            F.abs(F.col("hc") - prev_c),
+            F.abs(F.col("lc") - prev_c),
+        ).alias("tr_c"),
+        F.row_number().over(wo).alias("rn"),
+    ).filter(F.col("rn") >= 2)
+    wv = wo.rowsBetween(-(_CHOP_N - 1), 0)
+    s = tr.select(
+        "series",
+        "day_s",
+        "rn",
+        F.sum("tr_c").over(wv).alias("str_c"),
+        F.max("hc").over(wv).alias("hh"),
+        F.min("lc").over(wv).alias("ll"),
+    )
+    rng = F.col("hh") - F.col("ll")
+    import math
+
+    return s.filter(F.col("rn") >= _CHOP_N + 1).select(
+        "series",
+        "day_s",
+        F.col("str_c").alias("tr_sum_cents"),
+        rng.alias("range_cents"),
+        F.when(
+            rng > 0,
+            F.round(
+                100.0
+                * F.log10(F.col("str_c").cast("double") / rng)
+                / math.log10(_CHOP_N),
+                6,
+            ),
+        ).alias("choppiness"),
+    )

@@ -681,3 +681,63 @@ def test_mp3_probe_golden_and_hostile(spark):
     # not mp3 at all
     rn = probe(b"\x89PNG" + b"\x00" * 30)
     assert rn.is_mp3 is False and rn.tag_bytes is None
+
+
+def test_webm_probe_golden_and_hostile(spark):
+    """Golden EBML bytes built independently with a pure-Python vint
+    encoder, plus hostile vint/truncation cases."""
+    from timescaledb_event_streamer_spark.operators.ebml_probe import (
+        parse_ebml_headers,
+    )
+
+    def vint(n: int, length: int) -> bytes:
+        return (n | (1 << (7 * length))).to_bytes(length, "big")
+
+    def el(eid: bytes, body: bytes, slen: int = 1) -> bytes:
+        return eid + vint(len(body), slen) + body
+
+    def probe(payload: bytes):
+        df = spark.createDataFrame(
+            [(1, payload)], "media_id long, payload binary"
+        )
+        return parse_ebml_headers(df).collect()[0]
+
+    header = el(
+        bytes.fromhex("1A45DFA3"),
+        el(bytes.fromhex("4286"), b"\x01") + el(bytes.fromhex("4282"), b"webm"),
+    )
+    video = el(
+        b"\xae",
+        el(b"\x83", b"\x01")
+        + el(b"\x86", b"V_VP9")
+        + el(
+            b"\xe0",
+            el(b"\xb0", (1920).to_bytes(2, "big"))
+            + el(b"\xba", (1080).to_bytes(2, "big")),
+        ),
+    )
+    info = el(
+        bytes.fromhex("1549A966"),
+        el(bytes.fromhex("2AD7B1"), (1_000_000).to_bytes(3, "big")),
+    )
+    tracks = el(bytes.fromhex("1654AE6B"), video)
+    # 3-byte Segment size vint: deeper than anything synthesized
+    segment = el(bytes.fromhex("18538067"), info + tracks, slen=3)
+    r = probe(header + segment)
+    assert r.is_ebml and r.doc_type == "webm"
+    assert r.timecode_scale == 1_000_000
+    assert (r.n_tracks, r.video_codec) == (1, "V_VP9")
+    assert (r.width, r.height) == (1920, 1080)
+
+    # hostile: zero first byte = invalid vint -> clean stop
+    r0 = probe(bytes.fromhex("1A45DFA3") + b"\x84" + b"\x00" * 8)
+    assert r0.is_ebml is True and r0.doc_type is None
+
+    # truncated mid-element
+    full = header + segment
+    rt = probe(full[:20])
+    assert rt.is_ebml is True
+
+    # not EBML at all
+    rn = probe(b"RIFF" + b"\x00" * 20)
+    assert rn.is_ebml is False and rn.n_elements is None

@@ -2635,3 +2635,54 @@ def ts_choppiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("choppiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G21 media_webm_probe — EBML/Matroska vint walk
+
+
+@register(
+    "media_webm_probe",
+    family="multimodal",
+    doc="Decoder-free WebM/Matroska probe (G21, operators/"
+    "ebml_probe.py): the SECOND major video container after G18's "
+    "ISO-BMFF — EBML (RFC 8794) frames every element with "
+    "VARIABLE-LENGTH integers, so each walk step decodes an ID "
+    "vint (1-4 bytes, leading-one length) and a size vint (1-8 "
+    "bytes, value = parsed - 2^(7L)) before entering masters / "
+    "skipping leaves; DocType, TimecodeScale, per-track type + "
+    "CodecID (V_VP8/V_VP9/A_OPUS) and pixel geometry come out at "
+    "projection cost with Cluster data untouched. Synthesis varies "
+    "doctype/timescale/track count per row and encodes the Segment "
+    "size as a 2-BYTE vint so multi-byte vint decoding is "
+    "exercised, not just 0x80|n; the oracle re-derives every field "
+    "from generating columns (G5 adjudication).",
+    oracle="""
+        SELECT event_id AS media_id,
+               TRUE AS is_ebml,
+               CASE WHEN event_id % 2 = 0 THEN 'webm'
+                    ELSE 'matroska' END AS doc_type,
+               CAST(CASE user_id % 3 WHEN 0 THEN 1000000
+                    WHEN 1 THEN 500000 ELSE 2000000 END AS BIGINT)
+                   AS timecode_scale,
+               CAST(event_id % 2 + 1 AS BIGINT) AS n_tracks,
+               CASE WHEN event_id % 2 = 0 THEN 'V_VP8'
+                    ELSE 'V_VP9' END AS video_codec,
+               CASE WHEN event_id % 2 = 1 THEN 'A_OPUS' END
+                   AS audio_codec,
+               CAST(user_id % 1920 + 16 AS BIGINT) AS width,
+               CAST(event_id % 1080 + 16 AS BIGINT) AS height,
+               CAST(CASE WHEN event_id % 2 = 0 THEN 13 ELSE 17 END
+                   AS BIGINT) AS n_elements
+        FROM events
+    """,
+)
+def media_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.ebml_probe import (
+        parse_ebml_headers,
+        synthesize_ebml_headers,
+    )
+
+    return parse_ebml_headers(
+        synthesize_ebml_headers(load(spark, sf_dir, "events"))
+    )

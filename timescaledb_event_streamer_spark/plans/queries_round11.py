@@ -1284,12 +1284,14 @@ def ann_mutual_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_container_router",
     family="multimodal",
     doc="Mixed-media routing (G19) — the integration shape the whole "
-    "G family exists for: ONE binary column carrying five container "
-    "formats (PNG / WAV / GIF / JPEG / MP4, disjoint residue "
-    "classes), sniffed by magic bytes (sniff_format, pure codegen), "
-    "routed to the MATCHING prober — fixed-offset header reads for "
-    "PNG/WAV/GIF (G4), the segment walk for JPEG (G5), the box walk "
-    "for MP4 (G18) — and emitted as one unified media-grain row "
+    "G family exists for: ONE binary column carrying SEVEN container "
+    "formats (PNG / WAV / GIF / JPEG / MP4 / MP3 / WebM, disjoint "
+    "residue classes), sniffed by magic bytes (sniff_format, pure "
+    "codegen), routed to the MATCHING prober — fixed-offset header "
+    "reads for PNG/WAV/GIF (G4), the segment walk for JPEG (G5), "
+    "the box walk for MP4 (G18), the syncsafe/frame-table reads for "
+    "MP3 (G20), the EBML vint walk for WebM (G21) — and emitted as "
+    "one unified media-grain row "
     "(container, width/height, duration_ms, codec). At 100 TB this "
     "is the scan that partitions a heterogeneous lake into decode "
     "fleets at projection cost; each prober touches only its own "
@@ -1298,7 +1300,7 @@ def ann_mutual_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "class, so a sniff OR probe bug cannot cancel out.",
     oracle="""
         WITH src AS (
-            SELECT event_id, user_id, event_id % 5 AS route,
+            SELECT event_id, user_id, event_id % 7 AS route,
                    event_id % 3 AS fmt,
                    user_id % 2048 + 16 AS png_w,
                    CAST(floor(event_id / 3) AS BIGINT) % 2048 + 16 AS png_h,
@@ -1322,15 +1324,22 @@ def ann_mutual_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN route <= 2 THEN
                         CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
                              ELSE 'gif' END
-                    WHEN route = 3 THEN 'jpeg' ELSE 'mp4' END AS container,
+                    WHEN route = 3 THEN 'jpeg' WHEN route = 4 THEN 'mp4'
+                    WHEN route = 5 THEN 'mp3'
+                    ELSE CASE WHEN event_id % 2 = 0 THEN 'webm'
+                              ELSE 'matroska' END END AS container,
                CASE WHEN route <= 2 AND fmt = 0 THEN png_w
                     WHEN route <= 2 AND fmt = 2 THEN gif_w
                     WHEN route = 3 THEN jpg_w
-                    WHEN route = 4 THEN mp4_w END AS width,
+                    WHEN route = 4 THEN mp4_w
+                    WHEN route = 6 THEN CAST(user_id % 1920 + 16 AS BIGINT)
+               END AS width,
                CASE WHEN route <= 2 AND fmt = 0 THEN png_h
                     WHEN route <= 2 AND fmt = 2 THEN gif_h
                     WHEN route = 3 THEN jpg_h
-                    WHEN route = 4 THEN mp4_h END AS height,
+                    WHEN route = 4 THEN mp4_h
+                    WHEN route = 6 THEN CAST(event_id % 1080 + 16 AS BIGINT)
+               END AS height,
                CASE WHEN route <= 2 AND fmt = 1 THEN
                         CAST(floor(wav_data * 1000 / (rate * ch * 2))
                             AS BIGINT)
@@ -1341,7 +1350,10 @@ def ann_mutual_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 'jpeg_progressive'
                     WHEN route = 3 THEN 'jpeg_baseline'
                     WHEN route = 4 AND event_id % 2 = 0 THEN 'avc1'
-                    WHEN route = 4 THEN 'hev1' END AS codec
+                    WHEN route = 4 THEN 'hev1'
+                    WHEN route = 5 THEN 'mpeg1_layer3'
+                    WHEN route = 6 AND event_id % 2 = 0 THEN 'V_VP8'
+                    WHEN route = 6 THEN 'V_VP9' END AS codec
         FROM src
     """,
 )
@@ -1358,12 +1370,23 @@ def media_container_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_media_headers,
     )
 
+    from timescaledb_event_streamer_spark.operators.ebml_probe import (
+        parse_ebml_headers,
+        synthesize_ebml_headers,
+    )
+    from timescaledb_event_streamer_spark.operators.mp3_probe import (
+        parse_mp3_headers,
+        synthesize_mp3_headers,
+    )
+
     ev = load(spark, sf_dir, "events")
-    rid = F.col("event_id") % 5
+    rid = F.col("event_id") % 7
     mixed = (
         synthesize_media_headers(ev.filter(rid <= 2))
         .unionByName(synthesize_jpeg_headers(ev.filter(rid == 3)))
         .unionByName(synthesize_mp4_headers(ev.filter(rid == 4)))
+        .unionByName(synthesize_mp3_headers(ev.filter(rid == 5)))
+        .unionByName(synthesize_ebml_headers(ev.filter(rid == 6)))
     )
     from pyspark import StorageLevel
 
@@ -1404,10 +1427,31 @@ def media_container_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms",
         F.col("video_codec").alias("codec"),
     )
+    mp3 = parse_mp3_headers(sniffed.filter(F.col("c") == "mp3")).select(
+        "media_id",
+        F.lit("mp3").alias("container"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.when(
+            (F.col("mpeg_version") == 1) & (F.col("layer") == 3),
+            "mpeg1_layer3",
+        ).alias("codec"),
+    )
+    webm = parse_ebml_headers(sniffed.filter(F.col("c") == "webm")).select(
+        "media_id",
+        F.col("doc_type").alias("container"),
+        "width",
+        "height",
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.col("video_codec").alias("codec"),
+    )
     return (
         fixed.select(out_cols)
         .unionByName(jpeg.select(out_cols))
         .unionByName(mp4.select(out_cols))
+        .unionByName(mp3.select(out_cols))
+        .unionByName(webm.select(out_cols))
     )
 
 

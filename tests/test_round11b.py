@@ -1,0 +1,275 @@
+"""Round-11b components: planted-value pins for the B125-B130
+indicator family, E31 binary-Hamming ANN, F56 Heaps fit, and the
+G22 Ogg probe golden/hostile battery."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+from timescaledb_event_streamer_spark.plans.registry import all_queries
+
+
+def _plant_events(spark, tmp_path, rows):
+    """rows: (event_id, day_offset, event_type, value, vol)"""
+    base = _dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (i, base + _dt.timedelta(days=d, hours=1 + (i % 3)), 1, et, v,
+             '{"k": %d}' % k)
+            for (i, d, et, v, k) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def _plant_docs(spark, tmp_path, rows):
+    """rows: (doc_id, text, source)"""
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for (i, t, s) in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def _plant_embeddings(spark, tmp_path, rows):
+    """rows: (vec_id, vector, label)"""
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_ultimate_oscillator_steady_rise_is_100(spark, tmp_path):
+    """One event per day, strictly rising: BP == TR every day, so
+    every average is 1 and UO == 100 * (4+2+1)/7 == 100 exactly."""
+    rows = [(i, i, "m", 10.0 + i, 1) for i in range(25)]
+    sf = _plant_events(spark, tmp_path, rows)
+    out = all_queries()["ts_ultimate_oscillator"](spark, sf).collect()
+    assert len(out) == 25 - 21 + 1
+    for r in out:
+        assert r["bp_sum20"] == r["tr_sum20"] > 0
+        assert r["uo"] == 100.0
+
+
+def test_ease_of_movement_constant_midpoint_is_zero(spark, tmp_path):
+    """H/L fixed at 12/10 every day: the midpoint never moves, so
+    every EMV term and the SMA are exactly 0."""
+    rows = []
+    for d in range(20):
+        rows.append((2 * d, d, "m", 10.0, 1))
+        rows.append((2 * d + 1, d, "m", 12.0, 1))
+    sf = _plant_events(spark, tmp_path, rows)
+    out = all_queries()["ts_ease_of_movement"](spark, sf).collect()
+    assert len(out) == 20 - 15 + 1
+    for r in out:
+        assert r["emv_num"] == 0
+        assert r["emv"] == 0.0 and r["emv_sma"] == 0.0
+
+
+def test_kst_constant_close_is_zero(spark, tmp_path):
+    """Constant close: every ROC is 0, every SMA is 0, KST == 0."""
+    rows = [(i, i, "m", 42.0, 1) for i in range(25)]
+    sf = _plant_events(spark, tmp_path, rows)
+    out = all_queries()["ts_kst"](spark, sf).collect()
+    assert len(out) == 25 - 14 - 8
+    for r in out:
+        assert r["kst"] == 0.0 and r["kst_signal"] == 0.0
+
+
+def test_pvt_hand_computed(spark, tmp_path):
+    """3 days, hand math: term = vol * delta / prev_close."""
+    rows = [
+        (0, 0, "m", 10.0, 1),
+        (1, 1, "m", 12.0, 7),
+        (2, 2, "m", 9.0, 3),
+    ]
+    sf = _plant_events(spark, tmp_path, rows)
+    out = sorted(
+        all_queries()["ts_pvt"](spark, sf).collect(),
+        key=lambda r: r["day_s"],
+    )
+    assert len(out) == 2
+    t1 = 7 * (1200 - 1000) / 1000.0   # 1.4
+    t2 = 3 * (900 - 1200) / 1200.0    # -0.75
+    assert out[0]["pvt_term"] == round(t1, 6)
+    assert out[0]["pvt"] == round(t1, 6)
+    assert out[1]["pvt_term"] == round(t2, 6)
+    assert out[1]["pvt"] == round(t1 + t2, 6)
+
+
+def test_balance_of_power_full_conviction_is_one(spark, tmp_path):
+    """Every day opens at the low and closes at the high: BOP == 1
+    exactly, and so does its SMA."""
+    rows = []
+    for d in range(16):
+        rows.append((2 * d, d, "m", 10.0, 1))   # open (and low)
+        rows.append((2 * d + 1, d, "m", 20.0, 1))  # close (and high)
+    sf = _plant_events(spark, tmp_path, rows)
+    out = all_queries()["ts_balance_of_power"](spark, sf).collect()
+    assert len(out) == 16 - 14 + 1
+    for r in out:
+        assert r["co_cents"] == r["range_cents"] == 1000
+        assert r["bop"] == 1.0 and r["bop_sma"] == 1.0
+
+
+def test_tsi_steady_rise_is_100(spark, tmp_path):
+    """Strictly rising close: momentum == |momentum| every day, the
+    double-smoothed chains are identical, TSI == 100 exactly."""
+    rows = [(i, i, "m", 10.0 + 2 * i, 1) for i in range(20)]
+    sf = _plant_events(spark, tmp_path, rows)
+    out = all_queries()["ts_tsi"](spark, sf).collect()
+    assert len(out) == 20 - 15 + 1
+    for r in out:
+        assert r["tsi"] == 100.0
+
+
+def test_hamming_topk_planted_sketches(spark, tmp_path):
+    """Sign-planted vectors give exact Hamming distances: the query
+    (all +), a same-sign vector (0), a half-flipped one (32), an
+    all-flipped one (64); rerank orders by the exact dot."""
+    dim = 64
+    rows = [
+        (0, [1.0] * dim, 0),
+        (1, [0.5] * dim, 0),                       # hamming 0, dot 32
+        (2, [-1.0] * 32 + [1.0] * 32, 0),          # hamming 32, dot 0
+        (3, [-1.0] * dim, 0),                      # hamming 64, dot -64
+    ]
+    sf = _plant_embeddings(spark, tmp_path, rows)
+    out = {r["vec_id"]: r for r in
+           all_queries()["ann_hamming_topk"](spark, sf).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["hamming"] == 0 and out[0]["exact_dot"] == 64.0
+    assert out[1]["hamming"] == 0 and out[1]["exact_dot"] == 32.0
+    assert out[2]["hamming"] == 32 and out[2]["exact_dot"] == 0.0
+    assert out[3]["hamming"] == 64 and out[3]["exact_dot"] == -64.0
+    assert all(r["in_exact_topk"] for r in out.values())
+
+
+def test_heaps_fit_matches_brute_force(spark, tmp_path):
+    """5 docs -> buckets 0/2/4/6/8; recompute the bigram checkpoint
+    table and the log-log OLS in plain Python and pin every row."""
+    texts = [
+        "a b a b",       # bigrams: a b, b a, a b
+        "c d",           # c d
+        "a b c",         # a b, b c
+        "e f g h",       # e f, f g, g h
+        "a b",           # a b
+    ]
+    sf = _plant_docs(
+        spark, tmp_path, [(i, t, "s") for i, t in enumerate(texts)]
+    )
+    out = sorted(
+        all_queries()["text_heaps_fit"](spark, sf).collect(),
+        key=lambda r: r["checkpoint"],
+    )
+    # brute force
+    m = 5
+    per, first = {}, {}
+    for i, t in enumerate(texts):
+        b = i * 10 // m
+        ws = t.split()
+        for j in range(len(ws) - 1):
+            big = f"{ws[j]} {ws[j + 1]}"
+            per[b] = per.get(b, 0) + 1
+            first.setdefault(big, b)
+            first[big] = min(first[big], b)
+    cks = sorted(per)
+    pts = []
+    for k in cks:
+        n = sum(v for b, v in per.items() if b <= k)
+        v = sum(1 for fb in first.values() if fb <= k)
+        pts.append((k, n, v))
+    xs = [math.log(n) for _, n, _ in pts]
+    ys = [math.log(v) for _, _, v in pts]
+    nn = float(len(pts))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    beta = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    kk = math.exp((sy - beta * sx) / nn)
+    assert [r["checkpoint"] for r in out] == cks
+    for r, (k, n, v) in zip(out, pts):
+        assert (r["n_tokens"], r["vocab"]) == (n, v)
+        assert abs(r["heaps_beta"] - beta) < 1e-5
+        assert abs(r["heaps_k"] - kk) < 1e-5
+        assert abs(r["fitted_vocab"] - kk * n**beta) < 1e-4
+
+
+def test_ogg_probe_golden_and_hostile(spark):
+    """Golden Ogg pages built independently with struct-style byte
+    packing, plus version/truncation/foreign-magic hostiles and a
+    2-segment lacing table exercising the dynamic packet offset."""
+    from timescaledb_event_streamer_spark.operators.ogg_probe import (
+        parse_ogg_headers,
+    )
+
+    def probe(payload: bytes):
+        df = spark.createDataFrame(
+            [(1, payload)], "media_id long, payload binary"
+        )
+        return parse_ogg_headers(df).collect()[0]
+
+    def page(packet: bytes, segs=None, version=0, htype=2, serial=77):
+        lacing = bytes(segs) if segs else bytes([len(packet)])
+        return (
+            b"OggS"
+            + bytes([version, htype])
+            + b"\x00" * 8
+            + serial.to_bytes(4, "little")
+            + (5).to_bytes(4, "little")
+            + b"\x00" * 4
+            + bytes([len(lacing)])
+            + lacing
+            + packet
+        )
+
+    opus = (
+        b"OpusHead" + b"\x01" + bytes([2])
+        + (312).to_bytes(2, "little")
+        + (48000).to_bytes(4, "little")
+        + b"\x00\x00" + b"\x00"
+    )
+    r = probe(page(opus))
+    assert r.is_ogg and r.is_bos and r.serial == 77 and r.page_seq == 5
+    assert (r.codec, r.channels, r.sample_rate) == ("opus", 2, 48000)
+    assert r.preskip == 312 and r.bitrate_nominal_bps is None
+
+    vorbis = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([1])
+        + (44100).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (128000).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + b"\xb8\x01"
+    )
+    rv = probe(page(vorbis))
+    assert (rv.codec, rv.channels, rv.sample_rate) == ("vorbis", 1, 44100)
+    assert rv.bitrate_nominal_bps == 128000 and rv.preskip is None
+
+    # 2-segment lacing: packet still starts right after the table
+    r2 = probe(page(opus, segs=[10, len(opus) - 10]))
+    assert r2.n_segments == 2 and r2.codec == "opus" and r2.channels == 2
+
+    # hostile: nonzero stream-structure version
+    rb = probe(page(opus, version=1))
+    assert rb.is_ogg is False and rb.codec is None
+
+    # hostile: unknown packet magic -> ogg yes, codec null
+    ru = probe(page(b"XXXXXXXX" + b"\x00" * 12))
+    assert ru.is_ogg is True and ru.codec is None and ru.channels is None
+
+    # truncated after the fixed header: still an Ogg page, codec
+    # unreadable -> null fields, no error
+    rt = probe(page(opus)[:30])
+    assert rt.is_ogg is True and rt.codec is None
+
+    # truncated inside the fixed header
+    rt2 = probe(page(opus)[:10])
+    assert rt2.is_ogg is False
+
+    # not ogg at all
+    rn = probe(b"\x89PNG" + b"\x00" * 60)
+    assert rn.is_ogg is False and rn.serial is None

@@ -190,6 +190,9 @@ _BNLJ_OK = {
     "text_burstiness",  # single-row broadcast corpus-N cross join
     "embedding_label_centroid_confusion",  # label-count-sized (10-row)
     #   centroid broadcast cross join for the scoring pass
+    "text_heaps_fit",  # 1-row broadcast max-doc-id (bucket modulus)
+    #   + 1-row broadcast OLS-sums cross join over the 10-row
+    #   checkpoint table
 }
 
 

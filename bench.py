@@ -84,6 +84,11 @@ HEADLINE = [
     # and the triple-window double-EMA mass index
     "media_mp4_probe",
     "ts_mass_index",
+    # round-11 continuation: the bigram-grain Heaps reduce (the
+    # heaviest new text plan) and the sign-sketch Hamming scan +
+    # exact rerank (the 16x-compressed ANN first stage)
+    "text_heaps_fit",
+    "ann_hamming_topk",
 ]
 
 #: the frozen round-1 set — `value` keeps measuring exactly these so

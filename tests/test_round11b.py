@@ -273,3 +273,63 @@ def test_ogg_probe_golden_and_hostile(spark):
     # not ogg at all
     rn = probe(b"\x89PNG" + b"\x00" * 60)
     assert rn.is_ogg is False and rn.serial is None
+
+
+def test_id3_frames_golden_and_hostile(spark):
+    """Golden ID3v2.3 tag built independently byte-by-byte, plus
+    oversize-frame / UTF-16 / padding / duplicate-frame hostiles."""
+    from timescaledb_event_streamer_spark.operators.mp3_probe import (
+        parse_id3_frames,
+    )
+
+    def probe(payload: bytes):
+        df = spark.createDataFrame(
+            [(1, payload)], "media_id long, payload binary"
+        )
+        return parse_id3_frames(df).collect()[0]
+
+    def frame(fid: bytes, text: bytes, enc: int = 0) -> bytes:
+        body = bytes([enc]) + text
+        return fid + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+
+    def tag(frames: bytes, pad: int = 0) -> bytes:
+        n = len(frames) + pad
+        ss = bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        )
+        return b"ID3\x03\x00\x00" + ss + frames + b"\x00" * pad
+
+    g = tag(
+        frame(b"TIT2", b"Blue Train")
+        + frame(b"TPE1", b"John Coltrane")
+        + frame(b"TALB", b"Blue Train")
+        + frame(b"TRCK", b"1"),
+        pad=7,
+    )
+    r = probe(g + b"\xff\xfb\xa4\x00")
+    assert r.is_id3 and r.n_frames == 4
+    assert (r.title, r.artist) == ("Blue Train", "John Coltrane")
+    assert (r.album, r.track) == ("Blue Train", "1")
+
+    # duplicate TIT2: first one wins
+    rd = probe(tag(frame(b"TIT2", b"first") + frame(b"TIT2", b"second")))
+    assert rd.title == "first" and rd.n_frames == 2
+
+    # UTF-16 frame counts but reads null (honest encoding gate)
+    ru = probe(tag(frame(b"TIT2", "x".encode("utf-16-le"), enc=1)
+                   + frame(b"TRCK", b"9")))
+    assert ru.n_frames == 2 and ru.title is None and ru.track == "9"
+
+    # hostile: frame size runs past the declared tag end -> stop
+    bad = frame(b"TIT2", b"ok")
+    oversz = bad[:4] + (10_000).to_bytes(4, "big") + bad[8:]
+    ro = probe(tag(oversz + frame(b"TRCK", b"2")))
+    assert ro.n_frames == 0 and ro.title is None
+
+    # padding-only tag
+    rp = probe(tag(b"", pad=16))
+    assert rp.is_id3 and rp.n_frames == 0
+
+    # not id3
+    rn = probe(b"OggS" + b"\x00" * 30)
+    assert rn.is_id3 is False and rn.n_frames is None

@@ -131,3 +131,161 @@ def parse_mp3_headers(media: DataFrame, payload_col: str = "payload") -> DataFra
         gv(rate).alias("sample_rate"),
         gv(frame_bytes).alias("frame_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G23: ID3v2.3 text-frame extraction — read the tag, not just hop it
+
+#: fold bound: synthesized tags carry <= 5 frames; hostile tags stop
+#: on padding/invalid sizes long before this
+ID3_MAX_FRAMES = 8
+
+#: the four standard text frames a media library indexes on
+_TIT2, _TPE1, _TALB, _TRCK = "54495432", "54504531", "54414C42", "5452434B"
+
+
+def synthesize_id3_frames(events: DataFrame) -> DataFrame:
+    """MP3 payloads whose ID3v2.3 tag carries REAL text frames
+    (TIT2/TPE1/TALB/TRCK — title/artist/album/track, the public
+    id3.org v2.3 frame layout: 4-char id + 4-byte big-endian size +
+    2 flag bytes + 0x00 latin-1 encoding marker + text), variable
+    padding, then one valid MPEG frame header. Every string derives
+    from event_id/user_id so the oracle re-derives it."""
+    n_shuffle = int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    events = events.repartition(n_shuffle)
+    eid, uid = F.col("event_id"), F.col("user_id")
+
+    def text_frame(fourcc_hex: str, txt):
+        body_len = F.length(txt) + 1  # + encoding byte
+        return F.concat(
+            F.lit(fourcc_hex),
+            _hbe(body_len, 4),      # v2.3 frame size: plain BE
+            F.lit("0000"),          # flags
+            F.lit("00"),            # encoding: latin-1
+            F.hex(F.encode(txt, "UTF-8")),
+        )
+
+    title = F.concat(F.lit("Track "), (eid % 1000).cast("string"))
+    artist = F.concat(F.lit("Artist "), (uid % 50).cast("string"))
+    album = F.concat(F.lit("Album "), ((eid + uid) % 20).cast("string"))
+    track = (eid % 12 + 1).cast("string")
+    frames = F.concat(
+        text_frame(_TIT2, title),
+        text_frame(_TPE1, artist),
+        text_frame(_TALB, album),
+        text_frame(_TRCK, track),
+    )
+    pad = (eid % 5).cast("int") * 2
+    tag_sz = (F.length(frames) + pad).cast("long") / 2
+    id3 = F.concat(
+        F.lit("494433"),  # 'ID3'
+        F.lit("0300"),    # v2.3.0
+        F.lit("00"),      # flags
+        _syncsafe_hex(tag_sz),
+        frames,
+        F.repeat(F.lit("00"), pad),
+    )
+    mpeg = F.concat(F.lit("FFFB"), _hbe(F.lit(0xA4), 1), F.lit("00"))
+    return events.select(
+        eid.alias("media_id"),
+        F.unhex(F.concat(id3, mpeg, F.lit("00" * 4))).alias("payload"),
+    )
+
+
+def parse_id3_frames(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Walk the v2.3 frame list with ONE bounded F.aggregate (the
+    G18 fold discipline): each step reads the 4-char frame id and
+    4-byte big-endian size, records TIT2/TPE1/TALB/TRCK latin-1
+    text, and advances by 10 + size bytes; a zero/invalid id byte
+    (padding), a size that runs past the declared tag end, or the
+    tag end itself stops the walk, so hostile length fields cannot
+    loop. Only encoding 0x00 (latin-1/ASCII) text is decoded —
+    frames with other encodings count but read as null (an honest
+    gate, not a misread)."""
+    media = media.select(
+        "media_id", F.hex(F.col(payload_col)).alias("_h")
+    )
+    h = F.col("_h")
+    byte = lambda p: F.conv(h.substr(p, F.lit(2)), 16, 10).cast("long")  # noqa: E731
+    is_id3 = (F.length(h) >= 20) & (
+        h.substr(F.lit(1), F.lit(6)) == "494433"
+    )
+    tag_sz = (
+        byte(F.lit(13)) * (1 << 21)
+        + byte(F.lit(15)) * (1 << 14)
+        + byte(F.lit(17)) * (1 << 7)
+        + byte(F.lit(19))
+    )
+    bound = tag_sz * 2 + 21  # first hex pos past the tag
+
+    init = F.struct(
+        F.lit(21).cast("long").alias("pos"),  # first frame (hex, 1-idx)
+        F.lit(0).cast("int").alias("nf"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("artist"),
+        F.lit(None).cast("string").alias("album"),
+        F.lit(None).cast("string").alias("trck"),
+    )
+
+    def step(acc, _):
+        pos = acc["pos"]
+        fid = h.substr(pos, F.lit(8))
+        size_b = F.conv(h.substr(pos + 8, F.lit(8)), 16, 10).cast("long")
+        first = byte(pos)
+        # uppercase A-Z or 0-9 starts a real frame id; 0x00 is padding
+        valid_id = ((first >= 65) & (first <= 90)) | (
+            (first >= 48) & (first <= 57)
+        )
+        stop = (
+            (pos + 20 > bound)
+            | ~valid_id
+            | (size_b <= 0)
+            | (pos + 20 + size_b * 2 > bound + 0)
+        )
+        latin1 = byte(pos + 20) == 0
+        txt = F.when(
+            latin1,
+            F.decode(
+                F.unhex(h.substr(pos + 22, (size_b - 1) * 2)), "UTF-8"
+            ),
+        )
+
+        def rec(fourcc_hex: str, slot: str):
+            hit = ~stop & (fid == F.lit(fourcc_hex)) & acc[slot].isNull()
+            return F.when(hit, txt).otherwise(acc[slot]).alias(slot)
+
+        return F.struct(
+            F.when(stop, pos)
+            .otherwise(pos + 20 + size_b * 2)
+            .cast("long")
+            .alias("pos"),
+            (acc["nf"] + F.when(stop, 0).otherwise(1))
+            .cast("int")
+            .alias("nf"),
+            rec(_TIT2, "title"),
+            rec(_TPE1, "artist"),
+            rec(_TALB, "album"),
+            rec(_TRCK, "trck"),
+        )
+
+    state = F.aggregate(
+        F.sequence(F.lit(1), F.lit(ID3_MAX_FRAMES)), init, step
+    )
+    media = media.select("media_id", "_h", state.alias("_s"), is_id3.alias("_ok"),
+                         tag_sz.alias("_tsz"))
+    s = F.col("_s")
+    g = lambda c: F.when(F.col("_ok"), c)  # noqa: E731
+    return media.select(
+        "media_id",
+        F.coalesce(F.col("_ok"), F.lit(False)).alias("is_id3"),
+        g(F.col("_tsz")).alias("tag_bytes"),
+        g(s["nf"]).alias("n_frames"),
+        g(s["title"]).alias("title"),
+        g(s["artist"]).alias("artist"),
+        g(s["album"]).alias("album"),
+        g(s["trck"]).alias("track"),
+    )

@@ -1073,3 +1073,54 @@ def media_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_ogg_headers(
         synthesize_ogg_headers(load(spark, sf_dir, "events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# G23 media_id3_text_frames — read the ID3 tag, not just hop it
+
+
+@register(
+    "media_id3_text_frames",
+    family="multimodal",
+    doc="ID3v2.3 text-frame extraction (G23, operators/mp3_probe.py "
+    "second half): G20 hops the tag to find audio; THIS reads it — "
+    "one bounded F.aggregate walk (the G18 fold discipline) over "
+    "the public id3.org v2.3 frame list (4-char id + 4-byte "
+    "big-endian size + 2 flags + encoding byte + text) pulling "
+    "TIT2/TPE1/TALB/TRCK (title/artist/album/track) as latin-1 "
+    "text, stopping on padding, tag end, or any size that runs "
+    "past the declared bound (hostile lengths cannot loop). The "
+    "TEXTUAL metadata is what a media lake dedups and searches on "
+    "— this turns an opaque audio column into joinable strings at "
+    "projection cost, no decode. Non-latin-1 encodings count as "
+    "frames but read null (honest gate). Synthesis varies string "
+    "lengths and padding per row; the oracle re-derives every "
+    "string AND the tag byte count from generating columns (G5 "
+    "adjudication — a walk bug cannot cancel out).",
+    oracle="""
+        SELECT event_id AS media_id,
+               TRUE AS is_id3,
+               CAST(63
+                    + length(CAST(event_id % 1000 AS VARCHAR))
+                    + length(CAST(user_id % 50 AS VARCHAR))
+                    + length(CAST((event_id + user_id) % 20 AS VARCHAR))
+                    + length(CAST(event_id % 12 + 1 AS VARCHAR))
+                    + event_id % 5 AS BIGINT) AS tag_bytes,
+               CAST(4 AS INT) AS n_frames,
+               'Track ' || CAST(event_id % 1000 AS VARCHAR) AS title,
+               'Artist ' || CAST(user_id % 50 AS VARCHAR) AS artist,
+               'Album ' || CAST((event_id + user_id) % 20 AS VARCHAR)
+                   AS album,
+               CAST(event_id % 12 + 1 AS VARCHAR) AS track
+        FROM events
+    """,
+)
+def media_id3_text_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timescaledb_event_streamer_spark.operators.mp3_probe import (
+        parse_id3_frames,
+        synthesize_id3_frames,
+    )
+
+    return parse_id3_frames(
+        synthesize_id3_frames(load(spark, sf_dir, "events"))
+    )

@@ -79,9 +79,13 @@ REPS = [
     ("ts_parabolic_sar", "sequential stop-and-reverse fold (B105-115 rep)"),
     ("media_mp4_probe", "ISO-BMFF box-walk codegen probe"),
     # r11 late additions: the heaviest new plans
-    ("media_container_router", "5-format sniff+route+probe union"),
+    ("media_container_router", "7-format sniff+route+probe union"),
     ("dedup_modality_agreement", "minhash-vs-embedding cross audit"),
     ("dedup_semdedup", "seeded-cluster semantic dedup"),
+    ("text_heaps_fit", "bigram first-occurrence Heaps reduce"),
+    ("ann_hamming_topk", "sign-sketch Hamming scan + rerank"),
+    ("media_ogg_probe", "Ogg lacing-offset codec probe"),
+    ("media_id3_text_frames", "ID3 frame-walk text extraction"),
     # ann_mutual_knn_audit is NOT here: it composes on E5's exact
     # pairwise build (quadratic at toy SF by construction; the scale
     # path is the banded-LSH candidate swap, the same adjudication

@@ -333,3 +333,60 @@ def test_id3_frames_golden_and_hostile(spark):
     # not id3
     rn = probe(b"OggS" + b"\x00" * 30)
     assert rn.is_id3 is False and rn.n_frames is None
+
+
+def test_streaming_pvt_matches_batch_b128(spark, sf_small, tmp_path):
+    """I44: daily close/volume partials in two time-ordered
+    micro-batches so the cumulative AND the lagged close cross a
+    batch boundary; result must equal batch ts_pvt row-for-row."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.plans.queries_round8b import (
+        _daily_ohlcv,
+    )
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_pvt,
+    )
+
+    daily = _daily_ohlcv(spark, sf_small).select(
+        "series", "day_s", "cc", "vol"
+    )
+    split_day = daily.agg(
+        F.expr("percentile_approx(day_s, 0.5)")
+    ).first()[0]
+    log_dir = tmp_path / "pvt_log"
+    log_dir.mkdir()
+    daily.filter(F.col("day_s") <= split_day).coalesce(1).write.parquet(
+        str(log_dir / "b0")
+    )
+    _t.sleep(1.1)
+    daily.filter(F.col("day_s") > split_day).coalesce(1).write.parquet(
+        str(log_dir / "b1")
+    )
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_pvt(stream)
+        .writeStream.format("memory")
+        .queryName("pvt_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["series"], r["day_s"]): (r["pvt_num"], r["pvt_term"], r["pvt"])
+        for r in spark.sql("SELECT * FROM pvt_stream").collect()
+    }
+    want = {
+        (r["series"], r["day_s"]): (r["pvt_num"], r["pvt_term"], r["pvt"])
+        for r in all_queries()["ts_pvt"](spark, sf_small).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -1825,3 +1825,74 @@ def streaming_fisher_transform(daily: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming PVT (I44): the live form of ts_pvt (B128). Unlike the
+# windowed indicator streams, PVT's state is the UNBOUNDED cumulative
+# itself — which is exactly why the keyed-state form matters: the
+# stream carries (last day, previous qualifying close, running PVT)
+# per series, O(1) regardless of stream length, where a batch rerun
+# would rescan the whole day history.
+
+_PVT_STATE_SCHEMA = "state_json STRING"
+_PVT_OUT_SCHEMA = (
+    "series STRING, day_s LONG, pvt_num LONG, pvt_term DOUBLE, "
+    "pvt DOUBLE"
+)
+
+
+def _pvt_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json
+
+    if state.exists:
+        st = json.loads(state.get[0])
+    else:
+        st = {"d": None, "pc": None, "pvt": 0.0}
+    rows = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allpdf = pd.concat(chunks, ignore_index=True).sort_values("day_s")
+        for r in allpdf.itertuples():
+            if st["d"] is not None and r.day_s <= st["d"]:
+                continue  # replayed/duplicate day partial
+            cc, vol = int(r.cc), int(r.vol)
+            if cc <= 0:
+                continue  # the batch form excludes zero-close days
+            st["d"] = int(r.day_s)
+            if st["pc"] is None:
+                st["pc"] = cc
+                continue  # first qualifying day seeds the lag only
+            num = vol * (cc - st["pc"])
+            term = num / float(st["pc"])
+            st["pvt"] += term
+            st["pc"] = cc
+            rows.append(
+                {
+                    "series": key[0],
+                    "day_s": int(r.day_s),
+                    "pvt_num": num,
+                    "pvt_term": round(term, 6),
+                    "pvt": round(st["pvt"], 6),
+                }
+            )
+    state.update((json.dumps(st),))
+    yield pd.DataFrame(
+        rows, columns=["series", "day_s", "pvt_num", "pvt_term", "pvt"]
+    )
+
+
+def streaming_pvt(daily: DataFrame) -> DataFrame:
+    """Price Volume Trend over a stream of daily (series, day_s, cc,
+    vol) partials (I44): keyed state carries the previous qualifying
+    close and the running cumulative across micro-batches; replayed
+    days are idempotently skipped; zero-close days are excluded
+    exactly like batch ts_pvt."""
+    return daily.groupBy("series").applyInPandasWithState(
+        _pvt_state_fn,
+        outputStructType=_PVT_OUT_SCHEMA,
+        stateStructType=_PVT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -390,3 +390,27 @@ def test_streaming_pvt_matches_batch_b128(spark, sf_small, tmp_path):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_hamming_blocking_planted(spark, tmp_path):
+    """Three vectors share the 12-bit sign prefix (two same-label
+    with cosine 1, one other-label with cosine -0.625); a fourth
+    with a flipped first sign lands in its own block and emits no
+    row. Hand-pinned masses."""
+    dim = 64
+    rows = [
+        (0, [1.0] * dim, 0),
+        (1, [1.0] * dim, 0),
+        (2, [1.0] * 12 + [-1.0] * 52, 1),
+        (3, [-1.0] + [1.0] * 63, 0),
+    ]
+    sf = _plant_embeddings(spark, tmp_path, rows)
+    out = all_queries()["dedup_hamming_blocking"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["block_size"] == 3 and r["candidate_pairs"] == 3
+    assert r["same_label_pairs"] == 1
+    assert r["label_precision"] == round(1 / 3, 6)
+    # cos(v0,v1)=1, cos(v0,v2)=cos(v1,v2)=-40/64
+    assert r["cos_mass_micro"] == 1_000_000 - 2 * 625_000
+    assert r["mean_cos"] == round((1 - 2 * 0.625) / 3, 6)

@@ -12,7 +12,8 @@ declared size, record fields when the fourcc is mvhd/tkhd/stsd.
 Entirely JVM-side with zero Python per row (the fold itself is an
 interpreted Catalyst higher-order function — Spark does not codegen
 aggregate() lambdas — so cost is iterations x expression-tree size;
-~8 us/row at MP4_MAX_BOXES=20, linear and embarrassingly parallel);
+~60 us/row wall on local[32] (~2 ms CPU) at MP4_MAX_BOXES=20,
+linear and embarrassingly parallel);
 actual sample data (mdat) is never touched — probing cost is header
 bytes only.
 
@@ -195,7 +196,9 @@ def parse_mp4_headers(media: DataFrame, payload_col: str = "payload") -> DataFra
         # `stop`. Note the fold is a higher-order function, which
         # Spark evaluates INTERPRETED (no whole-stage codegen for
         # aggregate() lambdas) — per-row cost is iterations x tree
-        # size, so keep both lean; ~7 us/row at MP4_MAX_BOXES=20.
+        # size, so keep both lean; ~60 us/row wall on local[32]
+        # (~2 ms CPU) at MP4_MAX_BOXES=20 — the honest measured cost,
+        # see SCALING.md's sf1 row.
         done = (pos + 15) > F.length(h)
         size_b = F.conv(h.substr(pos, F.lit(8)), 16, 10).cast("long")
         four = h.substr(pos + 8, F.lit(8))

@@ -29,7 +29,8 @@ from timescaledb_event_streamer_spark.sources.tables import load
     "track count and the first video track's real 16.16 "
     "dimensions (tkhd), and per-track codec fourccs (stsd sample "
     "entries) — JVM-side, zero Python per row (the fold is an "
-    "interpreted Catalyst HOF; ~8 us/row, linear) — everything a "
+    "interpreted Catalyst HOF — ~60 us/row wall on local[32], "
+    "linear; the interpreter, not the walk, is the cost) — all a "
     "100 TB media lake needs to ROUTE "
     "video (transcode fleet sizing, codec inventory, resolution "
     "pruning) at projection cost, with the entropy-coded payload "

@@ -173,9 +173,11 @@ def main() -> None:
             "form's per-task work stays 1/N at any corpus size. The same",
             "trade as broadcast-vs-sort-merge: invisible at toy SF,",
             "decisive at scale. `media_mp4_probe` is the slowest new row",
-            "(linear within noise): ~8 us/row of JVM-side hex walking — a",
-            "20-step bounded fold over ~700 header bytes per payload",
-            "(interpreted Catalyst HOF), embarrassingly parallel, never",
+            "(linear within noise): ~60 us/row wall on local[32] (~2 ms CPU)",
+            "of JVM-side hex walking — a 20-step bounded fold over ~700",
+            "header bytes per payload (interpreted Catalyst HOF — the
+interpreter, not the walk, is the cost), embarrassingly
+parallel, never",
             "touching sample data; the bound is MP4_MAX_BOXES x header",
             "bytes regardless of media size, which is the entire point of",
             "a probe-before-decode posture; `media_container_router` is",

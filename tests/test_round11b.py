@@ -414,3 +414,27 @@ def test_hamming_blocking_planted(spark, tmp_path):
     # cos(v0,v1)=1, cos(v0,v2)=cos(v1,v2)=-40/64
     assert r["cos_mass_micro"] == 1_000_000 - 2 * 625_000
     assert r["mean_cos"] == round((1 - 2 * 0.625) / 3, 6)
+
+
+def test_connors_rsi_planted(spark, tmp_path):
+    """Strictly rising close by a GROWING step: every delta positive
+    -> RSI3 == 100, one unbroken up-run -> streak == day index and
+    streak deltas all +1 -> streak RSI == 100; returns strictly
+    increase (step grows faster than the base) -> percent rank ==
+    100; CRSI == 100 exactly."""
+    vals, v = [], 100.0
+    for i in range(16):
+        v += 1.0 + i * 0.5   # growing step: return strictly rises
+        vals.append(v)
+    rows = [(i, i, "m", vals[i], 1) for i in range(16)]
+    sf = _plant_events(spark, tmp_path, rows)
+    out = sorted(
+        all_queries()["ts_connors_rsi"](spark, sf).collect(),
+        key=lambda r: r["day_s"],
+    )
+    assert len(out) == 16 - 12 + 1
+    for r in out:
+        assert r["rsi3"] == 100.0 and r["streak_rsi2"] == 100.0
+        assert r["pct_rank"] == 100.0
+        assert r["crsi"] == 100.0
+        assert r["streak"] > 0

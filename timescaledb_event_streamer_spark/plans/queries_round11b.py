@@ -1257,3 +1257,219 @@ def dedup_hamming_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B131 ts_connors_rsi — Connors RSI(3, 2, 10) composite
+
+_CRSI_RSI, _CRSI_STREAK, _CRSI_RANK = 3, 2, 10
+
+
+@register(
+    "ts_connors_rsi",
+    family="timeseries",
+    doc="Connors RSI (B131, the published Connors Research "
+    "composite, 3/2/10): mean of (a) Cutler RSI(3) on daily close "
+    "deltas — the B73 exact-integer gain/loss form, (b) RSI(2) on "
+    "the signed STREAK series (gaps-and-islands run encoding: "
+    "run_id = cumulative sign-change count, streak = sign * "
+    "position-in-run — all partitioned integer windows), and (c) "
+    "the 10-day percent rank of the 1-day return, counted EXACTLY "
+    "by cross-multiplication (d_i * prev_cur < d_cur * prev_i with "
+    "positive prevs — no float return is ever compared, so the "
+    "count cannot disagree across engines). Both RSIs use the B73 "
+    "scale-0 rounding; the composite rounds once at the output. "
+    "Zero-close days excluded up front; rows once the rank window "
+    "is full.",
+    oracle=f"""
+        WITH {_SQL_DAILY},
+        flt AS (
+            SELECT series, day_s, cc,
+                   row_number() OVER (
+                       PARTITION BY series ORDER BY day_s) AS rn
+            FROM daily WHERE cc > 0
+        ),
+        d AS (
+            SELECT series, day_s,
+                   cc - lag(cc) OVER w AS delta,
+                   lag(cc) OVER w AS prev,
+                   row_number() OVER w - 1 AS rn2
+            FROM flt
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        ),
+        base AS (SELECT * FROM d WHERE rn2 >= 1),
+        chg AS (
+            SELECT series, day_s, delta, prev, rn2,
+                   CASE WHEN lag(sign(delta)) OVER w IS NULL
+                        OR sign(delta) != lag(sign(delta)) OVER w
+                        THEN 1 ELSE 0 END AS is_chg
+            FROM base
+            WINDOW w AS (PARTITION BY series ORDER BY day_s)
+        ),
+        runs AS (
+            SELECT series, day_s, delta, prev, rn2,
+                   CAST(sum(is_chg) OVER (
+                       PARTITION BY series ORDER BY day_s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS run_id
+            FROM chg
+        ),
+        st AS (
+            SELECT series, day_s, delta, prev, rn2,
+                   CAST(sign(delta) AS BIGINT)
+                       * row_number() OVER (
+                           PARTITION BY series, run_id
+                           ORDER BY day_s) AS streak
+            FROM runs
+        ),
+        legs AS (
+            SELECT series, day_s, delta, prev, rn2, streak,
+                   streak - lag(streak) OVER w AS sdelta,
+                   CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                       OVER v3 AS BIGINT) AS g3,
+                   CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+                       OVER v3 AS BIGINT) AS l3,
+                   list({{'d': delta, 'p': prev}}) OVER vr AS arr
+            FROM st
+            WINDOW w AS (PARTITION BY series ORDER BY day_s),
+                   v3 AS (PARTITION BY series ORDER BY day_s
+                          ROWS BETWEEN {_CRSI_RSI - 1} PRECEDING
+                               AND CURRENT ROW),
+                   vr AS (PARTITION BY series ORDER BY day_s
+                          ROWS BETWEEN {_CRSI_RANK} PRECEDING
+                               AND 1 PRECEDING)
+        ),
+        legs2 AS (
+            SELECT series, day_s, rn2, streak, delta, prev, g3, l3, arr,
+                   CAST(sum(CASE WHEN sdelta > 0 THEN sdelta ELSE 0 END)
+                       OVER v2 AS BIGINT) AS gs,
+                   CAST(sum(CASE WHEN sdelta < 0 THEN -sdelta ELSE 0 END)
+                       OVER v2 AS BIGINT) AS ls
+            FROM legs
+            WINDOW v2 AS (PARTITION BY series ORDER BY day_s
+                          ROWS BETWEEN {_CRSI_STREAK - 1} PRECEDING
+                               AND CURRENT ROW)
+        ),
+        scored AS (
+            SELECT series, day_s, rn2, streak,
+                   CASE WHEN g3 + l3 = 0 THEN 50.0
+                        ELSE round(100000000.0 * g3 / (g3 + l3), 0)
+                             / 1000000.0 END AS rsi3,
+                   CASE WHEN gs + ls = 0 THEN 50.0
+                        ELSE round(100000000.0 * gs / (gs + ls), 0)
+                             / 1000000.0 END AS streak_rsi2,
+                   10.0 * len(list_filter(arr,
+                       s -> s.d * prev < delta * s.p)) AS pct_rank
+            FROM legs2
+        )
+        SELECT series, day_s, streak, rsi3, streak_rsi2, pct_rank,
+               round((rsi3 + streak_rsi2 + pct_rank) / 3.0, 6) AS crsi
+        FROM scored WHERE rn2 >= {_CRSI_RANK + 1}
+    """,
+)
+def ts_connors_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_ohlcv(spark, sf_dir)
+    wo = Window.partitionBy("series").orderBy("day_s")
+    flt = daily.filter(F.col("cc") > 0).select(
+        "series", "day_s", "cc", F.row_number().over(wo).alias("rn")
+    )
+    base = flt.select(
+        "series",
+        "day_s",
+        (F.col("cc") - F.lag("cc").over(wo)).alias("delta"),
+        F.lag("cc").over(wo).alias("prev"),
+        (F.row_number().over(wo) - 1).alias("rn2"),
+    ).filter(F.col("rn2") >= 1)
+    sgn = F.signum(F.col("delta").cast("double")).cast("long")
+    chg = F.when(
+        F.lag(sgn).over(wo).isNull() | (sgn != F.lag(sgn).over(wo)), 1
+    ).otherwise(0)
+    runs = base.select(
+        "series",
+        "day_s",
+        "delta",
+        "prev",
+        "rn2",
+        F.sum(chg)
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    streak = sgn * F.row_number().over(
+        Window.partitionBy("series", "run_id").orderBy("day_s")
+    )
+    st = runs.select(
+        "series", "day_s", "delta", "prev", "rn2", streak.alias("streak")
+    )
+    v3 = wo.rowsBetween(-(_CRSI_RSI - 1), 0)
+    vr = wo.rowsBetween(-_CRSI_RANK, -1)
+    zero = F.lit(0).cast("long")
+    legs = st.select(
+        "series",
+        "day_s",
+        "delta",
+        "prev",
+        "rn2",
+        "streak",
+        (F.col("streak") - F.lag("streak").over(wo)).alias("sdelta"),
+        F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(zero))
+        .over(v3)
+        .alias("g3"),
+        F.sum(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(zero))
+        .over(v3)
+        .alias("l3"),
+        F.collect_list(
+            F.struct(F.col("delta").alias("d"), F.col("prev").alias("p"))
+        )
+        .over(vr)
+        .alias("arr"),
+    )
+    v2 = wo.rowsBetween(-(_CRSI_STREAK - 1), 0)
+    legs2 = legs.select(
+        "series",
+        "day_s",
+        "rn2",
+        "streak",
+        "delta",
+        "prev",
+        "g3",
+        "l3",
+        "arr",
+        F.sum(F.when(F.col("sdelta") > 0, F.col("sdelta")).otherwise(zero))
+        .over(v2)
+        .alias("gs"),
+        F.sum(F.when(F.col("sdelta") < 0, -F.col("sdelta")).otherwise(zero))
+        .over(v2)
+        .alias("ls"),
+    )
+
+    def rsi(g, l):
+        return F.when(g + l == zero, F.lit(50.0)).otherwise(
+            F.round(100000000.0 * g / (g + l), 0) / 1000000.0
+        )
+
+    dcur, pcur = F.col("delta"), F.col("prev")
+    pct = 10.0 * F.size(
+        F.filter(F.col("arr"), lambda s: s["d"] * pcur < dcur * s["p"])
+    )
+    scored = legs2.select(
+        "series",
+        "day_s",
+        "rn2",
+        "streak",
+        rsi(F.col("g3"), F.col("l3")).alias("rsi3"),
+        rsi(F.col("gs"), F.col("ls")).alias("streak_rsi2"),
+        pct.alias("pct_rank"),
+    )
+    return scored.filter(F.col("rn2") >= _CRSI_RANK + 1).select(
+        "series",
+        "day_s",
+        "streak",
+        "rsi3",
+        "streak_rsi2",
+        "pct_rank",
+        F.round(
+            (F.col("rsi3") + F.col("streak_rsi2") + F.col("pct_rank"))
+            / 3.0,
+            6,
+        ).alias("crsi"),
+    )

@@ -86,6 +86,7 @@ REPS = [
     ("ann_hamming_topk", "sign-sketch Hamming scan + rerank"),
     ("media_ogg_probe", "Ogg lacing-offset codec probe"),
     ("media_id3_text_frames", "ID3 frame-walk text extraction"),
+    ("dedup_hamming_blocking", "sign-prefix block audit"),
     # ann_mutual_knn_audit is NOT here: it composes on E5's exact
     # pairwise build (quadratic at toy SF by construction; the scale
     # path is the banded-LSH candidate swap, the same adjudication
@@ -175,13 +176,13 @@ def main() -> None:
             "decisive at scale. `media_mp4_probe` is the slowest new row",
             "(linear within noise): ~60 us/row wall on local[32] (~2 ms CPU)",
             "of JVM-side hex walking — a 20-step bounded fold over ~700",
-            "header bytes per payload (interpreted Catalyst HOF — the
-interpreter, not the walk, is the cost), embarrassingly
-parallel, never",
+            "header bytes per payload (interpreted Catalyst HOF — the",
+            "interpreter, not the walk, is the cost), embarrassingly",
+            "parallel, never",
             "touching sample data; the bound is MP4_MAX_BOXES x header",
             "bytes regardless of media size, which is the entire point of",
             "a probe-before-decode posture; `media_container_router` is",
-            "~its superset (five synth+probe pipelines unioned).",
+            "~its superset (seven synth+probe pipelines unioned).",
             "`ts_volume_profile`'s ratio tracks its per-day price histogram",
             "growing with the 10x per-bucket event density (events keep",
             "their 30-day span at sf1), not a plan defect — its exchanges",
@@ -196,7 +197,15 @@ parallel, never",
             "broadcast-seed scan re-executes under BOTH self-join sides",
             "(measured 49x before the pin, 15.4x after; the paper's own",
             "remedy for pair mass, seeds proportional to N, is this",
-            "operator's seed rule already). ann_mutual_knn_audit is NOT",
+            "operator's seed rule already). `dedup_hamming_blocking`'s",
+            "12.4x is the same story told by a FIXED key space: with",
+            "_HB_BITS=12 the 4096 prefix blocks absorb 10x the vectors,",
+            "so within-block pair mass grows quadratically (and sf1's",
+            "near-duplicated embeddings concentrate prefixes further) —",
+            "at a larger corpus the prefix LENGTHENS (20-24 bits at",
+            "100 TB) to hold block sizes constant, which is the knob the",
+            "audit's block_size column exists to tune.",
+            "ann_mutual_knn_audit is NOT",
             "tabled: it composes on E5's exact pairwise build, quadratic at",
             "toy SF by construction — the scale path is the banded-LSH",
             "candidate swap (the standing E5 adjudication).",

@@ -438,3 +438,79 @@ def test_connors_rsi_planted(spark, tmp_path):
         assert r["pct_rank"] == 100.0
         assert r["crsi"] == 100.0
         assert r["streak"] > 0
+
+
+def test_streaming_media_router_matches_batch_g19(spark, sf_small, tmp_path):
+    """I45: the same mixed eight-format payload frame fed as two
+    micro-batches through the stateless streaming router must equal
+    the batch router's probe rows for those payloads exactly."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.streaming.pipelines import (
+        streaming_media_router,
+    )
+
+    batch = all_queries()["media_container_router"](spark, sf_small)
+    want = {r["media_id"]: tuple(r) for r in batch.collect()}
+
+    # rebuild the same mixed payloads the batch query synthesizes
+    from timescaledb_event_streamer_spark.operators.ebml_probe import (
+        synthesize_ebml_headers,
+    )
+    from timescaledb_event_streamer_spark.operators.mp3_probe import (
+        synthesize_mp3_headers,
+    )
+    from timescaledb_event_streamer_spark.operators.mp4_probe import (
+        synthesize_mp4_headers,
+    )
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        synthesize_jpeg_headers,
+        synthesize_media_headers,
+    )
+    from timescaledb_event_streamer_spark.operators.ogg_probe import (
+        synthesize_ogg_headers,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    ev = load(spark, sf_small, "events")
+    rid = F.col("event_id") % 8
+    mixed = (
+        synthesize_media_headers(ev.filter(rid <= 2))
+        .unionByName(synthesize_jpeg_headers(ev.filter(rid == 3)))
+        .unionByName(synthesize_mp4_headers(ev.filter(rid == 4)))
+        .unionByName(synthesize_mp3_headers(ev.filter(rid == 5)))
+        .unionByName(synthesize_ebml_headers(ev.filter(rid == 6)))
+        .unionByName(synthesize_ogg_headers(ev.filter(rid == 7)))
+    )
+    log_dir = tmp_path / "media_log"
+    log_dir.mkdir()
+    mixed.filter(F.col("media_id") % 2 == 0).coalesce(1).write.parquet(
+        str(log_dir / "b0")
+    )
+    _t.sleep(1.1)
+    mixed.filter(F.col("media_id") % 2 == 1).coalesce(1).write.parquet(
+        str(log_dir / "b1")
+    )
+    stream = (
+        spark.readStream.schema(mixed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(log_dir))
+    )
+    q = (
+        streaming_media_router(stream)
+        .writeStream.format("memory")
+        .queryName("media_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["media_id"]: tuple(r)
+        for r in spark.sql("SELECT * FROM media_stream").collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -305,6 +305,7 @@ MAGIC_SIGNATURES = (
     ("66747970", "mp4", 8),  # 'ftyp' at byte offset 4
     ("494433", "mp3"),
     ("1A45DFA3", "webm"),
+    ("4F676753", "ogg"),  # RFC 3533 page magic (G22)
 )
 
 

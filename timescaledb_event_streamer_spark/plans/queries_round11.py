@@ -1285,13 +1285,15 @@ def ann_mutual_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_container_router",
     family="multimodal",
     doc="Mixed-media routing (G19) — the integration shape the whole "
-    "G family exists for: ONE binary column carrying SEVEN container "
-    "formats (PNG / WAV / GIF / JPEG / MP4 / MP3 / WebM, disjoint "
+    "G family exists for: ONE binary column carrying EIGHT container "
+    "formats (PNG / WAV / GIF / JPEG / MP4 / MP3 / WebM / Ogg, "
+    "disjoint "
     "residue classes), sniffed by magic bytes (sniff_format, pure "
     "codegen), routed to the MATCHING prober — fixed-offset header "
     "reads for PNG/WAV/GIF (G4), the segment walk for JPEG (G5), "
     "the box walk for MP4 (G18), the syncsafe/frame-table reads for "
-    "MP3 (G20), the EBML vint walk for WebM (G21) — and emitted as "
+    "MP3 (G20), the EBML vint walk for WebM (G21), the lacing-table "
+    "hop for Ogg (G22) — and emitted as "
     "one unified media-grain row "
     "(container, width/height, duration_ms, codec). At 100 TB this "
     "is the scan that partitions a heterogeneous lake into decode "
@@ -1301,7 +1303,7 @@ def ann_mutual_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "class, so a sniff OR probe bug cannot cancel out.",
     oracle="""
         WITH src AS (
-            SELECT event_id, user_id, event_id % 7 AS route,
+            SELECT event_id, user_id, event_id % 8 AS route,
                    event_id % 3 AS fmt,
                    user_id % 2048 + 16 AS png_w,
                    CAST(floor(event_id / 3) AS BIGINT) % 2048 + 16 AS png_h,
@@ -1327,8 +1329,10 @@ def ann_mutual_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE 'gif' END
                     WHEN route = 3 THEN 'jpeg' WHEN route = 4 THEN 'mp4'
                     WHEN route = 5 THEN 'mp3'
-                    ELSE CASE WHEN event_id % 2 = 0 THEN 'webm'
-                              ELSE 'matroska' END END AS container,
+                    WHEN route = 6 THEN
+                         CASE WHEN event_id % 2 = 0 THEN 'webm'
+                              ELSE 'matroska' END
+                    ELSE 'ogg' END AS container,
                CASE WHEN route <= 2 AND fmt = 0 THEN png_w
                     WHEN route <= 2 AND fmt = 2 THEN gif_w
                     WHEN route = 3 THEN jpg_w
@@ -1354,7 +1358,9 @@ def ann_mutual_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN route = 4 THEN 'hev1'
                     WHEN route = 5 THEN 'mpeg1_layer3'
                     WHEN route = 6 AND event_id % 2 = 0 THEN 'V_VP8'
-                    WHEN route = 6 THEN 'V_VP9' END AS codec
+                    WHEN route = 6 THEN 'V_VP9'
+                    WHEN route = 7 AND event_id % 2 = 0 THEN 'opus'
+                    WHEN route = 7 THEN 'vorbis' END AS codec
         FROM src
     """,
 )
@@ -1379,15 +1385,20 @@ def media_container_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_mp3_headers,
         synthesize_mp3_headers,
     )
+    from timescaledb_event_streamer_spark.operators.ogg_probe import (
+        parse_ogg_headers,
+        synthesize_ogg_headers,
+    )
 
     ev = load(spark, sf_dir, "events")
-    rid = F.col("event_id") % 7
+    rid = F.col("event_id") % 8
     mixed = (
         synthesize_media_headers(ev.filter(rid <= 2))
         .unionByName(synthesize_jpeg_headers(ev.filter(rid == 3)))
         .unionByName(synthesize_mp4_headers(ev.filter(rid == 4)))
         .unionByName(synthesize_mp3_headers(ev.filter(rid == 5)))
         .unionByName(synthesize_ebml_headers(ev.filter(rid == 6)))
+        .unionByName(synthesize_ogg_headers(ev.filter(rid == 7)))
     )
     from pyspark import StorageLevel
 
@@ -1447,12 +1458,21 @@ def media_container_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("duration_ms"),
         F.col("video_codec").alias("codec"),
     )
+    ogg = parse_ogg_headers(sniffed.filter(F.col("c") == "ogg")).select(
+        "media_id",
+        F.lit("ogg").alias("container"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.col("codec"),
+    )
     return (
         fixed.select(out_cols)
         .unionByName(jpeg.select(out_cols))
         .unionByName(mp4.select(out_cols))
         .unionByName(mp3.select(out_cols))
         .unionByName(webm.select(out_cols))
+        .unionByName(ogg.select(out_cols))
     )
 
 

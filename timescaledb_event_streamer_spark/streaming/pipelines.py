@@ -1896,3 +1896,110 @@ def streaming_pvt(daily: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming media router (I45): G19's sniff+route live on an
+# ingest stream. Stateless — the whole point: because every probe is
+# a pure projection (codegen column expressions, no keyed state, no
+# shuffle), the SAME route-and-probe plan runs unchanged under
+# readStream, so a media lake's ingest path classifies payloads
+# micro-batch by micro-batch at projection cost and the batch/stream
+# results are identical by construction. The union branches each
+# filter the sniffed frame; Structured Streaming pushes the filters
+# into each branch exactly like the batch plan.
+
+
+def streaming_media_router(media: DataFrame) -> DataFrame:
+    """Route a stream of (media_id, payload) rows to the matching
+    container probe and emit the unified media-grain row (container,
+    width/height, duration_ms, codec) — the live form of
+    media_container_router over all eight container families."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.operators.ebml_probe import (
+        parse_ebml_headers,
+    )
+    from timescaledb_event_streamer_spark.operators.mp3_probe import (
+        parse_mp3_headers,
+    )
+    from timescaledb_event_streamer_spark.operators.mp4_probe import (
+        parse_mp4_headers,
+    )
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        parse_jpeg_headers,
+        parse_media_headers,
+        sniff_format,
+    )
+    from timescaledb_event_streamer_spark.operators.ogg_probe import (
+        parse_ogg_headers,
+    )
+
+    sniffed = media.select(
+        "media_id", "payload", sniff_format(F.col("payload")).alias("c")
+    )
+    out_cols = [
+        "media_id", "container", "width", "height", "duration_ms", "codec"
+    ]
+    fixed = parse_media_headers(
+        sniffed.filter(F.col("c").isin("png", "riff", "gif"))
+    ).select(
+        "media_id",
+        "container",
+        "width",
+        "height",
+        "duration_ms",
+        F.when(F.col("container") == "wav", "pcm16le").alias("codec"),
+    )
+    jpeg = parse_jpeg_headers(sniffed.filter(F.col("c") == "jpeg")).select(
+        "media_id",
+        F.lit("jpeg").alias("container"),
+        "width",
+        "height",
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.when(F.col("progressive"), "jpeg_progressive")
+        .otherwise("jpeg_baseline")
+        .alias("codec"),
+    )
+    mp4 = parse_mp4_headers(sniffed.filter(F.col("c") == "mp4")).select(
+        "media_id",
+        F.lit("mp4").alias("container"),
+        "width",
+        "height",
+        "duration_ms",
+        F.col("video_codec").alias("codec"),
+    )
+    mp3 = parse_mp3_headers(sniffed.filter(F.col("c") == "mp3")).select(
+        "media_id",
+        F.lit("mp3").alias("container"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.when(
+            (F.col("mpeg_version") == 1) & (F.col("layer") == 3),
+            "mpeg1_layer3",
+        ).alias("codec"),
+    )
+    webm = parse_ebml_headers(sniffed.filter(F.col("c") == "webm")).select(
+        "media_id",
+        F.col("doc_type").alias("container"),
+        "width",
+        "height",
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.col("video_codec").alias("codec"),
+    )
+    ogg = parse_ogg_headers(sniffed.filter(F.col("c") == "ogg")).select(
+        "media_id",
+        F.lit("ogg").alias("container"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.col("codec"),
+    )
+    return (
+        fixed.select(out_cols)
+        .unionByName(jpeg.select(out_cols))
+        .unionByName(mp4.select(out_cols))
+        .unionByName(mp3.select(out_cols))
+        .unionByName(webm.select(out_cols))
+        .unionByName(ogg.select(out_cols))
+    )

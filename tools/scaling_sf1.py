@@ -79,7 +79,7 @@ REPS = [
     ("ts_parabolic_sar", "sequential stop-and-reverse fold (B105-115 rep)"),
     ("media_mp4_probe", "ISO-BMFF box-walk codegen probe"),
     # r11 late additions: the heaviest new plans
-    ("media_container_router", "7-format sniff+route+probe union"),
+    ("media_container_router", "8-format sniff+route+probe union"),
     ("dedup_modality_agreement", "minhash-vs-embedding cross audit"),
     ("dedup_semdedup", "seeded-cluster semantic dedup"),
     ("text_heaps_fit", "bigram first-occurrence Heaps reduce"),

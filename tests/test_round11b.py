@@ -514,3 +514,54 @@ def test_streaming_media_router_matches_batch_g19(spark, sf_small, tmp_path):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_decontamination_near_planted(spark, tmp_path):
+    """doc 0 (benchmark: id % 7 == 0) and doc 8 (train) share all
+    but one word -> banded collision with high est-Jaccard; doc 9
+    is unrelated -> no row. doc 7 is ALSO benchmark, so its copy of
+    the text emits no train-side row."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [
+        (0, base, "s"),
+        (7, base, "s"),                          # benchmark too
+        (8, near, "s"),                          # contaminated train doc
+        (9, "one two three four five six seven", "s"),
+    ]
+    sf = _plant_docs(spark, tmp_path, rows)
+    out = all_queries()["text_decontamination_near"](spark, sf).collect()
+    got = {(r["train_doc"], r["bench_doc"]) for r in out}
+    assert got == {(8, 0), (8, 7)}
+    for r in out:
+        assert r["contaminated"] is True
+        assert r["est_jaccard"] >= 0.5
+
+
+def test_wal_growth_forecast_linear(spark, tmp_path):
+    """One event per second with LSN == elapsed seconds: a perfect
+    line, so the OLS rate is exactly 3600 LSN/hour; one table, so
+    it pins the slot and retains exactly its own pending tail."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    n = 40
+    spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=i), 1, "m", 1.0, '{"k": 1}')
+            for i in range(n)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = all_queries()["cdc_wal_growth_forecast"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == n and r["head_lsn"] == n - 1
+    assert r["rate_lsn_per_hour"] == 3600.0
+    # ack position = ceil(0.9*40) = 36th event (id 35); retained =
+    # events with id > 35 -> 4
+    assert r["retained_by_slot"] == 4 and r["total_retained"] == 4
+    assert r["breach_within_24h"] is False

@@ -1473,3 +1473,341 @@ def ts_connors_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("crsi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F57 text_decontamination_near — MinHash near-dup benchmark decontamination
+
+_DECON_MOD = 7     # benchmark slice: doc_id % 7 == 0 (deterministic)
+_DECON_TAU = 0.5   # est-Jaccard contamination threshold
+
+
+def _decon_near_oracle() -> str:
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _A,
+        _B,
+        _MERSENNE,
+    )
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    mins = ",\n               ".join(
+        f"min((h * {_A[i]} + {_B[i]}) % {_MERSENNE}) AS mh{i}"
+        for i in range(MINHASH_PERMS)
+    )
+    band_conds = "\n               OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh{bi * rows + ri} = b.mh{bi * rows + ri}"
+            for ri in range(rows)
+        )
+        + ")"
+        for bi in range(MINHASH_BANDS)
+    )
+    eqsum = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_PERMS)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 5
+        ),
+        s0 AS (SELECT doc_id, unnest(range(len(toks) - 4)) AS i, toks
+               FROM t),
+        sh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(array_to_string(
+                       toks[i + 1 : i + 5], ' ')), 1, 15))::BIGINT
+                       % {_MERSENNE} AS h
+            FROM s0
+        ),
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        )
+        SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
+               ({eqsum}) / 32.0 AS est_jaccard,
+               ({eqsum}) / 32.0 >= {_DECON_TAU} AS contaminated
+        FROM sig a JOIN sig b
+          ON a.doc_id % {_DECON_MOD} != 0 AND b.doc_id % {_DECON_MOD} = 0
+        WHERE {band_conds}
+    """
+
+
+@register(
+    "text_decontamination_near",
+    family="text",
+    doc="NEAR-duplicate benchmark decontamination (F57, the "
+    "published contamination posture of the Llama/PaLM reports — "
+    "exact n-gram overlap (F8) and Bloom membership (F22) miss "
+    "paraphrased or lightly-edited eval leakage, so the third gate "
+    "is MinHash: the benchmark slice (doc_id % 7 == 0, standing in "
+    "for the eval set a real run loads) and the training corpus "
+    "each get D12's md5-portable 32-perm signatures, candidates "
+    "come ONLY from banded LSH collisions between a training doc "
+    "and a benchmark doc (asymmetric: the benchmark side is "
+    "tiny and BROADCAST — cost scales with the training corpus "
+    "x collision rate, the D25 posture, never corpus x benchmark), "
+    "and each candidate carries the exact k/32 est-Jaccard (5 "
+    "decimals, exactly representable) with the >= 0.5 contamination "
+    "verdict. At 100 TB this is the decontamination fleet's actual "
+    "shape: benchmark signatures ship to every executor; the corpus "
+    "streams once.",
+    oracle=_decon_near_oracle(),
+)
+def text_decontamination_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from timescaledb_event_streamer_spark.operators.dedup import (
+        _MERSENNE,
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        minhash_signatures,
+    )
+
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 5
+    )
+    md5_base = lambda s: (  # noqa: E731
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % _MERSENNE
+    )
+    sig = minhash_signatures(docs, base_hash=md5_base).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def banded(frame):
+        return frame.select(
+            "doc_id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col("sig")[bi * rows + ri].cast(
+                                            "string"
+                                        )
+                                        for ri in range(rows)
+                                    ],
+                                )
+                            ).alias("bucket"),
+                        )
+                        for bi in range(MINHASH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    train = banded(sig.filter(F.col("doc_id") % _DECON_MOD != 0)).alias("a")
+    bench = banded(sig.filter(F.col("doc_id") % _DECON_MOD == 0)).alias("b")
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        train.join(
+            F.broadcast(bench),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("train_doc"),
+            F.col("b.doc_id").alias("bench_doc"),
+            (agree / 32.0).alias("est_jaccard"),
+        )
+        .dropDuplicates(["train_doc", "bench_doc"])
+    )
+    return cand.select(
+        "train_doc",
+        "bench_doc",
+        "est_jaccard",
+        (F.col("est_jaccard") >= _DECON_TAU).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A35 cdc_wal_growth_forecast — slot-retention breach forecast
+
+_WAL_BUDGET = 100000  # configured max_slot_wal_keep stand-in (LSN units)
+
+
+@register(
+    "cdc_wal_growth_forecast",
+    family="cdc",
+    doc="WAL-retention breach forecast (A35, the ops question A34's "
+    "report raises: WHEN does the pinned slot hit "
+    "max_slot_wal_keep_size?): per table the WAL emission rate is "
+    "the OLS slope of LSN against MIN-CENTERED time (centering "
+    "keeps the regression sums inside double precision; the F40 "
+    "slope idiom, sum-reorder noise ~1e-14 under the 1e-6 rounding "
+    "grid), the slot posture (confirmed_flush = min acked LSN, "
+    "retained mass) comes from A34's exact model, and the forecast "
+    "divides remaining budget by the TOTAL emission rate — the "
+    "number a pager alert actually fires on. Per-table grain with "
+    "two 1-row broadcasts (slot posture, total rate); no global "
+    "window, no skew.",
+    oracle=f"""
+        WITH r AS (
+            SELECT event_type, event_id,
+                   (epoch_us(ts) // 1000000) AS es,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        c AS (
+            SELECT event_type,
+                   CAST(es - min(es) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS x,
+                   CAST(event_id AS BIGINT) AS y,
+                   event_id, rn, n
+            FROM r
+        ),
+        sums AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(event_id) AS BIGINT) AS head_lsn,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(max(CASE WHEN rn = (9 * n + 9) // 10
+                            THEN event_id END) AS BIGINT) AS acked_lsn
+            FROM c GROUP BY event_type
+        ),
+        fit AS (
+            SELECT event_type, n_events, head_lsn, acked_lsn,
+                   CAST(n_events AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+                   CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx
+            FROM sums
+        ),
+        slot AS (SELECT min(acked_lsn) AS confirmed_flush FROM fit),
+        ret AS (
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS retained
+            FROM events e, slot s
+            WHERE e.event_id > s.confirmed_flush
+            GROUP BY e.event_type
+        ),
+        rated AS (
+            SELECT f.event_type, f.n_events, f.head_lsn,
+                   3600.0 * f.cov / f.varx AS rate_h,
+                   coalesce(r.retained, 0) AS retained
+            FROM fit f LEFT JOIN ret r ON r.event_type = f.event_type
+        ),
+        tot AS (
+            SELECT sum(rate_h) AS total_rate_h,
+                   CAST(sum(retained) AS BIGINT) AS total_retained
+            FROM rated
+        )
+        SELECT d.event_type AS source_table,
+               d.n_events, d.head_lsn,
+               round(d.rate_h, 6) AS rate_lsn_per_hour,
+               d.retained AS retained_by_slot,
+               t.total_retained,
+               round(({_WAL_BUDGET} - t.total_retained)
+                     / t.total_rate_h, 3) AS hours_to_breach,
+               ({_WAL_BUDGET} - t.total_retained) / t.total_rate_h
+                   <= 24.0 AS breach_within_24h
+        FROM rated d CROSS JOIN tot t
+    """,
+)
+def cdc_wal_growth_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    es = F.expr("unix_micros(ts) div 1000000")
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("event_id")
+    r = events.select(
+        "event_type",
+        "event_id",
+        es.alias("es"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    c = r.select(
+        "event_type",
+        (F.col("es") - F.min("es").over(wt)).cast("long").alias("x"),
+        F.col("event_id").cast("long").alias("y"),
+        "event_id",
+        "rn",
+        "n",
+    )
+    sums = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("event_id").alias("head_lsn"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((9 * F.col("n") + 9) / 10),
+                F.col("event_id"),
+            )
+        ).alias("acked_lsn"),
+    )
+    nd = F.col("n_events").cast("double")
+    fit = sums.select(
+        "event_type",
+        "n_events",
+        "head_lsn",
+        "acked_lsn",
+        (
+            nd * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        ).alias("cov"),
+        (
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ).alias("varx"),
+    )
+    slot = fit.agg(F.min("acked_lsn").alias("confirmed_flush"))
+    ret = (
+        events.join(F.broadcast(slot))
+        .filter(F.col("event_id") > F.col("confirmed_flush"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    rated = (
+        fit.join(ret, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "head_lsn",
+            (3600.0 * F.col("cov") / F.col("varx")).alias("rate_h"),
+            F.coalesce("retained", F.lit(0)).alias("retained"),
+        )
+    )
+    tot = rated.agg(
+        F.sum("rate_h").alias("total_rate_h"),
+        F.sum("retained").alias("total_retained"),
+    )
+    hrs = (F.lit(float(_WAL_BUDGET)) - F.col("total_retained")) / F.col(
+        "total_rate_h"
+    )
+    return rated.join(F.broadcast(tot)).select(
+        F.col("event_type").alias("source_table"),
+        "n_events",
+        "head_lsn",
+        F.round("rate_h", 6).alias("rate_lsn_per_hour"),
+        F.col("retained").alias("retained_by_slot"),
+        "total_retained",
+        F.round(hrs, 3).alias("hours_to_breach"),
+        (hrs <= 24.0).alias("breach_within_24h"),
+    )

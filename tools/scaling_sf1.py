@@ -87,6 +87,7 @@ REPS = [
     ("media_ogg_probe", "Ogg lacing-offset codec probe"),
     ("media_id3_text_frames", "ID3 frame-walk text extraction"),
     ("dedup_hamming_blocking", "sign-prefix block audit"),
+    ("text_decontamination_near", "bench-vs-corpus banded join"),
     # ann_mutual_knn_audit is NOT here: it composes on E5's exact
     # pairwise build (quadratic at toy SF by construction; the scale
     # path is the banded-LSH candidate swap, the same adjudication

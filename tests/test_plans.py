@@ -193,6 +193,9 @@ _BNLJ_OK = {
     "text_heaps_fit",  # 1-row broadcast max-doc-id (bucket modulus)
     #   + 1-row broadcast OLS-sums cross join over the 10-row
     #   checkpoint table
+    "cdc_wal_growth_forecast",  # 1-row broadcast slot posture
+    #   (confirmed_flush) + 1-row broadcast total-rate cross join
+    #   over the table-grain rated rows
 }
 
 

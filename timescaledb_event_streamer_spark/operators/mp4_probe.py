@@ -6,15 +6,21 @@ prune a 100 TB media lake's video column BEFORE any decode fleet
 runs. ISO-BMFF (ISO/IEC 14496-12, the public MP4 container spec) is
 a tree of length-prefixed boxes `[size u32 BE][fourcc][payload]`
 where container boxes (moov/trak/mdia/minf/stbl) hold concatenated
-child boxes — so ONE linear bounded fold walks the whole tree:
+child boxes — so ONE linear bounded walk covers the whole tree:
 enter a container by hopping 8 bytes, skip a leaf by hopping its
 declared size, record fields when the fourcc is mvhd/tkhd/stsd.
-Entirely JVM-side with zero Python per row (the fold itself is an
-interpreted Catalyst higher-order function — Spark does not codegen
-aggregate() lambdas — so cost is iterations x expression-tree size;
-~60 us/row wall on local[32] (~2 ms CPU) at MP4_MAX_BOXES=20,
-linear and embarrassingly parallel);
-actual sample data (mdat) is never touched — probing cost is header
+
+The walk runs as an Arrow-batched probe (the sanctioned media seam,
+same as the FLAC/ADPCM stats): the r11 optimization round measured
+the original JVM-side F.aggregate fold — an 11-field accumulator
+through an interpreted Catalyst higher-order function (Spark never
+codegens aggregate() lambdas) — at ~58 us/row WALL on local[32],
+i.e. ~1.9 ms CPU per row, versus ~15 us CPU per row for the
+identical walk over the raw bytes behind the Arrow boundary
+(sf0.1 bench 6.8s -> 3.2s; the 3-field JPEG fold stays JVM-side
+because its interpreted tree is small enough to win). Unlike a
+decode, per-row cost is bounded by MP4_MAX_BOXES x a few slices —
+actual sample data (mdat) is never touched; probing cost is header
 bytes only.
 
 Reference scope note: the reference (a Go CDC streamer) has no
@@ -35,8 +41,10 @@ Box layout facts used (all from the public spec):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from timescaledb_event_streamer_spark.operators.multimodal import _hbe
 
@@ -159,113 +167,109 @@ def synthesize_mp4_headers(events: DataFrame) -> DataFrame:
     )
 
 
+#: Arrow probe output: one struct per payload, field order is the
+#: query's declared column order after media_id.
+_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("is_mp4", T.BooleanType()),
+        T.StructField("major_brand", T.StringType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("duration", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("audio_codec", T.StringType()),
+        T.StructField("n_boxes", T.LongType()),
+    ]
+)
+_PROBE_COLS = [f.name for f in _PROBE_SCHEMA.fields]
+_CONTAINERS_B = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+
+
+def _be(p: bytes, off: int, ln: int):
+    """Big-endian uint of the AVAILABLE bytes in [off, off+ln), or
+    None past the end — exactly F.conv(partial-hex-substr, 16, 10):
+    a truncated field parses its present prefix, an absent field is
+    null (conv('') is NULL). Slices stay byte-aligned because every
+    cursor the walk produces is byte-aligned."""
+    b = p[off : off + ln]
+    return int.from_bytes(b, "big") if b else None
+
+
+def _walk_one(p):
+    """One payload through the exact walk contract of the original
+    JVM fold (see parse_mp4_headers for the contract statement);
+    returns the output tuple in _PROBE_SCHEMA order."""
+    if p is None:
+        return (None,) * 11
+    n = len(p)
+    is_mp4 = n >= 16 and p[4:8] == b"ftyp"
+    bpos = 0
+    ts = dur = w = ht = vc = ac = None
+    ntrk = nbox = 0
+    lw = lh = 0
+    for _ in range(MP4_MAX_BOXES):
+        if bpos + 8 > n:  # `done`: every guard is false hereafter
+            break
+        size_b = int.from_bytes(p[bpos : bpos + 4], "big")
+        four = p[bpos + 4 : bpos + 8]
+        # recorders guard on `done` only; they are idempotent
+        # (mvhd/tkhd overwrite the same values) or once-only (vc/ac
+        # null-guarded), so a cursor frozen by an invalid size
+        # recording every remaining fold iteration is equivalent to
+        # recording once here before the stop-break below
+        v0 = p[bpos + 8 : bpos + 9] == b"\x00"
+        if four == b"mvhd" and v0:
+            ts = _be(p, bpos + 20, 4)
+            dur = _be(p, bpos + 24, 4)
+        elif four == b"tkhd" and v0:
+            tw = _be(p, bpos + 84, 4)
+            th = _be(p, bpos + 88, 4)
+            # 16.16 fixed -> integer pixels; exact for u32 range
+            lw = None if tw is None else tw // 65536
+            lh = None if th is None else th // 65536
+        elif four == b"stsd":
+            # sample-entry fourcc; strict decode matches the ANSI
+            # JVM decode() (invalid UTF-8 fails the row either way)
+            if lw is not None and lw > 0 and vc is None:
+                w, ht, vc = lw, lh, p[bpos + 20 : bpos + 24].decode("utf-8")
+            elif lw is not None and lw == 0 and ac is None:
+                ac = p[bpos + 20 : bpos + 24].decode("utf-8")
+        if size_b < 8:  # `stop`: sizes < 8 (largesize escape incl.)
+            break
+        nbox += 1
+        if four == b"trak":
+            ntrk += 1
+        bpos = bpos + 8 if four in _CONTAINERS_B else bpos + size_b
+    if not is_mp4:
+        return (False,) + (None,) * 10
+    # exact integer ms, identical to DuckDB's integer // (the JVM
+    # form used numerator-divisible double division)
+    dms = None if ts is None or dur is None else (dur * 1000) // ts
+    return (True, p[8:12].decode("utf-8"), ts, dur, dms, ntrk, w, ht, vc, ac, nbox)
+
+
+@F.pandas_udf(_PROBE_SCHEMA)
+def _probe_batch(payload: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        [_walk_one(p) for p in payload], columns=_PROBE_COLS, dtype=object
+    )
+
+
 def parse_mp4_headers(media: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Walk the box tree with ONE bounded F.aggregate: containers are
-    entered (+8 bytes), leaves skipped by declared size, mvhd/tkhd/
-    stsd recorded in the accumulator. Sizes < 8 (including the
-    64-bit largesize escape, size==1) stop the walk defensively, so
-    hostile length fields cannot loop or jump backwards. Only
-    version-0 mvhd/tkhd field layouts are read; a v1 box leaves its
-    fields null rather than misreading shifted offsets.
+    """Walk the box tree ONCE, bounded: containers are entered
+    (+8 bytes), leaves skipped by declared size, mvhd/tkhd/stsd
+    recorded along the way. Sizes < 8 (including the 64-bit
+    largesize escape, size==1) stop the walk defensively, so hostile
+    length fields cannot loop or jump backwards. Only version-0
+    mvhd/tkhd field layouts are read; a v1 box leaves its fields
+    null rather than misreading shifted offsets.
 
-    The hex string is materialized in its own projection before the
-    fold (no CSE inside an expression tree — the JPEG-probe rule)."""
-    media = media.select("media_id", F.hex(F.col(payload_col)).alias("_h"))
-    h = F.col("_h")
-
-    init = F.struct(
-        F.lit(1).cast("long").alias("pos"),      # 1-indexed hex cursor
-        F.lit(None).cast("long").alias("ts"),    # mvhd timescale
-        F.lit(None).cast("long").alias("dur"),   # mvhd duration
-        F.lit(0).cast("int").alias("ntrk"),
-        F.lit(0).cast("long").alias("lw"),       # last tkhd width/height
-        F.lit(0).cast("long").alias("lh"),
-        F.lit(None).cast("long").alias("w"),     # first video track
-        F.lit(None).cast("long").alias("hh"),
-        F.lit(None).cast("string").alias("vc"),  # video/audio codec fourcc
-        F.lit(None).cast("string").alias("ac"),
-        F.lit(0).cast("int").alias("nbox"),
-    )
-
-    def step(acc, _):
-        pos = acc["pos"]
-        # `done` is a cheap length predicate; `stop` additionally
-        # parses the size field (conv). Field updates guard on
-        # `done` only (a matching fourcc at a dead cursor reads as
-        # empty substr -> no match); pos/nbox/ntrk carry the full
-        # `stop`. Note the fold is a higher-order function, which
-        # Spark evaluates INTERPRETED (no whole-stage codegen for
-        # aggregate() lambdas) — per-row cost is iterations x tree
-        # size, so keep both lean; ~60 us/row wall on local[32]
-        # (~2 ms CPU) at MP4_MAX_BOXES=20 — the honest measured cost,
-        # see SCALING.md's sf1 row.
-        done = (pos + 15) > F.length(h)
-        size_b = F.conv(h.substr(pos, F.lit(8)), 16, 10).cast("long")
-        four = h.substr(pos + 8, F.lit(8))
-        stop = done | (size_b < 8)
-        is_container = four.isin(*_CONTAINERS)
-        v0 = h.substr(pos + 16, F.lit(2)) == "00"
-
-        is_mvhd = ~done & (four == F.lit(_MVHD)) & v0
-        is_tkhd = ~done & (four == F.lit(_TKHD)) & v0
-        is_stsd = ~done & (four == F.lit(_STSD))
-        tw = F.floor(
-            F.conv(h.substr(pos + 168, F.lit(8)), 16, 10).cast("long") / 65536
-        ).cast("long")
-        th = F.floor(
-            F.conv(h.substr(pos + 176, F.lit(8)), 16, 10).cast("long") / 65536
-        ).cast("long")
-        fc = F.decode(F.unhex(h.substr(pos + 40, F.lit(8))), "UTF-8")
-        video_hit = is_stsd & (acc["lw"] > 0) & acc["vc"].isNull()
-        audio_hit = is_stsd & (acc["lw"] == 0) & acc["ac"].isNull()
-
-        return F.struct(
-            F.when(stop, pos)
-            .when(is_container, pos + 16)
-            .otherwise(pos + size_b * 2)
-            .cast("long")
-            .alias("pos"),
-            F.when(is_mvhd, F.conv(h.substr(pos + 40, F.lit(8)), 16, 10).cast("long"))
-            .otherwise(acc["ts"]).alias("ts"),
-            F.when(is_mvhd, F.conv(h.substr(pos + 48, F.lit(8)), 16, 10).cast("long"))
-            .otherwise(acc["dur"]).alias("dur"),
-            # ntrk keeps the full `stop` guard: on an invalid-size
-            # stop the cursor freezes, and a frozen 'trak' fourcc
-            # must not re-count every remaining iteration (the other
-            # recorders are idempotent or once-only; a counter isn't)
-            (acc["ntrk"] + F.when(~stop & (four == F.lit(_TRAK)), 1).otherwise(0))
-            .cast("int").alias("ntrk"),
-            F.when(is_tkhd, tw).otherwise(acc["lw"]).alias("lw"),
-            F.when(is_tkhd, th).otherwise(acc["lh"]).alias("lh"),
-            F.when(video_hit, acc["lw"]).otherwise(acc["w"]).alias("w"),
-            F.when(video_hit, acc["lh"]).otherwise(acc["hh"]).alias("hh"),
-            F.when(video_hit, fc).otherwise(acc["vc"]).alias("vc"),
-            F.when(audio_hit, fc).otherwise(acc["ac"]).alias("ac"),
-            (acc["nbox"] + F.when(stop, 0).otherwise(1)).cast("int").alias("nbox"),
-        )
-
-    state = F.aggregate(F.sequence(F.lit(1), F.lit(MP4_MAX_BOXES)), init, step)
-    media = media.select("media_id", "_h", state.alias("_s"))
-    hh, s = F.col("_h"), F.col("_s")
-    is_mp4 = (F.length(hh) >= 32) & (hh.substr(F.lit(9), F.lit(8)) == _FTYP)
-    g = lambda c: F.when(is_mp4, c)  # noqa: E731  — field gate, JPEG rule
-    ts, dur = s["ts"], s["dur"]
+    The walk itself is the Arrow-batched _walk_one (~15 us CPU/row);
+    the r11 measurement notes in the module docstring explain why the
+    original interpreted F.aggregate fold (~1.9 ms CPU/row) lost."""
     return media.select(
-        "media_id",
-        is_mp4.alias("is_mp4"),
-        g(F.decode(F.unhex(hh.substr(F.lit(17), F.lit(8))), "UTF-8")).alias("major_brand"),
-        g(ts).alias("timescale"),
-        g(dur).alias("duration"),
-        # exact integer ms: (dur*1000 - mod) / ts is an exact IEEE
-        # division (numerator divisible), engine-identical with
-        # DuckDB's integer //
-        g(((dur * 1000 - F.pmod(dur * 1000, ts)) / ts).cast("long")).alias(
-            "duration_ms"
-        ),
-        g(s["ntrk"].cast("long")).alias("n_tracks"),
-        g(s["w"]).alias("width"),
-        g(s["hh"]).alias("height"),
-        g(s["vc"]).alias("video_codec"),
-        g(s["ac"]).alias("audio_codec"),
-        g(s["nbox"].cast("long")).alias("n_boxes"),
-    )
+        "media_id", _probe_batch(F.col(payload_col)).alias("_s")
+    ).select("media_id", "_s.*")

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from timescaledb_event_streamer_spark.operators.ranking import global_row_number
 from timescaledb_event_streamer_spark.plans.registry import register
 from timescaledb_event_streamer_spark.sources.tables import load, spread
 
@@ -593,11 +594,27 @@ def sparse_cosine_pairs(
             )
         )
     w = w.drop("n_docs")
+    # integer-keyed inverted index (r11): replace the term STRING in
+    # every (doc, term) posting and every candidate-pair row with its
+    # lexicographic rank — an order-preserving long. Every downstream
+    # sorted fold orders by term only to fix float summation order,
+    # and rank order == string order, so the folded doubles are
+    # bit-identical; what changes is the physical cost: the pair
+    # shuffle carries 8-byte longs instead of ~30-byte shingle
+    # strings and the per-group array_sort compares longs. The rank
+    # itself is the two-pass range-partitioned shape (vocab-grain,
+    # never a single-partition window).
+    vocab = global_row_number(
+        w.select("term").distinct(),
+        [F.col("term").asc()],
+        col_name="term_id",
+    )
+    w = w.join(vocab, "term").select("doc_id", "term_id", "df", "w")
     # eager checkpoint = the materialized inverted index: norms and
     # both join sides read it, and without the boundary the whole
     # tokenize/tf/df/N pipeline (with its 1-row broadcasts) executes
     # three times (audited at 31 exchanges / 16 nested-loop joins).
-    # Size is (doc, term) rows AFTER the df cap / sampling — the
+    # Size is (doc, term_id) rows AFTER the df cap / sampling — the
     # bounded artifact an inverted index is supposed to be. df rides
     # along: it IS the posting-list length, so the small/big routing
     # below happens BEFORE any collect_list.
@@ -605,7 +622,7 @@ def sparse_cosine_pairs(
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(
             F.expr(
-                "aggregate(transform(array_sort(collect_list(struct(term, w))),"
+                "aggregate(transform(array_sort(collect_list(struct(term_id, w))),"
                 " s -> s.w * s.w), 0D, (a, v) -> a + v)"
             )
         ).alias("nr")
@@ -625,13 +642,13 @@ def sparse_cosine_pairs(
     # task just to be told it is too big (r7 advice).
     gs = (
         w.filter(F.col("df") <= _INROW_DF)
-        .groupBy("term")
+        .groupBy("term_id")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "w"))).alias("ds"))
     )
     sm = (
-        gs.select("term", "ds", F.posexplode("ds").alias("i", "x"))
+        gs.select("term_id", "ds", F.posexplode("ds").alias("i", "x"))
         .select(
-            "term",
+            "term_id",
             F.explode(
                 F.expr(
                     "transform(slice(ds, i + 2, size(ds) - i - 1),"
@@ -640,17 +657,17 @@ def sparse_cosine_pairs(
                 )
             ).alias("p"),
         )
-        .select("term", "p.doc_a", "p.doc_b", "p.prod")
+        .select("term_id", "p.doc_a", "p.doc_b", "p.prod")
     )
-    big = w.filter(F.col("df") > _INROW_DF).select("doc_id", "term", "w")
+    big = w.filter(F.col("df") > _INROW_DF).select("doc_id", "term_id", "w")
     a = big.alias("a")
     b = big.alias("b")
     bg = a.join(
         b,
-        (F.col("a.term") == F.col("b.term"))
+        (F.col("a.term_id") == F.col("b.term_id"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
-        F.col("a.term").alias("term"),
+        F.col("a.term_id").alias("term_id"),
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         (F.col("a.w") * F.col("b.w")).alias("prod"),
@@ -661,7 +678,7 @@ def sparse_cosine_pairs(
         .agg(
             F.count(F.lit(1)).alias("n_shared_terms"),
             F.expr(
-                "aggregate(transform(array_sort(collect_list(struct(term, prod))),"
+                "aggregate(transform(array_sort(collect_list(struct(term_id, prod))),"
                 " s -> s.prod), 0D, (a, v) -> a + v)"
             ).alias("dot"),
         )

@@ -158,15 +158,34 @@ def common_shingle_fraction(docs: DataFrame) -> DataFrame:
     # re-deriving the split/explode chain per join branch — at sf0.1
     # that halved the wall time (4.3x -> sublinear on the 10x step)
     sh = _shingle_table(docs, "text", "doc_id")
-    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
-    shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
-    return (
-        sh.join(df_counts, "s")
+    # semi-join on the SHARED shingles only (r11): the old shape
+    # joined the full (doc, shingle) table back against the whole
+    # per-shingle doc-count table just to test n_docs >= 2. Shared
+    # shingles are the sparse minority in a deduplicated corpus
+    # (5% of the vocabulary at sf0.1), so shipping only that set and
+    # counting semi-join survivors moves a fraction of the bytes; the
+    # unshared majority never re-shuffles. Same longs, same division,
+    # same rounding -> identical rows.
+    shared_set = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("s")
+    )
+    num = (
+        sh.join(shared_set, "s", "semi")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            shared.alias("n_shared"),
-            F.round(shared / F.count(F.lit(1)), 6).alias("shared_fraction"),
+        .agg(F.count(F.lit(1)).alias("__n_shared"))
+    )
+    den = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_shared = F.coalesce(F.col("__n_shared"), F.lit(0).cast("long"))
+    return (
+        den.join(num, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_shared.alias("n_shared"),
+            F.round(n_shared / F.col("n_shingles"), 6).alias("shared_fraction"),
         )
     )
 
@@ -353,16 +372,27 @@ def training_corpus_ledger(
     if not cnt.isStreaming:
         cnt = cnt.persist(StorageLevel.MEMORY_AND_DISK)
     dup_occ = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+    # one doc-keyed reduce serves BOTH repetition signals: the dup
+    # fraction and the shared-fraction denominator (distinct-gram
+    # count = rows of cnt per doc)
     dng = cnt.groupBy("doc_id").agg(
-        F.round(dup_occ / F.sum("c"), 6).alias("dup_gram_fraction")
+        F.round(dup_occ / F.sum("c"), 6).alias("dup_gram_fraction"),
+        F.count(F.lit(1)).alias("__n_grams"),
     )
-    sh = cnt.select("doc_id", F.col("g").alias("s"))  # keys are distinct
-    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
-    shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    # the cross-doc signal only needs WHICH grams are shared
+    # (n_docs >= 2) — semi-join the sparse shared set instead of
+    # joining the full doc-count table back onto every (doc, gram)
+    # row (see common_shingle_fraction; same r11 rationale)
+    shared_set = (
+        cnt.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("g")
+    )
     csf = (
-        sh.join(df_counts, "s")
+        cnt.join(shared_set, "g", "semi")
         .groupBy("doc_id")
-        .agg(F.round(shared / F.count(F.lit(1)), 6).alias("shared_fraction"))
+        .agg(F.count(F.lit(1)).alias("__n_shared"))
     )
     ppx = perplexity_proxy(docs)
 
@@ -371,12 +401,20 @@ def training_corpus_ledger(
         .join(csf, "doc_id", "left")
         .join(ppx, "doc_id")
     )
+    # shared_fraction reconstituted from the two reduces: NULL when
+    # the doc has no grams (then coalesce treats it as 0, exactly as
+    # the old joined column), 0.0 when it has grams but none shared
+    shared_fraction = F.round(
+        F.coalesce(F.col("__n_shared"), F.lit(0).cast("long"))
+        / F.col("__n_grams"),
+        6,
+    )
     gate = (
         F.when(F.col("lang_pred") != "en", "lang")
         .when(F.col("quality") < quality_min, "quality")
         .when(
             (F.coalesce("dup_gram_fraction", F.lit(0.0)) > rep_max)
-            | (F.coalesce("shared_fraction", F.lit(0.0)) >= shared_max),
+            | (F.coalesce(shared_fraction, F.lit(0.0)) >= shared_max),
             "repetition",
         )
         .when(F.col("cross_entropy_bits") > surprise_bits, "surprise")

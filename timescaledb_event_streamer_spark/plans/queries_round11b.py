@@ -961,60 +961,82 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     tc = tok.groupBy("b", "t").agg(F.count(F.lit(1)).alias("c"))
-    per_bucket = tc.groupBy("b").agg(F.sum("c").alias("toks"))
-    new_types = (
-        tc.groupBy("t")
-        .agg(F.min("b").alias("fb"))
-        .groupBy("fb")
-        .agg(F.count(F.lit(1)).alias("vnew"))
+    # ONE vocabulary-grain reduce carries BOTH signals (r11 single-
+    # chain rework): each type's first bucket AND its per-bucket
+    # counts (<= B structs per type, bounded by the checkpoint
+    # count). The old shape read tc through two branches and pts
+    # through two more (the fit self-join), so the initial plan held
+    # FOUR copies of the corpus explode (8 parquet scans, 58
+    # exchanges); this chain scans once and shuffles three times.
+    ty = tc.groupBy("t").agg(
+        F.min("b").alias("fb"),
+        F.collect_list(F.struct("b", "c")).alias("bc"),
     )
-    # 10-row metadata algebra from here down
-    buckets = (
-        per_bucket.join(
-            new_types.withColumnRenamed("fb", "b"), "b", "left"
-        )
-        .select(
-            "b",
-            "toks",
-            F.coalesce("vnew", F.lit(0)).alias("vnew"),
-        )
+    contrib = ty.select(
+        F.explode(
+            F.concat(
+                F.expr(
+                    "transform(bc, s -> struct(s.b AS b, s.c AS toks, 0L AS vnew))"
+                ),
+                F.expr("array(struct(fb AS b, 0L AS toks, 1L AS vnew))"),
+            )
+        ).alias("e")
     )
-    wcum = (
-        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    buckets = contrib.groupBy(F.col("e.b").alias("b")).agg(
+        F.sum("e.toks").alias("toks"),
+        F.sum("e.vnew").alias("vnew"),
     )
-    ck = buckets.select(
-        F.col("b").alias("checkpoint"),
-        F.sum("toks").over(wcum).alias("n_tokens"),
-        F.sum("vnew").over(wcum).alias("vocab"),
+    # B-row metadata algebra from here down, all IN-ROW over one
+    # collected array (no single-partition cumsum window, no
+    # pts x fit self-join re-executing the corpus subtree); the
+    # checkpoint prefix sums stay exact longs, and the OLS folds run
+    # in checkpoint order — the 10-point double sums sit ~1e-13
+    # below the 1e-6 rounding grid, as before
+    one = buckets.agg(
+        F.array_sort(F.collect_list(F.struct("b", "toks", "vnew"))).alias("bs")
     )
-    pts = ck.select(
-        "checkpoint",
-        "n_tokens",
-        "vocab",
-        F.log(F.col("n_tokens").cast("double")).alias("x"),
-        F.log(F.col("vocab").cast("double")).alias("y"),
+    pts = one.select(
+        F.expr(
+            "transform(sequence(1, size(bs)), k -> struct("
+            " bs[k-1].b AS checkpoint,"
+            " aggregate(slice(bs, 1, k), 0L, (a, s) -> a + s.toks) AS n_tokens,"
+            " aggregate(slice(bs, 1, k), 0L, (a, s) -> a + s.vnew) AS vocab))"
+        ).alias("pts")
     )
-    fit = pts.agg(
-        (F.count(F.lit(1)) * 1.0).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    xy = pts.select(
+        "pts",
+        F.expr("transform(pts, p -> ln(cast(p.n_tokens AS double)))").alias("xs"),
+        F.expr("transform(pts, p -> ln(cast(p.vocab AS double)))").alias("ys"),
+    )
+    sums = xy.select(
+        "pts",
+        F.expr("cast(size(pts) AS double)").alias("n"),
+        F.expr("aggregate(xs, 0D, (a, v) -> a + v)").alias("sx"),
+        F.expr("aggregate(ys, 0D, (a, v) -> a + v)").alias("sy"),
+        F.expr(
+            "aggregate(zip_with(xs, ys, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+        ).alias("sxy"),
+        F.expr(
+            "aggregate(transform(xs, v -> v * v), 0D, (a, v) -> a + v)"
+        ).alias("sxx"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx = F.col("sxy"), F.col("sxx")
     beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     k = F.exp((sy - beta * sx) / n)
+    fit = sums.select("pts", beta.alias("beta"), k.alias("kk"))
     return (
-        pts.join(F.broadcast(fit))
+        fit.select(F.explode("pts").alias("p"), "beta", "kk")
         .select(
-            "checkpoint",
-            "n_tokens",
-            "vocab",
-            F.round(beta, 6).alias("heaps_beta"),
-            F.round(k, 6).alias("heaps_k"),
+            F.col("p.checkpoint").alias("checkpoint"),
+            F.col("p.n_tokens").alias("n_tokens"),
+            F.col("p.vocab").alias("vocab"),
+            F.round("beta", 6).alias("heaps_beta"),
+            F.round("kk", 6).alias("heaps_k"),
             F.round(
-                k * F.pow(F.col("n_tokens").cast("double"), beta), 6
+                F.col("kk")
+                * F.pow(F.col("p.n_tokens").cast("double"), F.col("beta")),
+                6,
             ).alias("fitted_vocab"),
         )
         .orderBy("checkpoint")

@@ -257,22 +257,28 @@ def ts_asap_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0D, (a, v) -> a + v), 2), 0)"
         ).alias("kurt"),
     )
-    from pyspark.sql import Window
-
     qualified = scored.filter((F.col("w") == 1) | (F.col("kurt") >= F.col("kurt_o")))
-    rk = F.row_number().over(
-        Window.partitionBy("series").orderBy(F.col("rough").asc(), F.col("w").asc())
-    )
+    # argmin per series as a min_by AGGREGATION instead of a
+    # row_number window (r11): (rough, w) is a total order (w is
+    # unique within a series), so min_by picks exactly the old rk=1
+    # row, but the partial aggregate folds the 14-candidate rows
+    # map-side — one HashAggregate replacing Sort + Exchange + Sort +
+    # WindowGroupLimit + Window in the plan tail.
     return (
-        qualified.withColumn("rk", rk)
-        .filter(F.col("rk") == 1)
+        qualified.groupBy("series")
+        .agg(
+            F.min_by(
+                F.struct("n", "w", "rough", "kurt", "kurt_o"),
+                F.struct("rough", "w"),
+            ).alias("b")
+        )
         .select(
             "series",
-            F.col("n").alias("n_days"),
-            F.col("w").alias("w_chosen"),
-            F.round("rough", 6).alias("roughness"),
-            F.round("kurt", 6).alias("kurtosis"),
-            F.round("kurt_o", 6).alias("kurtosis_orig"),
+            F.col("b.n").alias("n_days"),
+            F.col("b.w").alias("w_chosen"),
+            F.round("b.rough", 6).alias("roughness"),
+            F.round("b.kurt", 6).alias("kurtosis"),
+            F.round("b.kurt_o", 6).alias("kurtosis_orig"),
         )
     )
 

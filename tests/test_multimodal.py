@@ -1144,3 +1144,65 @@ def test_jpeg_color_roundtrip_property(h, w, seed, samp):
     got = jpeg_decode(stream)
     assert got.shape == want.shape
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_flac_roundtrip_stats_fused_parity(spark, sf_small):
+    """The fused single-seam G15 path (r11) must be row-identical to
+    the two-stage synthesize >> stats composition it replaced in the
+    registered query."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        flac_pcm_roundtrip_stats,
+        flac_pcm_stats,
+        synthesize_flac_pcm,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    events = load(spark, sf_small, "events").limit(64)
+    two_stage = sorted(
+        map(tuple, flac_pcm_stats(synthesize_flac_pcm(events)).collect())
+    )
+    fused = sorted(map(tuple, flac_pcm_roundtrip_stats(events).collect()))
+    assert fused == two_stage
+    assert len(fused) == 64
+
+
+def test_adpcm_roundtrip_stats_fused_parity(spark, sf_small):
+    """Fused single-seam G17 path (r11) must match the two-stage
+    composition row for row."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        adpcm_pcm_roundtrip_stats,
+        adpcm_pcm_stats,
+        synthesize_adpcm_pcm,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    events = load(spark, sf_small, "events").limit(64)
+    two_stage = sorted(
+        map(tuple, adpcm_pcm_stats(synthesize_adpcm_pcm(events)).collect())
+    )
+    fused = sorted(map(tuple, adpcm_pcm_roundtrip_stats(events).collect()))
+    assert fused == two_stage
+    assert len(fused) == 64
+
+
+def test_adpcm_stats_empty_decode_is_rejected_not_crash():
+    """A structurally valid ADPCM payload whose fact chunk declares
+    zero samples must produce an is_adpcm=False row, not a task
+    failure (r10 advice)."""
+    import struct
+
+    from timescaledb_event_streamer_spark.operators.adpcm_codec import (
+        adpcm_encode,
+    )
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        _adpcm_stat_row,
+    )
+    import numpy as np
+
+    enc = bytearray(adpcm_encode(np.asarray([1, -2, 3], dtype=np.int16), 8000))
+    i = enc.find(b"fact")
+    assert i > 0
+    enc[i + 8 : i + 12] = struct.pack("<I", 0)  # dwSampleLength = 0
+    row = _adpcm_stat_row(7, bytes(enc))
+    assert row["is_adpcm"] is False
+    assert row["n_samples"] is None

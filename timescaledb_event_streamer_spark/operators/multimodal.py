@@ -1222,6 +1222,44 @@ def synthesize_flac_pcm(events: DataFrame) -> DataFrame:
     return src.mapInPandas(encode, "media_id LONG, payload BINARY")
 
 
+_PCM_STATS_SCHEMA = (
+    "media_id LONG, is_flac BOOLEAN, n_samples LONG, "
+    "sample_rate LONG, duration_ms LONG, peak_abs LONG, "
+    "sum_samples LONG, energy LONG, zero_crossings LONG"
+)
+
+
+def _flac_stat_row(mid, raw: bytes) -> dict:
+    """One G15 output row from FLAC bytes (shared by the two-stage
+    and fused seams)."""
+    from timescaledb_event_streamer_spark.operators.flac_codec import (
+        FLAC_MAGIC,
+        flac_decode,
+    )
+
+    if not raw.startswith(FLAC_MAGIC):
+        return {
+            "media_id": mid, "is_flac": False,
+            "n_samples": None, "sample_rate": None,
+            "duration_ms": None, "peak_abs": None,
+            "sum_samples": None, "energy": None,
+            "zero_crossings": None,
+        }
+    arr, rate = flac_decode(raw)
+    x = arr[:, 0].astype(np.int64)
+    return {
+        "media_id": mid,
+        "is_flac": True,
+        "n_samples": len(x),
+        "sample_rate": rate,
+        "duration_ms": len(x) * 1000 // rate,
+        "peak_abs": int(np.abs(x).max()),
+        "sum_samples": int(x.sum()),
+        "energy": int((x * x).sum()),
+        "zero_crossings": int(((x[:-1] * x[1:]) < 0).sum()),
+    }
+
+
 def flac_pcm_stats(media: DataFrame) -> DataFrame:
     """PCM signal statistics from FLAC bytes (G15): the G6 feature
     contract (peak / DC sum / energy / zero-crossings — all exact
@@ -1233,52 +1271,58 @@ def flac_pcm_stats(media: DataFrame) -> DataFrame:
     roundtrip identity (which the codec's fuzz battery guards)."""
     import pandas as _pd
 
-    from timescaledb_event_streamer_spark.operators.flac_codec import (
-        FLAC_MAGIC,
-        flac_decode,
-    )
-
     def stats(batches):
         for pdf in batches:
+            yield _pd.DataFrame(
+                [
+                    _flac_stat_row(mid, bytes(payload))
+                    for mid, payload in zip(pdf["media_id"], pdf["payload"])
+                ]
+            )
+
+    return media.mapInPandas(stats, _PCM_STATS_SCHEMA)
+
+
+def flac_pcm_roundtrip_stats(events: DataFrame) -> DataFrame:
+    """Fused G15 path (r11): synthesize_flac_pcm >> flac_pcm_stats in
+    ONE Arrow seam. The two-stage form ships every entropy-coded
+    payload JVM -> Python (encode) -> JVM -> Python (decode) -> JVM;
+    fusing encodes AND decodes inside the same task, so the payload
+    bytes never cross the boundary at all and only the 9 stat
+    columns come back. Row-for-row identical to the composition
+    (same generator, same codec, same `_flac_stat_row`) — pinned by
+    a pytest parity check."""
+    import pandas as _pd
+
+    from timescaledb_event_streamer_spark.operators.flac_codec import (
+        flac_encode,
+    )
+
+    n_shuffle = int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    src = events.repartition(n_shuffle).select(
+        F.col("event_id").alias("media_id"),
+        (F.col("event_id") % 32 + 8).alias("n"),
+        F.element_at(
+            F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+            (F.pmod(F.col("user_id"), 3) + 1).cast("int"),
+        ).alias("rate"),
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
             rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload)
-                if not raw.startswith(FLAC_MAGIC):
-                    rows.append(
-                        {
-                            "media_id": mid, "is_flac": False,
-                            "n_samples": None, "sample_rate": None,
-                            "duration_ms": None, "peak_abs": None,
-                            "sum_samples": None, "energy": None,
-                            "zero_crossings": None,
-                        }
-                    )
-                    continue
-                arr, rate = flac_decode(raw)
-                x = arr[:, 0].astype(np.int64)
+            for eid, n, rate in zip(pdf["media_id"], pdf["n"], pdf["rate"]):
+                i = np.arange(int(n), dtype=np.int64)
+                v = (int(eid) * 6151 + i * 32917) % 65536
+                v = np.where(v >= 32768, v - 65536, v).astype(np.int16)
                 rows.append(
-                    {
-                        "media_id": mid,
-                        "is_flac": True,
-                        "n_samples": len(x),
-                        "sample_rate": rate,
-                        "duration_ms": len(x) * 1000 // rate,
-                        "peak_abs": int(np.abs(x).max()),
-                        "sum_samples": int(x.sum()),
-                        "energy": int((x * x).sum()),
-                        "zero_crossings": int(
-                            ((x[:-1] * x[1:]) < 0).sum()
-                        ),
-                    }
+                    _flac_stat_row(int(eid), flac_encode(v, int(rate)))
                 )
             yield _pd.DataFrame(rows)
 
-    return media.mapInPandas(
-        stats,
-        "media_id LONG, is_flac BOOLEAN, n_samples LONG, "
-        "sample_rate LONG, duration_ms LONG, peak_abs LONG, "
-        "sum_samples LONG, energy LONG, zero_crossings LONG",
-    )
+    return src.mapInPandas(roundtrip, _PCM_STATS_SCHEMA)
 
 
 def synthesize_adpcm_pcm(events: DataFrame) -> DataFrame:
@@ -1335,53 +1379,100 @@ def adpcm_pcm_stats(media: DataFrame) -> DataFrame:
     itself is pinned exact in tests/test_adpcm.py."""
     import pandas as _pd
 
+    def stats(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                [
+                    _adpcm_stat_row(mid, bytes(payload))
+                    for mid, payload in zip(pdf["media_id"], pdf["payload"])
+                ]
+            )
+
+    return media.mapInPandas(stats, _ADPCM_STATS_SCHEMA)
+
+
+_ADPCM_STATS_SCHEMA = (
+    "media_id LONG, is_adpcm BOOLEAN, n_samples LONG, "
+    "sample_rate LONG, peak_abs LONG, sum_samples LONG, "
+    "energy LONG, zero_crossings LONG, sq_error LONG"
+)
+
+
+def _adpcm_stat_row(mid, raw: bytes) -> dict:
+    """One G17 output row from IMA-ADPCM bytes (shared by the
+    two-stage and fused seams). A structurally valid payload whose
+    fact chunk declares zero samples decodes to an empty list —
+    treated as not-ADPCM like any other rejection instead of letting
+    np.abs([]).max() blow up the whole task (r10 advice)."""
     from timescaledb_event_streamer_spark.operators.adpcm_codec import (
         adpcm_decode,
     )
 
-    def stats(batches):
+    try:
+        out, rate = adpcm_decode(raw)
+    except ValueError:
+        out, rate = [], 0
+    if len(out) == 0:
+        return {
+            "media_id": mid, "is_adpcm": False,
+            "n_samples": None, "sample_rate": None,
+            "peak_abs": None, "sum_samples": None,
+            "energy": None, "zero_crossings": None,
+            "sq_error": None,
+        }
+    x = np.asarray(out, dtype=np.int64)
+    i = np.arange(len(x), dtype=np.int64)
+    ref = (int(mid) * 6151 + i * 32917) % 65536
+    ref = np.where(ref >= 32768, ref - 65536, ref)
+    return {
+        "media_id": mid,
+        "is_adpcm": True,
+        "n_samples": len(x),
+        "sample_rate": rate,
+        "peak_abs": int(np.abs(x).max()),
+        "sum_samples": int(x.sum()),
+        "energy": int((x * x).sum()),
+        "zero_crossings": int(((x[:-1] * x[1:]) < 0).sum()),
+        "sq_error": int(((x - ref) ** 2).sum()),
+    }
+
+
+def adpcm_pcm_roundtrip_stats(events: DataFrame) -> DataFrame:
+    """Fused G17 path (r11): synthesize_adpcm_pcm >> adpcm_pcm_stats
+    in ONE Arrow seam (the flac_pcm_roundtrip_stats rationale — the
+    payload bytes never cross the JVM boundary). Row-identical to
+    the composition; parity pinned in tests/test_multimodal.py."""
+    import pandas as _pd
+
+    from timescaledb_event_streamer_spark.operators.adpcm_codec import (
+        adpcm_encode,
+    )
+
+    n_shuffle = int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    src = events.repartition(n_shuffle).select(
+        F.col("event_id").alias("media_id"),
+        (F.col("event_id") % 32 + 8).alias("n"),
+        F.element_at(
+            F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+            (F.pmod(F.col("user_id"), 3) + 1).cast("int"),
+        ).alias("rate"),
+    )
+
+    def roundtrip(batches):
         for pdf in batches:
             rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload)
-                try:
-                    out, rate = adpcm_decode(raw)
-                except ValueError:
-                    rows.append(
-                        {
-                            "media_id": mid, "is_adpcm": False,
-                            "n_samples": None, "sample_rate": None,
-                            "peak_abs": None, "sum_samples": None,
-                            "energy": None, "zero_crossings": None,
-                            "sq_error": None,
-                        }
-                    )
-                    continue
-                x = np.asarray(out, dtype=np.int64)
-                i = np.arange(len(x), dtype=np.int64)
-                ref = (int(mid) * 6151 + i * 32917) % 65536
-                ref = np.where(ref >= 32768, ref - 65536, ref)
+            for eid, n, rate in zip(pdf["media_id"], pdf["n"], pdf["rate"]):
+                i = np.arange(int(n), dtype=np.int64)
+                v = (int(eid) * 6151 + i * 32917) % 65536
+                v = np.where(v >= 32768, v - 65536, v).astype(np.int16)
                 rows.append(
-                    {
-                        "media_id": mid,
-                        "is_adpcm": True,
-                        "n_samples": len(x),
-                        "sample_rate": rate,
-                        "peak_abs": int(np.abs(x).max()),
-                        "sum_samples": int(x.sum()),
-                        "energy": int((x * x).sum()),
-                        "zero_crossings": int(((x[:-1] * x[1:]) < 0).sum()),
-                        "sq_error": int(((x - ref) ** 2).sum()),
-                    }
+                    _adpcm_stat_row(int(eid), adpcm_encode(v, int(rate)))
                 )
             yield _pd.DataFrame(rows)
 
-    return media.mapInPandas(
-        stats,
-        "media_id LONG, is_adpcm BOOLEAN, n_samples LONG, "
-        "sample_rate LONG, peak_abs LONG, sum_samples LONG, "
-        "energy LONG, zero_crossings LONG, sq_error LONG",
-    )
+    return src.mapInPandas(roundtrip, _ADPCM_STATS_SCHEMA)
 
 
 def synthesize_bmp_images(events: DataFrame) -> DataFrame:

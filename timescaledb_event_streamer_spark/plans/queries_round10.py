@@ -40,12 +40,14 @@ from timescaledb_event_streamer_spark.sources.tables import load, spread
 )
 def media_adpcm_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timescaledb_event_streamer_spark.operators.multimodal import (
-        adpcm_pcm_stats,
-        synthesize_adpcm_pcm,
+        adpcm_pcm_roundtrip_stats,
     )
 
+    # fused single-seam form (r11, the G15 rationale): row-identical
+    # to adpcm_pcm_stats(synthesize_adpcm_pcm(events)), parity
+    # pinned in tests/test_multimodal.py.
     events = load(spark, sf_dir, "events")
-    return adpcm_pcm_stats(synthesize_adpcm_pcm(events))
+    return adpcm_pcm_roundtrip_stats(events)
 
 # ---------------------------------------------------------------------------
 # B105 ts_williams_r — Williams %R oscillator

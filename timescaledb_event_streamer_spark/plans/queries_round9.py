@@ -1965,12 +1965,15 @@ def corpus_quality_feature_matrix(
 )
 def media_flac_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timescaledb_event_streamer_spark.operators.multimodal import (
-        flac_pcm_stats,
-        synthesize_flac_pcm,
+        flac_pcm_roundtrip_stats,
     )
 
+    # fused single-seam form (r11): encode + decode + stats in one
+    # Arrow pass — the payload bytes never cross the JVM boundary.
+    # Row-identical to flac_pcm_stats(synthesize_flac_pcm(events));
+    # parity pinned in tests/test_round9.py.
     events = load(spark, sf_dir, "events")
-    return flac_pcm_stats(synthesize_flac_pcm(events))
+    return flac_pcm_roundtrip_stats(events)
 
 
 # ---------------------------------------------------------------------------

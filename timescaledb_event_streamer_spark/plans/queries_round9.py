@@ -354,9 +354,15 @@ def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub_dim = 64 // _PQ_M
     emb = load(spark, sf_dir, "embeddings")
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = emb.repartition(n_shuffle).select(
+    # the widening repartition serves ONLY the per-vector PQ-code
+    # build (heavy ADC arithmetic, persisted once); the metadata
+    # branches (codebook collects, seeds, probe ranking, exact
+    # top-k, corpus count) read the raw narrow scan — each one saved
+    # a 32-way exchange + stage wave per execution (r11)
+    e0 = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    e = e0.repartition(n_shuffle)
     eu = e.select(
         "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("_n")
     ).select(
@@ -370,7 +376,7 @@ def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         return [x / n for x in vec]
 
     cb_rows = sorted(
-        e.filter(
+        e0.filter(
             (F.col("vec_id") % _PQ_CB_STRIDE == 0)
             & (F.col("vec_id") < _PQ_CB_STRIDE * _PQ_CB_K)
         ).collect(),
@@ -379,7 +385,7 @@ def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_k = min(_PQ_CB_K, len(cb_rows))
     cb_units = [_unit(list(r["v"])) for r in cb_rows]
     qv_raw = list(
-        e.filter(F.col("vec_id") == _PQ_QUERY).collect()[0]["v"]
+        e0.filter(F.col("vec_id") == _PQ_QUERY).collect()[0]["v"]
     )
     q_unit = _unit(qv_raw)
     adc = [
@@ -395,7 +401,7 @@ def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcol = F.array(*[F.lit(float(x)) for x in qv_raw])
 
     # --- the index BUILD: coarse assignment + PQ codes, ONCE --------
-    seeds = e.filter(
+    seeds = e0.filter(
         (F.col("vec_id") % _PQ_STRIDE == 0)
         & (F.col("vec_id") < 100 * _PQ_STRIDE)
     ).select(F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"))
@@ -439,14 +445,14 @@ def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "v", "seed_id", F.array(*code_cols).alias("code")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    n_vecs = e.filter(F.col("vec_id") != _PQ_QUERY).agg(
+    n_vecs = e0.filter(F.col("vec_id") != _PQ_QUERY).agg(
         F.count(F.lit(1)).alias("n_vecs")
     )
     probe_rank = seeds.select(
         "seed_id", F.round(cosine(F.col("sv"), qcol), 6).alias("qc")
     )
     exact = (
-        e.filter(F.col("vec_id") != _PQ_QUERY)
+        e0.filter(F.col("vec_id") != _PQ_QUERY)
         .select(
             "vec_id", F.round(cosine(F.col("v"), qcol), 6).alias("c")
         )
@@ -455,54 +461,84 @@ def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
 
-    # --- per-nprobe: probe -> ADC lookup -> rerank -> recall --------
-    rows = []
-    for np_ in _PQ_SWEEP_NPROBES:
-        probes = (
-            probe_rank.orderBy(F.col("qc").desc(), "seed_id")
-            .limit(np_)
-            .select("seed_id")
+    # --- the sweep as ONE plan (r11): nprobe is a COLUMN, not a
+    # python loop. The old per-point loop re-planned the whole
+    # probe -> ADC -> rerank subtree four times and unioned the
+    # results (106 exchanges, stage-wave dominated at tiny SF); the
+    # probe sets are nested (top-1 c top-2 c ...), so one broadcast
+    # of the ranked seed list + an exploded nprobe dimension +
+    # per-nprobe row_number windows produce exactly the same rows
+    # from a single subtree. Windows partition on nprobe and rank at
+    # most the candidate slice — bounded, never corpus-grain.
+    from pyspark.sql import Window
+
+    seed_rank = probe_rank.select(
+        "seed_id",
+        # 100-seed metadata rank (the bounded-collect grain)
+        F.row_number()
+        .over(Window.orderBy(F.col("qc").desc(), "seed_id"))
+        .alias("rk"),
+    )
+    sweep = spark.createDataFrame(
+        [(int(v),) for v in _PQ_SWEEP_NPROBES], "nprobe INT"
+    )
+    cand = (
+        index.join(F.broadcast(seed_rank), "seed_id")
+        .filter(F.col("vec_id") != _PQ_QUERY)
+        .crossJoin(F.broadcast(sweep))
+        .filter(F.col("rk") <= F.col("nprobe"))
+    )
+    approx = F.lit(0.0)
+    for m in range(_PQ_M):
+        adc_m = F.array(*[F.lit(x) for x in adc[m]])
+        approx = approx + F.element_at(adc_m, F.element_at("code", m + 1))
+    w_adc = Window.partitionBy("nprobe").orderBy(
+        F.col("approx_dot").desc(), "vec_id"
+    )
+    shortlist = (
+        cand.select(
+            "nprobe", "vec_id", "v", F.round(approx, 6).alias("approx_dot")
         )
-        cand = index.join(F.broadcast(probes), "seed_id").filter(
-            F.col("vec_id") != _PQ_QUERY
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _PQ_SWEEP_RERANK)
+    )
+    w_ex = Window.partitionBy("nprobe").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    topk = (
+        shortlist.select(
+            "nprobe",
+            "vec_id",
+            F.round(cosine(F.col("v"), qcol), 6).alias("cosine"),
         )
-        approx = F.lit(0.0)
-        for m in range(_PQ_M):
-            adc_m = F.array(*[F.lit(x) for x in adc[m]])
-            approx = approx + F.element_at(
-                adc_m, F.element_at("code", m + 1)
-            )
-        shortlist = (
-            cand.select(
-                "vec_id", "v", F.round(approx, 6).alias("approx_dot")
-            )
-            .orderBy(F.col("approx_dot").desc(), "vec_id")
-            .limit(_PQ_SWEEP_RERANK)
+        .withColumn("rn2", F.row_number().over(w_ex))
+        .filter(F.col("rn2") <= _PQ_SWEEP_K)
+        .select("nprobe", "vec_id")
+    )
+    ncand = cand.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    rec = (
+        topk.join(exact, "vec_id")
+        .groupBy("nprobe")
+        .agg(
+            (F.count(F.lit(1)) / float(_PQ_SWEEP_K)).alias("recall_at_k")
         )
-        topk = (
-            shortlist.select(
-                "vec_id",
-                F.round(cosine(F.col("v"), qcol), 6).alias("cosine"),
-            )
-            .orderBy(F.col("cosine").desc(), "vec_id")
-            .limit(_PQ_SWEEP_K)
-            .select("vec_id")
+    )
+    # left joins from the sweep spine: a probe slice with zero
+    # candidates or zero recall hits must still emit its row with
+    # 0 / 0.0, exactly as the old per-point aggregates did
+    out = (
+        sweep.join(ncand, "nprobe", "left")
+        .join(rec, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            F.coalesce("recall_at_k", F.lit(0.0)).alias("recall_at_k"),
         )
-        summary = cand.agg(
-            F.count(F.lit(1)).alias("n_candidates")
-        ).crossJoin(
-            topk.join(exact, "vec_id").agg(
-                (F.count(F.lit(1)) / float(_PQ_SWEEP_K)).alias(
-                    "recall_at_k"
-                )
-            )
-        ).select(
-            F.lit(np_).alias("nprobe"), "n_candidates", "recall_at_k"
-        )
-        rows.append(summary)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+    )
     return out.crossJoin(F.broadcast(n_vecs)).select(
         "nprobe",
         "n_candidates",

@@ -1782,6 +1782,15 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # persisted fingerprint table (r11, the _shingle_table rationale):
+    # sizes and BOTH pair-join sides read sel, and without the
+    # materialization each consumer re-runs the whole tokenize ->
+    # md5 -> winnowing-window chain (4 corpus scans in the initial
+    # plan). Density ~2/(w+1) of k-grams — the bounded artifact
+    # winnowing exists to produce.
+    from pyspark import StorageLevel
+
+    sel = sel.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
     a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
     b = sel.select(F.col("doc_id").alias("doc_b"), "fp")

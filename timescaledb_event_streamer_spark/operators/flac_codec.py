@@ -93,6 +93,23 @@ class _BitWriter:
             self._bytes.append((self._acc >> self._nbits) & 0xFF)
         self._acc &= (1 << self._nbits) - 1
 
+    def write_big(self, value: int, nbits: int) -> None:
+        """Append an arbitrarily long pre-packed bit run in one call.
+
+        Same bit semantics as write() — the run's MSB lands first —
+        but whole bytes flush through int.to_bytes (C speed) instead
+        of the per-byte Python loop, which is what makes the batched
+        rice writer below pay off (r11)."""
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        nbytes, rem = divmod(self._nbits, 8)
+        if nbytes:
+            self._bytes += (self._acc >> rem).to_bytes(nbytes, "big")
+            self._acc &= (1 << rem) - 1
+            self._nbits = rem
+
     def write_signed(self, value: int, nbits: int) -> None:
         self.write(value & ((1 << nbits) - 1), nbits)
 
@@ -144,13 +161,27 @@ class _BitReader:
         return v
 
     def read_unary(self) -> int:
+        # byte-at-a-time scan (r11): counts leading zeros through
+        # bit_length instead of one read(1) call per bit — same
+        # result, same truncation/runaway errors
         q = 0
+        pos = self._bitpos
+        data = self._data
+        nbytes = len(data)
         while True:
-            if self.read(1):
-                return q
-            q += 1
-            if q > 1 << 20:
-                raise ValueError("FLAC runaway unary code")
+            if pos >= nbytes * 8:
+                raise ValueError("FLAC bitstream truncated")
+            avail = 8 - (pos & 7)
+            chunk = data[pos >> 3] & ((1 << avail) - 1)
+            if chunk == 0:
+                pos += avail
+                q += avail
+                if q > 1 << 20:
+                    raise ValueError("FLAC runaway unary code")
+                continue
+            lead = avail - chunk.bit_length()
+            self._bitpos = pos + lead + 1
+            return q + lead
 
     def align(self) -> None:
         self._bitpos = (self._bitpos + 7) // 8 * 8
@@ -166,24 +197,37 @@ def _unzigzag(u: int) -> int:
     return (u >> 1) if not u & 1 else -((u + 1) >> 1)
 
 
-def _best_rice_param(res: list[int]) -> int:
-    if not res:
+def _best_rice_param_zz(zz: list[int]) -> int:
+    """Rice parameter from the already-zigzagged residuals (one
+    zigzag pass shared with the bit-cost computation, r11)."""
+    if not zz:
         return 0
-    total = sum(_zigzag(r) for r in res)
-    mean = total / len(res)
+    mean = sum(zz) / len(zz)
     m = 0
     while (1 << (m + 1)) < mean + 1 and m < 14:
         m += 1
     return m
 
 
+def _best_rice_param(res: list[int]) -> int:
+    return _best_rice_param_zz([_zigzag(r) for r in res])
+
+
 def _write_residuals(w: _BitWriter, res: list[int]) -> None:
     """Method 0 (4-bit rice), partition order 0; escapes to raw
-    two's-complement when the rice form would be pathological."""
+    two's-complement when the rice form would be pathological.
+
+    The rice run is packed into a Python bigint and flushed through
+    write_big in bounded chunks (r11): identical bits to the old
+    per-residual write_unary/write pair, at a fraction of the call
+    count. Chunking every 64 residuals keeps the accumulator a few
+    hundred machine words even for 4096-sample blocks, so the bigint
+    shifts stay cheap."""
     w.write(0, 2)  # coding method 0
     w.write(0, 4)  # partition order 0
-    m = _best_rice_param(res)
-    rice_bits = sum((_zigzag(r) >> m) + 1 + m for r in res)
+    zz = [_zigzag(r) for r in res]
+    m = _best_rice_param_zz(zz)
+    rice_bits = sum((u >> m) + 1 + m for u in zz)
     if rice_bits > 31 * len(res):  # escape: fixed 31-bit raw
         w.write(0xF, 4)
         w.write(31, 5)
@@ -191,10 +235,18 @@ def _write_residuals(w: _BitWriter, res: list[int]) -> None:
             w.write_signed(r, 31)
         return
     w.write(m, 4)
-    for r in res:
-        u = _zigzag(r)
-        w.write_unary(u >> m)
-        w.write(u & ((1 << m) - 1), m)
+    mask = (1 << m) - 1
+    acc, nb, i = 0, 0, 0
+    for u in zz:
+        q = u >> m
+        acc = (acc << (q + 1 + m)) | (1 << m) | (u & mask)
+        nb += q + 1 + m
+        i += 1
+        if i == 64:
+            w.write_big(acc, nb)
+            acc, nb, i = 0, 0, 0
+    if nb:
+        w.write_big(acc, nb)
 
 
 def _read_residuals(

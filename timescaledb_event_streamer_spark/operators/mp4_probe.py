@@ -251,11 +251,9 @@ def _walk_one(p):
     return (True, p[8:12].decode("utf-8"), ts, dur, dms, ntrk, w, ht, vc, ac, nbox)
 
 
-@F.pandas_udf(_PROBE_SCHEMA)
-def _probe_batch(payload: pd.Series) -> pd.DataFrame:
-    return pd.DataFrame(
-        [_walk_one(p) for p in payload], columns=_PROBE_COLS, dtype=object
-    )
+_PROBE_OUT_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType())] + list(_PROBE_SCHEMA.fields)
+)
 
 
 def parse_mp4_headers(media: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -267,9 +265,24 @@ def parse_mp4_headers(media: DataFrame, payload_col: str = "payload") -> DataFra
     mvhd/tkhd field layouts are read; a v1 box leaves its fields
     null rather than misreading shifted offsets.
 
-    The walk itself is the Arrow-batched _walk_one (~15 us CPU/row);
-    the r11 measurement notes in the module docstring explain why the
-    original interpreted F.aggregate fold (~1.9 ms CPU/row) lost."""
-    return media.select(
-        "media_id", _probe_batch(F.col(payload_col)).alias("_s")
-    ).select("media_id", "_s.*")
+    The walk itself is the Arrow-batched _walk_one (~15 us CPU/row)
+    behind mapInPandas — the house media seam, same as the FLAC/BMP
+    paths (the earlier pandas_udf form planned as ArrowEvalPython,
+    which the plan audit reserves for nothing: MapInPandas is the one
+    sanctioned Python node). The r11 measurement notes in the module
+    docstring explain why the original interpreted F.aggregate fold
+    (~1.9 ms CPU/row) lost."""
+
+    def probe(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                [_walk_one(p) for p in pdf[payload_col]],
+                columns=_PROBE_COLS,
+                dtype=object,
+            )
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.select("media_id", payload_col).mapInPandas(
+        probe, _PROBE_OUT_SCHEMA
+    )

@@ -472,9 +472,12 @@ def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # most the candidate slice — bounded, never corpus-grain.
     from pyspark.sql import Window
 
-    seed_rank = probe_rank.select(
+    seed_rank = probe_rank.limit(100).select(
         "seed_id",
-        # 100-seed metadata rank (the bounded-collect grain)
+        # 100-seed metadata rank; the limit(100) is a no-op (the
+        # stride filter already admits at most 100 seeds) that puts a
+        # bounding node under the global-order window so the plan
+        # audit can PROVE the window input is metadata-grain
         F.row_number()
         .over(Window.orderBy(F.col("qc").desc(), "seed_id"))
         .alias("rk"),

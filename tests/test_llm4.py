@@ -480,6 +480,40 @@ def test_sparse_cosine_relative_cap_binds_and_bounds_term_groups(spark):
     assert surviving <= cap
 
 
+def test_sparse_cosine_inrow_dots_parity(spark):
+    """r11: the short-vector in-row dot fold (the D20 sample-form
+    path) must produce row-for-row identical output to the default
+    per-shared-term shuffle fold — same pairs, same n_shared_terms,
+    same cosine doubles — including with a df cap in play."""
+    from timescaledb_event_streamer_spark.plans.queries_llm4 import (
+        sparse_cosine_pairs,
+    )
+
+    texts = [
+        ("join hash scan join vector", "s"),
+        ("join hash merge sort spark", "s"),
+        ("scan scan filter scan join", "s"),
+        ("vector spark join hash scan", "s"),
+        ("the the the alpha beta", "s"),
+        ("the gamma beta alpha zeta", "s"),
+    ]
+    docs = _docs(spark, texts)
+
+    def canon(df):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["n_shared_terms"], repr(r["cosine"]))
+            for r in df.collect()
+        )
+
+    for kw in ({}, {"max_df_denom": 2}):
+        shuffle = canon(sparse_cosine_pairs(docs, threshold=0.0, **kw))
+        inrow = canon(
+            sparse_cosine_pairs(docs, threshold=0.0, inrow_dots=True, **kw)
+        )
+        assert shuffle == inrow, kw
+        assert len(shuffle) > 0, kw
+
+
 def test_dedup_sparse_cosine_capped_shingle_form(spark, sf_small):
     """The registered D21 runs UNSAMPLED: its doc population equals
     every document with >= 3 tokens (no calibration-sample modulus),

@@ -84,14 +84,17 @@ class _BitWriter:
         self._nbits = 0
 
     def write(self, value: int, nbits: int) -> None:
+        # same flush as write_big (r11): whole bytes leave through
+        # int.to_bytes instead of a per-byte Python loop
         if nbits == 0:
             return
         self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
         self._nbits += nbits
-        while self._nbits >= 8:
-            self._nbits -= 8
-            self._bytes.append((self._acc >> self._nbits) & 0xFF)
-        self._acc &= (1 << self._nbits) - 1
+        nbytes, rem = divmod(self._nbits, 8)
+        if nbytes:
+            self._bytes += (self._acc >> rem).to_bytes(nbytes, "big")
+            self._acc &= (1 << rem) - 1
+            self._nbits = rem
 
     def write_big(self, value: int, nbits: int) -> None:
         """Append an arbitrarily long pre-packed bit run in one call.
@@ -112,6 +115,24 @@ class _BitWriter:
 
     def write_signed(self, value: int, nbits: int) -> None:
         self.write(value & ((1 << nbits) - 1), nbits)
+
+    def write_signed_run(self, xs, nbits: int) -> None:
+        """The bit-identical batch form of `for x in xs:
+        write_signed(x, nbits)` — 64 fields pack into one bigint per
+        write_big call (r11)."""
+        if nbits == 0:
+            return
+        mask = (1 << nbits) - 1
+        acc, nb, i = 0, 0, 0
+        for x in xs:
+            acc = (acc << nbits) | (x & mask)
+            nb += nbits
+            i += 1
+            if i == 64:
+                self.write_big(acc, nb)
+                acc, nb, i = 0, 0, 0
+        if nb:
+            self.write_big(acc, nb)
 
     def write_unary(self, q: int) -> None:
         while q >= 32:
@@ -138,20 +159,34 @@ class _BitReader:
         return self._bitpos // 8
 
     def read(self, nbits: int) -> int:
-        end = self._bitpos + nbits
+        # one int.from_bytes over the covering byte span (r11): the
+        # old per-byte loop paid a min() + shift dance per byte
+        if nbits == 0:
+            return 0
+        pos = self._bitpos
+        end = pos + nbits
         if end > len(self._data) * 8:
             raise ValueError("FLAC bitstream truncated")
-        out = 0
-        pos = self._bitpos
-        while nbits:
-            byte = self._data[pos // 8]
-            avail = 8 - (pos % 8)
-            take = min(avail, nbits)
-            shift = avail - take
-            out = (out << take) | ((byte >> shift) & ((1 << take) - 1))
-            pos += take
-            nbits -= take
-        self._bitpos = pos
+        b1 = (end + 7) >> 3
+        chunk = int.from_bytes(self._data[pos >> 3 : b1], "big")
+        self._bitpos = end
+        return (chunk >> ((b1 << 3) - end)) & ((1 << nbits) - 1)
+
+    def read_signed_run(self, count: int, nbits: int) -> list[int]:
+        """`count` two's-complement fields of `nbits` each, in stream
+        order — the same values `count` read_signed calls return, but
+        each 64-field chunk costs ONE bounds check + from_bytes (r11;
+        chunking keeps the split shifts on small ints)."""
+        if nbits == 0:
+            return [0] * count
+        out: list[int] = []
+        half, full = 1 << (nbits - 1), 1 << nbits
+        mask = full - 1
+        for start in range(0, count, 64):
+            k = min(64, count - start)
+            big = self.read(k * nbits)
+            vals = [(big >> ((k - 1 - i) * nbits)) & mask for i in range(k)]
+            out.extend(v - full if v >= half else v for v in vals)
         return out
 
     def read_signed(self, nbits: int) -> int:
@@ -231,8 +266,7 @@ def _write_residuals(w: _BitWriter, res: list[int]) -> None:
     if rice_bits > 31 * len(res):  # escape: fixed 31-bit raw
         w.write(0xF, 4)
         w.write(31, 5)
-        for r in res:
-            w.write_signed(r, 31)
+        w.write_signed_run(res, 31)
         return
     w.write(m, 4)
     mask = (1 << m) - 1
@@ -269,7 +303,10 @@ def _read_residuals(
         m = r.read(plen)
         if m == escape:
             bits = r.read(5)
-            out.extend(r.read_signed(bits) if bits else 0 for _ in range(n))
+            if bits:
+                out.extend(r.read_signed_run(n, bits))
+            else:
+                out.extend([0] * n)
         else:
             for _ in range(n):
                 q = r.read_unary()
@@ -338,8 +375,7 @@ def _encode_subframe(
         w.write(0, 1)
         w.write(0x20 | (lpc_order - 1), 6)
         w.write(0, 1)  # no wasted bits
-        for s in xs[:lpc_order]:
-            w.write_signed(s, bits)
+        w.write_signed_run(xs[:lpc_order], bits)
         w.write(precision - 1, 4)
         w.write(shift, 5)
         for c in coef:
@@ -358,29 +394,30 @@ def _encode_subframe(
             w.write_signed(xs[0], bits)
             return
         if force != "constant":
-            # pick the cheapest fixed order 0..2 by residual energy
+            # pick the cheapest fixed order 0..2 by residual energy;
+            # zigzag once per order and share it between the rice
+            # parameter fit and the bit-cost sum (r11)
             best_order, best_cost, best_res = None, None, None
             for order in range(0, 3):
                 if n <= order:
                     continue
                 res = _fixed_residuals(xs, order)
-                m = _best_rice_param(res)
-                cost = sum((_zigzag(x) >> m) + 1 + m for x in res)
+                zz = [_zigzag(x) for x in res]
+                m = _best_rice_param_zz(zz)
+                cost = sum((u >> m) + 1 + m for u in zz)
                 if best_cost is None or cost < best_cost:
                     best_order, best_cost, best_res = order, cost, res
             if best_order is not None and best_cost < n * bits:
                 w.write(0, 1)
                 w.write(0x08 | best_order, 6)  # FIXED
                 w.write(0, 1)  # no wasted bits
-                for s in xs[:best_order]:
-                    w.write_signed(s, bits)
+                w.write_signed_run(xs[:best_order], bits)
                 _write_residuals(w, best_res)
                 return
     w.write(0, 1)
     w.write(1, 6)  # VERBATIM
     w.write(0, 1)  # no wasted bits
-    for s in xs:
-        w.write_signed(s, bits)
+    w.write_signed_run(xs, bits)
 
 
 def _fixed_residuals(xs: list[int], order: int) -> list[int]:
@@ -392,6 +429,24 @@ def _fixed_residuals(xs: list[int], order: int) -> list[int]:
 
 def _restore_fixed(warm: list[int], res: list[int], order: int) -> list[int]:
     out = list(warm)
+    # direct arithmetic for the common low orders (r11): same exact
+    # integer recurrences as the coefficient fold below, without a
+    # generator + sum() allocation per sample
+    if order == 0:
+        out.extend(res)
+        return out
+    if order == 1:
+        p = out[-1]
+        for r in res:
+            p += r
+            out.append(p)
+        return out
+    if order == 2:
+        a, b = out[-2], out[-1]
+        for r in res:
+            a, b = b, r + 2 * b - a
+            out.append(b)
+        return out
     coefs = _FIXED_COEFFS[order]
     for r in res:
         pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
@@ -498,15 +553,15 @@ def _read_subframe(r: _BitReader, bs: int, bits: int) -> list[int]:
     if t == 0:  # CONSTANT
         xs = [r.read_signed(bits)] * bs
     elif t == 1:  # VERBATIM
-        xs = [r.read_signed(bits) for _ in range(bs)]
+        xs = r.read_signed_run(bs, bits)
     elif 8 <= t <= 12:  # FIXED
         order = t - 8
-        warm = [r.read_signed(bits) for _ in range(order)]
+        warm = r.read_signed_run(order, bits)
         res = _read_residuals(r, bs, order)
         xs = _restore_fixed(warm, res, order)
     elif t >= 32:  # LPC
         order = (t & 0x1F) + 1
-        warm = [r.read_signed(bits) for _ in range(order)]
+        warm = r.read_signed_run(order, bits)
         precision = r.read(4) + 1
         if precision == 16:
             raise ValueError("invalid FLAC LPC precision")

@@ -772,15 +772,24 @@ def _sparse_cosine_inrow(w: DataFrame, threshold: float) -> DataFrame:
         F.map_from_entries("arr").alias("mb"),
         F.col("nr").alias("nb"),
     )
+    # per-pair walk: multiply FIRST (a missing term's element_at is
+    # NULL and null-propagates through *), then drop nulls — ONE map
+    # probe per element instead of probe-in-filter + probe-in-
+    # transform. Products of shared terms are strictly positive, so
+    # no genuine product is ever null. Predicate pushdown inlines
+    # this walk into the join condition as well as the output
+    # projection (2 evaluations/pair); an aggregation barrier was
+    # tried and measured WORSE (first() over an array buffer falls
+    # back to SortAggregate, which sorts the fat joined rows).
     return (
         pairs.join(pa, "doc_a")
         .join(pb, "doc_b")
         .withColumn(
             "prods",
             F.expr(
-                "transform(filter(arr_a,"
-                " x -> element_at(mb, x.term_id) IS NOT NULL),"
-                " x -> x.w * element_at(mb, x.term_id))"
+                "filter(transform(arr_a,"
+                " x -> x.w * element_at(mb, x.term_id)),"
+                " v -> v IS NOT NULL)"
             ),
         )
         .select(

@@ -357,9 +357,13 @@ def js_divergence_from_counts(cnt: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_union_tokens"),
         F.sum(F.when((p > 0) & (q > 0), 1).otherwise(0)).alias("n_shared_tokens"),
         F.round(
+            # .jc on the sorted struct array is a NATIVE
+            # GetArrayStructFields — one interpreted lambda per
+            # element fewer than the transform() form, same order,
+            # same doubles (r11)
             F.expr(
-                "aggregate(transform(array_sort(collect_list(struct(t, jc))),"
-                " s -> s.jc), 0D, (a, v) -> a + v)"
+                "aggregate(array_sort(collect_list(struct(t, jc))).jc,"
+                " 0D, (a, v) -> a + v)"
             ),
             6,
         ).alias("jsd_bits"),
@@ -626,9 +630,13 @@ def sparse_cosine_pairs(
         return _sparse_cosine_inrow(w, threshold)
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(
+            # native .w extraction + squaring inside the fold lambda:
+            # a + (v * v) is the same multiply-then-add per step as
+            # the transform-to-squares form, one interpreted lambda
+            # per element fewer (r11)
             F.expr(
-                "aggregate(transform(array_sort(collect_list(struct(term_id, w))),"
-                " s -> s.w * s.w), 0D, (a, v) -> a + v)"
+                "aggregate(array_sort(collect_list(struct(term_id, w))).w,"
+                " 0D, (a, v) -> a + v * v)"
             )
         ).alias("nr")
     )
@@ -683,8 +691,8 @@ def sparse_cosine_pairs(
         .agg(
             F.count(F.lit(1)).alias("n_shared_terms"),
             F.expr(
-                "aggregate(transform(array_sort(collect_list(struct(term_id, prod))),"
-                " s -> s.prod), 0D, (a, v) -> a + v)"
+                "aggregate(array_sort(collect_list(struct(term_id, prod))).prod,"
+                " 0D, (a, v) -> a + v)"
             ).alias("dot"),
         )
     )
@@ -732,9 +740,7 @@ def _sparse_cosine_inrow(w: DataFrame, threshold: float) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("term_id", "w"))).alias("arr")
     ).withColumn(
         "nr",
-        F.sqrt(
-            F.expr("aggregate(transform(arr, s -> s.w * s.w), 0D, (a, v) -> a + v)")
-        ),
+        F.sqrt(F.expr("aggregate(arr.w, 0D, (a, v) -> a + v * v)")),
     ).localCheckpoint(eager=True)
     gs = (
         w.filter(F.col("df") <= _INROW_DF)

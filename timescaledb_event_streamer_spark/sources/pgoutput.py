@@ -593,40 +593,42 @@ def parse_pgoutput(
         frames = _tracked_persist(frames)
     decoded = decode_frames(frames, frame_col)
 
-    # transaction attach: segmented LOCF (see docstring)
+    # transaction attach: segmented LOCF (see docstring). The
+    # explicit repartition is the ONE seg-keyed exchange both
+    # consumers below (the LOCF window and the per-segment summary
+    # aggregate) read via exchange reuse — without it each consumer
+    # plans its own exchange over its own column-pruned decode
+    # subtree and the hex decode runs once per branch (r11: the
+    # before-plan carried two Exchange+Sort chains, each re-decoding
+    # from the persisted frames).
     seg = F.shiftright(F.col("lsn"), SEGMENT_BITS).alias("seg")
-    decoded = decoded.withColumn("seg", seg)
+    decoded = decoded.withColumn("seg", seg).repartition("seg")
     w_in = (
         Window.partitionBy("seg")
         .orderBy("lsn")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    decoded = decoded.withColumn("_xid_in", F.last("_b_xid", ignorenulls=True).over(w_in))
-    decoded = decoded.withColumn("_ts_in", F.last("_b_ts_ms", ignorenulls=True).over(w_in))
+    locf = decoded.withColumn("_xid_in", F.last("_b_xid", ignorenulls=True).over(w_in))
+    locf = locf.withColumn("_ts_in", F.last("_b_ts_ms", ignorenulls=True).over(w_in))
 
-    # cross-segment carry: ONE aggregation over the window output —
-    # the in-segment LOCF value at each segment's last row is exactly
-    # the segment's last-known (xid, ts), null when the segment holds
-    # no B frame, so this single groupBy replaces the former
-    # seg_last + all_segs branches (which re-ran the whole decode
-    # chain once each) and inherits the window's seg partitioning
-    # (no additional exchange). The carry table is one row per
-    # segment (metadata-sized by construction — same deliberate
-    # single-partition note as the chunk catalog), shifted so a
-    # segment sees only prior segments.
-    # tie-break: real wire input can repeat WALStart across consecutive
-    # frames, and the intra-segment LOCF orders ties arbitrarily — so a
-    # tied row sorted before the B frame could carry a stale/null xid.
-    # max_by on (lsn, is-B-frame, value) makes the pick deterministic:
-    # at a shared max LSN the B frame's own row (whose LOCF value is
-    # fresh by construction) wins, then the value itself breaks any
-    # remaining tie.
+    # cross-segment carry: ONE window-free aggregation straight off
+    # the shared exchange — the segment's last-known (xid, ts) is the
+    # value on its highest-LSN B frame, so max_by over (has-value,
+    # lsn, value) reads it directly (r11; the previous form took the
+    # in-segment LOCF value at the segment's last row, which needed a
+    # second Sort + Window + SortAggregate pass over the decoded
+    # rows — same result: with-value rows dominate the ordering
+    # struct, so the pick is the max-LSN B frame, value-tie-broken,
+    # and null exactly when the segment holds no B frame). The carry
+    # table is one row per segment (metadata-sized by construction —
+    # same deliberate single-partition note as the chunk catalog),
+    # shifted so a segment sees only prior segments.
     seg_summary = decoded.groupBy("seg").agg(
         F.max_by(
-            "_xid_in", F.struct("lsn", F.col("_b_xid").isNotNull(), "_xid_in")
+            "_b_xid", F.struct(F.col("_b_xid").isNotNull(), "lsn", "_b_xid")
         ).alias("_seg_xid"),
         F.max_by(
-            "_ts_in", F.struct("lsn", F.col("_b_ts_ms").isNotNull(), "_ts_in")
+            "_b_ts_ms", F.struct(F.col("_b_ts_ms").isNotNull(), "lsn", "_b_ts_ms")
         ).alias("_seg_ts"),
     )
     w_seg = (
@@ -639,7 +641,7 @@ def parse_pgoutput(
         F.last("_seg_xid", ignorenulls=True).over(w_seg).alias("_carry_xid"),
         F.last("_seg_ts", ignorenulls=True).over(w_seg).alias("_carry_ts"),
     )
-    attached = decoded.join(F.broadcast(carry), "seg").select(
+    attached = locf.join(F.broadcast(carry), "seg").select(
         "lsn", "op", "relid",
         F.coalesce("_xid_in", "_carry_xid").alias("xid"),
         F.coalesce("_ts_in", "_carry_ts").alias("ts_ms"),

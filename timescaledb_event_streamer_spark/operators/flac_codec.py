@@ -144,6 +144,12 @@ class _BitWriter:
         if self._nbits:
             self.write(0, 8 - self._nbits)
 
+    def write_bytes(self, bs: bytes) -> None:
+        """Append whole bytes; only legal on a byte boundary (r11 —
+        lets the byte-aligned frame header skip the bit machinery)."""
+        assert self._nbits == 0, "write_bytes on unaligned writer"
+        self._bytes += bs
+
     def getvalue(self) -> bytes:
         assert self._nbits == 0, "unaligned"
         return bytes(self._bytes)
@@ -232,23 +238,32 @@ def _unzigzag(u: int) -> int:
     return (u >> 1) if not u & 1 else -((u + 1) >> 1)
 
 
-def _best_rice_param_zz(zz: list[int]) -> int:
-    """Rice parameter from the already-zigzagged residuals (one
-    zigzag pass shared with the bit-cost computation, r11)."""
-    if not zz:
+def _best_rice_param_from_sum(total: int, count: int) -> int:
+    """Rice parameter from the zigzag sum + count — the same fit
+    _best_rice_param_zz computes, callable from the vectorized
+    search without materializing a Python list (r11)."""
+    if not count:
         return 0
-    mean = sum(zz) / len(zz)
+    mean = total / count
     m = 0
     while (1 << (m + 1)) < mean + 1 and m < 14:
         m += 1
     return m
 
 
+def _best_rice_param_zz(zz: list[int]) -> int:
+    """Rice parameter from the already-zigzagged residuals (one
+    zigzag pass shared with the bit-cost computation, r11)."""
+    return _best_rice_param_from_sum(sum(zz), len(zz))
+
+
 def _best_rice_param(res: list[int]) -> int:
     return _best_rice_param_zz([_zigzag(r) for r in res])
 
 
-def _write_residuals(w: _BitWriter, res: list[int]) -> None:
+def _write_residuals(
+    w: _BitWriter, res: list[int], zz: list[int] | None = None
+) -> None:
     """Method 0 (4-bit rice), partition order 0; escapes to raw
     two's-complement when the rice form would be pathological.
 
@@ -257,10 +272,44 @@ def _write_residuals(w: _BitWriter, res: list[int]) -> None:
     per-residual write_unary/write pair, at a fraction of the call
     count. Chunking every 64 residuals keeps the accumulator a few
     hundred machine words even for 4096-sample blocks, so the bigint
-    shifts stay cheap."""
+    shifts stay cheap. `zz` lets the subframe search hand over its
+    already-computed zigzag pass."""
     w.write(0, 2)  # coding method 0
     w.write(0, 4)  # partition order 0
-    zz = [_zigzag(r) for r in res]
+    if isinstance(zz, np.ndarray):
+        # vectorized form (r11): the rice bitstream is laid out as a
+        # numpy bit array (separator scatter + remainder gather),
+        # packed, and flushed through ONE write_big — the same bits
+        # the per-residual loop below produces, by construction
+        n = len(zz)
+        m = _best_rice_param_from_sum(int(zz.sum()), n)
+        rice_bits = int((zz >> m).sum()) + (1 + m) * n
+        if rice_bits > 31 * n:  # escape: fixed 31-bit raw
+            w.write(0xF, 4)
+            w.write(31, 5)
+            w.write_signed_run(
+                res.tolist() if isinstance(res, np.ndarray) else res, 31
+            )
+            return
+        w.write(m, 4)
+        q = zz >> m
+        ends = np.cumsum(q + (1 + m))
+        total_bits = int(ends[-1])
+        sep = ends - (1 + m)  # each code: q zeros, a 1, m low bits
+        arr = np.zeros(total_bits, np.uint8)
+        arr[sep] = 1
+        if m:
+            rem_idx = sep[:, None] + 1 + np.arange(m, dtype=np.int64)
+            rem_bits = (zz[:, None] >> np.arange(m - 1, -1, -1)) & 1
+            arr[rem_idx] = rem_bits.astype(np.uint8)
+        packed = np.packbits(arr)  # zero-pads at the end
+        val = int.from_bytes(packed.tobytes(), "big") >> (
+            len(packed) * 8 - total_bits
+        )
+        w.write_big(val, total_bits)
+        return
+    if zz is None:
+        zz = [_zigzag(r) for r in res]
     m = _best_rice_param_zz(zz)
     rice_bits = sum((u >> m) + 1 + m for u in zz)
     if rice_bits > 31 * len(res):  # escape: fixed 31-bit raw
@@ -281,6 +330,69 @@ def _write_residuals(w: _BitWriter, res: list[int]) -> None:
             acc, nb, i = 0, 0, 0
     if nb:
         w.write_big(acc, nb)
+
+
+def _read_rice_run(r: _BitReader, n: int, m: int) -> list[int]:
+    """Decode `n` rice(m) codes — the batched form of the
+    read_unary/read/unzigzag loop (r11). Bit-for-bit the same
+    consumption: unpack the covering byte window once, locate the
+    unary separators by walking the 1-bit index (skipping 1s that
+    fall inside remainder fields), then gather every m-bit remainder
+    in one vectorized pass. Truncated streams and runaway unary
+    codes raise ValueError exactly like the scalar loop."""
+    data = r._data
+    pos_abs = r._bitpos
+    base_byte = pos_abs >> 3
+    avail_bytes = len(data) - base_byte
+    # window sizing: the common case is q ~ 1, so n*(m+4) bits covers
+    # it; double until every code fits or the window hits EOF
+    need_bits = n * (m + 4) + 64
+    while True:
+        win_bytes = min(avail_bytes, (need_bits + 7) // 8 + 1)
+        bits = np.unpackbits(
+            np.frombuffer(data, np.uint8, count=win_bytes, offset=base_byte)
+        )
+        win_bits = win_bytes * 8
+        onesl = np.flatnonzero(bits).tolist()
+        L = len(onesl)
+        pos = pos_abs - (base_byte << 3)
+        seps: list[int] = []
+        k = 0
+        complete = True
+        for _ in range(n):
+            while k < L and onesl[k] < pos:
+                k += 1
+            if k >= L:
+                complete = False
+                break
+            s = onesl[k]
+            if s - pos > 1 << 20:
+                raise ValueError("FLAC runaway unary code")
+            seps.append(s)
+            pos = s + 1 + m
+            k += 1
+        if complete and pos <= win_bits:
+            break
+        if win_bytes == avail_bytes:
+            if not complete and win_bits - pos > 1 << 20:
+                raise ValueError("FLAC runaway unary code")
+            raise ValueError("FLAC bitstream truncated")
+        need_bits *= 2
+    seps_a = np.asarray(seps, dtype=np.int64)
+    starts = np.empty(n, np.int64)
+    starts[0] = pos_abs - (base_byte << 3)
+    starts[1:] = seps_a[:-1] + 1 + m
+    q = seps_a - starts
+    if m:
+        idx = seps_a[:, None] + 1 + np.arange(m, dtype=np.int64)[None, :]
+        weights = 1 << np.arange(m - 1, -1, -1, dtype=np.int64)
+        rem = (bits[idx].astype(np.int64) * weights).sum(axis=1)
+        u = (q << m) | rem
+    else:
+        u = q
+    res = (u >> 1) ^ -(u & 1)  # vectorized _unzigzag, exact in int64
+    r._bitpos = (base_byte << 3) + pos
+    return res.tolist()
 
 
 def _read_residuals(
@@ -307,6 +419,8 @@ def _read_residuals(
                 out.extend(r.read_signed_run(n, bits))
             else:
                 out.extend([0] * n)
+        elif n >= 16:
+            out.extend(_read_rice_run(r, n, m))
         else:
             for _ in range(n):
                 q = r.read_unary()
@@ -317,20 +431,27 @@ def _read_residuals(
 
 # -- UTF-8-style frame numbers ---------------------------------------
 
-def _write_utf8_number(w: _BitWriter, n: int) -> None:
+def _utf8_number_bytes(n: int) -> bytes:
+    """The FLAC UTF-8-style frame number as bytes (always whole
+    bytes, so the byte-aligned header builder can concatenate it)."""
     if n < 0x80:
-        w.write(n, 8)
-        return
+        return bytes([n])
     # FLAC's UTF-8 extension: up to 36 bits
     for nbytes in range(2, 8):
         if n < 1 << (nbytes * 5 + 1 if nbytes < 7 else 36):
             break
     marks = {2: 0xC0, 3: 0xE0, 4: 0xF0, 5: 0xF8, 6: 0xFC, 7: 0xFE}
     shift = 6 * (nbytes - 1)
-    w.write(marks[nbytes] | (n >> shift), 8)
-    for i in range(nbytes - 1):
+    out = bytearray([marks[nbytes] | (n >> shift)])
+    for _ in range(nbytes - 1):
         shift -= 6
-        w.write(0x80 | ((n >> shift) & 0x3F), 8)
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _write_utf8_number(w: _BitWriter, n: int) -> None:
+    for b in _utf8_number_bytes(n):
+        w.write(b, 8)
 
 
 def _read_utf8_number(r: _BitReader) -> int:
@@ -362,9 +483,16 @@ def _read_utf8_number(r: _BitReader) -> int:
 # -- subframe encode -------------------------------------------------
 
 def _encode_subframe(
-    w: _BitWriter, xs: list[int], bits: int, force: str | None = None,
+    w: _BitWriter, xs, bits: int, force: str | None = None,
     lpc_order: int = 2,
 ) -> None:
+    arr = None
+    if isinstance(xs, np.ndarray):
+        # int64 keeps every residual/zigzag step exact; tolist()
+        # yields Python ints so the bit packers below never see
+        # (overflow-prone) numpy scalars (r11)
+        arr = xs.astype(np.int64, copy=False)
+        xs = arr.tolist()
     n = len(xs)
     if force == "lpc" and n > lpc_order:
         # deterministic quantized coefficients: a trivial but genuine
@@ -387,7 +515,15 @@ def _encode_subframe(
         _write_residuals(w, res)
         return
     if force != "verbatim":
-        if n and all(x == xs[0] for x in xs):
+        is_const = (
+            n > 0
+            and (
+                bool((arr == arr[0]).all())
+                if arr is not None
+                else all(x == xs[0] for x in xs)
+            )
+        )
+        if is_const:
             w.write(0, 1)
             w.write(0, 6)  # CONSTANT
             w.write(0, 1)  # no wasted bits
@@ -396,23 +532,41 @@ def _encode_subframe(
         if force != "constant":
             # pick the cheapest fixed order 0..2 by residual energy;
             # zigzag once per order and share it between the rice
-            # parameter fit and the bit-cost sum (r11)
-            best_order, best_cost, best_res = None, None, None
-            for order in range(0, 3):
-                if n <= order:
-                    continue
-                res = _fixed_residuals(xs, order)
-                zz = [_zigzag(x) for x in res]
-                m = _best_rice_param_zz(zz)
-                cost = sum((u >> m) + 1 + m for u in zz)
-                if best_cost is None or cost < best_cost:
-                    best_order, best_cost, best_res = order, cost, res
+            # parameter fit and the bit-cost sum (r11). For larger
+            # blocks the search runs vectorized (np.diff residuals,
+            # shift-based zigzag, vector bit-cost) — exact int64
+            # arithmetic, so order choice, cost and residuals are
+            # identical to the list path (parity-pinned in pytest).
+            best_order, best_cost = None, None
+            best_res, best_zz = None, None
+            if arr is not None and n >= 64:
+                for order in range(0, 3):
+                    if n <= order:
+                        continue
+                    res_a = np.diff(arr, n=order) if order else arr
+                    zz_a = (res_a << 1) ^ (res_a >> 63)
+                    m = _best_rice_param_from_sum(int(zz_a.sum()), n - order)
+                    cost = int((zz_a >> m).sum()) + (1 + m) * (n - order)
+                    if best_cost is None or cost < best_cost:
+                        best_order, best_cost = order, cost
+                        best_res, best_zz = res_a, zz_a
+            else:
+                for order in range(0, 3):
+                    if n <= order:
+                        continue
+                    res = _fixed_residuals(xs, order)
+                    zz = [_zigzag(x) for x in res]
+                    m = _best_rice_param_zz(zz)
+                    cost = sum((u >> m) + 1 + m for u in zz)
+                    if best_cost is None or cost < best_cost:
+                        best_order, best_cost = order, cost
+                        best_res, best_zz = res, zz
             if best_order is not None and best_cost < n * bits:
                 w.write(0, 1)
                 w.write(0x08 | best_order, 6)  # FIXED
                 w.write(0, 1)  # no wasted bits
                 w.write_signed_run(xs[:best_order], bits)
-                _write_residuals(w, best_res)
+                _write_residuals(w, best_res, best_zz)
                 return
     w.write(0, 1)
     w.write(1, 6)  # VERBATIM
@@ -428,6 +582,27 @@ def _fixed_residuals(xs: list[int], order: int) -> list[int]:
 
 
 def _restore_fixed(warm: list[int], res: list[int], order: int) -> list[int]:
+    # vectorized cumsum form for the common low orders on honest
+    # streams (r11): the order-k residual is the k-th difference, so
+    # restore = warm-start + k cumulative sums. Exact in int64 under
+    # the guard bounds (|values| <= 2^24, n <= 2^15 keeps the double
+    # cumsum under 2^55); anything bigger — only reachable through
+    # corrupt streams — falls through to the arbitrary-precision
+    # Python loop so hostile inputs keep their exact behavior.
+    n = len(res)
+    if 0 < order <= 2 and n >= 32 and len(warm) >= order:
+        res_a = np.asarray(res, dtype=np.int64)
+        if (
+            n <= 1 << 15
+            and int(np.abs(res_a).max()) <= 1 << 24
+            and all(-(1 << 24) <= x <= 1 << 24 for x in warm)
+        ):
+            if order == 1:
+                out_a = warm[-1] + np.cumsum(res_a)
+            else:
+                d1 = (warm[-1] - warm[-2]) + np.cumsum(res_a)
+                out_a = warm[-1] + np.cumsum(d1)
+            return list(warm) + out_a.tolist()
     out = list(warm)
     # direct arithmetic for the common low orders (r11): same exact
     # integer recurrences as the coefficient fold below, without a
@@ -483,17 +658,21 @@ def flac_encode(
     ).digest()
 
     # STREAMINFO: block sizes, frame sizes (0 = unknown), rate(20),
-    # ch-1(3), bits-1(5), total(36), md5
-    si = _BitWriter()
-    si.write(block_size, 16)
-    si.write(block_size, 16)
-    si.write(0, 24)
-    si.write(0, 24)
-    si.write(rate, 20)
-    si.write(ch - 1, 3)
-    si.write(15, 5)  # 16 bps
-    si.write(n, 36)
-    body = si.getvalue() + md5
+    # ch-1(3), bits-1(5), total(36), md5. The layout is fixed and
+    # byte-aligned, so it packs directly (r11) — same bytes the old
+    # _BitWriter sequence produced, field masks included.
+    si_tail = (
+        ((rate & 0xFFFFF) << 44)
+        | (((ch - 1) & 0x7) << 41)
+        | (15 << 36)  # 16 bps
+        | (n & 0xFFFFFFFFF)
+    )
+    body = (
+        struct.pack(">HH", block_size & 0xFFFF, block_size & 0xFFFF)
+        + b"\x00" * 6
+        + si_tail.to_bytes(8, "big")
+        + md5
+    )
     out = bytearray(FLAC_MAGIC)
     out += bytes([0x80]) + len(body).to_bytes(3, "big")  # last-block STREAMINFO
     out += body
@@ -501,39 +680,30 @@ def flac_encode(
     for frame_no, start in enumerate(range(0, n, block_size)):
         blk = samples[start : start + block_size]
         bs = len(blk)
-        w = _BitWriter()
-        w.write(0b11111111111110, 14)
-        w.write(0, 1)
-        w.write(0, 1)  # fixed blocking
-        w.write(0b0111, 4)  # block size: 16 bits at header end
-        w.write(0, 4)  # sample rate: from STREAMINFO
-        w.write(0b1010 if mid_side else ch - 1, 4)
-        w.write(0b100, 3)  # 16 bps
-        w.write(0, 1)
-        _write_utf8_number(w, frame_no)
-        w.write(bs - 1, 16)
-        w.align()
-        header = w.getvalue()
+        # frame header: sync(14) + reserved(1) + fixed-blocking(1) +
+        # bs-code 0b0111(4) + sr-code 0(4) + channel(4) + 0b100(3) +
+        # reserved(1) is exactly 32 bits, then the UTF-8 frame number
+        # and the 16-bit block size are whole bytes — build it as
+        # bytes directly (r11), identical to the old bit sequence
+        chan_code = 0b1010 if mid_side else ch - 1
+        header = (
+            bytes([0xFF, 0xF8, 0x70, ((chan_code & 0xF) << 4) | 0b1000])
+            + _utf8_number_bytes(frame_no)
+            + struct.pack(">H", (bs - 1) & 0xFFFF)
+        )
         w2 = _BitWriter()
-        for b in header:
-            w2.write(b, 8)
+        w2.write_bytes(header)
         w2.write(crc8(header), 8)
         if mid_side:
             left = blk[:, 0].astype(np.int64)
             right = blk[:, 1].astype(np.int64)
             mid = (left + right) >> 1
             side = left - right
-            _encode_subframe(
-                w2, [int(x) for x in mid], 16, force, lpc_order
-            )
-            _encode_subframe(
-                w2, [int(x) for x in side], 17, force, lpc_order
-            )
+            _encode_subframe(w2, mid, 16, force, lpc_order)
+            _encode_subframe(w2, side, 17, force, lpc_order)
         else:
             for c in range(ch):
-                _encode_subframe(
-                    w2, [int(x) for x in blk[:, c]], 16, force, lpc_order
-                )
+                _encode_subframe(w2, blk[:, c], 16, force, lpc_order)
         w2.align()
         frame = w2.getvalue()
         out += frame + struct.pack(">H", crc16_flac(frame))
@@ -543,11 +713,13 @@ def flac_encode(
 # -- public decode ---------------------------------------------------
 
 def _read_subframe(r: _BitReader, bs: int, bits: int) -> list[int]:
-    if r.read(1):
+    # pad(1) + type(6) + wasted-flag(1) in one 8-bit read (r11)
+    head = r.read(8)
+    if head >> 7:
         raise ValueError("FLAC subframe padding bit set")
-    t = r.read(6)
+    t = (head >> 1) & 0x3F
     wasted = 0
-    if r.read(1):
+    if head & 1:
         wasted = 1 + r.read_unary()
     bits -= wasted
     if t == 0:  # CONSTANT
@@ -614,15 +786,14 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
             break
     if streaminfo is None:
         raise ValueError("FLAC missing STREAMINFO")
-    si = _BitReader(streaminfo)
-    si.read(16)
-    si.read(16)
-    si.read(24)
-    si.read(24)
-    rate = si.read(20)
-    ch = si.read(3) + 1
-    bps = si.read(5) + 1
-    total = si.read(36)
+    # fixed byte-aligned layout: skip the two block sizes + two frame
+    # sizes (10 bytes), then rate(20)+ch(3)+bps(5)+total(36) pack the
+    # next 8 bytes — parse them with one from_bytes (r11)
+    si_tail = int.from_bytes(streaminfo[10:18], "big")
+    rate = si_tail >> 44
+    ch = ((si_tail >> 41) & 0x7) + 1
+    bps = ((si_tail >> 36) & 0x1F) + 1
+    total = si_tail & 0xFFFFFFFFF
     md5 = streaminfo[18:34]
     if rate == 0:
         raise ValueError("bad FLAC sample rate 0")
@@ -632,16 +803,15 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
     chans: list[list[int]] = [[] for _ in range(ch)]
     while pos < len(data):
         r = _BitReader(data, pos)
-        sync = r.read(14)
-        if sync != 0b11111111111110:
+        # sync(14)+res(1)+blocking(1)+bs(4)+sr(4)+chan(4)+ss(3)+res(1)
+        # = one 32-bit read, shift-split (r11) — same bit consumption
+        h32 = r.read(32)
+        if h32 >> 18 != 0b11111111111110:
             raise ValueError("bad FLAC frame sync")
-        r.read(1)
-        r.read(1)  # blocking strategy
-        bs_code = r.read(4)
-        sr_code = r.read(4)
-        chan_mode = r.read(4)
-        ss_code = r.read(3)
-        r.read(1)
+        bs_code = (h32 >> 12) & 0xF
+        sr_code = (h32 >> 8) & 0xF
+        chan_mode = (h32 >> 4) & 0xF
+        ss_code = (h32 >> 1) & 0x7
         _read_utf8_number(r)
         if bs_code == 0:
             raise ValueError("reserved FLAC block size code")

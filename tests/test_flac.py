@@ -228,3 +228,85 @@ def test_roundtrip_property(n, ch, seed):
     dec, rate = flac_decode(flac_encode(x, 44100, block_size=64))
     assert rate == 44100
     np.testing.assert_array_equal(dec, x)
+
+
+# -- r11 vectorized-path parity ---------------------------------------
+# The batched rice decode (n >= 16), the vectorized fixed-order search
+# + rice bitstream pack (n >= 64) and the guarded cumsum restore
+# (n >= 32) must be bit/value-identical to the scalar loops they
+# replaced. Straddling the thresholds exercises both routes of each.
+
+
+@pytest.mark.parametrize("n", [8, 15, 16, 17, 31, 32, 63, 64, 65, 500])
+def test_vectorized_paths_match_scalar_paths(n):
+    from timescaledb_event_streamer_spark.operators.flac_codec import (
+        _BitReader,
+        _BitWriter,
+        _encode_subframe,
+        _read_residuals,
+        _read_subframe,
+        _restore_fixed,
+    )
+
+    rng = np.random.default_rng(n)
+    xs = (np.cumsum(rng.integers(-80, 80, n))).astype(np.int16)
+
+    # encode: ndarray input (vectorized search for n >= 64) must emit
+    # the same bits as the list input (scalar search)
+    w_vec, w_list = _BitWriter(), _BitWriter()
+    _encode_subframe(w_vec, xs, 16)
+    _encode_subframe(w_list, [int(x) for x in xs], 16)
+    w_vec.align()
+    w_list.align()
+    assert w_vec.getvalue() == w_list.getvalue()
+
+    # decode: the batched rice run must consume the same bits and
+    # return the same residuals/samples as a scalar re-read
+    frame = w_vec.getvalue()
+    got = _read_subframe(_BitReader(frame), n, 16)
+    assert got == [int(x) for x in xs]
+
+    # restore: the cumsum path (engaged at n >= 32 under the guard
+    # bounds) equals the exact recurrence for every low order
+    res = rng.integers(-(1 << 20), 1 << 20, n).tolist()
+    for order in (1, 2):
+        warm = rng.integers(-30000, 30000, order).tolist()
+        fast = _restore_fixed(warm, res, order)
+        slow_out = list(warm)
+        for r in res:
+            pred = sum(
+                c * slow_out[-1 - j]
+                for j, c in enumerate(
+                    {1: [1], 2: [2, -1]}[order]
+                )
+            )
+            slow_out.append(r + pred)
+        assert fast == slow_out
+
+    # guard fallback: residuals beyond the int64-safe bound take the
+    # bigint loop and still restore exactly
+    big = [1 << 30] * 40
+    out = _restore_fixed([0, 0], big, 2)
+    assert out[2] == 1 << 30 and len(out) == 42
+
+
+def test_read_residuals_batch_matches_scalar_consumption():
+    from timescaledb_event_streamer_spark.operators.flac_codec import (
+        _BitReader,
+        _BitWriter,
+        _read_residuals,
+        _write_residuals,
+    )
+
+    rng = np.random.default_rng(5)
+    for n in (16, 64, 4096):
+        res = rng.integers(-4000, 4000, n).tolist()
+        w = _BitWriter()
+        _write_residuals(w, res)
+        w.write(0x5A, 8)  # trailing sentinel byte
+        w.align()
+        r = _BitReader(w.getvalue())
+        assert _read_residuals(r, n, 0) == res
+        # the batch reader must leave the cursor exactly after the
+        # rice run: the sentinel byte is next
+        assert r.read(8) == 0x5A

@@ -150,42 +150,32 @@ def dedup_common_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def common_shingle_fraction(docs: DataFrame) -> DataFrame:
-    from timescaledb_event_streamer_spark.operators.dedup import _shingle_table
+    from pyspark.sql import Window
 
-    # persisted distinct-(doc, shingle) table (same sharing rationale
-    # as the D2/D11 pair generators): BOTH the per-shingle doc-count
-    # side and the fold-back side read one materialization instead of
-    # re-deriving the split/explode chain per join branch — at sf0.1
-    # that halved the wall time (4.3x -> sublinear on the 10x step)
-    sh = _shingle_table(docs, "text", "doc_id")
-    # semi-join on the SHARED shingles only (r11): the old shape
-    # joined the full (doc, shingle) table back against the whole
-    # per-shingle doc-count table just to test n_docs >= 2. Shared
-    # shingles are the sparse minority in a deduplicated corpus
-    # (5% of the vocabulary at sf0.1), so shipping only that set and
-    # counting semi-join survivors moves a fraction of the bytes; the
-    # unshared majority never re-shuffles. Same longs, same division,
-    # same rounding -> identical rows.
-    shared_set = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("s")
+    from timescaledb_event_streamer_spark.operators.dedup import shingles
+
+    # ONE linear chain (r11 rework, same shape as the composed
+    # training-corpus ledger): distinct (doc, shingle) rows flow
+    # through a shingle-partitioned count window (n_docs per shingle)
+    # straight into the doc-grain reduce that emits the numerator and
+    # denominator together. The old shape persisted the shingle table
+    # and fanned it into three consumers (doc-count agg, semi join
+    # back, per-doc size agg) — two joins and a cache the single-
+    # consumer chain does not need; measured best-of-5 at sf0.1 the
+    # fused window halves the branch. Same longs, same division, same
+    # rounding -> identical rows.
+    sh = spread(docs).select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
     )
-    num = (
-        sh.join(shared_set, "s", "semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("__n_shared"))
-    )
-    den = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    n_shared = F.coalesce(F.col("__n_shared"), F.lit(0).cast("long"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    n_shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long")
     return (
-        den.join(num, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
+        sh.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
             n_shared.alias("n_shared"),
-            F.round(n_shared / F.col("n_shingles"), 6).alias("shared_fraction"),
+            F.round(n_shared / F.count(F.lit(1)), 6).alias("shared_fraction"),
         )
     )
 
@@ -346,16 +336,19 @@ def training_corpus_ledger(
 
     # NOTE: persisting the raw doc table does NOT pay here (measured
     # flat at sf0.1 — the shingle/token shuffles dominate), and at
-    # 100 TB re-scanning parquet beats caching the whole corpus. What
-    # DOES pay: the repetition gate's two signals both need the 5-gram
-    # shingles, and the per-(doc, gram) COUNT table subsumes the
-    # distinct shingle table — so the composed plan derives both from
-    # ONE explode+reduce instead of calling the standalone operators
-    # (which would tokenize and shuffle the corpus twice). The count
-    # table is the same distinct-shingle materialization
-    # common_shingle_fraction persists standalone, shared across the
-    # dup-fraction and doc-frequency consumers.
-    from pyspark import StorageLevel
+    # 100 TB re-scanning parquet beats caching the whole corpus. The
+    # repetition gate's two signals both need the 5-gram shingles;
+    # they now come out of ONE linear chain (r11 rework): the
+    # per-(doc, gram) count table flows through a gram-partitioned
+    # count window (nd = how many docs carry the gram) straight into
+    # the doc-grain reduce that emits the dup fraction, the distinct-
+    # gram denominator AND the shared-gram numerator together. The
+    # old shape persisted the count table and fanned it into three
+    # consumers (doc reduce, gram doc-count agg, semi join back);
+    # measured best-of-5 at sf0.1 the fused window halves the branch
+    # (1.13s -> 0.52s) and the cache is pointless once the chain is
+    # single-consumer, so the persist is gone too.
+    from pyspark.sql import Window
 
     from timescaledb_event_streamer_spark.operators.dedup import shingles
 
@@ -369,41 +362,28 @@ def training_corpus_ledger(
         "doc_id", F.explode(shingles(F.col("text"), distinct=False)).alias("g")
     )
     cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    if not cnt.isStreaming:
-        cnt = cnt.persist(StorageLevel.MEMORY_AND_DISK)
     dup_occ = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
-    # one doc-keyed reduce serves BOTH repetition signals: the dup
-    # fraction and the shared-fraction denominator (distinct-gram
-    # count = rows of cnt per doc)
-    dng = cnt.groupBy("doc_id").agg(
-        F.round(dup_occ / F.sum("c"), 6).alias("dup_gram_fraction"),
-        F.count(F.lit(1)).alias("__n_grams"),
-    )
-    # the cross-doc signal only needs WHICH grams are shared
-    # (n_docs >= 2) — semi-join the sparse shared set instead of
-    # joining the full doc-count table back onto every (doc, gram)
-    # row (see common_shingle_fraction; same r11 rationale)
-    shared_set = (
-        cnt.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("g")
-    )
-    csf = (
-        cnt.join(shared_set, "g", "semi")
+    # gram-partitioned (never unpartitioned) count window: nd is the
+    # per-gram document count, read in the same pass that feeds the
+    # doc-grain reduce — no second traversal, no join back
+    nd = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    rep = (
+        cnt.withColumn("nd", nd)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("__n_shared"))
+        .agg(
+            F.round(dup_occ / F.sum("c"), 6).alias("dup_gram_fraction"),
+            F.count(F.lit(1)).alias("__n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("__n_shared"),
+        )
     )
     ppx = perplexity_proxy(docs)
 
-    j = (
-        feats.join(dng, "doc_id", "left")
-        .join(csf, "doc_id", "left")
-        .join(ppx, "doc_id")
-    )
-    # shared_fraction reconstituted from the two reduces: NULL when
-    # the doc has no grams (then coalesce treats it as 0, exactly as
-    # the old joined column), 0.0 when it has grams but none shared
+    j = feats.join(rep, "doc_id", "left").join(ppx, "doc_id")
+    # shared_fraction from the fused reduce: NULL when the doc has no
+    # grams (left-join miss, the gate coalesces it to 0 exactly as
+    # before), 0.0 when it has grams but none shared
     shared_fraction = F.round(
         F.coalesce(F.col("__n_shared"), F.lit(0).cast("long"))
         / F.col("__n_grams"),

@@ -233,3 +233,31 @@ def fuzz_spark():
     from timescaledb_event_streamer_spark.session import get_spark
 
     return get_spark("mp4-fuzz")
+
+
+def test_mp4_roundtrip_fused_parity(spark, sf_small):
+    """The fused single-seam G18 path (r11) must be byte-identical in
+    its in-task synthesis and row-identical to the two-stage
+    synthesize >> parse composition it replaced in the registered
+    query."""
+    from timescaledb_event_streamer_spark.operators.mp4_probe import (
+        _synth_one,
+        mp4_probe_roundtrip,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    events = load(spark, sf_small, "events").limit(64)
+    jvm = {
+        r["media_id"]: bytes(r["payload"])
+        for r in synthesize_mp4_headers(events).collect()
+    }
+    for r in events.select("event_id", "user_id").collect():
+        assert _synth_one(int(r["event_id"]), int(r["user_id"])) == jvm[
+            r["event_id"]
+        ]
+    two_stage = sorted(
+        map(tuple, parse_mp4_headers(synthesize_mp4_headers(events)).collect())
+    )
+    fused = sorted(map(tuple, mp4_probe_roundtrip(events).collect()))
+    assert fused == two_stage
+    assert len(fused) == 64

@@ -642,7 +642,7 @@ def ivf_seeded_topk(
     )
     # restore source parallelism before the |E|x|S| expansion (testdata
     # arrives as one split; a deployed corpus is thousands)
-    e = embeddings.repartition(n_shuffle).select(
+    e = embeddings.repartition(n_shuffle, id_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     # the seed set is BOUNDED (id % stride == 0 AND id < 100*stride, so
@@ -735,7 +735,7 @@ def ivfpq_seeded_topk(
     n_shuffle = int(
         embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    e = embeddings.repartition(n_shuffle).select(
+    e = embeddings.repartition(n_shuffle, id_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     # unit normalization as a sequential fold (sum of squares left to
@@ -888,7 +888,7 @@ def ivf_sq8_topk(
     n_shuffle = int(
         embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    e = embeddings.repartition(n_shuffle).select(
+    e = embeddings.repartition(n_shuffle, id_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     seeds = e.filter(

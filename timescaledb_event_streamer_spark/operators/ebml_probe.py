@@ -64,7 +64,7 @@ def synthesize_ebml_headers(events: DataFrame) -> DataFrame:
     (video: type/codec/Video>PixelWidth/Height; audio: type/codec).
     Only (media_id, payload) survive."""
     n_shuffle = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    events = events.repartition(n_shuffle)
+    events = events.repartition(n_shuffle, "event_id")
     eid, uid = F.col("event_id"), F.col("user_id")
 
     doc = F.when(eid % 2 == 0, F.lit(_hx("webm"))).otherwise(

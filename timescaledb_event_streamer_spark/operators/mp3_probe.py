@@ -50,7 +50,7 @@ def synthesize_mp3_headers(events: DataFrame) -> DataFrame:
     header (bitrate/sample-rate/padding varying per row) and a few
     placeholder audio bytes. Only (media_id, payload) survive."""
     n_shuffle = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    events = events.repartition(n_shuffle)
+    events = events.repartition(n_shuffle, "event_id")
     eid, uid = F.col("event_id"), F.col("user_id")
     tag_sz = eid % 200 + 10
     br_idx = (eid % 14 + 1).cast("int")
@@ -154,7 +154,7 @@ def synthesize_id3_frames(events: DataFrame) -> DataFrame:
     n_shuffle = int(
         events.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    events = events.repartition(n_shuffle)
+    events = events.repartition(n_shuffle, "event_id")
     eid, uid = F.col("event_id"), F.col("user_id")
 
     def text_frame(fourcc_hex: str, txt):

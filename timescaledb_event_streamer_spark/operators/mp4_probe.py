@@ -52,6 +52,7 @@ __all__ = [
     "MP4_MAX_BOXES",
     "synthesize_mp4_headers",
     "parse_mp4_headers",
+    "mp4_probe_roundtrip",
 ]
 
 #: walk iteration bound: the synthesized worst case visits 17 boxes;
@@ -84,7 +85,7 @@ def synthesize_mp4_headers(events: DataFrame) -> DataFrame:
     (mp4a) when present. Only (media_id, payload) survive — the
     parse side runs from the bytes alone."""
     n_shuffle = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    events = events.repartition(n_shuffle)
+    events = events.repartition(n_shuffle, "event_id")
     eid, uid = F.col("event_id"), F.col("user_id")
 
     major = F.element_at(
@@ -286,3 +287,109 @@ def parse_mp4_headers(media: DataFrame, payload_col: str = "payload") -> DataFra
     return media.select("media_id", payload_col).mapInPandas(
         probe, _PROBE_OUT_SCHEMA
     )
+
+
+_MATRIX_B = bytes.fromhex(_MATRIX)
+
+
+def _synth_one(eid: int, uid: int) -> bytes:
+    """One payload, byte-identical to synthesize_mp4_headers'
+    column expression for the same (event_id, user_id) — pinned by
+    the byte-parity pytest. Every field below mirrors one line of
+    the JVM synth; keep them in the same order when editing."""
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + fourcc + body
+
+    major = (b"isom", b"mp42", b"mp41")[eid % 3]
+    compat = b"isom" + (b"avc1" if uid % 2 == 0 else b"")
+    ftyp = box(b"ftyp", major + b"\x00" * 4 + compat)
+
+    free = box(b"free", b"\x00" * (uid % 9 + 4)) if eid % 2 == 0 else b""
+
+    timescale = (600, 1000, 90000)[uid % 3]
+    duration = (eid % 9000 + 1) * 100
+    mvhd = box(
+        b"mvhd",
+        b"\x00" * 12
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + bytes.fromhex("00010000") + bytes.fromhex("0100") + b"\x00" * 10
+        + _MATRIX_B + b"\x00" * 24
+        + bytes.fromhex("00000003"),
+    )
+
+    width, height = uid % 1920 + 16, eid % 1080 + 16
+    vcodec = b"avc1" if eid % 2 == 0 else b"hev1"
+
+    def tkhd(track_id: int, w_fixed: int, h_fixed: int) -> bytes:
+        return box(
+            b"tkhd",
+            bytes.fromhex("00000007")
+            + b"\x00" * 8
+            + track_id.to_bytes(4, "big")
+            + b"\x00" * 4
+            + duration.to_bytes(4, "big")
+            + b"\x00" * 8 + b"\x00" * 4
+            + (bytes.fromhex("0100") if w_fixed == 0 else b"\x00\x00")
+            + b"\x00\x00" + _MATRIX_B
+            + w_fixed.to_bytes(4, "big") + h_fixed.to_bytes(4, "big"),
+        )
+
+    mdhd = (
+        bytes.fromhex("00000020") + b"mdhd" + b"\x00" * 12
+        + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+        + bytes.fromhex("55C40000")
+    )
+
+    def trak(track_id, w, h, entry_fourcc: bytes, entry_body_len: int) -> bytes:
+        entry = (
+            (entry_body_len + 8).to_bytes(4, "big")
+            + entry_fourcc + b"\x00" * entry_body_len
+        )
+        stsd = box(b"stsd", b"\x00" * 4 + bytes.fromhex("00000001") + entry)
+        mdia = box(b"mdia", mdhd + box(b"minf", box(b"stbl", stsd)))
+        return box(b"trak", tkhd(track_id, w, h) + mdia)
+
+    video = trak(1, width * 65536, height * 65536, vcodec, 78)
+    audio = trak(2, 0, 0, b"mp4a", 28) if eid % 2 == 1 else b""
+    moov = box(b"moov", mvhd + video + audio)
+    return ftyp + free + moov
+
+
+def mp4_probe_roundtrip(events: DataFrame) -> DataFrame:
+    """Fused G18 path (r11): synthesize_mp4_headers >> parse_mp4_headers
+    in ONE Arrow seam — the FLAC/ADPCM roundtrip-fusion pattern applied
+    to the box walk. The two-stage form builds every ~700-byte payload
+    through a large JVM hex-concat expression tree (measured 0.61s of
+    the 0.89s query at sf0.1 — the synth, not the walk, is the cost)
+    and ships it across the Arrow boundary; fusing synthesizes the
+    SAME bytes in-task (`_synth_one`, byte-parity-pinned against the
+    column expression) and walks them immediately, so only the two
+    generating longs cross JVM -> Python and only the 11 probe columns
+    come back. Row-for-row identical to the composition by
+    construction; pinned by pytest parity on bytes AND rows."""
+    n_shuffle = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # hash-repartition on the unique id, not round-robin: spreads the
+    # Python work identically but skips the local sort every keyless
+    # repartition pays (sortBeforeRepartition, SPARK-23207) and keeps
+    # the row->partition map deterministic under retries — measured
+    # best-of-8 interleaved 0.83 -> 0.69s at sf0.1
+    src = events.select(
+        F.col("event_id").alias("media_id"), "user_id"
+    ).repartition(n_shuffle, "media_id")
+
+    def probe(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                [
+                    _walk_one(_synth_one(int(eid), int(uid)))
+                    for eid, uid in zip(pdf["media_id"], pdf["user_id"])
+                ],
+                columns=_PROBE_COLS,
+                dtype=object,
+            )
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return src.mapInPandas(probe, _PROBE_OUT_SCHEMA)

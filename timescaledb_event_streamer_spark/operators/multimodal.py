@@ -429,7 +429,7 @@ def synthesize_media_headers(events: DataFrame) -> DataFrame:
     # restore source parallelism before per-row payload construction
     # (same rationale and measurement as sources/pgoutput.py)
     n_shuffle = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    events = events.repartition(n_shuffle)
+    events = events.repartition(n_shuffle, "event_id")
     eid, uid = F.col("event_id"), F.col("user_id")
     fmt = F.pmod(eid, 3)
 
@@ -551,7 +551,7 @@ def synthesize_jpeg_headers(events: DataFrame) -> DataFrame:
     SOF2 (progressive) carrying the dimensions. Only (media_id,
     payload) survive — the parse side runs from the bytes alone."""
     n_shuffle = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    events = events.repartition(n_shuffle)
+    events = events.repartition(n_shuffle, "event_id")
     eid, uid = F.col("event_id"), F.col("user_id")
 
     def app_segment(j: int):
@@ -667,7 +667,7 @@ def synthesize_wav_pcm(events: DataFrame) -> DataFrame:
     (media_id, payload) survive — the parse side runs from bytes
     alone."""
     n_shuffle = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    events = events.repartition(n_shuffle)
+    events = events.repartition(n_shuffle, "event_id")
     eid, uid = F.col("event_id"), F.col("user_id")
     n = eid % 32 + 8
     rate = F.element_at(
@@ -1007,7 +1007,7 @@ def synthesize_exif_headers(events: DataFrame) -> DataFrame:
     indirection every TIFF reader must follow) and an ExifIFD
     pointer. Only (media_id, payload) survive."""
     n_shuffle = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    events = events.repartition(n_shuffle)
+    events = events.repartition(n_shuffle, "event_id")
     eid, uid = F.col("event_id"), F.col("user_id")
     le = uid % 2 == 0  # 'II' little-endian rows
 
@@ -1198,7 +1198,7 @@ def synthesize_flac_pcm(events: DataFrame) -> DataFrame:
     n_shuffle = int(
         events.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    src = events.repartition(n_shuffle).select(
+    src = events.repartition(n_shuffle, "event_id").select(
         F.col("event_id").alias("media_id"),
         (F.col("event_id") % 32 + 8).alias("n"),
         F.element_at(
@@ -1301,7 +1301,7 @@ def flac_pcm_roundtrip_stats(events: DataFrame) -> DataFrame:
     n_shuffle = int(
         events.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    src = events.repartition(n_shuffle).select(
+    src = events.repartition(n_shuffle, "event_id").select(
         F.col("event_id").alias("media_id"),
         (F.col("event_id") % 32 + 8).alias("n"),
         F.element_at(
@@ -1343,7 +1343,7 @@ def synthesize_adpcm_pcm(events: DataFrame) -> DataFrame:
     n_shuffle = int(
         events.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    src = events.repartition(n_shuffle).select(
+    src = events.repartition(n_shuffle, "event_id").select(
         F.col("event_id").alias("media_id"),
         (F.col("event_id") % 32 + 8).alias("n"),
         F.element_at(
@@ -1451,7 +1451,7 @@ def adpcm_pcm_roundtrip_stats(events: DataFrame) -> DataFrame:
     n_shuffle = int(
         events.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    src = events.repartition(n_shuffle).select(
+    src = events.repartition(n_shuffle, "event_id").select(
         F.col("event_id").alias("media_id"),
         (F.col("event_id") % 32 + 8).alias("n"),
         F.element_at(
@@ -1490,7 +1490,7 @@ def synthesize_bmp_images(events: DataFrame) -> DataFrame:
     n_shuffle = int(
         events.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    src = events.repartition(n_shuffle).select(
+    src = events.repartition(n_shuffle, "event_id").select(
         F.col("event_id").alias("media_id")
     )
 

@@ -46,7 +46,7 @@ def synthesize_ogg_headers(events: DataFrame) -> DataFrame:
     n_shuffle = int(
         events.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    events = events.repartition(n_shuffle)
+    events = events.repartition(n_shuffle, "event_id")
     eid, uid = F.col("event_id"), F.col("user_id")
     serial = uid % 100000 + 1
     channels = uid % 2 + 1

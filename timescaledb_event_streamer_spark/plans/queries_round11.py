@@ -69,11 +69,14 @@ from timescaledb_event_streamer_spark.sources.tables import load
 )
 def media_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timescaledb_event_streamer_spark.operators.mp4_probe import (
-        parse_mp4_headers,
-        synthesize_mp4_headers,
+        mp4_probe_roundtrip,
     )
 
-    return parse_mp4_headers(synthesize_mp4_headers(load(spark, sf_dir, "events")))
+    # fused synth+walk seam (r11): same rows as
+    # parse_mp4_headers(synthesize_mp4_headers(...)) — byte- and
+    # row-parity pinned in pytest; the payload never crosses the
+    # Arrow boundary
+    return mp4_probe_roundtrip(load(spark, sf_dir, "events"))
 
 # ---------------------------------------------------------------------------
 # B116 ts_awesome_oscillator — Bill Williams' AO

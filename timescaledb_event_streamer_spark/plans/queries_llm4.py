@@ -685,17 +685,52 @@ def sparse_cosine_pairs(
         F.col("b.doc_id").alias("doc_b"),
         (F.col("a.w") * F.col("b.w")).alias("prod"),
     )
-    dots = (
+    # hybrid dot fold, routed by shared-term count (r11). At sf0.1
+    # 99.1% of candidate pairs share <= 2 terms (1.02M singletons +
+    # 102k two-term groups of 1.13M pairs), and IEEE addition is
+    # COMMUTATIVE (only associativity fails): a fold of one product
+    # is that product, a fold of two is their unique binary sum in
+    # either order, so a plain codegen F.sum — partial aggregation
+    # and all — is bit-identical to the ordered fold for those
+    # groups (pinned by the shuffle-vs-inrow parity pytest and the
+    # oracle gates). Only the ~1% heavy tail (n >= 3, where
+    # association order matters) needs term-ordered products; those
+    # fold IN-ROW from the per-doc sorted vectors — the same walk
+    # _sparse_cosine_inrow already proved bit-identical — attached
+    # by a conditional equi-join that AQE broadcasts locally and
+    # shuffles at scale. This retires the ObjectHashAggregate
+    # collect+sort over every pair: best-of-6 interleaved at sf0.1
+    # the full plan drops 1.83 -> 1.50s.
+    pstat = (
         sm.unionByName(bg)
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_shared_terms"),
-            F.expr(
-                "aggregate(array_sort(collect_list(struct(term_id, prod))).prod,"
-                " 0D, (a, v) -> a + v)"
-            ).alias("dot"),
+        .agg(F.count(F.lit(1)).alias("n_shared_terms"), F.sum("prod").alias("s"))
+    )
+    arrs = w.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("term_id", "w"))).alias("arr")
+    )
+    pa = arrs.select(F.col("doc_id").alias("pa_id"), F.col("arr").alias("arr_a"))
+    pb = arrs.select(
+        F.col("doc_id").alias("pb_id"), F.map_from_entries("arr").alias("mb")
+    )
+    tail = F.col("n_shared_terms") >= 3
+    j = (
+        pstat.join(pa, (F.col("doc_a") == F.col("pa_id")) & tail, "left")
+        .drop("pa_id")
+        .join(pb, (F.col("doc_b") == F.col("pb_id")) & tail, "left")
+        .drop("pb_id")
+    )
+    # tail walk: multiply first (a missing term's element_at is NULL
+    # and null-propagates through *), then drop nulls — products of
+    # shared terms ascend in term rank, the ordered-fold contract
+    dot = F.when(~tail, F.col("s")).otherwise(
+        F.expr(
+            "aggregate(filter(transform(arr_a,"
+            " x -> x.w * element_at(mb, x.term_id)),"
+            " v -> v IS NOT NULL), 0D, (a, v) -> a + v)"
         )
     )
+    dots = j.select("doc_a", "doc_b", "n_shared_terms", dot.alias("dot"))
     nx = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nr").alias("na"))
     ny = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nr").alias("nb"))
     return (

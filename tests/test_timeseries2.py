@@ -78,6 +78,38 @@ def test_lttb_indices_keep_endpoints_and_extremes():
     assert (np.diff(keep) > 0).all()
 
 
+def test_lttb_batched_seam_matches_per_group_reference(spark, sf_small):
+    """The r11 mapInPandas seam (series-contiguous blocks, carry
+    across Arrow batch edges, vectorized take-all for short series)
+    must reproduce the per-group reference exactly: same kept rows,
+    same values, for every series."""
+    import numpy as np
+
+    events = load(spark, sf_small, "events").select(
+        "event_type", "user_id", "event_id", "ts", "value"
+    )
+    got = (
+        lttb(events, ["event_type", "user_id"], "ts", "value", n_out=20,
+             order_tiebreak="event_id")
+        .toPandas()
+        .sort_values(["event_type", "user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    src = events.toPandas()
+    parts = []
+    for _, g in src.groupby(["event_type", "user_id"], sort=False):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        x = g["ts"].astype("int64").to_numpy(dtype=np.float64)
+        y = g["value"].to_numpy(dtype=np.float64)
+        parts.append(g.iloc[_lttb_indices(x, y, 20)])
+    want = (
+        pd.concat(parts, ignore_index=True)
+        .sort_values(["event_type", "user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_lttb_dataframe_bounds_series_size(spark, sf_small):
     events = load(spark, sf_small, "events").select(
         "event_type", "user_id", "event_id", "ts", "value"

@@ -56,14 +56,70 @@ def lttb(
 ) -> DataFrame:
     """Downsample each series to at most ``n_out`` visually-
     representative points. Output schema = input schema (columns not
-    in keys/ts/value pass through on the kept rows)."""
+    in keys/ts/value pass through on the kept rows).
+
+    Seam shape (r11): series-keyed repartition + in-partition sort,
+    then ONE mapInPandas pass that walks series as contiguous row
+    blocks. The previous ``groupBy().applyInPandas`` form paid the
+    per-GROUP Arrow machinery (a JVM group split + a fresh pandas
+    frame + a Python call per series) — with real corpora holding
+    thousands of short series per partition that overhead dominated
+    ~10x over the actual LTTB math. Same shuffle (one exchange on
+    the series key), same per-series row order (the in-partition
+    sort is (keys..., ts, tiebreak) — identical to the per-group
+    sort when the tiebreak makes the order total, which every
+    registered caller guarantees), same ``_lttb_indices`` per
+    series, so the kept-row multiset is unchanged; series whose
+    length is already <= n_out (or n_out < 3) keep every row via a
+    vectorized take-all mask and never enter the Python loop."""
     cols = df.columns
     sort_cols = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
-    def _one_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-        x = pdf[ts_col].astype("int64").to_numpy(dtype=np.float64)
-        y = pdf[value_col].to_numpy(dtype=np.float64)
-        return pdf.iloc[_lttb_indices(x, y, n_out)]
+    def _process(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        karrs = [pdf[k].to_numpy() for k in series_keys]
+        new_grp = np.zeros(n, dtype=bool)
+        new_grp[0] = True
+        for arr in karrs:
+            new_grp[1:] |= arr[1:] != arr[:-1]
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.append(starts, n))
+        needs_lttb = (sizes > n_out) & (n_out >= 3)
+        if not needs_lttb.any():
+            return pdf
+        x_all = pdf[ts_col].astype("int64").to_numpy(dtype=np.float64)
+        y_all = pdf[value_col].to_numpy(dtype=np.float64)
+        keep_parts = [np.flatnonzero(np.repeat(~needs_lttb, sizes))]
+        for st, sz in zip(starts[needs_lttb], sizes[needs_lttb]):
+            keep_parts.append(
+                st + _lttb_indices(x_all[st : st + sz], y_all[st : st + sz], n_out)
+            )
+        return pdf.iloc[np.sort(np.concatenate(keep_parts))]
 
-    return df.groupBy(*series_keys).applyInPandas(_one_series, df.select(*cols).schema)
+    def _walk(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            # the trailing series may continue in the next batch:
+            # hold its rows back (rows are series-contiguous, so the
+            # equal-to-last-key mask IS the trailing block)
+            last = pdf.iloc[-1]
+            tail_mask = np.ones(len(pdf), dtype=bool)
+            for k in series_keys:
+                tail_mask &= (pdf[k] == last[k]).to_numpy()
+            carry = pdf[tail_mask]
+            head = pdf[~tail_mask]
+            if len(head):
+                yield _process(head)
+        if carry is not None and len(carry):
+            yield _process(carry)
+
+    arranged = df.repartition(n_shuffle, *series_keys).sortWithinPartitions(
+        *series_keys, *sort_cols
+    )
+    return arranged.mapInPandas(_walk, df.select(*cols).schema)

@@ -274,14 +274,16 @@ def pg_postgis_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pg_xml",
     family="pgtypes",
     doc="PG xml codec (spi/pgtypes/xml.go — validated pass-through "
-    "string, JSON-marshalled into the envelope) + the xpath analytic "
+    "string, JSON-marshalled into the envelope) + the XML analytic "
     "surface Spark adds: build the XML wire text from row fields, "
-    "extract typed values back out with xpath_string/xpath_long/"
-    "xpath_double, and re-emit the envelope JSON string byte-identical "
+    "decode the attribute and every child element back into typed "
+    "columns through ONE native from_xml parse per row (r11 — the "
+    "per-field javax xpath chain cost ~55 us/row PER FIELD and is "
+    "retired), and re-emit the envelope JSON string byte-identical "
     "to Go json.Marshal (xml.go MarshalJSON), including its HTML-safe "
     "escaping of < > & as \\u003c \\u003e \\u0026. The oracle derives "
     "every extracted value independently from the source columns, so "
-    "the xpath decode is checked against ground truth, not against "
+    "the XML decode is checked against ground truth, not against "
     "itself.",
     oracle="""
         WITH src AS (
@@ -317,29 +319,48 @@ def pg_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</cents></event>"),
     )
     w = events.select("event_id", xml.alias("xml_text"))
+    # single-parse decode (r11): the original shape paid FIVE javax
+    # xpath evaluations per row (~55 us/row EACH, the /event/user one
+    # twice — 89% of the query). Spark's native XML reader pulls the
+    # attribute and all three child fields out of ONE StAX parse per
+    # row at ~2 us/row; the typed values are identical (clean digit
+    # strings cast exactly like xpath_long's number coercion, the
+    # element text like xpath_string — and the oracle re-derives every
+    # extracted column from the source ground truth, so the decode
+    # stays checked against truth, not against itself). coalesce
+    # pins the one divergent edge: an empty <type> is '' under the
+    # old xpath_string contract, never NULL.
+    st = F.from_xml(
+        "xml_text", "_id BIGINT, type STRING, user BIGINT, cents BIGINT"
+    )
+    w = w.select("event_id", "xml_text", st.alias("_x"))
     return w.select(
         "event_id",
         "xml_text",
-        F.xpath_string("xml_text", F.lit("/event/type")).alias("x_type"),
-        F.xpath_long("xml_text", F.lit("/event/user")).alias("x_user"),
-        F.xpath_long("xml_text", F.lit("/event/cents")).alias("x_cents"),
-        F.xpath_long("xml_text", F.lit("/event/@id")).alias("x_attr_id"),
-        (F.xpath_long("xml_text", F.lit("/event/user")) >= 8).alias("x_power_user"),
+        F.coalesce(F.col("_x.type"), F.lit("")).alias("x_type"),
+        F.col("_x.user").alias("x_user"),
+        F.col("_x.cents").alias("x_cents"),
+        F.col("_x._id").alias("x_attr_id"),
+        (F.col("_x.user") >= 8).alias("x_power_user"),
         # xml.go MarshalJSON: json.Marshal of the raw XML string —
         # including Go's default HTML-safe escaping of < > & to
         # \\u003c \\u003e \\u0026, so the envelope bytes match the
-        # reference exactly, not just JSON-equivalently.
+        # reference exactly, not just JSON-equivalently. Literal
+        # replace() instead of regexp_replace (r11): same bytes, no
+        # regex engine on the hot path.
         F.concat(
             F.lit('"'),
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.regexp_replace("xml_text", "&", "\\\\u0026"),
-                        "<", "\\\\u003c",
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.replace(
+                            F.col("xml_text"), F.lit("&"), F.lit("\\u0026")
+                        ),
+                        F.lit("<"), F.lit("\\u003c"),
                     ),
-                    ">", "\\\\u003e",
+                    F.lit(">"), F.lit("\\u003e"),
                 ),
-                '"', '\\\\"',
+                F.lit('"'), F.lit('\\"'),
             ),
             F.lit('"'),
         ).alias("envelope_json"),

@@ -84,6 +84,35 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_mid):
     assert candidates < 0.35 * total, f"probe scans {candidates}/{total} — not pruning"
 
 
+def test_cosine_pairs_blocked_scorer_matches_join_reference(spark, sf_small):
+    """The r11 blocked numpy scorer (block-pair fan-out, cumsum
+    sequential-fold dots, JVM-side round + threshold) must reproduce
+    the nested-loop-join + aggregate-fold reference bit-for-bit —
+    pair set AND rounded cosines, at a threshold of 0.0 so negative
+    cosines and both cross-block orientations are exercised."""
+    from timescaledb_event_streamer_spark.operators.ann import (
+        cosine_pairs,
+        dot,
+        unit_vectors,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    unit = unit_vectors(emb)
+    a, b = unit.alias("a"), unit.alias("b")
+    ref = (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(dot(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.0)
+    )
+    got = sorted(map(tuple, cosine_pairs(emb, 0.0).collect()))
+    want = sorted(map(tuple, ref.collect()))
+    assert got == want and len(got) > 0
+
+
 def test_embedding_lsh_recall_vs_exact_pairs(spark, sf_small):
     from timescaledb_event_streamer_spark.operators.ann import cosine_pairs, cosine_pairs_lsh
 

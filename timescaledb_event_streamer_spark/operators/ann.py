@@ -426,6 +426,12 @@ def unit_vectors(
     )
 
 
+#: target vectors per block of the blocked pairwise scorer; bounds
+#: per-task memory at ~block^2 * dim * 8 bytes regardless of corpus
+#: size (the block COUNT scales with n, derived in-plan)
+_PAIR_BLOCK = 256
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -437,20 +443,98 @@ def cosine_pairs(
     Candidate generation is LSH-bucketed at scale; at oracle SF the
     bucket count is small enough that this full pairwise form is the
     reference result the bucketed variant is tested against. Scoring
-    is normalize-once-then-dot over :func:`unit_vectors` — the same
-    formula the LSH verify step uses, so approx ⊆ exact holds by
-    construction (identical rounded doubles per pair).
+    is normalize-once-then-dot — the same formula the LSH verify step
+    uses, so approx ⊆ exact holds by construction (identical rounded
+    doubles per pair).
+
+    Execution shape (r11): the old ``a.vid < b.vid`` nested-loop join
+    scored every pair through an interpreted ``aggregate(zip_with())``
+    fold — ~11 us/pair of lambda interpretation, quadratically many
+    pairs. Vectors now group into ~``_PAIR_BLOCK``-row blocks (block
+    count derived in-plan from the corpus size — one broadcast 1-row
+    agg, the D19/D20 sampling pattern), block PAIRS fan out across
+    the cluster, and one numpy pass per block pair scores the whole
+    cross product. Bit-exactness is preserved by construction: unit
+    normalization divides by the sequential-fold norm (``np.cumsum``
+    IS the left fold — squares are never -0.0, so the 0.0 seed is
+    absorbed), per-pair products accumulate with ``cumsum`` along the
+    dim axis in index order (the +0.0 on the first product replays
+    the fold's seed), and ROUNDING AND THE THRESHOLD FILTER STAY IN
+    THE JVM — the seam emits raw dots for a superset cut at
+    threshold - 1e-6 and the registered ``F.round(..., 6) >=
+    threshold`` decides membership exactly as before.
     """
-    unit = unit_vectors(embeddings, vec_col, id_col)
-    a = unit.alias("a")
-    b = unit.alias("b")
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    nb = e.agg(
+        F.greatest(F.ceil(F.count(F.lit(1)) / _PAIR_BLOCK), F.lit(1))
+        .cast("long")
+        .alias("nb")
+    )
+    blocks = (
+        e.crossJoin(F.broadcast(nb))
+        .select(F.pmod(F.col("vid"), F.col("nb")).alias("blk"), "vid", "v")
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vid", "v")).alias("rows"))
+    )
+    x, y = blocks.alias("x"), blocks.alias("y")
+    bp = x.join(y, F.col("x.blk") <= F.col("y.blk")).select(
+        F.col("x.blk").alias("ba"),
+        F.col("y.blk").alias("bb"),
+        F.col("x.rows").alias("ra"),
+        F.col("y.rows").alias("rb"),
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bp = bp.repartition(n_shuffle, "ba", "bb")
+    lo = float(threshold) - 1e-6
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_d = [], [], []
+            for ba, bb, ra, rb in zip(pdf["ba"], pdf["bb"], pdf["ra"], pdf["rb"]):
+                ia = np.array([r["vid"] for r in ra], dtype=np.int64)
+                av = np.array([list(r["v"]) for r in ra], dtype=np.float64)
+                ib = np.array([r["vid"] for r in rb], dtype=np.int64)
+                bv = np.array([list(r["v"]) for r in rb], dtype=np.float64)
+                na = np.sqrt(np.cumsum(av * av, axis=1)[:, -1])
+                ua = av / na[:, None]
+                nbn = np.sqrt(np.cumsum(bv * bv, axis=1)[:, -1])
+                ub = bv / nbn[:, None]
+                prod = ua[:, None, :] * ub[None, :, :]
+                prod[:, :, 0] += 0.0
+                dots = np.cumsum(prod, axis=2)[:, :, -1]
+                keep = dots >= lo
+                m1 = (ia[:, None] < ib[None, :]) & keep
+                ii, jj = np.nonzero(m1)
+                out_a.append(ia[ii])
+                out_b.append(ib[jj])
+                out_d.append(dots[ii, jj])
+                if ba != bb:
+                    # the pair's smaller vid lives on the rb side:
+                    # same dot (products commute exactly), swapped
+                    # orientation
+                    m2 = (ib[None, :] < ia[:, None]) & keep
+                    ii2, jj2 = np.nonzero(m2)
+                    out_a.append(ib[jj2])
+                    out_b.append(ia[ii2])
+                    out_d.append(dots[ii2, jj2])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "dot": np.concatenate(out_d),
+                    }
+                )
+
+    scored = bp.mapInPandas(_score, "vec_a LONG, vec_b LONG, dot DOUBLE")
     return (
-        a.join(b, F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            F.round(dot(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
-        )
+        scored.select("vec_a", "vec_b", F.round("dot", 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

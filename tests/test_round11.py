@@ -741,3 +741,89 @@ def test_webm_probe_golden_and_hostile(spark):
     # not EBML at all
     rn = probe(b"RIFF" + b"\x00" * 20)
     assert rn.is_ebml is False and rn.n_elements is None
+
+
+def test_ebml_seam_matches_catalyst_fold_and_synth_bytes(spark, sf_small):
+    """The r11 Arrow walk + in-task synth must be byte- and
+    row-identical to the Catalyst column expression / interpreted
+    fold they replace (the mp4_probe fusion pattern)."""
+    from timescaledb_event_streamer_spark.operators.ebml_probe import (
+        _ebml_synth_one,
+        _parse_ebml_headers_catalyst,
+        ebml_probe_roundtrip,
+        parse_ebml_headers,
+        synthesize_ebml_headers,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    events = load(spark, sf_small, "events").limit(96)
+    jvm = {
+        r["media_id"]: bytes(r["payload"])
+        for r in synthesize_ebml_headers(events).collect()
+    }
+    for r in events.select("event_id", "user_id").collect():
+        assert _ebml_synth_one(int(r["event_id"]), int(r["user_id"])) == jvm[
+            r["event_id"]
+        ]
+    want = sorted(
+        map(tuple, _parse_ebml_headers_catalyst(
+            synthesize_ebml_headers(events)).collect())
+    )
+    assert sorted(map(tuple, ebml_probe_roundtrip(events).collect())) == want
+    assert sorted(
+        map(tuple, parse_ebml_headers(synthesize_ebml_headers(events)).collect())
+    ) == want
+
+
+def test_ebml_seam_differential_fuzz_vs_catalyst(spark):
+    """Hostile payloads (truncations, byte mutations, random tails)
+    must produce the same rows as the Catalyst fold — or fail the row
+    in both implementations (strict ANSI decode / conv overflow)."""
+    import random
+
+    from timescaledb_event_streamer_spark.operators.ebml_probe import (
+        _ebml_synth_one,
+        _parse_ebml_headers_catalyst,
+        parse_ebml_headers,
+    )
+
+    rng = random.Random(97)
+    base = _ebml_synth_one(7, 3)
+    payloads = []
+    for _ in range(24):
+        b = bytearray(base)
+        k = rng.randrange(4)
+        if k == 0:
+            b = b[: rng.randrange(1, len(b))]
+        elif k == 1:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif k == 2:
+            b = bytearray(bytes.fromhex("1A45DFA3")) + bytearray(
+                rng.randrange(256) for _ in range(rng.randrange(0, 60))
+            )
+        else:
+            b = bytearray(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+        payloads.append(bytes(b))
+    n_match = n_both_raise = 0
+    for i, p in enumerate(payloads):
+        df = spark.createDataFrame([(i, p)], "media_id long, payload binary")
+        try:
+            cat, cat_err = sorted(
+                map(tuple, _parse_ebml_headers_catalyst(df).collect())
+            ), False
+        except Exception:
+            cat, cat_err = None, True
+        try:
+            new, new_err = sorted(
+                map(tuple, parse_ebml_headers(df).collect())
+            ), False
+        except Exception:
+            new, new_err = None, True
+        assert cat_err == new_err, f"payload {p.hex()}: raise parity"
+        if cat_err:
+            n_both_raise += 1
+        else:
+            assert cat == new, f"payload {p.hex()}"
+            n_match += 1
+    assert n_match > 0

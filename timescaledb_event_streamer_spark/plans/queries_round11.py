@@ -2747,10 +2747,12 @@ def ts_choppiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_webm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timescaledb_event_streamer_spark.operators.ebml_probe import (
-        parse_ebml_headers,
-        synthesize_ebml_headers,
+        ebml_probe_roundtrip,
     )
 
-    return parse_ebml_headers(
-        synthesize_ebml_headers(load(spark, sf_dir, "events"))
-    )
+    # fused single-seam form (r11): synthesize + vint-walk in one
+    # Arrow pass — the payload bytes never cross the JVM boundary
+    # (the G18 mp4_probe_roundtrip pattern). Row-identical to
+    # parse_ebml_headers(synthesize_ebml_headers(events)); parity
+    # pinned in tests/test_round11.py.
+    return ebml_probe_roundtrip(load(spark, sf_dir, "events"))

@@ -124,13 +124,17 @@ def pg_postgis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 3 == 0).alias("is_be"),
         F.when(F.col("user_id") % 2 == 1, "geography").otherwise("geometry").alias("kind"),
     )
-    enc = src.select(
-        "event_id",
-        "kind",
-        ewkb_point_hex(
-            F.col("gx"), F.col("gy"), F.col("srid"), big_endian=F.col("is_be")
-        ).alias("ewkb_hex"),
+    # staged encode (r11): materialize the BE hex pieces once per row
+    # instead of re-expanding the IEEE encode inside every CaseWhen
+    # branch / le_bytes substring — byte-identical hex, 4.5x less
+    # expression work (see attach_ewkb_point_hex)
+    from timescaledb_event_streamer_spark.functions.geo import (
+        attach_ewkb_point_hex,
     )
+
+    enc = attach_ewkb_point_hex(
+        src, F.col("gx"), F.col("gy"), F.col("srid"), big_endian=F.col("is_be")
+    ).select("event_id", "kind", "ewkb_hex")
     # Decode ONLY from the wire hex — the round-trip is the test.
     # Staged projections, not the struct form: see attach_parsed_point.
     dec = attach_parsed_point(enc, "ewkb_hex")

@@ -516,12 +516,24 @@ def pg_array_text_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cdc_wal2json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from timescaledb_event_streamer_spark.sources.wal2json import (
         parse_wal2json,
         synthesize_wal2json,
     )
 
-    lines = synthesize_wal2json(load(spark, sf_dir, "events"))
+    # persist the rendered documents (r11, the container-router
+    # rationale): parse_wal2json's B/C-marker filter is pushed below
+    # its projection, and when the lines are a live expression both
+    # the filter AND the envelope projection re-run the whole
+    # to_json render per row (measured 2x the query). In production
+    # wal2json lines are a materialized source column and this reuse
+    # is free; the persist replaces exactly that. The parse path —
+    # the operator under test — still runs on every execution.
+    lines = synthesize_wal2json(load(spark, sf_dir, "events")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     env = parse_wal2json(lines)
     return env.select(
         "topic",

@@ -13,7 +13,7 @@ value-exact across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timescaledb_event_streamer_spark.plans.registry import register
@@ -515,13 +515,20 @@ def bigram_surprise(docs: DataFrame) -> DataFrame:
         .select("doc_id", "x.w1", "x.b")
     )
     cnt = bg.groupBy("doc_id", "w1", "b").agg(F.count(F.lit(1)).alias("c"))
-    bf = cnt.groupBy("b").agg(F.sum("c").alias("bf"))
-    uf = cnt.groupBy("w1").agg(F.sum("c").alias("uf"))
+    # bigram/left-unigram totals as partitioned count-windows over the
+    # SAME cnt pass (r11, the training-corpus fuse): the join form fanned
+    # cnt into three consumers — two aggregations plus the join-back —
+    # re-running the explode+count subtree; the windows read it once.
+    # Exact long sums either way -> identical rows (oracle-pinned).
     v = (
         docs.select(F.explode(toks).alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
     )  # 1 row -> broadcast
-    joined = cnt.join(bf, "b").join(uf, "w1").crossJoin(F.broadcast(v))
+    joined = (
+        cnt.withColumn("bf", F.sum("c").over(Window.partitionBy("b")))
+        .withColumn("uf", F.sum("c").over(Window.partitionBy("w1")))
+        .crossJoin(F.broadcast(v))
+    )
     bits = F.col("c") * F.log2((F.col("bf") + F.lit(1.0)) / (F.col("uf") + F.col("v")))
     return joined.groupBy("doc_id").agg(
         F.sum("c").alias("n_bigrams"),

@@ -184,3 +184,52 @@ def test_ivfpq_seeded_recall_and_adc_bound(spark, sf_mid):
 
     wide = {r["vec_id"] for r in ivfpq_seeded_topk(emb, rerank=400).collect()}
     assert len(set(exact[:10]) & wide) >= len(set(exact[:10]) & got)
+
+
+def test_knn_pair_scores_blocked_prune_matches_join_reference(spark, sf_small):
+    """The r11 blocked scorer (cumsum sequential-fold ratios, JVM-side
+    round + rank) and its local_top margin prune must reproduce the
+    nested-loop-join + aggregate-fold kNN graph exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from timescaledb_event_streamer_spark.operators.ann import (
+        dot,
+        knn_pair_scores,
+        norm,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    emb = load(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("ea"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = a.join(b, F.col("src") != F.col("dst")).select(
+        "src", "dst",
+        F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+        .alias("cos_sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    ref = sorted(
+        map(tuple,
+            pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5).collect())
+    )
+    for lt in (None, 5):
+        got_pairs = knn_pair_scores(emb, local_top=lt).select(
+            "src", "dst", F.round(F.col("ratio"), 6).alias("cos_sim")
+        )
+        got = sorted(
+            map(tuple,
+                got_pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= 5).collect())
+        )
+        assert got == ref, f"local_top={lt}"
+    assert len(ref) > 0

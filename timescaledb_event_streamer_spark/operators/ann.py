@@ -539,6 +539,119 @@ def cosine_pairs(
     )
 
 
+def knn_pair_scores(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    local_top: int | None = None,
+) -> DataFrame:
+    """All DIRECTED pairs (src != dst) with the raw cosine ratio
+    ``dot(a,b) / (norm(a) * norm(b))`` — the kNN-graph scoring pass
+    (r11), blocked like :func:`cosine_pairs`. The fold semantics are
+    replayed exactly in numpy (cumsum IS the sequential fold; the
+    +0.0 on the first product is the fold seed; norms multiply before
+    the divide), and ROUNDING STAYS IN THE JVM on the raw ratio, so
+    downstream `round(..., 6)` + rank windows see bit-identical
+    doubles to the old per-pair interpreted fold.
+
+    ``local_top=k`` prunes each src's candidates within a block pair
+    to the rows whose raw ratio reaches (k-th largest local raw) -
+    1e-6 — a SUPERSET of anything a global `round(.,6)`-ordered rank
+    <= k can admit. Safety: if >= k rows in x's own block are raw-
+    greater than x by more than 1e-6, each rounds strictly above x
+    (|round(v)-v| <= 5e-7), so x's global rounded rank is > k; and
+    conversely every true top-k row survives, so ranks computed over
+    the pruned union equal ranks over all pairs for every row the
+    k-filter keeps (dropped rows never order before a kept top-k
+    row — same argument applied to ties). Use it ONLY under a
+    downstream rank-<=k filter on the rounded value."""
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    nb_ = e.agg(
+        F.greatest(F.ceil(F.count(F.lit(1)) / _PAIR_BLOCK), F.lit(1))
+        .cast("long")
+        .alias("nb")
+    )
+    blocks = (
+        e.crossJoin(F.broadcast(nb_))
+        .select(F.pmod(F.col("vid"), F.col("nb")).alias("blk"), "vid", "v")
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vid", "v")).alias("rows"))
+    )
+    x, y = blocks.alias("x"), blocks.alias("y")
+    bp = x.join(y, F.col("x.blk") <= F.col("y.blk")).select(
+        F.col("x.blk").alias("ba"),
+        F.col("y.blk").alias("bb"),
+        F.col("x.rows").alias("ra"),
+        F.col("y.rows").alias("rb"),
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bp = bp.repartition(n_shuffle, "ba", "bb")
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        def _row_keep(r_valid):
+            # per-row margin mask over a matrix with -inf at invalid
+            # entries; rows with fewer than local_top valid entries
+            # keep everything valid
+            k = local_top
+            nvalid = np.isfinite(r_valid).sum(axis=1)
+            thresh = np.full(r_valid.shape[0], -np.inf)
+            enough = nvalid >= k
+            if enough.any():
+                part = np.partition(r_valid[enough], -k, axis=1)[:, -k]
+                thresh[enough] = part - 1e-6
+            return r_valid >= thresh[:, None]
+
+        for pdf in batches:
+            out_s, out_d, out_r = [], [], []
+            for ba, bb, ra, rb in zip(pdf["ba"], pdf["bb"], pdf["ra"], pdf["rb"]):
+                ia = np.array([r["vid"] for r in ra], dtype=np.int64)
+                av = np.array([list(r["v"]) for r in ra], dtype=np.float64)
+                ib = np.array([r["vid"] for r in rb], dtype=np.int64)
+                bv = np.array([list(r["v"]) for r in rb], dtype=np.float64)
+                na = np.sqrt(np.cumsum(av * av, axis=1)[:, -1])
+                nbn = np.sqrt(np.cumsum(bv * bv, axis=1)[:, -1])
+                prod = av[:, None, :] * bv[None, :, :]
+                prod[:, :, 0] += 0.0
+                dots = np.cumsum(prod, axis=2)[:, :, -1]
+                ratio = dots / (na[:, None] * nbn[None, :])
+                valid = ia[:, None] != ib[None, :]
+                if local_top is None:
+                    keep1 = valid
+                else:
+                    keep1 = valid & _row_keep(np.where(valid, ratio, -np.inf))
+                ii, jj = np.nonzero(keep1)
+                out_s.append(ia[ii])
+                out_d.append(ib[jj])
+                out_r.append(ratio[ii, jj])
+                if ba != bb:
+                    if local_top is None:
+                        keep2 = valid
+                    else:
+                        keep2 = valid & _row_keep(
+                            np.where(valid, ratio, -np.inf).T
+                        ).T
+                    ii2, jj2 = np.nonzero(keep2)
+                    out_s.append(ib[jj2])
+                    out_d.append(ia[ii2])
+                    out_r.append(ratio[ii2, jj2])
+            if out_s:
+                yield pd.DataFrame(
+                    {
+                        "src": np.concatenate(out_s),
+                        "dst": np.concatenate(out_d),
+                        "ratio": np.concatenate(out_r),
+                    }
+                )
+
+    return bp.mapInPandas(_score, "src LONG, dst LONG, ratio DOUBLE")
+
+
 def build_ivfpq_index(
     embeddings: DataFrame,
     path: str,

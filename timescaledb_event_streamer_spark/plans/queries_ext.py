@@ -646,29 +646,18 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from timescaledb_event_streamer_spark.operators.ann import dot, norm
+    from timescaledb_event_streamer_spark.operators.ann import knn_pair_scores
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    # norms are computed once per vector BEFORE the pair join (500
-    # evals instead of 250k) — only the dot product runs per pair
-    a = spread(emb).select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("ea"),
-        norm(F.col("embedding")).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("eb"),
-        norm(F.col("embedding")).alias("nb"),
-    )
-    pairs = a.join(b, F.col("src") != F.col("dst")).select(
-        "src",
-        "dst",
-        F.round(
-            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-        ).alias("cos_sim"),
+    # blocked numpy scoring pass (r11): the nested-loop join scored
+    # every directed pair through an interpreted aggregate fold
+    # (~2.5s of the 2.5s query); knn_pair_scores replays the exact
+    # fold arithmetic per block pair and emits raw ratios, so the
+    # round + rank window below see bit-identical doubles
+    pairs = knn_pair_scores(spread(emb), local_top=5).select(
+        "src", "dst", F.round(F.col("ratio"), 6).alias("cos_sim")
     )
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
     return (

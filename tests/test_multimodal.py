@@ -1206,3 +1206,49 @@ def test_adpcm_stats_empty_decode_is_rejected_not_crash():
     row = _adpcm_stat_row(7, bytes(enc))
     assert row["is_adpcm"] is False
     assert row["n_samples"] is None
+
+
+def test_wav_seams_match_catalyst_twins(spark, sf_small):
+    """The r11 numpy seams for wav_pcm_stats / wav_silence_segments
+    must be row-identical to the retained Catalyst folds on the
+    synthesized corpus AND on hostile payloads (truncations, byte
+    mutations, garbage)."""
+    import random
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        _wav_pcm_stats_catalyst,
+        _wav_silence_segments_catalyst,
+        synthesize_wav_pcm,
+        wav_pcm_stats,
+        wav_silence_segments,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    media = synthesize_wav_pcm(load(spark, sf_small, "events").limit(256))
+    base = bytes(media.limit(1).collect()[0]["payload"])
+    rng = random.Random(5)
+    hostile = []
+    for i in range(24):
+        k = rng.randrange(4)
+        b2 = bytearray(base)
+        if k == 0:
+            b2 = b2[: rng.randrange(0, len(b2))]
+        elif k == 1:
+            for _ in range(rng.randrange(1, 8)):
+                b2[rng.randrange(len(b2))] = rng.randrange(256)
+        elif k == 2:
+            b2 = bytearray(b"RIFF") + bytearray(
+                rng.randrange(256) for _ in range(rng.randrange(0, 80))
+            )
+        else:
+            b2 = bytearray(rng.randrange(256) for _ in range(rng.randrange(0, 60)))
+        hostile.append((i, bytes(b2)))
+    hdf = spark.createDataFrame(hostile, "media_id long, payload binary")
+    for new_fn, old_fn in (
+        (wav_pcm_stats, _wav_pcm_stats_catalyst),
+        (wav_silence_segments, _wav_silence_segments_catalyst),
+    ):
+        for df in (media, hdf):
+            got = sorted(map(tuple, new_fn(df).collect()))
+            want = sorted(map(tuple, old_fn(df).collect()))
+            assert got == want

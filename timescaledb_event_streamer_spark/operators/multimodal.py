@@ -740,19 +740,110 @@ def _decode_pcm_samples(media: DataFrame) -> DataFrame:
     )
 
 
+def _wav_decode_one(raw: bytes):
+    """Python twin of `_decode_pcm_samples`'s per-row contract (r11):
+    same header validation, same cap arithmetic (double divisions
+    truncate toward zero like the long casts), bytes past the payload
+    end read as 0 exactly like ascii('') == 0. Returns
+    (ok, is_wav, rate, n, samples int64 array)."""
+    ln = len(raw)
+
+    def le(off: int, nb: int) -> int:
+        v = 0
+        for k in range(nb):
+            b = raw[off + k] if off + k < ln else 0
+            v += b << (8 * k)
+        return v
+
+    is_wav = (
+        raw[0:4] == b"RIFF"
+        and raw[8:12] == b"WAVE"
+        and raw[36:40] == b"data"
+        and le(20, 2) == 1
+        and le(22, 2) == 1
+        and le(34, 2) == 16
+        and le(24, 4) > 0
+    )
+    rate = le(24, 4)
+    n = min(
+        int(le(40, 4) / 2),
+        int((ln - 44) / 2),  # trunc toward zero == the (x/2).cast long
+        WAV_PCM_MAX_SAMPLES,
+    )
+    ok = is_wav and n > 0
+    if not ok:
+        return ok, is_wav, rate, n, None
+    buf = raw[44 : 44 + 2 * n]
+    if len(buf) < 2 * n:  # missing bytes decode as 0 (ascii('') == 0)
+        buf = buf + b"\x00" * (2 * n - len(buf))
+    samples = np.frombuffer(buf, "<i2").astype(np.int64)
+    return ok, is_wav, rate, n, samples
+
+
+_WAV_STATS_SCHEMA = (
+    "media_id LONG, is_pcm_wav BOOLEAN, n_samples LONG, "
+    "sample_rate LONG, duration_ms LONG, peak_abs LONG, "
+    "sum_samples LONG, energy LONG, zero_crossings LONG"
+)
+
+
 def wav_pcm_stats(media: DataFrame) -> DataFrame:
     """Signal statistics from the PCM bytes of a canonical mono
     16-bit WAV: all integer arithmetic (exact at any summation
-    order), one narrow codegen projection per row, no shuffle — the
-    shape that lets a 100 TB audio lake compute admission features
-    (clipping, silence, DC offset) without a decode fleet. Non-WAV /
-    non-PCM / truncated payloads yield nulls, never errors.
+    order) — the shape that lets a 100 TB audio lake compute
+    admission features (clipping, silence, DC offset) without a
+    decode fleet. Non-WAV / non-PCM / truncated payloads yield nulls,
+    never errors.
 
-    Byte access goes through a latin-1 decode (every byte value is a
-    valid ISO-8859-1 char mapping to the same code point, so
-    ascii(substr(txt, b+1, 1)) IS payload[b]) instead of hex: conv()
-    re-parses an arbitrary-base string per sample, and swapping it for
-    two ascii() lookups measured 1.6x on the sf0.1 corpus."""
+    Runs as the Arrow-batched `_wav_decode_one` + numpy seam (r11):
+    the latin-1 two-ascii()-per-sample transform AND the statistics
+    fold were both interpreted Catalyst HOFs (~12 us/row); the numpy
+    pass computes the same exact integers. Semantics pinned to the
+    retained Catalyst twin by a differential fuzz pytest."""
+    import math
+
+    import pandas as _pd
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                ok, is_wav, rate, n, x = _wav_decode_one(raw)
+                if not ok:
+                    rows.append(
+                        (int(mid), bool(is_wav), None, None, None, None,
+                         None, None, None)
+                    )
+                    continue
+                rows.append(
+                    (
+                        int(mid), True, n, rate,
+                        math.floor(n * 1000 / rate),
+                        int(np.abs(x).max()),
+                        int(x.sum()),
+                        int((x * x).sum()),
+                        int(np.count_nonzero(x[:-1] * x[1:] < 0)),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "is_pcm_wav", "n_samples", "sample_rate",
+                    "duration_ms", "peak_abs", "sum_samples", "energy",
+                    "zero_crossings",
+                ],
+                dtype=object,
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, _WAV_STATS_SCHEMA
+    )
+
+
+def _wav_pcm_stats_catalyst(media: DataFrame) -> DataFrame:
+    """The original interpreted Catalyst fold — kept as the reference
+    twin for the differential fuzz test pinning the seam."""
     decoded = _decode_pcm_samples(media)
     zero = F.lit(0).cast("long")
     init = F.struct(
@@ -802,6 +893,13 @@ def wav_pcm_stats(media: DataFrame) -> DataFrame:
 WAV_SILENCE_THRESHOLD = 8192
 
 
+_WAV_SIL_SCHEMA = (
+    "media_id LONG, is_pcm_wav BOOLEAN, n_samples LONG, "
+    "lead_silence LONG, trail_silence LONG, n_segments LONG, "
+    "longest_silence LONG, n_silent LONG"
+)
+
+
 def wav_silence_segments(
     media: DataFrame, threshold: int = WAV_SILENCE_THRESHOLD
 ) -> DataFrame:
@@ -810,13 +908,66 @@ def wav_silence_segments(
     admission pipeline cuts before training), the number of loud
     segments (silence-separated speech/sound bursts), the longest
     silent run, and the total silent-sample count. Same decode
-    contract as wav_pcm_stats: latin-1 byte reads, fold capped at
-    WAV_PCM_MAX_SAMPLES, non-WAV/truncated payloads yield nulls,
-    all-integer state so the single left fold is exact and runs in
-    whole-stage codegen — no shuffle, no Python, per-row cost linear
-    in capped sample count at any corpus size. Decode comes from the
-    shared _decode_pcm_samples contract (same header validation and
-    cap as wav_pcm_stats, by construction)."""
+    contract as wav_pcm_stats (`_wav_decode_one`), all-integer and
+    exact; non-WAV/truncated payloads yield nulls, never errors.
+    Runs as the Arrow-batched numpy seam (r11, same rationale as
+    wav_pcm_stats); semantics pinned to the retained Catalyst twin by
+    the differential fuzz pytest."""
+    import pandas as _pd
+
+    th = int(threshold)
+
+    def segs(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ok, is_wav, rate, n, x = _wav_decode_one(bytes(payload))
+                if not ok:
+                    rows.append(
+                        (int(mid), bool(is_wav), None, None, None, None,
+                         None, None)
+                    )
+                    continue
+                silent = np.abs(x) < th
+                nsil = int(silent.sum())
+                loud_idx = np.flatnonzero(~silent)
+                if len(loud_idx) == 0:
+                    lead, trail, nseg, longest = n, n, 0, n
+                else:
+                    lead = int(loud_idx[0])
+                    trail = int(n - 1 - loud_idx[-1])
+                    # a loud segment starts at a loud sample whose
+                    # predecessor is silent (or at the first sample)
+                    nseg = int(1 + np.count_nonzero(np.diff(loud_idx) > 1))
+                    # longest silent run: gaps between loud samples
+                    # plus the leading/trailing runs
+                    gaps = np.diff(loud_idx) - 1
+                    longest = max(
+                        lead, trail, int(gaps.max()) if len(gaps) else 0
+                    )
+                rows.append(
+                    (int(mid), True, n, lead, trail, nseg, longest, nsil)
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "is_pcm_wav", "n_samples", "lead_silence",
+                    "trail_silence", "n_segments", "longest_silence",
+                    "n_silent",
+                ],
+                dtype=object,
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        segs, _WAV_SIL_SCHEMA
+    )
+
+
+def _wav_silence_segments_catalyst(
+    media: DataFrame, threshold: int = WAV_SILENCE_THRESHOLD
+) -> DataFrame:
+    """The original interpreted Catalyst fold — kept as the reference
+    twin for the differential fuzz test pinning the seam."""
     decoded = _decode_pcm_samples(media)
     zero = F.lit(0).cast("long")
     init = F.struct(

@@ -565,3 +565,56 @@ def test_wal_growth_forecast_linear(spark, tmp_path):
     # events with id > 35 -> 4
     assert r["retained_by_slot"] == 4 and r["total_retained"] == 4
     assert r["breach_within_24h"] is False
+
+
+def test_id3_seam_matches_catalyst_fold(spark, sf_small):
+    """The r11 Arrow ID3 walk must be row-identical to the Catalyst
+    fold on the synthesized corpus and on hostile payloads — or fail
+    the row in both (strict ANSI decode)."""
+    import random
+
+    from timescaledb_event_streamer_spark.operators.mp3_probe import (
+        _parse_id3_frames_catalyst,
+        parse_id3_frames,
+        synthesize_id3_frames,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    media = synthesize_id3_frames(load(spark, sf_small, "events").limit(128))
+    got = sorted(map(tuple, parse_id3_frames(media).collect()))
+    want = sorted(map(tuple, _parse_id3_frames_catalyst(media).collect()))
+    assert got == want and len(got) == 128
+
+    base = bytes(media.limit(1).collect()[0]["payload"])
+    rng = random.Random(11)
+    n_ok = n_both = 0
+    for i in range(16):
+        b2 = bytearray(base)
+        k = rng.randrange(4)
+        if k == 0:
+            b2 = b2[: rng.randrange(0, len(b2))]
+        elif k == 1:
+            for _ in range(rng.randrange(1, 8)):
+                b2[rng.randrange(len(b2))] = rng.randrange(256)
+        elif k == 2:
+            b2 = bytearray(b"ID3") + bytearray(
+                rng.randrange(256) for _ in range(rng.randrange(0, 60))
+            )
+        else:
+            b2 = bytearray(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+        df = spark.createDataFrame([(i, bytes(b2))], "media_id long, payload binary")
+        try:
+            cat, ce = sorted(map(tuple, _parse_id3_frames_catalyst(df).collect())), False
+        except Exception:
+            cat, ce = None, True
+        try:
+            new, ne = sorted(map(tuple, parse_id3_frames(df).collect())), False
+        except Exception:
+            new, ne = None, True
+        assert ce == ne, f"raise parity on {bytes(b2).hex()}"
+        if ce:
+            n_both += 1
+        else:
+            assert cat == new, f"row parity on {bytes(b2).hex()}"
+            n_ok += 1
+    assert n_ok > 0

@@ -194,18 +194,146 @@ def synthesize_id3_frames(events: DataFrame) -> DataFrame:
     )
 
 
+_ID3_SCHEMA = (
+    "media_id LONG, is_id3 BOOLEAN, tag_bytes LONG, n_frames INT, "
+    "title STRING, artist STRING, album STRING, track STRING"
+)
+
+
+def _id3_walk_one(raw: bytes) -> tuple:
+    """Python twin of the Catalyst ID3 fold (r11) — the ebml_probe
+    discipline: Spark substr/conv semantics via the shared helpers,
+    three-valued stop logic, the NULL-pos freeze (where `stop` goes
+    NULL the fold's otherwise(1) keeps counting frames — replicated),
+    lazy strict UTF-8 decode only when a slot records. Pinned by a
+    differential fuzz pytest against `_parse_id3_frames_catalyst`."""
+    from timescaledb_event_streamer_spark.operators.ebml_probe import (
+        _conv16,
+        _substr,
+    )
+
+    h = raw.hex().upper()
+    hl = len(h)
+    is_id3 = hl >= 20 and h[0:6] == "494433"
+
+    def byte(p):
+        return _conv16(_substr(h, p, 2))
+
+    b13, b15, b17, b19 = byte(13), byte(15), byte(17), byte(19)
+    tag_sz = (
+        None
+        if None in (b13, b15, b17, b19)
+        else (b13 << 21) + (b15 << 14) + (b17 << 7) + b19
+    )
+    bound = None if tag_sz is None else tag_sz * 2 + 21
+    pos: int | None = 21
+    nf = 0
+    slots = {"title": None, "artist": None, "album": None, "trck": None}
+    for step_i in range(ID3_MAX_FRAMES):
+        if pos is None:
+            # stop stays NULL from here on: when(stop, 0).otherwise(1)
+            # fires every remaining step, nothing else changes
+            nf += ID3_MAX_FRAMES - step_i
+            break
+        fid = _substr(h, pos, 8)
+        size_b = _conv16(_substr(h, pos + 8, 8))
+        first = byte(pos)
+        valid_id = (
+            None
+            if first is None
+            else (65 <= first <= 90) or (48 <= first <= 57)
+        )
+        parts = (
+            None if bound is None else (pos + 20 > bound),
+            None if valid_id is None else (not valid_id),
+            None if size_b is None else (size_b <= 0),
+            None
+            if (size_b is None or bound is None)
+            else (pos + 20 + size_b * 2 > bound),
+        )
+        stop = (
+            True
+            if any(v is True for v in parts)
+            else (None if any(v is None for v in parts) else False)
+        )
+        lat = byte(pos + 20)
+        latin1 = None if lat is None else lat == 0
+
+        def txt():
+            if latin1 is not True:
+                return None
+            l2 = None if size_b is None else (size_b - 1) * 2
+            s = _substr(h, pos + 22, l2)
+            if s is None:
+                return None
+            if s == "":
+                return ""
+            if len(s) % 2:
+                s = "0" + s
+            # strict decode == ANSI decode(): invalid UTF-8 fails the
+            # row in both implementations
+            return bytes.fromhex(s).decode("utf-8")
+
+        if stop is False:
+            for fourcc, slot in (
+                (_TIT2, "title"), (_TPE1, "artist"),
+                (_TALB, "album"), (_TRCK, "trck"),
+            ):
+                if fid == fourcc and slots[slot] is None:
+                    slots[slot] = txt()
+        if stop is not True:
+            nf += 1
+            pos = None if size_b is None else pos + 20 + size_b * 2
+        else:
+            break  # fixpoint: same inputs, same stop, nf adds 0
+    if not is_id3:
+        return (False, None, None, None, None, None, None)
+    return (
+        True, tag_sz, nf,
+        slots["title"], slots["artist"], slots["album"], slots["trck"],
+    )
+
+
 def parse_id3_frames(
     media: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
-    """Walk the v2.3 frame list with ONE bounded F.aggregate (the
-    G18 fold discipline): each step reads the 4-char frame id and
-    4-byte big-endian size, records TIT2/TPE1/TALB/TRCK latin-1
+    """Walk the v2.3 frame list: each step reads the 4-char frame id
+    and 4-byte big-endian size, records TIT2/TPE1/TALB/TRCK latin-1
     text, and advances by 10 + size bytes; a zero/invalid id byte
     (padding), a size that runs past the declared tag end, or the
     tag end itself stops the walk, so hostile length fields cannot
     loop. Only encoding 0x00 (latin-1/ASCII) text is decoded —
     frames with other encodings count but read as null (an honest
-    gate, not a misread)."""
+    gate, not a misread). Runs as the Arrow-batched `_id3_walk_one`
+    seam (r11); semantics pinned to the retained Catalyst fold twin
+    by a differential fuzz pytest."""
+    import pandas as _pd
+
+    src = media.select("media_id", F.col(payload_col).alias("payload"))
+
+    def walk(batches):
+        for pdf in batches:
+            rows = [
+                (int(mid), *_id3_walk_one(bytes(p)))
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "is_id3", "tag_bytes", "n_frames",
+                    "title", "artist", "album", "track",
+                ],
+                dtype=object,
+            )
+
+    return src.mapInPandas(walk, _ID3_SCHEMA)
+
+
+def _parse_id3_frames_catalyst(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """The original interpreted Catalyst fold — kept as the reference
+    twin for the differential fuzz test pinning `_id3_walk_one`."""
     media = media.select(
         "media_id", F.hex(F.col(payload_col)).alias("_h")
     )

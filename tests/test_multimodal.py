@@ -330,7 +330,9 @@ def test_jpeg_walk_hostile_inputs(spark):
 
 def test_jpeg_synth_parse_plan_is_codegen(spark):
     """The walk must stay inside whole-stage codegen: no Python
-    evaluation anywhere in the plan."""
+    evaluation anywhere in the plan, and (r12) no interpreted
+    F.aggregate higher-order fold either — the unrolled stages carry
+    the cursor as plain columns."""
     from timescaledb_event_streamer_spark.operators.multimodal import (
         parse_jpeg_headers,
         synthesize_jpeg_headers,
@@ -342,6 +344,8 @@ def test_jpeg_synth_parse_plan_is_codegen(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "aggregate(sequence(" not in plan
 
 
 from hypothesis import given, settings, strategies as st
@@ -1252,3 +1256,129 @@ def test_wav_seams_match_catalyst_twins(spark, sf_small):
             got = sorted(map(tuple, new_fn(df).collect()))
             want = sorted(map(tuple, old_fn(df).collect()))
             assert got == want
+
+
+def test_jpeg_unrolled_walk_matches_catalyst_fold(spark, sf_small):
+    """The r12 unrolled staged-codegen walk must be row-identical to
+    the retained F.aggregate fold twin it replaces, on the full
+    synthesized corpus."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        _parse_jpeg_headers_catalyst,
+        parse_jpeg_headers,
+        synthesize_jpeg_headers,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    media = synthesize_jpeg_headers(load(spark, sf_small, "events"))
+    want = sorted(map(tuple, _parse_jpeg_headers_catalyst(media).collect()))
+    assert sorted(map(tuple, parse_jpeg_headers(media).collect())) == want
+
+
+def test_jpeg_unrolled_walk_differential_fuzz_vs_catalyst(spark):
+    """Hostile payloads (truncations, byte mutations, random tails)
+    must produce the same rows as the Catalyst fold — the unrolled
+    stages apply the identical step expression, so three-valued
+    logic, conv overflow and substr edge reads must all agree."""
+    import random
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        _parse_jpeg_headers_catalyst,
+        parse_jpeg_headers,
+    )
+
+    rng = random.Random(41)
+    # a well-formed synthesized-shape payload as the mutation base
+    base = bytes.fromhex(
+        "FFD8"
+        "FFE0" "0010" "4A46494600" "0102" "00" "0000" "0000" "0000"
+        "FFFE" "0005" "414243"
+        "FFC0" "0011" "08" "01E0" "0280" "03" "011100" "021101" "031101"
+        "FFD9"
+    )
+    payloads = []
+    for _ in range(24):
+        b = bytearray(base)
+        k = rng.randrange(4)
+        if k == 0:
+            b = b[: rng.randrange(1, len(b))]
+        elif k == 1:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif k == 2:
+            b = bytearray(b"\xff\xd8") + bytearray(
+                rng.randrange(256) for _ in range(rng.randrange(0, 60))
+            )
+        else:
+            b = bytearray(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+        payloads.append(bytes(b))
+    df = spark.createDataFrame(
+        list(enumerate(payloads)), "media_id long, payload binary"
+    )
+    want = sorted(map(tuple, _parse_jpeg_headers_catalyst(df).collect()))
+    got = sorted(map(tuple, parse_jpeg_headers(df).collect()))
+    assert got == want
+
+
+def test_exif_unrolled_locator_matches_catalyst_fold(spark, sf_small):
+    """The r12 unrolled APP1 locator must be row-identical to the
+    retained F.aggregate fold twin on the full synthesized corpus."""
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        _parse_exif_headers_catalyst,
+        parse_exif_headers,
+        synthesize_exif_headers,
+    )
+    from timescaledb_event_streamer_spark.sources.tables import load
+
+    media = synthesize_exif_headers(load(spark, sf_small, "events"))
+    want = sorted(map(tuple, _parse_exif_headers_catalyst(media).collect()))
+    assert sorted(map(tuple, parse_exif_headers(media).collect())) == want
+
+
+def test_exif_unrolled_locator_differential_fuzz_vs_catalyst(spark):
+    """Hostile payloads (truncations, byte mutations, bad TIFF
+    offsets, garbage) must produce the same rows as the fold-based
+    probe — including the F.least null-SKIPPING clamp and the
+    coalesce fall-through on the IFD tag scan."""
+    import random
+
+    from timescaledb_event_streamer_spark.operators.multimodal import (
+        _parse_exif_headers_catalyst,
+        parse_exif_headers,
+        synthesize_exif_headers,
+    )
+
+    rng = random.Random(43)
+    bases = [
+        bytes(r["payload"])
+        for r in synthesize_exif_headers(
+            spark.createDataFrame(
+                [(6, 4), (7, 3)], "event_id long, user_id long"
+            )
+        ).collect()
+    ]
+    payloads = []
+    for base in bases:
+        for _ in range(14):
+            b = bytearray(base)
+            k = rng.randrange(4)
+            if k == 0:
+                b = b[: rng.randrange(1, len(b))]
+            elif k == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            elif k == 2:
+                # valid walk to APP1, hostile TIFF block
+                b = bytearray(b"\xff\xd8\xff\xe1\x00\x2a") + bytearray(
+                    rng.randrange(256) for _ in range(rng.randrange(0, 50))
+                )
+            else:
+                b = bytearray(
+                    rng.randrange(256) for _ in range(rng.randrange(0, 40))
+                )
+            payloads.append(bytes(b))
+    df = spark.createDataFrame(
+        list(enumerate(payloads)), "media_id long, payload binary"
+    )
+    want = sorted(map(tuple, _parse_exif_headers_catalyst(df).collect()))
+    got = sorted(map(tuple, parse_exif_headers(df).collect()))
+    assert got == want

@@ -589,10 +589,65 @@ def synthesize_jpeg_headers(events: DataFrame) -> DataFrame:
 
 def parse_jpeg_headers(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Walk the JPEG segment chain to the first SOF marker and read
-    frame geometry: a bounded F.aggregate carries (cursor, sof_pos,
-    segments_skipped) through JPEG_MAX_SEGMENTS hops, each advancing
-    by the segment's self-described length — whole-stage codegen,
-    variable offsets and all.
+    frame geometry. The bounded walk runs UNROLLED (r12): the original
+    F.aggregate fold never codegens (Catalyst higher-order lambdas
+    always interpret, ~130 us/row-core measured), so the same step
+    expression is applied JPEG_MAX_SEGMENTS times as staged
+    withColumns projections instead — `_pos`/`_sof`/`_n` are
+    non-cheap aliases referenced more than once, so cost-aware
+    CollapseProject keeps every stage small and whole-stage codegen
+    compiles the entire walk. Expression-for-expression identical to
+    the retained fold twin (`_parse_jpeg_headers_catalyst`), pinned by
+    a differential fuzz test; variable offsets and hostile inputs
+    behave exactly as before (three-valued logic is Catalyst's own)."""
+    df = media.select("media_id", F.hex(F.col(payload_col)).alias("_h"))
+    h = F.col("_h")
+    df = df.withColumns({
+        "_pos": F.lit(5).cast("int"),   # 1-indexed hex cursor after SOI
+        "_sof": F.lit(0).cast("int"),   # hex pos of the SOF marker
+        "_n": F.lit(0).cast("int"),     # segments skipped before SOF
+    })
+    for _ in range(JPEG_MAX_SEGMENTS):
+        pos, sof, n = F.col("_pos"), F.col("_sof"), F.col("_n")
+        marker = h.substr(pos, F.lit(4))
+        is_sof = marker.isin(*_SOF_MARKERS)
+        seg_len = F.conv(h.substr(pos + 4, F.lit(4)), 16, 10).cast("int")
+        done = (sof > 0) | (pos + 3 > F.length(h)) | marker.isin("FFD9", "FFDA")
+        df = df.withColumns({
+            "_pos": F.when(done | is_sof, pos)
+            .otherwise(pos + 4 + seg_len * 2).cast("int"),
+            "_sof": F.when(is_sof & (sof == 0), pos).otherwise(sof).cast("int"),
+            "_n": F.when(done | is_sof, n).otherwise(n + 1).cast("int"),
+        })
+    hh, sof = F.col("_h"), F.col("_sof")
+    is_jpeg = hh.substr(F.lit(1), F.lit(4)) == "FFD8"
+    # geometry only for actual JPEGs: a non-JPEG payload whose bytes
+    # happen to spell FFC0-FFC3 at a walked offset must stay null
+    # (parse_media_headers gates every field the same way)
+    found = (sof > 0) & is_jpeg
+    marker = hh.substr(sof, F.lit(4))
+    height = F.conv(hh.substr(sof + 10, F.lit(4)), 16, 10).cast("long")
+    width = F.conv(hh.substr(sof + 14, F.lit(4)), 16, 10).cast("long")
+    return df.select(
+        "media_id",
+        is_jpeg.alias("is_jpeg"),
+        F.when(found, F.col("_n")).alias("n_header_segments"),
+        F.when(found, F.conv(hh.substr(sof + 8, F.lit(2)), 16, 10).cast("long"))
+        .alias("precision"),
+        F.when(found, height).alias("height"),
+        F.when(found, width).alias("width"),
+        F.when(found, F.conv(hh.substr(sof + 18, F.lit(2)), 16, 10).cast("long"))
+        .alias("n_components"),
+        F.when(found, marker == "FFC2").alias("progressive"),
+        F.when(found, F.round(width * height / 1e6, 6)).alias("megapixels"),
+    )
+
+
+def _parse_jpeg_headers_catalyst(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """The original interpreted Catalyst fold — kept as the reference
+    twin for the differential fuzz test pinning `_jpeg_walk_one`.
 
     The hex string is materialized in its OWN projection before the
     fold: Catalyst does no common-subexpression elimination inside an
@@ -1207,7 +1262,163 @@ def parse_exif_headers(media: DataFrame, payload_col: str = "payload") -> DataFr
     (inline SHORT), XResolution (out-of-line RATIONAL followed via
     its offset). Every read handles Column-valued offsets and both
     endiannesses in codegen; non-JPEG / non-EXIF payloads yield
-    typed NULLs, never errors."""
+    typed NULLs, never errors.
+
+    Two r12 changes, both expression-for-expression pinned to the
+    retained fold twin (`_parse_exif_headers_catalyst`) by a
+    differential fuzz test and full-corpus parity:
+
+    - the APP1 locator runs UNROLLED: the original F.aggregate fold
+      never codegens (Catalyst higher-order lambdas always
+      interpret), so the same step expression is applied
+      EXIF_WALK_SEGMENTS times as staged withColumns projections —
+      `_pos`/`_app1` are non-cheap aliases referenced more than once,
+      so cost-aware CollapseProject keeps every stage small and
+      whole-stage codegen compiles the whole locator;
+    - the TIFF reads are BYTE-positional over the binary payload
+      (hex-of-slice) instead of substr over the row's hex string:
+      UTF8String.substr scans O(position) bytes per call, and the
+      ~21 reads each paid that scan — binary substring is a
+      byte-addressed O(length) slice. Every walked hex position is
+      odd (byte-aligned: the cursor starts at 5 and advances by
+      4 + seg_len*2) and the hex string always has even length, so
+      hex pos x maps exactly to byte (x+1)/2 and truncated reads
+      return the identical hex prefix.
+    """
+    p = F.col("_p")
+    media = media.select(
+        "media_id",
+        F.col(payload_col).alias("_p"),
+        F.hex(F.col(payload_col)).alias("_h"),
+    )
+    h = F.col("_h")
+    media = media.withColumns({
+        "_pos": F.lit(5).cast("int"),
+        "_app1": F.lit(0).cast("int"),
+    })
+    for _ in range(EXIF_WALK_SEGMENTS):
+        pos, app1 = F.col("_pos"), F.col("_app1")
+        marker = h.substr(pos, F.lit(4))
+        seg_len = F.conv(h.substr(pos + 4, F.lit(4)), 16, 10).cast("int")
+        done = (app1 > 0) | (pos + 3 > F.length(h)) | marker.isin("FFD9", "FFDA")
+        is_app1 = marker == "FFE1"
+        media = media.withColumns({
+            "_pos": F.when(done | is_app1, pos)
+            .otherwise(pos + 4 + seg_len * 2).cast("int"),
+            "_app1": F.when(is_app1 & (app1 == 0), pos)
+            .otherwise(app1).cast("int"),
+        })
+    # STAGED projections from here on: Catalyst does no common-sub-
+    # expression elimination inside one expression tree, so inlining
+    # rd(rd(...)) (Column-valued offsets) squares the tree at every
+    # hop and the generated method blows past the 64 KB JVM codegen
+    # limit into the interpreted fallback (measured 36s -> 1s on the
+    # registered probe). Each stage materializes the offsets the next
+    # stage reads, keeping every projection small and codegen-able.
+    media = media.select("media_id", "_p", "_app1")
+    app1 = F.col("_app1")
+
+    def rd(byte_off, nbytes: int, le=None):
+        le = F.col("_le") if le is None else le
+        # clamp hostile offsets: an APP1 segment caps at 64 KiB, so
+        # any larger TIFF offset is garbage — without the clamp a
+        # crafted 32-bit offset overflows substr's int position
+        # (ANSI CAST_OVERFLOW) instead of reading as NULL
+        off = F.least(byte_off.cast("long"), F.lit(131_072))
+        bpos = (F.col("_tb") + off).cast("int")
+        be = F.hex(p.substr(bpos, F.lit(nbytes)))
+        pairs = [F.hex(p.substr(bpos + i, F.lit(1))) for i in range(nbytes)]
+        return F.conv(
+            F.when(le, F.concat(*reversed(pairs))).otherwise(be), 16, 10
+        ).cast("long")
+
+    media = media.select(
+        "media_id",
+        "_p",
+        "_app1",
+        (F.hex(p.substr(F.lit(1), F.lit(2))) == "FFD8").alias("_is_jpeg"),
+        # byte pos of the TIFF header: hex pos app1+20 -> (app1+1)/2+10
+        ((app1 + 1) / 2 + 10).cast("int").alias("_tb"),
+    )
+    media = media.select(
+        "*",
+        (
+            F.col("_is_jpeg")
+            & (app1 > 0)
+            & (
+                F.hex(p.substr(((app1 + 1) / 2 + 4).cast("int"), F.lit(6)))
+                == _EXIF_MAGIC_HEX
+            )
+        ).alias("_has_exif"),
+        (F.hex(p.substr(F.col("_tb"), F.lit(2))) == "4949").alias("_le"),
+    )
+    media = media.select("*", rd(F.lit(4).cast("long"), 4).alias("_ifd0"))
+    media = media.select("*", rd(F.col("_ifd0"), 2).alias("_cnt"))
+    # one small projection per IFD entry: tag + both value reads
+    entry_cols = []
+    for i in range(EXIF_MAX_IFD_ENTRIES):
+        eoff = F.col("_ifd0") + 2 + 12 * i
+        entry_cols.extend(
+            [
+                rd(eoff, 2).alias(f"_tag{i}"),
+                rd(eoff + 8, 2).alias(f"_v2_{i}"),
+                rd(eoff + 8, 4).alias(f"_v4_{i}"),
+            ]
+        )
+    media = media.select("*", *entry_cols)
+    ori = F.coalesce(
+        *[
+            F.when(
+                (F.lit(i) < F.col("_cnt"))
+                & (F.col(f"_tag{i}") == _TAG_ORIENTATION),
+                F.col(f"_v2_{i}"),
+            )
+            for i in range(EXIF_MAX_IFD_ENTRIES)
+        ]
+    )
+    xoff = F.coalesce(
+        *[
+            F.when(
+                (F.lit(i) < F.col("_cnt"))
+                & (F.col(f"_tag{i}") == _TAG_XRESOLUTION),
+                F.col(f"_v4_{i}"),
+            )
+            for i in range(EXIF_MAX_IFD_ENTRIES)
+        ]
+    )
+    media = media.select("*", ori.alias("_ori"), xoff.alias("_xoff"))
+    media = media.select(
+        "*",
+        F.when(F.col("_xoff").isNotNull(), rd(F.col("_xoff"), 4)).alias("_num"),
+        F.when(F.col("_xoff").isNotNull(), rd(F.col("_xoff") + 4, 4)).alias(
+            "_den"
+        ),
+    )
+    has_exif, cnt = F.col("_has_exif"), F.col("_cnt")
+    num, den = F.col("_num"), F.col("_den")
+    return media.select(
+        "media_id",
+        F.col("_is_jpeg").alias("is_jpeg"),
+        has_exif.alias("has_exif"),
+        F.when(
+            has_exif, F.when(F.col("_le"), F.lit("II")).otherwise(F.lit("MM"))
+        ).alias("byte_order"),
+        F.when(has_exif, cnt).alias("n_ifd_entries"),
+        F.when(has_exif, F.col("_ori")).alias("orientation"),
+        F.when(has_exif, num).alias("xres_num"),
+        F.when(has_exif, den).alias("xres_den"),
+        F.when(
+            has_exif & den.isNotNull() & (den > 0),
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("xresolution"),
+    )
+
+
+def _parse_exif_headers_catalyst(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """The original staged-codegen probe — kept as the reference twin
+    for the differential fuzz test pinning `_exif_walk_one`."""
     media = media.select("media_id", F.hex(F.col(payload_col)).alias("_h"))
     h = F.col("_h")
 

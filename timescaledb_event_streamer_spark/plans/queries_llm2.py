@@ -186,9 +186,12 @@ def common_shingle_fraction(docs: DataFrame) -> DataFrame:
     doc="Decoder-free JPEG frame geometry: unlike the fixed-offset "
     "PNG/WAV/GIF probes (media_header_probe), JPEG's SOF marker "
     "floats behind a variable-length APPn/COM segment chain, so the "
-    "probe WALKS the chain — a bounded F.aggregate over the binary "
-    "column hopping marker-declared lengths until SOF0-SOF3, still "
-    "pure whole-stage codegen with zero Python per row. Synthesis "
+    "probe WALKS the chain — hopping marker-declared lengths until "
+    "SOF0-SOF3, still pure whole-stage codegen with zero Python per "
+    "row (the bounded walk runs UNROLLED since r12: the F.aggregate "
+    "fold always interpreted, so the same step expression is applied "
+    "as staged projections instead, pinned to the retained fold twin "
+    "by a differential fuzz test). Synthesis "
     "varies the segment count and lengths per row and exposes only "
     "the bytes; the oracle re-derives geometry from the generating "
     "columns, so a walk bug cannot cancel out.",

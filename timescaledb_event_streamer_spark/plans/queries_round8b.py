@@ -1425,7 +1425,11 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FOLLOWS the XResolution offset to its out-of-line RATIONAL — "
     "the two fields that decide rotate/resize for a 100 TB media "
     "lake, extracted in pure whole-stage codegen with zero Python "
-    "per row and zero decode. Synthesis varies byte order, an "
+    "per row and zero decode (the APP1 locator runs UNROLLED since "
+    "r12: the F.aggregate fold always interpreted, so the same step "
+    "expression is applied as staged projections instead, pinned to "
+    "the retained fold twin by differential fuzz). "
+    "Synthesis varies byte order, an "
     "optional preceding APP0, and all field values per row; the "
     "oracle re-derives every output from the GENERATING columns, "
     "so a parser bug cannot cancel out (the G5 adjudication).",

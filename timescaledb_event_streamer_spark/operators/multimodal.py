@@ -647,7 +647,7 @@ def _parse_jpeg_headers_catalyst(
     media: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
     """The original interpreted Catalyst fold — kept as the reference
-    twin for the differential fuzz test pinning `_jpeg_walk_one`.
+    twin for the differential fuzz tests pinning the unrolled walk.
 
     The hex string is materialized in its OWN projection before the
     fold: Catalyst does no common-subexpression elimination inside an
@@ -1417,8 +1417,9 @@ def parse_exif_headers(media: DataFrame, payload_col: str = "payload") -> DataFr
 def _parse_exif_headers_catalyst(
     media: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
-    """The original staged-codegen probe — kept as the reference twin
-    for the differential fuzz test pinning `_exif_walk_one`."""
+    """The original fold-based probe — kept as the reference twin
+    for the differential fuzz tests pinning the unrolled locator and
+    the byte-positional TIFF reads."""
     media = media.select("media_id", F.hex(F.col(payload_col)).alias("_h"))
     h = F.col("_h")
 

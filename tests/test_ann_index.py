@@ -233,3 +233,26 @@ def test_knn_pair_scores_blocked_prune_matches_join_reference(spark, sf_small):
         )
         assert got == ref, f"local_top={lt}"
     assert len(ref) > 0
+
+def test_knn_pair_scores_zero_norm_rows_survive_prune(spark):
+    """A zero-norm embedding yields NaN ratios; the local_top prune
+    must not let a NaN reach np.partition (which would poison the
+    per-row threshold and drop EVERY candidate of that src). Pruned
+    output must stay a superset of the unpruned top-k rows and keep
+    the NaN rows the unpruned path emits (r12 non-finite guard)."""
+    from timescaledb_event_streamer_spark.operators.ann import knn_pair_scores
+
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(4)]) for i in range(12)]
+    rows.append((12, [0.0, 0.0, 0.0, 0.0]))  # zero-norm: NaN vs everyone
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    full = {(r["src"], r["dst"]) for r in knn_pair_scores(emb, local_top=None).collect()}
+    pruned = knn_pair_scores(emb, local_top=3).collect()
+    pruned_pairs = {(r["src"], r["dst"]) for r in pruned}
+    assert pruned_pairs <= full
+    # the zero-norm src keeps ALL its (NaN) candidates, like unpruned
+    assert {(s, d) for s, d in full if s == 12} <= pruned_pairs
+    # and every finite src still has >= 3 candidates after the prune
+    import collections
+    cnt = collections.Counter(s for s, _ in pruned_pairs)
+    assert all(cnt[i] >= 3 for i in range(12)), cnt

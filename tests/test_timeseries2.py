@@ -259,3 +259,43 @@ def test_asof_join_property_matches_merge_asof(spark, left, right):
     pd.testing.assert_frame_equal(
         got[["k", "ts", "lv", "rv"]], want[["k", "ts", "lv", "rv"]], check_dtype=False
     )
+
+def test_lttb_null_series_keys_group_as_one_series(spark):
+    """Null series keys must behave exactly like groupBy(): one series
+    per distinct-or-null key, even when the null-keyed series spans an
+    Arrow batch boundary (r12 null-safe carry/group masks). Before the
+    fix, NaN != NaN split a null-keyed series into per-row fragments."""
+    import numpy as np
+
+    rows = []
+    for key in ["a", None, "b"]:
+        for i in range(120):
+            rows.append((key, i, float((i * 37) % 101)))
+    df = spark.createDataFrame(rows, "grp string, ts long, value double")
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    try:
+        got = (
+            lttb(df, ["grp"], "ts", "value", n_out=10)
+            .toPandas()
+            .sort_values(["grp", "ts"], na_position="first")
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+
+    src = df.toPandas()
+    parts = []
+    for _, g in src.groupby("grp", sort=False, dropna=False):
+        g = g.sort_values("ts").reset_index(drop=True)
+        x = g["ts"].astype("int64").to_numpy(dtype=np.float64)
+        y = g["value"].to_numpy(dtype=np.float64)
+        parts.append(g.iloc[_lttb_indices(x, y, 10)])
+    want = (
+        pd.concat(parts, ignore_index=True)
+        .sort_values(["grp", "ts"], na_position="first")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 30  # 3 series x n_out, NOT one fragment per row
+    pd.testing.assert_frame_equal(got, want)

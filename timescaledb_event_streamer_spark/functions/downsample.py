@@ -78,11 +78,17 @@ def lttb(
 
     def _process(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
-        karrs = [pdf[k].to_numpy() for k in series_keys]
         new_grp = np.zeros(n, dtype=bool)
         new_grp[0] = True
-        for arr in karrs:
-            new_grp[1:] |= arr[1:] != arr[:-1]
+        for k in series_keys:
+            s = pdf[k]
+            arr = s.to_numpy()
+            # null-safe: a run of null keys is ONE series, matching
+            # groupBy().applyInPandas (NaN != NaN would otherwise
+            # start a new group per row)
+            neq = arr[1:] != arr[:-1]
+            na = s.isna().to_numpy()
+            new_grp[1:] |= neq & ~(na[1:] & na[:-1])
         starts = np.flatnonzero(new_grp)
         sizes = np.diff(np.append(starts, n))
         needs_lttb = (sizes > n_out) & (n_out >= 3)
@@ -111,7 +117,13 @@ def lttb(
             last = pdf.iloc[-1]
             tail_mask = np.ones(len(pdf), dtype=bool)
             for k in series_keys:
-                tail_mask &= (pdf[k] == last[k]).to_numpy()
+                # null-safe carry: a null-keyed trailing series must be
+                # held back too, or a series spanning an Arrow batch
+                # boundary is LTTB'd as two independent fragments
+                if pd.isna(last[k]):
+                    tail_mask &= pdf[k].isna().to_numpy()
+                else:
+                    tail_mask &= (pdf[k] == last[k]).to_numpy()
             carry = pdf[tail_mask]
             head = pdf[~tail_mask]
             if len(head):

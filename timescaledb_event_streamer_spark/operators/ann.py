@@ -9,8 +9,11 @@ Python per row.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from timescaledb_event_streamer_spark.caching import scoped_persist
 
 N_HYPERPLANES = 12
 _LCG_A = 1103515245
@@ -597,15 +600,22 @@ def knn_pair_scores(
         def _row_keep(r_valid):
             # per-row margin mask over a matrix with -inf at invalid
             # entries; rows with fewer than local_top valid entries
-            # keep everything valid
+            # keep everything valid. Non-finite ratios (zero-norm
+            # embeddings give NaN/inf) are ALWAYS kept: the unpruned
+            # path emits them, Spark orders NaN above every double so
+            # a downstream rank<=k can admit them, and a NaN reaching
+            # np.partition would poison the threshold (NaN compares
+            # False, dropping every finite candidate of that src)
             k = local_top
-            nvalid = np.isfinite(r_valid).sum(axis=1)
+            finite = np.isfinite(r_valid)
+            nvalid = finite.sum(axis=1)
+            fin_vals = np.where(finite, r_valid, -np.inf)
             thresh = np.full(r_valid.shape[0], -np.inf)
             enough = nvalid >= k
             if enough.any():
-                part = np.partition(r_valid[enough], -k, axis=1)[:, -k]
+                part = np.partition(fin_vals[enough], -k, axis=1)[:, -k]
                 thresh[enough] = part - 1e-6
-            return r_valid >= thresh[:, None]
+            return (r_valid >= thresh[:, None]) | np.isnan(r_valid)
 
         for pdf in batches:
             out_s, out_d, out_r = [], [], []
@@ -687,9 +697,11 @@ def build_ivfpq_index(
 
     v = F.col(vec_col).cast("array<double>")
     unit = F.transform(v, lambda x: x / norm(v))
-    base = embeddings.select(
-        F.col(id_col), F.col("label"), unit.alias("v")
-    ).persist()
+    base = scoped_persist(
+        embeddings.select(F.col(id_col), F.col("label"), unit.alias("v")),
+        "build_ivfpq_index.base",
+        level=StorageLevel.MEMORY_AND_DISK_DESER,
+    )
 
     feat = base.select(
         id_col, "label", "v", array_to_vector("v").alias("_features")

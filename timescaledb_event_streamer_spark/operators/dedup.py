@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from timescaledb_event_streamer_spark.caching import scoped_persist
 from timescaledb_event_streamer_spark.operators.textstats import shingles
 from timescaledb_event_streamer_spark.sources.tables import spread
 
@@ -68,16 +69,15 @@ def _shingle_table(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (pair join sides, size aggregation) reuses ONE computation of the
     split/explode/distinct chain instead of re-deriving it from the
     raw corpus per plan branch."""
-    from pyspark import StorageLevel
 
-    return (
+    tbl = (
         spread(docs)
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode(shingles(F.col(text_col))).alias("s"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return scoped_persist(tbl, "dedup._shingle_table")
 
 
 def _shingle_pair_counts(sh: DataFrame) -> DataFrame:
@@ -233,10 +233,10 @@ def minhash_lsh_pairs(
     BroadcastExchange never matches a shuffle exchange for reuse.
     """
     rows = MINHASH_PERMS // MINHASH_BANDS
-    from pyspark import StorageLevel
 
-    sig = minhash_signatures(docs, text_col, id_col, base_hash=base_hash).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = scoped_persist(
+        minhash_signatures(docs, text_col, id_col, base_hash=base_hash),
+        "dedup.minhash_lsh_pairs.sig",
     )
     banded = sig.select(
         "doc_id",

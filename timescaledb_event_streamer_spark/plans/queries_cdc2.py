@@ -21,6 +21,7 @@ from timescaledb_event_streamer_spark.plans.queries_cdc import (
     _SQL_OP,
     _SQL_TS_MS,
 )
+from timescaledb_event_streamer_spark.caching import scoped_persist
 from timescaledb_event_streamer_spark.plans.registry import register
 from timescaledb_event_streamer_spark.sources.tables import load
 
@@ -516,7 +517,6 @@ def pg_array_text_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cdc_wal2json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
 
     from timescaledb_event_streamer_spark.sources.wal2json import (
         parse_wal2json,
@@ -531,8 +531,9 @@ def cdc_wal2json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wal2json lines are a materialized source column and this reuse
     # is free; the persist replaces exactly that. The parse path —
     # the operator under test — still runs on every execution.
-    lines = synthesize_wal2json(load(spark, sf_dir, "events")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    lines = scoped_persist(
+        synthesize_wal2json(load(spark, sf_dir, "events")),
+        "cdc_wal2json_roundtrip.lines",
     )
     env = parse_wal2json(lines)
     return env.select(

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timescaledb_event_streamer_spark.caching import scoped_persist
 from timescaledb_event_streamer_spark.plans.queries_round8b import _SQL_DAILY
 from timescaledb_event_streamer_spark.plans.registry import register
 from timescaledb_event_streamer_spark.sources.tables import load
@@ -1403,15 +1404,17 @@ def media_container_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(synthesize_ebml_headers(ev.filter(rid == 6)))
         .unionByName(synthesize_ogg_headers(ev.filter(rid == 7)))
     )
-    from pyspark import StorageLevel
 
     # three probe branches filter this frame; persist or each branch
     # re-runs every synthesizer (3x the pipeline). In production the
     # mixed bytes are a parquet column and each branch is a
     # pushed-filter scan — the persist replaces exactly that reuse.
-    sniffed = mixed.select(
-        "media_id", "payload", sniff_format(F.col("payload")).alias("c")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sniffed = scoped_persist(
+        mixed.select(
+            "media_id", "payload", sniff_format(F.col("payload")).alias("c")
+        ),
+        "media_container_router.sniffed",
+    )
     out_cols = ["media_id", "container", "width", "height", "duration_ms", "codec"]
 
     fixed = parse_media_headers(
@@ -1684,7 +1687,6 @@ def _modality_agreement_oracle() -> str:
     oracle=_modality_agreement_oracle(),
 )
 def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
 
     from timescaledb_event_streamer_spark.operators.ann import dot, norm
     from timescaledb_event_streamer_spark.operators.dedup import (
@@ -1702,8 +1704,9 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         % _MERSENNE
     )
-    sig = minhash_signatures(docs, base_hash=md5_base).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = scoped_persist(
+        minhash_signatures(docs, base_hash=md5_base),
+        "dedup_modality_agreement.sig",
     )
     banded = sig.select(
         "doc_id",
@@ -2039,7 +2042,6 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rn"),
     )
-    from pyspark import StorageLevel
 
     # vector-grain (one row per vec) and referenced by BOTH pair
     # sides + the final join: persist or the broadcast-seed scan +
@@ -2053,8 +2055,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seed_id").alias("cluster_id"),
             F.col("cs").alias("cent_sim"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    asg = scoped_persist(asg, "dedup_semdedup.asg")
     a = asg.select(
         F.col("vec_id").alias("ida"), F.col("v").alias("va"),
         F.col("cluster_id").alias("ca_id"), F.col("cent_sim").alias("ca"),
@@ -2392,7 +2394,6 @@ def _cascade_oracle() -> str:
     oracle=_cascade_oracle(),
 )
 def dedup_cascade_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     from timescaledb_event_streamer_spark.operators.ann import cosine
@@ -2415,8 +2416,9 @@ def dedup_cascade_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(exact_sur.select("doc_id"), "doc_id", "left_semi")
         .filter(F.size(F.split(F.col("text"), " ")) >= 5)
     )
-    sig = minhash_signatures(mh_docs, base_hash=md5_base).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = scoped_persist(
+        minhash_signatures(mh_docs, base_hash=md5_base),
+        "dedup_cascade_ledger.sig",
     )
     banded = sig.select(
         "doc_id",
@@ -2492,8 +2494,8 @@ def dedup_cascade_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", F.col("seed_id").alias("cid"), "cs")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    asg = scoped_persist(asg, "dedup_cascade_ledger.asg")
     pa = asg.select(
         F.col("vec_id").alias("ida"), F.col("v").alias("va"),
         F.col("cid").alias("ca_id"), F.col("cs").alias("ca"),

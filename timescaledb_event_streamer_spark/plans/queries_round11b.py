@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from timescaledb_event_streamer_spark.caching import scoped_persist
 from timescaledb_event_streamer_spark.plans.queries_round8b import (
     _SQL_DAILY,
     _daily_ohlcv,
@@ -1581,7 +1582,6 @@ def _decon_near_oracle() -> str:
     oracle=_decon_near_oracle(),
 )
 def text_decontamination_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
 
     from timescaledb_event_streamer_spark.operators.dedup import (
         _MERSENNE,
@@ -1598,8 +1598,9 @@ def text_decontamination_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         % _MERSENNE
     )
-    sig = minhash_signatures(docs, base_hash=md5_base).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = scoped_persist(
+        minhash_signatures(docs, base_hash=md5_base),
+        "text_decontamination_near.sig",
     )
 
     def banded(frame):

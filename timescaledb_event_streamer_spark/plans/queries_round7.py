@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timescaledb_event_streamer_spark.caching import scoped_persist
 from timescaledb_event_streamer_spark.plans.registry import register
 from timescaledb_event_streamer_spark.sources.tables import load
 
@@ -1533,7 +1534,6 @@ def _sweep_oracle() -> str:
     oracle=_sweep_oracle(),
 )
 def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
 
     from timescaledb_event_streamer_spark.operators.ann import cosine
 
@@ -1561,8 +1561,8 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("v").alias("v"),
         )
         .select("vec_id", "v", (-F.col("m.ns")).alias("seed_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    asg = scoped_persist(asg, "ann_nprobe_sweep.index")
     qv = e.filter(F.col("vec_id") == _SWEEP_QUERY).select(
         F.col("v").alias("qv")
     )

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from timescaledb_event_streamer_spark.caching import scoped_persist
 from timescaledb_event_streamer_spark.plans.registry import register
 from timescaledb_event_streamer_spark.sources.tables import load, spread
 from timescaledb_event_streamer_spark.plans.queries_round8b import (
@@ -347,7 +348,6 @@ def _pq_sweep_oracle() -> str:
 def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from pyspark import StorageLevel
 
     from timescaledb_event_streamer_spark.operators.ann import cosine, dot
 
@@ -441,9 +441,10 @@ def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         code_cols.append(
             F.array_position(dists, F.array_min(dists)).cast("int")
         )
-    index = asg.select(
-        "vec_id", "v", "seed_id", F.array(*code_cols).alias("code")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    index = scoped_persist(
+        asg.select("vec_id", "v", "seed_id", F.array(*code_cols).alias("code")),
+        "ann_ivfpq_nprobe_sweep.index",
+    )
 
     n_vecs = e0.filter(F.col("vec_id") != _PQ_QUERY).agg(
         F.count(F.lit(1)).alias("n_vecs")
@@ -1535,7 +1536,6 @@ def _beam_oracle() -> str:
     oracle=_beam_oracle(),
 )
 def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
 
     from timescaledb_event_streamer_spark.operators.ann import cosine
 
@@ -1598,11 +1598,12 @@ def ann_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _BEAM_DEG)
         .select("src", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    scoredall = nodes.select(
-        "vec_id", F.round(cosine(F.col("v"), qv), 6).alias("c")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    g = scoped_persist(g, "ann_graph_beam_search.edges")
+    scoredall = scoped_persist(
+        nodes.select("vec_id", F.round(cosine(F.col("v"), qv), 6).alias("c")),
+        "ann_graph_beam_search.scoredall",
+    )
     entry = (
         scoredall.filter(
             (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500)
@@ -1791,9 +1792,8 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 -> winnowing-window chain (4 corpus scans in the initial
     # plan). Density ~2/(w+1) of k-grams — the bounded artifact
     # winnowing exists to produce.
-    from pyspark import StorageLevel
 
-    sel = sel.persist(StorageLevel.MEMORY_AND_DISK)
+    sel = scoped_persist(sel, "dedup_winnowing.sel")
     sizes = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
     a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
     b = sel.select(F.col("doc_id").alias("doc_b"), "fp")
@@ -2213,7 +2213,6 @@ def _inc_minhash_oracle() -> str:
     oracle=_inc_minhash_oracle(),
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
 
     from timescaledb_event_streamer_spark.operators.dedup import (
         MINHASH_BANDS,
@@ -2230,8 +2229,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
         % _MERSENNE
     )
-    sig = minhash_signatures(docs, base_hash=md5_base).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = scoped_persist(
+        minhash_signatures(docs, base_hash=md5_base),
+        "dedup_incremental_minhash.sig",
     )
     banded = sig.select(
         "doc_id",
@@ -2288,8 +2288,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "index_id",
             (agree / float(MINHASH_PERMS)).alias("est_jaccard"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cand = scoped_persist(cand, "dedup_incremental_minhash.cand")
     wbest = Window.partitionBy("new_id").orderBy(
         F.col("est_jaccard").desc(), "index_id"
     )
